@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One engine operator exposed through the driver contract: a named Spark
+  * query over the testdata tables plus (when SQL-expressible) the exact
+  * DuckDB oracle SQL the driver hash-compares against.
+  *
+  * Column names and value rounding MUST match between `spark` and `oracle`
+  * — the driver sorts columns by name and hashes values.
+  */
+final case class Q(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read nanos as long and truncate to micros —
+      // byte-identical to DuckDB's own nanos→micros truncation.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}
+
+/** Shared column helpers, engine-portable by construction: every derived
+  * value here has a byte-identical DuckDB formulation (see the paired
+  * oracle SQL strings in the operator modules).
+  */
+object Cols {
+  /** Round a double aggregate so that summation-order differences between
+    * engines (Spark partial aggregation vs DuckDB single-node) vanish.
+    */
+  def r2(c: Column): Column = round(c, 2)
+  def r4(c: Column): Column = round(c, 4)
+  def r6(c: Column): Column = round(c, 6)
+
+  /** Deterministic 60-bit hash both engines compute identically:
+    * Spark:  conv(substr(md5(s),1,15),16,10)::long
+    * DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT
+    * md5 is byte-stable everywhere; 15 hex digits keep it positive in
+    * a signed 64-bit integer. This is the portable hash used by minhash /
+    * LSH / fingerprint operators so the oracle can replay them exactly.
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** The DuckDB-side rendering of [[md5Long]]. */
+  def md5LongSql(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+}

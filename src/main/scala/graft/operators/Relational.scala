@@ -1,0 +1,531 @@
+package graft.operators
+
+import graft.{Q, Cols, Tables}
+import Cols._
+import Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational batch surface (SURVEY.md §2.7): joins of every kind,
+  * hash aggregation, rollup/cube, window functions, sort/limit/top-k,
+  * set operations, scalar string/date/math functions, and JSON access.
+  *
+  * The reference (tower_parse) delegates all of this to the central
+  * server's out-of-repo batch processing over the columnar files it
+  * uploads (reference: send_data.sh:5, README.md:3); here it is served
+  * by stock Spark SQL so Catalyst/Tungsten pick the physical strategy
+  * (broadcast vs shuffle join, partial aggregation, pushdown).
+  *
+  * Scale notes (100 TB posture) are on each query.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped hash aggregation: map-side partial agg then a 6-group
+    * final — shuffles only 6×cores rows regardless of input size.
+    */
+  private val q01 = Q(
+    "q01_agg_pricing",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          r2(sum($"l_quantity")).as("sum_qty"),
+          r2(sum($"l_extendedprice")).as("sum_base_price"),
+          r2(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("sum_disc_price"),
+          r4(avg($"l_quantity")).as("avg_qty"),
+          r4(avg($"l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2)                          AS sum_qty,
+             round(sum(l_extendedprice), 2)                     AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+             round(avg(l_quantity), 4)                          AS avg_qty,
+             round(avg(l_discount), 4)                          AS avg_disc,
+             count(*)                                           AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Broadcast join: `part` is a dimension (200 rows/SF-invariant-ish) —
+    * explicitly broadcast so the 100 TB fact side never shuffles.
+    */
+  private val q02 = Q(
+    "q02_join_brand_revenue",
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      val p = t(s, d, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy($"p_brand")
+        .agg(
+          r2(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"p_brand")
+    },
+    Some("""
+      SELECT p_brand,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*)                                          AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand"""))
+
+  /** 5-table star join (TPC-H Q5 shape). Dimensions broadcast; the single
+    * shuffle is lineitem⋈orders on orderkey; customer joins ride the
+    * broadcasted nation/region.
+    */
+  private val q03 = Q(
+    "q03_join_region_revenue",
+    (s, d) => {
+      import s.implicits._
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem"); val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          r2(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some("""
+      SELECT r_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*)                                          AS n_items
+      FROM lineitem
+        JOIN orders   ON l_orderkey  = o_orderkey
+        JOIN customer ON o_custkey   = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""))
+
+  /** Left-semi join (EXISTS): dedups the probe side inside the join — no
+    * distinct pass, no row multiplication.
+    */
+  private val q04 = Q(
+    "q04_semi_join_priority",
+    (s, d) => {
+      import s.implicits._
+      val o = t(s, d, "orders")
+      val bigLines = t(s, d, "lineitem").filter($"l_quantity" > 45)
+        .select($"l_orderkey")
+      o.join(bigLines, o("o_orderkey") === bigLines("l_orderkey"), "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** Left-anti join (NOT EXISTS): customers with no 1995 order. */
+  private val q05 = Q(
+    "q05_anti_join_idle_customers",
+    (s, d) => {
+      import s.implicits._
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+        .filter(year($"o_orderdate") === 1995)
+        .select($"o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_idle"), r2(sum($"c_acctbal")).as("idle_balance"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_idle, round(sum(c_acctbal), 2) AS idle_balance
+      FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE EXTRACT(YEAR FROM o_orderdate) = 1995)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  /** TPC-H Q6 shape: highly selective scan-filter-agg. All three
+    * predicates push down to the Parquet reader (row-group skipping via
+    * min/max stats) — at 100 TB this reads a fraction of the data.
+    */
+  private val q06 = Q(
+    "q06_filter_pushdown_revenue",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1997-01-01"))
+        .filter($"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+        .agg(r2(sum($"l_extendedprice" * $"l_discount")).as("revenue"),
+             count(lit(1)).as("n_items"))
+    },
+    Some("""
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             count(*)                                    AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  /** Top-k per group via rank window — ranks on the ROUNDED revenue with a
+    * key tie-break so both engines order identically despite fp
+    * summation-order differences.
+    */
+  private val q07 = Q(
+    "q07_topk_parts_per_brand",
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem"); val p = t(s, d, "part")
+      val rev = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy($"p_brand", $"p_partkey")
+        .agg(r2(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"))
+      val w = Window.partitionBy($"p_brand")
+        .orderBy($"revenue".desc, $"p_partkey".asc)
+      rev.withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"p_brand", $"p_partkey", $"revenue", $"rk")
+        .orderBy($"p_brand", $"rk")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT p_brand, p_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey)
+      SELECT p_brand, p_partkey, revenue, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY p_brand
+                    ORDER BY revenue DESC, p_partkey) AS rk
+        FROM rev)
+      WHERE rk <= 3
+      ORDER BY p_brand, rk"""))
+
+  /** Window functions: running sum + lag per supplier in ship order.
+    * One shuffle on l_suppkey; the running sum is computed in identical
+    * sequential order in both engines, so values match bit-for-bit.
+    */
+  private val q08 = Q(
+    "q08_window_running_revenue",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      t(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("running",
+          r2(sum($"l_extendedprice").over(w.rowsBetween(Window.unboundedPreceding, 0))))
+        .withColumn("prev_qty", lag($"l_quantity", 1).over(w))
+        .select($"l_suppkey", date_format($"l_shipdate", "yyyy-MM-dd").as("ship_d"),
+          $"l_orderkey", $"l_linenumber", $"rn", $"running", $"prev_qty")
+        .orderBy($"l_suppkey", $"rn")
+    },
+    Some("""
+      SELECT l_suppkey, strftime(l_shipdate, '%Y-%m-%d') AS ship_d,
+             l_orderkey, l_linenumber,
+             row_number() OVER w AS rn,
+             round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
+             lag(l_quantity) OVER w AS prev_qty
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      ORDER BY l_suppkey, rn"""))
+
+  /** Global top-k: Spark's orderBy+limit compiles to TakeOrderedAndProject
+    * — per-partition heaps, no full sort.
+    */
+  private val q09 = Q(
+    "q09_top_orders",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(10)
+        .select($"o_orderkey", r2($"o_totalprice").as("total"), $"o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderkey, round(o_totalprice, 2) AS total, o_orderstatus
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10"""))
+
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  private val q10 = Q(
+    "q10_distinct_agg",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(
+          countDistinct($"c_nationkey").as("n_nations"),
+          count(lit(1)).as("n_customers"),
+          r2(sum($"c_acctbal")).as("balance"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment,
+             count(DISTINCT c_nationkey) AS n_nations,
+             count(*)                    AS n_customers,
+             round(sum(c_acctbal), 2)    AS balance
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  /** ROLLUP hierarchy totals; grouping nulls rendered as 'ALL' so the
+    * hash compare never sees engine-specific null ordering.
+    */
+  private val q11 = Q(
+    "q11_rollup_pricing",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(r2(sum($"l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"),
+          $"sum_qty", $"n")
+        .orderBy($"rf", $"ls")
+    },
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             round(sum(l_quantity), 2)     AS sum_qty,
+             count(*)                      AS n
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY rf, ls"""))
+
+  /** CUBE over two order dimensions. */
+  private val q12 = Q(
+    "q12_cube_orders",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), r2(sum($"o_totalprice")).as("total"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"n", $"total")
+        .orderBy($"status", $"priority")
+    },
+    Some("""
+      SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*)                         AS n,
+             round(sum(o_totalprice), 2)      AS total
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""))
+
+  /** Set operations: INTERSECT / EXCEPT / UNION (all dedup via hash agg). */
+  private val q13 = Q(
+    "q13_set_ops",
+    (s, d) => {
+      import s.implicits._
+      val cust = t(s, d, "customer")
+      val bigBuyers = t(s, d, "orders").filter($"o_totalprice" > 400000)
+        .select($"o_custkey".as("k"))
+      val rich = cust.filter($"c_acctbal" > 1000).select($"c_custkey".as("k"))
+      val all = cust.select($"c_custkey".as("k"))
+      rich.intersect(bigBuyers)
+        .union(all.except(bigBuyers))
+        .distinct()
+        .orderBy($"k")
+    },
+    Some("""
+      SELECT k FROM (
+        (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 1000
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        UNION
+        (SELECT c_custkey FROM customer
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 400000))
+      ORDER BY k"""))
+
+  /** String function surface: LIKE, substr, upper/lower, concat, length. */
+  private val q14 = Q(
+    "q14_string_fns",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(
+          sum(when(upper($"c_name").like("%5%"), 1L).otherwise(0L)).as("n_with_5"),
+          sum(length($"c_name").cast("long")).as("total_name_len"),
+          max(concat(lower(substring($"c_name", 1, 8)), lit("~"))).as("max_prefix"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment,
+             CAST(sum(CASE WHEN upper(c_name) LIKE '%5%' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_5,
+             CAST(sum(length(c_name)) AS BIGINT) AS total_name_len,
+             max(lower(substr(c_name, 1, 8)) || '~') AS max_prefix
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  /** Date/time function surface: year/quarter/month extraction, grouping
+    * by calendar buckets (partition-pruning-friendly at scale).
+    */
+  private val q15 = Q(
+    "q15_date_fns",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .groupBy(
+          year($"o_orderdate").cast("long").as("yr"),
+          quarter($"o_orderdate").cast("long").as("qtr"))
+        .agg(count(lit(1)).as("n_orders"), r2(sum($"o_totalprice")).as("total"))
+        .orderBy($"yr", $"qtr")
+    },
+    Some("""
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)    AS yr,
+             CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+             count(*)                                          AS n_orders,
+             round(sum(o_totalprice), 2)                       AS total
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY yr, qtr"""))
+
+  /** JSON access on the events stream table (SURVEY §2.7: from_json /
+    * get_json_object over `events.props`).
+    */
+  private val q16 = Q(
+    "q16_json_events",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(
+          sum($"k").as("sum_k"),
+          r4(avg($"k")).as("avg_k"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)       AS avg_k,
+             count(*) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Event-time bucketing (the batch twin of a streaming tumbling window):
+    * truncate to hour, aggregate per type.
+    */
+  private val q17 = Q(
+    "q17_events_hourly",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy(
+          date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm").as("hour"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"), r2(sum($"value")).as("total_value"))
+        .orderBy($"hour", $"event_type")
+    },
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+             event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour, event_type"""))
+
+  /** Math function surface: ln/sqrt/pow/sin under aggregation. */
+  private val q18 = Q(
+    "q18_math_fns",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          r2(sum(log($"l_extendedprice"))).as("sum_ln_price"),
+          r6(avg(sqrt($"l_quantity"))).as("avg_sqrt_qty"),
+          r4(sum(pow($"l_discount", 2))).as("sum_disc_sq"),
+          r4(sum(sin($"l_quantity"))).as("sum_sin_qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             round(sum(ln(l_extendedprice)), 2)  AS sum_ln_price,
+             round(avg(sqrt(l_quantity)), 6)     AS avg_sqrt_qty,
+             round(sum(pow(l_discount, 2)), 4)   AS sum_disc_sq,
+             round(sum(sin(l_quantity)), 4)      AS sum_sin_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  /** As-of join (SURVEY §2.7 "range/as-of for sensor-time alignment"):
+    * for every click, the latest error at-or-before it from the same
+    * user. Implemented via [[AsOfJoin.lastEventAtOrBefore]] — a single
+    * shuffle on the key + one ordered window pass, instead of an O(n²)
+    * inequality join.
+    */
+  private val q19 = Q(
+    "q19_asof_join",
+    (s, d) => {
+      import s.implicits._
+      val e = t(s, d, "events")
+      AsOfJoin.lastEventAtOrBefore(
+          left = e.filter($"event_type" === "click")
+            .select($"user_id", $"ts", $"event_id"),
+          right = e.filter($"event_type" === "error")
+            .select($"user_id", $"ts"),
+          key = "user_id", time = "ts")
+        .select($"event_id", $"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("click_t"),
+          date_format($"asof_ts", "yyyy-MM-dd HH:mm:ss").as("err_t"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT c.event_id, c.user_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_t,
+             strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_t
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+        ON c.user_id = e.user_id AND c.ts >= e.ts
+      ORDER BY c.event_id"""))
+
+  /** Range join: events within 1 hour after each signup, per user.
+    * Equi-join on user_id carries the heavy lifting; the time-range
+    * predicate is a cheap post-filter (no O(n²) cross product).
+    */
+  private val q20 = Q(
+    "q20_range_join_followups",
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val signup = ev.filter($"event_type" === "signup")
+        .select($"event_id".as("s_id"), $"user_id".as("s_user"), $"ts".as("s_ts"))
+      val follow = ev.select($"user_id".as("f_user"), $"ts".as("f_ts"),
+        $"event_id".as("f_id"))
+      signup.join(follow,
+          $"s_user" === $"f_user" && $"f_ts" > $"s_ts" &&
+            $"f_ts" <= $"s_ts" + expr("INTERVAL 1 HOUR"), "left")
+        .groupBy($"s_id")
+        .agg(count($"f_id").as("n_followups"))
+        .orderBy($"s_id")
+    },
+    Some("""
+      SELECT s.event_id AS s_id, count(f.event_id) AS n_followups
+      FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      LEFT JOIN events f
+        ON s.user_id = f.user_id AND f.ts > s.ts AND f.ts <= s.ts + INTERVAL 1 HOUR
+      GROUP BY s.event_id
+      ORDER BY s_id"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+}
