@@ -12,7 +12,8 @@ import graft.operators._
 object SparkEntry {
 
   /** All operator registries, in presentation order. */
-  def allQ: Seq[Q] = Relational.all
+  def allQ: Seq[Q] = Relational.all ++ Stats.all ++ Dedup.all ++
+    Similarity.all ++ TextOps.all ++ Multimodal.all ++ ParseOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -25,5 +26,5 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    allQ.collect { case Q(n, _, Some(sql)) => n -> sql.stripMargin.trim }.toMap
+    allQ.collect { case Q(n, _, Some(sql)) => n -> sql.trim }.toMap
 }

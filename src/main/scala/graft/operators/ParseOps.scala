@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.{Q, Cols, Tables}
+import Cols._
+import Tables.t
+import graft.functions.RegexExtractNamed.regexp_extract_named
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-checkable twins of the reference's streaming operators, driven
+  * through the oracle gate on the testdata tables:
+  *
+  *  - q70 exercises [[graft.functions.RegexExtractNamed]] — the P1
+  *    extract-to-schema operator (reference readport.py:328-369) with
+  *    `///`→NULL sentinel handling (P3) and the float cast layer (P2) —
+  *    on wire-format messages synthesized from `lineitem`.
+  *  - q71 is the G2 count-based window (reference readport.py:233-297,
+  *    `pack_length` packing) as a deterministic batch computation:
+  *    row_number per key → window id = (rn-1) div N → per-window stats.
+  *    The streaming form lives in graft.streaming.CountWindow.
+  */
+object ParseOps {
+
+  private val q70 = Q(
+    "q70_regex_extract_device",
+    (s, d) => {
+      import s.implicits._
+      val msgs = t(s, d, "lineitem").select(
+        $"l_returnflag",
+        concat(
+          lit("x= "),
+          when($"l_discount" > 0.08, lit("///"))
+            .otherwise(expr("CAST(CAST(floor(l_quantity) AS BIGINT) AS STRING)")),
+          lit(" y= "), $"l_linenumber".cast("string"),
+          lit(" T= "), ($"l_partkey" % 100).cast("string")).as("msg"))
+      msgs
+        .withColumn("ex", regexp_extract_named($"msg",
+          """^x= (?<u>\S+) y= (?<v>\S+) T= (?<temp>\S+)$"""))
+        .select($"l_returnflag",
+          $"ex.u".cast("double").as("u"),
+          $"ex.v".cast("double").as("v"),
+          $"ex.temp".cast("double").as("temp"))
+        .groupBy($"l_returnflag")
+        .agg(
+          count($"u").as("n_u"),          // sentinel rows are NULL → proves P3
+          count(lit(1)).as("n_all"),
+          r2(sum($"u")).as("sum_u"),
+          r2(sum($"v")).as("sum_v"),
+          r4(avg($"temp")).as("avg_temp"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag,
+               'x= ' || CASE WHEN l_discount > 0.08 THEN '///'
+                             ELSE CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) END
+               || ' y= ' || CAST(l_linenumber AS VARCHAR)
+               || ' T= ' || CAST(l_partkey % 100 AS VARCHAR) AS msg
+        FROM lineitem),
+      e AS (
+        SELECT l_returnflag,
+               CAST(nullif(regexp_extract(msg, '^x= (\S+) y= (\S+) T= (\S+)$', 1), '///') AS DOUBLE) AS u,
+               CAST(nullif(regexp_extract(msg, '^x= (\S+) y= (\S+) T= (\S+)$', 2), '///') AS DOUBLE) AS v,
+               CAST(nullif(regexp_extract(msg, '^x= (\S+) y= (\S+) T= (\S+)$', 3), '///') AS DOUBLE) AS temp
+        FROM m)
+      SELECT l_returnflag,
+             count(u)             AS n_u,
+             count(*)             AS n_all,
+             round(sum(u), 2)     AS sum_u,
+             round(sum(v), 2)     AS sum_v,
+             round(avg(temp), 4)  AS avg_temp
+      FROM e
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  private val q71 = Q(
+    "q71_count_window_pack",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("win_id", expr("CAST((rn - 1) div 10 AS BIGINT)"))
+        .groupBy($"event_type", $"win_id")
+        .agg(
+          count(lit(1)).as("n"),
+          min($"event_id").as("first_id"),
+          max($"event_id").as("last_id"),
+          r2(sum($"value")).as("sum_value"))
+        .orderBy($"event_type", $"win_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events)
+      SELECT event_type, CAST((rn - 1) // 10 AS BIGINT) AS win_id,
+             count(*) AS n, min(event_id) AS first_id, max(event_id) AS last_id,
+             round(sum(value), 2) AS sum_value
+      FROM r
+      GROUP BY 1, 2
+      ORDER BY event_type, win_id"""))
+
+  val all: Seq[Q] = Seq(q70, q71)
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{Q, Cols, Tables}
+import Cols._
+import Tables.t
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: language-ID (stopword-profile heuristic), quality
+  * scoring, token counting (whitespace + BPE-ish regex), and canonical
+  * document fingerprinting.
+  *
+  * All row-local — no shuffle except the final small aggregation, so
+  * these scale linearly with corpus size (the 100 TB case is exactly
+  * this shape: per-document scoring in one codegen'd pass).
+  */
+object TextOps {
+
+  import Dedup.{toksExpr, toksSqlDuck}
+
+  /** Language-ID via stopword-profile scoring: count marker-word hits per
+    * language profile, argmax with deterministic tie order. Output is the
+    * lang-metadata × predicted-language confusion matrix.
+    */
+  private val q50 = Q(
+    "q50_lang_id",
+    (s, d) => {
+      import s.implicits._
+      val scores = t(s, d, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("s_en", expr(
+          "size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in')))"))
+        .withColumn("s_es", expr(
+          "size(filter(toks, x -> x IN ('el', 'la', 'de', 'que', 'y')))"))
+        .withColumn("s_de", expr(
+          "size(filter(toks, x -> x IN ('der', 'die', 'und', 'das', 'ist')))"))
+        .withColumn("s_fr", expr(
+          "size(filter(toks, x -> x IN ('le', 'les', 'et', 'des', 'un')))"))
+        .withColumn("pred", expr(
+          """CASE WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+                  WHEN s_de > greatest(s_en, s_fr) THEN 'de'
+                  WHEN s_fr > s_en THEN 'fr'
+                  ELSE 'en' END"""))
+      scores.groupBy($"lang", $"pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"pred")
+    },
+    Some(s"""
+      WITH sc AS (
+        SELECT lang,
+          len(list_filter($toksSqlDuck, x -> x IN ('the', 'a', 'of', 'and', 'in')))  AS s_en,
+          len(list_filter($toksSqlDuck, x -> x IN ('el', 'la', 'de', 'que', 'y')))   AS s_es,
+          len(list_filter($toksSqlDuck, x -> x IN ('der', 'die', 'und', 'das', 'ist'))) AS s_de,
+          len(list_filter($toksSqlDuck, x -> x IN ('le', 'les', 'et', 'des', 'un'))) AS s_fr
+        FROM documents)
+      SELECT lang,
+             CASE WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+                  WHEN s_de > greatest(s_en, s_fr) THEN 'de'
+                  WHEN s_fr > s_en THEN 'fr'
+                  ELSE 'en' END AS pred,
+             count(*) AS n
+      FROM sc
+      GROUP BY 1, 2
+      ORDER BY lang, pred"""))
+
+  /** Quality scoring: token count, average token length, stopword ratio,
+    * punctuation ratio, composite score — all integer/rounded arithmetic
+    * for parity.
+    */
+  private val q51 = Q(
+    "q51_quality_score",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_toks", size($"toks").cast("long"))
+        .withColumn("n_stop", expr(
+          "size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in', 'to')))").cast("long"))
+        .withColumn("avg_tok_len", r4(
+          expr("aggregate(toks, cast(0 as bigint), (acc, x) -> acc + length(x))") /
+            greatest($"n_toks", lit(1L))))
+        .withColumn("stop_ratio", r4($"n_stop" / greatest($"n_toks", lit(1L))))
+        .withColumn("punct_ratio", r4(
+          (length($"text") - length(regexp_replace($"text", "[^a-z0-9 ]", ""))) /
+            greatest(length($"text"), lit(1))))
+        .withColumn("score", r4(
+          least($"n_toks" / lit(100.0), lit(1.0)) * 0.5 +
+            (lit(1.0) - $"stop_ratio") * 0.3 +
+            least($"avg_tok_len" / lit(10.0), lit(1.0)) * 0.2))
+        .select($"doc_id", $"n_toks", $"avg_tok_len", $"stop_ratio",
+          $"punct_ratio", $"score")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT doc_id, text, $toksSqlDuck AS toks FROM documents),
+      m AS (
+        SELECT doc_id, text,
+               CAST(len(toks) AS BIGINT) AS n_toks,
+               CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS BIGINT) AS n_stop,
+               round(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+                     / greatest(len(toks), 1), 4) AS avg_tok_len
+        FROM q),
+      r AS (
+        SELECT doc_id, n_toks, avg_tok_len,
+               round(n_stop / greatest(n_toks, 1), 4) AS stop_ratio,
+               round((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+                     / greatest(length(text), 1), 4) AS punct_ratio
+        FROM m)
+      SELECT doc_id, n_toks, avg_tok_len, stop_ratio, punct_ratio,
+             round(least(n_toks / 100.0, 1.0) * 0.5 + (1.0 - stop_ratio) * 0.3
+                   + least(avg_tok_len / 10.0, 1.0) * 0.2, 4) AS score
+      FROM r
+      ORDER BY doc_id"""))
+
+  /** Token counting per source: whitespace tokens and a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single punctuation).
+    */
+  private val q52 = Q(
+    "q52_token_stats",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .withColumn("n_ws", size(expr(toksExpr)).cast("long"))
+        .withColumn("n_bpe", size(expr(
+          """regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"""))
+          .cast("long"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_ws").as("ws_tokens"),
+          sum($"n_bpe").as("bpe_tokens"),
+          r4(avg($"n_ws")).as("avg_ws"),
+          r4(avg($"n_bpe")).as("avg_bpe"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT source,
+               CAST(len($toksSqlDuck) AS BIGINT) AS n_ws,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_ws) AS BIGINT)  AS ws_tokens,
+             CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+             round(avg(n_ws), 4)  AS avg_ws,
+             round(avg(n_bpe), 4) AS avg_bpe
+      FROM c
+      GROUP BY source
+      ORDER BY source"""))
+
+  /** Canonical document fingerprint: md5 over the sorted distinct token
+    * set (word-order-insensitive near-dup key), plus a 60-bit numeric
+    * form for bucket joins.
+    */
+  private val q53 = Q(
+    "q53_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .withColumn("canon", expr(
+          s"concat_ws(' ', sort_array(array_distinct($toksExpr)))"))
+        .select($"doc_id",
+          md5($"canon").as("fp"),
+          md5Long(md5($"canon")).as("fp_num"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT doc_id,
+               array_to_string(list_sort(list_distinct($toksSqlDuck)), ' ') AS canon
+        FROM documents)
+      SELECT doc_id, md5(canon) AS fp,
+             ${md5LongSql("md5(canon)")} AS fp_num
+      FROM c
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53)
+}
