@@ -3,11 +3,10 @@ package graft.functions
 import java.util.regex.{Matcher, Pattern}
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -24,34 +23,46 @@ import org.apache.spark.unsafe.types.UTF8String
   *    *drops* the key — we keep fixed-width rows and null the cell,
   *    which also fixes its crash-on-inconsistent-keys edge,
   *    readport.py:259-262)
+  *  - duplicate group names across alternation dialects fill ONE schema
+  *    field (reference README.md:15 via the `regex` module; Java bans
+  *    duplicates, so they are renamed at compile time and coalesced
+  *    first-non-null at eval).
   *
   * Spark-first rationale: N× `regexp_extract` would re-run the match N
   * times per row; this expression restores the reference's single-pass
-  * property. The compiled `Pattern` is reused per-task. Evaluation is
-  * `CodegenFallback` for now — the regex match dominates cost, and the
-  * expression sits between two codegen'd stages without breaking them.
+  * property. The compiled `Pattern` is reused across rows. Evaluation is
+  * `CodegenFallback` — the regex engine dominates cost and sits between
+  * two codegen'd stages without breaking them.
   */
 case class RegexExtractNamed(child: Expression, pattern: String)
     extends UnaryExpression with CodegenFallback {
 
+  @transient private lazy val norm = RegexExtractNamed.normalize(pattern)
+
   /** Group names in pattern order — the schema, as in the reference's
     * validate_regex (readport.py:587-620).
     */
-  lazy val groupNames: Seq[String] = RegexExtractNamed.groupNames(pattern)
+  def groupNames: Seq[String] = norm.groups.map(_._1)
 
-  @transient private lazy val compiled: Pattern = Pattern.compile(pattern)
+  @transient private lazy val compiled: Pattern =
+    Pattern.compile(norm.javaPattern)
 
   override def dataType: DataType =
     StructType(groupNames.map(n => StructField(n, StringType, nullable = true)))
 
   override def nullSafeEval(input: Any): Any = {
     val m: Matcher = compiled.matcher(input.toString)
-    if (!m.lookingAt()) null  // anchored-at-start like re.match
+    if (!m.lookingAt()) null  // anchored-at-start like Python's re.match
     else {
-      val values = new Array[Any](groupNames.length)
+      val values = new Array[Any](norm.groups.length)
       var i = 0
-      while (i < groupNames.length) {
-        val g = m.group(groupNames(i))
+      while (i < norm.groups.length) {
+        val aliases = norm.groups(i)._2
+        var g: String = null
+        var j = 0
+        while (g == null && j < aliases.length) {
+          g = m.group(aliases(j)); j += 1
+        }
         values(i) =
           if (g == null || g == RegexExtractNamed.Sentinel) null
           else UTF8String.fromString(g)
@@ -73,12 +84,46 @@ object RegexExtractNamed {
 
   private val GroupName = "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r
 
+  /** A Java-compilable pattern plus, per logical variable, the (possibly
+    * renamed) physical group aliases that can fill it.
+    */
+  final case class NormalizedPattern(
+      javaPattern: String, groups: Seq[(String, Seq[String])])
+
+  /** Rename duplicate named groups (`(?<u>…)|(?<u>…)` →
+    * `(?<u>…)|(?<uDup1>…)`) so Java accepts the pattern, remembering the
+    * alias sets for first-non-null coalescing.
+    */
+  def normalize(pattern: String): NormalizedPattern = {
+    val all = GroupName.findAllMatchIn(pattern).map(_.group(1)).toSeq
+    val seen = scala.collection.mutable.Map[String, Int]()
+    val aliases = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- GroupName.findAllMatchIn(pattern)) {
+      val name = m.group(1)
+      val n = seen.getOrElse(name, 0)
+      val alias =
+        if (n == 0) name
+        else {
+          var cand = s"${name}Dup$n"
+          while (all.contains(cand)) cand = cand + "x"
+          cand
+        }
+      seen(name) = n + 1
+      aliases(name) = aliases.getOrElse(name, Vector.empty) :+ alias
+      sb.append(pattern.substring(last, m.start)).append(s"(?<$alias>")
+      last = m.end
+    }
+    sb.append(pattern.substring(last))
+    NormalizedPattern(sb.toString, aliases.toSeq)
+  }
+
   /** Named capture groups in order of appearance (duplicates collapse to
-    * first occurrence — alternation dialects share one schema, reference
-    * README.md:15).
+    * one schema variable).
     */
   def groupNames(pattern: String): Seq[String] =
-    GroupName.findAllMatchIn(pattern).map(_.group(1)).toSeq.distinct
+    normalize(pattern).groups.map(_._1)
 
   /** Column-level API: one match, N named groups, struct result. */
   def regexp_extract_named(c: Column, pattern: String): Column =

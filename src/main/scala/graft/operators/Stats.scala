@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Cols, Tables}
 import Cols._
 import Tables.t
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistical aggregation surface — the eddy-covariance flux math the
@@ -38,20 +39,44 @@ object Stats {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
-  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`). At 100 TB the approx_percentile sketch replaces
-    * this; the exact form is the correctness oracle.
+  /** Exact interpolated percentiles (≡ DuckDB `quantile_cont`), computed
+    * by sort-window interpolation instead of Spark's built-in
+    * `percentile` aggregate: the built-in collects a per-group value
+    * map into each aggregation buffer and merges them single-threaded
+    * (60 s at sf0.1); the window form is one distributed sort per value
+    * column plus a cheap scalar agg — linear, spillable, and the only
+    * way this survives 100 TB in exact form. (The sketch alternative,
+    * approx_percentile, has no engine-portable oracle.)
+    *
+    * Per column: rank rows in-group, then
+    * `p = v[lo]·(1−frac) + v[hi]·frac` with `lo = ⌊(n−1)p⌋+1` —
+    * expressed as a sum over the (at most two) contributing rows.
     */
   private val q22 = Q(
     "q22_percentiles",
     (s, d) => {
       import s.implicits._
-      t(s, d, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(
-          r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-          r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
-          r4(expr("percentile(l_quantity, 0.25)")).as("q1_qty"))
+      def pctls(valCol: String, ps: Seq[(String, Double)]) = {
+        val w = Window.partitionBy($"l_returnflag").orderBy(col(valCol))
+        val wn = Window.partitionBy($"l_returnflag")
+        val ranked = t(s, d, "lineitem")
+          .select($"l_returnflag", col(valCol))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+        val aggs = ps.map { case (name, p) =>
+          val pos = (col("n") - 1) * lit(p)          // 0-based fractional rank
+          val lo = floor(pos) + 1
+          val frac = pos - floor(pos)
+          val hi = lo + when(frac > 0, 1).otherwise(0)
+          r4(sum(
+            when(col("rn") === lo, col(valCol) * (lit(1.0) - frac)).otherwise(0.0) +
+            when(col("rn") === hi && frac > 0, col(valCol) * frac).otherwise(0.0)))
+            .as(name)
+        }
+        ranked.groupBy($"l_returnflag").agg(aggs.head, aggs.tail: _*)
+      }
+      pctls("l_extendedprice", Seq("p50" -> 0.5, "p90" -> 0.9))
+        .join(pctls("l_quantity", Seq("q1_qty" -> 0.25)), "l_returnflag")
         .orderBy($"l_returnflag")
     },
     Some("""

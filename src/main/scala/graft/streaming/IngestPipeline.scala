@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.config.DeviceConfig
+import graft.functions.RegexExtractNamed.regexp_extract_named
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Config-compiled ingest pipeline — the whole reference engine
+  * (readport.py §3.1 lifecycle) as one declarative streaming plan:
+  *
+  *   graft-socket source (S1-S5) → regexp_extract_named (P1) →
+  *   sentinel/cast layer (P2-P3) → arrival time (P4) →
+  *   count-window pack (G1-G2) → partitioned Parquet sink (K1)
+  *
+  * The reference's two-process queue topology (X1) maps to Spark's
+  * source/task decoupling; its fail-fast backpressure (X2) to trigger
+  * admission control; graceful drain (X3) to `query.stop()` +
+  * checkpoint recovery.
+  */
+object IngestPipeline {
+
+  /** The raw message stream (reference `--echo` mode, K2,
+    * readport.py:671-693).
+    */
+  def rawStream(spark: SparkSession, host: String, port: Int,
+      timeoutSec: Option[Double] = None): DataFrame = {
+    val r = spark.readStream.format("graft-socket")
+      .option("host", host).option("port", port)
+    timeoutSec.foreach(t => r.option("timeoutSec", t))
+    r.load()
+  }
+
+  /** P1-P4: one-pass named-group extraction, `///`→NULL, cast layer
+    * (float64 default, typed group key), malformed-row drop (F1), and
+    * cast-failure row-kill (reference readport.py:362-364: a cast error
+    * invalidates the whole record, not just the field).
+    *
+    * Input needs columns `value` (message) and `time` (arrival).
+    * Output schema == cfg.schema (variables + time).
+    */
+  def parseStage(df: DataFrame, cfg: DeviceConfig): DataFrame = {
+    val sqlTypeOf: String => String = v => cfg.groupBy match {
+      case Some(g) if g.name == v => g.dtype match {
+        case "int" => "BIGINT"
+        case "str" => "STRING"
+        case _     => "DOUBLE"
+      }
+      case _ => "DOUBLE"
+    }
+    val extracted = df
+      .withColumn("_ex", regexp_extract_named(col("value"), cfg.regex))
+      // F1: regex non-match → record skipped, stream continues. (On a
+      // fresh connection the reference merely logs it at DEBUG —
+      // either way the row is dropped.)
+      .filter(col("_ex").isNotNull)
+    val withCasts = cfg.variables.foldLeft(extracted) { (d, v) =>
+      d.withColumn(v, expr(s"try_cast(_ex.`$v` AS ${sqlTypeOf(v)})"))
+    }
+    // P2 row-kill: a non-null capture that fails its cast invalidates
+    // the record (try_cast null while the raw string wasn't).
+    val valid = cfg.variables
+      .map(v => col(s"_ex.`$v`").isNull || col(v).isNotNull)
+      .reduce(_ && _)
+    withCasts.filter(valid)
+      .select(cfg.variables.map(col) :+ col("time"): _*)
+  }
+
+  /** Full pipeline: socket → parse → count-window pack → Parquet,
+    * partitioned by the group key (G1; the reference encodes it in the
+    * filename, P5/P7 — `partitionBy` likewise strips it from data files)
+    * and by pack sequence (one directory per completed window ≙ one
+    * `.npz` per full buffer, K1). Atomicity comes from the file-sink
+    * commit protocol — the industrial form of the reference's
+    * tmp→rename (readport.py:403-408).
+    */
+  def start(spark: SparkSession, cfg: DeviceConfig, dest: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    val parsed = parseStage(
+      rawStream(spark, cfg.host, cfg.port, cfg.timeoutSec), cfg)
+    val keyed = cfg.groupBy match {
+      case Some(g) => parsed
+      case None    => parsed.withColumn("_device", lit(cfg.device))
+    }
+    val keyCol = cfg.groupBy.map(_.name).getOrElse("_device")
+    val packed = CountWindow.packByCount(keyed, keyCol, cfg.packLength)
+    packed.writeStream
+      .format("parquet")
+      .option("path", dest)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(keyCol, "pack_seq")
+      .trigger(trigger)
+      .start()
+  }
+}

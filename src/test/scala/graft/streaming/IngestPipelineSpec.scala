@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.config.DeviceConfig
+import graft.sources.TcpFixtureServer
+import org.apache.spark.sql.functions._
+
+/** End-to-end ingest: scripted TCP device → config-compiled pipeline →
+  * packed, partitioned Parquet — the Spark twin of the reference's
+  * fake-server manual e2e (extras/fake_server.py, README.md:70-71).
+  */
+class IngestPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("parseStage: extraction + sentinel + cast-kill + group typing") {
+    val cfg = DeviceConfig.load("""
+      |[device]
+      |station = MSU
+      |name = M
+      |host = localhost
+      |port = 1
+      |[parser]
+      |regex = ^(?P<level>\S+) RH= *(?P<rh>\S+) %RH T= *(?P<temp>\S+) .C\s*$
+      |group_by = level:int
+      |pack_length = 3
+      |destination = ./ignored
+      |""".stripMargin)
+    val now = new java.sql.Timestamp(1700000000000L)
+    val in = Seq(
+      "01 RH= 1.23 %RH T= 14.94 'C ",   // good
+      "02 RH= /// %RH T= 11.00 'C ",    // sentinel → rh NULL
+      "03 RH= ZZZ %RH T= 11.00 'C ",    // cast failure → row killed
+      "garbage")                        // no match → dropped
+      .toDF("value").withColumn("time", lit(now))
+    val out = IngestPipeline.parseStage(in, cfg)
+    assert(out.columns.toSeq == Seq("level", "rh", "temp", "time"))
+    val rows = out.orderBy("level").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getDouble(1) == 1.23)
+    assert(rows(1).getLong(0) == 2L && rows(1).isNullAt(1))
+  }
+
+  test("end-to-end: TCP device → parse → count-window pack → partitioned parquet") {
+    val srv = new TcpFixtureServer
+    val msgs = (1 to 7).map(i => s"0${i % 2} RH= $i.5 %RH T= 1$i.0 'C \r\n")
+    srv.enqueue(msgs.map(_.getBytes).toArray: _*)
+    val cfg = DeviceConfig.load(s"""
+      |[device]
+      |station = MSU
+      |name = M
+      |host = localhost
+      |port = ${srv.port}
+      |[parser]
+      |regex = ^(?P<level>\\S+) RH= *(?P<rh>\\S+) %RH T= *(?P<temp>\\S+) .C\\s*$$
+      |group_by = level:int
+      |pack_length = 3
+      |destination = ./ignored
+      |""".stripMargin)
+    val dest = Files.createTempDirectory("graft-ingest-").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val q = IngestPipeline.start(spark, cfg, dest, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      // 7 msgs alternate level 1/0 → group1 gets 4 (1 pack of 3),
+      // group0 gets 3 (1 pack of 3)
+      val deadline = System.currentTimeMillis() + 60000
+      def readOut() =
+        try spark.read.parquet(dest) catch { case _: Exception => spark.emptyDataFrame }
+      while (System.currentTimeMillis() < deadline &&
+          (readOut().isEmpty || readOut().count() < 6)) Thread.sleep(500)
+      val out = spark.read.parquet(dest)
+      assert(out.count() == 6)
+      // partition-column values come back via path-type inference (int)
+      assert(out.select($"level".cast("long")).distinct().collect()
+        .map(_.getLong(0)).toSet == Set(0L, 1L))
+      // partition columns present; rh/temp/time preserved per record
+      assert(out.columns.toSet == Set("rh", "temp", "time", "level", "pack_seq", "pack_pos"))
+      assert(out.filter($"level" === 1 && $"pack_pos" === 0).count() == 1)
+    } finally { q.stop(); srv.close() }
+  }
+}
