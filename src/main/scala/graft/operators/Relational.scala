@@ -526,6 +526,99 @@ object Relational {
       GROUP BY s.event_id
       ORDER BY s_id"""))
 
+  /** Session windows (SURVEY §2.7) in batch form: a session breaks after
+    * a 30-minute silence. Gap detection via lag + interval arithmetic
+    * (microsecond-exact in both engines), session ids via running sum —
+    * one shuffle on user_id, everything else window-local. The streaming
+    * twin is `session_window` in Structured Streaming.
+    */
+  private val q24 = Q(
+    "q24_sessionize",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, d, "events")
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("brk",
+          when($"prev".isNull || $"ts" > $"prev" + expr("INTERVAL 30 MINUTES"), 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .groupBy($"user_id", $"session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          r2(sum($"value")).as("session_value"))
+        .orderBy($"user_id", $"session_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM g)
+      SELECT user_id, session_id, count(*) AS n_events,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             round(sum(value), 2) AS session_value
+      FROM sess
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
+  /** Pivot (wide aggregation): one row per day, one column per event
+    * type — expressed as portable conditional aggregation (map-side
+    * combinable; Spark's `pivot()` generates the same plan).
+    */
+  private val q25 = Q(
+    "q25_pivot_daily",
+    (s, d) => {
+      import s.implicits._
+      def n(tpe: String) =
+        sum(when($"event_type" === tpe, 1L).otherwise(0L)).as(s"n_$tpe")
+      t(s, d, "events")
+        .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+        .agg(n("click"), n("view"), n("signup"), n("purchase"), n("error"),
+          r2(sum($"value")).as("total_value"))
+        .orderBy($"day")
+    },
+    Some("""
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+             round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY 1
+      ORDER BY day"""))
+
+  /** Sketch aggregates — the 100 TB form of distinct-count/quantiles
+    * (HLL++ / GK): constant memory per group, mergeable, one pass. No
+    * engine-portable oracle exists (sketch internals differ), so the
+    * driver records the weaker rows-only check; the exact twins are
+    * oracle-checked in q10/q22.
+    */
+  private val q26 = Q(
+    "q26_approx_sketches",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy($"event_type")
+        .agg(
+          approx_count_distinct($"user_id").as("approx_users"),
+          countDistinct($"user_id").as("exact_users"),
+          expr("approx_percentile(value, 0.5)").as("approx_p50"))
+        .orderBy($"event_type")
+    },
+    None)
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q24, q25, q26)
 }

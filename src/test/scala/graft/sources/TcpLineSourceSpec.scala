@@ -11,30 +11,51 @@ import org.apache.spark.sql.functions._
   * with its instruction DSL (tests/test_socket.py:22-112): scripted
   * writes, fragmentation, coalescing, disconnects.
   */
+object TcpFixtureServer {
+  /** Script steps — the Spark twin of the reference DSL's `<timeout N>`
+    * (a silent pause) and `<disconnect>` (end of one script = close).
+    */
+  sealed trait Step
+  final case class Send(bytes: Array[Byte]) extends Step
+  final case class Pause(ms: Long) extends Step
+}
+
 class TcpFixtureServer {
+  import TcpFixtureServer._
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
-  // each script entry: Seq of raw chunks to write, then close connection
-  private val scripts = new LinkedBlockingQueue[Seq[Array[Byte]]]()
+  // each script entry: steps for one connection, then close
+  private val scripts = new LinkedBlockingQueue[Seq[Step]]()
   @volatile private var running = true
 
   private val thread = new Thread(() => {
     while (running) {
       try {
         val sock = server.accept()
-        val script = scripts.poll(10, TimeUnit.SECONDS)
-        val out: OutputStream = sock.getOutputStream
-        if (script != null) script.foreach { chunk =>
-          out.write(chunk); out.flush(); Thread.sleep(30)
-        }
-        sock.close()
+        // handle each connection on its own thread so a Pause in one
+        // script can't starve a reconnecting client of the next script
+        val handler = new Thread(() => {
+          try {
+            val script = scripts.poll(10, TimeUnit.SECONDS)
+            val out: OutputStream = sock.getOutputStream
+            if (script != null) script.foreach {
+              case Send(chunk) => out.write(chunk); out.flush(); Thread.sleep(30)
+              case Pause(ms)   => Thread.sleep(ms)
+            }
+            sock.close()
+          } catch { case _: Exception => }
+        })
+        handler.setDaemon(true)
+        handler.start()
       } catch { case _: Exception => }
     }
   })
   thread.setDaemon(true)
   thread.start()
 
-  def enqueue(chunks: Array[Byte]*): Unit = scripts.put(chunks.toSeq)
+  def enqueue(chunks: Array[Byte]*): Unit =
+    scripts.put(chunks.toSeq.map(Send))
+  def enqueueScript(steps: Step*): Unit = scripts.put(steps.toSeq)
   def close(): Unit = { running = false; server.close() }
 }
 
@@ -86,5 +107,58 @@ class TcpLineSourceSpec extends SparkTestBase {
       assert(rows.map(_.getString(0)).toSeq == Seq("before drop", "after reconnect"))
       assert(rows.forall(_.getBoolean(2)))  // both are first-after-(re)connect
     } finally { q.stop(); srv.close() }
+  }
+
+  test("read timeout triggers reconnect (S3, reference <timeout N> case)") {
+    import TcpFixtureServer._
+    val srv = new TcpFixtureServer
+    // connection 1: one message, then silence longer than timeoutSec
+    srv.enqueueScript(Send("a\n".getBytes), Pause(5000), Send("lost\n".getBytes))
+    // connection 2 (after the source's timeout-driven reconnect)
+    srv.enqueueScript(Send("after timeout\n".getBytes))
+    val df = spark.readStream.format("graft-socket")
+      .option("host", "localhost").option("port", srv.port)
+      .option("timeoutSec", "1").load()
+    val q = df.writeStream.format("memory").queryName("timeouts")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def msgs() = spark.table("timeouts").orderBy("time").collect()
+        .map(_.getString(0)).toSeq
+      while (!msgs().contains("after timeout") && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(200)
+      }
+      // "a" arrived; silence > timeout → reconnect; "lost" was written into
+      // the dead connection (at-most-once, like the reference's outage
+      // gap); "after timeout" arrives on the fresh connection
+      assert(msgs().head == "a")
+      assert(msgs().contains("after timeout"))
+      assert(!msgs().contains("lost"))
+    } finally { q.stop(); srv.close() }
+  }
+
+  test("heartbeat listener emits started/progress events (K4)") {
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = graft.streaming.Runner.attachHeartbeat(spark)(events.add(_))
+    val srv = new TcpFixtureServer
+    srv.enqueue("hb 1\n".getBytes)
+    val q = spark.readStream.format("graft-socket")
+      .option("host", "localhost").option("port", srv.port).load()
+      .writeStream.format("memory").queryName("hb").outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (spark.table("hb").count() < 1 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      q.processAllAvailable()
+      val deadline2 = System.currentTimeMillis() + 10000
+      while (!events.toArray.exists(_.toString.contains("progress")) &&
+          System.currentTimeMillis() < deadline2) Thread.sleep(200)
+      val all = events.toArray.map(_.toString)
+      assert(all.exists(_.contains("\"event\":\"started\"")))
+      assert(all.exists(_.contains("\"event\":\"progress\"")))
+    } finally {
+      q.stop(); srv.close(); spark.streams.removeListener(listener)
+    }
   }
 }
