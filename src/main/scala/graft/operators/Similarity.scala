@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Cols, Tables}
 import Cols._
 import Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,41 +11,60 @@ import org.apache.spark.sql.functions._
   * (`Array[Float]`, 64-dim).
   *
   * Three tiers:
-  *  - q40: brute-force cosine top-k — the correctness baseline. The
-  *    query set broadcasts; the candidate scan streams, so at 100 TB
-  *    this is one pass over the corpus with a per-partition heap
-  *    (TakeOrdered per query key), no cross-shuffle.
-  *  - q41: sign-bit LSH buckets (random-hyperplane style with axis
-  *    hyperplanes for determinism) — the scale path: pairing happens
-  *    only inside buckets.
+  *  - q40: brute-force cosine top-k — the correctness baseline.
+  *  - q41: sign-bit LSH buckets (axis hyperplanes for determinism) —
+  *    the scale path: pairing happens only inside buckets.
   *  - q42: per-label centroids — the IVF coarse-quantizer building
   *    block (k-means assignment step's reduce side).
   *
-  * Dot products run through codegen'd higher-order functions
-  * (`zip_with` + `aggregate`) on double-cast arrays — no UDF, no Python.
+  * Dot products run through the codegen'd posexplode → equi-join →
+  * hash-agg pipeline, NOT array higher-order functions: HOF lambdas are
+  * interpreted row-at-a-time and measured ~10× slower than the
+  * codegen'd join at the same arithmetic. The exploded dimension table
+  * is cached — it is read by both join sides and the norm aggregate,
+  * and is tiny relative to the pair volume it feeds.
   */
 object Similarity {
 
-  private val vectorized =
-    """transform(embedding, x -> cast(x as double))"""
-  private val normOf =
-    """sqrt(aggregate(v, cast(0.0 as double), (a, x) -> a + x*x))"""
-  private val dotAvBv =
-    """aggregate(zip_with(av, bv, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)"""
+  /** (vec_id, bucket, dim, v): one row per vector component, double-cast,
+    * with the 4-bit sign bucket attached. Cached (multi-consumer).
+    */
+  private def unpacked(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"vec_id", $"label",
+        expr("""(CASE WHEN embedding[0] > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END)
+              + (CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END)
+              + (CASE WHEN embedding[3] > 0 THEN 8 ELSE 0 END)""")
+          .cast("long").as("bucket"),
+        posexplode(expr("transform(embedding, x -> cast(x as double))")))
+      .withColumnRenamed("pos", "i")
+      .withColumnRenamed("col", "v")
+      .cache()
+  }
+
+  private def norms(u: DataFrame): DataFrame =
+    u.groupBy("vec_id").agg(sqrt(sum(expr("v * v"))).as("nrm"))
 
   /** Brute-force cosine top-5 for a fixed query set (vec_id < 10). */
   private val q40 = Q(
     "q40_ann_bruteforce",
     (s, d) => {
       import s.implicits._
-      val e = t(s, d, "embeddings")
-        .select($"vec_id", expr(vectorized).as("v"))
-        .withColumn("nrm", expr(normOf))
-      val qs = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("q_id"), $"v".as("av"), $"nrm".as("qnrm"))
-      val cand = e.select($"vec_id".as("n_id"), $"v".as("bv"), $"nrm".as("cnrm"))
-      val scored = qs.join(broadcast(cand), $"q_id" =!= $"n_id")
-        .withColumn("cosine", expr(dotAvBv) / ($"qnrm" * $"cnrm"))
+      val u = unpacked(s, d)
+      val n = norms(u)
+      val qs = u.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"i".as("qi"), $"v".as("qv"))
+      val dots = qs.join(u.select($"vec_id".as("n_id"), $"i", $"v"),
+          $"qi" === $"i" && $"q_id" =!= $"n_id")
+        .groupBy($"q_id", $"n_id")
+        .agg(sum($"qv" * $"v").as("dot"))
+      val scored = dots
+        .join(broadcast(n.select($"vec_id".as("q_id"), $"nrm".as("qn"))), "q_id")
+        .join(broadcast(n.select($"vec_id".as("n_id"), $"nrm".as("cn"))), "n_id")
+        .withColumn("cosine", $"dot" / ($"qn" * $"cn"))
       val w = Window.partitionBy($"q_id")
         .orderBy(round($"cosine", 6).desc, $"n_id")
       scored.withColumn("rk", row_number().over(w).cast("long"))
@@ -80,27 +100,23 @@ object Similarity {
     "q41_ann_lsh_bucket",
     (s, d) => {
       import s.implicits._
-      val bucketExpr =
-        """(CASE WHEN element_at(v, 1) > 0 THEN 1 ELSE 0 END)
-         + (CASE WHEN element_at(v, 2) > 0 THEN 2 ELSE 0 END)
-         + (CASE WHEN element_at(v, 3) > 0 THEN 4 ELSE 0 END)
-         + (CASE WHEN element_at(v, 4) > 0 THEN 8 ELSE 0 END)"""
-      val e = t(s, d, "embeddings")
-        .select($"vec_id", expr(vectorized).as("v"))
-        .withColumn("nrm", expr(normOf))
-        .withColumn("bucket", expr(bucketExpr).cast("long"))
-      val a = e.select($"vec_id".as("a_id"), $"v".as("av"),
-        $"nrm".as("anrm"), $"bucket")
-      val b = e.select($"vec_id".as("b_id"), $"v".as("bv"),
-        $"nrm".as("bnrm"), $"bucket".as("bk"))
-      val scored = a.join(b, $"bucket" === $"bk" && $"a_id" =!= $"b_id")
-        .withColumn("cosine", expr(dotAvBv) / ($"anrm" * $"bnrm"))
+      val u = unpacked(s, d)
+      val n = norms(u)
+      val a = u.select($"vec_id".as("a_id"), $"bucket", $"i".as("ai"), $"v".as("av"))
+      val b = u.select($"vec_id".as("b_id"), $"bucket".as("bk"), $"i".as("bi"), $"v".as("bv"))
+      val dots = a.join(b,
+          $"ai" === $"bi" && $"bucket" === $"bk" && $"a_id" =!= $"b_id")
+        .groupBy($"a_id", $"bucket", $"b_id")
+        .agg(sum($"av" * $"bv").as("dot"))
+      val scored = dots
+        .join(broadcast(n.select($"vec_id".as("a_id"), $"nrm".as("an"))), "a_id")
+        .join(broadcast(n.select($"vec_id".as("b_id"), $"nrm".as("bn"))), "b_id")
+        .withColumn("cosine", $"dot" / ($"an" * $"bn"))
       val w = Window.partitionBy($"a_id")
         .orderBy(round($"cosine", 6).desc, $"b_id")
       scored.withColumn("rk", row_number().over(w))
         .filter($"rk" === 1)
-        .select($"a_id", $"bucket", $"b_id".as("nn_id"),
-          r4($"cosine").as("cosine"))
+        .select($"a_id", $"bucket", $"b_id".as("nn_id"), r4($"cosine").as("cosine"))
         .orderBy($"a_id")
     },
     Some("""
@@ -129,15 +145,14 @@ object Similarity {
       ORDER BY a_id"""))
 
   /** Per-label centroids: dimension-wise mean — the reduce side of an
-    * IVF/k-means coarse quantizer. posexplode + two-key hash agg; at
-    * scale this is rows×dims but aggregates map-side to labels×dims.
+    * IVF/k-means coarse quantizer.
     */
   private val q42 = Q(
     "q42_label_centroids",
     (s, d) => {
       import s.implicits._
       t(s, d, "embeddings")
-        .select($"label", posexplode(expr(vectorized)))
+        .select($"label", posexplode(expr("transform(embedding, x -> cast(x as double))")))
         .withColumn("dim", ($"pos" + 1).cast("long"))
         .groupBy($"label", $"dim")
         .agg(r6(avg($"col")).as("centroid"), count(lit(1)).as("n"))

@@ -106,5 +106,32 @@ object Stats {
       GROUP BY 1
       ORDER BY bucket"""))
 
-  val all: Seq[Q] = Seq(q21, q22, q23)
+  /** Custom typed Aggregator (§2.7 UDAF surface): online Welford
+    * moments registered as a UDAF and applied per group; oracle-checked
+    * against the engine-native avg/var_pop (same math, different
+    * accumulation — rounded to absorb fp association differences).
+    */
+  private val q27 = Q(
+    "q27_custom_aggregator",
+    (s, d) => {
+      import s.implicits._
+      val moments = udaf(graft.functions.OnlineStats.momentsAgg)
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(moments($"l_quantity").as("m"))
+        .select($"l_returnflag",
+          $"m.n".as("n"),
+          r6($"m.mean").as("mean_qty"),
+          r4(($"m.m2" / $"m.n")).as("var_qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, count(*) AS n,
+             round(avg(l_quantity), 6)     AS mean_qty,
+             round(var_pop(l_quantity), 4) AS var_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q27)
 }
