@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.config.DeviceConfig
+import graft.sources.TcpFixtureServer
+import org.apache.spark.sql.streaming.Trigger
+
+/** X4 — one station, several devices, one session: every config becomes
+  * an independent supervised StreamingQuery (the reference runs one
+  * process per device via screen + cron, README.md:51-68).
+  */
+class RunnerSpec extends SparkTestBase {
+
+  private def cfgFor(port: Int, device: String) = DeviceConfig.load(s"""
+    |[device]
+    |station = MSU
+    |name = $device
+    |host = localhost
+    |port = $port
+    |[parser]
+    |regex = ^(?P<level>\\S+) RH= *(?P<rh>\\S+) %RH T= *(?P<temp>\\S+) .C\\s*$$
+    |group_by = level:int
+    |pack_length = 2
+    |destination = ./ignored
+    |""".stripMargin)
+
+  test("runStation supervises one query per device config") {
+    val srvA = new TcpFixtureServer
+    val srvB = new TcpFixtureServer
+    srvA.enqueue((1 to 4).map(i => s"01 RH= $i.0 %RH T= 10.0 'C \r\n".getBytes): _*)
+    srvB.enqueue((1 to 4).map(i => s"02 RH= $i.0 %RH T= 20.0 'C \r\n".getBytes): _*)
+    val destRoot = Files.createTempDirectory("graft-station-").toString
+    val ckptRoot = Files.createTempDirectory("graft-station-ckpt-").toString
+    val queries = Runner.runStation(spark,
+      Seq(cfgFor(srvA.port, "A"), cfgFor(srvB.port, "B")),
+      destRoot, ckptRoot, Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      assert(queries.length == 2)
+      val deadline = System.currentTimeMillis() + 60000
+      // read each sink at ITS root so its _spark_metadata commit log is
+      // honored (reading across roots would see in-flight files)
+      def countOf(dev: String) =
+        try spark.read.parquet(s"$destRoot/station=MSU/device=$dev").count()
+        catch { case _: Exception => 0L }
+      while (countOf("A") + countOf("B") < 8 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(500)
+      // 4 msgs per device, pack_length 2 → 2 full packs each → 4 rows each
+      assert(countOf("A") == 4)
+      assert(countOf("B") == 4)
+    } finally { queries.foreach(_.stop()); srvA.close(); srvB.close() }
+  }
+}
