@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev scratchpad — currently: echo-mode drive (K2). */
+/** Dev scratchpad for ad-hoc profiling/drives — contents change freely
+  * between sessions; not part of the library surface.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -11,10 +13,8 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val q = graft.streaming.Runner.echo(spark, "127.0.0.1", 14004)
-    Thread.sleep(8000)
-    q.processAllAvailable()
-    q.stop()
+    println(s"[scratch] ${SparkEntry.queries.size} queries registered; " +
+      s"${SparkEntry.oracleSql.size} with oracles")
     spark.stop()
   }
 }

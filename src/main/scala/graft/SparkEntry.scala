@@ -24,7 +24,55 @@ object SparkEntry {
     allQ.map(q => q.name -> q.spark).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * `round(x, n)` is rewritten to the portable floor form so DuckDB
+    * computes bit-identical doubles to [[Cols.r2]]/r4/r6 — see the
+    * rationale on [[Cols]].
+    */
   def oracleSql: Map[String, String] =
-    allQ.collect { case Q(n, _, Some(sql)) => n -> sql.trim }.toMap
+    allQ.collect { case Q(n, _, Some(sql)) =>
+      n -> portableRoundSql(sql.trim)
+    }.toMap
+
+  /** Rewrite every `round(expr, n)` in an oracle SQL string to
+    * `(floor((expr) * 10^n + 0.5) / 10^n)`, respecting nested parens
+    * and single-quoted strings.
+    */
+  private[graft] def portableRoundSql(sql: String): String = {
+    val lower = sql.toLowerCase
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val idx = lower.indexOf("round(", i)
+      val isCall = idx >= 0 &&
+        (idx == 0 || !Character.isLetterOrDigit(sql.charAt(idx - 1)) && sql.charAt(idx - 1) != '_')
+      if (idx < 0) { out.append(sql.substring(i)); i = sql.length }
+      else if (!isCall) { out.append(sql.substring(i, idx + 6)); i = idx + 6 }
+      else {
+        out.append(sql.substring(i, idx))
+        var j = idx + 6
+        var depth = 1
+        var comma = -1
+        var inStr = false
+        while (depth > 0) {
+          sql.charAt(j) match {
+            case '\'' => inStr = !inStr
+            case '(' if !inStr => depth += 1
+            case ')' if !inStr => depth -= 1
+            case ',' if !inStr && depth == 1 => comma = j
+            case _ =>
+          }
+          j += 1
+        }
+        val close = j - 1
+        val arg = portableRoundSql(sql.substring(idx + 6, comma))
+        val n = sql.substring(comma + 1, close).trim.toInt
+        val scale = "1" + "0" * n + ".0"
+        out.append(s"(floor(($arg) * $scale + 0.5) / $scale)")
+        i = close + 1
+      }
+    }
+    out.toString
+  }
 }

@@ -33,12 +33,24 @@ object Tables {
   * oracle SQL strings in the operator modules).
   */
 object Cols {
-  /** Round a double aggregate so that summation-order differences between
-    * engines (Spark partial aggregation vs DuckDB single-node) vanish.
+  /** Portable rounding: `floor(x·10ⁿ + 0.5)/10ⁿ` in IEEE double
+    * arithmetic — BIT-IDENTICAL in Spark and DuckDB given identical
+    * input doubles. The engines' native `round` disagrees whenever a
+    * double's shortest decimal representation lands exactly on the
+    * rounding boundary (Spark goes through BigDecimal shortest-repr
+    * HALF_UP, DuckDB stays in doubles): round(0.78775, 4) → 0.7878 vs
+    * 0.7877. Clean-decimal derived values (ratios of small integers,
+    * weighted scores) hit that boundary routinely, so every rounded
+    * output goes through this instead. It also absorbs
+    * summation-order fp differences, its original purpose.
+    * [[graft.SparkEntry.oracleSql]] rewrites `round(x, n)` in the
+    * oracle SQL to the same floor form.
     */
-  def r2(c: Column): Column = round(c, 2)
-  def r4(c: Column): Column = round(c, 4)
-  def r6(c: Column): Column = round(c, 6)
+  private def rn(c: Column, scale: Double): Column =
+    floor(c * lit(scale) + lit(0.5)) / lit(scale)
+  def r2(c: Column): Column = rn(c, 1e2)
+  def r4(c: Column): Column = rn(c, 1e4)
+  def r6(c: Column): Column = rn(c, 1e6)
 
   /** Deterministic 60-bit hash both engines compute identically:
     * Spark:  conv(substr(md5(s),1,15),16,10)::long

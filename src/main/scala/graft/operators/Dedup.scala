@@ -91,7 +91,7 @@ object Dedup {
         .agg(count(lit(1)).as("common"))
       pairs
         .withColumn("jacc", $"common" / ($"na" + $"nb" - $"common"))
-        .orderBy(round($"jacc", 6).desc, $"a_id", $"b_id")
+        .orderBy(r6($"jacc").desc, $"a_id", $"b_id")
         .limit(20)
         .select($"a_id", $"b_id", r4($"jacc").as("jaccard"))
     },
@@ -263,7 +263,7 @@ object Dedup {
         .join(broadcast(n.select($"vec_id".as("a_id"), $"nrm".as("anrm"))), "a_id")
         .join(broadcast(n.select($"vec_id".as("b_id"), $"nrm".as("bnrm"))), "b_id")
         .withColumn("cosine", $"dot" / ($"anrm" * $"bnrm"))
-        .filter(round($"cosine", 6) >= 0.35)
+        .filter(r6($"cosine") >= 0.35)
         .select($"a_id", $"b_id", r4($"cosine").as("cosine"))
         .orderBy($"a_id", $"b_id")
     },

@@ -66,7 +66,7 @@ object Similarity {
         .join(broadcast(n.select($"vec_id".as("n_id"), $"nrm".as("cn"))), "n_id")
         .withColumn("cosine", $"dot" / ($"qn" * $"cn"))
       val w = Window.partitionBy($"q_id")
-        .orderBy(round($"cosine", 6).desc, $"n_id")
+        .orderBy(r6($"cosine").desc, $"n_id")
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter($"rk" <= 5)
         .select($"q_id", $"rk", $"n_id", r4($"cosine").as("cosine"))
@@ -113,7 +113,7 @@ object Similarity {
         .join(broadcast(n.select($"vec_id".as("b_id"), $"nrm".as("bn"))), "b_id")
         .withColumn("cosine", $"dot" / ($"an" * $"bn"))
       val w = Window.partitionBy($"a_id")
-        .orderBy(round($"cosine", 6).desc, $"b_id")
+        .orderBy(r6($"cosine").desc, $"b_id")
       scored.withColumn("rk", row_number().over(w))
         .filter($"rk" === 1)
         .select($"a_id", $"bucket", $"b_id".as("nn_id"), r4($"cosine").as("cosine"))
