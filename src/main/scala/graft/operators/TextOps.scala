@@ -149,29 +149,45 @@ object TextOps {
       GROUP BY source
       ORDER BY source"""))
 
-  /** Canonical document fingerprint: md5 over the sorted distinct token
-    * set (word-order-insensitive near-dup key), plus a 60-bit numeric
-    * form for bucket joins.
+  /** Document fingerprinting, two flavors:
+    *  - canonical: md5 over the sorted distinct token set
+    *    (word-order-insensitive near-dup key) + 60-bit numeric form
+    *  - rolling: order-SENSITIVE polynomial hash over the token stream,
+    *    `h ← (31·h + hash(tok)) mod 2^31−1`, folded left-to-right in
+    *    both engines (Spark `aggregate` HOF ≡ DuckDB `list_reduce` with
+    *    a prepended zero) — integer-exact parity.
     */
   private val q53 = Q(
     "q53_fingerprint",
     (s, d) => {
       import s.implicits._
       t(s, d, "documents")
+        .withColumn("toks", expr(toksExpr))
         .withColumn("canon", expr(
-          s"concat_ws(' ', sort_array(array_distinct($toksExpr)))"))
+          "concat_ws(' ', sort_array(array_distinct(toks)))"))
+        .withColumn("roll_fp", expr(
+          """aggregate(toks, cast(0 as bigint), (h, t) ->
+               pmod(h * 31 + pmod(cast(conv(substring(md5(t), 1, 10), 16, 10) as bigint), 2147483647),
+                    2147483647))"""))
         .select($"doc_id",
           md5($"canon").as("fp"),
-          md5Long(md5($"canon")).as("fp_num"))
+          md5Long(md5($"canon")).as("fp_num"),
+          $"roll_fp")
         .orderBy($"doc_id")
     },
     Some(s"""
       WITH c AS (
         SELECT doc_id,
-               array_to_string(list_sort(list_distinct($toksSqlDuck)), ' ') AS canon
+               array_to_string(list_sort(list_distinct($toksSqlDuck)), ' ') AS canon,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform($toksSqlDuck,
+                     t -> CAST('0x' || substr(md5(t), 1, 10) AS BIGINT) % 2147483647)),
+                 (h, x) -> (h * 31 + x) % 2147483647) AS roll_fp
         FROM documents)
       SELECT doc_id, md5(canon) AS fp,
-             ${md5LongSql("md5(canon)")} AS fp_num
+             ${md5LongSql("md5(canon)")} AS fp_num,
+             roll_fp
       FROM c
       ORDER BY doc_id"""))
 

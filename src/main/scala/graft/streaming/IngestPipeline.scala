@@ -93,4 +93,50 @@ object IngestPipeline {
       .trigger(trigger)
       .start()
   }
+
+  /** Exact filename parity with the reference (P7/K1,
+    * readport.py:392-395, 560-563): every completed pack becomes ONE
+    * columnar file named `{station}_{device}{group}_{date}[_seq]`, via
+    * `foreachBatch`. The per-pack driver loop is fine at the
+    * reference's emission cadence (one file per device per window —
+    * minutes apart); the partitioned sink in [[start]] is the
+    * high-throughput mode.
+    */
+  def startWithFilenameTemplate(spark: SparkSession, cfg: DeviceConfig,
+      dest: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    val parsed = parseStage(
+      rawStream(spark, cfg.host, cfg.port, cfg.timeoutSec), cfg)
+    val keyed = cfg.groupBy match {
+      case Some(_) => parsed
+      case None    => parsed.withColumn("_device", lit(cfg.device))
+    }
+    val keyCol = cfg.groupBy.map(_.name).getOrElse("_device")
+    val packed = CountWindow.packByCount(keyed, keyCol, cfg.packLength)
+    packed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // persist BEFORE multiple actions: re-evaluating a stateful
+        // batch plan would replay flatMapGroupsWithState against
+        // already-committed state and lose pack rows
+        batch.persist()
+        try {
+          val packs = batch.select(col(keyCol), col("pack_seq"))
+            .distinct().collect()
+          packs.foreach { r =>
+            val g = r.get(0)
+            val seq = r.getLong(1)
+            val stem = cfg.fileStem(cfg.groupBy.map(_ => g),
+              java.time.Instant.now())
+            batch.filter(col(keyCol) === g && col("pack_seq") === seq)
+              .drop(keyCol, "pack_seq")  // P5: group lives in the name
+              .coalesce(1)
+              .write.mode("overwrite")
+              .parquet(s"$dest/${stem}_$seq.parquet")
+          }
+        } finally batch.unpersist()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
 }

@@ -80,4 +80,43 @@ class IngestPipelineSpec extends SparkTestBase {
       assert(out.filter($"level" === 1 && $"pack_pos" === 0).count() == 1)
     } finally { q.stop(); srv.close() }
   }
+
+  test("filename-template sink: one file per pack, reference naming (P7/K1)") {
+    val srv = new TcpFixtureServer
+    srv.enqueue((1 to 5).map(i => s"07 RH= $i.5 %RH T= 1$i.0 'C \r\n".getBytes): _*)
+    val cfg = DeviceConfig.load(s"""
+      |[device]
+      |station = MSU
+      |name = M
+      |host = localhost
+      |port = ${srv.port}
+      |[parser]
+      |regex = ^(?P<level>\\S+) RH= *(?P<rh>\\S+) %RH T= *(?P<temp>\\S+) .C\\s*$$
+      |group_by = level:int
+      |pack_length = 2
+      |destination = ./ignored
+      |""".stripMargin)
+    val dest = Files.createTempDirectory("graft-tmpl-").toString
+    val ckpt = Files.createTempDirectory("graft-tmpl-ckpt-").toString
+    val q = IngestPipeline.startWithFilenameTemplate(spark, cfg, dest, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def files() = new java.io.File(dest).listFiles()
+        .filter(_.getName.startsWith("MSU_M7_")).toSeq
+      // 5 msgs, pack 2 → 2 full packs → 2 files; 5th message stays buffered
+      while (files().size < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+      assert(files().size == 2)
+      assert(files().forall(_.getName.matches(
+        """MSU_M7_\d{4}-\d{2}-\d{2}_\d{2}-\d{2}-\d{2}_\d+\.parquet""")))
+      // read each pack file individually (multiple .parquet-suffixed
+      // roots in one read confuse file listing)
+      val perFile = files().map(f => spark.read.parquet(f.getPath))
+      assert(perFile.map(_.count()).sum == 4)
+      assert(perFile.forall(_.count() == 2))  // exactly one full pack each
+      // group column stripped from the data — it lives in the filename
+      assert(perFile.forall(!_.columns.contains("level")))
+    } finally { q.stop(); srv.close() }
+  }
 }
