@@ -29,7 +29,7 @@ object Explain {
     df.explain("formatted")
     if (run) {
       val t0 = System.nanoTime()
-      println(s"rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9}%s sec")
+      println(s"rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9} sec")
       df.show(5, truncate = false)
     }
     spark.stop()

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the scale properties the engine claims
+  * (predicate pushdown, column pruning, broadcast joins, whole-stage
+  * codegen, top-k without full sort) hold in the actual plans.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String = {
+    // AQE wraps the plan and hides codegen spans until execution; turn
+    // it off for static plan assertions (it stays on in production)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q06: all three predicates push down to the parquet scan") {
+    val p = planOf("q06_filter_pushdown_revenue")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("GreaterThanOrEqual(l_discount"))
+    // column pruning: scan reads only the needed columns
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"))
+  }
+
+  test("q01: aggregation runs inside whole-stage codegen with partial agg") {
+    val p = planOf("q01_agg_pricing")
+    assert(p.contains("[codegen id :"))  // stages run inside WholeStageCodegen
+    assert(p.contains("HashAggregate"))
+    // two-phase: partial (map-side) then final after one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q02: the dimension side broadcasts") {
+    val p = planOf("q02_join_brand_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("q09: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = planOf("q09_top_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q19: as-of join plans as window over union — no nested-loop join") {
+    val p = planOf("q19_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Window"))
+  }
+}
