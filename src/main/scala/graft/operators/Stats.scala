@@ -133,5 +133,36 @@ object Stats {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q27)
+  /** Skew-mitigated aggregation (the 100 TB salting pattern): lineitem's
+    * 3 returnflag values are pathological hot keys at scale — 3 reducers
+    * would own 100 TB. Phase 1 groups by (key, salt) so partials spread
+    * over key×16 reducers; phase 2 combines per key. Results are
+    * identical to the direct aggregation (the oracle), because sum/count
+    * are associative — which is exactly what makes salting legal.
+    * (Locally Spark's map-side partial agg already handles this; the
+    * explicit form is the cluster pattern, oracle-checked.)
+    */
+  private val q28 = Q(
+    "q28_salted_agg",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .withColumn("salt", pmod($"l_orderkey", lit(16)))
+        .groupBy($"l_returnflag", $"salt")
+        .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev_part"),
+          count(lit(1)).as("n_part"))
+        .groupBy($"l_returnflag")
+        .agg(r2(sum($"rev_part")).as("revenue"),
+          sum($"n_part").as("n_items"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q27, q28)
 }
