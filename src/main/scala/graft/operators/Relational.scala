@@ -397,15 +397,15 @@ object Relational {
       GROUP BY 1, 2
       ORDER BY yr, qtr"""))
 
-  /** JSON access on the events stream table (SURVEY §2.7: from_json /
-    * get_json_object over `events.props`).
+  /** JSON access on the events stream table (SURVEY §2.7): schema'd
+    * `from_json` struct extraction over `events.props`.
     */
   private val q16 = Q(
     "q16_json_events",
     (s, d) => {
       import s.implicits._
       t(s, d, "events")
-        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .withColumn("k", expr("from_json(props, 'k BIGINT').k"))
         .groupBy($"event_type")
         .agg(
           sum($"k").as("sum_k"),

@@ -66,4 +66,46 @@ class StreamingAnalyticsSpec extends SparkTestBase {
       assert(n >= 2)  // overlapping 10m/5m windows emitted
     } finally q.stop()
   }
+
+  test("native session_window: sessions close after the gap, per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "5 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // burst of 3 events within 5-min gaps, then silence
+      mem.addData(Ev(1, ts(0), 1.0), Ev(1, ts(3), 2.0), Ev(1, ts(6), 4.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1, ts(60), 8.0))   // closes the first session
+      q.processAllAvailable()
+      mem.addData(Ev(1, ts(120), 16.0)) // closes the second
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select($"n", $"total").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows.contains((3L, 7.0)))  // one merged session of the burst
+      assert(rows.contains((1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup: dropDuplicatesWithinWatermark on event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dedup = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+    val q = dedup.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(1), 1.0), Ev(1, ts(1), 1.0), Ev(2, ts(1), 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1, ts(1), 1.0))  // duplicate arriving again, in-watermark
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)  // (1,ts1) once + (2,ts1)
+    } finally q.stop()
+  }
 }
