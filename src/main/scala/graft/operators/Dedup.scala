@@ -208,19 +208,24 @@ object Dedup {
     "q33_dedup_simhash",
     (s, d) => {
       import s.implicits._
+      // one pass, 32 aggregate columns (bit-parallel) instead of a 32×
+      // bit-explode: shuffle is docs×32 scalars, not tokens×32 rows.
+      // h < 2^40 so integer division h / 2^j equals the oracle's
+      // floor(h / pow(2, j)) exactly.
       val tok = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", explode(expr(toksExpr)).as("tk"))
         .select($"doc_id",
           expr("cast(conv(substring(md5(tk), 1, 10), 16, 10) as bigint)").as("h"))
-      val bits = tok
-        .select($"doc_id", $"h", explode(expr("sequence(0, 31)")).as("j"))
-        .groupBy($"doc_id", $"j")
-        .agg(sum(expr(
-          "2 * (cast(floor(h / pow(2, j)) as bigint) % 2) - 1")).as("sgn"))
-      bits.groupBy($"doc_id")
-        .agg(sum(expr(
-          "CASE WHEN sgn > 0 THEN cast(pow(2, j) as bigint) ELSE 0 END"))
-          .as("simhash"))
+      val bitSums = (0 until 32).map { j =>
+        sum(expr(s"2 * ((h div ${1L << j}) % 2) - 1")).as(s"s$j")
+      }
+      val assemble = (0 until 32)
+        .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      tok.groupBy($"doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select($"doc_id", expr(s"CAST($assemble AS BIGINT)").as("simhash"))
         .orderBy($"doc_id")
     },
     Some(s"""
