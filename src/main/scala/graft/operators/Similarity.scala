@@ -167,5 +167,82 @@ object Similarity {
       GROUP BY 1, 2
       ORDER BY label, dim"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q42)
+  /** IVF-style ANN: coarse-quantize every vector to its NEAREST centroid
+    * (the q42 codebook — label-partitioned means standing in for k-means
+    * cells), then search only inside the assigned cell. Assignment
+    * minimizes ‖c‖²−2·⟨v,c⟩ (≡ squared distance, per-vector constant
+    * dropped), rounded + label-tiebroken for engine determinism. The
+    * scale story: the codebook broadcasts, assignment is one pass over
+    * the corpus, and pairing is cell-local — the standard IVF trade of
+    * recall for a ~#cells× search-cost cut.
+    */
+  private val q43 = Q(
+    "q43_ann_ivf",
+    (s, d) => {
+      import s.implicits._
+      val u = unpacked(s, d)
+      val n = norms(u)
+      val cents = u.groupBy($"label".as("cl"), $"i".as("ci"))
+        .agg(avg($"v").as("c"))
+      val cn2 = cents.groupBy($"cl").agg(sum($"c" * $"c").as("cn2"))
+      val assign = u
+        .join(broadcast(cents), $"i" === $"ci")
+        .groupBy($"vec_id", $"cl")
+        .agg(sum($"v" * $"c").as("dot"))
+        .join(broadcast(cn2), "cl")
+        .withColumn("score", $"cn2" - lit(2.0) * $"dot")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"vec_id").orderBy(r6($"score").asc, $"cl".asc)))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"cl".as("cell"))
+      val ua = u.join(assign, "vec_id")
+      val a = ua.select($"vec_id".as("a_id"), $"cell", $"i".as("ai"), $"v".as("av"))
+      val b = ua.select($"vec_id".as("b_id"), $"cell".as("bc"), $"i".as("bi"), $"v".as("bv"))
+      val dots = a.join(b, $"ai" === $"bi" && $"cell" === $"bc" && $"a_id" =!= $"b_id")
+        .groupBy($"a_id", $"cell", $"b_id")
+        .agg(sum($"av" * $"bv").as("dot"))
+      val scored = dots
+        .join(broadcast(n.select($"vec_id".as("a_id"), $"nrm".as("an"))), "a_id")
+        .join(broadcast(n.select($"vec_id".as("b_id"), $"nrm".as("bn"))), "b_id")
+        .withColumn("cosine", $"dot" / ($"an" * $"bn"))
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy($"a_id").orderBy(r6($"cosine").desc, $"b_id")))
+        .filter($"rk" === 1)
+        .select($"a_id", $"cell".cast("long").as("cell"),
+          $"b_id".as("nn_id"), r4($"cosine").as("cosine"))
+        .orderBy($"a_id")
+    },
+    Some("""
+      WITH u AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+                   unnest(embedding)::DOUBLE AS v FROM embeddings),
+      n AS (SELECT vec_id,
+              sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM embeddings),
+      cents AS (SELECT label AS cl, i AS ci, avg(v) AS c FROM u GROUP BY 1, 2),
+      cn2 AS (SELECT cl, sum(c * c) AS cn2 FROM cents GROUP BY cl),
+      dots AS (SELECT u.vec_id, cents.cl, sum(u.v * cents.c) AS dot
+               FROM u JOIN cents ON u.i = cents.ci
+               GROUP BY 1, 2),
+      assign AS (SELECT vec_id, cl AS cell FROM (
+                   SELECT d.vec_id, d.cl,
+                          row_number() OVER (PARTITION BY d.vec_id
+                            ORDER BY round(cn2.cn2 - 2.0 * d.dot, 6), d.cl) AS rk
+                   FROM dots d JOIN cn2 ON d.cl = cn2.cl)
+                 WHERE rk = 1),
+      ua AS (SELECT u.vec_id, a.cell, u.i, u.v FROM u JOIN assign a ON u.vec_id = a.vec_id),
+      pd AS (SELECT x.vec_id AS a_id, x.cell, y.vec_id AS b_id, sum(x.v * y.v) AS dot
+             FROM ua x JOIN ua y
+               ON x.i = y.i AND x.cell = y.cell AND x.vec_id <> y.vec_id
+             GROUP BY 1, 2, 3),
+      scored AS (SELECT a_id, cell, b_id, dot / (na.nrm * nb.nrm) AS cosine
+                 FROM pd JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id),
+      ranked AS (SELECT a_id, CAST(cell AS BIGINT) AS cell, b_id AS nn_id, cosine,
+                   row_number() OVER (PARTITION BY a_id
+                     ORDER BY round(cosine, 6) DESC, b_id) AS rk
+                 FROM scored)
+      SELECT a_id, cell, nn_id, round(cosine, 4) AS cosine
+      FROM ranked WHERE rk = 1
+      ORDER BY a_id"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43)
 }
