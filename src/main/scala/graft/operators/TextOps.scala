@@ -191,5 +191,46 @@ object TextOps {
       FROM c
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53)
+  /** Repetition detection (the standard LLM-data quality gate for
+    * boilerplate/babble): fraction of the document's word bigrams taken
+    * by its single most frequent bigram. High ratio ⇒ repetitive junk.
+    * Per-doc explode → two-level hash agg; fully map-side-combinable.
+    */
+  private val q54 = Q(
+    "q54_repetition",
+    (s, d) => {
+      import s.implicits._
+      val bigramsExpr =
+        """CASE WHEN size(toks) >= 2
+           THEN transform(sequence(1, size(toks)-1),
+                i -> concat_ws(' ', slice(toks, i, 2)))
+           ELSE cast(array() as array<string>) END"""
+      val bg = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", expr(toksExpr).as("toks"))
+        .select($"doc_id", explode(expr(bigramsExpr)).as("bg"))
+      bg.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_bigrams"), max($"c").as("top_n"))
+        .select($"doc_id",
+          $"n_bigrams".cast("long").as("n_bigrams"),
+          $"top_n".cast("long").as("top_n"),
+          r4($"top_n" / $"n_bigrams").as("rep_ratio"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSqlDuck AS toks FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+               i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS bg
+             FROM toks WHERE len(toks) >= 2),
+      c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(max(c) AS BIGINT) AS top_n,
+             round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS rep_ratio
+      FROM c
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54)
 }
