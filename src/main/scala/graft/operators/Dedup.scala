@@ -69,7 +69,18 @@ object Dedup {
     * single-split scan locally. A postings-list + pair-HOF variant was
     * benchmarked 12× SLOWER (interpreted lambda pair generation) — the
     * codegen'd shuffle join wins.
+    *
+    * Scale guard: shingles whose posting list exceeds [[dfCap]] documents
+    * are dropped BEFORE the self-join (same "non-discriminative" rule as
+    * the q32 bucket cap). Without it one boilerplate shingle shared by k
+    * docs emits k² join rows — the unbounded quadratic term that kills
+    * the formulation at 100 TB; with it, per-shingle pair volume is
+    * ≤ dfCap², so total pairs ≤ |distinct shingles| · dfCap². A shingle
+    * in >100 docs carries ~no Jaccard signal anyway (it is corpus
+    * boilerplate), so top-20 ranking is unaffected in practice — and the
+    * oracle applies the identical cap, so the check stays exact.
     */
+  private val dfCap = 100
   private val q31 = Q(
     "q31_dedup_ngram_jaccard",
     (s, d) => {
@@ -83,9 +94,16 @@ object Dedup {
         // oracle replays it (collisions: ~n²/2^60, irrelevant)
         .select($"doc_id", size($"sh").as("nsh"), explode($"sh").as("s0"))
         .select($"doc_id", $"nsh", md5Long($"s0").as("s"))
-        .cache()  // both self-join sides read the postings
-      val pairs = ex.as("a")
-        .join(ex.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        .cache()  // read by the DF guard and both self-join sides
+      // document-frequency guard: anti-join away hot shingles (the hot
+      // set is tiny — boilerplate only — so AQE turns this into a
+      // broadcast anti-join; the groupBy shares the s-partitioning the
+      // pair join needs, so no extra exchange on the big side)
+      val hot = ex.groupBy($"s").agg(count(lit(1)).as("df"))
+        .filter($"df" > dfCap).select($"s")
+      val exc = ex.join(hot, Seq("s"), "left_anti")
+      val pairs = exc.as("a")
+        .join(exc.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
           $"a.nsh".as("na"), $"b.nsh".as("nb"))
         .agg(count(lit(1)).as("common"))
@@ -100,9 +118,11 @@ object Dedup {
       sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM toks),
       ex0 AS (SELECT doc_id, unnest(sh) AS s0 FROM sh),
       ex AS (SELECT doc_id, CAST('0x' || substr(md5(s0), 1, 15) AS BIGINT) AS s FROM ex0),
+      hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > 100),
+      exc AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
       sizes AS (SELECT doc_id, len(sh) AS nsh FROM sh),
       p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
-            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
       SELECT a_id, b_id,
              round(common / (na.nsh + nb.nsh - common), 4) AS jaccard
@@ -137,26 +157,31 @@ object Dedup {
         .select($"doc_id", expr(shinglesExpr).as("sh"))
         .filter(size($"sh") > 0)
         .cache()  // read by the signature pipeline and both verify joins
-      // Minhash signatures through the codegen'd explode → hash-agg
-      // path rather than nested HOF lambdas: lambda evaluation is
-      // interpreted row-at-a-time, while explode/min/collect_list stay
-      // inside whole-stage codegen — ~10× less CPU for the same math,
-      // and map-side partial min keeps the shuffle at docs×16 rows.
+      // Bit-parallel minhash (the simhash q33 trick, commit 29db76a):
+      // ONE groupBy(doc_id) with 16 min-aggregate columns — one hash per
+      // shingle, the 16 affine permutations evaluated as 16 codegen'd
+      // projection columns. Shuffle volume = docs × 16 scalars (map-side
+      // partial min), vs the earlier explode(sequence(0,15)) form whose
+      // shuffle was shingles × 16 rows — a 16×|shingles/doc| cut.
+      val minCols = (0 until 16).map { i =>
+        min(expr(s"pmod(${1222334441L + i * 98765L}L * h0 + ${i * 424242L + 7L}L, 2147483647L)"))
+          .as(s"mh$i")
+      }
       val sig = sh
         .select($"doc_id", explode($"sh").as("t"))
         .select($"doc_id", expr(
           "pmod(cast(conv(substring(md5(t), 1, 10), 16, 10) as bigint), 2147483647)").as("h0"))
-        .select($"doc_id", explode(expr("sequence(0, 15)")).as("i"), $"h0")
-        .select($"doc_id", $"i", expr(
-          "pmod((1222334441 + i * 98765) * h0 + i * 424242 + 7, 2147483647)").as("hv"))
-        .groupBy($"doc_id", $"i").agg(min($"hv").as("mh"))
         .groupBy($"doc_id")
-        .agg(sort_array(collect_list(struct($"i", $"mh"))).as("sigarr"))
+        .agg(minCols.head, minCols.tail: _*)
+      // band key b = md5("b:mh_{2b},mh_{2b+1}") — identical bytes to the
+      // oracle's array_to_string over the signature slice.
+      val bandKeys = (0 until 8).map { b =>
+        md5(concat_ws("", lit(s"$b:"),
+          col(s"mh${2 * b}").cast("string"), lit(","),
+          col(s"mh${2 * b + 1}").cast("string")))
+      }
       val cand = sig
-        .select($"doc_id", explode(expr(
-          """transform(sequence(0, 7),
-               b -> md5(concat(cast(b as string), ':',
-                               concat_ws(',', transform(slice(sigarr, b*2+1, 2), s -> s.mh)))))""")).as("band_key"))
+        .select($"doc_id", explode(array(bandKeys: _*)).as("band_key"))
         .groupBy($"band_key")
         .agg(sort_array(collect_set($"doc_id")).as("ds"))
         .filter(size($"ds") > 1 && size($"ds") <= 100)

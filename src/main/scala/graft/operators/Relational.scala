@@ -604,6 +604,14 @@ object Relational {
     * engine-portable oracle exists (sketch internals differ), so the
     * driver records the weaker rows-only check; the exact twins are
     * oracle-checked in q10/q22.
+    *
+    * Sketches ONLY in this agg: round 1 mixed in an exact
+    * `countDistinct`, whose Expand(×3) dragged the whole aggregate —
+    * including the TypedImperativeAggregate percentile sketch — into
+    * the object-hash/sort fallback (52 s for 100k rows vs 0.56 s for
+    * the exact twin q10). An exact distinct column belongs in its own
+    * hash-agg (q10); here every aggregate is a mergeable sketch, so the
+    * plan is a single two-phase ObjectHashAggregate, no Expand.
     */
   private val q26 = Q(
     "q26_approx_sketches",
@@ -613,7 +621,6 @@ object Relational {
         .groupBy($"event_type")
         .agg(
           approx_count_distinct($"user_id").as("approx_users"),
-          countDistinct($"user_id").as("exact_users"),
           expr("approx_percentile(value, 0.5)").as("approx_p50"))
         .orderBy($"event_type")
     },
