@@ -27,18 +27,20 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** (vec_id, bucket, dim, v): one row per vector component, double-cast,
-    * with the 4-bit sign bucket attached. Cached (multi-consumer).
+    * with a `bits`-bit sign bucket attached (sign of the first `bits`
+    * dimensions — axis hyperplanes, so both engines agree bit-for-bit).
+    * Cached (multi-consumer). The bucket expression is built as a static
+    * codegen'd sum, not a HOF (interpreted lambdas measured ~10× slower).
     */
-  private def unpacked(s: SparkSession, d: String): DataFrame = {
+  private def unpacked(s: SparkSession, d: String, bits: Int = 4): DataFrame = {
     import s.implicits._
+    val bucketExpr = (0 until bits)
+      .map(j => s"(CASE WHEN embedding[$j] > 0 THEN ${1L << j}L ELSE 0L END)")
+      .mkString(" + ")
     t(s, d, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select($"vec_id", $"label",
-        expr("""(CASE WHEN embedding[0] > 0 THEN 1 ELSE 0 END)
-              + (CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END)
-              + (CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END)
-              + (CASE WHEN embedding[3] > 0 THEN 8 ELSE 0 END)""")
-          .cast("long").as("bucket"),
+        expr(s"CAST($bucketExpr AS BIGINT)").as("bucket"),
         posexplode(expr("transform(embedding, x -> cast(x as double))")))
       .withColumnRenamed("pos", "i")
       .withColumnRenamed("col", "v")
@@ -93,14 +95,37 @@ object Similarity {
       FROM ranked WHERE rk <= 5
       ORDER BY q_id, rk"""))
 
-  /** Sign-bit LSH: bucket on the sign pattern of the first 4 dims
-    * (16 buckets), nearest neighbor inside the bucket only.
+  /** Sign-bit LSH: bucket on the sign pattern of the first `bits` dims,
+    * nearest neighbor inside the bucket only.
+    *
+    * Scale-true bucketing (round-2 fix — the round-1 form used 4 fixed
+    * bits = 16 buckets, an O(n²/16) constant-factor cut, not a scale
+    * path):
+    *  - `bits` GROWS with the corpus: bits = ⌈log2(n/64)⌉, so bucket
+    *    count ≈ n/64 and expected bucket size stays ~64 regardless of n.
+    *    Within-bucket all-pairs is then O(n·64) TOTAL — linear in n —
+    *    instead of O(n²/2^bits). Both engines derive `bits` from the
+    *    same count with the same ε-guarded formula, so buckets agree
+    *    bit-for-bit (axis hyperplanes, integer bucket ids).
+    *  - skew guard: a bucket holding >512 vectors (8× expected — only a
+    *    pathological sign-degenerate region, e.g. all-zero embeddings)
+    *    is non-discriminative and is dropped whole, the same rule as the
+    *    q32 LSH bucket cap; the oracle applies the identical cap. The
+    *    overfull set is tiny, so it anti-joins as a broadcast — no extra
+    *    shuffle on the big side.
     */
   private val q41 = Q(
     "q41_ann_lsh_bucket",
     (s, d) => {
       import s.implicits._
-      val u = unpacked(s, d)
+      val n0 = t(s, d, "embeddings").count()
+      val bits = math.min(64, math.max(4,
+        math.ceil(math.log(n0 / 64.0) / math.log(2.0) - 1e-9).toInt))
+      val u0 = unpacked(s, d, bits)
+      val over = u0.filter($"i" === 0)
+        .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" > 512).select($"bucket")
+      val u = u0.join(broadcast(over), Seq("bucket"), "left_anti")
       val n = norms(u)
       val a = u.select($"vec_id".as("a_id"), $"bucket", $"i".as("ai"), $"v".as("av"))
       val b = u.select($"vec_id".as("b_id"), $"bucket".as("bk"), $"i".as("bi"), $"v".as("bv"))
@@ -120,12 +145,15 @@ object Similarity {
         .orderBy($"a_id")
     },
     Some("""
-      WITH e AS (SELECT vec_id, embedding,
-                   (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-                 + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-                 + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-                 + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
-                 FROM embeddings),
+      WITH params AS (SELECT least(64, greatest(4,
+                        CAST(ceil(log2(count(*) / 64.0) - 1e-9) AS INT))) AS bits
+                      FROM embeddings),
+      e0 AS (SELECT vec_id, embedding,
+               CAST(list_sum(list_transform(range(0, (SELECT bits FROM params)),
+                 j -> CASE WHEN embedding[j + 1] > 0 THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS bucket
+             FROM embeddings),
+      e AS (SELECT * FROM e0 WHERE bucket NOT IN
+              (SELECT bucket FROM e0 GROUP BY bucket HAVING count(*) > 512)),
       n AS (SELECT vec_id,
               sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
             FROM e),
@@ -167,34 +195,45 @@ object Similarity {
       GROUP BY 1, 2
       ORDER BY label, dim"""))
 
-  /** IVF-style ANN: coarse-quantize every vector to its NEAREST centroid
-    * (the q42 codebook — label-partitioned means standing in for k-means
-    * cells), then search only inside the assigned cell. Assignment
+  /** IVF-style ANN: coarse-quantize every vector to its NEAREST cell
+    * seed, then search only inside the assigned cell. Assignment
     * minimizes ‖c‖²−2·⟨v,c⟩ (≡ squared distance, per-vector constant
-    * dropped), rounded + label-tiebroken for engine determinism. The
-    * scale story: the codebook broadcasts, assignment is one pass over
-    * the corpus, and pairing is cell-local — the standard IVF trade of
-    * recall for a ~#cells× search-cost cut.
+    * dropped), rounded + seed-id-tiebroken for engine determinism.
+    *
+    * Scale-true cell count (round-2 fix — round 1 used the 10 labels as
+    * cells, a CONSTANT, leaving within-cell work quadratic in n): the
+    * codebook is k = ⌈√n⌉ seed vectors picked deterministically by
+    * `vec_id % ⌊n/k⌋ = 0` (both engines derive k and the stride from
+    * the same count with the same ε-guarded sqrt). Expected cell size
+    * is then √n, the classic IVF balance point: assignment is n·k
+    * broadcast-codebook dot products and within-cell pairing totals
+    * k·(√n)² = n^1.5 — both sub-quadratic, both shrinking per-cell as
+    * n grows. Real k-means centroids would tighten recall, but seeds
+    * keep the quantizer deterministic for the oracle; the Voronoi
+    * structure (and every downstream operator) is identical.
     */
   private val q43 = Q(
     "q43_ann_ivf",
     (s, d) => {
       import s.implicits._
+      val n0 = t(s, d, "embeddings").count()
+      val k = math.ceil(math.sqrt(n0.toDouble) - 1e-9).toLong
+      val stride = math.max(1L, n0 / k)
       val u = unpacked(s, d)
       val n = norms(u)
-      val cents = u.groupBy($"label".as("cl"), $"i".as("ci"))
-        .agg(avg($"v").as("c"))
-      val cn2 = cents.groupBy($"cl").agg(sum($"c" * $"c").as("cn2"))
+      val seeds = u.filter($"vec_id" % stride === 0)
+        .select($"vec_id".as("sid"), $"i".as("si"), $"v".as("sv"))
+      val sn2 = seeds.groupBy($"sid").agg(sum($"sv" * $"sv").as("sn2"))
       val assign = u
-        .join(broadcast(cents), $"i" === $"ci")
-        .groupBy($"vec_id", $"cl")
-        .agg(sum($"v" * $"c").as("dot"))
-        .join(broadcast(cn2), "cl")
-        .withColumn("score", $"cn2" - lit(2.0) * $"dot")
+        .join(broadcast(seeds), $"i" === $"si")
+        .groupBy($"vec_id", $"sid")
+        .agg(sum($"v" * $"sv").as("dot"))
+        .join(broadcast(sn2), "sid")
+        .withColumn("score", $"sn2" - lit(2.0) * $"dot")
         .withColumn("rk", row_number().over(
-          Window.partitionBy($"vec_id").orderBy(r6($"score").asc, $"cl".asc)))
+          Window.partitionBy($"vec_id").orderBy(r6($"score").asc, $"sid".asc)))
         .filter($"rk" === 1)
-        .select($"vec_id", $"cl".as("cell"))
+        .select($"vec_id", $"sid".as("cell"))
       val ua = u.join(assign, "vec_id")
       val a = ua.select($"vec_id".as("a_id"), $"cell", $"i".as("ai"), $"v".as("av"))
       val b = ua.select($"vec_id".as("b_id"), $"cell".as("bc"), $"i".as("bi"), $"v".as("bv"))
@@ -213,21 +252,25 @@ object Similarity {
         .orderBy($"a_id")
     },
     Some("""
-      WITH u AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
-                   unnest(embedding)::DOUBLE AS v FROM embeddings),
+      WITH params AS (SELECT greatest(1, count(*) //
+                        CAST(ceil(sqrt(count(*)) - 1e-9) AS BIGINT)) AS stride
+                      FROM embeddings),
+      u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding)::DOUBLE AS v FROM embeddings),
       n AS (SELECT vec_id,
               sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
             FROM embeddings),
-      cents AS (SELECT label AS cl, i AS ci, avg(v) AS c FROM u GROUP BY 1, 2),
-      cn2 AS (SELECT cl, sum(c * c) AS cn2 FROM cents GROUP BY cl),
-      dots AS (SELECT u.vec_id, cents.cl, sum(u.v * cents.c) AS dot
-               FROM u JOIN cents ON u.i = cents.ci
+      seeds AS (SELECT vec_id AS sid, i AS si, v AS sv FROM u
+                WHERE vec_id % (SELECT stride FROM params) = 0),
+      sn2 AS (SELECT sid, sum(sv * sv) AS sn2 FROM seeds GROUP BY sid),
+      dots AS (SELECT u.vec_id, seeds.sid, sum(u.v * seeds.sv) AS dot
+               FROM u JOIN seeds ON u.i = seeds.si
                GROUP BY 1, 2),
-      assign AS (SELECT vec_id, cl AS cell FROM (
-                   SELECT d.vec_id, d.cl,
+      assign AS (SELECT vec_id, sid AS cell FROM (
+                   SELECT d.vec_id, d.sid,
                           row_number() OVER (PARTITION BY d.vec_id
-                            ORDER BY round(cn2.cn2 - 2.0 * d.dot, 6), d.cl) AS rk
-                   FROM dots d JOIN cn2 ON d.cl = cn2.cl)
+                            ORDER BY round(sn2.sn2 - 2.0 * d.dot, 6), d.sid) AS rk
+                   FROM dots d JOIN sn2 ON d.sid = sn2.sid)
                  WHERE rk = 1),
       ua AS (SELECT u.vec_id, a.cell, u.i, u.v FROM u JOIN assign a ON u.vec_id = a.vec_id),
       pd AS (SELECT x.vec_id AS a_id, x.cell, y.vec_id AS b_id, sum(x.v * y.v) AS dot
