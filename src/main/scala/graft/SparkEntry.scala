@@ -66,10 +66,17 @@ object SparkEntry {
           j += 1
         }
         val close = j - 1
-        val arg = portableRoundSql(sql.substring(idx + 6, comma))
-        val n = sql.substring(comma + 1, close).trim.toInt
-        val scale = "1" + "0" * n + ".0"
-        out.append(s"(floor(($arg) * $scale + 0.5) / $scale)")
+        if (comma < 0) {
+          // single-arg round(x): integer rounding, no scale ambiguity —
+          // leave it as-is (still recurse for nested two-arg rounds)
+          val arg = portableRoundSql(sql.substring(idx + 6, close))
+          out.append(s"round($arg)")
+        } else {
+          val arg = portableRoundSql(sql.substring(idx + 6, comma))
+          val n = sql.substring(comma + 1, close).trim.toInt
+          val scale = "1" + "0" * n + ".0"
+          out.append(s"(floor(($arg) * $scale + 0.5) / $scale)")
+        }
         i = close + 1
       }
     }

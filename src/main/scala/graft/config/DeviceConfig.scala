@@ -132,10 +132,14 @@ object DeviceConfig {
     val Interp = "\\$\\{([^:}]+):([^}]+)\\}".r
     flat.map { case (s, kv) =>
       s -> kv.map { case (k, v) =>
+        // quoteReplacement: the looked-up value is data, not a
+        // replacement template — a '$' or '\' in it (regex fragments,
+        // Windows paths) must land verbatim
         k -> Interp.replaceAllIn(v, m =>
-          flat.getOrElse(m.group(1), Map.empty).getOrElse(m.group(2),
-            throw ConfigurationError(
-              s"Unresolvable interpolation $${${m.group(1)}:${m.group(2)}}")))
+          scala.util.matching.Regex.quoteReplacement(
+            flat.getOrElse(m.group(1), Map.empty).getOrElse(m.group(2),
+              throw ConfigurationError(
+                s"Unresolvable interpolation $${${m.group(1)}:${m.group(2)}}"))))
       }
     }
   }

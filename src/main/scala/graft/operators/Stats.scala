@@ -68,10 +68,12 @@ object Stats {
           val lo = floor(pos) + 1
           val frac = pos - floor(pos)
           val hi = lo + when(frac > 0, 1).otherwise(0)
-          r4(sum(
-            when(col("rn") === lo, col(valCol) * (lit(1.0) - frac)).otherwise(0.0) +
-            when(col("rn") === hi && frac > 0, col(valCol) * frac).otherwise(0.0)))
-            .as(name)
+          // DuckDB quantile_cont's exact IEEE form v_lo + (v_hi−v_lo)·frac
+          // — the algebraically-equal v_lo·(1−frac) + v_hi·frac can
+          // differ by an ulp and flip the r4 floor at a boundary
+          val vlo = sum(when(col("rn") === lo, col(valCol)).otherwise(0.0))
+          val vhi = sum(when(col("rn") === hi, col(valCol)).otherwise(0.0))
+          r4(vlo + (vhi - vlo) * max(frac)).as(name)
         }
         ranked.groupBy($"l_returnflag").agg(aggs.head, aggs.tail: _*)
       }

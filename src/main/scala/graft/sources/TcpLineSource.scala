@@ -75,7 +75,8 @@ class TcpLineTable(properties: util.Map[String, String])
           new TcpLineMicroBatchStream(
             options.get("host"),
             options.getInt("port", 0),
-            Option(options.get("timeoutSec")).map(_.toDouble))
+            Option(options.get("timeoutSec")).map(_.toDouble),
+            Option(options.get("maxMessagesPerTrigger")).map(_.toLong))
       }
     }
 }
@@ -85,8 +86,24 @@ case class TcpOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
+/** @param maxPerTrigger X2 admission cap: at most this many messages per
+  *   micro-batch, the Spark twin of the reference's bounded queue that
+  *   screams-and-dies on overflow (readport.py:457-464). Here overflow
+  *   cannot drop data — `latestOffset` simply meters the backlog out
+  *   across triggers, so a post-stall burst can't produce one giant
+  *   batch that blows executor memory.
+  *
+  * NOT REPLAYABLE across restarts: the buffer is in-memory (the
+  * reference's process-local queue, readport.py:445-455). On restart
+  * from a checkpoint the previous incarnation's messages are gone;
+  * offsets re-align to the checkpointed high-water mark (see
+  * [[alignTo]]) and any uncommitted range is served as an empty batch
+  * with a logged warning — the same at-most-once outage gap the
+  * reference has when its process restarts.
+  */
 class TcpLineMicroBatchStream(host: String, port: Int,
-    timeoutSec: Option[Double]) extends MicroBatchStream {
+    timeoutSec: Option[Double], maxPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with org.apache.spark.internal.Logging {
 
   private val lock = new Object
   // (message, arrival micros, fresh) — indexed from `trimmed`
@@ -139,18 +156,61 @@ class TcpLineMicroBatchStream(host: String, port: Int,
   }
 
   override def initialOffset(): Offset = TcpOffset(0L)
-  override def deserializeOffset(json: String): Offset = TcpOffset(json.toLong)
+
+  override def deserializeOffset(json: String): Offset = {
+    val o = json.toLong
+    alignTo(o)  // checkpointed offsets surface here first on restart
+    TcpOffset(o)
+  }
+
+  /** Re-seat offset arithmetic after a restart from checkpoint: an
+    * external offset beyond the in-memory range means it was minted by a
+    * previous incarnation whose buffer is gone. Renumber the (new)
+    * buffer to start at that high-water mark so offsets stay monotone
+    * and `commit` can never be asked to drop rows we don't hold.
+    */
+  private def alignTo(o: Long): Unit = lock.synchronized {
+    if (o > trimmed + messages.size) {
+      logWarning(s"graft-socket $host:$port: restart offset $o is beyond " +
+        s"the in-memory range [$trimmed, ${trimmed + messages.size}); " +
+        "source is not replayable — the gap is lost (at-most-once), " +
+        "re-aligning to the checkpointed offset")
+      trimmed = o
+      lastEnd = math.max(lastEnd, o)
+    }
+  }
+
+  // highest end offset exposed to the engine; the admission cap advances
+  // from here (not from `trimmed` — Spark may plan the next trigger
+  // before the previous commit lands)
+  private var lastEnd = 0L
 
   override def latestOffset(): Offset = {
     ensureReader()
-    lock.synchronized { TcpOffset(trimmed + messages.size) }
+    lock.synchronized {
+      val avail = trimmed + messages.size
+      // X2: meter a backlog out across triggers instead of one huge batch
+      val base = math.max(trimmed, lastEnd)
+      val end = maxPerTrigger.fold(avail)(cap => math.min(avail, base + cap))
+      lastEnd = math.max(lastEnd, end)
+      TcpOffset(end)
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TcpOffset].n
     val e = end.asInstanceOf[TcpOffset].n
+    alignTo(e)
     val slice = lock.synchronized {
-      messages.slice((s - trimmed).toInt, (e - trimmed).toInt).toArray
+      // clamp: a replayed range that predates the buffer yields an empty
+      // batch (non-replayable source) rather than a negative slice
+      val lo = math.max(0L, math.min(s - trimmed, messages.size.toLong)).toInt
+      val hi = math.max(lo.toLong, math.min(e - trimmed, messages.size.toLong)).toInt
+      if (s < trimmed)
+        logWarning(s"graft-socket $host:$port: replayed range [$s, $e) " +
+          s"predates the in-memory buffer (base $trimmed) — serving " +
+          s"${hi - lo} of ${e - s} rows; the rest were lost at restart")
+      messages.slice(lo, hi).toArray
     }
     Array(TcpLinePartition(slice))
   }
@@ -169,8 +229,11 @@ class TcpLineMicroBatchStream(host: String, port: Int,
 
   override def commit(end: Offset): Unit = lock.synchronized {
     val e = end.asInstanceOf[TcpOffset].n
-    val drop = (e - trimmed).toInt
-    if (drop > 0) { messages.remove(0, drop); trimmed = e }
+    // clamp to the buffer: a checkpoint-replayed commit beyond the
+    // in-memory range must not index past what we hold
+    val drop = math.max(0L, math.min(e - trimmed, messages.size.toLong)).toInt
+    if (drop > 0) messages.remove(0, drop)
+    if (e > trimmed) trimmed = e
   }
 
   override def stop(): Unit = {

@@ -50,10 +50,6 @@ object IngestPipeline {
     }
     val extracted = df
       .withColumn("_ex", regexp_extract_named(col("value"), cfg.regex))
-      // F1: regex non-match → record skipped, stream continues. (On a
-      // fresh connection the reference merely logs it at DEBUG —
-      // either way the row is dropped.)
-      .filter(col("_ex").isNotNull)
     val withCasts = cfg.variables.foldLeft(extracted) { (d, v) =>
       d.withColumn(v, expr(s"try_cast(_ex.`$v` AS ${sqlTypeOf(v)})"))
     }
@@ -62,7 +58,23 @@ object IngestPipeline {
     val valid = cfg.variables
       .map(v => col(s"_ex.`$v`").isNull || col(v).isNotNull)
       .reduce(_ && _)
-    withCasts.filter(valid)
+    // F1 observability (readport.py:353-364): the reference logs every
+    // parse failure at ERROR, demoted to DEBUG for a torn first message
+    // on a fresh connection; a cast failure kills the row. The
+    // Spark-native form is an `observe` node: per-batch counts arrive in
+    // StreamingQueryProgress.observedMetrics (QueryExecutionListener in
+    // batch) at zero hot-path cost — a per-row log call would serialize
+    // 100 TB worth of failures through one logger.
+    val freshCol =
+      if (df.columns.contains("fresh")) col("fresh") else lit(false)
+    val observed = withCasts.observe("graft_parse",
+      sum(when(col("_ex").isNull && !freshCol, 1L).otherwise(0L)).as("regex_drop"),
+      sum(when(col("_ex").isNull && freshCol, 1L).otherwise(0L)).as("regex_drop_fresh"),
+      sum(when(col("_ex").isNotNull && !valid, 1L).otherwise(0L)).as("cast_kill"))
+    observed
+      // F1: regex non-match → record skipped, stream continues
+      .filter(col("_ex").isNotNull)
+      .filter(valid)
       .select(cfg.variables.map(col) :+ col("time"): _*)
   }
 
@@ -125,9 +137,13 @@ object IngestPipeline {
           packs.foreach { r =>
             val g = r.get(0)
             val seq = r.getLong(1)
-            val stem = cfg.fileStem(cfg.groupBy.map(_ => g),
+            // null-safe: a group key parsed from the /// sentinel is a
+            // legal NULL (readport.py:259-262) — it becomes an empty
+            // group fragment in the name, and the pack filter must use
+            // <=> (null === null is NULL, silently dropping the pack)
+            val stem = cfg.fileStem(cfg.groupBy.flatMap(_ => Option(g)),
               java.time.Instant.now())
-            batch.filter(col(keyCol) === g && col("pack_seq") === seq)
+            batch.filter(col(keyCol) <=> lit(g) && col("pack_seq") === seq)
               .drop(keyCol, "pack_seq")  // P5: group lives in the name
               .coalesce(1)
               .write.mode("overwrite")

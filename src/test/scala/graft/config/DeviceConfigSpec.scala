@@ -69,6 +69,16 @@ class DeviceConfigSpec extends AnyFunSuite {
     assert(ini("logging")("file") == "readport_4001.log")
   }
 
+  test("interpolated value containing $ or \\ lands verbatim (not a template)") {
+    val ini = DeviceConfig.parseIni("""
+      |[parser]
+      |regex = (?P<a>\S+) costs $5
+      |[sink]
+      |note = pattern is ${parser:regex} here
+      |""".stripMargin)
+    assert(ini("sink")("note") == """pattern is (?P<a>\S+) costs $5 here""")
+  }
+
   test("missing required option → ConfigurationError") {
     val bad = sonicConf.replace("pack_length = 12000", "")
     val e = intercept[ConfigurationError](DeviceConfig.load(bad))

@@ -137,6 +137,44 @@ class TcpLineSourceSpec extends SparkTestBase {
     } finally { q.stop(); srv.close() }
   }
 
+  test("restart from checkpoint beyond the in-memory range: empty replay, no crash") {
+    // Simulates driver recovery: Spark re-reads checkpointed offsets from
+    // a previous incarnation whose in-memory buffer is gone. The old
+    // behavior crash-looped in commit() (IndexOutOfBounds on remove) and
+    // then misaligned new rows; the fix re-seats offset arithmetic at the
+    // checkpointed high-water mark and serves the lost range empty.
+    val s = new TcpLineMicroBatchStream("localhost", 1, None)
+    val start = s.deserializeOffset("400")
+    val end = s.deserializeOffset("500")
+    val parts = s.planInputPartitions(start, end)
+    assert(parts.length == 1 &&
+      parts(0).asInstanceOf[TcpLinePartition].rows.isEmpty)
+    s.commit(end)  // must be a no-op, not an exception
+    // new messages get offsets at/after the checkpointed mark
+    assert(s.latestOffset().asInstanceOf[TcpOffset].n == 500L)
+    s.stop()
+  }
+
+  test("maxMessagesPerTrigger splits a burst across micro-batches (X2)") {
+    val srv = new TcpFixtureServer
+    srv.enqueue(((1 to 10).map(i => s"burst $i\n").mkString.getBytes): Array[Byte])
+    val df = spark.readStream.format("graft-socket")
+      .option("host", "localhost").option("port", srv.port)
+      .option("maxMessagesPerTrigger", "3").load()
+    val q = df.writeStream.format("memory").queryName("capped")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("capped").count() < 10 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      assert(spark.table("capped").count() == 10)
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(sizes.forall(_ <= 3), s"batch sizes ${sizes.mkString(",")} exceed cap")
+      assert(sizes.length >= 2, "burst should span multiple micro-batches")
+    } finally { q.stop(); srv.close() }
+  }
+
   test("heartbeat listener emits started/progress events (K4)") {
     val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = graft.streaming.Runner.attachHeartbeat(spark)(events.add(_))

@@ -42,6 +42,52 @@ class IngestPipelineSpec extends SparkTestBase {
     assert(rows(1).getLong(0) == 2L && rows(1).isNullAt(1))
   }
 
+  test("F1 observability: regex-drop, fresh demotion, and cast-kill counts") {
+    // The reference logs every parse failure at ERROR, demoted to DEBUG
+    // for a torn first message on a fresh connection (readport.py:353-364).
+    // Spark twin: the graft_parse observe node classifies dropped rows
+    // using the source's `fresh` column.
+    val cfg = DeviceConfig.load("""
+      |[device]
+      |station = MSU
+      |name = M
+      |host = localhost
+      |port = 1
+      |[parser]
+      |regex = ^(?P<level>\S+) RH= *(?P<rh>\S+) %RH T= *(?P<temp>\S+) .C\s*$
+      |group_by = level:int
+      |pack_length = 3
+      |destination = ./ignored
+      |""".stripMargin)
+    val now = new java.sql.Timestamp(1700000000000L)
+    val in = Seq(
+      ("01 RH= 1.23 %RH T= 14.94 'C ", false),  // good
+      ("torn-first-messa",              true),  // fresh connection → demoted
+      ("03 RH= ZZZ %RH T= 11.00 'C ",  false),  // cast failure → row killed
+      ("garbage",                      false))  // hard parse failure
+      .toDF("value", "fresh").withColumn("time", lit(now))
+    @volatile var metrics = Map.empty[String, Any]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get("graft_parse").foreach { row =>
+          metrics = row.getValuesMap[Any](row.schema.fieldNames.toSeq)
+        }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      assert(IngestPipeline.parseStage(in, cfg).count() == 1)
+      val deadline = System.currentTimeMillis() + 20000
+      while (metrics.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)  // listener bus is async
+      assert(metrics("regex_drop") == 1L)        // "garbage"
+      assert(metrics("regex_drop_fresh") == 1L)  // torn first message
+      assert(metrics("cast_kill") == 1L)         // ZZZ
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("end-to-end: TCP device → parse → count-window pack → partitioned parquet") {
     val srv = new TcpFixtureServer
     val msgs = (1 to 7).map(i => s"0${i % 2} RH= $i.5 %RH T= 1$i.0 'C \r\n")
@@ -117,6 +163,43 @@ class IngestPipelineSpec extends SparkTestBase {
       assert(perFile.forall(_.count() == 2))  // exactly one full pack each
       // group column stripped from the data — it lives in the filename
       assert(perFile.forall(!_.columns.contains("level")))
+    } finally { q.stop(); srv.close() }
+  }
+
+  test("filename-template sink: sentinel-valued (NULL) group key packs cleanly") {
+    // A record whose group variable is the /// sentinel survives parsing
+    // with a NULL key (readport.py:259-262 is the reference crash edge);
+    // the pack must still reach disk, with an empty group fragment in
+    // the filename, via the null-safe <=> pack filter.
+    val srv = new TcpFixtureServer
+    srv.enqueue((1 to 2).map(i => s"/// RH= $i.5 %RH T= 1$i.0 'C \r\n".getBytes): _*)
+    val cfg = DeviceConfig.load(s"""
+      |[device]
+      |station = MSU
+      |name = M
+      |host = localhost
+      |port = ${srv.port}
+      |[parser]
+      |regex = ^(?P<level>\\S+) RH= *(?P<rh>\\S+) %RH T= *(?P<temp>\\S+) .C\\s*$$
+      |group_by = level:int
+      |pack_length = 2
+      |destination = ./ignored
+      |""".stripMargin)
+    val dest = Files.createTempDirectory("graft-null-").toString
+    val ckpt = Files.createTempDirectory("graft-null-ckpt-").toString
+    val q = IngestPipeline.startWithFilenameTemplate(spark, cfg, dest, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      // group fragment empty → stem is MSU_M_<date>
+      def files() = new java.io.File(dest).listFiles()
+        .filter(_.getName.matches("""MSU_M_\d{4}.*\.parquet""")).toSeq
+      while (files().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+      assert(files().size == 1)
+      val out = spark.read.parquet(files().head.getPath)
+      assert(out.count() == 2)
+      assert(!out.columns.contains("level"))
     } finally { q.stop(); srv.close() }
   }
 }
