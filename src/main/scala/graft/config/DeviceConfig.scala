@@ -40,7 +40,9 @@ final case class DeviceConfig(
     variables: Seq[String],   // named groups, in order
     groupBy: Option[GroupBy],
     packLength: Int,
-    destination: String) {
+    destination: String,
+    logLevel: Option[String] = None,   // [logging] level (readport.py:604-606)
+    logFile: Option[String] = None) {  // [logging] file, post-interpolation
 
   /** DeviceConfig → StructType compiler (SURVEY.md §1.4): DoubleType
     * default, the group key keeps its configured type, plus the reserved
@@ -184,6 +186,8 @@ object DeviceConfig {
       variables = variables,
       groupBy = groupBy,
       packLength = packLength,
-      destination = req("parser", "destination"))
+      destination = req("parser", "destination"),
+      logLevel = opt("logging", "level"),
+      logFile = opt("logging", "file"))
   }
 }

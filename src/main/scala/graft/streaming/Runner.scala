@@ -1,5 +1,8 @@
 package graft.streaming
 
+import java.io.OutputStream
+import java.net.{InetSocketAddress, Socket}
+
 import graft.config.DeviceConfig
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
@@ -10,14 +13,39 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, T
 object Runner {
 
   /** K2 — raw-capture mode (reference `--echo`, readport.py:671-693):
-    * dump framed messages to the console to reverse-engineer new device
-    * formats. No parsing, no reconnect-suppression — just the frames.
+    * pipe the device's raw bytes to `out` to reverse-engineer new
+    * formats (the user redirects stdout to a file). Reference parity on
+    * the error path: connect ONCE, and ANY error — including EOF and
+    * read timeout — ends the run with no reconnect (readport.py:685-688
+    * returns on the first exception), unlike the resilient ingest
+    * source. Deliberately NOT a Spark query: this is a debugging
+    * netcat, and raw bytes (no framing, no schema) have nothing for
+    * the engine to do.
+    *
+    * @return bytes copied before EOF/error
     */
-  def echo(spark: SparkSession, host: String, port: Int): StreamingQuery =
-    IngestPipeline.rawStream(spark, host, port)
-      .writeStream.format("console")
-      .option("truncate", false)
-      .start()
+  def echo(host: String, port: Int, out: OutputStream = System.out,
+      timeoutSec: Option[Double] = None): Long = {
+    var total = 0L
+    val socket = new Socket()
+    try {
+      socket.connect(new InetSocketAddress(host, port), 5000)
+      timeoutSec.foreach(t => socket.setSoTimeout((t * 1000).toInt))
+      val in = socket.getInputStream
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n != -1) {
+        out.write(buf, 0, n); out.flush()
+        total += n
+        n = in.read(buf)
+      }
+    } catch {
+      case e: java.io.IOException => System.err.println(s"echo: $e")
+    } finally {
+      try socket.close() catch { case _: Exception => }
+    }
+    total
+  }
 
   /** K4 — heartbeat sink (reference hb_client.sh): the reference cron-POSTs
     * CPU/disk/RAM once a minute; Spark's own query-progress events carry
