@@ -22,9 +22,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JIT/codegen + parquet-footer warmup on the smallest query so the
-    // first measured query isn't charged for JVM warmup.
-    try SparkEntry.queries.head._2(spark, sfDir).write
+    // JIT/codegen + parquet-footer warmup on a NAMED cheap query (a Map's
+    // .head is hash-order — it could warm an expensive or irrelevant one)
+    // so the first measured query isn't charged for JVM warmup.
+    try SparkEntry.queries("q01_agg_pricing")(spark, sfDir).write
       .mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
 
@@ -35,6 +36,9 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      // per-query .cache()s (dedup/ANN subplans) are scoped to the query;
+      // drop them so later queries aren't squeezed by a growing pool
+      spark.catalog.clearCache()
       System.err.println(f"[bench] $name%-32s $dt%8.2f s")
       name -> dt
     }

@@ -51,4 +51,38 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     assert(p.contains("Window"))
   }
+
+  test("q26: sketch agg has no Expand and no exact distinct (round-2 fix)") {
+    val p = planOf("q26_approx_sketches")
+    // mixing countDistinct into the sketch agg forced Expand×3 + sort
+    // fallback (52 s); sketches alone are one two-phase object agg
+    assert(!p.contains("Expand"))
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
+  }
+
+  test("q32: minhash signatures are one bit-parallel agg, no x16 explode") {
+    val p = planOf("q32_dedup_minhash_lsh")
+    // one Generate for the shingle explode is expected; the per-function
+    // explode(sequence(0, 15)) (shuffle = shingles×16 rows) must be gone
+    assert(!p.contains("sequence(0, 15"))
+    // the 16 permutations are min-aggregate columns in a hash agg
+    assert(p.contains("min(") && p.contains("HashAggregate"))
+  }
+
+  test("q31: shingle postings are DF-capped before the pair self-join") {
+    val p = planOf("q31_dedup_ngram_jaccard")
+    // the hot-shingle guard is an anti-join against the over-cap set —
+    // without it one boilerplate shingle in k docs makes k² join rows
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("q41/q43: ANN pairing is equi-join only — no cross product anywhere") {
+    for (q <- Seq("q41_ann_lsh_bucket", "q43_ann_ivf")) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q plans a cross product")
+      // codebook/norm lookups broadcast; pairing shuffles only on keys
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast joins")
+    }
+  }
 }
