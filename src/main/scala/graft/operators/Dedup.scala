@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Cols, Tables}
 import Cols._
 import Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -225,6 +226,44 @@ object Dedup {
       FROM cand JOIN sh sha ON a_id = sha.doc_id JOIN sh shb ON b_id = shb.doc_id
       ORDER BY a_id, b_id"""))
 
+  /** Per-doc 32-bit simhash signatures — one pass, 32 aggregate columns
+    * (bit-parallel) instead of a 32× bit-explode: shuffle is docs×32
+    * scalars, not tokens×32 rows. h < 2^40 so integer division
+    * h / 2^j equals the oracle's floor(h / pow(2, j)) exactly.
+    * Shared by q33 (emit signatures) and q35 (collision clustering).
+    */
+  private def simhashSig(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = t(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", explode(expr(toksExpr)).as("tk"))
+      .select($"doc_id",
+        expr("cast(conv(substring(md5(tk), 1, 10), 16, 10) as bigint)").as("h"))
+    val bitSums = (0 until 32).map { j =>
+      sum(expr(s"2 * ((h div ${1L << j}) % 2) - 1")).as(s"s$j")
+    }
+    val assemble = (0 until 32)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    tok.groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", expr(s"CAST($assemble AS BIGINT)").as("simhash"))
+  }
+
+  /** The q33/q35 oracle's shared CTE chain ending in `sh(doc_id, simhash)`. */
+  private def simhashSqlDuck = s"""
+      WITH toks AS (SELECT doc_id, $toksSqlDuck AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(toks) AS tk FROM toks),
+      h AS (SELECT doc_id, CAST('0x' || substr(md5(tk), 1, 10) AS BIGINT) AS h FROM ex),
+      bits AS (SELECT doc_id, j,
+                 sum(2 * (CAST(floor(h / pow(2, j)) AS BIGINT) % 2) - 1) AS sgn
+               FROM h, (SELECT unnest(range(0, 32)) AS j) js
+               GROUP BY doc_id, j),
+      sh AS (SELECT doc_id,
+               CAST(sum(CASE WHEN sgn > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+             FROM bits
+             GROUP BY doc_id)"""
+
   /** SimHash (32-bit): per-token md5-derived 40-bit hash, weighted bit
     * majority vote, integer-only arithmetic so both engines agree
     * exactly. Documents whose signatures collide are near-dup candidates.
@@ -233,44 +272,53 @@ object Dedup {
     "q33_dedup_simhash",
     (s, d) => {
       import s.implicits._
-      // one pass, 32 aggregate columns (bit-parallel) instead of a 32×
-      // bit-explode: shuffle is docs×32 scalars, not tokens×32 rows.
-      // h < 2^40 so integer division h / 2^j equals the oracle's
-      // floor(h / pow(2, j)) exactly.
-      val tok = t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", explode(expr(toksExpr)).as("tk"))
-        .select($"doc_id",
-          expr("cast(conv(substring(md5(tk), 1, 10), 16, 10) as bigint)").as("h"))
-      val bitSums = (0 until 32).map { j =>
-        sum(expr(s"2 * ((h div ${1L << j}) % 2) - 1")).as(s"s$j")
-      }
-      val assemble = (0 until 32)
-        .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
-        .mkString(" + ")
-      tok.groupBy($"doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select($"doc_id", expr(s"CAST($assemble AS BIGINT)").as("simhash"))
-        .orderBy($"doc_id")
+      simhashSig(s, d).orderBy($"doc_id")
     },
     Some(s"""
-      WITH toks AS (SELECT doc_id, $toksSqlDuck AS toks FROM documents),
-      ex AS (SELECT doc_id, unnest(toks) AS tk FROM toks),
-      h AS (SELECT doc_id, CAST('0x' || substr(md5(tk), 1, 10) AS BIGINT) AS h FROM ex),
-      bits AS (SELECT doc_id, j,
-                 sum(2 * (CAST(floor(h / pow(2, j)) AS BIGINT) % 2) - 1) AS sgn
-               FROM h, (SELECT unnest(range(0, 32)) AS j) js
-               GROUP BY doc_id, j)
-      SELECT doc_id,
-             CAST(sum(CASE WHEN sgn > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-      FROM bits
-      GROUP BY doc_id
-      ORDER BY doc_id"""))
+      $simhashSqlDuck
+      SELECT doc_id, simhash FROM sh ORDER BY doc_id"""))
 
-  /** Embedding-cosine near-dup with label blocking: pairs are only formed
-    * inside a block (the 100 TB pattern — block/bucket first, pair
-    * second), cosine computed on double-cast vectors, threshold on the
-    * rounded score so the engines agree at the boundary.
+  /** SimHash collision clustering (the step q33 leaves to the caller):
+    * group documents whose 32-bit signatures collide into near-dup
+    * clusters, one row per clustered document with its cluster
+    * fingerprint, size, and canonical keeper (min doc_id — the standard
+    * dedup survivor rule). One extra shuffle on the signature; the
+    * cluster table is tiny (collisions only) so the member join
+    * broadcasts at any scale.
+    */
+  private val q35 = Q(
+    "q35_dedup_simhash_cluster",
+    (s, d) => {
+      import s.implicits._
+      val sig = simhashSig(s, d)
+      val clusters = sig.groupBy($"simhash")
+        .agg(count(lit(1)).as("n_members"), min($"doc_id").as("keeper"))
+        .filter($"n_members" > 1)
+      sig.join(broadcast(clusters), "simhash")
+        .select($"doc_id", $"simhash".as("cluster_fp"), $"n_members", $"keeper")
+        .orderBy($"keeper", $"doc_id")
+    },
+    Some(s"""
+      $simhashSqlDuck,
+      cl AS (SELECT simhash, count(*) AS n_members, min(doc_id) AS keeper
+             FROM sh GROUP BY simhash HAVING count(*) > 1)
+      SELECT sh.doc_id, sh.simhash AS cluster_fp, cl.n_members, cl.keeper
+      FROM sh JOIN cl ON sh.simhash = cl.simhash
+      ORDER BY keeper, doc_id"""))
+
+  /** Embedding-cosine near-dup with sign-LSH blocking: pairs are only
+    * formed inside a hyperplane-sign bucket (the 100 TB pattern —
+    * block/bucket first, pair second), cosine computed on double-cast
+    * vectors, threshold on the rounded score so the engines agree at
+    * the boundary.
+    *
+    * The blocking key is PRODUCTION blocking (round-2 fix): the same
+    * adaptive sign-LSH as q41 — bits grow with the corpus so expected
+    * bucket size stays ~64 and total pair volume stays linear in n —
+    * not the ground-truth `label` column (which a real pipeline does
+    * not have). Sign-LSH is the natural blocker for a COSINE threshold:
+    * high-cosine vectors agree on most hyperplane signs, so near-dups
+    * land in the same bucket with high probability.
     */
   private val q34 = Q(
     "q34_dedup_embedding_cosine",
@@ -278,16 +326,18 @@ object Dedup {
       import s.implicits._
       // codegen'd posexplode→join→agg dot products (see Similarity's
       // rationale); the exploded table is cached for its three readers
-      val u = t(s, d, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"vec_id", $"label",
-          posexplode(expr("transform(embedding, x -> cast(x as double))")))
-        .withColumnRenamed("pos", "i").withColumnRenamed("col", "v")
-        .cache()
-      val n = u.groupBy("vec_id").agg(sqrt(sum(expr("v * v"))).as("nrm"))
-      val a = u.select($"vec_id".as("a_id"), $"label", $"i".as("ai"), $"v".as("av"))
-      val b = u.select($"vec_id".as("b_id"), $"label".as("lb"), $"i".as("bi"), $"v".as("bv"))
-      a.join(b, $"ai" === $"bi" && $"label" === $"lb" && $"a_id" < $"b_id")
+      val n0 = Tables.t(s, d, "embeddings").count()
+      val u0 = Similarity.unpacked(s, d, Similarity.signBits(n0))
+      // q41's skew guard: a sign-degenerate bucket >512 vectors is
+      // non-discriminative — drop it whole (broadcast anti-join)
+      val over = u0.filter($"i" === 0)
+        .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" > 512).select($"bucket")
+      val u = u0.join(broadcast(over), Seq("bucket"), "left_anti")
+      val n = Similarity.norms(u)
+      val a = u.select($"vec_id".as("a_id"), $"bucket", $"i".as("ai"), $"v".as("av"))
+      val b = u.select($"vec_id".as("b_id"), $"bucket".as("bk"), $"i".as("bi"), $"v".as("bv"))
+      a.join(b, $"ai" === $"bi" && $"bucket" === $"bk" && $"a_id" < $"b_id")
         .groupBy($"a_id", $"b_id")
         .agg(sum($"av" * $"bv").as("dot"))
         .join(broadcast(n.select($"vec_id".as("a_id"), $"nrm".as("anrm"))), "a_id")
@@ -298,19 +348,27 @@ object Dedup {
         .orderBy($"a_id", $"b_id")
     },
     Some("""
-      WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      WITH params AS (SELECT least(64, greatest(4,
+                        CAST(ceil(log2(count(*) / 64.0) - 1e-9) AS INT))) AS bits
+                      FROM embeddings),
+      e0 AS (SELECT vec_id, embedding,
+               CAST(list_sum(list_transform(range(0, (SELECT bits FROM params)),
+                 j -> CASE WHEN embedding[j + 1] > 0 THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS bucket
+             FROM embeddings),
+      e AS (SELECT * FROM e0 WHERE bucket NOT IN
+              (SELECT bucket FROM e0 GROUP BY bucket HAVING count(*) > 512)),
       n AS (SELECT vec_id,
               sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
             FROM e),
-      u AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      u AS (SELECT vec_id, bucket, generate_subscripts(embedding, 1) AS i,
               unnest(embedding)::DOUBLE AS v FROM e),
       d AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v * b.v) AS dot
-            FROM u a JOIN u b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+            FROM u a JOIN u b ON a.i = b.i AND a.bucket = b.bucket AND a.vec_id < b.vec_id
             GROUP BY 1, 2)
       SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 4) AS cosine
       FROM d JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id
       WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.35
       ORDER BY a_id, b_id"""))
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34)
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35)
 }

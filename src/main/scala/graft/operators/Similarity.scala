@@ -32,7 +32,7 @@ object Similarity {
     * Cached (multi-consumer). The bucket expression is built as a static
     * codegen'd sum, not a HOF (interpreted lambdas measured ~10× slower).
     */
-  private def unpacked(s: SparkSession, d: String, bits: Int = 4): DataFrame = {
+  private[operators] def unpacked(s: SparkSession, d: String, bits: Int = 4): DataFrame = {
     import s.implicits._
     val bucketExpr = (0 until bits)
       .map(j => s"(CASE WHEN embedding[$j] > 0 THEN ${1L << j}L ELSE 0L END)")
@@ -47,8 +47,17 @@ object Similarity {
       .cache()
   }
 
-  private def norms(u: DataFrame): DataFrame =
+  private[operators] def norms(u: DataFrame): DataFrame =
     u.groupBy("vec_id").agg(sqrt(sum(expr("v * v"))).as("nrm"))
+
+  /** Adaptive hyperplane count: bucket count ≈ n/64 so expected bucket
+    * size stays constant as the corpus grows. ε-guarded so Spark and the
+    * DuckDB oracle (greatest(4, ceil(log2(n/64.0) - 1e-9))) agree even
+    * if their log2 differs by an ulp. Shared by q41 and Dedup's q34.
+    */
+  private[operators] def signBits(n: Long): Int =
+    math.min(64, math.max(4,
+      math.ceil(math.log(n / 64.0) / math.log(2.0) - 1e-9).toInt))
 
   /** Brute-force cosine top-5 for a fixed query set (vec_id < 10). */
   private val q40 = Q(
@@ -119,8 +128,7 @@ object Similarity {
     (s, d) => {
       import s.implicits._
       val n0 = t(s, d, "embeddings").count()
-      val bits = math.min(64, math.max(4,
-        math.ceil(math.log(n0 / 64.0) / math.log(2.0) - 1e-9).toInt))
+      val bits = signBits(n0)
       val u0 = unpacked(s, d, bits)
       val over = u0.filter($"i" === 0)
         .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
