@@ -59,5 +59,83 @@ object Multimodal {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q60)
+  /** Frame sampling: the decoded metadata's `n_frames` drives a per-frame
+    * table — every 2nd frame (the training-data "sample k-th frame"
+    * stage), each with a deterministic frame fingerprint derived from
+    * the content hash (a real pipeline hashes decoded frame bytes; the
+    * derivation point is identical). Pixels never shuffle — the frame
+    * table carries ids + hashes, and a downstream decoder re-reads
+    * blobs data-locally by (doc_id, frame_idx).
+    */
+  private val q61 = Q(
+    "q61_multimodal_frame_sample",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", $"text".cast("binary").as("blob"))
+        .as[MediaRecord]
+        .mapPartitions(_.map(decodeStub))
+        .toDF()
+        .select($"doc_id", $"n_frames",
+          explode(expr("sequence(0, cast(n_frames - 1 as int), 2)")).as("frame_idx"))
+        .select($"doc_id", $"n_frames", $"frame_idx".cast("long").as("frame_idx"),
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("frame_idx").cast("string"))).as("frame_fp"))
+        .orderBy($"doc_id", $"frame_idx")
+    },
+    Some("""
+      WITH meta AS (SELECT doc_id,
+                      CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS n_frames
+                    FROM documents),
+      frames AS (SELECT doc_id, n_frames,
+                   unnest(range(0, n_frames, 2)) AS frame_idx
+                 FROM meta)
+      SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+             md5(doc_id || ':' || frame_idx) AS frame_fp
+      FROM frames
+      ORDER BY doc_id, frame_idx"""))
+
+  /** Resize/thumbnail planning: integer aspect-preserving fit into a
+    * 32×32 box (ceil-division, exact in both engines) over the decoded
+    * dimensions. In a real pipeline the scaler runs next to the decoder
+    * in the same mapPartitions pass; the plan (per-blob target dims,
+    * scale decision) is what downstream stages consume and is all that
+    * shuffles.
+    */
+  private val q62 = Q(
+    "q62_multimodal_resize_plan",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", $"text".cast("binary").as("blob"))
+        .as[MediaRecord]
+        .mapPartitions(_.map(decodeStub))
+        .toDF()
+        .filter($"width" > 0)
+        .select($"doc_id", $"width", $"height",
+          greatest($"width", $"height").as("long_side"))
+        .withColumn("out_w",
+          expr("CAST(greatest(1, (width * 32) div long_side) AS BIGINT)"))
+        .withColumn("out_h",
+          expr("CAST(greatest(1, (height * 32) div long_side) AS BIGINT)"))
+        .withColumn("downscaled", ($"long_side" > 32).cast("boolean"))
+        .select($"doc_id", $"width", $"height", $"out_w", $"out_h", $"downscaled")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH meta AS (SELECT doc_id,
+                      CAST(octet_length(encode(text)) % 64 AS BIGINT) AS width,
+                      CAST((octet_length(encode(text)) // 64) % 64 + 1 AS BIGINT) AS height
+                    FROM documents),
+      dims AS (SELECT doc_id, width, height,
+                 greatest(width, height) AS long_side
+               FROM meta WHERE width > 0)
+      SELECT doc_id, width, height,
+             CAST(greatest(1, (width * 32) // long_side) AS BIGINT)  AS out_w,
+             CAST(greatest(1, (height * 32) // long_side) AS BIGINT) AS out_h,
+             long_side > 32 AS downscaled
+      FROM dims
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q60, q61, q62)
 }

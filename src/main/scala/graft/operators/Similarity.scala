@@ -295,5 +295,97 @@ object Similarity {
       FROM ranked WHERE rk = 1
       ORDER BY a_id"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43)
+  /** Multi-probe IVF (nprobe = 2): every vector searches its TWO nearest
+    * cells instead of one — the standard IVF recall knob. Corpus vectors
+    * are indexed once in their home cell (rank-1 assignment); a query's
+    * candidate set is every vector homed in either probed cell, so the
+    * boundary-vector recall loss of single-probe IVF (nearest true
+    * neighbor just across the Voronoi edge) is recovered at exactly 2×
+    * the single-probe pairing cost — still n·√n total, same broadcast
+    * codebook, same cell-local shuffles as q43. A pair can't double-count:
+    * the candidate's HOME cell is unique, so (a, b) appears via at most
+    * one probe.
+    */
+  private val q44 = Q(
+    "q44_ann_ivf_multiprobe",
+    (s, d) => {
+      import s.implicits._
+      val n0 = t(s, d, "embeddings").count()
+      val k = math.ceil(math.sqrt(n0.toDouble) - 1e-9).toLong
+      val stride = math.max(1L, n0 / k)
+      val u = unpacked(s, d)
+      val n = norms(u)
+      val seeds = u.filter($"vec_id" % stride === 0)
+        .select($"vec_id".as("sid"), $"i".as("si"), $"v".as("sv"))
+      val sn2 = seeds.groupBy($"sid").agg(sum($"sv" * $"sv").as("sn2"))
+      val ranked = u
+        .join(broadcast(seeds), $"i" === $"si")
+        .groupBy($"vec_id", $"sid")
+        .agg(sum($"v" * $"sv").as("dot"))
+        .join(broadcast(sn2), "sid")
+        .withColumn("score", $"sn2" - lit(2.0) * $"dot")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"vec_id").orderBy(r6($"score").asc, $"sid".asc)))
+      // cache the n×2 probe table so the n×k assignment isn't computed
+      // twice (home is derived from it, not from `ranked`)
+      val probed = ranked.filter($"rk" <= 2)
+        .select($"vec_id", $"sid".as("cell"), $"rk").cache()
+      val probes = probed.select($"vec_id", $"cell")
+      val home = probed.filter($"rk" === 1).select($"vec_id", $"cell")
+      val a = u.join(probes, "vec_id")
+        .select($"vec_id".as("a_id"), $"cell", $"i".as("ai"), $"v".as("av"))
+      val b = u.join(home, "vec_id")
+        .select($"vec_id".as("b_id"), $"cell".as("bc"), $"i".as("bi"), $"v".as("bv"))
+      val dots = a.join(b, $"ai" === $"bi" && $"cell" === $"bc" && $"a_id" =!= $"b_id")
+        .groupBy($"a_id", $"b_id")
+        .agg(sum($"av" * $"bv").as("dot"))
+      val scored = dots
+        .join(broadcast(n.select($"vec_id".as("a_id"), $"nrm".as("an"))), "a_id")
+        .join(broadcast(n.select($"vec_id".as("b_id"), $"nrm".as("bn"))), "b_id")
+        .withColumn("cosine", $"dot" / ($"an" * $"bn"))
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy($"a_id").orderBy(r6($"cosine").desc, $"b_id")))
+        .filter($"rk" === 1)
+        .select($"a_id", $"b_id".as("nn_id"), r4($"cosine").as("cosine"))
+        .orderBy($"a_id")
+    },
+    Some("""
+      WITH params AS (SELECT greatest(1, count(*) //
+                        CAST(ceil(sqrt(count(*)) - 1e-9) AS BIGINT)) AS stride
+                      FROM embeddings),
+      u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding)::DOUBLE AS v FROM embeddings),
+      n AS (SELECT vec_id,
+              sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM embeddings),
+      seeds AS (SELECT vec_id AS sid, i AS si, v AS sv FROM u
+                WHERE vec_id % (SELECT stride FROM params) = 0),
+      sn2 AS (SELECT sid, sum(sv * sv) AS sn2 FROM seeds GROUP BY sid),
+      dots AS (SELECT u.vec_id, seeds.sid, sum(u.v * seeds.sv) AS dot
+               FROM u JOIN seeds ON u.i = seeds.si
+               GROUP BY 1, 2),
+      ranked AS (SELECT d.vec_id, d.sid,
+                   row_number() OVER (PARTITION BY d.vec_id
+                     ORDER BY round(sn2.sn2 - 2.0 * d.dot, 6), d.sid) AS rk
+                 FROM dots d JOIN sn2 ON d.sid = sn2.sid),
+      probes AS (SELECT vec_id, sid AS cell FROM ranked WHERE rk <= 2),
+      home AS (SELECT vec_id, sid AS cell FROM ranked WHERE rk = 1),
+      pd AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, sum(x.v * y.v) AS dot
+             FROM (SELECT p.vec_id, p.cell, u.i, u.v
+                   FROM u JOIN probes p ON u.vec_id = p.vec_id) x
+             JOIN (SELECT h.vec_id, h.cell, u.i, u.v
+                   FROM u JOIN home h ON u.vec_id = h.vec_id) y
+               ON x.i = y.i AND x.cell = y.cell AND x.vec_id <> y.vec_id
+             GROUP BY 1, 2),
+      scored AS (SELECT a_id, b_id, dot / (na.nrm * nb.nrm) AS cosine
+                 FROM pd JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id),
+      rnk AS (SELECT a_id, b_id AS nn_id, cosine,
+                row_number() OVER (PARTITION BY a_id
+                  ORDER BY round(cosine, 6) DESC, b_id) AS rk
+              FROM scored)
+      SELECT a_id, nn_id, round(cosine, 4) AS cosine
+      FROM rnk WHERE rk = 1
+      ORDER BY a_id"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44)
 }
