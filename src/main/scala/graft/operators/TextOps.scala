@@ -232,5 +232,50 @@ object TextOps {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54)
+  /** PII scan — the redaction-stage precursor every training-data
+    * pipeline runs: per-source counts of documents containing emails /
+    * URLs / phone-number shapes, plus total match volumes. Row-local
+    * regex counting (codegen'd, RE2-compatible patterns — no
+    * backreferences — so both engines match identically) into one
+    * map-side-combinable rollup; at 100 TB this is a single pass with a
+    * tiny shuffle (one row per source).
+    */
+  private val q55 = Q(
+    "q55_pii_scan",
+    (s, d) => {
+      import s.implicits._
+      val email = """[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"""
+      val url = """https?://[^\\s]+"""
+      val phone = """\\+[0-9][0-9() -]{7,}[0-9]"""
+      def cnt(pat: String) =
+        expr(s"size(regexp_extract_all(lower(text), '$pat', 0))")
+      t(s, d, "documents")
+        .select($"source",
+          cnt(email).as("ne"), cnt(url).as("nu"), cnt(phone).as("np"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"ne" > 0 || $"nu" > 0 || $"np" > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+          sum($"ne").cast("long").as("n_emails"),
+          sum($"nu").cast("long").as("n_urls"),
+          sum($"np").cast("long").as("n_phones"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH c AS (SELECT source,
+                   len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS ne,
+                   len(regexp_extract_all(lower(text), 'https?://[^\s]+')) AS nu,
+                   len(regexp_extract_all(lower(text), '\+[0-9][0-9() -]{7,}[0-9]')) AS np
+                 FROM documents)
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(CASE WHEN ne > 0 OR nu > 0 OR np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+             CAST(sum(ne) AS BIGINT) AS n_emails,
+             CAST(sum(nu) AS BIGINT) AS n_urls,
+             CAST(sum(np) AS BIGINT) AS n_phones
+      FROM c
+      GROUP BY source
+      ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55)
 }

@@ -76,7 +76,8 @@ class TcpLineTable(properties: util.Map[String, String])
             options.get("host"),
             options.getInt("port", 0),
             Option(options.get("timeoutSec")).map(_.toDouble),
-            Option(options.get("maxMessagesPerTrigger")).map(_.toLong))
+            Option(options.get("maxMessagesPerTrigger")).map(_.toLong),
+            Option(checkpointLocation))
       }
     }
 }
@@ -84,6 +85,55 @@ class TcpLineTable(properties: util.Map[String, String])
 /** Offset = count of messages read since stream start. */
 case class TcpOffset(n: Long) extends Offset {
   override def json(): String = n.toString
+}
+
+object TcpLineMicroBatchStream
+    extends org.apache.spark.internal.Logging {
+
+  /** The stream's checkpointed high-water mark: the newest entry of the
+    * query's offset log (last line of `<ckptRoot>/offsets/<maxBatch>` —
+    * this source serializes its offset as a bare number). Spark hands
+    * the source `<ckptRoot>/sources/<id>`, so the query root is two
+    * levels up. 0 when there is no checkpoint yet (fresh query) or the
+    * layout is unreadable.
+    *
+    * Read at CONSTRUCTION so a restarted incarnation numbers its buffer
+    * from the previous incarnation's watermark from the very first
+    * engine call — recovery does NOT reliably pass checkpointed offsets
+    * through `deserializeOffset` before the first `latestOffset`, and a
+    * fresh buffer numbered from 0 under a committed watermark w would
+    * have its first w new messages silently swallowed as already
+    * committed.
+    */
+  def checkpointedWatermark(sourceCheckpointLocation: String): Long = try {
+    val src = new org.apache.hadoop.fs.Path(sourceCheckpointLocation)
+    val root =
+      if (src.getParent != null && src.getParent.getName == "sources")
+        src.getParent.getParent
+      else src
+    val offsets = new org.apache.hadoop.fs.Path(root, "offsets")
+    val fs = offsets.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(offsets)) 0L
+    else {
+      val batches = fs.listStatus(offsets).map(_.getPath.getName)
+        .flatMap(_.toLongOption)
+      if (batches.isEmpty) 0L
+      else {
+        val latest = new org.apache.hadoop.fs.Path(offsets, batches.max.toString)
+        val in = fs.open(latest)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val w = txt.linesIterator.map(_.trim).filter(_.nonEmpty)
+          .toSeq.lastOption.flatMap(_.toLongOption).getOrElse(0L)
+        if (w > 0)
+          logWarning(s"graft-socket: resuming from checkpointed offset $w " +
+            "(in-memory source is not replayable; the restart gap is lost, " +
+            "at-most-once — matching the reference's process restart)")
+        w
+      }
+    }
+  } catch { case _: Exception => 0L }
 }
 
 /** @param maxPerTrigger X2 admission cap: at most this many messages per
@@ -102,13 +152,17 @@ case class TcpOffset(n: Long) extends Offset {
   * reference has when its process restarts.
   */
 class TcpLineMicroBatchStream(host: String, port: Int,
-    timeoutSec: Option[Double], maxPerTrigger: Option[Long] = None)
+    timeoutSec: Option[Double], maxPerTrigger: Option[Long] = None,
+    checkpointLocation: Option[String] = None)
     extends MicroBatchStream with org.apache.spark.internal.Logging {
 
   private val lock = new Object
   // (message, arrival micros, fresh) — indexed from `trimmed`
   private val messages = ArrayBuffer[(String, Long, Boolean)]()
-  private var trimmed = 0L
+  // buffer base starts at the previous incarnation's checkpointed
+  // watermark (0 on a fresh query) — see checkpointedWatermark
+  private var trimmed = checkpointLocation
+    .map(TcpLineMicroBatchStream.checkpointedWatermark).getOrElse(0L)
   private val stopped = new AtomicBoolean(false)
   @volatile private var readerThread: Thread = _
 
@@ -140,6 +194,8 @@ class TcpLineMicroBatchStream(host: String, port: Int,
             buf.reset()
             val now = System.currentTimeMillis() * 1000L  // micros
             lock.synchronized { messages += ((msg, now, fresh)) }
+            if (sys.props.contains("graft.socket.trace"))
+              logWarning(s"TRACE recv inst=${System.identityHashCode(this)} stopped=${stopped.get} msg=$msg")
             fresh = false
           } else buf.write(b)
           b = in.read()
@@ -163,18 +219,28 @@ class TcpLineMicroBatchStream(host: String, port: Int,
     TcpOffset(o)
   }
 
+  // true once this incarnation has exposed an offset of its own (first
+  // latestOffset). Before that, any external offset can only be a
+  // checkpointed high-water mark from a PREVIOUS incarnation.
+  private var minted = false
+
   /** Re-seat offset arithmetic after a restart from checkpoint: an
-    * external offset beyond the in-memory range means it was minted by a
-    * previous incarnation whose buffer is gone. Renumber the (new)
-    * buffer to start at that high-water mark so offsets stay monotone
-    * and `commit` can never be asked to drop rows we don't hold.
+    * external offset arriving before this incarnation has minted any
+    * offset was counted by a previous incarnation whose buffer is gone.
+    * Renumber the (new) buffer to start at the checkpointed offset so
+    * offsets stay monotone and `commit` can never be asked to drop rows
+    * we don't hold. Guarding on `minted` (not on buffer size) closes
+    * the race where the new incarnation has already buffered >= o new
+    * messages at recovery time — those would otherwise be silently
+    * swallowed as "already committed".
     */
   private def alignTo(o: Long): Unit = lock.synchronized {
-    if (o > trimmed + messages.size) {
-      logWarning(s"graft-socket $host:$port: restart offset $o is beyond " +
-        s"the in-memory range [$trimmed, ${trimmed + messages.size}); " +
-        "source is not replayable — the gap is lost (at-most-once), " +
-        "re-aligning to the checkpointed offset")
+    if (!minted && o > trimmed) {
+      logWarning(s"graft-socket $host:$port: checkpointed offset $o " +
+        s"predates this incarnation (buffer base $trimmed, " +
+        s"${messages.size} new rows buffered); source is not replayable " +
+        "— the checkpoint gap is lost (at-most-once), re-aligning the " +
+        "buffer base to the checkpointed offset")
       trimmed = o
       lastEnd = math.max(lastEnd, o)
     }
@@ -188,6 +254,7 @@ class TcpLineMicroBatchStream(host: String, port: Int,
   override def latestOffset(): Offset = {
     ensureReader()
     lock.synchronized {
+      minted = true
       val avail = trimmed + messages.size
       // X2: meter a backlog out across triggers instead of one huge batch
       val base = math.max(trimmed, lastEnd)

@@ -20,9 +20,15 @@ object TcpFixtureServer {
   final case class Pause(ms: Long) extends Step
 }
 
-class TcpFixtureServer {
+/** @param bindPort 0 = ephemeral; pass a previous server's port to
+  *   simulate the same device coming back (restart tests) — REUSEADDR
+  *   so the rebind doesn't hit TIME_WAIT.
+  */
+class TcpFixtureServer(bindPort: Int = 0) {
   import TcpFixtureServer._
-  private val server = new ServerSocket(0)
+  private val server = new ServerSocket()
+  server.setReuseAddress(true)
+  server.bind(new java.net.InetSocketAddress(bindPort))
   val port: Int = server.getLocalPort
   // each script entry: steps for one connection, then close
   private val scripts = new LinkedBlockingQueue[Seq[Step]]()

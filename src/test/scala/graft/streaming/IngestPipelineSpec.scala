@@ -127,6 +127,71 @@ class IngestPipelineSpec extends SparkTestBase {
     } finally { q.stop(); srv.close() }
   }
 
+  test("X3: stop + restart from checkpoint — state and offsets recover") {
+    // The source is non-replayable (in-memory buffer); a restarted query
+    // re-seats its offsets at the checkpointed high-water mark and the
+    // count-window state store restores the partial pack. With all
+    // pre-stop batches committed, nothing is lost: 3 msgs before the
+    // stop (pack of 2 emitted, 1 row buffered in state) + 3 after =
+    // 3 full packs = 6 rows.
+    val srv = new TcpFixtureServer
+    srv.enqueue((1 to 3).map(i => s"07 RH= $i.0 %RH T= 10.0 'C \r\n".getBytes): _*)
+    val cfg = DeviceConfig.load(s"""
+      |[device]
+      |station = MSU
+      |name = M
+      |host = localhost
+      |port = ${srv.port}
+      |[parser]
+      |regex = ^(?P<level>\\S+) RH= *(?P<rh>\\S+) %RH T= *(?P<temp>\\S+) .C\\s*$$
+      |group_by = level:int
+      |pack_length = 2
+      |destination = ./ignored
+      |""".stripMargin)
+    val dest = Files.createTempDirectory("graft-restart-").toString
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt-").toString
+    def readCount() =
+      try spark.read.parquet(dest).count() catch { case _: Exception => 0L }
+    val q1 = IngestPipeline.start(spark, cfg, dest, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      val deadline1 = System.currentTimeMillis() + 60000
+      while (readCount() < 2 && System.currentTimeMillis() < deadline1)
+        Thread.sleep(500)
+      q1.processAllAvailable()  // commit everything read so far
+      assert(readCount() == 2)  // first pack on disk, one row in state
+    } finally q1.stop()
+    // second incarnation: fresh source instance, same checkpoint. The
+    // "device" comes back on the SAME port as a fresh server — a fresh
+    // script queue, so the stopped query's lingering connection churn
+    // can't consume the new script.
+    srv.close()
+    // the old listener's kernel teardown can lag close() — retry the rebind
+    def rebind(port: Int): TcpFixtureServer = {
+      val deadline = System.currentTimeMillis() + 15000
+      while (true) {
+        try return new TcpFixtureServer(port)
+        catch {
+          case _: java.net.BindException if System.currentTimeMillis() < deadline =>
+            Thread.sleep(250)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+    val srv2 = rebind(srv.port)
+    srv2.enqueue((4 to 6).map(i => s"07 RH= $i.0 %RH T= 10.0 'C \r\n".getBytes): _*)
+    val q2 = IngestPipeline.start(spark, cfg, dest, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      val deadline2 = System.currentTimeMillis() + 60000
+      while (readCount() < 6 && System.currentTimeMillis() < deadline2)
+        Thread.sleep(500)
+      // buffered row 3 completed a pack with row 4; rows 5+6 packed next
+      assert(readCount() == 6)
+      assert(q2.exception.isEmpty)
+    } finally { q2.stop(); srv2.close() }
+  }
+
   test("filename-template sink: one file per pack, reference naming (P7/K1)") {
     val srv = new TcpFixtureServer
     srv.enqueue((1 to 5).map(i => s"07 RH= $i.5 %RH T= 1$i.0 'C \r\n".getBytes): _*)
@@ -150,8 +215,14 @@ class IngestPipelineSpec extends SparkTestBase {
       val deadline = System.currentTimeMillis() + 60000
       def files() = new java.io.File(dest).listFiles()
         .filter(_.getName.startsWith("MSU_M7_")).toSeq
+      // wait until both pack files are fully committed (readable with
+      // their 2 rows), not merely listed
+      def totalRows() =
+        try { val fs = files(); if (fs.size < 2) -1L
+          else fs.map(f => spark.read.parquet(f.getPath).count()).sum }
+        catch { case _: Exception => -1L }
       // 5 msgs, pack 2 → 2 full packs → 2 files; 5th message stays buffered
-      while (files().size < 2 && System.currentTimeMillis() < deadline)
+      while (totalRows() < 4 && System.currentTimeMillis() < deadline)
         Thread.sleep(500)
       assert(files().size == 2)
       assert(files().forall(_.getName.matches(
@@ -194,7 +265,11 @@ class IngestPipelineSpec extends SparkTestBase {
       // group fragment empty → stem is MSU_M_<date>
       def files() = new java.io.File(dest).listFiles()
         .filter(_.getName.matches("""MSU_M_\d{4}.*\.parquet""")).toSeq
-      while (files().isEmpty && System.currentTimeMillis() < deadline)
+      // wait until the pack file is committed (readable), not just created
+      def packRows() =
+        try files().headOption.fold(-1L)(f => spark.read.parquet(f.getPath).count())
+        catch { case _: Exception => -1L }
+      while (packRows() < 2 && System.currentTimeMillis() < deadline)
         Thread.sleep(500)
       assert(files().size == 1)
       val out = spark.read.parquet(files().head.getPath)
