@@ -192,6 +192,49 @@ class IngestPipelineSpec extends SparkTestBase {
     } finally { q2.stop(); srv2.close() }
   }
 
+  test("BASELINE streaming envelope: 5000 msgs sustained, zero dropped windows") {
+    // The reference's envelope is ~60 msg/s/station (BASELINE.md); this
+    // pushes 5000 messages through socket → parse → pack → parquet and
+    // requires ≥ 83 msg/s sustained END TO END (a deliberately slack
+    // bound for a noisy CI VM — typical local throughput is 10³-10⁴
+    // msg/s) with every full window emitted (zero dropped packs).
+    val srv = new TcpFixtureServer
+    val all = (1 to 5000).map(i => s"01 RH= ${i % 97}.${i % 10} %RH T= ${i % 30}.0 'C \r\n")
+    // ONE connection, ten large writes (separate scripts would force a
+    // reconnect per chunk at the source's 1 s retry cadence)
+    srv.enqueueScript(all.grouped(500).map(c =>
+      graft.sources.TcpFixtureServer.Send(c.mkString.getBytes)).toSeq: _*)
+    val cfg = DeviceConfig.load(s"""
+      |[device]
+      |station = MSU
+      |name = M
+      |host = localhost
+      |port = ${srv.port}
+      |[parser]
+      |regex = ^(?P<level>\\S+) RH= *(?P<rh>\\S+) %RH T= *(?P<temp>\\S+) .C\\s*$$
+      |group_by = level:int
+      |pack_length = 100
+      |destination = ./ignored
+      |""".stripMargin)
+    val dest = Files.createTempDirectory("graft-tput-").toString
+    val ckpt = Files.createTempDirectory("graft-tput-ckpt-").toString
+    val t0 = System.nanoTime()
+    val q = IngestPipeline.start(spark, cfg, dest, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+    try {
+      def readCount() =
+        try spark.read.parquet(dest).count() catch { case _: Exception => 0L }
+      val deadline = System.currentTimeMillis() + 60000
+      while (readCount() < 5000 && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      val secs = (System.nanoTime() - t0) / 1e9
+      // 5000 msgs, pack 100, one group → all 50 windows must commit
+      assert(readCount() == 5000, s"dropped windows after $secs s")
+      info(f"end-to-end ${5000 / secs}%.0f msg/s (reference station envelope: 60 msg/s)")
+      assert(secs < 60.0)
+    } finally { q.stop(); srv.close() }
+  }
+
   test("filename-template sink: one file per pack, reference naming (P7/K1)") {
     val srv = new TcpFixtureServer
     srv.enqueue((1 to 5).map(i => s"07 RH= $i.5 %RH T= 1$i.0 'C \r\n".getBytes): _*)
