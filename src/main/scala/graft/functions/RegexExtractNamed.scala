@@ -50,6 +50,14 @@ case class RegexExtractNamed(child: Expression, pattern: String)
   override def dataType: DataType =
     StructType(groupNames.map(n => StructField(n, StringType, nullable = true)))
 
+  /** Always nullable: a no-match returns a NULL struct even when the
+    * input column is non-nullable (the socket source's `value` is).
+    * UnaryExpression's default (child.nullable) would let codegen elide
+    * the null check on downstream `_ex.field` access (NPE) and let the
+    * optimizer constant-fold the F1 `IsNotNull(_ex)` drop-filter away.
+    */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val m: Matcher = compiled.matcher(input.toString)
     if (!m.lookingAt()) null  // anchored-at-start like Python's re.match

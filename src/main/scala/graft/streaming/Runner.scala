@@ -60,8 +60,16 @@ object Runner {
         emit(s"""{"event":"started","id":"${e.id}"}""")
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
+        // F1 → K4: surface the parse stage's drop counters (graft_parse
+        // observe node) in the liveness payload, the Spark twin of the
+        // reference's per-failure ERROR/DEBUG log lines
+        val dropped = Option(p.observedMetrics.get("graft_parse")).map { m =>
+          s""","dropped":{"regex_drop":${m.getAs[Long]("regex_drop")},""" +
+            s""""regex_drop_fresh":${m.getAs[Long]("regex_drop_fresh")},""" +
+            s""""cast_kill":${m.getAs[Long]("cast_kill")}}"""
+        }.getOrElse("")
         emit(s"""{"event":"progress","id":"${p.id}","inputRows":${p.numInputRows},""" +
-          s""""rowsPerSec":${p.processedRowsPerSecond},"batchMs":${p.durationMs.getOrDefault("triggerExecution", 0L)}}""")
+          s""""rowsPerSec":${p.processedRowsPerSecond},"batchMs":${p.durationMs.getOrDefault("triggerExecution", 0L)}$dropped}""")
       }
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         emit(s"""{"event":"terminated","id":"${e.id}","error":${e.exception.isDefined}}""")

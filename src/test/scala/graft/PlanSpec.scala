@@ -76,13 +76,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"))
   }
 
-  test("q41/q43: ANN pairing is equi-join only — no cross product anywhere") {
-    for (q <- Seq("q41_ann_lsh_bucket", "q43_ann_ivf")) {
+  test("q41/q43/q44/q34: pairing is equi-join only — no cross product anywhere") {
+    for (q <- Seq("q41_ann_lsh_bucket", "q43_ann_ivf", "q44_ann_ivf_multiprobe",
+        "q34_dedup_embedding_cosine")) {
       val p = planOf(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q plans a cross product")
       // codebook/norm lookups broadcast; pairing shuffles only on keys
       assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast joins")
     }
+  }
+
+  test("q55: PII scan is one pass — single scan, two-phase agg, tiny shuffle") {
+    val p = planOf("q55_pii_scan")
+    // formatted explain prints each node twice (tree + detail): one scan
+    // node ⇒ exactly 2 mentions; a double-scan plan would show 4
+    assert("Scan parquet".r.findAllIn(p).size <= 2, "documents scanned more than once")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)  // partial + final
+    assert(p.contains("codegen id"))
   }
 }

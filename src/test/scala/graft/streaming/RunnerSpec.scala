@@ -26,6 +26,31 @@ class RunnerSpec extends SparkTestBase {
     |destination = ./ignored
     |""".stripMargin)
 
+  test("heartbeat carries the parse-drop counters (F1 → K4)") {
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = Runner.attachHeartbeat(spark)(events.add(_))
+    val srv = new TcpFixtureServer
+    srv.enqueue(
+      "01 RH= 1.0 %RH T= 10.0 'C \r\n".getBytes,
+      "not a sensor line\n".getBytes,
+      "02 RH= 2.0 %RH T= 20.0 'C \r\n".getBytes)
+    val dest = Files.createTempDirectory("graft-hbm-").toString
+    val ckpt = Files.createTempDirectory("graft-hbm-ckpt-").toString
+    val q = IngestPipeline.start(spark, cfgFor(srv.port, "H"), dest, ckpt,
+      trigger = Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def dropSeen() = events.toArray.map(_.toString)
+        .exists(s => s.contains("\"dropped\"") && s.contains("\"regex_drop\":1"))
+      while (!dropSeen() && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(200)
+      }
+      assert(dropSeen(), "no progress event carried the regex_drop counter")
+    } finally {
+      q.stop(); srv.close(); spark.streams.removeListener(listener)
+    }
+  }
+
   test("runStation supervises one query per device config") {
     val srvA = new TcpFixtureServer
     val srvB = new TcpFixtureServer
