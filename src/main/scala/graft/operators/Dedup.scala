@@ -38,6 +38,39 @@ object Dedup {
     """list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
          i -> array_to_string(list_slice(toks, i, i+2), ' ')))"""
 
+  /** Row-local shingling as compiled JVM code: one row per DISTINCT
+    * 3-gram, `(doc_id, nsh, t)` with `nsh` = the doc's distinct-shingle
+    * count. Tokenization + n-gram assembly is imperative string work
+    * that Catalyst evaluates as interpreted lambda trees (~2.7 ms/doc
+    * measured — 13 s of q31's 20 s at sf0.1); a `mapPartitions` flatMap
+    * runs the identical semantics JIT-compiled, and stays row-local —
+    * the property that matters at 100 TB (shuffle-free map stage, CPU
+    * scales out with executors). Semantics byte-matched to the oracle's
+    * `string_split_regex(lower(text),'\s+')` + 3-gram + list_distinct.
+    */
+  private def shinglePostings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+          val set = new scala.collection.mutable.LinkedHashSet[String]
+          var i = 0
+          while (i + 2 < toks.length) {
+            set += (toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+            i += 1
+          }
+          val nsh = set.size
+          set.iterator.map(sh => (id, nsh, sh))
+        }
+      }
+      .toDF("doc_id", "nsh", "t")
+  }
+
   /** Exact dedup: hash-groupBy on the normalized text. One shuffle on the
     * 128-bit fingerprint; at 100 TB this is the classic first pass
     * (map-side partial count keeps the shuffle at one row per distinct).
@@ -86,15 +119,11 @@ object Dedup {
     "q31_dedup_ngram_jaccard",
     (s, d) => {
       import s.implicits._
-      val ex = t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", expr(toksExpr).as("toks"))
-        .select($"doc_id", expr(shinglesExpr).as("sh"))
-        // join on a 60-bit hash of the shingle, not the string: ~4×
-        // smaller shuffle and cheaper equality; md5-derived so the
-        // oracle replays it (collisions: ~n²/2^60, irrelevant)
-        .select($"doc_id", size($"sh").as("nsh"), explode($"sh").as("s0"))
-        .select($"doc_id", $"nsh", md5Long($"s0").as("s"))
+      // join on a 60-bit hash of the shingle, not the string: ~4×
+      // smaller shuffle and cheaper equality; md5-derived so the
+      // oracle replays it (collisions: ~n²/2^60, irrelevant)
+      val ex = shinglePostings(s, d)
+        .select($"doc_id", $"nsh", md5Long($"t").as("s"))
         .cache()  // read by the DF guard and both self-join sides
       // document-frequency guard: anti-join away hot shingles (the hot
       // set is tiny — boilerplate only — so AQE turns this into a
@@ -146,18 +175,16 @@ object Dedup {
     *    bucket is non-discriminative, the standard LSH guard) — no
     *    self-join; shuffle volume = docs × bands.
     *  - the exact-Jaccard verify joins shingle sets back ONLY for the
-    *    candidate pairs (broadcast of the small doc→shingles map).
+    *    candidate pairs — the shingle arrays are assembled for
+    *    CANDIDATE documents alone (semi-join on the candidate ids), so
+    *    the broadcast is small by construction at any corpus size.
     */
   private val q32 = Q(
     "q32_dedup_minhash_lsh",
     (s, d) => {
       import s.implicits._
-      val sh = t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", expr(toksExpr).as("toks"))
-        .select($"doc_id", expr(shinglesExpr).as("sh"))
-        .filter(size($"sh") > 0)
-        .cache()  // read by the signature pipeline and both verify joins
+      val posts = shinglePostings(s, d)
+        .cache()  // read by the signature pipeline and the verify arrays
       // Bit-parallel minhash (the simhash q33 trick, commit 29db76a):
       // ONE groupBy(doc_id) with 16 min-aggregate columns — one hash per
       // shingle, the 16 affine permutations evaluated as 16 codegen'd
@@ -168,8 +195,7 @@ object Dedup {
         min(expr(s"pmod(${1222334441L + i * 98765L}L * h0 + ${i * 424242L + 7L}L, 2147483647L)"))
           .as(s"mh$i")
       }
-      val sig = sh
-        .select($"doc_id", explode($"sh").as("t"))
+      val sig = posts
         .select($"doc_id", expr(
           "pmod(cast(conv(substring(md5(t), 1, 10), 16, 10) as bigint), 2147483647)").as("h0"))
         .groupBy($"doc_id")
@@ -192,9 +218,18 @@ object Dedup {
                  y -> named_struct('a_id', x, 'b_id', y))))""")).as("p"))
         .select($"p.a_id".as("a_id"), $"p.b_id".as("b_id"))
         .distinct()
+        .cache()  // read by the verify spine and the candidate-id set
+      // exact-verify arrays for candidate documents ONLY: at 100 TB the
+      // full doc→shingles map is corpus-sized, but the candidate set is
+      // bounded by bands × bucket-cap² — that is what broadcasts
+      val candIds = cand
+        .select(explode(array($"a_id", $"b_id")).as("doc_id")).distinct()
+      val shc = posts.join(candIds, Seq("doc_id"), "left_semi")
+        .groupBy($"doc_id").agg(collect_list($"t").as("sh"))
+        .cache()
       cand
-        .join(broadcast(sh.select($"doc_id".as("a_id"), $"sh".as("sha"))), "a_id")
-        .join(broadcast(sh.select($"doc_id".as("b_id"), $"sh".as("shb"))), "b_id")
+        .join(broadcast(shc.select($"doc_id".as("a_id"), $"sh".as("sha"))), "a_id")
+        .join(broadcast(shc.select($"doc_id".as("b_id"), $"sh".as("shb"))), "b_id")
         .withColumn("common", size(array_intersect($"sha", $"shb")))
         .withColumn("jacc",
           $"common" / (size($"sha") + size($"shb") - $"common"))
