@@ -165,6 +165,7 @@ class TcpLineMicroBatchStream(host: String, port: Int,
     .map(TcpLineMicroBatchStream.checkpointedWatermark).getOrElse(0L)
   private val stopped = new AtomicBoolean(false)
   @volatile private var readerThread: Thread = _
+  @volatile private var activeSocket: Socket = _
 
   private def ensureReader(): Unit = lock.synchronized {
     if (readerThread == null) {
@@ -182,6 +183,7 @@ class TcpLineMicroBatchStream(host: String, port: Int,
       var socket: Socket = null
       try {
         socket = new Socket()
+        activeSocket = socket  // stop() closes it to unblock a read
         socket.connect(new InetSocketAddress(host, port), 5000)
         timeoutSec.foreach(t => socket.setSoTimeout((t * 1000).toInt))
         val in = new BufferedInputStream(socket.getInputStream)
@@ -207,7 +209,9 @@ class TcpLineMicroBatchStream(host: String, port: Int,
       } finally {
         if (socket != null) try socket.close() catch { case _: Exception => }
       }
-      if (!stopped.get()) Thread.sleep(1000)  // S2: 1 s retry interval
+      if (!stopped.get())
+        try Thread.sleep(1000)  // S2: 1 s retry interval
+        catch { case _: InterruptedException => return }  // stop() requested
     }
   }
 
@@ -303,9 +307,19 @@ class TcpLineMicroBatchStream(host: String, port: Int,
     if (e > trimmed) trimmed = e
   }
 
+  /** Graceful drain (X3): interrupt doesn't unblock a socket read, so
+    * close the active connection too, then give the reader a moment to
+    * exit — a zombie reader would keep consuming the device's bytes
+    * into a dead buffer and fight a restarted query for the connection.
+    */
   override def stop(): Unit = {
     stopped.set(true)
-    if (readerThread != null) readerThread.interrupt()
+    val s = activeSocket
+    if (s != null) try s.close() catch { case _: Exception => }
+    if (readerThread != null) {
+      readerThread.interrupt()
+      try readerThread.join(3000) catch { case _: InterruptedException => }
+    }
   }
 }
 
