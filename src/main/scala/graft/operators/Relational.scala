@@ -613,6 +613,49 @@ object Relational {
     * hash-agg (q10); here every aggregate is a mergeable sketch, so the
     * plan is a single two-phase ObjectHashAggregate, no Expand.
     */
+  /** KMV (k-minimum-values) distinct-count sketch, k = 256 — the
+    * engine-PORTABLE sketch: estimate = (k−1)·2⁶⁰ / h₍ₖ₎ over the k
+    * smallest md5-derived 60-bit hashes, so unlike HLL internals the
+    * result is deterministic and hash-checkable against the oracle.
+    * The declarative form shuffles distinct (group, hash) pairs — at
+    * 100 TB q26's HLL (constant memory per group) stays the production
+    * path; this one is the auditable estimate (k values per group
+    * retained, standard KMV error ≈ 1/√k ≈ 6%).
+    */
+  private val q29 = Q(
+    "q29_kmv_distinct",
+    (s, d) => {
+      import s.implicits._
+      val k = 256
+      val w = Window.partitionBy($"event_type").orderBy($"h")
+      t(s, d, "events")
+        .select($"event_type", md5Long($"user_id".cast("string")).as("h"))
+        .distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k)
+        .groupBy($"event_type")
+        .agg(max($"h").as("kth_hash"), count(lit(1)).as("k_used"))
+        .select($"event_type", $"kth_hash", $"k_used",
+          // k_used < k ⇒ fewer than k distinct users ⇒ exact count
+          when($"k_used" < k, $"k_used".cast("double"))
+            .otherwise(r2(lit((k - 1).toDouble * 1152921504606846976.0) / $"kth_hash"))
+            .as("kmv_estimate"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH h AS (SELECT DISTINCT event_type,
+                   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                 FROM events),
+      r AS (SELECT event_type, h,
+              row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM h)
+      SELECT event_type, max(h) AS kth_hash, count(*) AS k_used,
+             CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                  ELSE round(255.0 * 1152921504606846976.0 / max(h), 2) END AS kmv_estimate
+      FROM r WHERE rn <= 256
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   private val q26 = Q(
     "q26_approx_sketches",
     (s, d) => {
@@ -627,5 +670,5 @@ object Relational {
     None)
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q24, q25, q26)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q24, q25, q26, q29)
 }
