@@ -91,6 +91,40 @@ object Main {
     }
   }
 
+  /** The reference accepts Python logging names (readport.py:604-606);
+    * map them onto log4j levels — `setLogLevel("WARNING")` would throw.
+    */
+  private[graft] def toLog4jLevel(pyLevel: String): String =
+    pyLevel.trim.toUpperCase(java.util.Locale.ROOT) match {
+      case "WARNING"  => "WARN"
+      case "CRITICAL" => "FATAL"
+      case "NOTSET"   => "INFO"
+      case l if Set("ALL", "TRACE", "DEBUG", "INFO", "WARN", "ERROR",
+        "FATAL", "OFF")(l) => l
+      case other => throw graft.config.ConfigurationError(
+        s"Unknown [logging] level '$other'")
+    }
+
+  /** K5 — wire the config's `[logging] file` into log4j2 at runtime:
+    * reconfigure the context from the shipped `log4j2-graft.properties`
+    * (concise console + 10 MB × 5 rotating file, the reference's
+    * configure_logging, readport.py:623-668 — which likewise REPLACES
+    * the root logging config via dictConfig). Non-fatal if log4j2 isn't
+    * the backing implementation.
+    */
+  private[graft] def attachRollingLog(file: String, level: String): Unit =
+    try {
+      System.setProperty("graft.log.file", file)
+      System.setProperty("graft.log.level", level)
+      val res = getClass.getClassLoader.getResource("log4j2-graft.properties")
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+      ctx.setConfigLocation(res.toURI)  // triggers reconfiguration
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"warning: could not attach rotating log '$file': $e")
+    }
+
   /** Config mode, factored for tests: load + validate the file, start
     * the reference-parity pipeline (filename-template sink, one file
     * per completed pack). Throws ConfigurationError/IO errors upward.
@@ -100,8 +134,10 @@ object Main {
     val text = new String(Files.readAllBytes(Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8)
     val cfg = DeviceConfig.load(text)
-    val level = if (debug) "DEBUG" else cfg.logLevel.getOrElse("INFO")
+    val level =
+      if (debug) "DEBUG" else toLog4jLevel(cfg.logLevel.getOrElse("INFO"))
     spark.sparkContext.setLogLevel(level)
+    cfg.logFile.foreach(f => attachRollingLog(f, level))
     Runner.attachHeartbeat(spark)()
     IngestPipeline.startWithFilenameTemplate(spark, cfg, cfg.destination,
       s"${cfg.destination}/.checkpoint-${cfg.device}-${cfg.port}")

@@ -42,7 +42,10 @@ final case class DeviceConfig(
     packLength: Int,
     destination: String,
     logLevel: Option[String] = None,   // [logging] level (readport.py:604-606)
-    logFile: Option[String] = None) {  // [logging] file, post-interpolation
+    logFile: Option[String] = None,    // [logging] file, post-interpolation
+    // X2 admission cap (the reference's bounded-queue backpressure,
+    // readport.py:457-464): max messages admitted per micro-batch
+    maxPerTrigger: Option[Long] = None) {
 
   /** DeviceConfig → StructType compiler (SURVEY.md §1.4): DoubleType
     * default, the group key keeps its configured type, plus the reserved
@@ -188,6 +191,9 @@ object DeviceConfig {
       packLength = packLength,
       destination = req("parser", "destination"),
       logLevel = opt("logging", "level"),
-      logFile = opt("logging", "file"))
+      logFile = opt("logging", "file"),
+      maxPerTrigger = opt("device", "max_messages_per_trigger").map(v =>
+        v.toLongOption.filter(_ > 0).getOrElse(throw ConfigurationError(
+          "max_messages_per_trigger must be a positive integer"))))
   }
 }

@@ -56,8 +56,12 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.toLowerCase(java.util.Locale.ROOT)
-            .split("\\s+").filter(_.nonEmpty)
+          // NULL text ⇒ zero shingles, matching the oracle's
+          // lower(NULL)→NULL→unnest(NULL) and the HOF path it replaced
+          val toks =
+            if (text == null) Array.empty[String]
+            else text.toLowerCase(java.util.Locale.ROOT)
+              .split("\\s+").filter(_.nonEmpty)
           val set = new scala.collection.mutable.LinkedHashSet[String]
           var i = 0
           while (i + 2 < toks.length) {

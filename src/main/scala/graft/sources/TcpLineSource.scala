@@ -112,7 +112,15 @@ object TcpLineMicroBatchStream
         src.getParent.getParent
       else src
     val offsets = new org.apache.hadoop.fs.Path(root, "offsets")
-    val fs = offsets.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // the SESSION's hadoop conf: a bare Configuration() lacks the
+    // spark.hadoop.* filesystem settings/credentials, so on s3a/hdfs
+    // checkpoints the read would throw, be swallowed, and return 0 —
+    // silently re-enabling the restart message-swallowing bug
+    val hadoopConf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = offsets.getFileSystem(hadoopConf)
     if (!fs.exists(offsets)) 0L
     else {
       val batches = fs.listStatus(offsets).map(_.getPath.getName)
@@ -166,6 +174,8 @@ class TcpLineMicroBatchStream(host: String, port: Int,
   private val stopped = new AtomicBoolean(false)
   @volatile private var readerThread: Thread = _
   @volatile private var activeSocket: Socket = _
+  // hoisted: a per-message sys.props lookup would sit on the hot path
+  private val traceEnabled = sys.props.contains("graft.socket.trace")
 
   private def ensureReader(): Unit = lock.synchronized {
     if (readerThread == null) {
@@ -196,8 +206,9 @@ class TcpLineMicroBatchStream(host: String, port: Int,
             buf.reset()
             val now = System.currentTimeMillis() * 1000L  // micros
             lock.synchronized { messages += ((msg, now, fresh)) }
-            if (sys.props.contains("graft.socket.trace"))
-              logWarning(s"TRACE recv inst=${System.identityHashCode(this)} stopped=${stopped.get} msg=$msg")
+            if (traceEnabled)
+              logWarning(s"TRACE recv inst=${System.identityHashCode(this)} " +
+                s"stopped=${stopped.get} msg=${msg.take(80)}")
             fresh = false
           } else buf.write(b)
           b = in.read()
@@ -314,11 +325,16 @@ class TcpLineMicroBatchStream(host: String, port: Int,
     */
   override def stop(): Unit = {
     stopped.set(true)
-    val s = activeSocket
-    if (s != null) try s.close() catch { case _: Exception => }
-    if (readerThread != null) {
+    // retry close+join: the reader may have just passed its loop-top
+    // stopped check and opened a NEW socket after our close — each
+    // round closes the latest one until the thread is provably gone
+    var attempts = 0
+    while (readerThread != null && readerThread.isAlive && attempts < 5) {
+      val s = activeSocket
+      if (s != null) try s.close() catch { case _: Exception => }
       readerThread.interrupt()
-      try readerThread.join(3000) catch { case _: InterruptedException => }
+      try readerThread.join(600) catch { case _: InterruptedException => }
+      attempts += 1
     }
   }
 }

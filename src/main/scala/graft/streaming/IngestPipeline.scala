@@ -24,10 +24,12 @@ object IngestPipeline {
     * readport.py:671-693).
     */
   def rawStream(spark: SparkSession, host: String, port: Int,
-      timeoutSec: Option[Double] = None): DataFrame = {
+      timeoutSec: Option[Double] = None,
+      maxPerTrigger: Option[Long] = None): DataFrame = {
     val r = spark.readStream.format("graft-socket")
       .option("host", host).option("port", port)
     timeoutSec.foreach(t => r.option("timeoutSec", t))
+    maxPerTrigger.foreach(m => r.option("maxMessagesPerTrigger", m))
     r.load()
   }
 
@@ -90,7 +92,7 @@ object IngestPipeline {
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
     val parsed = parseStage(
-      rawStream(spark, cfg.host, cfg.port, cfg.timeoutSec), cfg)
+      rawStream(spark, cfg.host, cfg.port, cfg.timeoutSec, cfg.maxPerTrigger), cfg)
     val keyed = cfg.groupBy match {
       case Some(g) => parsed
       case None    => parsed.withColumn("_device", lit(cfg.device))
@@ -118,7 +120,7 @@ object IngestPipeline {
       dest: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
     val parsed = parseStage(
-      rawStream(spark, cfg.host, cfg.port, cfg.timeoutSec), cfg)
+      rawStream(spark, cfg.host, cfg.port, cfg.timeoutSec, cfg.maxPerTrigger), cfg)
     val keyed = cfg.groupBy match {
       case Some(_) => parsed
       case None    => parsed.withColumn("_device", lit(cfg.device))

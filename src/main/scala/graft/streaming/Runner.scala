@@ -68,8 +68,12 @@ object Runner {
             s""""regex_drop_fresh":${m.getAs[Long]("regex_drop_fresh")},""" +
             s""""cast_kill":${m.getAs[Long]("cast_kill")}}"""
         }.getOrElse("")
+        // NaN/Infinity (zero-duration or empty triggers) are not legal
+        // JSON — render as null, as Spark's own progress.json does
+        val rps = p.processedRowsPerSecond
+        val rpsJson = if (java.lang.Double.isFinite(rps)) rps.toString else "null"
         emit(s"""{"event":"progress","id":"${p.id}","inputRows":${p.numInputRows},""" +
-          s""""rowsPerSec":${p.processedRowsPerSecond},"batchMs":${p.durationMs.getOrDefault("triggerExecution", 0L)}$dropped}""")
+          s""""rowsPerSec":$rpsJson,"batchMs":${p.durationMs.getOrDefault("triggerExecution", 0L)}$dropped}""")
       }
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         emit(s"""{"event":"terminated","id":"${e.id}","error":${e.exception.isDefined}}""")

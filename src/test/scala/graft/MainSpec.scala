@@ -66,7 +66,7 @@ class MainSpec extends SparkTestBase {
       |destination = $dest
       |[logging]
       |level = INFO
-      |file = readport_$${device:port}.log
+      |file = $dest/readport_$${device:port}.log
       |""".stripMargin
     val path = Files.createTempFile("readport_", ".conf")
     Files.write(path, conf.getBytes)
@@ -83,7 +83,17 @@ class MainSpec extends SparkTestBase {
         Thread.sleep(500)
       assert(files().length == 1)
       assert(packRows() == 2)
+      // K5: the [logging] file (interpolated) received the rotating log
+      assert(new java.io.File(s"$dest/readport_${srv.port}.log").exists())
     } finally { q.stop(); srv.close() }
+  }
+
+  test("Python logging level names map onto log4j (reference parity)") {
+    assert(Main.toLog4jLevel("WARNING") == "WARN")
+    assert(Main.toLog4jLevel("critical") == "FATAL")
+    assert(Main.toLog4jLevel("NOTSET") == "INFO")
+    assert(Main.toLog4jLevel("debug") == "DEBUG")
+    intercept[graft.config.ConfigurationError](Main.toLog4jLevel("LOUD"))
   }
 
   test("missing config file surfaces as a load failure (exit-1 path)") {

@@ -79,6 +79,16 @@ class DeviceConfigSpec extends AnyFunSuite {
     assert(ini("sink")("note") == """pattern is (?P<a>\S+) costs $5 here""")
   }
 
+  test("max_messages_per_trigger parses and validates (X2 admission cap)") {
+    val base = sonicConf.replace("[parser]",
+      "max_messages_per_trigger = 5000\n[parser]")
+    assert(DeviceConfig.load(base).maxPerTrigger == Some(5000L))
+    assert(DeviceConfig.load(sonicConf).maxPerTrigger.isEmpty)
+    val bad = sonicConf.replace("[parser]",
+      "max_messages_per_trigger = lots\n[parser]")
+    intercept[ConfigurationError](DeviceConfig.load(bad))
+  }
+
   test("missing required option → ConfigurationError") {
     val bad = sonicConf.replace("pack_length = 12000", "")
     val e = intercept[ConfigurationError](DeviceConfig.load(bad))
