@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`Array[Float]`, 64-dim).
   *
-  * Three tiers:
+  * The tiers:
   *  - q40: brute-force cosine top-k — the correctness baseline.
-  *  - q41: sign-bit LSH buckets (axis hyperplanes for determinism) —
-  *    the scale path: pairing happens only inside buckets.
-  *  - q42: per-label centroids — the IVF coarse-quantizer building
-  *    block (k-means assignment step's reduce side).
+  *  - q41: adaptive sign-bit LSH buckets (axis hyperplanes for
+  *    determinism, bit count grows with the corpus) — the constant-
+  *    bucket-size scale path: pairing happens only inside buckets.
+  *  - q42: per-label centroids — the coarse-quantizer building block.
+  *  - q43/q44: IVF with ⌈√n⌉ deterministic seed cells, single-probe
+  *    and nprobe=2 multi-probe search.
   *
   * Dot products run through the codegen'd posexplode → equi-join →
   * hash-agg pipeline, NOT array higher-order functions: HOF lambdas are

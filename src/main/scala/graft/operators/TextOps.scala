@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Cols, Tables}
 import Cols._
 import Tables.t
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -277,5 +278,41 @@ object TextOps {
       GROUP BY source
       ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55)
+  /** Corpus vocabulary / Zipf profile: top-40 tokens by frequency with
+    * rank and corpus share — the first thing a data curator plots for a
+    * new training corpus (and the input to stopword-list induction).
+    * One explode + one map-side-combinable count; the top-k is
+    * TakeOrderedAndProject over the (small) distinct-token aggregate.
+    */
+  private val q56 = Q(
+    "q56_vocabulary",
+    (s, d) => {
+      import s.implicits._
+      val counts = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(expr(Dedup.toksExpr)).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum($"n")).as[Long].head()
+      counts
+        .orderBy($"n".desc, $"token")
+        .limit(40)
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"n".desc, $"token")).cast("long"))
+        .select($"rank", $"token", $"n", r6($"n" / lit(total.toDouble)).as("share"))
+        .orderBy($"rank")
+    },
+    Some(s"""
+      WITH toks AS (SELECT ${Dedup.toksSqlDuck} AS toks FROM documents),
+      tok AS (SELECT unnest(toks) AS token FROM toks),
+      c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+      tot AS (SELECT sum(n) AS total FROM c),
+      top AS (SELECT token, n,
+                row_number() OVER (ORDER BY n DESC, token) AS rank
+              FROM c)
+      SELECT CAST(rank AS BIGINT) AS rank, token, n,
+             round(n / (SELECT CAST(total AS DOUBLE) FROM tot), 6) AS share
+      FROM top WHERE rank <= 40
+      ORDER BY rank"""))
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56)
 }
