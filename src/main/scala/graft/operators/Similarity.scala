@@ -61,6 +61,48 @@ object Similarity {
     math.min(64, math.max(4,
       math.ceil(math.log(n / 64.0) / math.log(2.0) - 1e-9).toInt))
 
+  /** IVF coarse assignment as broadcast-codebook + compiled map — the
+    * production IVF shape: the ⌈√n⌉-seed codebook (16 MB at n = 10⁹)
+    * is collected once and broadcast; each vector's nProbe nearest
+    * cells are computed in a tight per-row loop. Replaces the earlier
+    * declarative form whose posexplode equi-join materialized n×64×k
+    * intermediate rows and shuffled n×k partial dot products —
+    * assignment is now a narrow map stage with NO shuffle at all.
+    *
+    * Determinism mirrors the oracle exactly: score = ‖c‖²−2⟨v,c⟩ in
+    * dimension order, rounded with the same floor(x·10⁶+0.5)/10⁶ as
+    * [[graft.Cols.r6]], seed-id tiebreak. Emits (vec_id, cell, rk) for
+    * rk = 1..nProbe.
+    */
+  private[operators] def seedAssignments(s: SparkSession, d: String,
+      stride: Long, nProbe: Int): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    val seeds = emb.filter(_._1 % stride == 0).collect()
+      .map { case (sid, v) => (sid, v.map(_.toDouble)) }
+      .sortBy(_._1)
+    val bc = s.sparkContext.broadcast(seeds)
+    emb.mapPartitions { it =>
+      val sds = bc.value
+      it.flatMap { case (id, vf) =>
+        val v = vf.map(_.toDouble)
+        val scored = sds.map { case (sid, sv) =>
+          var dot = 0.0
+          var sn2 = 0.0
+          var i = 0
+          while (i < sv.length && i < v.length) {
+            dot += v(i) * sv(i); sn2 += sv(i) * sv(i); i += 1
+          }
+          (math.floor((sn2 - 2.0 * dot) * 1e6 + 0.5) / 1e6, sid)
+        }
+        scored.sortBy(x => (x._1, x._2)).take(nProbe)
+          .iterator.zipWithIndex
+          .map { case ((_, sid), idx) => (id, sid, idx + 1) }
+      }
+    }.toDF("vec_id", "cell", "rk")
+  }
+
   /** Brute-force cosine top-5 for a fixed query set (vec_id < 10). */
   private val q40 = Q(
     "q40_ann_bruteforce",
@@ -231,19 +273,8 @@ object Similarity {
       val stride = math.max(1L, n0 / k)
       val u = unpacked(s, d)
       val n = norms(u)
-      val seeds = u.filter($"vec_id" % stride === 0)
-        .select($"vec_id".as("sid"), $"i".as("si"), $"v".as("sv"))
-      val sn2 = seeds.groupBy($"sid").agg(sum($"sv" * $"sv").as("sn2"))
-      val assign = u
-        .join(broadcast(seeds), $"i" === $"si")
-        .groupBy($"vec_id", $"sid")
-        .agg(sum($"v" * $"sv").as("dot"))
-        .join(broadcast(sn2), "sid")
-        .withColumn("score", $"sn2" - lit(2.0) * $"dot")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"vec_id").orderBy(r6($"score").asc, $"sid".asc)))
-        .filter($"rk" === 1)
-        .select($"vec_id", $"sid".as("cell"))
+      val assign = seedAssignments(s, d, stride, nProbe = 1)
+        .select($"vec_id", $"cell")
       val ua = u.join(assign, "vec_id")
       val a = ua.select($"vec_id".as("a_id"), $"cell", $"i".as("ai"), $"v".as("av"))
       val b = ua.select($"vec_id".as("b_id"), $"cell".as("bc"), $"i".as("bi"), $"v".as("bv"))
@@ -317,21 +348,9 @@ object Similarity {
       val stride = math.max(1L, n0 / k)
       val u = unpacked(s, d)
       val n = norms(u)
-      val seeds = u.filter($"vec_id" % stride === 0)
-        .select($"vec_id".as("sid"), $"i".as("si"), $"v".as("sv"))
-      val sn2 = seeds.groupBy($"sid").agg(sum($"sv" * $"sv").as("sn2"))
-      val ranked = u
-        .join(broadcast(seeds), $"i" === $"si")
-        .groupBy($"vec_id", $"sid")
-        .agg(sum($"v" * $"sv").as("dot"))
-        .join(broadcast(sn2), "sid")
-        .withColumn("score", $"sn2" - lit(2.0) * $"dot")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"vec_id").orderBy(r6($"score").asc, $"sid".asc)))
-      // cache the n×2 probe table so the n×k assignment isn't computed
-      // twice (home is derived from it, not from `ranked`)
-      val probed = ranked.filter($"rk" <= 2)
-        .select($"vec_id", $"sid".as("cell"), $"rk").cache()
+      // cache the n×2 probe table so the assignment map runs once
+      // (home is derived from it)
+      val probed = seedAssignments(s, d, stride, nProbe = 2).cache()
       val probes = probed.select($"vec_id", $"cell")
       val home = probed.filter($"rk" === 1).select($"vec_id", $"cell")
       val a = u.join(probes, "vec_id")
