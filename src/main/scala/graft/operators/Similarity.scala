@@ -79,26 +79,42 @@ object Similarity {
     import s.implicits._
     val emb = t(s, d, "embeddings")
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-    val seeds = emb.filter(_._1 % stride == 0).collect()
+    // Column-predicate filter BEFORE the typed view so seed selection
+    // stays codegen'd (a lambda filter would deserialize all n rows to
+    // pick the √n seeds); NULL embeddings are skipped like the oracle's
+    // unnest(NULL)
+    val seeds = t(s, d, "embeddings")
+      .filter($"vec_id" % stride === 0 && $"embedding".isNotNull)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect()
       .map { case (sid, v) => (sid, v.map(_.toDouble)) }
       .sortBy(_._1)
     val bc = s.sparkContext.broadcast(seeds)
     emb.mapPartitions { it =>
       val sds = bc.value
       it.flatMap { case (id, vf) =>
-        val v = vf.map(_.toDouble)
-        val scored = sds.map { case (sid, sv) =>
-          var dot = 0.0
-          var sn2 = 0.0
-          var i = 0
-          while (i < sv.length && i < v.length) {
-            dot += v(i) * sv(i); sn2 += sv(i) * sv(i); i += 1
+        // NULL embedding ⇒ unassigned, matching the replaced
+        // posexplode path and the oracle (no rows, not a crash)
+        if (vf == null) Iterator.empty
+        else {
+          val v = vf.map(_.toDouble)
+          val scored = sds.map { case (sid, sv) =>
+            var dot = 0.0
+            var sn2 = 0.0
+            var i = 0
+            // ‖c‖² over ALL seed dims (the oracle's sum(sv*sv)); the
+            // dot only over dims the vector has
+            while (i < sv.length) {
+              sn2 += sv(i) * sv(i)
+              if (i < v.length) dot += v(i) * sv(i)
+              i += 1
+            }
+            (math.floor((sn2 - 2.0 * dot) * 1e6 + 0.5) / 1e6, sid)
           }
-          (math.floor((sn2 - 2.0 * dot) * 1e6 + 0.5) / 1e6, sid)
+          scored.sortBy(x => (x._1, x._2)).take(nProbe)
+            .iterator.zipWithIndex
+            .map { case ((_, sid), idx) => (id, sid, idx + 1) }
         }
-        scored.sortBy(x => (x._1, x._2)).take(nProbe)
-          .iterator.zipWithIndex
-          .map { case ((_, sid), idx) => (id, sid, idx + 1) }
       }
     }.toDF("vec_id", "cell", "rk")
   }

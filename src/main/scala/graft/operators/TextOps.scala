@@ -292,7 +292,10 @@ object TextOps {
         .repartition(s.sparkContext.defaultParallelism)
         .select(explode(expr(Dedup.toksExpr)).as("token"))
         .groupBy($"token").agg(count(lit(1)).as("n"))
-      val total = counts.agg(sum($"n")).as[Long].head()
+        .cache()  // read by the total aggregate and the top-k collect
+      // coalesce: an empty corpus sums to NULL, which must yield an
+      // empty result (as the oracle does), not a decode crash
+      val total = counts.agg(coalesce(sum($"n"), lit(0L))).as[Long].head()
       counts
         .orderBy($"n".desc, $"token")
         .limit(40)
