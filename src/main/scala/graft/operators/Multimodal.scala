@@ -137,5 +137,84 @@ object Multimodal {
       FROM dims
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q60, q61, q62)
+  case class MediaFeatures(doc_id: Long, byte_len: Long,
+      n_distinct_chars: Long, char_entropy: Double, printable_ratio: Double)
+
+  /** REAL feature extraction (not a stub — these are computable from
+    * the payload bytes without a codec): UTF-8 byte length, distinct
+    * symbol count, Shannon entropy of the symbol distribution, and
+    * printable-ASCII ratio — the standard cheap signals a curation
+    * pipeline uses to route blobs (compressed vs text vs binary junk)
+    * before expensive decoding.
+    */
+  def featurize(doc_id: Long, text: String): Option[MediaFeatures] = {
+    if (text == null || text.isEmpty) None
+    else {
+      val counts = new scala.collection.mutable.HashMap[Int, Long]()
+      var printable = 0L
+      var n = 0L
+      val it = text.codePoints().iterator()
+      while (it.hasNext) {
+        val cp = it.next()
+        counts(cp) = counts.getOrElse(cp, 0L) + 1L
+        if (cp >= 32 && cp <= 126) printable += 1
+        n += 1
+      }
+      val ln2 = math.log(2.0)
+      var h = 0.0
+      counts.valuesIterator.foreach { c =>
+        val p = c.toDouble / n
+        h -= p * (math.log(p) / ln2)
+      }
+      def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      Some(MediaFeatures(doc_id, text.getBytes("UTF-8").length.toLong,
+        counts.size.toLong, r4(h), r4(printable.toDouble / n)))
+    }
+  }
+
+  /** Feature-extract stage (the 4th multimodal pipeline stage next to
+    * decode/frame-sample/resize): compiled per-partition extraction —
+    * per-symbol histograms are imperative work a lambda tree would
+    * evaluate interpreted — with the oracle recomputing the identical
+    * math declaratively in DuckDB (codepoint-based substr, log2,
+    * shared r4 rounding).
+    */
+  private val q63 = Q(
+    "q63_multimodal_features",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, tx) => featurize(id, tx) })
+        .toDF()
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH ch AS (SELECT doc_id,
+                    unnest(list_transform(range(1, length(text) + 1),
+                      i -> substr(text, i, 1))) AS ch
+                  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+      agg AS (SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_distinct_chars,
+                sum(c) AS n,
+                sum(CASE WHEN ascii(ch) BETWEEN 32 AND 126 THEN c ELSE 0 END) AS printable
+              FROM cc GROUP BY doc_id),
+      ent AS (SELECT cc.doc_id,
+                -sum((c / a.n) * log2(c / a.n)) AS h
+              FROM cc JOIN agg a ON cc.doc_id = a.doc_id
+              GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,
+             a.n_distinct_chars,
+             round(ent.h, 4) AS char_entropy,
+             round(a.printable / CAST(a.n AS DOUBLE), 4) AS printable_ratio
+      FROM documents d
+      JOIN agg a ON d.doc_id = a.doc_id
+      JOIN ent ON d.doc_id = ent.doc_id
+      ORDER BY d.doc_id"""))
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63)
 }
