@@ -28,12 +28,9 @@ object Dedup {
   val toksExpr = """filter(split(lower(text), '\\s+'), x -> x != '')"""
   val toksSqlDuck = """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
 
-  /** Distinct 3-word shingles from a `toks` array column. */
-  val shinglesExpr =
-    """CASE WHEN size(toks) >= 3
-       THEN array_distinct(transform(sequence(1, size(toks)-2),
-            i -> concat_ws(' ', slice(toks, i, 3))))
-       ELSE cast(array() as array<string>) END"""
+  /** Distinct 3-word shingles from a `toks` list (DuckDB oracle side;
+    * the Spark side computes the identical set in [[shinglePostings]]).
+    */
   val shinglesSqlDuck =
     """list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
          i -> array_to_string(list_slice(toks, i, i+2), ' ')))"""
