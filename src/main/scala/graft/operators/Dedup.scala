@@ -45,7 +45,8 @@ object Dedup {
     * scales out with executors). Semantics byte-matched to the oracle's
     * `string_split_regex(lower(text),'\s+')` + 3-gram + list_distinct.
     */
-  private def shinglePostings(s: SparkSession, d: String): DataFrame = {
+  private def shinglePostings(s: SparkSession, d: String,
+      n: Int = 3): DataFrame = {
     import s.implicits._
     t(s, d, "documents")
       .repartition(s.sparkContext.defaultParallelism)
@@ -61,8 +62,8 @@ object Dedup {
               .split("\\s+").filter(_.nonEmpty)
           val set = new scala.collection.mutable.LinkedHashSet[String]
           var i = 0
-          while (i + 2 < toks.length) {
-            set += (toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+          while (i + n - 1 < toks.length) {
+            set += toks.slice(i, i + n).mkString(" ")
             i += 1
           }
           val nsh = set.size
@@ -406,5 +407,55 @@ object Dedup {
       WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.35
       ORDER BY a_id, b_id"""))
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35)
+  /** Duplicated-span coverage — the distributed approximation of exact
+    * substring deduplication (the suffix-array method of "Deduplicating
+    * Training Data Makes Language Models Better": long verbatim spans
+    * repeated across a corpus are the worst memorization vector). Here
+    * a span proxy is an 8-token shingle: per document, the fraction of
+    * its distinct 8-grams whose corpus document-frequency is ≥ 2.
+    * Documents above 50% duplicated-span coverage are flagged.
+    *
+    * Scale shape: one shuffle to count 8-gram DF (map-side combinable),
+    * one shuffle back to the document — no pairwise term at all, so
+    * unlike q31/q32 this scales with corpus size even when duplication
+    * is pervasive. The 60-bit hash keeps postings narrow.
+    */
+  private val q36 = Q(
+    "q36_dedup_span_coverage",
+    (s, d) => {
+      import s.implicits._
+      val ex = shinglePostings(s, d, n = 8)
+        .select($"doc_id", $"nsh", md5Long($"t").as("h"))
+      val df8 = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+      ex.join(df8, "h")
+        .groupBy($"doc_id", $"nsh")
+        .agg(sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_ratio", r4($"n_dup" / $"nsh"))
+        .filter($"dup_ratio" >= 0.5)
+        .select($"doc_id", $"nsh".cast("long").as("n_spans"),
+          $"n_dup".cast("long").as("n_dup"), $"dup_ratio")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSqlDuck AS toks FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
+                 i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS sh
+             FROM toks WHERE len(toks) >= 8),
+      ex AS (SELECT doc_id, len(sh) AS nsh,
+               CAST('0x' || substr(md5(unnest(sh)), 1, 15) AS BIGINT) AS h
+             FROM sh),
+      df8 AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+      agg AS (SELECT ex.doc_id, ex.nsh,
+                sum(CASE WHEN df8.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+              FROM ex JOIN df8 ON ex.h = df8.h
+              GROUP BY 1, 2)
+      SELECT doc_id, CAST(nsh AS BIGINT) AS n_spans,
+             CAST(n_dup AS BIGINT) AS n_dup,
+             round(n_dup / CAST(nsh AS DOUBLE), 4) AS dup_ratio
+      FROM agg
+      WHERE round(n_dup / CAST(nsh AS DOUBLE), 4) >= 0.5
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36)
 }
