@@ -26,6 +26,22 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Input-aware fan-out for row-local map stages (shingling, tokenizing,
+    * per-row feature extraction): repartition ONLY when the scan yields
+    * fewer splits than the session's parallelism. The local testdata
+    * parquet is a single row group — one split — so without this the
+    * compiled `mapPartitions` work runs on one core; but at production
+    * scale the scan already yields ≥ cores splits and a blanket
+    * `.repartition(parallelism)` would be a gratuitous full shuffle of
+    * the corpus before work Parquet splits already parallelize.
+    * Deciding from the planned partition count costs a plan compile,
+    * not a job.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }
 
 /** Shared column helpers, engine-portable by construction: every derived

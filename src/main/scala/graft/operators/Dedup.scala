@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Cols, Tables}
 import Cols._
-import Tables.t
+import Tables.{t, spread}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -48,8 +48,7 @@ object Dedup {
   private def shinglePostings(s: SparkSession, d: String,
       n: Int = 3): DataFrame = {
     import s.implicits._
-    t(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    spread(t(s, d, "documents"))
       .select($"doc_id", $"text")
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -271,8 +270,7 @@ object Dedup {
     */
   private def simhashSig(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tok = t(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    val tok = spread(t(s, d, "documents"))
       .select($"doc_id", explode(expr(toksExpr)).as("tk"))
       .select($"doc_id",
         expr("cast(conv(substring(md5(tk), 1, 10), 16, 10) as bigint)").as("h"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import Tables.t
+import Tables.{t, spread}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
@@ -183,8 +183,7 @@ object Multimodal {
     "q63_multimodal_features",
     (s, d) => {
       import s.implicits._
-      t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      spread(t(s, d, "documents"))
         .select($"doc_id", $"text")
         .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, tx) => featurize(id, tx) })

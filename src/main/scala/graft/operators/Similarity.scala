@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Cols, Tables}
 import Cols._
-import Tables.t
+import Tables.{t, spread}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -39,8 +39,7 @@ object Similarity {
     val bucketExpr = (0 until bits)
       .map(j => s"(CASE WHEN embedding[$j] > 0 THEN ${1L << j}L ELSE 0L END)")
       .mkString(" + ")
-    t(s, d, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
+    spread(t(s, d, "embeddings"))
       .select($"vec_id", $"label",
         expr(s"CAST($bucketExpr AS BIGINT)").as("bucket"),
         posexplode(expr("transform(embedding, x -> cast(x as double))")))

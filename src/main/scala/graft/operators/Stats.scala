@@ -3,7 +3,6 @@ package graft.operators
 import graft.{Q, Cols, Tables}
 import Cols._
 import Tables.t
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistical aggregation surface — the eddy-covariance flux math the
@@ -39,43 +38,89 @@ object Stats {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
-  /** Exact interpolated percentiles (≡ DuckDB `quantile_cont`), computed
-    * by sort-window interpolation instead of Spark's built-in
-    * `percentile` aggregate: the built-in collects a per-group value
-    * map into each aggregation buffer and merges them single-threaded
-    * (60 s at sf0.1); the window form is one distributed sort per value
-    * column plus a cheap scalar agg — linear, spillable, and the only
-    * way this survives 100 TB in exact form. (The sketch alternative,
-    * approx_percentile, has no engine-portable oracle.)
+  /** Exact interpolated percentiles (≡ DuckDB `quantile_cont`) via a
+    * RANGE-PARTITIONED two-pass rank — the only exact form that
+    * survives 100 TB:
     *
-    * Per column: rank rows in-group, then
-    * `p = v[lo]·(1−frac) + v[hi]·frac` with `lo = ⌊(n−1)p⌋+1` —
-    * expressed as a sum over the (at most two) contributing rows.
+    *  - Spark's built-in `percentile` aggregate collects a per-group
+    *    value map into each buffer and merges single-threaded (60 s at
+    *    sf0.1);
+    *  - the round-2 `Window.partitionBy(group).orderBy(v)` form sorted
+    *    each group in ONE task — with 3 hot returnflag values at 100 TB
+    *    that is ~33 TB through a single reducer.
+    *
+    * Here rows are `repartitionByRange(group, v)` — every partition owns
+    * a contiguous (group, value) slice, partition count scales with the
+    * cluster, and the per-partition sort is local and spillable. Pass 1
+    * collects per-(partition, group) row counts (P×|groups| scalars);
+    * cumulative sums give each partition its group's global rank offset,
+    * so pass 2 assigns exact global ranks with zero additional shuffle.
+    * The interpolation `p = v_lo + (v_hi − v_lo)·frac` (DuckDB
+    * quantile_cont's exact IEEE form — the algebraically-equal
+    * `v_lo·(1−frac) + v_hi·frac` can differ by an ulp and flip the r4
+    * floor at a boundary) then reads the two contributing ranks through
+    * an ordinary two-phase hash agg. (The sketch alternative,
+    * approx_percentile, has no engine-portable oracle — it stays the
+    * production path in q26.)
     */
   private val q22 = Q(
     "q22_percentiles",
     (s, d) => {
       import s.implicits._
       def pctls(valCol: String, ps: Seq[(String, Double)]) = {
-        val w = Window.partitionBy($"l_returnflag").orderBy(col(valCol))
-        val wn = Window.partitionBy($"l_returnflag")
-        val ranked = t(s, d, "lineitem")
-          .select($"l_returnflag", col(valCol))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(wn))
+        val par = s.sparkContext.defaultParallelism
+        val ranged = t(s, d, "lineitem")
+          .select($"l_returnflag".as("g"), col(valCol).cast("double").as("v"))
+          .as[(String, Double)]
+          .repartitionByRange(par, $"g", $"v")
+          .sortWithinPartitions($"g", $"v")
+          // cache pins ONE materialized partitioning for both passes:
+          // RangePartitioner samples with an RDD-id-derived seed, so two
+          // independent executions would draw DIFFERENT boundaries and
+          // pass-1 offsets would misalign with pass-2 partitions. (Spill
+          // cost is the same class as the shuffle that feeds it; evicted
+          // blocks recompute from the one pinned lineage, same seed.)
+          .cache()
+        // pass 1: per-(range-partition, group) counts — P×|groups|
+        // scalars to the driver, the only data that leaves the executors
+        val counts = ranged.mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+          it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1L) }
+          m.iterator.map { case (g, c) => (pid, g, c) }
+        }.collect()
+        val totals: Map[String, Long] =
+          counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
+        // range partition ids are ordered by (g, v): a partition's offset
+        // for g = rows of g in lower-numbered partitions
+        val offsets: Map[(Int, String), Long] =
+          counts.map { case (pid, g, _) =>
+            (pid, g) -> counts.iterator
+              .filter(c => c._2 == g && c._1 < pid).map(_._3).sum
+          }.toMap
+        val bOff = s.sparkContext.broadcast(offsets)
+        val bTot = s.sparkContext.broadcast(totals)
+        // pass 2: global rank = partition offset + local (sorted) index
+        val ranked = ranged.mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val local = scala.collection.mutable.HashMap[String, Long]()
+          it.map { case (g, v) =>
+            val rn = local.getOrElse(g, 0L) + 1L
+            local.update(g, rn)
+            (g, v, bOff.value.getOrElse((pid, g), 0L) + rn, bTot.value(g))
+          }
+        }.toDF("g", "v", "rn", "n")
         val aggs = ps.map { case (name, p) =>
           val pos = (col("n") - 1) * lit(p)          // 0-based fractional rank
           val lo = floor(pos) + 1
           val frac = pos - floor(pos)
           val hi = lo + when(frac > 0, 1).otherwise(0)
-          // DuckDB quantile_cont's exact IEEE form v_lo + (v_hi−v_lo)·frac
-          // — the algebraically-equal v_lo·(1−frac) + v_hi·frac can
-          // differ by an ulp and flip the r4 floor at a boundary
-          val vlo = sum(when(col("rn") === lo, col(valCol)).otherwise(0.0))
-          val vhi = sum(when(col("rn") === hi, col(valCol)).otherwise(0.0))
+          val vlo = sum(when(col("rn") === lo, col("v")).otherwise(0.0))
+          val vhi = sum(when(col("rn") === hi, col("v")).otherwise(0.0))
           r4(vlo + (vhi - vlo) * max(frac)).as(name)
         }
-        ranked.groupBy($"l_returnflag").agg(aggs.head, aggs.tail: _*)
+        ranked.groupBy($"g").agg(aggs.head, aggs.tail: _*)
+          .withColumnRenamed("g", "l_returnflag")
       }
       pctls("l_extendedprice", Seq("p50" -> 0.5, "p90" -> 0.9))
         .join(pctls("l_quantity", Seq("q1_qty" -> 0.25)), "l_returnflag")

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Cols, Tables}
 import Cols._
-import Tables.t
+import Tables.{t, spread}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -206,8 +206,7 @@ object TextOps {
            THEN transform(sequence(1, size(toks)-1),
                 i -> concat_ws(' ', slice(toks, i, 2)))
            ELSE cast(array() as array<string>) END"""
-      val bg = t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val bg = spread(t(s, d, "documents"))
         .select($"doc_id", expr(toksExpr).as("toks"))
         .select($"doc_id", explode(expr(bigramsExpr)).as("bg"))
       bg.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
@@ -288,8 +287,7 @@ object TextOps {
     "q56_vocabulary",
     (s, d) => {
       import s.implicits._
-      val counts = t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val counts = spread(t(s, d, "documents"))
         .select(explode(expr(Dedup.toksExpr)).as("token"))
         .groupBy($"token").agg(count(lit(1)).as("n"))
         .cache()  // read by the total aggregate and the top-k collect

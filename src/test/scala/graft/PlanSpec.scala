@@ -87,6 +87,43 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q22: percentile rank is range-partitioned — no per-group Window sort") {
+    // round-2 form shipped each returnflag group through ONE reducer
+    // (Window.partitionBy(group).orderBy(v)); the two-pass form range-
+    // partitions on (group, value) so partition count scales with the
+    // cluster and no Window node remains anywhere in the plan
+    val p = planOf("q22_percentiles")
+    assert(!p.contains("Window"), "q22 still plans a per-group Window sort")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "q22 lost its range partitioning")
+  }
+
+  test("spread: multi-split input passes through untouched; single-split fans out") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spread").toString
+    // force one file per partition so the scan genuinely yields 8 splits
+    spark.range(0, 1000).toDF("id").repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/multi")
+    spark.range(0, 1000).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/single")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "16m")
+    try {
+      val multi = spark.read.parquet(s"$dir/multi")
+      // identity — not a repartitioned copy: no Exchange is inserted
+      // before downstream row-local map stages
+      assert(Tables.spread(multi) eq multi,
+        "spread repartitioned an input that already had enough splits")
+      val single = spark.read.parquet(s"$dir/single")
+      val fanned = Tables.spread(single)
+      assert(fanned.rdd.getNumPartitions == sc.defaultParallelism,
+        "spread did not fan out a single-split scan")
+      assert(fanned.count() == 1000 && multi.count() == 1000)
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
+
   test("q55: PII scan is one pass — single scan, two-phase agg, tiny shuffle") {
     val p = planOf("q55_pii_scan")
     // formatted explain prints each node twice (tree + detail): one scan
