@@ -615,26 +615,31 @@ object Relational {
     */
   /** KMV (k-minimum-values) distinct-count sketch, k = 256 — the
     * engine-PORTABLE sketch: estimate = (k−1)·2⁶⁰ / h₍ₖ₎ over the k
-    * smallest md5-derived 60-bit hashes, so unlike HLL internals the
-    * result is deterministic and hash-checkable against the oracle.
-    * The declarative form shuffles distinct (group, hash) pairs — at
-    * 100 TB q26's HLL (constant memory per group) stays the production
-    * path; this one is the auditable estimate (k values per group
-    * retained, standard KMV error ≈ 1/√k ≈ 6%).
+    * smallest DISTINCT md5-derived 60-bit hashes, so unlike HLL
+    * internals the result is deterministic and hash-checkable against
+    * the oracle (standard KMV error ≈ 1/√k ≈ 6%).
+    *
+    * Computed by [[graft.functions.KMinValues]], a bounded mergeable
+    * TypedImperativeAggregate: 256 longs of state per group, map-side
+    * partials, one two-phase ObjectHashAggregate — no distinct shuffle,
+    * no window, no sort. The round-2 `row_number() OVER (PARTITION BY
+    * event_type ORDER BY h)` form sorted ALL distinct hashes of a group
+    * in one task; a hot group at 100 TB makes that a single-reducer
+    * bottleneck. The oracle keeps the window form — DuckDB has no
+    * bounded k-min, and the results are identical by construction.
     */
   private val q29 = Q(
     "q29_kmv_distinct",
     (s, d) => {
       import s.implicits._
       val k = 256
-      val w = Window.partitionBy($"event_type").orderBy($"h")
       t(s, d, "events")
         .select($"event_type", md5Long($"user_id".cast("string")).as("h"))
-        .distinct()
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= k)
         .groupBy($"event_type")
-        .agg(max($"h").as("kth_hash"), count(lit(1)).as("k_used"))
+        .agg(graft.functions.KMinValues.kMinValues($"h", k).as("mins"))
+        .select($"event_type",
+          element_at($"mins", size($"mins")).as("kth_hash"),
+          size($"mins").cast("long").as("k_used"))
         .select($"event_type", $"kth_hash", $"k_used",
           // k_used < k ⇒ fewer than k distinct users ⇒ exact count
           when($"k_used" < k, $"k_used".cast("double"))

@@ -98,6 +98,17 @@ class PlanSpec extends SparkTestBase {
       "q22 lost its range partitioning")
   }
 
+  test("q29: KMV sketch is one bounded object agg — no Window, no distinct shuffle") {
+    // round-2 form: distinct() + row_number() over (partition by group
+    // order by h) — ALL distinct hashes of a group sorted in one task.
+    // The bounded k-min aggregate holds 256 longs per group and merges
+    // map-side; the only Sort left is the 5-row output orderBy.
+    val p = planOf("q29_kmv_distinct")
+    assert(!p.contains("Window"), "q29 still plans a per-group Window sort")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "q29 lost its two-phase bounded aggregate")
+  }
+
   test("spread: multi-split input passes through untouched; single-split fans out") {
     val dir = java.nio.file.Files.createTempDirectory("graft_spread").toString
     // force one file per partition so the scan genuinely yields 8 splits
