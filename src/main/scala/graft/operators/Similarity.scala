@@ -60,68 +60,116 @@ object Similarity {
     math.min(64, math.max(4,
       math.ceil(math.log(n / 64.0) / math.log(2.0) - 1e-9).toInt))
 
-  /** IVF coarse assignment as broadcast-codebook + compiled map — the
-    * production IVF shape: the ⌈√n⌉-seed codebook (16 MB at n = 10⁹)
-    * is collected once and broadcast; each vector's nProbe nearest
-    * cells are computed in a tight per-row loop. Replaces the earlier
-    * declarative form whose posexplode equi-join materialized n×64×k
-    * intermediate rows and shuffled n×k partial dot products —
-    * assignment is now a narrow map stage with NO shuffle at all.
-    *
-    * Determinism mirrors the oracle exactly: score = ‖c‖²−2⟨v,c⟩ in
-    * dimension order, rounded with the same floor(x·10⁶+0.5)/10⁶ as
-    * [[graft.Cols.r6]], seed-id tiebreak. Emits (vec_id, cell, rk) for
-    * rk = 1..nProbe.
+  /** An IVF codebook: (cell id, centroid vector). ⌈√n⌉ entries ⇒ 16 MB
+    * at n = 10⁹ — always broadcastable.
     */
-  private[operators] def seedAssignments(s: SparkSession, d: String,
-      stride: Long, nProbe: Int): DataFrame = {
+  private[operators] type Codebook = Array[(Long, Array[Double])]
+
+  /** The deterministic initial codebook: the ⌈√n⌉ vectors with
+    * `vec_id % stride = 0`, collected once. Column-predicate filter
+    * BEFORE the typed view so seed selection stays codegen'd (a lambda
+    * filter would deserialize all n rows to pick the √n seeds); NULL
+    * embeddings are skipped like the oracle's unnest(NULL).
+    */
+  private def seedCodebook(s: SparkSession, d: String, stride: Long): Codebook = {
     import s.implicits._
-    val emb = t(s, d, "embeddings")
-      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-    // Column-predicate filter BEFORE the typed view so seed selection
-    // stays codegen'd (a lambda filter would deserialize all n rows to
-    // pick the √n seeds); NULL embeddings are skipped like the oracle's
-    // unnest(NULL)
-    val seeds = t(s, d, "embeddings")
+    t(s, d, "embeddings")
       .filter($"vec_id" % stride === 0 && $"embedding".isNotNull)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .collect()
       .map { case (sid, v) => (sid, v.map(_.toDouble)) }
       .sortBy(_._1)
-    val bc = s.sparkContext.broadcast(seeds)
+  }
+
+  /** IVF coarse assignment as broadcast-codebook + compiled map — the
+    * production IVF shape: the codebook is broadcast and each vector's
+    * nProbe nearest cells are computed in a tight per-row loop — a
+    * narrow map stage with NO shuffle at all (the earlier declarative
+    * form materialized n×64×k posexplode-join rows and shuffled n×k
+    * partial dot products).
+    *
+    * Determinism mirrors the oracle exactly: score = ‖c‖²−2⟨v,c⟩ in
+    * dimension order, rounded with the same floor(x·10⁶+0.5)/10⁶ as
+    * [[graft.Cols.r6]], cell-id tiebreak. Emits (vec_id, cell, rk) for
+    * rk = 1..nProbe.
+    */
+  private[operators] def assignCells(s: SparkSession, d: String,
+      cb: Codebook, nProbe: Int): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    val bc = s.sparkContext.broadcast(cb)
     emb.mapPartitions { it =>
-      val sds = bc.value
+      val cells = bc.value
       it.flatMap { case (id, vf) =>
-        // NULL embedding ⇒ unassigned, matching the replaced
-        // posexplode path and the oracle (no rows, not a crash)
+        // NULL embedding ⇒ unassigned, matching the oracle (no rows)
         if (vf == null) Iterator.empty
         else {
           val v = vf.map(_.toDouble)
-          val scored = sds.map { case (sid, sv) =>
+          val scored = cells.map { case (cid, cv) =>
             var dot = 0.0
-            var sn2 = 0.0
+            var cn2 = 0.0
             var i = 0
-            // ‖c‖² over ALL seed dims (the oracle's sum(sv*sv)); the
-            // dot only over dims the vector has
-            while (i < sv.length) {
-              sn2 += sv(i) * sv(i)
-              if (i < v.length) dot += v(i) * sv(i)
+            // ‖c‖² over ALL centroid dims (the oracle's sum(cv*cv));
+            // the dot only over dims the vector has
+            while (i < cv.length) {
+              cn2 += cv(i) * cv(i)
+              if (i < v.length) dot += v(i) * cv(i)
               i += 1
             }
-            (math.floor((sn2 - 2.0 * dot) * 1e6 + 0.5) / 1e6, sid)
+            (math.floor((cn2 - 2.0 * dot) * 1e6 + 0.5) / 1e6, cid)
           }
           scored.sortBy(x => (x._1, x._2)).take(nProbe)
             .iterator.zipWithIndex
-            .map { case ((_, sid), idx) => (id, sid, idx + 1) }
+            .map { case ((_, cid), idx) => (id, cid, idx + 1) }
         }
       }
     }.toDF("vec_id", "cell", "rk")
   }
 
+  /** Lloyd-refined IVF codebook: `iters` deterministic k-means
+    * iterations over the seed codebook — assign every vector to its
+    * nearest cell (broadcast-codebook map, no shuffle), then recompute
+    * centroids as the dimension-wise r6-rounded mean (one n×dims →
+    * k×dims hash agg; k×dims rows collected, √n·64 doubles). Refined
+    * centroids sit at their cells' mass centers, so Voronoi cells are
+    * tighter and nearest-neighbor recall improves (measured by q45)
+    * at UNCHANGED asymptotics: 2 extra map passes + 2 small aggs,
+    * still no pairing outside cells.
+    *
+    * Both engines replay the identical refinement (assignment CTE →
+    * centroid agg, twice, in the oracle SQL): centroids are rounded to
+    * 6 dp on both sides, assignment scores are rounded + cell-id
+    * tiebroken, so the quantizer stays bit-deterministic. Cells that
+    * lose all members simply drop out on both sides. Cell ids remain
+    * the original seed vec_ids.
+    */
+  private[operators] def refinedCodebook(s: SparkSession, d: String,
+      stride: Long, u: DataFrame, iters: Int = 2): Codebook = {
+    import s.implicits._
+    var cb = seedCodebook(s, d, stride)
+    for (_ <- 1 to iters) {
+      val assign = assignCells(s, d, cb, nProbe = 1).select($"vec_id", $"cell")
+      val cents = u.select($"vec_id", $"i", $"v")
+        .join(assign, "vec_id")
+        .groupBy($"cell", $"i")
+        .agg(r6(avg($"v")).as("cv"))
+        .as[(Long, Int, Double)]
+        .collect()
+      cb = cents.groupBy(_._1).toArray.sortBy(_._1).map { case (cell, rows) =>
+        // sparse dims (possible with ragged embeddings) fill with 0.0 —
+        // contributes nothing to ‖c‖² or the dot, same as the oracle's
+        // absent (cell, dim) row
+        val arr = new Array[Double](rows.map(_._2).max + 1)
+        rows.foreach { case (_, i, cv) => arr(i) = cv }
+        (cell, arr)
+      }
+    }
+    cb
+  }
+
   /** Brute-force cosine top-5 for a fixed query set (vec_id < 10). */
-  private val q40 = Q(
-    "q40_ann_bruteforce",
-    (s, d) => {
+  private def bruteforceDF(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val u = unpacked(s, d)
       val n = norms(u)
@@ -141,7 +189,11 @@ object Similarity {
         .filter($"rk" <= 5)
         .select($"q_id", $"rk", $"n_id", r4($"cosine").as("cosine"))
         .orderBy($"q_id", $"rk")
-    },
+  }
+
+  private val q40 = Q(
+    "q40_ann_bruteforce",
+    bruteforceDF,
     Some("""
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
       n AS (SELECT vec_id,
@@ -182,9 +234,7 @@ object Similarity {
     *    overfull set is tiny, so it anti-joins as a broadcast — no extra
     *    shuffle on the big side.
     */
-  private val q41 = Q(
-    "q41_ann_lsh_bucket",
-    (s, d) => {
+  private def lshDF(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val n0 = t(s, d, "embeddings").count()
       val bits = signBits(n0)
@@ -210,7 +260,11 @@ object Similarity {
         .filter($"rk" === 1)
         .select($"a_id", $"bucket", $"b_id".as("nn_id"), r4($"cosine").as("cosine"))
         .orderBy($"a_id")
-    },
+  }
+
+  private val q41 = Q(
+    "q41_ann_lsh_bucket",
+    lshDF,
     Some("""
       WITH params AS (SELECT least(64, greatest(4,
                         CAST(ceil(log2(count(*) / 64.0) - 1e-9) AS INT))) AS bits
@@ -269,26 +323,26 @@ object Similarity {
     *
     * Scale-true cell count (round-2 fix — round 1 used the 10 labels as
     * cells, a CONSTANT, leaving within-cell work quadratic in n): the
-    * codebook is k = ⌈√n⌉ seed vectors picked deterministically by
-    * `vec_id % ⌊n/k⌋ = 0` (both engines derive k and the stride from
-    * the same count with the same ε-guarded sqrt). Expected cell size
-    * is then √n, the classic IVF balance point: assignment is n·k
-    * broadcast-codebook dot products and within-cell pairing totals
-    * k·(√n)² = n^1.5 — both sub-quadratic, both shrinking per-cell as
-    * n grows. Real k-means centroids would tighten recall, but seeds
-    * keep the quantizer deterministic for the oracle; the Voronoi
-    * structure (and every downstream operator) is identical.
+    * codebook starts from k = ⌈√n⌉ seed vectors picked
+    * deterministically by `vec_id % ⌊n/k⌋ = 0` (both engines derive k
+    * and the stride from the same count with the same ε-guarded sqrt)
+    * and is then Lloyd-refined for 2 deterministic k-means iterations
+    * ([[refinedCodebook]], round 3 — tighter cells, higher recall,
+    * same asymptotics; the oracle replays the identical refinement).
+    * Expected cell size is √n, the classic IVF balance point:
+    * assignment is n·k broadcast-codebook dot products and within-cell
+    * pairing totals k·(√n)² = n^1.5 — both sub-quadratic, both
+    * shrinking per-cell as n grows.
     */
-  private val q43 = Q(
-    "q43_ann_ivf",
-    (s, d) => {
+  private def ivfDF(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val n0 = t(s, d, "embeddings").count()
       val k = math.ceil(math.sqrt(n0.toDouble) - 1e-9).toLong
       val stride = math.max(1L, n0 / k)
       val u = unpacked(s, d)
       val n = norms(u)
-      val assign = seedAssignments(s, d, stride, nProbe = 1)
+      val cb = refinedCodebook(s, d, stride, u)
+      val assign = assignCells(s, d, cb, nProbe = 1)
         .select($"vec_id", $"cell")
       val ua = u.join(assign, "vec_id")
       val a = ua.select($"vec_id".as("a_id"), $"cell", $"i".as("ai"), $"v".as("av"))
@@ -306,28 +360,61 @@ object Similarity {
         .select($"a_id", $"cell".cast("long").as("cell"),
           $"b_id".as("nn_id"), r4($"cosine").as("cosine"))
         .orderBy($"a_id")
-    },
-    Some("""
-      WITH params AS (SELECT greatest(1, count(*) //
-                        CAST(ceil(sqrt(count(*)) - 1e-9) AS BIGINT)) AS stride
-                      FROM embeddings),
+  }
+
+  /** The oracle's replay of [[refinedCodebook]] + the final assignment:
+    * cb0 = stride seeds → assign a0 → cb1 = r6 centroids → assign a1 →
+    * cb2 → final assignment CTE named `fa` (rk over rounded score,
+    * cell-id tiebreak). Shared verbatim by q43 (rk = 1), q44
+    * (rk <= 2 probes / rk = 1 home), and q45 via composition.
+    */
+  private val ivfOracleCtes = """
+      params AS (SELECT greatest(1, count(*) //
+                   CAST(ceil(sqrt(count(*)) - 1e-9) AS BIGINT)) AS stride
+                 FROM embeddings),
       u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
               unnest(embedding)::DOUBLE AS v FROM embeddings),
       n AS (SELECT vec_id,
               sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
             FROM embeddings),
-      seeds AS (SELECT vec_id AS sid, i AS si, v AS sv FROM u
-                WHERE vec_id % (SELECT stride FROM params) = 0),
-      sn2 AS (SELECT sid, sum(sv * sv) AS sn2 FROM seeds GROUP BY sid),
-      dots AS (SELECT u.vec_id, seeds.sid, sum(u.v * seeds.sv) AS dot
-               FROM u JOIN seeds ON u.i = seeds.si
-               GROUP BY 1, 2),
-      assign AS (SELECT vec_id, sid AS cell FROM (
-                   SELECT d.vec_id, d.sid,
-                          row_number() OVER (PARTITION BY d.vec_id
-                            ORDER BY round(sn2.sn2 - 2.0 * d.dot, 6), d.sid) AS rk
-                   FROM dots d JOIN sn2 ON d.sid = sn2.sid)
-                 WHERE rk = 1),
+      cb0 AS (SELECT vec_id AS cell, i AS dim, v AS cv FROM u
+              WHERE vec_id % (SELECT stride FROM params) = 0),
+      n0 AS (SELECT cell, sum(cv * cv) AS cn2 FROM cb0 GROUP BY cell),
+      d0 AS (SELECT u.vec_id, cb0.cell, sum(u.v * cb0.cv) AS dot
+             FROM u JOIN cb0 ON u.i = cb0.dim GROUP BY 1, 2),
+      a0 AS (SELECT vec_id, cell FROM (
+               SELECT d.vec_id, d.cell,
+                      row_number() OVER (PARTITION BY d.vec_id
+                        ORDER BY round(n0.cn2 - 2.0 * d.dot, 6), d.cell) AS rk
+               FROM d0 d JOIN n0 ON d.cell = n0.cell)
+             WHERE rk = 1),
+      cb1 AS (SELECT a.cell, u.i AS dim, round(avg(u.v), 6) AS cv
+              FROM u JOIN a0 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
+      n1 AS (SELECT cell, sum(cv * cv) AS cn2 FROM cb1 GROUP BY cell),
+      d1 AS (SELECT u.vec_id, cb1.cell, sum(u.v * cb1.cv) AS dot
+             FROM u JOIN cb1 ON u.i = cb1.dim GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cell FROM (
+               SELECT d.vec_id, d.cell,
+                      row_number() OVER (PARTITION BY d.vec_id
+                        ORDER BY round(n1.cn2 - 2.0 * d.dot, 6), d.cell) AS rk
+               FROM d1 d JOIN n1 ON d.cell = n1.cell)
+             WHERE rk = 1),
+      cb2 AS (SELECT a.cell, u.i AS dim, round(avg(u.v), 6) AS cv
+              FROM u JOIN a1 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
+      n2 AS (SELECT cell, sum(cv * cv) AS cn2 FROM cb2 GROUP BY cell),
+      d2 AS (SELECT u.vec_id, cb2.cell, sum(u.v * cb2.cv) AS dot
+             FROM u JOIN cb2 ON u.i = cb2.dim GROUP BY 1, 2),
+      fa AS (SELECT d.vec_id, d.cell,
+                    row_number() OVER (PARTITION BY d.vec_id
+                      ORDER BY round(n2.cn2 - 2.0 * d.dot, 6), d.cell) AS rk
+             FROM d2 d JOIN n2 ON d.cell = n2.cell)"""
+
+  private val q43 = Q(
+    "q43_ann_ivf",
+    ivfDF,
+    Some(s"""
+      WITH $ivfOracleCtes,
+      assign AS (SELECT vec_id, cell FROM fa WHERE rk = 1),
       ua AS (SELECT u.vec_id, a.cell, u.i, u.v FROM u JOIN assign a ON u.vec_id = a.vec_id),
       pd AS (SELECT x.vec_id AS a_id, x.cell, y.vec_id AS b_id, sum(x.v * y.v) AS dot
              FROM ua x JOIN ua y
@@ -354,18 +441,17 @@ object Similarity {
     * the candidate's HOME cell is unique, so (a, b) appears via at most
     * one probe.
     */
-  private val q44 = Q(
-    "q44_ann_ivf_multiprobe",
-    (s, d) => {
+  private def ivfMultiprobeDF(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val n0 = t(s, d, "embeddings").count()
       val k = math.ceil(math.sqrt(n0.toDouble) - 1e-9).toLong
       val stride = math.max(1L, n0 / k)
       val u = unpacked(s, d)
       val n = norms(u)
+      val cb = refinedCodebook(s, d, stride, u)
       // cache the n×2 probe table so the assignment map runs once
       // (home is derived from it)
-      val probed = seedAssignments(s, d, stride, nProbe = 2).cache()
+      val probed = assignCells(s, d, cb, nProbe = 2).cache()
       val probes = probed.select($"vec_id", $"cell")
       val home = probed.filter($"rk" === 1).select($"vec_id", $"cell")
       val a = u.join(probes, "vec_id")
@@ -384,28 +470,15 @@ object Similarity {
         .filter($"rk" === 1)
         .select($"a_id", $"b_id".as("nn_id"), r4($"cosine").as("cosine"))
         .orderBy($"a_id")
-    },
-    Some("""
-      WITH params AS (SELECT greatest(1, count(*) //
-                        CAST(ceil(sqrt(count(*)) - 1e-9) AS BIGINT)) AS stride
-                      FROM embeddings),
-      u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-              unnest(embedding)::DOUBLE AS v FROM embeddings),
-      n AS (SELECT vec_id,
-              sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-            FROM embeddings),
-      seeds AS (SELECT vec_id AS sid, i AS si, v AS sv FROM u
-                WHERE vec_id % (SELECT stride FROM params) = 0),
-      sn2 AS (SELECT sid, sum(sv * sv) AS sn2 FROM seeds GROUP BY sid),
-      dots AS (SELECT u.vec_id, seeds.sid, sum(u.v * seeds.sv) AS dot
-               FROM u JOIN seeds ON u.i = seeds.si
-               GROUP BY 1, 2),
-      ranked AS (SELECT d.vec_id, d.sid,
-                   row_number() OVER (PARTITION BY d.vec_id
-                     ORDER BY round(sn2.sn2 - 2.0 * d.dot, 6), d.sid) AS rk
-                 FROM dots d JOIN sn2 ON d.sid = sn2.sid),
-      probes AS (SELECT vec_id, sid AS cell FROM ranked WHERE rk <= 2),
-      home AS (SELECT vec_id, sid AS cell FROM ranked WHERE rk = 1),
+  }
+
+  private val q44 = Q(
+    "q44_ann_ivf_multiprobe",
+    ivfMultiprobeDF,
+    Some(s"""
+      WITH $ivfOracleCtes,
+      probes AS (SELECT vec_id, cell FROM fa WHERE rk <= 2),
+      home AS (SELECT vec_id, cell FROM fa WHERE rk = 1),
       pd AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, sum(x.v * y.v) AS dot
              FROM (SELECT p.vec_id, p.cell, u.i, u.v
                    FROM u JOIN probes p ON u.vec_id = p.vec_id) x
@@ -423,5 +496,57 @@ object Similarity {
       FROM rnk WHERE rk = 1
       ORDER BY a_id"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44)
+  /** Recall@1 report: how often each approximate tier (q41 LSH, q43
+    * IVF, q44 multi-probe IVF) returns the TRUE nearest neighbor (q40
+    * brute force) for the fixed query set (vec_id < 10). A query whose
+    * approximate tier returns nothing (bucket dropped / singleton cell)
+    * counts as a miss — that IS the recall cost of the blocking scheme.
+    * Everything here is deterministic (rounded scores, id tiebreaks),
+    * so the report is oracle-checkable end-to-end: the quality dial for
+    * the `bits` / `nprobe` / Lloyd-iteration knobs is itself a tested
+    * query, not a side-channel script. (No reference analog — the
+    * LLM-pipeline completeness item from the round-2 review.)
+    */
+  private val q45 = Q(
+    "q45_ann_recall",
+    (s, d) => {
+      import s.implicits._
+      val gt = bruteforceDF(s, d).filter($"rk" === 1)
+        .select($"q_id", $"n_id".as("true_nn"))
+      def recallOf(method: String, df: DataFrame) =
+        gt.join(df.select($"a_id".as("q_id"), $"nn_id"), Seq("q_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when($"nn_id" === $"true_nn", 1L).otherwise(0L)).as("hits"))
+          .select(lit(method).as("method"),
+            $"n_queries".cast("long").as("n_queries"),
+            $"hits".cast("long").as("hits"),
+            r4($"hits".cast("double") / $"n_queries").as("recall_at_1"))
+      recallOf("ivf", ivfDF(s, d))
+        .unionAll(recallOf("ivf_multiprobe", ivfMultiprobeDF(s, d)))
+        .unionAll(recallOf("lsh", lshDF(s, d)))
+        .orderBy($"method")
+    },
+    Some(s"""
+      WITH gt AS (SELECT q_id, n_id AS true_nn
+                  FROM (${q40.oracle.get}) bf WHERE rk = 1),
+      m_lsh AS (SELECT a_id, nn_id FROM (${q41.oracle.get}) x),
+      m_ivf AS (SELECT a_id, nn_id FROM (${q43.oracle.get}) x),
+      m_mp AS (SELECT a_id, nn_id FROM (${q44.oracle.get}) x),
+      r AS (
+        SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(CASE WHEN m.nn_id = gt.true_nn THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM gt LEFT JOIN m_ivf m ON gt.q_id = m.a_id
+        UNION ALL
+        SELECT 'ivf_multiprobe', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN m.nn_id = gt.true_nn THEN 1 ELSE 0 END) AS BIGINT)
+        FROM gt LEFT JOIN m_mp m ON gt.q_id = m.a_id
+        UNION ALL
+        SELECT 'lsh', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN m.nn_id = gt.true_nn THEN 1 ELSE 0 END) AS BIGINT)
+        FROM gt LEFT JOIN m_lsh m ON gt.q_id = m.a_id)
+      SELECT method, n_queries, hits,
+             round(CAST(hits AS DOUBLE) / n_queries, 4) AS recall_at_1
+      FROM r ORDER BY method"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45)
 }

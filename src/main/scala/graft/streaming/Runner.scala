@@ -47,10 +47,42 @@ object Runner {
     total
   }
 
+  /** Host-health snapshot (reference hb_client.sh:3-17, which POSTs CPU
+    * temp / disk% / RAM% / net counters from the station): disk usage of
+    * the given path, RAM usage from /proc/meminfo, and 1-min loadavg
+    * from /proc/loadavg, as a JSON object fragment. Emitted beside the
+    * query-progress metrics so the heartbeat carries BOTH liveness (the
+    * query is making progress) and host health (the box it runs on is
+    * not filling up / thrashing). Non-Linux or unreadable /proc fields
+    * render as null rather than failing the heartbeat.
+    */
+  def hostMetrics(diskPath: String = "/"): String = {
+    def pct(used: Double, total: Double): String =
+      if (total > 0) f"${used / total * 100}%.1f" else "null"
+    val disk = try {
+      val f = new java.io.File(diskPath)
+      pct((f.getTotalSpace - f.getUsableSpace).toDouble, f.getTotalSpace.toDouble)
+    } catch { case _: Exception => "null" }
+    val ram = try {
+      val kv = scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .map(_.split(":\\s+")).collect {
+          case Array(k, v) => k -> v.trim.split("\\s+")(0).toLong
+        }.toMap
+      pct((kv("MemTotal") - kv("MemAvailable")).toDouble, kv("MemTotal").toDouble)
+    } catch { case _: Exception => "null" }
+    val load1 = try {
+      val l = scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+        .split("\\s+")(0).toDouble
+      l.toString
+    } catch { case _: Exception => "null" }
+    s"""{"disk_used_pct":$disk,"ram_used_pct":$ram,"load1":$load1}"""
+  }
+
   /** K4 — heartbeat sink (reference hb_client.sh): the reference cron-POSTs
     * CPU/disk/RAM once a minute; Spark's own query-progress events carry
     * the equivalent liveness signal (rows/sec, batch duration, state
-    * size). This listener surfaces them on a callback so deployments can
+    * size), and [[hostMetrics]] adds the host-health fields the reference
+    * ships. This listener surfaces them on a callback so deployments can
     * POST/log them; `attach` returns the listener for removal.
     */
   def attachHeartbeat(spark: SparkSession)
@@ -73,7 +105,8 @@ object Runner {
         val rps = p.processedRowsPerSecond
         val rpsJson = if (java.lang.Double.isFinite(rps)) rps.toString else "null"
         emit(s"""{"event":"progress","id":"${p.id}","inputRows":${p.numInputRows},""" +
-          s""""rowsPerSec":$rpsJson,"batchMs":${p.durationMs.getOrDefault("triggerExecution", 0L)}$dropped}""")
+          s""""rowsPerSec":$rpsJson,"batchMs":${p.durationMs.getOrDefault("triggerExecution", 0L)}""" +
+          s"""$dropped,"host":${hostMetrics()}}""")
       }
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         emit(s"""{"event":"terminated","id":"${e.id}","error":${e.exception.isDefined}}""")

@@ -46,8 +46,28 @@ class RunnerSpec extends SparkTestBase {
         q.processAllAvailable(); Thread.sleep(200)
       }
       assert(dropSeen(), "no progress event carried the regex_drop counter")
+      // K4 host-health parity (hb_client.sh:3-17): every progress event
+      // carries the /proc-derived host fields beside the query metrics
+      val progress = events.toArray.map(_.toString)
+        .filter(_.contains("\"event\":\"progress\""))
+      assert(progress.nonEmpty && progress.forall(s =>
+        s.contains("\"host\":{") && s.contains("\"disk_used_pct\":") &&
+          s.contains("\"ram_used_pct\":") && s.contains("\"load1\":")),
+        "progress events missing host-health fields")
     } finally {
       q.stop(); srv.close(); spark.streams.removeListener(listener)
+    }
+  }
+
+  test("hostMetrics reads real /proc values on Linux") {
+    val m = Runner.hostMetrics()
+    // this CI box is Linux: all three fields must be numeric, bounded
+    val re = """\{"disk_used_pct":([0-9.]+),"ram_used_pct":([0-9.]+),"load1":([0-9.]+)\}""".r
+    m match {
+      case re(disk, ram, _) =>
+        assert(disk.toDouble >= 0 && disk.toDouble <= 100)
+        assert(ram.toDouble >= 0 && ram.toDouble <= 100)
+      case _ => fail(s"unexpected hostMetrics payload: $m")
     }
   }
 
