@@ -112,15 +112,7 @@ object TcpLineMicroBatchStream
         src.getParent.getParent
       else src
     val offsets = new org.apache.hadoop.fs.Path(root, "offsets")
-    // the SESSION's hadoop conf: a bare Configuration() lacks the
-    // spark.hadoop.* filesystem settings/credentials, so on s3a/hdfs
-    // checkpoints the read would throw, be swallowed, and return 0 —
-    // silently re-enabling the restart message-swallowing bug
-    val hadoopConf = org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    val fs = offsets.getFileSystem(hadoopConf)
+    val fs = offsets.getFileSystem(sessionHadoopConf())
     if (!fs.exists(offsets)) 0L
     else {
       val batches = fs.listStatus(offsets).map(_.getPath.getName)
@@ -132,16 +124,22 @@ object TcpLineMicroBatchStream
         val txt =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        val w = txt.linesIterator.map(_.trim).filter(_.nonEmpty)
+        txt.linesIterator.map(_.trim).filter(_.nonEmpty)
           .toSeq.lastOption.flatMap(_.toLongOption).getOrElse(0L)
-        if (w > 0)
-          logWarning(s"graft-socket: resuming from checkpointed offset $w " +
-            "(in-memory source is not replayable; the restart gap is lost, " +
-            "at-most-once — matching the reference's process restart)")
-        w
       }
     }
   } catch { case _: Exception => 0L }
+
+  /** The SESSION's hadoop conf: a bare Configuration() lacks the
+    * spark.hadoop.* filesystem settings/credentials, so on s3a/hdfs
+    * checkpoints reads would throw, be swallowed, and silently
+    * re-enable the restart message-swallowing bug.
+    */
+  def sessionHadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 }
 
 /** @param maxPerTrigger X2 admission cap: at most this many messages per
@@ -151,26 +149,81 @@ object TcpLineMicroBatchStream
   *   across triggers, so a post-stall burst can't produce one giant
   *   batch that blows executor memory.
   *
-  * NOT REPLAYABLE across restarts: the buffer is in-memory (the
-  * reference's process-local queue, readport.py:445-455). On restart
-  * from a checkpoint the previous incarnation's messages are gone;
-  * offsets re-align to the checkpointed high-water mark (see
-  * [[alignTo]]) and any uncommitted range is served as an empty batch
-  * with a logged warning — the same at-most-once outage gap the
-  * reference has when its process restarts.
+  * REPLAYABLE across restarts via a write-ahead log (round 3): framed
+  * messages are persisted as WAL segments under the source checkpoint
+  * BEFORE their offsets are exposed to the engine, so any range the
+  * engine can have planned is durable. On restart the new incarnation
+  * numbers its buffer from the WAL high-water mark and serves replayed
+  * (planned-but-uncommitted) ranges out of the WAL — at-least-once
+  * end-to-end, upgraded to exactly-once by the offset-tracked parquet
+  * sink. Committed segments are deleted on commit, so the WAL holds
+  * only in-flight batches. The one remaining gap matches the
+  * reference's process-local queue (readport.py:445-455): messages
+  * buffered but never yet exposed in ANY offset die with the process,
+  * exactly as the reference loses its queue on a crash. Without a
+  * checkpoint location the source degrades to the legacy in-memory
+  * at-most-once behavior.
   */
 class TcpLineMicroBatchStream(host: String, port: Int,
     timeoutSec: Option[Double], maxPerTrigger: Option[Long] = None,
     checkpointLocation: Option[String] = None)
     extends MicroBatchStream with org.apache.spark.internal.Logging {
+  import TcpLineMicroBatchStream.sessionHadoopConf
 
   private val lock = new Object
   // (message, arrival micros, fresh) — indexed from `trimmed`
   private val messages = ArrayBuffer[(String, Long, Boolean)]()
-  // buffer base starts at the previous incarnation's checkpointed
-  // watermark (0 on a fresh query) — see checkpointedWatermark
-  private var trimmed = checkpointLocation
-    .map(TcpLineMicroBatchStream.checkpointedWatermark).getOrElse(0L)
+
+  // --- WAL state (absent checkpointLocation ⇒ legacy in-memory mode)
+  private val walDir: Option[org.apache.hadoop.fs.Path] =
+    checkpointLocation.map(l => new org.apache.hadoop.fs.Path(l, "wal"))
+  private lazy val walFs: org.apache.hadoop.fs.FileSystem =
+    walDir.get.getFileSystem(sessionHadoopConf())
+  private val SegName = """^(\d+)-(\d+)$""".r
+
+  /** All WAL segments as (startOffset, endOffset, path), sorted;
+    * segments are non-overlapping by construction.
+    */
+  private def listSegments(): Seq[(Long, Long, org.apache.hadoop.fs.Path)] =
+    walDir.toSeq.flatMap { dir =>
+      if (!walFs.exists(dir)) Seq.empty
+      else walFs.listStatus(dir).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case SegName(a, b) => Some((a.toLong, b.toLong, st.getPath))
+          case _ => None
+        }
+      }.sortBy(_._1)
+    }
+
+  // Resume point, computed at CONSTRUCTION so a restarted incarnation
+  // numbers its buffer correctly from the very first engine call
+  // (recovery does NOT reliably pass checkpointed offsets through
+  // deserializeOffset before the first latestOffset). WAL end >= the
+  // offset-log watermark whenever the WAL is intact (persist happens
+  // before expose); the max() also covers a manually-deleted WAL.
+  private val resumeAt: Long = {
+    val w = checkpointLocation
+      .map(TcpLineMicroBatchStream.checkpointedWatermark).getOrElse(0L)
+    val walEnd = (try listSegments() catch { case _: Exception => Seq.empty })
+      .map(_._2).maxOption.getOrElse(0L)
+    if (math.max(w, walEnd) > 0) {
+      if (walDir.isDefined && walEnd >= w)
+        logInfo(s"graft-socket $host:$port: resuming at offset " +
+          s"${math.max(w, walEnd)}; uncommitted ranges replay from the " +
+          "WAL (at-least-once)")
+      else
+        logWarning(s"graft-socket $host:$port: resuming at offset " +
+          s"${math.max(w, walEnd)} with no covering WAL — the restart " +
+          "gap is lost (at-most-once, the reference's process-restart " +
+          "semantics)")
+    }
+    math.max(w, walEnd)
+  }
+
+  // buffer base: messages(0) sits at global offset `trimmed`
+  private var trimmed = resumeAt
+  // highest offset durable in the WAL; only durable offsets are exposed
+  private var persisted = resumeAt
   private val stopped = new AtomicBoolean(false)
   @volatile private var readerThread: Thread = _
   @volatile private var activeSocket: Socket = _
@@ -239,26 +292,86 @@ class TcpLineMicroBatchStream(host: String, port: Int,
   // checkpointed high-water mark from a PREVIOUS incarnation.
   private var minted = false
 
-  /** Re-seat offset arithmetic after a restart from checkpoint: an
-    * external offset arriving before this incarnation has minted any
-    * offset was counted by a previous incarnation whose buffer is gone.
-    * Renumber the (new) buffer to start at the checkpointed offset so
-    * offsets stay monotone and `commit` can never be asked to drop rows
-    * we don't hold. Guarding on `minted` (not on buffer size) closes
-    * the race where the new incarnation has already buffered >= o new
-    * messages at recovery time — those would otherwise be silently
-    * swallowed as "already committed".
+  /** Legacy-mode (no WAL) restart re-seat: an external offset arriving
+    * before this incarnation has minted any offset was counted by a
+    * previous incarnation whose buffer is gone. Renumber the (new)
+    * buffer to start at the checkpointed offset so offsets stay
+    * monotone and `commit` can never be asked to drop rows we don't
+    * hold. Guarding on `minted` (not on buffer size) closes the race
+    * where the new incarnation has already buffered >= o new messages
+    * at recovery time. With a WAL this is a no-op: construction already
+    * seated `trimmed` at the WAL high-water mark, which bounds every
+    * checkpointed offset (persist-before-expose).
     */
   private def alignTo(o: Long): Unit = lock.synchronized {
-    if (!minted && o > trimmed) {
+    if (walDir.isEmpty && !minted && o > trimmed) {
       logWarning(s"graft-socket $host:$port: checkpointed offset $o " +
         s"predates this incarnation (buffer base $trimmed, " +
-        s"${messages.size} new rows buffered); source is not replayable " +
+        s"${messages.size} new rows buffered); source has no WAL " +
         "— the checkpoint gap is lost (at-most-once), re-aligning the " +
         "buffer base to the checkpointed offset")
       trimmed = o
+      persisted = math.max(persisted, o)
       lastEnd = math.max(lastEnd, o)
     }
+  }
+
+  /** Append the not-yet-durable buffer suffix as one WAL segment named
+    * `<start>-<end>`, written to a dotfile and renamed so a torn write
+    * is never listed as a segment. Called on the engine's trigger
+    * thread; file IO runs OUTSIDE the buffer lock so the reader thread
+    * keeps ingesting during the write.
+    */
+  private def persistPending(): Unit = {
+    val (segStart, slice) = lock.synchronized {
+      val avail = trimmed + messages.size
+      if (avail > persisted)
+        (persisted,
+          messages.slice((persisted - trimmed).toInt, messages.size).toArray)
+      else (persisted, Array.empty[(String, Long, Boolean)])
+    }
+    if (slice.nonEmpty) {
+      val dir = walDir.get
+      if (!walFs.exists(dir)) walFs.mkdirs(dir)
+      val end = segStart + slice.length
+      val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-$segStart-$end")
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(walFs.create(tmp, true)))
+      try slice.foreach { case (msg, ts, fresh) =>
+        val bytes = msg.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        out.writeLong(ts); out.writeBoolean(fresh)
+        out.writeInt(bytes.length); out.write(bytes)
+      } finally out.close()
+      val seg = new org.apache.hadoop.fs.Path(dir, s"$segStart-$end")
+      if (!walFs.rename(tmp, seg))
+        throw new java.io.IOException(
+          s"graft-socket WAL: rename failed for segment [$segStart, $end)")
+      lock.synchronized { persisted = math.max(persisted, end) }
+    }
+  }
+
+  /** Read rows [s, e) back out of the WAL (restart replay path). */
+  private def readWal(s: Long, e: Long): Array[(String, Long, Boolean)] = {
+    val out = ArrayBuffer[(String, Long, Boolean)]()
+    listSegments().foreach { case (a, b, p) =>
+      if (b > s && a < e) {
+        val in = new java.io.DataInputStream(
+          new BufferedInputStream(walFs.open(p)))
+        try {
+          var off = a
+          val hi = math.min(b, e)
+          while (off < hi) {
+            val ts = in.readLong(); val fresh = in.readBoolean()
+            val bytes = new Array[Byte](in.readInt()); in.readFully(bytes)
+            if (off >= s)
+              out += ((new String(bytes,
+                java.nio.charset.StandardCharsets.ISO_8859_1), ts, fresh))
+            off += 1
+          }
+        } finally in.close()
+      }
+    }
+    out.toArray
   }
 
   // highest end offset exposed to the engine; the admission cap advances
@@ -268,12 +381,19 @@ class TcpLineMicroBatchStream(host: String, port: Int,
 
   override def latestOffset(): Offset = {
     ensureReader()
+    // durability BEFORE visibility: every offset the engine can plan
+    // against is already on disk, so a crash between planning and
+    // commit can always be replayed
+    if (walDir.isDefined) persistPending()
     lock.synchronized {
       minted = true
       val avail = trimmed + messages.size
+      // only expose what is durable (== avail unless the reader
+      // appended during the segment write; the tail goes next trigger)
+      val exposable = if (walDir.isDefined) math.min(avail, persisted) else avail
       // X2: meter a backlog out across triggers instead of one huge batch
       val base = math.max(trimmed, lastEnd)
-      val end = maxPerTrigger.fold(avail)(cap => math.min(avail, base + cap))
+      val end = maxPerTrigger.fold(exposable)(cap => math.min(exposable, base + cap))
       lastEnd = math.max(lastEnd, end)
       TcpOffset(end)
     }
@@ -283,18 +403,25 @@ class TcpLineMicroBatchStream(host: String, port: Int,
     val s = start.asInstanceOf[TcpOffset].n
     val e = end.asInstanceOf[TcpOffset].n
     alignTo(e)
-    val slice = lock.synchronized {
-      // clamp: a replayed range that predates the buffer yields an empty
-      // batch (non-replayable source) rather than a negative slice
+    val (base, mem) = lock.synchronized {
+      // in-memory part: clamp to the buffer range
       val lo = math.max(0L, math.min(s - trimmed, messages.size.toLong)).toInt
       val hi = math.max(lo.toLong, math.min(e - trimmed, messages.size.toLong)).toInt
-      if (s < trimmed)
-        logWarning(s"graft-socket $host:$port: replayed range [$s, $e) " +
-          s"predates the in-memory buffer (base $trimmed) — serving " +
-          s"${hi - lo} of ${e - s} rows; the rest were lost at restart")
-      messages.slice(lo, hi).toArray
+      (trimmed, messages.slice(lo, hi).toArray)
     }
-    Array(TcpLinePartition(slice))
+    val rows =
+      if (s >= base) mem
+      else if (walDir.isDefined) {
+        // restart replay: the range head predates this incarnation's
+        // buffer — serve it from the WAL, then any in-memory tail
+        readWal(s, math.min(e, base)) ++ mem
+      } else mem
+    if (rows.length < e - s)
+      logWarning(s"graft-socket $host:$port: range [$s, $e) served " +
+        s"${rows.length} of ${e - s} rows — the rest " +
+        (if (walDir.isDefined) "are missing from the WAL (segments deleted?)"
+         else "were lost at restart (no WAL)"))
+    Array(TcpLinePartition(rows))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -309,13 +436,26 @@ class TcpLineMicroBatchStream(host: String, port: Int,
       override def close(): Unit = ()
     }
 
-  override def commit(end: Offset): Unit = lock.synchronized {
+  override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[TcpOffset].n
-    // clamp to the buffer: a checkpoint-replayed commit beyond the
-    // in-memory range must not index past what we hold
-    val drop = math.max(0L, math.min(e - trimmed, messages.size.toLong)).toInt
-    if (drop > 0) messages.remove(0, drop)
-    if (e > trimmed) trimmed = e
+    lock.synchronized {
+      // clamp to the buffer: a checkpoint-replayed commit beyond the
+      // in-memory range must not index past what we hold
+      val drop = math.max(0L, math.min(e - trimmed, messages.size.toLong)).toInt
+      if (drop > 0) messages.remove(0, drop)
+      if (e > trimmed) trimmed = e
+      if (e > persisted) persisted = e
+    }
+    // fully-committed segments are no longer needed for replay; a
+    // partially-committed segment (batch boundary inside it) stays.
+    // Cleanup failure is non-fatal — it only costs disk, not data.
+    if (walDir.isDefined) {
+      try listSegments().foreach { case (_, b, p) =>
+        if (b <= e) walFs.delete(p, false)
+      } catch { case ex: Exception =>
+        logWarning(s"graft-socket WAL: segment cleanup failed: $ex")
+      }
+    }
   }
 
   /** Graceful drain (X3): interrupt doesn't unblock a socket read, so

@@ -161,6 +161,59 @@ class TcpLineSourceSpec extends SparkTestBase {
     s.stop()
   }
 
+  test("WAL: planned-but-uncommitted ranges replay after restart — zero loss (X3)") {
+    // Incarnation A receives 5 messages, exposes offset 5 (persisting
+    // the frames to the WAL first), plans [0, 5), but only batch [0, 2)
+    // commits before the "crash". Incarnation B — fresh process, device
+    // GONE (no server) — must serve the planned-but-uncommitted range
+    // [2, 5) byte-identically from the WAL: the at-least-once upgrade
+    // over the round-2 source, which served that range empty.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wal-")
+      .toString + "/sources/0"
+    val srv = new TcpFixtureServer
+    srv.enqueue((1 to 5).map(i => s"wal $i\n".getBytes): _*)
+    var rowsA: Array[(String, Long, Boolean)] = null
+    val a = new TcpLineMicroBatchStream("localhost", srv.port, None, None, Some(ckpt))
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var end = 0L
+      while (end < 5 && System.currentTimeMillis() < deadline) {
+        end = a.latestOffset().asInstanceOf[TcpOffset].n
+        Thread.sleep(100)
+      }
+      assert(end == 5, "incarnation A never exposed all 5 messages")
+      rowsA = a.planInputPartitions(TcpOffset(0), TcpOffset(5))(0)
+        .asInstanceOf[TcpLinePartition].rows
+      assert(rowsA.map(_._1).toSeq == (1 to 5).map(i => s"wal $i"))
+      a.commit(TcpOffset(2))
+    } finally { a.stop(); srv.close() }
+    val b = new TcpLineMicroBatchStream("localhost", 1, None, None, Some(ckpt))
+    try {
+      val rowsB = b.planInputPartitions(TcpOffset(2), TcpOffset(5))(0)
+        .asInstanceOf[TcpLinePartition].rows
+      // full rows — payload, arrival micros, fresh flag — survive the
+      // WAL round-trip identically
+      assert(rowsB.toSeq == rowsA.drop(2).toSeq,
+        "replayed range differs from what incarnation A planned")
+      b.commit(TcpOffset(5))
+      // new offsets continue from the WAL high-water mark, and the
+      // committed segment is gone: a second restart starts clean
+      assert(b.latestOffset().asInstanceOf[TcpOffset].n == 5L)
+    } finally b.stop()
+    // third incarnation: everything committed, WAL empty — the resume
+    // point comes from the query's offset log (written by the engine in
+    // a real run; fabricated here), and the source starts clean at 5
+    val root = java.nio.file.Paths.get(ckpt).getParent.getParent
+    java.nio.file.Files.createDirectories(root.resolve("offsets"))
+    java.nio.file.Files.writeString(root.resolve("offsets/0"), "v1\n{}\n5\n")
+    val c = new TcpLineMicroBatchStream("localhost", 1, None, None, Some(ckpt))
+    try {
+      assert(c.latestOffset().asInstanceOf[TcpOffset].n == 5L)
+      assert(c.planInputPartitions(TcpOffset(5), TcpOffset(5))(0)
+        .asInstanceOf[TcpLinePartition].rows.isEmpty)
+    } finally c.stop()
+  }
+
   test("maxMessagesPerTrigger splits a burst across micro-batches (X2)") {
     val srv = new TcpFixtureServer
     srv.enqueue(((1 to 10).map(i => s"burst $i\n").mkString.getBytes): Array[Byte])

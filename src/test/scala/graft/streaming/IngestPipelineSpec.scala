@@ -128,12 +128,12 @@ class IngestPipelineSpec extends SparkTestBase {
   }
 
   test("X3: stop + restart from checkpoint — state and offsets recover") {
-    // The source is non-replayable (in-memory buffer); a restarted query
-    // re-seats its offsets at the checkpointed high-water mark and the
-    // count-window state store restores the partial pack. With all
-    // pre-stop batches committed, nothing is lost: 3 msgs before the
-    // stop (pack of 2 emitted, 1 row buffered in state) + 3 after =
-    // 3 full packs = 6 rows.
+    // A restarted query re-seats its offsets at the WAL high-water mark
+    // (round 3: planned batches are WAL-durable and replayable — see the
+    // zero-loss spec in TcpLineSourceSpec) and the count-window state
+    // store restores the partial pack. Nothing is lost and nothing
+    // duplicates: 3 msgs before the stop (pack of 2 emitted, 1 row
+    // buffered in state) + 3 after = 3 full packs = exactly 6 rows.
     val srv = new TcpFixtureServer
     srv.enqueue((1 to 3).map(i => s"07 RH= $i.0 %RH T= 10.0 'C \r\n".getBytes): _*)
     val cfg = DeviceConfig.load(s"""
