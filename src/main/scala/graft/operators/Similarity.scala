@@ -334,14 +334,28 @@ object Similarity {
     * pairing totals k·(√n)² = n^1.5 — both sub-quadratic, both
     * shrinking per-cell as n grows.
     */
-  private def ivfDF(s: SparkSession, d: String): DataFrame = {
+  /** The shared IVF setup — corpus count, ⌈√n⌉-derived stride, unpacked
+    * dims, norms, Lloyd-refined codebook — computed once and reused by
+    * q43, q44 and q45 (which runs both searches and would otherwise pay
+    * for two identical refinements).
+    */
+  private case class IvfCtx(u: DataFrame, n: DataFrame, cb: Codebook)
+
+  private def ivfCtx(s: SparkSession, d: String): IvfCtx = {
+    import s.implicits._
+    val n0 = t(s, d, "embeddings").count()
+    val k = math.ceil(math.sqrt(n0.toDouble) - 1e-9).toLong
+    val stride = math.max(1L, n0 / k)
+    val u = unpacked(s, d)
+    IvfCtx(u, norms(u), refinedCodebook(s, d, stride, u))
+  }
+
+  private def ivfDF(s: SparkSession, d: String): DataFrame =
+    ivfSearch(s, d, ivfCtx(s, d))
+
+  private def ivfSearch(s: SparkSession, d: String, ctx: IvfCtx): DataFrame = {
       import s.implicits._
-      val n0 = t(s, d, "embeddings").count()
-      val k = math.ceil(math.sqrt(n0.toDouble) - 1e-9).toLong
-      val stride = math.max(1L, n0 / k)
-      val u = unpacked(s, d)
-      val n = norms(u)
-      val cb = refinedCodebook(s, d, stride, u)
+      val IvfCtx(u, n, cb) = ctx
       val assign = assignCells(s, d, cb, nProbe = 1)
         .select($"vec_id", $"cell")
       val ua = u.join(assign, "vec_id")
@@ -441,14 +455,12 @@ object Similarity {
     * the candidate's HOME cell is unique, so (a, b) appears via at most
     * one probe.
     */
-  private def ivfMultiprobeDF(s: SparkSession, d: String): DataFrame = {
+  private def ivfMultiprobeDF(s: SparkSession, d: String): DataFrame =
+    ivfMultiprobeSearch(s, d, ivfCtx(s, d))
+
+  private def ivfMultiprobeSearch(s: SparkSession, d: String, ctx: IvfCtx): DataFrame = {
       import s.implicits._
-      val n0 = t(s, d, "embeddings").count()
-      val k = math.ceil(math.sqrt(n0.toDouble) - 1e-9).toLong
-      val stride = math.max(1L, n0 / k)
-      val u = unpacked(s, d)
-      val n = norms(u)
-      val cb = refinedCodebook(s, d, stride, u)
+      val IvfCtx(u, n, cb) = ctx
       // cache the n×2 probe table so the assignment map runs once
       // (home is derived from it)
       val probed = assignCells(s, d, cb, nProbe = 2).cache()
@@ -521,8 +533,12 @@ object Similarity {
             $"n_queries".cast("long").as("n_queries"),
             $"hits".cast("long").as("hits"),
             r4($"hits".cast("double") / $"n_queries").as("recall_at_1"))
-      recallOf("ivf", ivfDF(s, d))
-        .unionAll(recallOf("ivf_multiprobe", ivfMultiprobeDF(s, d)))
+      // ONE shared IVF context: both searches reuse the same refined
+      // codebook (and the cached unpacked/norm tables) instead of
+      // paying for two identical refinements
+      val ctx = ivfCtx(s, d)
+      recallOf("ivf", ivfSearch(s, d, ctx))
+        .unionAll(recallOf("ivf_multiprobe", ivfMultiprobeSearch(s, d, ctx)))
         .unionAll(recallOf("lsh", lshDF(s, d)))
         .orderBy($"method")
     },
