@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All operator registries, in presentation order. */
   def allQ: Seq[Q] = Relational.all ++ Stats.all ++ Dedup.all ++
-    Similarity.all ++ TextOps.all ++ Multimodal.all ++ ParseOps.all
+    Similarity.all ++ TextOps.all ++ Multimodal.all ++ Assemble.all ++
+    ParseOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -6,10 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // optional 3rd arg (dev loop only; the driver passes 2): run just the
-    // queries whose name contains the given substring
+    // queries whose name contains any of the comma-separated substrings
     val Array(sfDir, outDir) = args.take(2)
     val only: String => Boolean =
-      if (args.length > 2) { n => n.contains(args(2)) } else _ => true
+      if (args.length > 2) {
+        val pats = args(2).split(',').filter(_.nonEmpty)
+        n => pats.exists(n.contains)
+      } else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.{Q, Cols, Tables}
+import Cols._
+import Tables.t
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators — the steps between a cleaned corpus and
+  * a training run: deterministic train/val/test splitting, train→test
+  * contamination detection, and sequence packing (concat-and-chunk into
+  * fixed context windows). No reference analog (the reference stops at
+  * ingest); these complete the LLM-pipeline surface next to the dedup
+  * (q30-q36) and quality (q50-q56) tiers.
+  */
+object Assemble {
+
+  /** Deterministic hash split: md5-derived 60-bit hash of the doc id,
+    * mod 100 → 80/10/10. Hash-based (not random) so the split is stable
+    * under re-runs, insertions, and re-partitioning — the property a
+    * reproducible training pipeline needs — and portable, so the oracle
+    * assigns byte-identical splits.
+    */
+  private def splitBucket(idCol: Column): Column =
+    md5Long(idCol.cast("string")) % 100
+  private def splitBucketSql(idExpr: String): String =
+    s"(${md5LongSql(s"CAST($idExpr AS VARCHAR)")}) % 100"
+
+  /** Split assignment + per-split profile. One hash agg over a row-local
+    * derived column: scale shape is a single shuffle of 3 rows.
+    */
+  private val q57 = Q(
+    "q57_train_val_test_split",
+    (s, d) => {
+      import s.implicits._
+      val b = splitBucket($"doc_id")
+      t(s, d, "documents")
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .groupBy($"split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").cast("long").as("sum_chars"),
+          r2(avg($"n_chars")).as("avg_chars"))
+        .orderBy($"split")
+    },
+    Some(s"""
+      WITH sp AS (SELECT n_chars,
+                    CASE WHEN ${splitBucketSql("doc_id")} < 80 THEN 'train'
+                         WHEN ${splitBucketSql("doc_id")} < 90 THEN 'val'
+                         ELSE 'test' END AS split
+                  FROM documents)
+      SELECT split, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             round(avg(n_chars), 2) AS avg_chars
+      FROM sp
+      GROUP BY split
+      ORDER BY split"""))
+
+  /** Train→test contamination scan (the decontamination step of
+    * large-corpus training runs): a test document is contaminated when
+    * it shares an 8-gram with ANY train document. Grams are the same
+    * compiled row-local shingles as q36 ([[Dedup.shinglePostings]]),
+    * hashed to 60-bit longs so the existence join shuffles longs, not
+    * strings. Scale shape: one distinct on train grams + one SEMI join
+    * on the gram hash — existence only, so hot boilerplate grams cannot
+    * explode into pairs (no DF cap needed, unlike the pairing joins).
+    * Emits contaminated test docs with their hit ratio.
+    */
+  private val q37 = Q(
+    "q37_contamination",
+    (s, d) => {
+      import s.implicits._
+      val ex = Dedup.shinglePostings(s, d, n = 8)
+        .select($"doc_id", $"nsh", md5Long($"t").as("h"))
+        .withColumn("b", splitBucket($"doc_id"))
+      val trainGrams = ex.filter($"b" < 80).select($"h").distinct()
+      ex.filter($"b" >= 90)
+        .join(trainGrams, Seq("h"), "left_semi")
+        .groupBy($"doc_id", $"nsh")
+        .agg(count(lit(1)).as("n_hit"))
+        .select($"doc_id",
+          $"nsh".cast("long").as("n_grams"),
+          $"n_hit".cast("long").as("n_hit"),
+          r4($"n_hit" / $"nsh").as("hit_ratio"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, ${Dedup.toksSqlDuck} AS toks FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
+                 i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS sh
+             FROM toks WHERE len(toks) >= 8),
+      ex AS (SELECT doc_id, len(sh) AS nsh,
+               CAST('0x' || substr(md5(unnest(sh)), 1, 15) AS BIGINT) AS h
+             FROM sh),
+      sp AS (SELECT doc_id, nsh, h, ${splitBucketSql("doc_id")} AS b FROM ex),
+      tr AS (SELECT DISTINCT h FROM sp WHERE b < 80),
+      hits AS (SELECT doc_id, nsh, count(*) AS n_hit
+               FROM sp
+               WHERE b >= 90 AND h IN (SELECT h FROM tr)
+               GROUP BY doc_id, nsh)
+      SELECT doc_id, CAST(nsh AS BIGINT) AS n_grams,
+             CAST(n_hit AS BIGINT) AS n_hit,
+             round(n_hit / CAST(nsh AS DOUBLE), 4) AS hit_ratio
+      FROM hits
+      ORDER BY doc_id"""))
+
+  /** Sequence packing (concat-and-chunk): documents are concatenated in
+    * doc_id order and cut into fixed 512-token context windows; a doc
+    * belongs to the bin where it STARTS. Per bin: docs, tokens, id span
+    * — the shape of a pretraining batch manifest.
+    *
+    * The global token prefix-sum uses the same range-partitioned
+    * two-pass pattern as q22 (per-partition token totals → global
+    * offsets → local running sums), NOT a global `ORDER BY` window —
+    * the window form funnels the whole corpus through one reducer. The
+    * partitioning is cache-pinned so both passes see identical
+    * boundaries (RangePartitioner samples with an RDD-id-derived seed).
+    */
+  private val q58 = Q(
+    "q58_sequence_packing",
+    (s, d) => {
+      import s.implicits._
+      val ctx = 512L
+      val par = s.sparkContext.defaultParallelism
+      val ranged = t(s, d, "documents")
+        .select($"doc_id",
+          when($"text".isNull, 0L)
+            .otherwise(size(expr(Dedup.toksExpr)).cast("long")).as("n"))
+        .as[(Long, Long)]
+        .repartitionByRange(par, $"doc_id")
+        .sortWithinPartitions($"doc_id")
+        .cache()
+      // pass 1: per-partition token totals — P scalars to the driver
+      val sums = ranged.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var tot = 0L
+        it.foreach { case (_, n) => tot += n }
+        Iterator.single((pid, tot))
+      }.collect()
+      val offsets: Map[Int, Long] = sums.map { case (pid, _) =>
+        pid -> sums.iterator.filter(_._1 < pid).map(_._2).sum
+      }.toMap
+      val bOff = s.sparkContext.broadcast(offsets)
+      // pass 2: a doc's start offset = partition offset + tokens before
+      // it locally; its bin is start / ctx
+      val binned = ranged.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var run = bOff.value.getOrElse(pid, 0L)
+        it.map { case (id, n) =>
+          val start = run
+          run += n
+          (id, n, start / ctx)
+        }
+      }.toDF("doc_id", "n", "bin")
+      binned.groupBy($"bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n").cast("long").as("n_tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy($"bin")
+    },
+    Some(s"""
+      WITH c AS (SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE CAST(len(${Dedup.toksSqlDuck}) AS BIGINT) END AS n
+                 FROM documents),
+      w AS (SELECT doc_id, n,
+              coalesce(sum(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+            FROM c),
+      b AS (SELECT doc_id, n, CAST(strt // 512 AS BIGINT) AS bin FROM w)
+      SELECT bin, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM b
+      GROUP BY bin
+      ORDER BY bin"""))
+
+  val all: Seq[Q] = Seq(q37, q57, q58)
+}

@@ -45,7 +45,7 @@ object Dedup {
     * scales out with executors). Semantics byte-matched to the oracle's
     * `string_split_regex(lower(text),'\s+')` + 3-gram + list_distinct.
     */
-  private def shinglePostings(s: SparkSession, d: String,
+  private[operators] def shinglePostings(s: SparkSession, d: String,
       n: Int = 3): DataFrame = {
     import s.implicits._
     spread(t(s, d, "documents"))
