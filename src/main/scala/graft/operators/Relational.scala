@@ -635,6 +635,11 @@ object Relational {
       val k = 256
       t(s, d, "events")
         .select($"event_type", md5Long($"user_id".cast("string")).as("h"))
+        // NULL user_ids carry no distinct-count signal; dropping them
+        // BEFORE the groupBy keeps an all-null group from surfacing as
+        // an empty sketch (element_at on a 0-length array throws) and
+        // matches the oracle's explicit filter
+        .filter($"h".isNotNull)
         .groupBy($"event_type")
         .agg(graft.functions.KMinValues.kMinValues($"h", k).as("mins"))
         .select($"event_type",
@@ -650,7 +655,8 @@ object Relational {
     Some("""
       WITH h AS (SELECT DISTINCT event_type,
                    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-                 FROM events),
+                 FROM events
+                 WHERE user_id IS NOT NULL),
       r AS (SELECT event_type, h,
               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
             FROM h)

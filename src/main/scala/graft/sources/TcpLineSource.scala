@@ -204,6 +204,13 @@ class TcpLineMicroBatchStream(host: String, port: Int,
   private val resumeAt: Long = {
     val w = checkpointLocation
       .map(TcpLineMicroBatchStream.checkpointedWatermark).getOrElse(0L)
+    // sweep crash-torn segment writes (never listed as segments, but
+    // they'd otherwise accumulate one per crash)
+    try walDir.foreach { dir =>
+      if (walFs.exists(dir))
+        walFs.listStatus(dir).filter(_.getPath.getName.startsWith(".tmp-"))
+          .foreach(st => walFs.delete(st.getPath, false))
+    } catch { case _: Exception => () }
     val walEnd = (try listSegments() catch { case _: Exception => Seq.empty })
       .map(_._2).maxOption.getOrElse(0L)
     if (math.max(w, walEnd) > 0) {
