@@ -564,5 +564,47 @@ object Similarity {
              round(CAST(hits AS DOUBLE) / n_queries, 4) AS recall_at_1
       FROM r ORDER BY method"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45)
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * standard 4× storage/IO cut for large vector stores (per-vector
+    * max-abs scale, q = round(v/scale·127)) — reported as per-label
+    * reconstruction error (RMSE + worst-case) so the compression is a
+    * measured decision, not a guess. All row-local except one tiny
+    * per-vector scale agg and the final per-label agg; both engines
+    * compute the identical round-half-up quantizer (floor(x + 0.5)),
+    * so the report is hash-checked. Zero vectors quantize to zero
+    * (scale 0 guard) rather than NaN.
+    */
+  private val q46 = Q(
+    "q46_embedding_quantization",
+    (s, d) => {
+      import s.implicits._
+      val u = unpacked(s, d)
+      val mx = u.groupBy($"vec_id").agg(max(abs($"v")).as("mx"))
+      val qd = u.join(mx, "vec_id")
+        .withColumn("dq", when($"mx" === 0, 0.0)
+          .otherwise(floor($"v" / $"mx" * 127 + 0.5) * $"mx" / 127))
+      qd.groupBy($"label")
+        .agg(count(lit(1)).as("n_vals"),
+          r6(sqrt(avg(($"v" - $"dq") * ($"v" - $"dq")))).as("rmse"),
+          r6(max(abs($"v" - $"dq"))).as("max_err"))
+        .orderBy($"label")
+    },
+    Some("""
+      WITH u AS (SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS i,
+                   unnest(embedding)::DOUBLE AS v
+                 FROM embeddings),
+      mx AS (SELECT vec_id, max(abs(v)) AS mx FROM u GROUP BY vec_id),
+      qd AS (SELECT u.label, u.v,
+               CASE WHEN mx.mx = 0 THEN 0.0
+                    ELSE floor(u.v / mx.mx * 127 + 0.5) * mx.mx / 127 END AS dq
+             FROM u JOIN mx ON u.vec_id = mx.vec_id)
+      SELECT label, count(*) AS n_vals,
+             round(sqrt(avg((v - dq) * (v - dq))), 6) AS rmse,
+             round(max(abs(v - dq)), 6) AS max_err
+      FROM qd
+      GROUP BY label
+      ORDER BY label"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46)
 }

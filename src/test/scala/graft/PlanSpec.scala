@@ -135,6 +135,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q37: contamination scan is a semi join — existence, never pairs") {
+    val p = planOf("q37_contamination")
+    // a pairing join on gram hashes would explode on hot boilerplate
+    // grams; existence is LeftSemi and needs no DF cap
+    assert(p.contains("LeftSemi"), "q37 lost its semi join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q58: packing prefix-sum is range-partitioned — no global Window") {
+    // a global ORDER BY window would funnel the whole corpus through
+    // one reducer; the two-pass form keeps the sort per-partition
+    val p = planOf("q58_sequence_packing")
+    assert(!p.contains("Window"), "q58 still plans a global window")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "q58 lost its range partitioning")
+  }
+
   test("q55: PII scan is one pass — single scan, two-phase agg, tiny shuffle") {
     val p = planOf("q55_pii_scan")
     // formatted explain prints each node twice (tree + detail): one scan
