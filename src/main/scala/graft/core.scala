@@ -42,6 +42,33 @@ object Tables {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
+
+  /** Exact table row count from Parquet FOOTER metadata — no scan job,
+    * no executor time. Used by the self-sizing operators (adaptive LSH
+    * bits, ⌈√n⌉ IVF cells) whose `n` previously cost a full `count()`
+    * pass over the corpus per query; footers record exact row counts,
+    * so this is byte-equivalent to the oracle's `count(*)`. Driver-side
+    * listing + footer reads — proportional to file count, not data
+    * size. Falls back to a counting scan if the footer read fails
+    * (non-parquet layout, odd filesystem).
+    */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = try {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }.toSeq
+      else Seq(fs.getFileStatus(p))
+    files.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  } catch { case _: Exception => t(spark, dir, name).count() }
 }
 
 /** Shared column helpers, engine-portable by construction: every derived

@@ -361,7 +361,7 @@ object Dedup {
       import s.implicits._
       // codegen'd posexplode→join→agg dot products (see Similarity's
       // rationale); the exploded table is cached for its three readers
-      val n0 = Tables.t(s, d, "embeddings").count()
+      val n0 = Tables.rowCount(s, d, "embeddings")  // footer metadata, no scan
       val u0 = Similarity.unpacked(s, d, Similarity.signBits(n0))
       // q41's skew guard: a sign-degenerate bucket >512 vectors is
       // non-discriminative — drop it whole (broadcast anti-join)

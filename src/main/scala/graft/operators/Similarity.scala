@@ -236,7 +236,7 @@ object Similarity {
     */
   private def lshDF(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
-      val n0 = t(s, d, "embeddings").count()
+      val n0 = Tables.rowCount(s, d, "embeddings")  // footer metadata, no scan
       val bits = signBits(n0)
       val u0 = unpacked(s, d, bits)
       val over = u0.filter($"i" === 0)
@@ -343,7 +343,7 @@ object Similarity {
 
   private def ivfCtx(s: SparkSession, d: String): IvfCtx = {
     import s.implicits._
-    val n0 = t(s, d, "embeddings").count()
+    val n0 = Tables.rowCount(s, d, "embeddings")  // footer metadata, no scan
     val k = math.ceil(math.sqrt(n0.toDouble) - 1e-9).toLong
     val stride = math.max(1L, n0 / k)
     val u = unpacked(s, d)
