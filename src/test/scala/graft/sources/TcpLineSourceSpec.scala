@@ -214,6 +214,43 @@ class TcpLineSourceSpec extends SparkTestBase {
     } finally c.stop()
   }
 
+  test("WAL via the engine: a batch that fails before commit replays with its data") {
+    // The crash window the WAL exists for, driven through the REAL
+    // micro-batch engine: batch 0 is planned (offsets logged), the sink
+    // throws before it commits, the query dies. The restarted query
+    // replays batch 0 from the checkpoint — and must get the DATA, not
+    // an empty range, even though the first incarnation's buffer died
+    // with it (the device sends nothing on the second connection).
+    val srv = new TcpFixtureServer
+    srv.enqueue("crash a\ncrash b\ncrash c\n".getBytes)
+    srv.enqueue(Array.emptyByteArray)  // second connection: nothing
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-walq-").toString
+    def stream() = spark.readStream.format("graft-socket")
+      .option("host", "localhost").option("port", srv.port).load()
+    val q1 = stream().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (df.count() > 0) throw new IllegalStateException("sink crash")
+      }.start()
+    try q1.awaitTermination(60000) catch { case _: Exception => () }
+    assert(q1.exception.isDefined, "first incarnation should have died mid-batch")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q2 = stream().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add(r.getString(0)))
+      }.start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (got.size < 3 && System.currentTimeMillis() < deadline) {
+        q2.processAllAvailable(); Thread.sleep(200)
+      }
+      val msgs = got.toArray(Array.empty[String]).toSeq.sorted
+      assert(msgs == Seq("crash a", "crash b", "crash c"),
+        s"replayed batch lost data: $msgs")
+    } finally { q2.stop(); srv.close() }
+  }
+
   test("maxMessagesPerTrigger splits a burst across micro-batches (X2)") {
     val srv = new TcpFixtureServer
     srv.enqueue(((1 to 10).map(i => s"burst $i\n").mkString.getBytes): Array[Byte])
