@@ -29,36 +29,52 @@ object Bench {
       .mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
 
-    // Each query runs TWICE and reports the min: this VM shows 5-100×
-    // per-run swings from co-tenant CPU steal, and a single burst during
-    // a single-shot run manufactures phantom regressions. min-of-2 needs
-    // the burst to cover BOTH runs to distort the number; both raw times
-    // are kept in "runs" so a steal window is visible in the record.
+    // Locale-pinned float rendering: the f-interpolator uses the JVM
+    // default locale, and a comma-decimal locale would emit invalid JSON
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+
+    // Each query runs TWICE and reports the min SUCCESSFUL time: this VM
+    // shows 5-100× per-run swings from co-tenant CPU steal, and a single
+    // burst during a single-shot run manufactures phantom regressions.
+    // min-of-2 needs the burst to cover BOTH runs to distort the number;
+    // both raw times are kept in "runs" so a steal window is visible in
+    // the record. A failed run's time-to-failure is NOT a sample — a
+    // 0.3 s crash must not be recorded as a 0.3 s query; queries with
+    // any failed run are listed in "errors".
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // per-query .cache()s (dedup/ANN subplans) are scoped to the
         // query; drop them so the second run repeats the full work and
         // later queries aren't squeezed by a growing pool
         spark.catalog.clearCache()
-        dt
+        (dt, ok)
       }
+      val good = runs.collect { case (t, true) => t }
+      // all-failed: report the wall time spent, flagged via "errors"
+      val best = if (good.nonEmpty) good.min else runs.map(_._1).max
       System.err.println(
-        f"[bench] $name%-32s ${times.min}%8.2f s  (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
-      name -> times
+        f"[bench] $name%-32s $best%8.2f s  (runs: ${runs.map { case (t, ok) =>
+          num(t, 2) + (if (ok) "" else "!") }.mkString(", ")})")
+      (name, best, runs)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":${v.min}%.3f""" }
+    val qs = results.map { case (k, best, _) => "\"" + k + "\":" + num(best, 3) }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, v) =>
-      "\"" + k + "\":[" + v.map(t => f"$t%.3f").mkString(",") + "]"
+    val raw = results.map { case (k, _, runs) =>
+      "\"" + k + "\":[" + runs.map(r => num(r._1, 3)).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$raw,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, runs) if runs.exists(!_._2) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"runs":$raw,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,23 +52,31 @@ object Tables {
     * size. Falls back to a counting scan if the footer read fails
     * (non-parquet layout, odd filesystem).
     */
-  def rowCount(spark: SparkSession, dir: String, name: String): Long = try {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter { st =>
-          val n = st.getPath.getName
-          st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-        }.toSeq
-      else Seq(fs.getFileStatus(p))
-    files.map { st =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
-  } catch { case _: Exception => t(spark, dir, name).count() }
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val fromFooters: Option[Long] = try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = p.getFileSystem(conf)
+      // RECURSIVE listing: partitioned layouts nest data files under
+      // key=value subdirectories — a top-level-only listing would see
+      // no files and silently report 0
+      val files = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.LocatedFileStatus]()
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")) files += st
+      }
+      if (files.isEmpty) None  // unrecognized layout — don't report 0
+      else Some(files.iterator.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum)
+    } catch { case _: Exception => None }
+    fromFooters.getOrElse(t(spark, dir, name).count())
+  }
 }
 
 /** Shared column helpers, engine-portable by construction: every derived

@@ -5,6 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -36,6 +37,15 @@ case class KMinValues(
   with UnaryLike[Expression] {
 
   require(k > 0, "k_min_values requires k > 0")
+
+  // analysis-time contract: update() casts the input to Long, so a
+  // non-long child must fail analysis with a clear message, not
+  // executors at runtime with a ClassCastException (ExpectsInputTypes
+  // is unusable here — its AbstractDataType is private[sql])
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"k_min_values requires BIGINT input, got ${child.dataType.catalogString}")
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()

@@ -74,6 +74,8 @@ object Assemble {
       val ex = Dedup.shinglePostings(s, d, n = 8)
         .select($"doc_id", $"nsh", md5Long($"t").as("h"))
         .withColumn("b", splitBucket($"doc_id"))
+        .cache()  // feeds BOTH join sides — uncached, the corpus would
+                  // be scanned + shingled + hashed twice
       val trainGrams = ex.filter($"b" < 80).select($"h").distinct()
       ex.filter($"b" >= 90)
         .join(trainGrams, Seq("h"), "left_semi")
@@ -123,18 +125,15 @@ object Assemble {
     (s, d) => {
       import s.implicits._
       val ctx = 512L
-      val par = s.sparkContext.defaultParallelism
-      val ranged = t(s, d, "documents")
-        .select($"doc_id",
-          when($"text".isNull, 0L)
-            .otherwise(size(expr(Dedup.toksExpr)).cast("long")).as("n"))
-        .as[(Long, Long)]
-        .repartitionByRange(par, $"doc_id")
-        .sortWithinPartitions($"doc_id")
-        .cache()
+      val ranged = TwoPass.rangedPinned(
+        t(s, d, "documents")
+          .select($"doc_id",
+            when($"text".isNull, 0L)
+              .otherwise(size(expr(Dedup.toksExpr)).cast("long")).as("n"))
+          .as[(Long, Long)],
+        $"doc_id")
       // pass 1: per-partition token totals — P scalars to the driver
-      val sums = ranged.mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+      val sums = TwoPass.withPid(ranged) { (pid, it) =>
         var tot = 0L
         it.foreach { case (_, n) => tot += n }
         Iterator.single((pid, tot))
@@ -145,8 +144,7 @@ object Assemble {
       val bOff = s.sparkContext.broadcast(offsets)
       // pass 2: a doc's start offset = partition offset + tokens before
       // it locally; its bin is start / ctx
-      val binned = ranged.mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+      val binned = TwoPass.withPid(ranged) { (pid, it) =>
         var run = bOff.value.getOrElse(pid, 0L)
         it.map { case (id, n) =>
           val start = run

@@ -68,31 +68,22 @@ object Stats {
     (s, d) => {
       import s.implicits._
       def pctls(valCol: String, ps: Seq[(String, Double)]) = {
-        val par = s.sparkContext.defaultParallelism
-        val ranged = t(s, d, "lineitem")
-          .select($"l_returnflag".as("g"), col(valCol).cast("double").as("v"))
-          .as[(String, Double)]
-          .repartitionByRange(par, $"g", $"v")
-          .sortWithinPartitions($"g", $"v")
-          // cache pins ONE materialized partitioning for both passes:
-          // RangePartitioner samples with an RDD-id-derived seed, so two
-          // independent executions would draw DIFFERENT boundaries and
-          // pass-1 offsets would misalign with pass-2 partitions. (Spill
-          // cost is the same class as the shuffle that feeds it; evicted
-          // blocks recompute from the one pinned lineage, same seed.)
-          .cache()
+        val ranged = TwoPass.rangedPinned(
+          t(s, d, "lineitem")
+            .select($"l_returnflag".as("g"), col(valCol).cast("double").as("v"))
+            .as[(String, Double)],
+          $"g", $"v")
         // pass 1: per-(range-partition, group) counts — P×|groups|
         // scalars to the driver, the only data that leaves the executors
-        val counts = ranged.mapPartitions { it =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
+        val counts = TwoPass.withPid(ranged) { (pid, it) =>
           val m = scala.collection.mutable.LinkedHashMap[String, Long]()
           it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1L) }
           m.iterator.map { case (g, c) => (pid, g, c) }
         }.collect()
         val totals: Map[String, Long] =
           counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
-        // range partition ids are ordered by (g, v): a partition's offset
-        // for g = rows of g in lower-numbered partitions
+        // a partition's offset for g = rows of g in lower-numbered
+        // (= range-ordered earlier) partitions
         val offsets: Map[(Int, String), Long] =
           counts.map { case (pid, g, _) =>
             (pid, g) -> counts.iterator
@@ -101,8 +92,7 @@ object Stats {
         val bOff = s.sparkContext.broadcast(offsets)
         val bTot = s.sparkContext.broadcast(totals)
         // pass 2: global rank = partition offset + local (sorted) index
-        val ranked = ranged.mapPartitions { it =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
+        val ranked = TwoPass.withPid(ranged) { (pid, it) =>
           val local = scala.collection.mutable.HashMap[String, Long]()
           it.map { case (g, v) =>
             val rn = local.getOrElse(g, 0L) + 1L

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, Dataset, Encoder}
+
+/** The range-partitioned two-pass prefix pattern shared by q22 (exact
+  * percentile ranks) and q58 (sequence-packing prefix sums): rows are
+  * range-partitioned on the ordering key so every partition owns a
+  * contiguous slice, pass 1 collects per-partition summaries (a handful
+  * of scalars to the driver), and pass 2 applies broadcast global
+  * offsets to local running values — the scale-safe replacement for a
+  * global/per-hot-group `ORDER BY` window, whose sort funnels through
+  * one reducer.
+  */
+private[operators] object TwoPass {
+
+  /** Range-partition on `cols`, sort within partitions, and PIN the
+    * partitioning with cache(): RangePartitioner samples with an
+    * RDD-id-derived seed, so two independent executions of the same
+    * plan draw DIFFERENT boundaries and pass-1 offsets would misalign
+    * with pass-2 partitions. Evicted blocks recompute from the one
+    * pinned lineage (same seed), so eviction is safe; spill cost is the
+    * same class as the shuffle that feeds it.
+    */
+  def rangedPinned[T](ds: Dataset[T], cols: Column*): Dataset[T] = {
+    val par = ds.sparkSession.sparkContext.defaultParallelism
+    ds.repartitionByRange(par, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .cache()
+  }
+
+  /** mapPartitions with the partition id in scope — pass-1 summaries
+    * are keyed by it, pass-2 looks its offset up with it. Range
+    * partition ids are ordered by the partitioning key, so "rows in
+    * lower-numbered partitions" is exactly "rows ordered before mine".
+    */
+  def withPid[T, S: Encoder](ds: Dataset[T])(
+      f: (Int, Iterator[T]) => Iterator[S]): Dataset[S] =
+    ds.mapPartitions(it => f(TaskContext.getPartitionId(), it))
+}

@@ -57,23 +57,32 @@ object Runner {
     * render as null rather than failing the heartbeat.
     */
   def hostMetrics(diskPath: String = "/"): String = {
+    // Locale.ROOT: the f-interpolator uses the JVM default locale and a
+    // comma-decimal locale would render invalid JSON
     def pct(used: Double, total: Double): String =
-      if (total > 0) f"${used / total * 100}%.1f" else "null"
+      if (total > 0)
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(used / total * 100))
+      else "null"
+    // Source.fromFile holds a file descriptor until closed — this runs
+    // once per progress event per query, so a leak here exhausts the
+    // driver's FD table over a long run
+    def readFile(path: String): String = {
+      val src = scala.io.Source.fromFile(path)
+      try src.mkString finally src.close()
+    }
     val disk = try {
       val f = new java.io.File(diskPath)
       pct((f.getTotalSpace - f.getUsableSpace).toDouble, f.getTotalSpace.toDouble)
     } catch { case _: Exception => "null" }
     val ram = try {
-      val kv = scala.io.Source.fromFile("/proc/meminfo").getLines()
+      val kv = readFile("/proc/meminfo").linesIterator
         .map(_.split(":\\s+")).collect {
           case Array(k, v) => k -> v.trim.split("\\s+")(0).toLong
         }.toMap
       pct((kv("MemTotal") - kv("MemAvailable")).toDouble, kv("MemTotal").toDouble)
     } catch { case _: Exception => "null" }
     val load1 = try {
-      val l = scala.io.Source.fromFile("/proc/loadavg").getLines().next()
-        .split("\\s+")(0).toDouble
-      l.toString
+      readFile("/proc/loadavg").trim.split("\\s+")(0).toDouble.toString
     } catch { case _: Exception => "null" }
     s"""{"disk_used_pct":$disk,"ram_used_pct":$ram,"load1":$load1}"""
   }
