@@ -176,5 +176,42 @@ object Assemble {
       GROUP BY bin
       ORDER BY bin"""))
 
-  val all: Seq[Q] = Seq(q37, q57, q58)
+  /** Per-source quota sampling — the "cap documents per domain" step of
+    * corpus assembly: keep a deterministic sample of at most 20 docs per
+    * source, chosen by smallest doc-id hash (stable under re-runs and
+    * insertions, like q57's split). The selection reuses
+    * [[graft.functions.KMinValues]]: 20 longs of state per source,
+    * map-side partials, then a semi join brings back the winning rows —
+    * no per-source window sort, so a source with 10⁹ docs at 100 TB
+    * costs the same aggregate state as one with 10³. (Hash ties across
+    * docs within a source are a ~2⁻⁶⁰ md5 collision — the same
+    * distinctness assumption the LSH tiers rest on.)
+    */
+  private val q59 = Q(
+    "q59_source_quota_sample",
+    (s, d) => {
+      import s.implicits._
+      val quota = 20
+      val withH = t(s, d, "documents")
+        .select($"doc_id", $"source",
+          md5Long($"doc_id".cast("string")).as("h"))
+      val kept = withH.groupBy($"source")
+        .agg(graft.functions.KMinValues.kMinValues($"h", quota).as("mins"))
+        .select($"source", explode($"mins").as("h"))
+      withH.join(kept, Seq("source", "h"), "left_semi")
+        .select($"source", $"doc_id")
+        .orderBy($"source", $"doc_id")
+    },
+    Some(s"""
+      WITH h AS (SELECT doc_id, source,
+                   ${md5LongSql("CAST(doc_id AS VARCHAR)")} AS h
+                 FROM documents),
+      r AS (SELECT source, doc_id,
+              row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+            FROM h)
+      SELECT source, doc_id
+      FROM r WHERE rn <= 20
+      ORDER BY source, doc_id"""))
+
+  val all: Seq[Q] = Seq(q37, q57, q58, q59)
 }
