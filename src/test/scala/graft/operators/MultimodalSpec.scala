@@ -34,4 +34,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.byte_len == 7L)
     assert(a.content_hash.matches("[0-9a-f]{32}"))
   }
+
+  test("decodePpm: real parser reads dimensions from handcrafted P6 bytes") {
+    import Multimodal.{MediaRecord, RealDecoders}
+    val header = "P6\n# a comment\n5 3\n255\n".getBytes("US-ASCII")
+    val raster = Array.fill(5 * 3 * 3)(0x7f.toByte)
+    val m = RealDecoders.decodePpm(MediaRecord(1L, header ++ raster)).get
+    assert(m.width == 5 && m.height == 3 && m.n_frames == 1)
+    assert(m.byte_len == (header.length + raster.length).toLong)
+    // truncated raster or wrong magic is rejected, not misread
+    assert(RealDecoders.decodePpm(MediaRecord(2L, header ++ raster.take(10))).isEmpty)
+    assert(RealDecoders.decodePpm(MediaRecord(3L, "P5 junk".getBytes)).isEmpty)
+  }
+
+  test("decodeWav: real parser reads channels/rate/frames from RIFF bytes") {
+    import Multimodal.{MediaRecord, RealDecoders}
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val dataBytes = Array.fill(400)(1.toByte)  // 100 frames @ 2ch 16-bit
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(44100) ++ le32(44100 * 4) ++ le16(4) ++ le16(16)
+    val data = "data".getBytes ++ le32(dataBytes.length) ++ dataBytes
+    val riff = "RIFF".getBytes ++ le32(4 + fmt.length + data.length) ++
+      "WAVE".getBytes ++ fmt ++ data
+    val m = RealDecoders.decodeWav(MediaRecord(1L, riff)).get
+    assert(m.width == 2 && m.height == 44100 && m.n_frames == 100)
+    assert(RealDecoders.decodeWav(MediaRecord(2L, "RIFFjunk".getBytes)).isEmpty)
+  }
+
+  test("decode dispatch: sniffs real formats, falls back to the stub") {
+    import Multimodal.{MediaRecord, RealDecoders}
+    val ppm = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array.fill(3)(0.toByte)
+    assert(RealDecoders.decode(MediaRecord(1L, ppm)).width == 1)
+    val junk = MediaRecord(2L, "not media at all".getBytes)
+    assert(RealDecoders.decode(junk) == Multimodal.decodeStub(junk))
+  }
 }
