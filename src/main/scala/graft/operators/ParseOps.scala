@@ -77,11 +77,31 @@ object ParseOps {
     "q71_count_window_pack",
     (s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
-      t(s, d, "events")
-        .withColumn("rn", row_number().over(w))
-        .withColumn("win_id", expr("CAST((rn - 1) div 10 AS BIGINT)"))
-        .groupBy($"event_type", $"win_id")
+      // Per-type sequential rank via the range-partitioned two-pass
+      // pattern (TwoPass, as q22/q58): event_type has a HANDFUL of hot
+      // values, so the previous `Window.partitionBy(event_type)
+      // .orderBy(ts, event_id)` sorted each type's full history in ONE
+      // task — the same class of plan the round-2 verdict flagged on
+      // q22/q29. Ordering on event-time micros (not the truncated
+      // second cast), event_id tiebreak — identical total order to the
+      // window form and the oracle.
+      val ranged = TwoPass.rangedPinned(
+        t(s, d, "events")
+          .select($"event_type", unix_micros($"ts").as("tsm"),
+            $"event_id", $"value")
+          .as[(String, Long, Long, Double)],
+        $"event_type", $"tsm", $"event_id")
+      val (offsets, _) = TwoPass.groupOffsets(ranged)(_._1)
+      val bOff = s.sparkContext.broadcast(offsets)
+      val binned = TwoPass.withPid(ranged) { (pid, it) =>
+        val local = scala.collection.mutable.HashMap[String, Long]()
+        it.map { case (g, _, id, v) =>
+          val rn = local.getOrElse(g, 0L) + 1L
+          local.update(g, rn)
+          (g, id, v, (bOff.value.getOrElse((pid, g), 0L) + rn - 1L) / 10L)
+        }
+      }.toDF("event_type", "event_id", "value", "win_id")
+      binned.groupBy($"event_type", $"win_id")
         .agg(
           count(lit(1)).as("n"),
           min($"event_id").as("first_id"),

@@ -187,9 +187,32 @@ object Relational {
       val rev = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .groupBy($"p_brand", $"p_partkey")
         .agg(r2(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"))
+      // Per-partition top-3 prune BEFORE the per-brand window: 25 brands
+      // are hot keys, so ranking the full (brand, part) aggregate in a
+      // 25-partition window funnels each brand's whole catalog through
+      // one reducer as the catalog grows. The global top-3 of a brand is
+      // contained in the union of per-partition top-3s (deterministic
+      // (revenue desc, partkey) order), so the window then ranks at most
+      // 3·P tiny rows per brand — same exact result, no hot-key sort.
+      val pruned = rev.as[(String, Long, Double)]
+        .mapPartitions { it =>
+          val best = scala.collection.mutable.HashMap[
+            String, scala.collection.mutable.ArrayBuffer[(String, Long, Double)]]()
+          it.foreach { r =>
+            val buf = best.getOrElseUpdate(r._1,
+              scala.collection.mutable.ArrayBuffer[(String, Long, Double)]())
+            buf += r
+            if (buf.length > 16) {
+              val keep = buf.sortBy(x => (-x._3, x._2)).take(3)
+              buf.clear(); buf ++= keep
+            }
+          }
+          best.valuesIterator.flatMap(_.sortBy(x => (-x._3, x._2)).take(3))
+        }
+        .toDF("p_brand", "p_partkey", "revenue")
       val w = Window.partitionBy($"p_brand")
         .orderBy($"revenue".desc, $"p_partkey".asc)
-      rev.withColumn("rk", row_number().over(w).cast("long"))
+      pruned.withColumn("rk", row_number().over(w).cast("long"))
         .filter($"rk" <= 3)
         .select($"p_brand", $"p_partkey", $"revenue", $"rk")
         .orderBy($"p_brand", $"rk")

@@ -73,22 +73,7 @@ object Stats {
             .select($"l_returnflag".as("g"), col(valCol).cast("double").as("v"))
             .as[(String, Double)],
           $"g", $"v")
-        // pass 1: per-(range-partition, group) counts — P×|groups|
-        // scalars to the driver, the only data that leaves the executors
-        val counts = TwoPass.withPid(ranged) { (pid, it) =>
-          val m = scala.collection.mutable.LinkedHashMap[String, Long]()
-          it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1L) }
-          m.iterator.map { case (g, c) => (pid, g, c) }
-        }.collect()
-        val totals: Map[String, Long] =
-          counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
-        // a partition's offset for g = rows of g in lower-numbered
-        // (= range-ordered earlier) partitions
-        val offsets: Map[(Int, String), Long] =
-          counts.map { case (pid, g, _) =>
-            (pid, g) -> counts.iterator
-              .filter(c => c._2 == g && c._1 < pid).map(_._3).sum
-          }.toMap
+        val (offsets, totals) = TwoPass.groupOffsets(ranged)(_._1)
         val bOff = s.sparkContext.broadcast(offsets)
         val bTot = s.sparkContext.broadcast(totals)
         // pass 2: global rank = partition offset + local (sorted) index

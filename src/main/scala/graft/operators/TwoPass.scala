@@ -37,4 +37,26 @@ private[operators] object TwoPass {
   def withPid[T, S: Encoder](ds: Dataset[T])(
       f: (Int, Iterator[T]) => Iterator[S]): Dataset[S] =
     ds.mapPartitions(it => f(TaskContext.getPartitionId(), it))
+
+  /** Pass 1 for grouped ranks (q22, q71): per-(partition, group) row
+    * counts — P×|groups| scalars to the driver, the only data that
+    * leaves the executors — folded into each partition's global rank
+    * offset per group plus each group's total.
+    */
+  def groupOffsets[T, K](ranged: Dataset[T])(key: T => K)(
+      implicit enc: Encoder[(Int, K, Long)]): (Map[(Int, K), Long], Map[K, Long]) = {
+    val counts = withPid(ranged) { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap[K, Long]()
+      it.foreach { t => val k = key(t); m.update(k, m.getOrElse(k, 0L) + 1L) }
+      m.iterator.map { case (k, c) => (pid, k, c) }
+    }.collect()
+    val totals: Map[K, Long] =
+      counts.groupBy(_._2).map { case (k, cs) => k -> cs.map(_._3).sum }
+    val offsets: Map[(Int, K), Long] =
+      counts.map { case (pid, k, _) =>
+        (pid, k) -> counts.iterator
+          .filter(c => c._2 == k && c._1 < pid).map(_._3).sum
+      }.toMap
+    (offsets, totals)
+  }
 }

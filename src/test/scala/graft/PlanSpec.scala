@@ -135,6 +135,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q71: per-type sequential rank is range-partitioned — no hot-key Window") {
+    // event_type has a handful of hot values; the window form sorted
+    // each type's full history in one task
+    val p = planOf("q71_count_window_pack")
+    assert(!p.contains("Window"), "q71 still plans a hot-key Window sort")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "q71 lost its range partitioning")
+  }
+
   test("q37: contamination scan is a semi join — existence, never pairs") {
     val p = planOf("q37_contamination")
     // a pairing join on gram hashes would explode on hot boilerplate
