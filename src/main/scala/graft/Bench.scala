@@ -62,7 +62,7 @@ object Bench {
       // all-failed: report the wall time spent, flagged via "errors"
       val best = if (good.nonEmpty) good.min else runs.map(_._1).max
       System.err.println(
-        f"[bench] $name%-32s $best%8.2f s  (runs: ${runs.map { case (t, ok) =>
+        s"[bench] ${name.padTo(32, ' ')} ${num(best, 2)} s  (runs: ${runs.map { case (t, ok) =>
           num(t, 2) + (if (ok) "" else "!") }.mkString(", ")})")
       (name, best, runs)
     }

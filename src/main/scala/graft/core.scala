@@ -60,13 +60,19 @@ object Tables {
       // RECURSIVE listing: partitioned layouts nest data files under
       // key=value subdirectories — a top-level-only listing would see
       // no files and silently report 0
+      val rootUri = p.toUri.getPath
       val files = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.LocatedFileStatus]()
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val st = it.next()
         val n = st.getPath.getName
-        if (st.isFile && n.endsWith(".parquet") &&
-          !n.startsWith("_") && !n.startsWith(".")) files += st
+        // EVERY path component under the root must be visible: recursion
+        // descends into _temporary/.staging dirs left by crashed writes,
+        // whose part files have innocent leaf names and would be
+        // double-counted on the leaf-name check alone
+        val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
+        val hidden = rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
+        if (st.isFile && n.endsWith(".parquet") && !hidden) files += st
       }
       if (files.isEmpty) None  // unrecognized layout — don't report 0
       else Some(files.iterator.map { st =>

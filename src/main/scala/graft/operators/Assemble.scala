@@ -195,10 +195,17 @@ object Assemble {
       val withH = t(s, d, "documents")
         .select($"doc_id", $"source",
           md5Long($"doc_id".cast("string")).as("h"))
+        .cache()  // feeds BOTH the aggregate and the semi-join probe —
+                  // uncached, the corpus would be scanned + hashed twice
       val kept = withH.groupBy($"source")
         .agg(graft.functions.KMinValues.kMinValues($"h", quota).as("mins"))
-        .select($"source", explode($"mins").as("h"))
-      withH.join(kept, Seq("source", "h"), "left_semi")
+        .select($"source".as("k_source"), explode($"mins").as("k_h"))
+      // <=> on source: a NULL source is a legitimate quota group (the
+      // oracle's PARTITION BY groups NULLs together) — a null-unsafe
+      // equi join would silently drop every NULL-source doc
+      withH.join(kept,
+          withH("source") <=> kept("k_source") && withH("h") === kept("k_h"),
+          "left_semi")
         .select($"source", $"doc_id")
         .orderBy($"source", $"doc_id")
     },

@@ -68,11 +68,17 @@ object Multimodal {
         skipWs()
         val st = i
         while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
-        if (i == st) None else Some(new String(b, st, i - st).toLong)
+        // >18 digits would throw in toLong — malformed header, not a crash
+        if (i == st || i - st > 18) None
+        else Some(new String(b, st, i - st).toLong)
       }
       for {
         w <- int(); h <- int(); maxv <- int()
-        if maxv > 0 && maxv < 65536 && w > 0 && h > 0
+        // dimension sanity bound (2^20): also keeps w*h*3*bps inside a
+        // Long, so the raster-length guard below can't overflow negative
+        // and accept a tiny blob as a billion-pixel image
+        if maxv > 0 && maxv < 65536 && w > 0 && h > 0 &&
+          w <= (1L << 20) && h <= (1L << 20)
         // exactly one whitespace byte before the raster
         if i < b.length && b(i).toChar.isWhitespace
         bytesPerSample = if (maxv < 256) 1 else 2
@@ -98,15 +104,25 @@ object Multimodal {
       // walk chunks: fmt then data (other chunks may intervene)
       var i = 12
       var channels = 0L; var rate = 0L; var blockAlign = 0L; var dataLen = -1L
-      while (i + 8 <= b.length && (dataLen < 0 || channels == 0)) {
+      var malformed = false
+      while (!malformed && i + 8 <= b.length && (dataLen < 0 || channels == 0)) {
         val size = u32(i + 4)
-        if (ascii(i, "fmt ") && i + 8 + 16 <= b.length) {
-          channels = u16(i + 10).toLong
-          rate = u32(i + 12)
-          blockAlign = u16(i + 20).toLong
-        } else if (ascii(i, "data")) dataLen = size
-        i += 8 + size.toInt + (size.toInt & 1)  // chunks are word-aligned
+        // a declared chunk must FIT in the blob: rejects truncated files
+        // (a 4 GB data chunk on a 100-byte blob would over-report
+        // n_frames by 10^9), and closes the unsigned-wrap hole where
+        // size.toInt goes negative and the walk stops advancing
+        // (infinite loop) or indexes negatively (crash)
+        if (size < 0 || i + 8 + size > b.length) malformed = true
+        else {
+          if (ascii(i, "fmt ") && i + 8 + 16 <= b.length) {
+            channels = u16(i + 10).toLong
+            rate = u32(i + 12)
+            blockAlign = u16(i + 20).toLong
+          } else if (ascii(i, "data")) dataLen = size
+          i += 8 + size.toInt + (size.toInt & 1)  // chunks are word-aligned
+        }
       }
+      if (malformed) return None
       if (channels <= 0 || blockAlign <= 0 || dataLen < 0) None
       else {
         val md = java.security.MessageDigest.getInstance("MD5")

@@ -85,11 +85,15 @@ object ParseOps {
       // q22/q29. Ordering on event-time micros (not the truncated
       // second cast), event_id tiebreak — identical total order to the
       // window form and the oracle.
+      // Option-encoded nullable fields: the parquet schema marks ts /
+      // value optional, and a typed (Long, Double) view would crash on a
+      // NULL where the window form it replaced tolerated them (nulls
+      // rank first, sum skips them — preserved here)
       val ranged = TwoPass.rangedPinned(
         t(s, d, "events")
           .select($"event_type", unix_micros($"ts").as("tsm"),
             $"event_id", $"value")
-          .as[(String, Long, Long, Double)],
+          .as[(String, Option[Long], Option[Long], Option[Double])],
         $"event_type", $"tsm", $"event_id")
       val (offsets, _) = TwoPass.groupOffsets(ranged)(_._1)
       val bOff = s.sparkContext.broadcast(offsets)

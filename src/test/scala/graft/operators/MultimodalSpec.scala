@@ -70,4 +70,32 @@ class MultimodalSpec extends AnyFunSuite {
     val junk = MediaRecord(2L, "not media at all".getBytes)
     assert(RealDecoders.decode(junk) == Multimodal.decodeStub(junk))
   }
+
+  test("RealDecoders reject hostile/truncated inputs — no hangs, no throws") {
+    import Multimodal.{MediaRecord, RealDecoders}
+    // WAV with an unsigned chunk size that wraps negative in Int: the
+    // chunk walk must return None, not stop advancing (infinite loop)
+    val wrap = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ Array(0xF8, 0xFF, 0xFF, 0xFF).map(_.toByte)
+    assert(RealDecoders.decodeWav(MediaRecord(1L, wrap)).isEmpty)
+    // WAV declaring a data chunk far larger than the blob: truncation
+    // must reject, not over-report a billion frames
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val trunc = "RIFF".getBytes ++ le32(1000) ++ "WAVE".getBytes ++
+      "data".getBytes ++ le32(1 << 30) ++ Array.fill(10)(0.toByte)
+    assert(RealDecoders.decodeWav(MediaRecord(2L, trunc)).isEmpty)
+    // PPM with a digit run longer than a Long: None, not
+    // NumberFormatException escaping the Option contract
+    assert(RealDecoders.decodePpm(
+      MediaRecord(3L, "P6 99999999999999999999 1 255 ".getBytes)).isEmpty)
+    // PPM whose dims overflow the raster-length product
+    assert(RealDecoders.decodePpm(
+      MediaRecord(4L, "P6 9000000 9000000 255 ".getBytes)).isEmpty)
+    // and the dispatch still lands on the stub for every rejected blob
+    for ((b, id) <- Seq(wrap -> 5L, trunc -> 6L)) {
+      val rec = MediaRecord(id, b)
+      assert(RealDecoders.decode(rec) == Multimodal.decodeStub(rec))
+    }
+  }
 }
