@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The engine's custom expressions as SQL-callable functions, so a pure
+  * `spark.sql(...)` user reaches them without the Scala API:
+  *
+  *  - `regex_extract_named(value, pattern)` — the reference's core
+  *    single-pass named-group projection (P1).
+  *  - `k_min_values(col, k)` — the bounded k-min aggregate behind the
+  *    KMV sketch (q29) and quota sampling (q59).
+  *
+  * Two registration paths, same builders: [[register]] for a live
+  * session, [[graft.GraftExtensions]] for
+  * `--conf spark.sql.extensions=graft.GraftExtensions` deployments.
+  */
+object GraftFunctions {
+
+  private def fail(fn: String, usage: String): Nothing =
+    throw new IllegalArgumentException(s"$fn expects $usage")
+
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("regex_extract_named"),
+      new ExpressionInfo(classOf[RegexExtractNamed].getName, "regex_extract_named"),
+      { case Seq(child, Literal(p: UTF8String, StringType)) =>
+          RegexExtractNamed(child, p.toString)
+        case _ =>
+          fail("regex_extract_named", "(value, pattern STRING LITERAL)")
+      }: Seq[Expression] => Expression),
+    (FunctionIdentifier("k_min_values"),
+      new ExpressionInfo(classOf[KMinValues].getName, "k_min_values"),
+      { case Seq(child, Literal(k: Int, IntegerType)) =>
+          KMinValues(child, k)
+        case _ =>
+          fail("k_min_values", "(col BIGINT, k INT LITERAL)")
+      }: Seq[Expression] => Expression))
+
+  /** Register everything on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, info, builder) =>
+      GraftShims.registerFunction(spark, id.funcName, info, builder)
+    }
+}

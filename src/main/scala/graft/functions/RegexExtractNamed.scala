@@ -100,9 +100,14 @@ object RegexExtractNamed {
 
   /** Rename duplicate named groups (`(?<u>…)|(?<u>…)` →
     * `(?<u>…)|(?<uDup1>…)`) so Java accepts the pattern, remembering the
-    * alias sets for first-non-null coalescing.
+    * alias sets for first-non-null coalescing. Accepts BOTH group
+    * dialects — Python `(?P<name>…)` (the reference's configs, and what
+    * a migrating user pastes into SQL) and Java `(?<name>…)` — by
+    * translating the former up front (`(?P<` is not valid Java regex,
+    * so the rewrite can't collide with other syntax).
     */
-  def normalize(pattern: String): NormalizedPattern = {
+  def normalize(pattern0: String): NormalizedPattern = {
+    val pattern = pattern0.replace("(?P<", "(?<")
     val all = GroupName.findAllMatchIn(pattern).map(_.group(1)).toSeq
     val seen = scala.collection.mutable.Map[String, Int]()
     val aliases = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
