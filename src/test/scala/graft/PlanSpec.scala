@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan assertions: the scale properties the engine claims
   * (predicate pushdown, column pruning, broadcast joins, whole-stage
@@ -159,6 +160,42 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), "q58 still plans a global window")
     assert(p.toLowerCase.contains("rangepartitioning"),
       "q58 lost its range partitioning")
+  }
+
+  test("bucketed co-located fact-fact join: zero Exchange on either side") {
+    // The 100 TB pattern for recurring fact-fact joins: both tables
+    // bucketed on the join key at write time -> the sort-merge join
+    // reads co-located buckets and the plan has NO shuffle at all.
+    // (Broadcast is disabled to force the SMJ path; at real scale
+    // neither side would broadcast anyway.)
+    val loc = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS bkt LOCATION '$loc'")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Tables.t(spark, sf, "orders")
+        .write.mode("overwrite").bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("bkt.orders_b")
+      Tables.t(spark, sf, "lineitem")
+        .write.mode("overwrite").bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("bkt.lineitem_b")
+      val joined = spark.table("bkt.lineitem_b")
+        .join(spark.table("bkt.orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("SortMergeJoin"), "expected a sort-merge join")
+      assert(!p.contains("Exchange"),
+        "bucketed join still shuffles — co-location lost")
+      // and it computes the right thing
+      assert(joined.count() ==
+        Tables.t(spark, sf, "lineitem").join(Tables.t(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+    }
   }
 
   test("q55: PII scan is one pass — single scan, two-phase agg, tiny shuffle") {
