@@ -78,10 +78,12 @@ object DeviceConfig {
 
   /** Python named group syntax → Java. The reference compiles
     * `(?P<name>…)` byte-regexes (readport.py:552); configs stay
-    * compatible verbatim.
+    * compatible verbatim. ONE translation rule for the whole engine —
+    * delegates to the expression's own dialect handling so the config
+    * path and the SQL/Scala surfaces cannot drift.
     */
   def toJavaRegex(pyRegex: String): String =
-    pyRegex.replace("(?P<", "(?<")
+    graft.functions.RegexExtractNamed.toJavaDialect(pyRegex)
 
   /** All validations of the reference's validate_regex + Group.validate
     * (readport.py:587-620, 211-230), as load-time errors:

@@ -9,8 +9,9 @@ import org.apache.spark.unsafe.types.UTF8String
 /** The engine's custom expressions as SQL-callable functions, so a pure
   * `spark.sql(...)` user reaches them without the Scala API:
   *
-  *  - `regex_extract_named(value, pattern)` — the reference's core
-  *    single-pass named-group projection (P1).
+  *  - `regexp_extract_named(value, pattern)` — the reference's core
+  *    single-pass named-group projection (P1), same name as the Scala
+  *    API (and Spark's regexp_extract convention).
   *  - `k_min_values(col, k)` — the bounded k-min aggregate behind the
   *    KMV sketch (q29) and quota sampling (q59).
   *
@@ -24,12 +25,17 @@ object GraftFunctions {
     throw new IllegalArgumentException(s"$fn expects $usage")
 
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    (FunctionIdentifier("regex_extract_named"),
-      new ExpressionInfo(classOf[RegexExtractNamed].getName, "regex_extract_named"),
+    (FunctionIdentifier("regexp_extract_named"),
+      new ExpressionInfo(classOf[RegexExtractNamed].getName, "regexp_extract_named"),
       { case Seq(child, Literal(p: UTF8String, StringType)) =>
+          // analysis-time validation: a bad pattern must not pass
+          // analysis only to kill every executor task at the lazy
+          // compile, and a group-less pattern must not return a
+          // silently empty struct
+          RegexExtractNamed.validatePattern(p.toString)
           RegexExtractNamed(child, p.toString)
         case _ =>
-          fail("regex_extract_named", "(value, pattern STRING LITERAL)")
+          fail("regexp_extract_named", "(value, pattern STRING LITERAL)")
       }: Seq[Expression] => Expression),
     (FunctionIdentifier("k_min_values"),
       new ExpressionInfo(classOf[KMinValues].getName, "k_min_values"),

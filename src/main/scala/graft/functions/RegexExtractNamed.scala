@@ -90,7 +90,20 @@ object RegexExtractNamed {
     */
   val Sentinel = "///"
 
-  private val GroupName = "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r
+  // group-open construct with a PYTHON-legal name (underscores allowed;
+  // Java-illegal names get sanitized physical aliases in normalize)
+  private val GroupName = "\\(\\?<([a-zA-Z_][a-zA-Z0-9_]*)>".r
+  private val PyGroup = "\\(\\?P<([a-zA-Z_][a-zA-Z0-9_]*)>".r
+
+  /** Python → Java group-open translation, `(?P<name>` → `(?<name>` —
+    * applied ONLY to a complete group-open construct (the `>` after a
+    * legal name is required), so `[(?P<]` character classes and
+    * `\(?P<v=` literal fragments pass through untouched. Shared by
+    * [[normalize]] and the config compiler.
+    */
+  def toJavaDialect(pattern: String): String =
+    PyGroup.replaceAllIn(pattern,
+      m => scala.util.matching.Regex.quoteReplacement(s"(?<${m.group(1)}>"))
 
   /** A Java-compilable pattern plus, per logical variable, the (possibly
     * renamed) physical group aliases that can fill it.
@@ -98,38 +111,56 @@ object RegexExtractNamed {
   final case class NormalizedPattern(
       javaPattern: String, groups: Seq[(String, Seq[String])])
 
-  /** Rename duplicate named groups (`(?<u>…)|(?<u>…)` →
-    * `(?<u>…)|(?<uDup1>…)`) so Java accepts the pattern, remembering the
-    * alias sets for first-non-null coalescing. Accepts BOTH group
-    * dialects — Python `(?P<name>…)` (the reference's configs, and what
-    * a migrating user pastes into SQL) and Java `(?<name>…)` — by
-    * translating the former up front (`(?P<` is not valid Java regex,
-    * so the rewrite can't collide with other syntax).
+  /** Make the pattern Java-compilable while keeping the LOGICAL schema
+    * the user wrote:
+    *  - Python `(?P<name>…)` group-opens translate to Java syntax
+    *    ([[toJavaDialect]]);
+    *  - names Java rejects (underscores — ubiquitous in migrated
+    *    Python patterns) get sanitized PHYSICAL aliases, but the schema
+    *    field keeps the original name;
+    *  - duplicate names across alternation dialects are renamed
+    *    (`(?<u>…)|(?<u>…)` → `(?<u>…)|(?<uDup1>…)`) with the alias sets
+    *    remembered for first-non-null coalescing at eval.
     */
   def normalize(pattern0: String): NormalizedPattern = {
-    val pattern = pattern0.replace("(?P<", "(?<")
-    val all = GroupName.findAllMatchIn(pattern).map(_.group(1)).toSeq
+    val pattern = toJavaDialect(pattern0)
     val seen = scala.collection.mutable.Map[String, Int]()
+    val used = scala.collection.mutable.Set[String]()
     val aliases = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
     val sb = new StringBuilder
     var last = 0
     for (m <- GroupName.findAllMatchIn(pattern)) {
       val name = m.group(1)
+      // Java group names must be [a-zA-Z][a-zA-Z0-9]*
+      val base = {
+        val s = name.filter(_.isLetterOrDigit)
+        if (s.nonEmpty && s.head.isLetter) s else "g" + s
+      }
       val n = seen.getOrElse(name, 0)
-      val alias =
-        if (n == 0) name
-        else {
-          var cand = s"${name}Dup$n"
-          while (all.contains(cand)) cand = cand + "x"
-          cand
-        }
+      var cand = if (n == 0) base else s"${base}Dup$n"
+      while (used.contains(cand)) cand = cand + "x"
+      used += cand
       seen(name) = n + 1
-      aliases(name) = aliases.getOrElse(name, Vector.empty) :+ alias
-      sb.append(pattern.substring(last, m.start)).append(s"(?<$alias>")
+      aliases(name) = aliases.getOrElse(name, Vector.empty) :+ cand
+      sb.append(pattern.substring(last, m.start)).append(s"(?<$cand>")
       last = m.end
     }
     sb.append(pattern.substring(last))
     NormalizedPattern(sb.toString, aliases.toSeq)
+  }
+
+  /** Build-time validation for surfaces that construct the expression
+    * from user input (the SQL registry): a malformed pattern or one
+    * with no named groups must fail ANALYSIS with a clear message, not
+    * every executor task at runtime (the lazy compile) or a silently
+    * empty struct.
+    */
+  def validatePattern(pattern: String): Unit = {
+    val n = normalize(pattern)
+    require(n.groups.nonEmpty,
+      s"regexp_extract_named: pattern has no named capture groups " +
+        s"((?P<name>...) or (?<name>...)): $pattern")
+    Pattern.compile(n.javaPattern)
   }
 
   /** Named capture groups in order of appearance (duplicates collapse to

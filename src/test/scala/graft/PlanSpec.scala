@@ -183,7 +183,7 @@ class PlanSpec extends SparkTestBase {
         .join(spark.table("bkt.orders_b"),
           col("l_orderkey") === col("o_orderkey"))
       val p = joined.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        ExplainMode.fromString("formatted"))
       assert(p.contains("SortMergeJoin"), "expected a sort-merge join")
       assert(!p.contains("Exchange"),
         "bucketed join still shuffles — co-location lost")
@@ -193,7 +193,7 @@ class PlanSpec extends SparkTestBase {
           col("l_orderkey") === col("o_orderkey")).count())
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.adaptive.enabled")
       spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
     }
   }

@@ -25,16 +25,36 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(viaSql.forall(_._2.length == 5))
   }
 
-  test("regex_extract_named is callable from SQL with named-group schema") {
+  test("regexp_extract_named is callable from SQL with named-group schema") {
     GraftFunctions.register(spark)
     val row = spark.sql(
-      """SELECT regex_extract_named('T= 21.5 RH= 40', 'T= (?P<temp>\\S+) RH= (?P<rh>\\S+)') AS ex""")
+      """SELECT regexp_extract_named('T= 21.5 RH= 40', 'T= (?P<temp>\\S+) RH= (?P<rh>\\S+)') AS ex""")
       .selectExpr("ex.temp", "ex.rh").head()
     assert(row.getString(0) == "21.5" && row.getString(1) == "40")
     // no match -> NULL struct, the F1 drop-filter contract
     assert(spark.sql(
-      """SELECT regex_extract_named('garbage', 'T= (?P<temp>\\S+)') IS NULL AS dropped""")
+      """SELECT regexp_extract_named('garbage', 'T= (?P<temp>\\S+)') IS NULL AS dropped""")
       .head().getBoolean(0))
+  }
+
+  test("underscore (Python-legal) group names work; schema keeps them") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT regexp_extract_named('T= 3', 'T= (?P<temp_c>\\S+)') AS ex""")
+      .selectExpr("ex.temp_c").head()
+    assert(row.getString(0) == "3")
+  }
+
+  test("a malformed or group-less pattern fails at analysis, not per task") {
+    GraftFunctions.register(spark)
+    val bad = intercept[Exception] {
+      spark.sql("""SELECT regexp_extract_named('x', '[unclosed')""").collect()
+    }
+    assert(bad.getMessage != null)
+    val groupless = intercept[Exception] {
+      spark.sql("""SELECT regexp_extract_named('x', 'T= \\d+')""").collect()
+    }
+    assert(groupless.getMessage.contains("named capture group"))
   }
 
   test("a non-literal pattern/k is a clear error, not a runtime crash") {
