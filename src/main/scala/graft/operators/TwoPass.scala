@@ -21,6 +21,12 @@ private[operators] object TwoPass {
     * with pass-2 partitions. Evicted blocks recompute from the one
     * pinned lineage (same seed), so eviction is safe; spill cost is the
     * same class as the shuffle that feeds it.
+    *
+    * Lifecycle: the pinned cache lives until `clearCache()`/`unpersist`
+    * — it cannot be dropped inside the query (the result plan lazily
+    * references it). `Verify` and `Bench` clear per query; a library
+    * user embedding a two-pass operator in a long-lived session owns
+    * that call.
     */
   def rangedPinned[T](ds: Dataset[T], cols: Column*): Dataset[T] = {
     val par = ds.sparkSession.sparkContext.defaultParallelism
