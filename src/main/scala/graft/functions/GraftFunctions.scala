@@ -28,11 +28,9 @@ object GraftFunctions {
     (FunctionIdentifier("regexp_extract_named"),
       new ExpressionInfo(classOf[RegexExtractNamed].getName, "regexp_extract_named"),
       { case Seq(child, Literal(p: UTF8String, StringType)) =>
-          // analysis-time validation: a bad pattern must not pass
-          // analysis only to kill every executor task at the lazy
-          // compile, and a group-less pattern must not return a
-          // silently empty struct
-          RegexExtractNamed.validatePattern(p.toString)
+          // pattern validation lives in the expression's own
+          // checkInputDataTypes, so EVERY construction surface (SQL,
+          // Scala API, config) fails analysis with the real error
           RegexExtractNamed(child, p.toString)
         case _ =>
           fail("regexp_extract_named", "(value, pattern STRING LITERAL)")

@@ -47,6 +47,31 @@ case class RegexExtractNamed(child: Expression, pattern: String)
   @transient private lazy val compiled: Pattern =
     Pattern.compile(norm.javaPattern)
 
+  /** ANALYSIS-time validation for every construction surface (SQL
+    * registry, Scala Column API, config compiler): a malformed pattern
+    * must fail the query with its real syntax error — not kill every
+    * executor task at the lazy compile — and a pattern with no named
+    * groups must not run as a silently empty struct. Compile is checked
+    * FIRST so a syntax error isn't misreported as "no named groups".
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != StringType)
+      TypeCheckFailure(
+        s"regexp_extract_named requires STRING input, got ${child.dataType.catalogString}")
+    else {
+      try Pattern.compile(norm.javaPattern)
+      catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          return TypeCheckFailure(s"invalid pattern: ${e.getMessage}")
+      }
+      if (norm.groups.isEmpty)
+        TypeCheckFailure("pattern has no named capture groups " +
+          "((?P<name>...) or (?<name>...)): " + pattern)
+      else TypeCheckSuccess
+    }
+  }
+
   override def dataType: DataType =
     StructType(groupNames.map(n => StructField(n, StringType, nullable = true)))
 
@@ -98,7 +123,10 @@ object RegexExtractNamed {
   /** Python → Java group-open translation, `(?P<name>` → `(?<name>` —
     * applied ONLY to a complete group-open construct (the `>` after a
     * legal name is required), so `[(?P<]` character classes and
-    * `\(?P<v=` literal fragments pass through untouched. Shared by
+    * `\(?P<v=` literal fragments pass through untouched. Known limit:
+    * a character class containing a COMPLETE group-open (`[(?P<a>]`) is
+    * still rewritten — a pattern no realistic device regex contains and
+    * the config compiler has always translated the same way. Shared by
     * [[normalize]] and the config compiler.
     */
   def toJavaDialect(pattern: String): String =
@@ -149,19 +177,6 @@ object RegexExtractNamed {
     NormalizedPattern(sb.toString, aliases.toSeq)
   }
 
-  /** Build-time validation for surfaces that construct the expression
-    * from user input (the SQL registry): a malformed pattern or one
-    * with no named groups must fail ANALYSIS with a clear message, not
-    * every executor task at runtime (the lazy compile) or a silently
-    * empty struct.
-    */
-  def validatePattern(pattern: String): Unit = {
-    val n = normalize(pattern)
-    require(n.groups.nonEmpty,
-      s"regexp_extract_named: pattern has no named capture groups " +
-        s"((?P<name>...) or (?<name>...)): $pattern")
-    Pattern.compile(n.javaPattern)
-  }
 
   /** Named capture groups in order of appearance (duplicates collapse to
     * one schema variable).

@@ -45,16 +45,26 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(row.getString(0) == "3")
   }
 
-  test("a malformed or group-less pattern fails at analysis, not per task") {
+  test("a malformed or group-less pattern fails at ANALYSIS with the real cause") {
     GraftFunctions.register(spark)
+    // no .collect(): Dataset construction runs analysis eagerly, so the
+    // interceptions below prove analysis-time failure, not task-time
     val bad = intercept[Exception] {
-      spark.sql("""SELECT regexp_extract_named('x', '[unclosed')""").collect()
+      spark.sql("""SELECT regexp_extract_named('x', '[unclosed')""")
     }
-    assert(bad.getMessage != null)
+    assert(bad.getMessage.contains("invalid pattern"),
+      s"expected the regex syntax error, got: ${bad.getMessage}")
     val groupless = intercept[Exception] {
-      spark.sql("""SELECT regexp_extract_named('x', 'T= \\d+')""").collect()
+      spark.sql("""SELECT regexp_extract_named('x', 'T= \\d+')""")
     }
     assert(groupless.getMessage.contains("named capture group"))
+    // the Scala Column API goes through the same expression check
+    val viaApi = intercept[Exception] {
+      spark.range(1).toDF("x")
+        .select(RegexExtractNamed.regexp_extract_named(
+          org.apache.spark.sql.functions.col("x").cast("string"), "no groups"))
+    }
+    assert(viaApi.getMessage.contains("named capture group"))
   }
 
   test("a non-literal pattern/k is a clear error, not a runtime crash") {
