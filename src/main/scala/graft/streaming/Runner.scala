@@ -84,7 +84,21 @@ object Runner {
     val load1 = try {
       readFile("/proc/loadavg").trim.split("\\s+")(0).toDouble.toString
     } catch { case _: Exception => "null" }
-    s"""{"disk_used_pct":$disk,"ram_used_pct":$ram,"load1":$load1}"""
+    // CPU temperature (hb_client.sh reads the thermal zone): absent in
+    // VMs/containers → null, present on station hardware
+    val temp = try {
+      (readFile("/sys/class/thermal/thermal_zone0/temp").trim.toLong / 1000.0).toString
+    } catch { case _: Exception => "null" }
+    // cumulative rx/tx bytes across real interfaces (loopback excluded),
+    // the reference's net counters — consumers diff successive beats
+    val (rx, tx) = try {
+      val rows = readFile("/proc/net/dev").linesIterator.drop(2)
+        .map(_.trim.split("[:\\s]+")).filter(c => c.length > 9 && c(0) != "lo")
+        .toSeq
+      (rows.map(_(1).toLong).sum.toString, rows.map(_(9).toLong).sum.toString)
+    } catch { case _: Exception => ("null", "null") }
+    s"""{"disk_used_pct":$disk,"ram_used_pct":$ram,"load1":$load1,""" +
+      s""""cpu_temp_c":$temp,"net_rx_bytes":$rx,"net_tx_bytes":$tx}"""
   }
 
   /** K4 — heartbeat sink (reference hb_client.sh): the reference cron-POSTs

@@ -61,12 +61,16 @@ class RunnerSpec extends SparkTestBase {
 
   test("hostMetrics reads real /proc values on Linux") {
     val m = Runner.hostMetrics()
-    // this CI box is Linux: all three fields must be numeric, bounded
-    val re = """\{"disk_used_pct":([0-9.]+),"ram_used_pct":([0-9.]+),"load1":([0-9.]+)\}""".r
+    // this CI box is Linux: disk/RAM/load/net must be numeric (bounded
+    // where bounded); cpu temp is machine-dependent (null in VMs)
+    val re = ("""\{"disk_used_pct":([0-9.]+),"ram_used_pct":([0-9.]+),""" +
+      """"load1":([0-9.]+),"cpu_temp_c":(null|[0-9.-]+),""" +
+      """"net_rx_bytes":([0-9]+),"net_tx_bytes":([0-9]+)\}""").r
     m match {
-      case re(disk, ram, _) =>
+      case re(disk, ram, _, _, rx, tx) =>
         assert(disk.toDouble >= 0 && disk.toDouble <= 100)
         assert(ram.toDouble >= 0 && ram.toDouble <= 100)
+        assert(rx.toLong >= 0 && tx.toLong >= 0)
       case _ => fail(s"unexpected hostMetrics payload: $m")
     }
   }
