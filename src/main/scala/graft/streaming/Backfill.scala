@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one partition per capture file (binaryFiles), framing
   * row-local, then the identical parse + pack plan as [[IngestPipeline]]
-  * in batch execution. Returns the packed DataFrame, ready to append
-  * wherever the live sink points.
+  * in batch execution. Each file is materialized whole in its task
+  * (captures are MB-scale by nature — one device's debug window); split
+  * a pathological multi-GB dump before replaying. Returns the packed
+  * DataFrame, ready to append wherever the live sink points.
   */
 object Backfill {
 
