@@ -34,35 +34,48 @@ object Bench {
     def num(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
 
-    // Each query runs TWICE and reports the min SUCCESSFUL time: this VM
-    // shows 5-100× per-run swings from co-tenant CPU steal, and a single
-    // burst during a single-shot run manufactures phantom regressions.
-    // min-of-2 needs the burst to cover BOTH runs to distort the number;
-    // both raw times are kept in "runs" so a steal window is visible in
-    // the record. A failed run's time-to-failure is NOT a sample — a
-    // 0.3 s crash must not be recorded as a 0.3 s query; queries with
-    // any failed run are listed in "errors".
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+    // Each query is sampled TWICE and reports the min SUCCESSFUL time:
+    // this VM shows 5-100× per-run swings from co-tenant CPU steal, and a
+    // single burst during a single-shot run manufactures phantom
+    // regressions. The two samples are taken in INTERLEAVED PASSES — run
+    // every query once, then every query again — not back-to-back: a
+    // steal burst that outlasts one query (round 3 saw multi-minute
+    // bursts poison BOTH back-to-back runs, e.g. q41 [87.4, 5.0] with
+    // the burst ending mid-pair) then lands on *different* queries in
+    // each pass, so the per-query min survives it. Per-pass wall-clocks
+    // are recorded ("pass_secs") so a burst is visible as one slow pass.
+    // A failed run's time-to-failure is NOT a sample — a 0.3 s crash
+    // must not be recorded as a 0.3 s query; queries with any failed run
+    // are listed in "errors".
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = (1 to 2).map { pass =>
+      val p0 = System.nanoTime()
+      val times = ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            System.err.println(s"[bench] $name (pass $pass) failed: ${e.getMessage}")
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
         // per-query .cache()s (dedup/ANN subplans) are scoped to the
-        // query; drop them so the second run repeats the full work and
+        // query; drop them so the next sample repeats the full work and
         // later queries aren't squeezed by a growing pool
         spark.catalog.clearCache()
-        (dt, ok)
-      }
+        name -> (dt, ok)
+      }.toMap
+      val passWall = (System.nanoTime() - p0) / 1e9
+      System.err.println(s"[bench] pass $pass wall-clock: ${num(passWall, 1)} s")
+      (times, passWall)
+    }
+    val results = ordered.map { case (name, _) =>
+      val runs = passes.map(_._1(name))
       val good = runs.collect { case (t, true) => t }
       // all-failed: report the wall time spent, flagged via "errors"
       val best = if (good.nonEmpty) good.min else runs.map(_._1).max
       System.err.println(
-        s"[bench] ${name.padTo(32, ' ')} ${num(best, 2)} s  (runs: ${runs.map { case (t, ok) =>
+        s"[bench] ${name.padTo(32, ' ')} ${num(best, 2)} s  (passes: ${runs.map { case (t, ok) =>
           num(t, 2) + (if (ok) "" else "!") }.mkString(", ")})")
       (name, best, runs)
     }
@@ -73,8 +86,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, runs) if runs.exists(!_._2) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val passSecs = passes.map(p => num(p._2, 3)).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"runs":$raw,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"runs":$raw,"pass_secs":$passSecs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -138,9 +138,13 @@ object Assemble {
         it.foreach { case (_, n) => tot += n }
         Iterator.single((pid, tot))
       }.collect()
-      val offsets: Map[Int, Long] = sums.map { case (pid, _) =>
-        pid -> sums.iterator.filter(_._1 < pid).map(_._2).sum
-      }.toMap
+      // pid-sorted prefix scan (O(P log P)), not a rescan per entry
+      val offsets: Map[Int, Long] = {
+        var running = 0L
+        sums.sortBy(_._1).map { case (pid, tot) =>
+          val off = running; running += tot; pid -> off
+        }.toMap
+      }
       val bOff = s.sparkContext.broadcast(offsets)
       // pass 2: a doc's start offset = partition offset + tokens before
       // it locally; its bin is start / ctx

@@ -58,10 +58,15 @@ private[operators] object TwoPass {
     }.collect()
     val totals: Map[K, Long] =
       counts.groupBy(_._2).map { case (k, cs) => k -> cs.map(_._3).sum }
+    // one prefix scan per group over pid-sorted counts — O(P·G log P·G),
+    // not the O((P·G)²) rescan-per-entry form, which at 10⁴ partitions ×
+    // 10³ groups would be 10¹⁴ driver comparisons
     val offsets: Map[(Int, K), Long] =
-      counts.map { case (pid, k, _) =>
-        (pid, k) -> counts.iterator
-          .filter(c => c._2 == k && c._1 < pid).map(_._3).sum
+      counts.groupBy(_._2).iterator.flatMap { case (k, cs) =>
+        var running = 0L
+        cs.sortBy(_._1).iterator.map { case (pid, _, c) =>
+          val off = running; running += c; (pid, k) -> off
+        }
       }.toMap
     (offsets, totals)
   }
