@@ -79,16 +79,19 @@ object Bench {
           num(t, 2) + (if (ok) "" else "!") }.mkString(", ")})")
       (name, best, runs)
     }
+    // The JSON line carries ONLY the per-query min (not the raw per-pass
+    // pairs — those stream to stderr above): the driver parses this line
+    // from a bounded tail capture, and round 4's per-query [a,b] arrays
+    // pushed the line past that window, so the head of the line was cut
+    // off and the whole bench recorded as unparseable ("parsed": null).
+    // pass_secs still exposes a steal burst as one slow pass wall-clock.
     val qs = results.map { case (k, best, _) => "\"" + k + "\":" + num(best, 3) }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, _, runs) =>
-      "\"" + k + "\":[" + runs.map(r => num(r._1, 3)).mkString(",") + "]"
-    }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, runs) if runs.exists(!_._2) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val passSecs = passes.map(p => num(p._2, 3)).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"runs":$raw,"pass_secs":$passSecs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"pass_secs":$passSecs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

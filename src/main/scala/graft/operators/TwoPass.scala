@@ -56,13 +56,15 @@ private[operators] object TwoPass {
       it.foreach { t => val k = key(t); m.update(k, m.getOrElse(k, 0L) + 1L) }
       m.iterator.map { case (k, c) => (pid, k, c) }
     }.collect()
-    val totals: Map[K, Long] =
-      counts.groupBy(_._2).map { case (k, cs) => k -> cs.map(_._3).sum }
-    // one prefix scan per group over pid-sorted counts — O(P·G log P·G),
+    // one grouping over the P×G entries feeds both totals and offsets;
+    // the per-group prefix scan over pid-sorted counts is O(P·G log P·G),
     // not the O((P·G)²) rescan-per-entry form, which at 10⁴ partitions ×
     // 10³ groups would be 10¹⁴ driver comparisons
+    val byKey: Map[K, Array[(Int, K, Long)]] = counts.groupBy(_._2)
+    val totals: Map[K, Long] =
+      byKey.map { case (k, cs) => k -> cs.map(_._3).sum }
     val offsets: Map[(Int, K), Long] =
-      counts.groupBy(_._2).iterator.flatMap { case (k, cs) =>
+      byKey.iterator.flatMap { case (k, cs) =>
         var running = 0L
         cs.sortBy(_._1).iterator.map { case (pid, _, c) =>
           val off = running; running += c; (pid, k) -> off
