@@ -1,0 +1,103 @@
+package graft.config
+
+/** Quality knobs for the batch dedup/ANN/assembly tier — the X5
+  * config-compiled-pipeline pattern (readport.py:536-584, realized for
+  * streaming by [[DeviceConfig]]) applied to the batch surface: every
+  * dial a corpus-curation user tunes per dataset is a validated config
+  * value with the shipped default, not a source-edit.
+  *
+  * Loaded ONCE at class initialization from system properties
+  * (`-Dgraft.tuning.<knob>=<int>`) with an environment fallback
+  * (`GRAFT_TUNING_<KNOB>` in SCREAMING_SNAKE), because the paired
+  * DuckDB oracle SQL strings interpolate the same instance at operator
+  * registry load: a tuned run stays hash-checkable end-to-end, and a
+  * mid-session mutation would silently desynchronize the two engines.
+  * Invalid values fail fast with a [[ConfigurationError]], the same
+  * load-time contract as the streaming config.
+  */
+final case class Tuning(
+    /** q31: max documents a shingle may appear in before its posting
+      * list is dropped as corpus boilerplate (bounds pair volume at
+      * dfCap² per shingle). */
+    dfCap: Int = 100,
+    /** q32: LSH band count over the minhash signature. */
+    minhashBands: Int = 8,
+    /** q32: minhash rows per band; signature size = bands × rows. */
+    minhashRows: Int = 2,
+    /** q32: max documents per band bucket before the bucket is dropped
+      * as non-discriminative. */
+    minhashBucketCap: Int = 100,
+    /** q41: number of independent sign-LSH hyperplane tables whose
+      * bucket candidates are unioned (the standard LSH recall knob —
+      * recall = 1-(1-p^bits)^tables at ~tables× the pairing cost). */
+    lshTables: Int = 4,
+    /** q41/q34: max vectors per sign bucket before the bucket is
+      * dropped whole (sign-degenerate skew guard). */
+    lshBucketCap: Int = 512,
+    /** q44: IVF cells probed per query (the IVF recall knob). */
+    nprobe: Int = 16,
+    /** q43/q44/q45: deterministic k-means refinement passes over the
+      * seed codebook. */
+    lloydIters: Int = 2,
+    /** q59: max documents kept per source. */
+    sourceQuota: Int = 20,
+    /** q29: k-minimum-values sketch size (distinct-count state bound
+      * per group). */
+    kmvK: Int = 256) {
+
+  /** Minhash signature length — bands × rows, every row one affine
+    * permutation over the 2³¹−1 prime field. */
+  def sigK: Int = minhashBands * minhashRows
+
+  private[config] def validate(): Unit = {
+    def pos(v: Int, name: String): Unit =
+      if (v < 1) throw ConfigurationError(
+        s"graft.tuning.$name must be a positive integer, got $v")
+    pos(dfCap, "dfCap"); pos(minhashBands, "minhashBands")
+    pos(minhashRows, "minhashRows"); pos(minhashBucketCap, "minhashBucketCap")
+    pos(lshTables, "lshTables"); pos(lshBucketCap, "lshBucketCap")
+    pos(nprobe, "nprobe"); pos(sourceQuota, "sourceQuota"); pos(kmvK, "kmvK")
+    if (lloydIters < 0) throw ConfigurationError(
+      s"graft.tuning.lloydIters must be >= 0, got $lloydIters")
+    // the affine minhash constants stay inside a signed 64-bit product
+    // only while (1222334441 + 98765·(sigK−1)) · (2³¹−1) < 2⁶³
+    if (sigK > 64) throw ConfigurationError(
+      s"graft.tuning minhashBands*minhashRows must be <= 64, got $sigK")
+    if (lshTables > 16) throw ConfigurationError(
+      s"graft.tuning.lshTables must be <= 16, got $lshTables")
+  }
+}
+
+object Tuning {
+
+  private def knob(name: String, default: Int): Int = {
+    val prop = s"graft.tuning.$name"
+    val env = "GRAFT_TUNING_" + name.replaceAll("([A-Z])", "_$1").toUpperCase
+    sys.props.get(prop).orElse(sys.env.get(env)).map { v =>
+      try v.trim.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw ConfigurationError(s"$prop must be an integer, got '$v'")
+      }
+    }.getOrElse(default)
+  }
+
+  /** The session's knob set — resolved once, used by both the Spark
+    * plans and the oracle SQL they are checked against.
+    */
+  val current: Tuning = {
+    val t = Tuning(
+      dfCap = knob("dfCap", 100),
+      minhashBands = knob("minhashBands", 8),
+      minhashRows = knob("minhashRows", 2),
+      minhashBucketCap = knob("minhashBucketCap", 100),
+      lshTables = knob("lshTables", 4),
+      lshBucketCap = knob("lshBucketCap", 512),
+      nprobe = knob("nprobe", 16),
+      lloydIters = knob("lloydIters", 2),
+      sourceQuota = knob("sourceQuota", 20),
+      kmvK = knob("kmvK", 256))
+    t.validate()
+    t
+  }
+}

@@ -195,7 +195,7 @@ object Assemble {
     "q59_source_quota_sample",
     (s, d) => {
       import s.implicits._
-      val quota = 20
+      val quota = graft.config.Tuning.current.sourceQuota
       val withH = t(s, d, "documents")
         .select($"doc_id", $"source",
           md5Long($"doc_id".cast("string")).as("h"))
@@ -221,7 +221,7 @@ object Assemble {
               row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
             FROM h)
       SELECT source, doc_id
-      FROM r WHERE rn <= 20
+      FROM r WHERE rn <= ${graft.config.Tuning.current.sourceQuota}
       ORDER BY source, doc_id"""))
 
   val all: Seq[Q] = Seq(q37, q57, q58, q59)

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Cols, Tables}
 import Cols._
 import Tables.{t, spread}
+import graft.config.Tuning
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -111,11 +112,11 @@ object Dedup {
     * docs emits k² join rows — the unbounded quadratic term that kills
     * the formulation at 100 TB; with it, per-shingle pair volume is
     * ≤ dfCap², so total pairs ≤ |distinct shingles| · dfCap². A shingle
-    * in >100 docs carries ~no Jaccard signal anyway (it is corpus
+    * in > dfCap docs carries ~no Jaccard signal anyway (it is corpus
     * boilerplate), so top-20 ranking is unaffected in practice — and the
     * oracle applies the identical cap, so the check stays exact.
     */
-  private val dfCap = 100
+  private val dfCap = Tuning.current.dfCap
   private val q31 = Q(
     "q31_dedup_ngram_jaccard",
     (s, d) => {
@@ -149,7 +150,7 @@ object Dedup {
       sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM toks),
       ex0 AS (SELECT doc_id, unnest(sh) AS s0 FROM sh),
       ex AS (SELECT doc_id, CAST('0x' || substr(md5(s0), 1, 15) AS BIGINT) AS s FROM ex0),
-      hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > 100),
+      hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > $dfCap),
       exc AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
       sizes AS (SELECT doc_id, len(sh) AS nsh FROM sh),
       p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
@@ -161,25 +162,32 @@ object Dedup {
       ORDER BY round(common / (na.nsh + nb.nsh - common), 6) DESC, a_id, b_id
       LIMIT 20"""))
 
-  /** MinHash (k=16) + LSH (8 bands × 2 rows) + exact-Jaccard verify on
-    * the candidates only.
+  /** MinHash (k = bands × rows) + LSH banding + exact-Jaccard verify on
+    * the candidates only. Bands, rows-per-band, and the bucket cap are
+    * [[graft.config.Tuning]] knobs (defaults 8 × 2, cap 100) — the
+    * precision/recall dial of minhash dedup — interpolated identically
+    * into the oracle SQL.
     *
     * Scale/efficiency design:
-    *  - ONE md5 per shingle; the 16 minhash functions are a universal
+    *  - ONE md5 per shingle; the sigK minhash functions are a universal
     *    affine family `(a_i·h + b_i) mod P` over the prime field
-    *    P = 2^31−1 — 16× cheaper than 16 md5 passes, engine-portable
+    *    P = 2^31−1 — sigK× cheaper than sigK md5 passes, engine-portable
     *    integer arithmetic, and pairwise-independent enough that bucket
     *    sizes stay tiny (a power-of-two modulus variant was measured to
     *    produce correlated signatures and 100× more candidates).
     *  - candidates come from grouping on the band signature and pairing
-    *    inside each bucket (buckets are capped at 100 docs — an over-full
-    *    bucket is non-discriminative, the standard LSH guard) — no
+    *    inside each bucket (buckets over the cap are dropped as
+    *    non-discriminative, the standard LSH guard) — no
     *    self-join; shuffle volume = docs × bands.
     *  - the exact-Jaccard verify joins shingle sets back ONLY for the
     *    candidate pairs — the shingle arrays are assembled for
     *    CANDIDATE documents alone (semi-join on the candidate ids), so
     *    the broadcast is small by construction at any corpus size.
     */
+  private val mBands = Tuning.current.minhashBands
+  private val mRows = Tuning.current.minhashRows
+  private val sigK = Tuning.current.sigK
+  private val mCap = Tuning.current.minhashBucketCap
   private val q32 = Q(
     "q32_dedup_minhash_lsh",
     (s, d) => {
@@ -187,12 +195,13 @@ object Dedup {
       val posts = shinglePostings(s, d)
         .cache()  // read by the signature pipeline and the verify arrays
       // Bit-parallel minhash (the simhash q33 trick, commit 29db76a):
-      // ONE groupBy(doc_id) with 16 min-aggregate columns — one hash per
-      // shingle, the 16 affine permutations evaluated as 16 codegen'd
-      // projection columns. Shuffle volume = docs × 16 scalars (map-side
-      // partial min), vs the earlier explode(sequence(0,15)) form whose
-      // shuffle was shingles × 16 rows — a 16×|shingles/doc| cut.
-      val minCols = (0 until 16).map { i =>
+      // ONE groupBy(doc_id) with sigK min-aggregate columns — one hash
+      // per shingle, the sigK affine permutations evaluated as sigK
+      // codegen'd projection columns. Shuffle volume = docs × sigK
+      // scalars (map-side partial min), vs the earlier
+      // explode(sequence(0,15)) form whose shuffle was shingles × sigK
+      // rows — a sigK×|shingles/doc| cut.
+      val minCols = (0 until sigK).map { i =>
         min(expr(s"pmod(${1222334441L + i * 98765L}L * h0 + ${i * 424242L + 7L}L, 2147483647L)"))
           .as(s"mh$i")
       }
@@ -201,18 +210,21 @@ object Dedup {
           "pmod(cast(conv(substring(md5(t), 1, 10), 16, 10) as bigint), 2147483647)").as("h0"))
         .groupBy($"doc_id")
         .agg(minCols.head, minCols.tail: _*)
-      // band key b = md5("b:mh_{2b},mh_{2b+1}") — identical bytes to the
-      // oracle's array_to_string over the signature slice.
-      val bandKeys = (0 until 8).map { b =>
-        md5(concat_ws("", lit(s"$b:"),
-          col(s"mh${2 * b}").cast("string"), lit(","),
-          col(s"mh${2 * b + 1}").cast("string")))
+      // band key b = md5("b:mh_{b·rows},…,mh_{b·rows+rows−1}") —
+      // identical bytes to the oracle's array_to_string over the
+      // signature slice.
+      val bandKeys = (0 until mBands).map { b =>
+        val parts = (0 until mRows).flatMap { r =>
+          val c = col(s"mh${b * mRows + r}").cast("string")
+          if (r == 0) Seq(c) else Seq(lit(","), c)
+        }
+        md5(concat_ws("", (lit(s"$b:") +: parts): _*))
       }
       val cand = sig
         .select($"doc_id", explode(array(bandKeys: _*)).as("band_key"))
         .groupBy($"band_key")
         .agg(sort_array(collect_set($"doc_id")).as("ds"))
-        .filter(size($"ds") > 1 && size($"ds") <= 100)
+        .filter(size($"ds") > 1 && size($"ds") <= mCap)
         .select(explode(expr(
           """flatten(transform(ds, (x, i) ->
                transform(slice(ds, i + 2, size(ds)),
@@ -242,16 +254,16 @@ object Dedup {
       sh0 AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM toks),
       sh AS (SELECT * FROM sh0 WHERE len(sh) > 0),
       sig AS (SELECT doc_id,
-                list_transform(range(0, 16), i -> list_min(list_transform(
+                list_transform(range(0, $sigK), i -> list_min(list_transform(
                   list_transform(sh, t -> CAST('0x' || substr(md5(t), 1, 10) AS BIGINT) % 2147483647),
                   h -> ((1222334441 + i * 98765) * h + i * 424242 + 7) % 2147483647))) AS sig
               FROM sh),
       bands AS (SELECT doc_id,
                   md5(CAST(b AS VARCHAR) || ':' ||
-                      array_to_string(list_slice(sig, b*2+1, b*2+2), ',')) AS band_key
-                FROM sig, (SELECT unnest(range(0, 8)) AS b) bs),
+                      array_to_string(list_slice(sig, b*$mRows+1, b*$mRows+$mRows), ',')) AS band_key
+                FROM sig, (SELECT unnest(range(0, $mBands)) AS b) bs),
       ok_buckets AS (SELECT band_key FROM bands GROUP BY band_key
-                     HAVING count(*) > 1 AND count(*) <= 100),
+                     HAVING count(*) > 1 AND count(*) <= $mCap),
       cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                FROM bands x JOIN bands y
                  ON x.band_key = y.band_key AND x.doc_id < y.doc_id
@@ -362,12 +374,13 @@ object Dedup {
       // codegen'd posexplode→join→agg dot products (see Similarity's
       // rationale); the exploded table is cached for its three readers
       val n0 = Tables.rowCount(s, d, "embeddings")  // footer metadata, no scan
-      val u0 = Similarity.unpacked(s, d, Similarity.signBits(n0))
-      // q41's skew guard: a sign-degenerate bucket >512 vectors is
-      // non-discriminative — drop it whole (broadcast anti-join)
+      val u0 = Similarity.unpackedBucketed(s, d, Similarity.signBits(n0))
+      // q41's skew guard: a sign-degenerate bucket > lshBucketCap
+      // vectors is non-discriminative — drop it whole (broadcast
+      // anti-join)
       val over = u0.filter($"i" === 0)
         .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
-        .filter($"cnt" > 512).select($"bucket")
+        .filter($"cnt" > Tuning.current.lshBucketCap).select($"bucket")
       val u = u0.join(broadcast(over), Seq("bucket"), "left_anti")
       val n = Similarity.norms(u)
       val a = u.select($"vec_id".as("a_id"), $"bucket", $"i".as("ai"), $"v".as("av"))
@@ -382,7 +395,7 @@ object Dedup {
         .select($"a_id", $"b_id", r4($"cosine").as("cosine"))
         .orderBy($"a_id", $"b_id")
     },
-    Some("""
+    Some(s"""
       WITH params AS (SELECT least(64, greatest(4,
                         CAST(ceil(log2(count(*) / 64.0) - 1e-9) AS INT))) AS bits
                       FROM embeddings),
@@ -391,7 +404,8 @@ object Dedup {
                  j -> CASE WHEN embedding[j + 1] > 0 THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS bucket
              FROM embeddings),
       e AS (SELECT * FROM e0 WHERE bucket NOT IN
-              (SELECT bucket FROM e0 GROUP BY bucket HAVING count(*) > 512)),
+              (SELECT bucket FROM e0 GROUP BY bucket
+               HAVING count(*) > ${Tuning.current.lshBucketCap})),
       n AS (SELECT vec_id,
               sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
             FROM e),

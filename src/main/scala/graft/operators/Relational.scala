@@ -636,7 +636,8 @@ object Relational {
     * hash-agg (q10); here every aggregate is a mergeable sketch, so the
     * plan is a single two-phase ObjectHashAggregate, no Expand.
     */
-  /** KMV (k-minimum-values) distinct-count sketch, k = 256 — the
+  /** KMV (k-minimum-values) distinct-count sketch, k = Tuning.kmvK
+    * (default 256) — the
     * engine-PORTABLE sketch: estimate = (k−1)·2⁶⁰ / h₍ₖ₎ over the k
     * smallest DISTINCT md5-derived 60-bit hashes, so unlike HLL
     * internals the result is deterministic and hash-checkable against
@@ -651,11 +652,12 @@ object Relational {
     * bottleneck. The oracle keeps the window form — DuckDB has no
     * bounded k-min, and the results are identical by construction.
     */
+  private val kmvOracleK = graft.config.Tuning.current.kmvK
   private val q29 = Q(
     "q29_kmv_distinct",
     (s, d) => {
       import s.implicits._
-      val k = 256
+      val k = graft.config.Tuning.current.kmvK
       t(s, d, "events")
         .select($"event_type", md5Long($"user_id".cast("string")).as("h"))
         // NULL user_ids carry no distinct-count signal; dropping them
@@ -675,7 +677,7 @@ object Relational {
             .as("kmv_estimate"))
         .orderBy($"event_type")
     },
-    Some("""
+    Some(s"""
       WITH h AS (SELECT DISTINCT event_type,
                    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
                  FROM events
@@ -684,9 +686,9 @@ object Relational {
               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
             FROM h)
       SELECT event_type, max(h) AS kth_hash, count(*) AS k_used,
-             CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
-                  ELSE round(255.0 * 1152921504606846976.0 / max(h), 2) END AS kmv_estimate
-      FROM r WHERE rn <= 256
+             CASE WHEN count(*) < ${kmvOracleK} THEN CAST(count(*) AS DOUBLE)
+                  ELSE round(${kmvOracleK - 1}.0 * 1152921504606846976.0 / max(h), 2) END AS kmv_estimate
+      FROM r WHERE rn <= ${kmvOracleK}
       GROUP BY event_type
       ORDER BY event_type"""))
 

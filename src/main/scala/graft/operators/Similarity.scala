@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Cols, Tables}
 import Cols._
 import Tables.{t, spread}
+import graft.config.Tuning
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -12,29 +13,51 @@ import org.apache.spark.sql.functions._
   *
   * The tiers:
   *  - q40: brute-force cosine top-k — the correctness baseline.
-  *  - q41: adaptive sign-bit LSH buckets (axis hyperplanes for
-  *    determinism, bit count grows with the corpus) — the constant-
-  *    bucket-size scale path: pairing happens only inside buckets.
+  *  - q41: multi-table sign-bit LSH (L independent axis-hyperplane
+  *    tables, union of bucket candidates) — the constant-bucket-size
+  *    scale path: pairing happens only inside buckets, and the table
+  *    count is the recall knob.
   *  - q42: per-label centroids — the coarse-quantizer building block.
-  *  - q43/q44: IVF with ⌈√n⌉ deterministic seed cells, single-probe
-  *    and nprobe=2 multi-probe search.
+  *  - q43/q44: IVF with ⌈√n⌉ Lloyd-refined cells, single-probe and
+  *    configurable-nprobe multi-probe search.
+  *
+  * Every quality dial (tables, bucket cap, nprobe, Lloyd iterations)
+  * comes from [[graft.config.Tuning]]; the oracle SQL interpolates the
+  * same instance, so a tuned run stays hash-checkable.
   *
   * Dot products run through the codegen'd posexplode → equi-join →
   * hash-agg pipeline, NOT array higher-order functions: HOF lambdas are
   * interpreted row-at-a-time and measured ~10× slower than the
   * codegen'd join at the same arithmetic. The exploded dimension table
-  * is cached — it is read by both join sides and the norm aggregate,
-  * and is tiny relative to the pair volume it feeds.
+  * is cached — it is read by every tier's join sides and the norm
+  * aggregate, and is tiny relative to the pair volume it feeds.
   */
 object Similarity {
 
-  /** (vec_id, bucket, dim, v): one row per vector component, double-cast,
-    * with a `bits`-bit sign bucket attached (sign of the first `bits`
-    * dimensions — axis hyperplanes, so both engines agree bit-for-bit).
-    * Cached (multi-consumer). The bucket expression is built as a static
-    * codegen'd sum, not a HOF (interpreted lambdas measured ~10× slower).
+  /** (vec_id, label, i, v): one row per vector component, double-cast.
+    * Cached (multi-consumer). NULL embeddings contribute no rows, like
+    * the oracle's unnest(NULL).
     */
-  private[operators] def unpacked(s: SparkSession, d: String, bits: Int = 4): DataFrame = {
+  private[operators] def unpacked(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    spread(t(s, d, "embeddings"))
+      .select($"vec_id", $"label",
+        posexplode(expr("transform(embedding, x -> cast(x as double))")))
+      .withColumnRenamed("pos", "i")
+      .withColumnRenamed("col", "v")
+      .cache()
+  }
+
+  /** [[unpacked]] plus a `bits`-bit sign bucket attached to every
+    * component row (sign of the first `bits` dimensions — axis
+    * hyperplanes, so both engines agree bit-for-bit). Used by Dedup's
+    * q34 cosine blocking; the ANN tiers build their bucket tables
+    * separately so the exploded table can be shared un-bucketed. The
+    * bucket expression is a static codegen'd sum, not a HOF
+    * (interpreted lambdas measured ~10× slower).
+    */
+  private[operators] def unpackedBucketed(s: SparkSession, d: String,
+      bits: Int): DataFrame = {
     import s.implicits._
     val bucketExpr = (0 until bits)
       .map(j => s"(CASE WHEN embedding[$j] > 0 THEN ${1L << j}L ELSE 0L END)")
@@ -50,6 +73,19 @@ object Similarity {
 
   private[operators] def norms(u: DataFrame): DataFrame =
     u.groupBy("vec_id").agg(sqrt(sum(expr("v * v"))).as("nrm"))
+
+  /** The per-query ANN context: corpus count (from parquet footers — no
+    * scan), ONE cached exploded component table, and the norms derived
+    * from it. Threaded through every tier a query runs so q45 (which by
+    * construction runs brute force + all three approximate searches)
+    * materializes the n×64 explode once, not three times.
+    */
+  private[operators] case class AnnCtx(n0: Long, u: DataFrame, n: DataFrame)
+
+  private[operators] def annCtx(s: SparkSession, d: String): AnnCtx = {
+    val u = unpacked(s, d)
+    AnnCtx(Tables.rowCount(s, d, "embeddings"), u, norms(u))
+  }
 
   /** Adaptive hyperplane count: bucket count ≈ n/64 so expected bucket
     * size stays constant as the corpus grows. ε-guarded so Spark and the
@@ -138,14 +174,14 @@ object Similarity {
     * still no pairing outside cells.
     *
     * Both engines replay the identical refinement (assignment CTE →
-    * centroid agg, twice, in the oracle SQL): centroids are rounded to
-    * 6 dp on both sides, assignment scores are rounded + cell-id
-    * tiebroken, so the quantizer stays bit-deterministic. Cells that
-    * lose all members simply drop out on both sides. Cell ids remain
-    * the original seed vec_ids.
+    * centroid agg, `iters` times, in the generated oracle SQL):
+    * centroids are rounded to 6 dp on both sides, assignment scores are
+    * rounded + cell-id tiebroken, so the quantizer stays
+    * bit-deterministic. Cells that lose all members simply drop out on
+    * both sides. Cell ids remain the original seed vec_ids.
     */
   private[operators] def refinedCodebook(s: SparkSession, d: String,
-      stride: Long, u: DataFrame, iters: Int = 2): Codebook = {
+      stride: Long, u: DataFrame, iters: Int): Codebook = {
     import s.implicits._
     var cb = seedCodebook(s, d, stride)
     for (_ <- 1 to iters) {
@@ -169,10 +205,9 @@ object Similarity {
   }
 
   /** Brute-force cosine top-5 for a fixed query set (vec_id < 10). */
-  private def bruteforceDF(s: SparkSession, d: String): DataFrame = {
+  private def bruteforceDF(s: SparkSession, d: String, ctx: AnnCtx): DataFrame = {
       import s.implicits._
-      val u = unpacked(s, d)
-      val n = norms(u)
+      val AnnCtx(_, u, n) = ctx
       val qs = u.filter($"vec_id" < 10)
         .select($"vec_id".as("q_id"), $"i".as("qi"), $"v".as("qv"))
       val dots = qs.join(u.select($"vec_id".as("n_id"), $"i", $"v"),
@@ -193,7 +228,7 @@ object Similarity {
 
   private val q40 = Q(
     "q40_ann_bruteforce",
-    bruteforceDF,
+    (s, d) => bruteforceDF(s, d, annCtx(s, d)),
     Some("""
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
       n AS (SELECT vec_id,
@@ -215,41 +250,66 @@ object Similarity {
       FROM ranked WHERE rk <= 5
       ORDER BY q_id, rk"""))
 
-  /** Sign-bit LSH: bucket on the sign pattern of the first `bits` dims,
-    * nearest neighbor inside the bucket only.
+  /** Multi-table sign-bit LSH: L independent hyperplane tables, each
+    * bucketing on the sign pattern of `bits` dimensions; a query's
+    * candidate set is the UNION of its cohabitants across tables, and
+    * the nearest neighbor is picked from that union.
     *
-    * Scale-true bucketing (round-2 fix — the round-1 form used 4 fixed
-    * bits = 16 buckets, an O(n²/16) constant-factor cut, not a scale
-    * path):
+    * Scale-true bucketing:
     *  - `bits` GROWS with the corpus: bits = ⌈log2(n/64)⌉, so bucket
-    *    count ≈ n/64 and expected bucket size stays ~64 regardless of n.
-    *    Within-bucket all-pairs is then O(n·64) TOTAL — linear in n —
-    *    instead of O(n²/2^bits). Both engines derive `bits` from the
-    *    same count with the same ε-guarded formula, so buckets agree
-    *    bit-for-bit (axis hyperplanes, integer bucket ids).
-    *  - skew guard: a bucket holding >512 vectors (8× expected — only a
-    *    pathological sign-degenerate region, e.g. all-zero embeddings)
-    *    is non-discriminative and is dropped whole, the same rule as the
-    *    q32 LSH bucket cap; the oracle applies the identical cap. The
-    *    overfull set is tiny, so it anti-joins as a broadcast — no extra
-    *    shuffle on the big side.
+    *    count ≈ n/64 and expected bucket size stays ~64 per table
+    *    regardless of n. Within-bucket all-pairs is then O(n·64·L)
+    *    TOTAL — linear in n — instead of O(n²/2^bits). Both engines
+    *    derive `bits` from the same count with the same ε-guarded
+    *    formula, so buckets agree bit-for-bit (axis hyperplanes,
+    *    integer bucket ids).
+    *  - table ℓ reads dimensions (ℓ·bits+j) mod 64 — disjoint
+    *    axis-hyperplane sets while ℓ·bits < 64, wrapping (correlated
+    *    but still distinct-offset) beyond; L is the
+    *    [[graft.config.Tuning.lshTables]] recall knob: a true neighbor
+    *    is found if it cohabits in ANY table, recall ≈ 1−(1−p^bits)^L.
+    *    Round 3 ran L = 1 and measured recall@1 = 0.0 at sf0.1 — a
+    *    dead tier; the union is the standard fix.
+    *  - skew guard: a (table, bucket) holding > lshBucketCap vectors
+    *    (8× expected — only a pathological sign-degenerate region,
+    *    e.g. all-zero embeddings) is non-discriminative and is dropped
+    *    whole, the same rule as the q32 LSH bucket cap; the oracle
+    *    applies the identical cap. The overfull set is tiny, so it
+    *    anti-joins as a broadcast — no extra shuffle on the big side.
+    *  - candidate pairs are DISTINCT'd before the dot-product join, so
+    *    a pair cohabiting in several tables is scored once.
     */
-  private def lshDF(s: SparkSession, d: String): DataFrame = {
+  private def lshDF(s: SparkSession, d: String, ctx: AnnCtx): DataFrame = {
       import s.implicits._
-      val n0 = Tables.rowCount(s, d, "embeddings")  // footer metadata, no scan
-      val bits = signBits(n0)
-      val u0 = unpacked(s, d, bits)
-      val over = u0.filter($"i" === 0)
-        .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
-        .filter($"cnt" > 512).select($"bucket")
-      val u = u0.join(broadcast(over), Seq("bucket"), "left_anti")
-      val n = norms(u)
-      val a = u.select($"vec_id".as("a_id"), $"bucket", $"i".as("ai"), $"v".as("av"))
-      val b = u.select($"vec_id".as("b_id"), $"bucket".as("bk"), $"i".as("bi"), $"v".as("bv"))
-      val dots = a.join(b,
-          $"ai" === $"bi" && $"bucket" === $"bk" && $"a_id" =!= $"b_id")
-        .groupBy($"a_id", $"bucket", $"b_id")
+      val T = Tuning.current
+      val bits = signBits(ctx.n0)
+      // (vec_id, tbl, bucket): row-local sign buckets for all L tables,
+      // one scan, static codegen'd expressions (no HOF)
+      val tblCols = (0 until T.lshTables).map { l =>
+        val sum = (0 until bits)
+          .map(j => s"(CASE WHEN embedding[${(l * bits + j) % 64}] > 0 THEN ${1L << j}L ELSE 0L END)")
+          .mkString(" + ")
+        expr(s"named_struct('tbl', $l, 'bucket', CAST($sum AS BIGINT))")
+      }
+      val bt = t(s, d, "embeddings")
+        .filter($"embedding".isNotNull)
+        .select($"vec_id", explode(array(tblCols: _*)).as("tb"))
+        .select($"vec_id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+      val over = bt.groupBy($"tbl", $"bucket").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" > T.lshBucketCap).select($"tbl", $"bucket")
+      val btc = bt.join(broadcast(over), Seq("tbl", "bucket"), "left_anti")
+      val cand = btc.as("x").join(btc.as("y"),
+          $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" &&
+            $"x.vec_id" =!= $"y.vec_id")
+        .select($"x.vec_id".as("a_id"), $"y.vec_id".as("b_id"))
+        .distinct()
+      val ua = ctx.u.select($"vec_id".as("a_id"), $"i", $"v".as("av"))
+      val ub = ctx.u.select($"vec_id".as("bb_id"), $"i".as("bi"), $"v".as("bv"))
+      val dots = cand.join(ua, "a_id")
+        .join(ub, $"b_id" === $"bb_id" && $"i" === $"bi")
+        .groupBy($"a_id", $"b_id")
         .agg(sum($"av" * $"bv").as("dot"))
+      val n = ctx.n
       val scored = dots
         .join(broadcast(n.select($"vec_id".as("a_id"), $"nrm".as("an"))), "a_id")
         .join(broadcast(n.select($"vec_id".as("b_id"), $"nrm".as("bn"))), "b_id")
@@ -258,40 +318,55 @@ object Similarity {
         .orderBy(r6($"cosine").desc, $"b_id")
       scored.withColumn("rk", row_number().over(w))
         .filter($"rk" === 1)
-        .select($"a_id", $"bucket", $"b_id".as("nn_id"), r4($"cosine").as("cosine"))
+        .select($"a_id", $"b_id".as("nn_id"), r4($"cosine").as("cosine"))
         .orderBy($"a_id")
+  }
+
+  private def lshOracle: String = {
+    val T = Tuning.current
+    s"""
+      WITH params AS (SELECT least(64, greatest(4,
+                        CAST(ceil(log2(count(*) / 64.0) - 1e-9) AS INT))) AS bits
+                      FROM embeddings),
+      tb AS (SELECT vec_id, tbl,
+               CAST(list_sum(list_transform(range(0, bits),
+                 j -> CASE WHEN embedding[((tbl * bits + j) % 64) + 1] > 0
+                           THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS bucket
+             FROM embeddings, params, (SELECT unnest(range(0, ${T.lshTables})) AS tbl) ts
+             WHERE embedding IS NOT NULL),
+      over_cap AS (SELECT tbl, bucket FROM tb GROUP BY tbl, bucket
+                   HAVING count(*) > ${T.lshBucketCap}),
+      tbc AS (SELECT tb.* FROM tb ANTI JOIN over_cap o
+                ON tb.tbl = o.tbl AND tb.bucket = o.bucket),
+      cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+               FROM tbc x JOIN tbc y
+                 ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+      u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding)::DOUBLE AS v FROM embeddings
+            WHERE embedding IS NOT NULL),
+      n AS (SELECT vec_id,
+              sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM embeddings WHERE embedding IS NOT NULL),
+      d AS (SELECT c.a_id, c.b_id, sum(ua.v * ub.v) AS dot
+            FROM cand c
+            JOIN u ua ON ua.vec_id = c.a_id
+            JOIN u ub ON ub.vec_id = c.b_id AND ub.i = ua.i
+            GROUP BY 1, 2),
+      scored AS (SELECT a_id, b_id, dot / (na.nrm * nb.nrm) AS cosine
+                 FROM d JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id),
+      ranked AS (SELECT a_id, b_id AS nn_id, cosine,
+                   row_number() OVER (PARTITION BY a_id
+                     ORDER BY round(cosine, 6) DESC, b_id) AS rk
+                 FROM scored)
+      SELECT a_id, nn_id, round(cosine, 4) AS cosine
+      FROM ranked WHERE rk = 1
+      ORDER BY a_id"""
   }
 
   private val q41 = Q(
     "q41_ann_lsh_bucket",
-    lshDF,
-    Some("""
-      WITH params AS (SELECT least(64, greatest(4,
-                        CAST(ceil(log2(count(*) / 64.0) - 1e-9) AS INT))) AS bits
-                      FROM embeddings),
-      e0 AS (SELECT vec_id, embedding,
-               CAST(list_sum(list_transform(range(0, (SELECT bits FROM params)),
-                 j -> CASE WHEN embedding[j + 1] > 0 THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS bucket
-             FROM embeddings),
-      e AS (SELECT * FROM e0 WHERE bucket NOT IN
-              (SELECT bucket FROM e0 GROUP BY bucket HAVING count(*) > 512)),
-      n AS (SELECT vec_id,
-              sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-            FROM e),
-      u AS (SELECT vec_id, bucket, generate_subscripts(embedding, 1) AS i,
-              unnest(embedding)::DOUBLE AS v FROM e),
-      d AS (SELECT a.vec_id AS a_id, a.bucket, b.vec_id AS b_id, sum(a.v * b.v) AS dot
-            FROM u a JOIN u b ON a.i = b.i AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
-            GROUP BY 1, 2, 3),
-      scored AS (SELECT a_id, bucket, b_id, dot / (na.nrm * nb.nrm) AS cosine
-                 FROM d JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id),
-      ranked AS (SELECT a_id, CAST(bucket AS BIGINT) AS bucket, b_id AS nn_id, cosine,
-                   row_number() OVER (PARTITION BY a_id
-                     ORDER BY round(cosine, 6) DESC, b_id) AS rk
-                 FROM scored)
-      SELECT a_id, bucket, nn_id, round(cosine, 4) AS cosine
-      FROM ranked WHERE rk = 1
-      ORDER BY a_id"""))
+    (s, d) => lshDF(s, d, annCtx(s, d)),
+    Some(lshOracle))
 
   /** Per-label centroids: dimension-wise mean — the reduce side of an
     * IVF/k-means coarse quantizer.
@@ -326,32 +401,27 @@ object Similarity {
     * codebook starts from k = ⌈√n⌉ seed vectors picked
     * deterministically by `vec_id % ⌊n/k⌋ = 0` (both engines derive k
     * and the stride from the same count with the same ε-guarded sqrt)
-    * and is then Lloyd-refined for 2 deterministic k-means iterations
-    * ([[refinedCodebook]], round 3 — tighter cells, higher recall,
-    * same asymptotics; the oracle replays the identical refinement).
-    * Expected cell size is √n, the classic IVF balance point:
-    * assignment is n·k broadcast-codebook dot products and within-cell
-    * pairing totals k·(√n)² = n^1.5 — both sub-quadratic, both
-    * shrinking per-cell as n grows.
+    * and is then Lloyd-refined for Tuning.lloydIters deterministic
+    * k-means iterations ([[refinedCodebook]] — tighter cells, higher
+    * recall, same asymptotics; the oracle replays the identical
+    * refinement). Expected cell size is √n, the classic IVF balance
+    * point: assignment is n·k broadcast-codebook dot products and
+    * within-cell pairing totals k·(√n)² = n^1.5 — both sub-quadratic,
+    * both shrinking per-cell as n grows.
     */
-  /** The shared IVF setup — corpus count, ⌈√n⌉-derived stride, unpacked
-    * dims, norms, Lloyd-refined codebook — computed once and reused by
-    * q43, q44 and q45 (which runs both searches and would otherwise pay
-    * for two identical refinements).
+  /** The shared IVF setup — stride from the corpus count, the shared
+    * [[AnnCtx]], and the Lloyd-refined codebook — computed once and
+    * reused by q43, q44 and q45 (which runs both searches and would
+    * otherwise pay for two identical refinements).
     */
   private case class IvfCtx(u: DataFrame, n: DataFrame, cb: Codebook)
 
-  private def ivfCtx(s: SparkSession, d: String): IvfCtx = {
-    import s.implicits._
-    val n0 = Tables.rowCount(s, d, "embeddings")  // footer metadata, no scan
-    val k = math.ceil(math.sqrt(n0.toDouble) - 1e-9).toLong
-    val stride = math.max(1L, n0 / k)
-    val u = unpacked(s, d)
-    IvfCtx(u, norms(u), refinedCodebook(s, d, stride, u))
+  private def ivfCtx(s: SparkSession, d: String, ctx: AnnCtx): IvfCtx = {
+    val k = math.ceil(math.sqrt(ctx.n0.toDouble) - 1e-9).toLong
+    val stride = math.max(1L, ctx.n0 / k)
+    IvfCtx(ctx.u, ctx.n,
+      refinedCodebook(s, d, stride, ctx.u, Tuning.current.lloydIters))
   }
-
-  private def ivfDF(s: SparkSession, d: String): DataFrame =
-    ivfSearch(s, d, ivfCtx(s, d))
 
   private def ivfSearch(s: SparkSession, d: String, ctx: IvfCtx): DataFrame = {
       import s.implicits._
@@ -376,13 +446,16 @@ object Similarity {
         .orderBy($"a_id")
   }
 
-  /** The oracle's replay of [[refinedCodebook]] + the final assignment:
-    * cb0 = stride seeds → assign a0 → cb1 = r6 centroids → assign a1 →
-    * cb2 → final assignment CTE named `fa` (rk over rounded score,
-    * cell-id tiebreak). Shared verbatim by q43 (rk = 1), q44
-    * (rk <= 2 probes / rk = 1 home), and q45 via composition.
+  /** The oracle's replay of [[refinedCodebook]] + the final assignment,
+    * GENERATED for Tuning.lloydIters iterations: cb0 = stride seeds,
+    * then per iteration i the chain n_i (cell norms) → d_i (dots) →
+    * a_i (rank-1 assignment) → cb_{i+1} (r6 centroids), ending in the
+    * final-assignment CTE `fa` (rk over rounded score, cell-id
+    * tiebreak). Shared verbatim by q43 (rk = 1), q44 (rk <= nprobe
+    * probes / rk = 1 home), and q45 via composition.
     */
-  private val ivfOracleCtes = """
+  private def ivfOracleCtes(iters: Int): String = {
+    val head = """
       params AS (SELECT greatest(1, count(*) //
                    CAST(ceil(sqrt(count(*)) - 1e-9) AS BIGINT)) AS stride
                  FROM embeddings),
@@ -392,42 +465,37 @@ object Similarity {
               sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
             FROM embeddings),
       cb0 AS (SELECT vec_id AS cell, i AS dim, v AS cv FROM u
-              WHERE vec_id % (SELECT stride FROM params) = 0),
-      n0 AS (SELECT cell, sum(cv * cv) AS cn2 FROM cb0 GROUP BY cell),
-      d0 AS (SELECT u.vec_id, cb0.cell, sum(u.v * cb0.cv) AS dot
-             FROM u JOIN cb0 ON u.i = cb0.dim GROUP BY 1, 2),
-      a0 AS (SELECT vec_id, cell FROM (
+              WHERE vec_id % (SELECT stride FROM params) = 0)"""
+    val steps = (0 until iters).map { i =>
+      s"""
+      n$i AS (SELECT cell, sum(cv * cv) AS cn2 FROM cb$i GROUP BY cell),
+      d$i AS (SELECT u.vec_id, cb$i.cell, sum(u.v * cb$i.cv) AS dot
+             FROM u JOIN cb$i ON u.i = cb$i.dim GROUP BY 1, 2),
+      a$i AS (SELECT vec_id, cell FROM (
                SELECT d.vec_id, d.cell,
                       row_number() OVER (PARTITION BY d.vec_id
-                        ORDER BY round(n0.cn2 - 2.0 * d.dot, 6), d.cell) AS rk
-               FROM d0 d JOIN n0 ON d.cell = n0.cell)
+                        ORDER BY round(n$i.cn2 - 2.0 * d.dot, 6), d.cell) AS rk
+               FROM d$i d JOIN n$i ON d.cell = n$i.cell)
              WHERE rk = 1),
-      cb1 AS (SELECT a.cell, u.i AS dim, round(avg(u.v), 6) AS cv
-              FROM u JOIN a0 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
-      n1 AS (SELECT cell, sum(cv * cv) AS cn2 FROM cb1 GROUP BY cell),
-      d1 AS (SELECT u.vec_id, cb1.cell, sum(u.v * cb1.cv) AS dot
-             FROM u JOIN cb1 ON u.i = cb1.dim GROUP BY 1, 2),
-      a1 AS (SELECT vec_id, cell FROM (
-               SELECT d.vec_id, d.cell,
-                      row_number() OVER (PARTITION BY d.vec_id
-                        ORDER BY round(n1.cn2 - 2.0 * d.dot, 6), d.cell) AS rk
-               FROM d1 d JOIN n1 ON d.cell = n1.cell)
-             WHERE rk = 1),
-      cb2 AS (SELECT a.cell, u.i AS dim, round(avg(u.v), 6) AS cv
-              FROM u JOIN a1 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
-      n2 AS (SELECT cell, sum(cv * cv) AS cn2 FROM cb2 GROUP BY cell),
-      d2 AS (SELECT u.vec_id, cb2.cell, sum(u.v * cb2.cv) AS dot
-             FROM u JOIN cb2 ON u.i = cb2.dim GROUP BY 1, 2),
+      cb${i + 1} AS (SELECT a.cell, u.i AS dim, round(avg(u.v), 6) AS cv
+              FROM u JOIN a$i a ON u.vec_id = a.vec_id GROUP BY 1, 2)"""
+    }.mkString(",", ",", "")
+    val fin = s"""
+      n$iters AS (SELECT cell, sum(cv * cv) AS cn2 FROM cb$iters GROUP BY cell),
+      d$iters AS (SELECT u.vec_id, cb$iters.cell, sum(u.v * cb$iters.cv) AS dot
+             FROM u JOIN cb$iters ON u.i = cb$iters.dim GROUP BY 1, 2),
       fa AS (SELECT d.vec_id, d.cell,
                     row_number() OVER (PARTITION BY d.vec_id
-                      ORDER BY round(n2.cn2 - 2.0 * d.dot, 6), d.cell) AS rk
-             FROM d2 d JOIN n2 ON d.cell = n2.cell)"""
+                      ORDER BY round(n$iters.cn2 - 2.0 * d.dot, 6), d.cell) AS rk
+             FROM d$iters d JOIN n$iters ON d.cell = n$iters.cell)"""
+    head + steps + "," + fin
+  }
 
   private val q43 = Q(
     "q43_ann_ivf",
-    ivfDF,
+    (s, d) => ivfSearch(s, d, ivfCtx(s, d, annCtx(s, d))),
     Some(s"""
-      WITH $ivfOracleCtes,
+      WITH ${ivfOracleCtes(Tuning.current.lloydIters)},
       assign AS (SELECT vec_id, cell FROM fa WHERE rk = 1),
       ua AS (SELECT u.vec_id, a.cell, u.i, u.v FROM u JOIN assign a ON u.vec_id = a.vec_id),
       pd AS (SELECT x.vec_id AS a_id, x.cell, y.vec_id AS b_id, sum(x.v * y.v) AS dot
@@ -444,26 +512,24 @@ object Similarity {
       FROM ranked WHERE rk = 1
       ORDER BY a_id"""))
 
-  /** Multi-probe IVF (nprobe = 2): every vector searches its TWO nearest
-    * cells instead of one — the standard IVF recall knob. Corpus vectors
-    * are indexed once in their home cell (rank-1 assignment); a query's
-    * candidate set is every vector homed in either probed cell, so the
-    * boundary-vector recall loss of single-probe IVF (nearest true
-    * neighbor just across the Voronoi edge) is recovered at exactly 2×
-    * the single-probe pairing cost — still n·√n total, same broadcast
-    * codebook, same cell-local shuffles as q43. A pair can't double-count:
-    * the candidate's HOME cell is unique, so (a, b) appears via at most
+  /** Multi-probe IVF (nprobe = Tuning.nprobe): every vector searches
+    * its nprobe nearest cells instead of one — the standard IVF recall
+    * knob, now a config dial. Corpus vectors are indexed once in their
+    * home cell (rank-1 assignment); a query's candidate set is every
+    * vector homed in any probed cell, so the boundary-vector recall
+    * loss of single-probe IVF (nearest true neighbor just across the
+    * Voronoi edge) is recovered at exactly nprobe× the single-probe
+    * pairing cost — still n·√n-class total, same broadcast codebook,
+    * same cell-local shuffles as q43. A pair can't double-count: the
+    * candidate's HOME cell is unique, so (a, b) appears via at most
     * one probe.
     */
-  private def ivfMultiprobeDF(s: SparkSession, d: String): DataFrame =
-    ivfMultiprobeSearch(s, d, ivfCtx(s, d))
-
   private def ivfMultiprobeSearch(s: SparkSession, d: String, ctx: IvfCtx): DataFrame = {
       import s.implicits._
       val IvfCtx(u, n, cb) = ctx
-      // cache the n×2 probe table so the assignment map runs once
+      // cache the n×nprobe probe table so the assignment map runs once
       // (home is derived from it)
-      val probed = assignCells(s, d, cb, nProbe = 2).cache()
+      val probed = assignCells(s, d, cb, nProbe = Tuning.current.nprobe).cache()
       val probes = probed.select($"vec_id", $"cell")
       val home = probed.filter($"rk" === 1).select($"vec_id", $"cell")
       val a = u.join(probes, "vec_id")
@@ -486,10 +552,10 @@ object Similarity {
 
   private val q44 = Q(
     "q44_ann_ivf_multiprobe",
-    ivfMultiprobeDF,
+    (s, d) => ivfMultiprobeSearch(s, d, ivfCtx(s, d, annCtx(s, d))),
     Some(s"""
-      WITH $ivfOracleCtes,
-      probes AS (SELECT vec_id, cell FROM fa WHERE rk <= 2),
+      WITH ${ivfOracleCtes(Tuning.current.lloydIters)},
+      probes AS (SELECT vec_id, cell FROM fa WHERE rk <= ${Tuning.current.nprobe}),
       home AS (SELECT vec_id, cell FROM fa WHERE rk = 1),
       pd AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, sum(x.v * y.v) AS dot
              FROM (SELECT p.vec_id, p.cell, u.i, u.v
@@ -515,15 +581,21 @@ object Similarity {
     * counts as a miss — that IS the recall cost of the blocking scheme.
     * Everything here is deterministic (rounded scores, id tiebreaks),
     * so the report is oracle-checkable end-to-end: the quality dial for
-    * the `bits` / `nprobe` / Lloyd-iteration knobs is itself a tested
+    * the `lshTables` / `nprobe` / `lloydIters` knobs is itself a tested
     * query, not a side-channel script. (No reference analog — the
     * LLM-pipeline completeness item from the round-2 review.)
+    *
+    * ONE shared [[AnnCtx]] feeds brute force, LSH, and (via the shared
+    * [[IvfCtx]]) both IVF tiers: the n×64 explode and the norm table
+    * materialize once per query, not per tier (round-3 ran three
+    * separate caches of the identical table — a third of q45's cost).
     */
   private val q45 = Q(
     "q45_ann_recall",
     (s, d) => {
       import s.implicits._
-      val gt = bruteforceDF(s, d).filter($"rk" === 1)
+      val ctx = annCtx(s, d)
+      val gt = bruteforceDF(s, d, ctx).filter($"rk" === 1)
         .select($"q_id", $"n_id".as("true_nn"))
       def recallOf(method: String, df: DataFrame) =
         gt.join(df.select($"a_id".as("q_id"), $"nn_id"), Seq("q_id"), "left")
@@ -533,13 +605,10 @@ object Similarity {
             $"n_queries".cast("long").as("n_queries"),
             $"hits".cast("long").as("hits"),
             r4($"hits".cast("double") / $"n_queries").as("recall_at_1"))
-      // ONE shared IVF context: both searches reuse the same refined
-      // codebook (and the cached unpacked/norm tables) instead of
-      // paying for two identical refinements
-      val ctx = ivfCtx(s, d)
-      recallOf("ivf", ivfSearch(s, d, ctx))
-        .unionAll(recallOf("ivf_multiprobe", ivfMultiprobeSearch(s, d, ctx)))
-        .unionAll(recallOf("lsh", lshDF(s, d)))
+      val ictx = ivfCtx(s, d, ctx)
+      recallOf("ivf", ivfSearch(s, d, ictx))
+        .unionAll(recallOf("ivf_multiprobe", ivfMultiprobeSearch(s, d, ictx)))
+        .unionAll(recallOf("lsh", lshDF(s, d, ctx)))
         .orderBy($"method")
     },
     Some(s"""

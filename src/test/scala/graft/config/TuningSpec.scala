@@ -1,0 +1,52 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TuningSpec extends AnyFunSuite {
+
+  test("defaults validate clean") {
+    Tuning().validate() // must not throw
+  }
+
+  test("every knob rejects non-positive values with its own name") {
+    val bad = Seq[(String, Tuning)](
+      "dfCap" -> Tuning(dfCap = 0),
+      "minhashBands" -> Tuning(minhashBands = 0),
+      "minhashRows" -> Tuning(minhashRows = -1),
+      "minhashBucketCap" -> Tuning(minhashBucketCap = 0),
+      "lshTables" -> Tuning(lshTables = 0),
+      "lshBucketCap" -> Tuning(lshBucketCap = -5),
+      "nprobe" -> Tuning(nprobe = 0),
+      "sourceQuota" -> Tuning(sourceQuota = 0),
+      "kmvK" -> Tuning(kmvK = 0))
+    for ((name, t) <- bad) {
+      val e = intercept[ConfigurationError](t.validate())
+      assert(e.getMessage.contains(name), s"message for $name: ${e.getMessage}")
+    }
+  }
+
+  test("lloydIters = 0 is legal (seed codebook, no refinement); negative is not") {
+    Tuning(lloydIters = 0).validate()
+    intercept[ConfigurationError](Tuning(lloydIters = -1).validate())
+  }
+
+  test("signature size is capped at 64 (affine-constant overflow bound)") {
+    Tuning(minhashBands = 32, minhashRows = 2).validate() // 64: legal
+    intercept[ConfigurationError](
+      Tuning(minhashBands = 33, minhashRows = 2).validate())
+  }
+
+  test("lshTables capped at 16") {
+    Tuning(lshTables = 16).validate()
+    intercept[ConfigurationError](Tuning(lshTables = 17).validate())
+  }
+
+  test("the loaded session instance carries the shipped defaults when no overrides are set") {
+    // the test JVM sets no graft.tuning.* properties; a GRAFT_TUNING_*
+    // env var would legitimately change this, so only assert when absent
+    if (!sys.env.keys.exists(_.startsWith("GRAFT_TUNING_")) &&
+        !sys.props.keys.exists(_.startsWith("graft.tuning."))) {
+      assert(Tuning.current == Tuning())
+    }
+  }
+}
