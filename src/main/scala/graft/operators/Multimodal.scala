@@ -318,5 +318,128 @@ object Multimodal {
       JOIN ent ON d.doc_id = ent.doc_id
       ORDER BY d.doc_id"""))
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63)
+  /** Deterministic REAL-media fixture builder: every doc_id becomes a
+    * genuine, spec-conformant media payload — even ids a binary PPM
+    * (P6) image, odd ids a RIFF/PCM WAV — with dimensions, sample
+    * rates, and payload bytes all derived arithmetically from the id,
+    * so the DuckDB oracle can reconstruct the identical bytes (as an
+    * uppercase hex string) without a codec. This is what lets the q60
+    * decode slot graduate from "stub with unit-tested parsers on the
+    * side" to an oracle-checked end-to-end path (q64).
+    */
+  object MediaFixtures {
+    def ppm(id: Long): Array[Byte] = {
+      val w = (1 + id % 13).toInt
+      val h = (1 + id % 7).toInt
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val raster = Array.tabulate(w * h * 3)(i => (32 + ((id + i) % 64)).toByte)
+      header ++ raster
+    }
+
+    def wav(id: Long): Array[Byte] = {
+      val c = (1 + id % 3).toInt
+      val rate = (8000 + (id % 5) * 1000).toInt
+      val blockAlign = c * 2
+      val frames = (10 + id % 50).toInt
+      val dataLen = frames * blockAlign
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(c.toShort)
+        .putInt(rate).putInt(rate * blockAlign)
+        .putShort(blockAlign.toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < dataLen) { bb.put((((id * 7 + i * 13) % 256) & 0xff).toByte); i += 1 }
+      bb.array()
+    }
+
+    def blobFor(id: Long): Array[Byte] = if (id % 2 == 0) ppm(id) else wav(id)
+  }
+
+  /** The little-endian hex fragments of the oracle's WAV header —
+    * DuckDB has no to-LE-bytes primitive, so each field renders as a
+    * printf over its byte slices. The argument is parenthesized INSIDE
+    * the arithmetic: `36+datalen` substituted textually into `x//256`
+    * would bind as `36+(datalen//256)`.
+    */
+  private def u32le(x: String): String =
+    s"printf('%02X%02X%02X%02X', (($x))%256, (($x)//256)%256, (($x)//65536)%256, (($x)//16777216)%256)"
+  private def u16le(x: String): String =
+    s"printf('%02X%02X', (($x))%256, (($x)//256)%256)"
+
+  /** End-to-end REAL decode (the round-3 verdict's last `partial`
+    * component): build genuine PPM/WAV payloads per document id
+    * ([[MediaFixtures]]), push them through the format-sniffing
+    * [[RealDecoders]] dispatch — the actual byte-walking parsers, not
+    * the arithmetic stub — and report which parser claimed the blob
+    * plus the header fields it extracted. The oracle reconstructs the
+    * identical blobs in SQL and derives the expected fields
+    * arithmetically, so a parser that misreads any header byte (or a
+    * builder that emits a malformed file, forcing the stub fallback
+    * and a different `kind`) hash-mismatches.
+    *
+    * Content equality is pinned by md5 over the UPPERCASE HEX of the
+    * blob (not the raw bytes) because DuckDB 1.x md5 only accepts
+    * VARCHAR — same strength, both engines hash the same 2n ASCII
+    * chars. At 100 TB the shape is q60's: blobs decode data-locally in
+    * one compiled map pass; only metadata shuffles for the final sort.
+    */
+  private val q64 = Q(
+    "q64_multimodal_real_decode",
+    (s, d) => {
+      import s.implicits._
+      spread(t(s, d, "documents"))
+        .select($"doc_id").as[Long]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { id =>
+            val blob = MediaFixtures.blobFor(id)
+            val rec = MediaRecord(id, blob)
+            val (kind, m) = RealDecoders.decodePpm(rec).map(("ppm", _))
+              .orElse(RealDecoders.decodeWav(rec).map(("wav", _)))
+              .getOrElse(("stub", decodeStub(rec)))
+            val sb = new java.lang.StringBuilder(blob.length * 2)
+            blob.foreach(b => sb.append("%02X".format(b & 0xff)))
+            md.reset()
+            val hash = md.digest(sb.toString.getBytes("US-ASCII"))
+              .map("%02x".format(_)).mkString
+            (id, kind, m.byte_len, m.width, m.height, m.n_frames, hash)
+          }
+        }
+        .toDF("doc_id", "kind", "byte_len", "width", "height", "n_frames",
+          "content_hash")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH p AS (SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h
+                 FROM documents WHERE doc_id % 2 = 0),
+      ppm AS (SELECT doc_id, 'ppm' AS kind,
+                hex('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)) ||
+                array_to_string(list_transform(range(0, w*h*3),
+                  i -> printf('%02X', 32 + (doc_id + i) % 64)), '') AS hx,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST(1 AS BIGINT) AS n_frames
+              FROM p),
+      w0 AS (SELECT doc_id, 1 + doc_id % 3 AS c, 8000 + (doc_id % 5) * 1000 AS rate,
+               10 + doc_id % 50 AS frames
+             FROM documents WHERE doc_id % 2 = 1),
+      w1 AS (SELECT doc_id, c, rate, frames, c*2 AS ba, frames*c*2 AS datalen,
+               rate*c*2 AS byterate FROM w0),
+      wav AS (SELECT doc_id, 'wav' AS kind,
+                hex('RIFF') || ${u32le("36+datalen")} || hex('WAVEfmt ') || ${u32le("16")} ||
+                ${u16le("1")} || ${u16le("c")} || ${u32le("rate")} || ${u32le("byterate")} ||
+                ${u16le("ba")} || ${u16le("16")} || hex('data') || ${u32le("datalen")} ||
+                array_to_string(list_transform(range(0, datalen),
+                  i -> printf('%02X', (doc_id*7 + i*13) % 256)), '') AS hx,
+                CAST(c AS BIGINT) AS width, CAST(rate AS BIGINT) AS height,
+                CAST(frames AS BIGINT) AS n_frames
+              FROM w1),
+      m AS (SELECT * FROM ppm UNION ALL SELECT * FROM wav)
+      SELECT doc_id, kind, CAST(length(hx) // 2 AS BIGINT) AS byte_len,
+             width, height, n_frames, md5(hx) AS content_hash
+      FROM m ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64)
 }

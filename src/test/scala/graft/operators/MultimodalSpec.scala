@@ -98,4 +98,25 @@ class MultimodalSpec extends AnyFunSuite {
       assert(RealDecoders.decode(rec) == Multimodal.decodeStub(rec))
     }
   }
+
+  test("MediaFixtures blobs are claimed by the REAL parsers, never the stub") {
+    import Multimodal.{MediaFixtures, MediaRecord, RealDecoders}
+    for (id <- 0L until 200L) {
+      val rec = MediaRecord(id, MediaFixtures.blobFor(id))
+      if (id % 2 == 0) {
+        val m = RealDecoders.decodePpm(rec)
+          .getOrElse(fail(s"PPM fixture $id rejected by the PPM parser"))
+        assert(m.width == 1 + id % 13 && m.height == 1 + id % 7)
+        assert(m.n_frames == 1)
+        assert(m.byte_len == rec.blob.length.toLong)
+      } else {
+        assert(RealDecoders.decodePpm(rec).isEmpty, s"WAV fixture $id parsed as PPM")
+        val m = RealDecoders.decodeWav(rec)
+          .getOrElse(fail(s"WAV fixture $id rejected by the WAV parser"))
+        assert(m.width == 1 + id % 3, "channels")
+        assert(m.height == 8000 + (id % 5) * 1000, "sample rate")
+        assert(m.n_frames == 10 + id % 50, "frame count")
+      }
+    }
+  }
 }
