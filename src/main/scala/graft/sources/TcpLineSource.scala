@@ -77,7 +77,8 @@ class TcpLineTable(properties: util.Map[String, String])
             options.getInt("port", 0),
             Option(options.get("timeoutSec")).map(_.toDouble),
             Option(options.get("maxMessagesPerTrigger")).map(_.toLong),
-            Option(checkpointLocation))
+            Option(checkpointLocation),
+            options.getInt("walMaxSegments", 8))
       }
     }
 }
@@ -166,7 +167,8 @@ object TcpLineMicroBatchStream
   */
 class TcpLineMicroBatchStream(host: String, port: Int,
     timeoutSec: Option[Double], maxPerTrigger: Option[Long] = None,
-    checkpointLocation: Option[String] = None)
+    checkpointLocation: Option[String] = None,
+    walMaxSegments: Int = 8)
     extends MicroBatchStream with org.apache.spark.internal.Logging {
   import TcpLineMicroBatchStream.sessionHadoopConf
 
@@ -323,11 +325,38 @@ class TcpLineMicroBatchStream(host: String, port: Int,
     }
   }
 
-  /** Append the not-yet-durable buffer suffix as one WAL segment named
-    * `<start>-<end>`, written to a dotfile and renamed so a torn write
-    * is never listed as a segment. Called on the engine's trigger
-    * thread; file IO runs OUTSIDE the buffer lock so the reader thread
-    * keeps ingesting during the write.
+  /** Write rows as the WAL segment `<start>-<start+rows.length>`, via a
+    * dotfile + rename so a torn write is never listed as a segment.
+    * Shared by [[persistPending]] (append path) and [[compactSegments]]
+    * (rewrite path).
+    */
+  private def writeSegment(start: Long,
+      rows: Array[(String, Long, Boolean)]): Unit = {
+    val dir = walDir.get
+    if (!walFs.exists(dir)) walFs.mkdirs(dir)
+    val end = start + rows.length
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-$start-$end")
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(walFs.create(tmp, true)))
+    try rows.foreach { case (msg, ts, fresh) =>
+      val bytes = msg.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      out.writeLong(ts); out.writeBoolean(fresh)
+      out.writeInt(bytes.length); out.write(bytes)
+    } finally out.close()
+    val seg = new org.apache.hadoop.fs.Path(dir, s"$start-$end")
+    if (!walFs.rename(tmp, seg))
+      throw new java.io.IOException(
+        s"graft-socket WAL: rename failed for segment [$start, $end)")
+  }
+
+  // live-segment estimate, maintained on the trigger thread (persist /
+  // commit / compact all run there) so the per-trigger hygiene check
+  // costs no FS listing; re-synced from the real listing at each commit
+  private var segCount = 0
+
+  /** Append the not-yet-durable buffer suffix as one WAL segment.
+    * Called on the engine's trigger thread; file IO runs OUTSIDE the
+    * buffer lock so the reader thread keeps ingesting during the write.
     */
   private def persistPending(): Unit = {
     val (segStart, slice) = lock.synchronized {
@@ -338,30 +367,64 @@ class TcpLineMicroBatchStream(host: String, port: Int,
       else (persisted, Array.empty[(String, Long, Boolean)])
     }
     if (slice.nonEmpty) {
-      val dir = walDir.get
-      if (!walFs.exists(dir)) walFs.mkdirs(dir)
-      val end = segStart + slice.length
-      val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-$segStart-$end")
-      val out = new java.io.DataOutputStream(
-        new java.io.BufferedOutputStream(walFs.create(tmp, true)))
-      try slice.foreach { case (msg, ts, fresh) =>
-        val bytes = msg.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-        out.writeLong(ts); out.writeBoolean(fresh)
-        out.writeInt(bytes.length); out.write(bytes)
-      } finally out.close()
-      val seg = new org.apache.hadoop.fs.Path(dir, s"$segStart-$end")
-      if (!walFs.rename(tmp, seg))
-        throw new java.io.IOException(
-          s"graft-socket WAL: rename failed for segment [$segStart, $end)")
-      lock.synchronized { persisted = math.max(persisted, end) }
+      writeSegment(segStart, slice)
+      lock.synchronized { persisted = math.max(persisted, segStart + slice.length) }
+      segCount += 1
+      // hygiene even when the sink never commits (a long-running batch
+      // or a stalled downstream): without this, one segment per trigger
+      // accumulates thousands of small files under the checkpoint
+      if (segCount > walMaxSegments)
+        compactSegments(lock.synchronized(trimmed))
     }
   }
 
-  /** Read rows [s, e) back out of the WAL (restart replay path). */
+  /** Merge every live (not fully committed) segment into ONE when their
+    * count exceeds `walMaxSegments`: a slow or stalled sink otherwise
+    * accumulates one small file per trigger, unbounded. The merged
+    * segment covers [max(committed, first live start), last live end)
+    * and is renamed into place BEFORE the old segments are deleted, so
+    * a crash anywhere in between leaves overlapping-but-consistent
+    * segments that [[readWal]]'s cursor dedupes on replay. Cost is one
+    * rewrite of the uncommitted backlog per `walMaxSegments` triggers —
+    * zero in the steady state where the sink commits every trigger (the
+    * commit-path delete keeps the count at 1-2).
+    */
+  private def compactSegments(committed: Long): Unit = try {
+    val live = listSegments().filter(_._2 > committed)
+    segCount = live.length
+    if (live.length > walMaxSegments) {
+      val start = math.max(committed, live.map(_._1).min)
+      val end = live.map(_._2).max
+      val rows = readWal(start, end)
+      // only compact a gapless backlog: a hole (manually deleted
+      // segment) must not be papered over with a mislabeled range
+      if (rows.length == (end - start).toInt) {
+        writeSegment(start, rows)
+        val merged = s"$start-$end"
+        live.foreach { case (_, _, p) =>
+          if (p.getName != merged) walFs.delete(p, false)
+        }
+        segCount = 1
+        logInfo(s"graft-socket $host:$port: compacted ${live.length} WAL " +
+          s"segments into [$start, $end)")
+      }
+    }
+  } catch { case ex: Exception =>
+    // non-fatal: compaction failure costs disk, never data
+    logWarning(s"graft-socket WAL: compaction failed: $ex")
+  }
+
+  /** Read rows [s, e) back out of the WAL (restart replay path). The
+    * cursor tracks the next offset still needed, which both skips
+    * already-served prefixes and DEDUPES overlapping segments — the
+    * legal state a crash between compaction's rename and its deletes
+    * leaves behind.
+    */
   private def readWal(s: Long, e: Long): Array[(String, Long, Boolean)] = {
     val out = ArrayBuffer[(String, Long, Boolean)]()
+    var cursor = s
     listSegments().foreach { case (a, b, p) =>
-      if (b > s && a < e) {
+      if (b > cursor && a < e) {
         val in = new java.io.DataInputStream(
           new BufferedInputStream(walFs.open(p)))
         try {
@@ -370,11 +433,12 @@ class TcpLineMicroBatchStream(host: String, port: Int,
           while (off < hi) {
             val ts = in.readLong(); val fresh = in.readBoolean()
             val bytes = new Array[Byte](in.readInt()); in.readFully(bytes)
-            if (off >= s)
+            if (off >= cursor)
               out += ((new String(bytes,
                 java.nio.charset.StandardCharsets.ISO_8859_1), ts, fresh))
             off += 1
           }
+          cursor = math.max(cursor, hi)
         } finally in.close()
       }
     }
@@ -457,8 +521,11 @@ class TcpLineMicroBatchStream(host: String, port: Int,
     // partially-committed segment (batch boundary inside it) stays.
     // Cleanup failure is non-fatal — it only costs disk, not data.
     if (walDir.isDefined) {
-      try listSegments().foreach { case (_, b, p) =>
-        if (b <= e) walFs.delete(p, false)
+      try {
+        val segs = listSegments()
+        segs.foreach { case (_, b, p) => if (b <= e) walFs.delete(p, false) }
+        segCount = segs.count(_._2 > e)  // re-sync the estimate
+        if (segCount > walMaxSegments) compactSegments(e)
       } catch { case ex: Exception =>
         logWarning(s"graft-socket WAL: segment cleanup failed: $ex")
       }

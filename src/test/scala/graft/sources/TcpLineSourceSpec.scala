@@ -295,4 +295,86 @@ class TcpLineSourceSpec extends SparkTestBase {
       q.stop(); srv.close(); spark.streams.removeListener(listener)
     }
   }
+
+  test("WAL hygiene: never-committing sink keeps a bounded segment count; replay intact") {
+    // One segment per trigger with a stalled sink previously grew the
+    // WAL without bound (thousands of small files under the
+    // checkpoint). With walMaxSegments = 4, the per-trigger hygiene
+    // check must compact the backlog while preserving byte-identical
+    // replay of the whole uncommitted range after a crash.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-walh-")
+      .toString + "/sources/0"
+    val srv = new TcpFixtureServer
+    val total = 24
+    val a = new TcpLineMicroBatchStream("localhost", srv.port, None, None,
+      Some(ckpt), walMaxSegments = 4)
+    var rowsA: Array[(String, Long, Boolean)] = null
+    try {
+      for (i <- 1 to total) {
+        srv.enqueue(s"hyg $i\n".getBytes)
+        val deadline = System.currentTimeMillis() + 30000
+        var end = 0L
+        // one trigger (= one persisted segment when data arrived) per
+        // message: the shape that maximizes segment churn
+        while (end < i && System.currentTimeMillis() < deadline) {
+          end = a.latestOffset().asInstanceOf[TcpOffset].n
+          if (end < i) Thread.sleep(20)
+        }
+        assert(end == i, s"message $i never surfaced")
+      }
+      // count real segments only (not hadoop-local .crc shadows / tmp)
+      val walFiles = java.nio.file.Files.list(
+          java.nio.file.Paths.get(ckpt, "wal")).toArray
+        .map(p => p.asInstanceOf[java.nio.file.Path].getFileName.toString)
+        .filter(_.matches("""\d+-\d+"""))
+      assert(walFiles.length <= 5,
+        s"WAL not compacted: ${walFiles.length} segments for $total triggers")
+      rowsA = a.planInputPartitions(TcpOffset(0), TcpOffset(total))(0)
+        .asInstanceOf[TcpLinePartition].rows
+      assert(rowsA.map(_._1).toSeq == (1 to total).map(i => s"hyg $i"))
+    } finally { a.stop(); srv.close() }
+    // crash: nothing committed. A fresh incarnation with the device
+    // GONE must replay the full range byte-identically from the
+    // compacted WAL.
+    val b = new TcpLineMicroBatchStream("localhost", 1, None, None, Some(ckpt))
+    try {
+      assert(b.latestOffset().asInstanceOf[TcpOffset].n == total.toLong)
+      val rowsB = b.planInputPartitions(TcpOffset(0), TcpOffset(total))(0)
+        .asInstanceOf[TcpLinePartition].rows
+      assert(rowsB.toSeq == rowsA.toSeq,
+        "replay after compaction differs from what incarnation A served")
+    } finally b.stop()
+  }
+
+  test("WAL replay dedupes overlapping segments (compaction crash window)") {
+    // A crash between compaction's rename and its deletes legally
+    // leaves the merged segment AND its sources on disk. Replay must
+    // serve each offset once.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-walo-")
+      .toString + "/sources/0"
+    val walPath = java.nio.file.Paths.get(ckpt, "wal")
+    java.nio.file.Files.createDirectories(walPath)
+    def writeSeg(start: Int, msgs: Seq[String]): Unit = {
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(
+          walPath.resolve(s"$start-${start + msgs.length}"))))
+      try msgs.zipWithIndex.foreach { case (m, j) =>
+        val bytes = m.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        out.writeLong(1000L * (start + j)); out.writeBoolean(false)
+        out.writeInt(bytes.length); out.write(bytes)
+      } finally out.close()
+    }
+    val all = (0 until 4).map(i => s"ovl $i")
+    writeSeg(0, all)            // the compacted segment 0-4
+    writeSeg(0, all.take(2))    // its un-deleted sources 0-2, 2-4
+    writeSeg(2, all.drop(2))
+    val c = new TcpLineMicroBatchStream("localhost", 1, None, None, Some(ckpt))
+    try {
+      assert(c.latestOffset().asInstanceOf[TcpOffset].n == 4L)
+      val rows = c.planInputPartitions(TcpOffset(0), TcpOffset(4))(0)
+        .asInstanceOf[TcpLinePartition].rows
+      assert(rows.map(_._1).toSeq == all, "overlap must not duplicate rows")
+      assert(rows.map(_._2).toSeq == Seq(0L, 1000L, 2000L, 3000L))
+    } finally c.stop()
+  }
 }
