@@ -320,4 +320,96 @@ class IngestPipelineSpec extends SparkTestBase {
       assert(!out.columns.contains("level"))
     } finally { q.stop(); srv.close() }
   }
+
+  test("STATION-scale kill/replay: 4 concurrent devices, zero dropped windows (X3/X4)") {
+    // The reference's deployment unit is the 4-device station
+    // (README.md:68, ports 4001-4004: three 20 Hz sonics + a slow MET
+    // probe); the zero-loss specs above cover ONE device. Here all four
+    // run concurrently, each stream's commits are metered
+    // (max_messages_per_trigger) so a hard stop lands while a durable
+    // backlog is still draining, and the restart happens with every
+    // device GONE: the full streams must land from WAL + state-store
+    // recovery alone - per-device, under concurrent checkpoint traffic.
+    val sonicMsgs = 600
+    val sonicPack = 50
+    val probeMsgs = 12
+    val sonics = (1 to 3).map { k =>
+      val srv = new TcpFixtureServer
+      val all = (1 to sonicMsgs).map(i => s"0$k RH= ${i % 97}.${i % 10} %RH T= ${i % 30}.0 'C \r\n")
+      srv.enqueueScript(all.grouped(100).map(c =>
+        graft.sources.TcpFixtureServer.Send(c.mkString.getBytes)).toSeq: _*)
+      (k, srv)
+    }
+    val probeSrv = new TcpFixtureServer
+    probeSrv.enqueueScript(
+      graft.sources.TcpFixtureServer.Send(
+        (1 to probeMsgs).map(i => s"07 RH= $i.0 %RH T= 10.0 'C \r\n").mkString.getBytes))
+    def cfgFor(name: String, port: Int, pack: Int, cap: Int) = DeviceConfig.load(s"""
+      |[device]
+      |station = MSU
+      |name = $name
+      |host = localhost
+      |port = $port
+      |max_messages_per_trigger = $cap
+      |[parser]
+      |regex = ^(?P<level>\\S+) RH= *(?P<rh>\\S+) %RH T= *(?P<temp>\\S+) .C\\s*$$
+      |group_by = level:int
+      |pack_length = $pack
+      |destination = ./ignored
+      |""".stripMargin)
+    val devs = sonics.map { case (k, srv) =>
+      (s"S$k", cfgFor(s"S$k", srv.port, sonicPack, 50), sonicMsgs)
+    } :+ (("P4", cfgFor("P4", probeSrv.port, 3, 4), probeMsgs))
+    val dirs = devs.map { case (name, _, _) =>
+      name -> (Files.createTempDirectory(s"graft-stn-$name-").toString,
+               Files.createTempDirectory(s"graft-stn-$name-ckpt-").toString)
+    }.toMap
+    def readCount(dest: String) =
+      try spark.read.parquet(dest).count() catch { case _: Exception => 0L }
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds")
+    // phase 1: run the whole station; kill while the sonics' metered
+    // backlog (50 msgs/trigger) is still draining
+    val phase1 = devs.map { case (name, cfg, _) =>
+      val (dest, ckpt) = dirs(name)
+      name -> IngestPipeline.start(spark, cfg, dest, ckpt, trigger = trig)
+    }.toMap
+    try {
+      val deadline = System.currentTimeMillis() + 90000
+      def drained(min: Long) = devs.forall { case (name, _, total) =>
+        val target = if (total == sonicMsgs) min else 6L
+        readCount(dirs(name)._1) >= target
+      }
+      while (!drained(400) && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(drained(400), "station never reached the kill point")
+    } finally phase1.values.foreach(_.stop())   // hard stop, mid-drain
+    sonics.foreach(_._2.close()); probeSrv.close()
+    // phase 2: every device gone (connection refused, 1 s retry loop);
+    // the four restarted queries drain their WALs + state stores
+    val phase2 = devs.map { case (name, cfg, _) =>
+      val (dest, ckpt) = dirs(name)
+      name -> IngestPipeline.start(spark, cfg, dest, ckpt, trigger = trig)
+    }.toMap
+    try {
+      val deadline = System.currentTimeMillis() + 90000
+      def complete() = devs.forall { case (name, _, total) =>
+        readCount(dirs(name)._1) >= total
+      }
+      while (!complete() && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      devs.foreach { case (name, _, total) =>
+        val n = readCount(dirs(name)._1)
+        assert(n == total, s"$name: $n of $total rows after station replay")
+      }
+      phase2.values.foreach(q => assert(q.exception.isEmpty))
+      // zero dropped windows, structurally: every committed pack is FULL
+      devs.foreach { case (name, cfg, total) =>
+        val out = spark.read.parquet(dirs(name)._1)
+        val perPack = out.groupBy("level", "pack_seq").count()
+          .select("count").distinct().collect().map(_.getLong(0)).toSet
+        assert(perPack == Set(cfg.packLength.toLong),
+          s"$name: partial packs on disk: $perPack")
+      }
+    } finally phase2.values.foreach(_.stop())
+  }
 }
