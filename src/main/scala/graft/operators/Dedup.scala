@@ -188,9 +188,11 @@ object Dedup {
   private val mRows = Tuning.current.minhashRows
   private val sigK = Tuning.current.sigK
   private val mCap = Tuning.current.minhashBucketCap
-  private val q32 = Q(
-    "q32_dedup_minhash_lsh",
-    (s, d) => {
+  /** The MinHash+LSH candidate pipeline ending in exact-verified pairs
+    * `(a_id, b_id, jacc)` (raw double score) — the body of q32, factored
+    * so q38's component clustering consumes the identical edge set.
+    */
+  private def minhashVerified(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val posts = shinglePostings(s, d)
         .cache()  // read by the signature pipeline and the verify arrays
@@ -246,11 +248,14 @@ object Dedup {
         .withColumn("common", size(array_intersect($"sha", $"shb")))
         .withColumn("jacc",
           $"common" / (size($"sha") + size($"shb") - $"common"))
-        .select($"a_id", $"b_id", r4($"jacc").as("jaccard"))
-        .orderBy($"a_id", $"b_id")
-    },
-    Some(s"""
-      WITH toks AS (SELECT doc_id, $toksSqlDuck AS toks FROM documents),
+        .select($"a_id", $"b_id", $"jacc")
+  }
+
+  /** The q32/q38 oracle's shared CTE chain ending in `cand(a_id, b_id)`
+    * (band-bucketed, capped, distinct candidate pairs) beside
+    * `sh(doc_id, sh)` for the exact verify.
+    */
+  private val minhashCandSql = s"""toks AS (SELECT doc_id, $toksSqlDuck AS toks FROM documents),
       sh0 AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM toks),
       sh AS (SELECT * FROM sh0 WHERE len(sh) > 0),
       sig AS (SELECT doc_id,
@@ -267,12 +272,101 @@ object Dedup {
       cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                FROM bands x JOIN bands y
                  ON x.band_key = y.band_key AND x.doc_id < y.doc_id
-               WHERE x.band_key IN (SELECT band_key FROM ok_buckets))
+               WHERE x.band_key IN (SELECT band_key FROM ok_buckets))"""
+
+  private val q32 = Q(
+    "q32_dedup_minhash_lsh",
+    (s, d) => {
+      import s.implicits._
+      minhashVerified(s, d)
+        .select($"a_id", $"b_id", r4($"jacc").as("jaccard"))
+        .orderBy($"a_id", $"b_id")
+    },
+    Some(s"""
+      WITH $minhashCandSql
       SELECT a_id, b_id,
              round(len(list_intersect(sha.sh, shb.sh)) /
                    (len(sha.sh) + len(shb.sh) - len(list_intersect(sha.sh, shb.sh))), 4) AS jaccard
       FROM cand JOIN sh sha ON a_id = sha.doc_id JOIN sh shb ON b_id = shb.doc_id
       ORDER BY a_id, b_id"""))
+
+  /** Near-dup CONNECTED COMPONENTS — the step after pair-finding that
+    * an actual dedup pipeline needs: near-dup relations are not
+    * transitive pairwise decisions, so survivors must be picked per
+    * CLUSTER, not per pair (A~B, B~C must keep one of {A,B,C}, not
+    * two). Edges are the exact-verified MinHash candidates at
+    * Jaccard ≥ 0.5 (rounded threshold so both engines agree at the
+    * boundary); components form by iterative min-label propagation —
+    * each round, every node takes the min of its own and its
+    * neighbors' labels — run to fixpoint, which is exactly "every node
+    * labeled with its component's min doc_id" (the standard dedup
+    * keeper rule). The oracle computes the same fixpoint as a DuckDB
+    * recursive CTE over reachability.
+    *
+    * Scale shape: this is the textbook large-graph CC loop (what
+    * GraphX/GraphFrames run underneath) — per round one equi-join on
+    * the edge list + one min-aggregate, everything map-side-combinable
+    * and shuffle-bounded by |edges|; rounds = component diameter,
+    * which for near-dup clusters (dense clique-ish blobs by
+    * construction — they all share shingles) is small. The loop caps
+    * at 25 rounds and fails loudly rather than return a non-fixpoint
+    * (which would silently disagree with the oracle).
+    */
+  private val q38 = Q(
+    "q38_dedup_components",
+    (s, d) => {
+      import s.implicits._
+      val edges = minhashVerified(s, d)
+        .filter(r6($"jacc") >= 0.5)
+        .select($"a_id", $"b_id")
+      val bi = edges
+        .unionAll(edges.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+        .toDF("src", "dst")
+        .cache()
+      var comp = bi.select($"src".as("doc_id")).distinct()
+        .withColumn("comp", $"doc_id").cache()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 25) {
+        val nbrMin = bi
+          .join(comp.select($"doc_id".as("src"), $"comp".as("scomp")), "src")
+          .groupBy($"dst").agg(min($"scomp").as("nmin"))
+        val next = comp
+          .join(nbrMin.select($"dst".as("doc_id"), $"nmin"), Seq("doc_id"), "left")
+          .select($"doc_id", least($"comp", coalesce($"nmin", $"comp")).as("comp"))
+          .cache()
+        changed = next
+          .join(comp.select($"doc_id", $"comp".as("old")), "doc_id")
+          .filter($"comp" =!= $"old").count()
+        comp.unpersist()
+        comp = next
+        rounds += 1
+      }
+      if (changed > 0) throw new IllegalStateException(
+        s"q38: label propagation not converged after $rounds rounds")
+      val sizes = comp.groupBy($"comp").agg(count(lit(1)).as("n_members"))
+      comp.join(broadcast(sizes), "comp")
+        .select($"doc_id", $"comp".as("component"), $"n_members")
+        .orderBy($"component", $"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashCandSql,
+      ev AS (SELECT a_id, b_id,
+               len(list_intersect(sha.sh, shb.sh)) /
+               (len(sha.sh) + len(shb.sh) - len(list_intersect(sha.sh, shb.sh))) AS jacc
+             FROM cand JOIN sh sha ON a_id = sha.doc_id JOIN sh shb ON b_id = shb.doc_id),
+      edges AS (SELECT a_id, b_id FROM ev WHERE round(jacc, 6) >= 0.5),
+      bi AS (SELECT a_id AS src, b_id AS dst FROM edges
+             UNION ALL SELECT b_id, a_id FROM edges),
+      nodes AS (SELECT DISTINCT src AS node FROM bi),
+      cc AS (SELECT node, node AS lab FROM nodes
+             UNION
+             SELECT b.dst AS node, c.lab FROM cc c JOIN bi b ON b.src = c.node),
+      comp AS (SELECT node AS doc_id, min(lab) AS component FROM cc GROUP BY node),
+      sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY component)
+      SELECT c.doc_id, c.component, s.n_members
+      FROM comp c JOIN sizes s ON c.component = s.component
+      ORDER BY c.component, c.doc_id"""))
 
   /** Per-doc 32-bit simhash signatures — one pass, 32 aggregate columns
     * (bit-parallel) instead of a 32× bit-explode: shuffle is docs×32
@@ -469,5 +563,5 @@ object Dedup {
       WHERE round(n_dup / CAST(nsh AS DOUBLE), 4) >= 0.5
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36)
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q38)
 }
