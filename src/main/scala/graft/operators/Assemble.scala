@@ -224,5 +224,58 @@ object Assemble {
       FROM r WHERE rn <= ${graft.config.Tuning.current.sourceQuota}
       ORDER BY source, doc_id"""))
 
-  val all: Seq[Q] = Seq(q37, q57, q58, q59)
+  /** Mixture rebalancing — the data-dependent generalization of q59's
+    * fixed cap: each source keeps ⌈√n⌉ documents (capped at 64), so a
+    * domain with 10⁶ docs contributes 10³ while a 100-doc domain keeps
+    * 10 — the standard sub-linear flattening of a heavy-tailed source
+    * distribution when assembling a training mix (one boilerplate-heavy
+    * giant domain must not drown the long tail). Selection is the same
+    * deterministic smallest-hash rule as q59 (stable under re-runs and
+    * insertions); state per source is one bounded k-min aggregate at
+    * the GLOBAL cap plus a count, so the hot-domain cost argument is
+    * unchanged. The √-law and the 64 cap use the same ε-guarded ceil on
+    * both engines; the kept prefix of the k-min array is sliced to the
+    * per-source quota after the aggregate, which is why a single global
+    * k works for data-dependent quotas.
+    */
+  private val q39 = Q(
+    "q39_source_mixture",
+    (s, d) => {
+      import s.implicits._
+      val capK = 64
+      val withH = t(s, d, "documents")
+        .select($"doc_id", $"source",
+          md5Long($"doc_id".cast("string")).as("h"))
+        .cache()  // aggregate + semi-join probe, as q59
+      val kept = withH.groupBy($"source")
+        .agg(graft.functions.KMinValues.kMinValues($"h", capK).as("mins"),
+          count(lit(1)).as("n"))
+        .withColumn("quota",
+          least(lit(capK.toLong),
+            ceil(sqrt($"n".cast("double")) - 1e-9).cast("long")))
+        .select($"source".as("k_source"), $"quota",
+          posexplode($"mins"))
+        .filter($"pos" < $"quota")
+        .select($"k_source", $"col".as("k_h"))
+      withH.join(kept,
+          withH("source") <=> kept("k_source") && withH("h") === kept("k_h"),
+          "left_semi")
+        .select($"source", $"doc_id")
+        .orderBy($"source", $"doc_id")
+    },
+    Some(s"""
+      WITH h AS (SELECT doc_id, source,
+                   ${md5LongSql("CAST(doc_id AS VARCHAR)")} AS h
+                 FROM documents),
+      n AS (SELECT source, count(*) AS n FROM h GROUP BY source),
+      r AS (SELECT h.source, h.doc_id,
+              row_number() OVER (PARTITION BY h.source ORDER BY h.h) AS rn,
+              n.n
+            FROM h JOIN n ON h.source IS NOT DISTINCT FROM n.source)
+      SELECT source, doc_id
+      FROM r
+      WHERE rn <= least(64, CAST(ceil(sqrt(n) - 1e-9) AS BIGINT))
+      ORDER BY source, doc_id"""))
+
+  val all: Seq[Q] = Seq(q37, q57, q58, q59, q39)
 }
