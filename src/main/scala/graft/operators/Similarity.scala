@@ -686,45 +686,114 @@ object Similarity {
     * reconstruction error reported per label so PQ vs int8 (q46) is a
     * measured trade, not a guess.
     *
-    * Scale shape: codebooks are m×k×8 doubles (broadcast at any n);
-    * assignment is an equi-join fan-out of n×64 component rows against
-    * the broadcast codebook into a (vec, subspace)-partitioned
-    * row_number — n×8 partition keys of k rows each, no hot key, no
-    * driver loop. The oracle replays seed → assign → refine → assign →
-    * reconstruct verbatim in SQL; absent (centroid, dim) rows
-    * reconstruct as 0.0 on both engines (ragged-embedding guard).
+    * Scale shape — the q43 broadcast-codebook recipe, NOT a join+window
+    * (round 2 already replaced that anti-pattern for IVF: the
+    * assignment join shuffled n×k partial scores): codebooks are m×k×8
+    * doubles, always broadcast; each pass is ONE compiled map over the
+    * vectors (assign all 8 subspaces in a tight loop, emit either the
+    * centroid-sum contributions or the per-element errors) feeding one
+    * map-side-combinable agg. No shuffle carries a ×k fan-out, no
+    * window at all. The oracle replays seed → assign → refine →
+    * assign → reconstruct verbatim in SQL; dims absent from a centroid
+    * or vector reconstruct as 0.0 on both engines (ragged guard), and
+    * assignment distances sum only dims both sides hold, like the
+    * oracle's equi-join.
     */
+  /** Per-subspace codebook: (centroid id, subspace) → present
+    * (dim-in-sub, value) pairs — sparse so ragged seeds mirror the
+    * oracle's absent rows.
+    */
+  private type PqCodebook = Array[(Long, Int, Array[(Int, Double)])]
+
+  /** Nearest centroid per subspace for one vector — rounded score +
+    * centroid-id tiebreak, the [[assignCells]] determinism recipe.
+    */
+  private def pqNearest(v: Array[Double], cb: PqCodebook): Array[(Int, Long)] =
+    cb.groupBy(_._2).toArray.map { case (sub, cents) =>
+      val scored = cents.map { case (cent, _, pairs) =>
+        var d2 = 0.0
+        pairs.foreach { case (sd, cv) =>
+          val idx = sub * 8 + sd
+          // the oracle's d2 is an equi-join on (sub, sd): a dim absent
+          // from EITHER side contributes nothing to assignment (absent
+          // dims surface only at reconstruction, as v−0)
+          if (idx < v.length) { val e = v(idx) - cv; d2 += e * e }
+        }
+        (math.floor(d2 * 1e6 + 0.5) / 1e6, cent)
+      }
+      (sub, scored.minBy(x => (x._1, x._2))._2)
+    }.sortBy(_._1)
+
   private val q47 = Q(
     "q47_embedding_pq",
     (s, d) => {
       import s.implicits._
-      val ctx = annCtx(s, d)
-      val stride = math.max(1L, ctx.n0 / 16)
-      val us = ctx.u
-        .withColumn("sub", expr("CAST(i div 8 AS INT)"))
-        .withColumn("sd", expr("CAST(i % 8 AS INT)"))
-        .cache()
-      val cb0 = us.filter($"vec_id" % stride === 0)
-        .select($"vec_id".as("cent"), $"sub", $"sd", $"v".as("cv"))
-      def assign(cb: DataFrame): DataFrame =
-        us.join(broadcast(cb), Seq("sub", "sd"))
-          .groupBy($"vec_id", $"sub", $"cent")
-          .agg(sum(($"v" - $"cv") * ($"v" - $"cv")).as("d2"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy($"vec_id", $"sub").orderBy(r6($"d2"), $"cent")))
-          .filter($"rk" === 1)
-          .select($"vec_id", $"sub", $"cent")
-      val a0 = assign(cb0)
-      val cb1 = us.join(a0, Seq("vec_id", "sub"))
+      val n0 = Tables.rowCount(s, d, "embeddings")
+      val stride = math.max(1L, n0 / 16)
+      val emb = spread(t(s, d, "embeddings"))
+        .select($"vec_id", $"label", $"embedding")
+        .as[(Long, String, Array[Float])].cache()
+      // seed codebook: stride sub-vectors, driver-collected (tiny)
+      val cb0: PqCodebook = emb
+        .filter($"vec_id" % stride === 0 && $"embedding".isNotNull)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        .collect()
+        .flatMap { case (sid, vf) =>
+          val v = vf.map(_.toDouble)
+          (0 until 8).map { sub =>
+            val pairs = (0 until 8).flatMap { sd =>
+              val idx = sub * 8 + sd
+              if (idx < v.length) Some((sd, v(idx))) else None
+            }.toArray
+            (sid, sub, pairs)
+          }.filter(_._3.nonEmpty)
+        }.sortBy(c => (c._1, c._2))
+      // pass A (compiled): assign on seeds, emit centroid contributions
+      def contributions(cb: PqCodebook) = {
+        val bc = emb.sparkSession.sparkContext.broadcast(cb)
+        emb.mapPartitions { it =>
+          val cbv = bc.value
+          it.flatMap { case (_, _, vf) =>
+            if (vf == null) Iterator.empty
+            else {
+              val v = vf.map(_.toDouble)
+              val asg = pqNearest(v, cbv).toMap
+              v.indices.iterator.map { i =>
+                (i / 8, asg(i / 8), i % 8, v(i))
+              }
+            }
+          }
+        }.toDF("sub", "cent", "sd", "v")
+      }
+      val cb1: PqCodebook = contributions(cb0)
         .groupBy($"sub", $"cent", $"sd")
         .agg(r6(avg($"v")).as("cv"))
-        .cache()  // read by the refined assignment AND the reconstruction
-      val a1 = assign(cb1)
-      us.join(a1, Seq("vec_id", "sub"))
-        .join(cb1, Seq("sub", "cent", "sd"), "left")
-        .withColumn("dq", coalesce($"cv", lit(0.0)))
-        .withColumn("err", $"v" - $"dq")
-        .groupBy($"label")
+        .as[(Int, Long, Int, Double)]
+        .collect()
+        .groupBy(c => (c._2, c._1)).toArray
+        .map { case ((cent, sub), rows) =>
+          (cent, sub, rows.map(r => (r._3, r._4)).sortBy(_._1))
+        }.sortBy(c => (c._1, c._2))
+      // pass B (compiled): assign on the refined codebook, emit errors
+      val bc1 = s.sparkContext.broadcast(cb1)
+      val errs = emb.mapPartitions { it =>
+        val cbv = bc1.value
+        val byKey = cbv.map(c => ((c._2, c._1), c._3)).toMap
+        it.flatMap { case (_, label, vf) =>
+          if (vf == null) Iterator.empty
+          else {
+            val v = vf.map(_.toDouble)
+            val asg = pqNearest(v, cbv).toMap
+            v.indices.iterator.map { i =>
+              val sub = i / 8
+              val dq = byKey.get((sub, asg(sub)))
+                .flatMap(_.find(_._1 == i % 8).map(_._2)).getOrElse(0.0)
+              (label, v(i) - dq)
+            }
+          }
+        }
+      }.toDF("label", "err")
+      errs.groupBy($"label")
         .agg(count(lit(1)).as("n_vals"),
           r6(sqrt(avg($"err" * $"err"))).as("rmse"),
           r6(max(abs($"err"))).as("max_err"))
