@@ -312,6 +312,53 @@ object Dedup {
     * at 25 rounds and fails loudly rather than return a non-fixpoint
     * (which would silently disagree with the oracle).
     */
+  /** Min-label propagation to fixpoint over an undirected edge list
+    * `(a_id, b_id)` → `(doc_id, component, n_members)` for every node
+    * appearing in an edge; component = the component's min node id.
+    * Factored from q38 so the convergence invariants are unit-testable
+    * on synthetic graphs.
+    */
+  private[operators] def components(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val bi = edges
+      .unionAll(edges.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+      .toDF("src", "dst")
+      .cache()
+    var comp = bi.select($"src".as("doc_id")).distinct()
+      .withColumn("comp", $"doc_id").cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val nbrMin = bi
+        .join(comp.select($"doc_id".as("src"), $"comp".as("scomp")), "src")
+        .groupBy($"dst").agg(min($"scomp").as("nmin"))
+      // old and new labels side by side; the eager localCheckpoint
+      // TRUNCATES LINEAGE each round — the round plan embeds the
+      // previous comp plan twice (nbrMin + the outer join), so without
+      // truncation the logical plan doubles per round (2^rounds nodes:
+      // analyzer OOM by round ~10; the standard iterative-algorithm
+      // hazard in Spark SQL). (A path-halving variant — follow the
+      // label one extra hop via a self-join per round — was benchmarked
+      // 10× SLOWER end-to-end: near-dup components are clique-shaped
+      // and converge in ~2 rounds, so the extra join buys nothing.)
+      val next = comp
+        .join(nbrMin.select($"dst".as("doc_id"), $"nmin"), Seq("doc_id"), "left")
+        .select($"doc_id", $"comp".as("old"),
+          least($"comp", coalesce($"nmin", $"comp")).as("comp"))
+        .localCheckpoint(true)
+      changed = next.filter($"comp" =!= $"old").count()
+      comp.unpersist()
+      comp = next.select($"doc_id", $"comp")
+      rounds += 1
+    }
+    System.err.println(s"[graft] components: converged in $rounds rounds")
+    if (changed > 0) throw new IllegalStateException(
+      s"components: label propagation not converged after $rounds rounds")
+    val sizes = comp.groupBy($"comp").agg(count(lit(1)).as("n_members"))
+    comp.join(broadcast(sizes), "comp")
+      .select($"doc_id", $"comp".as("component"), $"n_members")
+  }
+
   private val q38 = Q(
     "q38_dedup_components",
     (s, d) => {
@@ -319,41 +366,7 @@ object Dedup {
       val edges = minhashVerified(s, d)
         .filter(r6($"jacc") >= 0.5)
         .select($"a_id", $"b_id")
-      val bi = edges
-        .unionAll(edges.select($"b_id".as("a_id"), $"a_id".as("b_id")))
-        .toDF("src", "dst")
-        .cache()
-      var comp = bi.select($"src".as("doc_id")).distinct()
-        .withColumn("comp", $"doc_id").cache()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 25) {
-        val nbrMin = bi
-          .join(comp.select($"doc_id".as("src"), $"comp".as("scomp")), "src")
-          .groupBy($"dst").agg(min($"scomp").as("nmin"))
-        // old and new labels side by side: ONE job per round both
-        // materializes the next frame and counts non-fixpoint rows.
-        // (A path-halving variant — follow the label one extra hop via
-        // a self-join per round — was benchmarked 10× SLOWER here: the
-        // extra cached self-join per round costs more than the rounds
-        // it saves on near-dup components, whose diameters are small.)
-        val next = comp
-          .join(nbrMin.select($"dst".as("doc_id"), $"nmin"), Seq("doc_id"), "left")
-          .select($"doc_id", $"comp".as("old"),
-            least($"comp", coalesce($"nmin", $"comp")).as("comp"))
-          .cache()
-        changed = next.filter($"comp" =!= $"old").count()
-        comp.unpersist()
-        comp = next.select($"doc_id", $"comp")
-        rounds += 1
-      }
-      System.err.println(s"[graft] q38: converged in $rounds rounds")
-      if (changed > 0) throw new IllegalStateException(
-        s"q38: label propagation not converged after $rounds rounds")
-      val sizes = comp.groupBy($"comp").agg(count(lit(1)).as("n_members"))
-      comp.join(broadcast(sizes), "comp")
-        .select($"doc_id", $"comp".as("component"), $"n_members")
-        .orderBy($"component", $"doc_id")
+      components(edges).orderBy($"component", $"doc_id")
     },
     Some(s"""
       WITH RECURSIVE $minhashCandSql,
