@@ -315,5 +315,147 @@ object TextOps {
       FROM top WHERE rank <= 40
       ORDER BY rank"""))
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56)
+  /** The curation FUNNEL — the composition a corpus-curation user
+    * actually runs: every document flows through the five standard
+    * gates in order (language-ID = 'en' → composite quality ≥ 0.5 →
+    * bigram repetition < 0.2 → PII-free → exact-dup keeper), and the
+    * report is the cumulative survivor count per stage — the
+    * "where did my corpus go" table that decides which gate to retune.
+    * Each gate reuses the exact q50/q51/q54/q55/q30 arithmetic
+    * (identical rounding, identical NULL routes), so the funnel is an
+    * oracle-checked integration test of the text tier's composability,
+    * not new scoring logic.
+    *
+    * Scale shape: flags are row-local single-pass except the bigram
+    * aggregate (docs × distinct-bigram shuffle, as q54) and the
+    * exact-dup keeper (one fingerprint groupBy + broadcast-ready
+    * join, as q30); the funnel itself is ONE global aggregate row
+    * unpivoted with stack() — no per-stage scans.
+    */
+  private val q65 = Q(
+    "q65_curation_funnel",
+    (s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("s_en", expr(
+          "size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in')))"))
+        .withColumn("s_es", expr(
+          "size(filter(toks, x -> x IN ('el', 'la', 'de', 'que', 'y')))"))
+        .withColumn("s_de", expr(
+          "size(filter(toks, x -> x IN ('der', 'die', 'und', 'das', 'ist')))"))
+        .withColumn("s_fr", expr(
+          "size(filter(toks, x -> x IN ('le', 'les', 'et', 'des', 'un')))"))
+        .withColumn("pred", expr(
+          """CASE WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+                  WHEN s_de > greatest(s_en, s_fr) THEN 'de'
+                  WHEN s_fr > s_en THEN 'fr'
+                  ELSE 'en' END"""))
+        .withColumn("n_toks", size($"toks").cast("long"))
+        .withColumn("n_stop", expr(
+          "size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in', 'to')))").cast("long"))
+        .withColumn("avg_tok_len", r4(
+          expr("aggregate(toks, cast(0 as bigint), (acc, x) -> acc + length(x))") /
+            greatest($"n_toks", lit(1L))))
+        .withColumn("stop_ratio", r4($"n_stop" / greatest($"n_toks", lit(1L))))
+        .withColumn("score", r4(
+          least($"n_toks" / lit(100.0), lit(1.0)) * 0.5 +
+            (lit(1.0) - $"stop_ratio") * 0.3 +
+            least($"avg_tok_len" / lit(10.0), lit(1.0)) * 0.2))
+        .withColumn("n_pii", expr(
+          """size(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', 0)) +
+             size(regexp_extract_all(lower(text), 'https?://[^\\s]+', 0)) +
+             size(regexp_extract_all(lower(text), '\\+[0-9][0-9() -]{7,}[0-9]', 0))"""))
+        .withColumn("fp", md5(lower(trim($"text"))))
+      val rep = spread(t(s, d, "documents"))
+        .select($"doc_id", expr(toksExpr).as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(1, size(toks)-1),
+               i -> concat_ws(' ', slice(toks, i, 2)))""")).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(r4(max($"c") / sum($"c")).as("rep_ratio"))
+      val keepers = base.groupBy($"fp").agg(min($"doc_id").as("keeper"))
+      val flags = base
+        .join(rep, Seq("doc_id"), "left")
+        .join(keepers, Seq("fp"))
+        .select(
+          ($"pred" === "en").as("f1"),
+          ($"score" >= 0.5).as("f2"),
+          (coalesce($"rep_ratio", lit(0.0)) < 0.2).as("f3"),
+          ($"n_pii" === 0).as("f4"),
+          ($"doc_id" === $"keeper").as("f5"))
+      flags.agg(
+          count(lit(1)).as("c0"),
+          sum(when($"f1", 1L).otherwise(0L)).as("c1"),
+          sum(when($"f1" && $"f2", 1L).otherwise(0L)).as("c2"),
+          sum(when($"f1" && $"f2" && $"f3", 1L).otherwise(0L)).as("c3"),
+          sum(when($"f1" && $"f2" && $"f3" && $"f4", 1L).otherwise(0L)).as("c4"),
+          sum(when($"f1" && $"f2" && $"f3" && $"f4" && $"f5", 1L).otherwise(0L)).as("c5"))
+        .selectExpr("""stack(6,
+            '0_all', c0, '1_lang_en', c1, '2_quality', c2,
+            '3_low_repetition', c3, '4_pii_free', c4,
+            '5_exact_dedup', c5) AS (stage, n_kept)""")
+        .orderBy($"stage")
+    },
+    Some(raw"""
+      WITH base AS (SELECT doc_id, text, $toksSqlDuck AS toks FROM documents),
+      sc AS (SELECT doc_id, text, toks,
+               len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in')))  AS s_en,
+               len(list_filter(toks, x -> x IN ('el', 'la', 'de', 'que', 'y')))   AS s_es,
+               len(list_filter(toks, x -> x IN ('der', 'die', 'und', 'das', 'ist'))) AS s_de,
+               len(list_filter(toks, x -> x IN ('le', 'les', 'et', 'des', 'un'))) AS s_fr,
+               CAST(len(toks) AS BIGINT) AS n_toks,
+               CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS BIGINT) AS n_stop,
+               round(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+                     / greatest(len(toks), 1), 4) AS avg_tok_len,
+               len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) +
+               len(regexp_extract_all(lower(text), 'https?://[^\s]+')) +
+               len(regexp_extract_all(lower(text), '\+[0-9][0-9() -]{7,}[0-9]')) AS n_pii,
+               md5(lower(trim(text))) AS fp
+             FROM base),
+      sc2 AS (SELECT *,
+                CASE WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+                     WHEN s_de > greatest(s_en, s_fr) THEN 'de'
+                     WHEN s_fr > s_en THEN 'fr'
+                     ELSE 'en' END AS pred,
+                round(n_stop / greatest(n_toks, 1), 4) AS stop_ratio
+              FROM sc),
+      sc3 AS (SELECT *,
+                round(least(n_toks / 100.0, 1.0) * 0.5 + (1.0 - stop_ratio) * 0.3
+                      + least(avg_tok_len / 10.0, 1.0) * 0.2, 4) AS score
+              FROM sc2),
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+               i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS bg
+             FROM base WHERE len(toks) >= 2),
+      bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      rep AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS rep_ratio
+              FROM bc GROUP BY doc_id),
+      keep AS (SELECT fp, min(doc_id) AS keeper FROM sc3 GROUP BY fp),
+      flags AS (SELECT (sc3.pred = 'en') AS f1,
+                       (sc3.score >= 0.5) AS f2,
+                       (coalesce(rep.rep_ratio, 0.0) < 0.2) AS f3,
+                       (sc3.n_pii = 0) AS f4,
+                       (sc3.doc_id = keep.keeper) AS f5
+                FROM sc3
+                LEFT JOIN rep ON sc3.doc_id = rep.doc_id
+                JOIN keep ON sc3.fp = keep.fp),
+      agg AS (SELECT count(*) AS c0,
+                CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+                CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 AND f5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+              FROM flags)
+      SELECT stage, n_kept FROM (
+        SELECT '0_all' AS stage, c0 AS n_kept FROM agg
+        UNION ALL SELECT '1_lang_en', c1 FROM agg
+        UNION ALL SELECT '2_quality', c2 FROM agg
+        UNION ALL SELECT '3_low_repetition', c3 FROM agg
+        UNION ALL SELECT '4_pii_free', c4 FROM agg
+        UNION ALL SELECT '5_exact_dedup', c5 FROM agg)
+      ORDER BY stage"""))
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q65)
 }
