@@ -705,12 +705,31 @@ object Similarity {
     */
   private type PqCodebook = Array[(Long, Int, Array[(Int, Double)])]
 
+  /** The codebook re-grouped by subspace ONCE (not per row — the
+    * assignment runs per vector on the hot path): sub → sorted
+    * (centroid id, present (dim, value) pairs).
+    */
+  private def pqBySub(cb: PqCodebook): Array[Array[(Long, Array[(Int, Double)])]] = {
+    val maxSub = if (cb.isEmpty) -1 else cb.map(_._2).max
+    val out = Array.fill(maxSub + 1)(Array.empty[(Long, Array[(Int, Double)])])
+    cb.groupBy(_._2).foreach { case (sub, cents) =>
+      out(sub) = cents.map(c => (c._1, c._3)).sortBy(_._1)
+    }
+    out
+  }
+
   /** Nearest centroid per subspace for one vector — rounded score +
     * centroid-id tiebreak, the [[assignCells]] determinism recipe.
+    * Returns nearest-centroid id indexed by subspace (-1 = empty sub).
     */
-  private def pqNearest(v: Array[Double], cb: PqCodebook): Array[(Int, Long)] =
-    cb.groupBy(_._2).toArray.map { case (sub, cents) =>
-      val scored = cents.map { case (cent, _, pairs) =>
+  private def pqNearest(v: Array[Double],
+      bySub: Array[Array[(Long, Array[(Int, Double)])]]): Array[Long] = {
+    val out = new Array[Long](bySub.length)
+    var sub = 0
+    while (sub < bySub.length) {
+      var bestScore = Double.MaxValue
+      var bestCent = -1L
+      bySub(sub).foreach { case (cent, pairs) =>
         var d2 = 0.0
         pairs.foreach { case (sd, cv) =>
           val idx = sub * 8 + sd
@@ -719,10 +738,15 @@ object Similarity {
           // dims surface only at reconstruction, as v−0)
           if (idx < v.length) { val e = v(idx) - cv; d2 += e * e }
         }
-        (math.floor(d2 * 1e6 + 0.5) / 1e6, cent)
+        val r = math.floor(d2 * 1e6 + 0.5) / 1e6
+        // strict < keeps the lowest centroid id on ties (ids ascend)
+        if (r < bestScore) { bestScore = r; bestCent = cent }
       }
-      (sub, scored.minBy(x => (x._1, x._2))._2)
-    }.sortBy(_._1)
+      out(sub) = bestCent
+      sub += 1
+    }
+    out
+  }
 
   private val q47 = Q(
     "q47_embedding_pq",
@@ -752,12 +776,12 @@ object Similarity {
       def contributions(cb: PqCodebook) = {
         val bc = emb.sparkSession.sparkContext.broadcast(cb)
         emb.mapPartitions { it =>
-          val cbv = bc.value
+          val bySub = pqBySub(bc.value)  // regrouped once per partition
           it.flatMap { case (_, _, vf) =>
             if (vf == null) Iterator.empty
             else {
               val v = vf.map(_.toDouble)
-              val asg = pqNearest(v, cbv).toMap
+              val asg = pqNearest(v, bySub)
               v.indices.iterator.map { i =>
                 (i / 8, asg(i / 8), i % 8, v(i))
               }
@@ -777,17 +801,29 @@ object Similarity {
       // pass B (compiled): assign on the refined codebook, emit errors
       val bc1 = s.sparkContext.broadcast(cb1)
       val errs = emb.mapPartitions { it =>
-        val cbv = bc1.value
-        val byKey = cbv.map(c => ((c._2, c._1), c._3)).toMap
+        val bySub = pqBySub(bc1.value)
         it.flatMap { case (_, label, vf) =>
           if (vf == null) Iterator.empty
           else {
             val v = vf.map(_.toDouble)
-            val asg = pqNearest(v, cbv).toMap
+            val asg = pqNearest(v, bySub)
             v.indices.iterator.map { i =>
               val sub = i / 8
-              val dq = byKey.get((sub, asg(sub)))
-                .flatMap(_.find(_._1 == i % 8).map(_._2)).getOrElse(0.0)
+              // reconstruct from the assigned centroid's present dims
+              var dq = 0.0
+              if (asg(sub) >= 0) {
+                val cents = bySub(sub)
+                var lo = 0
+                while (lo < cents.length && cents(lo)._1 != asg(sub)) lo += 1
+                if (lo < cents.length) {
+                  val pairs = cents(lo)._2
+                  var j = 0
+                  while (j < pairs.length) {
+                    if (pairs(j)._1 == i % 8) dq = pairs(j)._2
+                    j += 1
+                  }
+                }
+              }
               (label, v(i) - dq)
             }
           }

@@ -367,6 +367,8 @@ object TextOps {
              size(regexp_extract_all(lower(text), 'https?://[^\\s]+', 0)) +
              size(regexp_extract_all(lower(text), '\\+[0-9][0-9() -]{7,}[0-9]', 0))"""))
         .withColumn("fp", md5(lower(trim($"text"))))
+        .cache()  // feeds the keeper groupBy AND the flags join —
+                  // uncached, the regex-dense scoring pass runs twice
       val rep = spread(t(s, d, "documents"))
         .select($"doc_id", expr(toksExpr).as("toks"))
         .filter(size($"toks") >= 2)
