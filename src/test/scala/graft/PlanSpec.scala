@@ -110,6 +110,26 @@ class PlanSpec extends SparkTestBase {
       "q29 lost its two-phase bounded aggregate")
   }
 
+  test("q39/q59: bounded-state sampling — no per-source Window sort") {
+    // both samplers replace `row_number() OVER (PARTITION BY source
+    // ORDER BY h)` (the oracle's form — a hot domain funnels through
+    // one reducer) with the bounded k-min aggregate + a semi join;
+    // the plan must carry the null-safe broadcastable semi join and
+    // no Window node at all
+    for (q <- Seq("q39_source_mixture", "q59_source_quota_sample")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q plans a per-source Window sort")
+      assert(p.contains("LeftSemi"), s"$q lost its semi-join selection")
+    }
+  }
+
+  test("q65: the funnel is one aggregate pass — no Window, no cross product") {
+    val p = planOf("q65_curation_funnel")
+    assert(!p.contains("Window"), "q65 plans a Window")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q65 plans a cross product")
+  }
+
   test("spread: multi-split input passes through untouched; single-split fans out") {
     val dir = java.nio.file.Files.createTempDirectory("graft_spread").toString
     // force one file per partition so the scan genuinely yields 8 splits
