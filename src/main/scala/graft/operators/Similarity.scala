@@ -748,57 +748,104 @@ object Similarity {
     out
   }
 
+  /** The q47/q48 oracle's shared CTE chain: stride seeds → assign →
+    * r6 centroid means → final assignment `a1`, beside the exploded
+    * `us` and refined codebook `cb1`.
+    */
+  private val pqOracleCtes = """params AS (SELECT greatest(1, count(*) // 16) AS stride FROM embeddings),
+      u AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS i,
+              unnest(embedding)::DOUBLE AS v FROM embeddings),
+      us AS (SELECT vec_id, label, CAST(i // 8 AS INT) AS sub,
+               CAST(i % 8 AS INT) AS sd, v FROM u),
+      cb0 AS (SELECT vec_id AS cent, sub, sd, v AS cv FROM us
+              WHERE vec_id % (SELECT stride FROM params) = 0),
+      d0 AS (SELECT us.vec_id, us.sub, c.cent,
+               sum((us.v - c.cv) * (us.v - c.cv)) AS d2
+             FROM us JOIN cb0 c ON us.sub = c.sub AND us.sd = c.sd
+             GROUP BY 1, 2, 3),
+      a0 AS (SELECT vec_id, sub, cent FROM (
+               SELECT vec_id, sub, cent,
+                      row_number() OVER (PARTITION BY vec_id, sub
+                        ORDER BY round(d2, 6), cent) AS rk
+               FROM d0) WHERE rk = 1),
+      cb1 AS (SELECT a.sub, a.cent, us.sd, round(avg(us.v), 6) AS cv
+              FROM us JOIN a0 a ON us.vec_id = a.vec_id AND us.sub = a.sub
+              GROUP BY 1, 2, 3),
+      d1 AS (SELECT us.vec_id, us.sub, c.cent,
+               sum((us.v - c.cv) * (us.v - c.cv)) AS d2
+             FROM us JOIN cb1 c ON us.sub = c.sub AND us.sd = c.sd
+             GROUP BY 1, 2, 3),
+      a1 AS (SELECT vec_id, sub, cent FROM (
+               SELECT vec_id, sub, cent,
+                      row_number() OVER (PARTITION BY vec_id, sub
+                        ORDER BY round(d2, 6), cent) AS rk
+               FROM d1) WHERE rk = 1)"""
+
+  /** The shared PQ context: the cached typed embeddings view and the
+    * Lloyd-refined per-subspace codebook (seed on `vec_id % stride`,
+    * one compiled assignment pass, r6-rounded centroid means) — built
+    * once, consumed by q47 (reconstruction error) and q48 (ADC search).
+    */
+  private case class PqCtx(
+      emb: org.apache.spark.sql.Dataset[(Long, String, Array[Float])],
+      cb1: PqCodebook)
+
+  private def pqCtx(s: SparkSession, d: String): PqCtx = {
+    import s.implicits._
+    val n0 = Tables.rowCount(s, d, "embeddings")
+    val stride = math.max(1L, n0 / 16)
+    val emb = spread(t(s, d, "embeddings"))
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, String, Array[Float])].cache()
+    // seed codebook: stride sub-vectors, driver-collected (tiny)
+    val cb0: PqCodebook = emb
+      .filter($"vec_id" % stride === 0 && $"embedding".isNotNull)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect()
+      .flatMap { case (sid, vf) =>
+        val v = vf.map(_.toDouble)
+        (0 until 8).map { sub =>
+          val pairs = (0 until 8).flatMap { sd =>
+            val idx = sub * 8 + sd
+            if (idx < v.length) Some((sd, v(idx))) else None
+          }.toArray
+          (sid, sub, pairs)
+        }.filter(_._3.nonEmpty)
+      }.sortBy(c => (c._1, c._2))
+    // one compiled Lloyd pass: assign on seeds, emit centroid
+    // contributions, r6-rounded means become the refined codebook
+    val bc = s.sparkContext.broadcast(cb0)
+    val cb1: PqCodebook = emb.mapPartitions { it =>
+        val bySub = pqBySub(bc.value)  // regrouped once per partition
+        it.flatMap { case (_, _, vf) =>
+          if (vf == null) Iterator.empty
+          else {
+            val v = vf.map(_.toDouble)
+            val asg = pqNearest(v, bySub)
+            v.indices.iterator.map { i =>
+              (i / 8, asg(i / 8), i % 8, v(i))
+            }
+          }
+        }
+      }.toDF("sub", "cent", "sd", "v")
+      .groupBy($"sub", $"cent", $"sd")
+      .agg(r6(avg($"v")).as("cv"))
+      .as[(Int, Long, Int, Double)]
+      .collect()
+      .groupBy(c => (c._2, c._1)).toArray
+      .map { case ((cent, sub), rows) =>
+        (cent, sub, rows.map(r => (r._3, r._4)).sortBy(_._1))
+      }.sortBy(c => (c._1, c._2))
+    PqCtx(emb, cb1)
+  }
+
   private val q47 = Q(
     "q47_embedding_pq",
     (s, d) => {
       import s.implicits._
-      val n0 = Tables.rowCount(s, d, "embeddings")
-      val stride = math.max(1L, n0 / 16)
-      val emb = spread(t(s, d, "embeddings"))
-        .select($"vec_id", $"label", $"embedding")
-        .as[(Long, String, Array[Float])].cache()
-      // seed codebook: stride sub-vectors, driver-collected (tiny)
-      val cb0: PqCodebook = emb
-        .filter($"vec_id" % stride === 0 && $"embedding".isNotNull)
-        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-        .collect()
-        .flatMap { case (sid, vf) =>
-          val v = vf.map(_.toDouble)
-          (0 until 8).map { sub =>
-            val pairs = (0 until 8).flatMap { sd =>
-              val idx = sub * 8 + sd
-              if (idx < v.length) Some((sd, v(idx))) else None
-            }.toArray
-            (sid, sub, pairs)
-          }.filter(_._3.nonEmpty)
-        }.sortBy(c => (c._1, c._2))
-      // pass A (compiled): assign on seeds, emit centroid contributions
-      def contributions(cb: PqCodebook) = {
-        val bc = emb.sparkSession.sparkContext.broadcast(cb)
-        emb.mapPartitions { it =>
-          val bySub = pqBySub(bc.value)  // regrouped once per partition
-          it.flatMap { case (_, _, vf) =>
-            if (vf == null) Iterator.empty
-            else {
-              val v = vf.map(_.toDouble)
-              val asg = pqNearest(v, bySub)
-              v.indices.iterator.map { i =>
-                (i / 8, asg(i / 8), i % 8, v(i))
-              }
-            }
-          }
-        }.toDF("sub", "cent", "sd", "v")
-      }
-      val cb1: PqCodebook = contributions(cb0)
-        .groupBy($"sub", $"cent", $"sd")
-        .agg(r6(avg($"v")).as("cv"))
-        .as[(Int, Long, Int, Double)]
-        .collect()
-        .groupBy(c => (c._2, c._1)).toArray
-        .map { case ((cent, sub), rows) =>
-          (cent, sub, rows.map(r => (r._3, r._4)).sortBy(_._1))
-        }.sortBy(c => (c._1, c._2))
-      // pass B (compiled): assign on the refined codebook, emit errors
+      val PqCtx(emb, cb1) = pqCtx(s, d)
+      // reconstruction pass (compiled): assign on the refined codebook,
+      // emit per-element errors
       val bc1 = s.sparkContext.broadcast(cb1)
       val errs = emb.mapPartitions { it =>
         val bySub = pqBySub(bc1.value)
@@ -835,35 +882,8 @@ object Similarity {
           r6(max(abs($"err"))).as("max_err"))
         .orderBy($"label")
     },
-    Some("""
-      WITH params AS (SELECT greatest(1, count(*) // 16) AS stride FROM embeddings),
-      u AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS i,
-              unnest(embedding)::DOUBLE AS v FROM embeddings),
-      us AS (SELECT vec_id, label, CAST(i // 8 AS INT) AS sub,
-               CAST(i % 8 AS INT) AS sd, v FROM u),
-      cb0 AS (SELECT vec_id AS cent, sub, sd, v AS cv FROM us
-              WHERE vec_id % (SELECT stride FROM params) = 0),
-      d0 AS (SELECT us.vec_id, us.sub, c.cent,
-               sum((us.v - c.cv) * (us.v - c.cv)) AS d2
-             FROM us JOIN cb0 c ON us.sub = c.sub AND us.sd = c.sd
-             GROUP BY 1, 2, 3),
-      a0 AS (SELECT vec_id, sub, cent FROM (
-               SELECT vec_id, sub, cent,
-                      row_number() OVER (PARTITION BY vec_id, sub
-                        ORDER BY round(d2, 6), cent) AS rk
-               FROM d0) WHERE rk = 1),
-      cb1 AS (SELECT a.sub, a.cent, us.sd, round(avg(us.v), 6) AS cv
-              FROM us JOIN a0 a ON us.vec_id = a.vec_id AND us.sub = a.sub
-              GROUP BY 1, 2, 3),
-      d1 AS (SELECT us.vec_id, us.sub, c.cent,
-               sum((us.v - c.cv) * (us.v - c.cv)) AS d2
-             FROM us JOIN cb1 c ON us.sub = c.sub AND us.sd = c.sd
-             GROUP BY 1, 2, 3),
-      a1 AS (SELECT vec_id, sub, cent FROM (
-               SELECT vec_id, sub, cent,
-                      row_number() OVER (PARTITION BY vec_id, sub
-                        ORDER BY round(d2, 6), cent) AS rk
-               FROM d1) WHERE rk = 1),
+    Some(s"""
+      WITH $pqOracleCtes,
       recon AS (SELECT us.label, us.v, coalesce(cb1.cv, 0.0) AS dq
                 FROM us
                 JOIN a1 ON us.vec_id = a1.vec_id AND us.sub = a1.sub
@@ -874,5 +894,102 @@ object Similarity {
              round(max(abs(v - dq)), 6) AS max_err
       FROM recon GROUP BY label ORDER BY label"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47)
+  /** PQ asymmetric-distance search (ADC — the production FAISS-style
+    * scan): each query builds a LOOKUP TABLE lut(q, sub, cent) =
+    * ‖q_sub − c‖² against the refined PQ codebook, and a corpus
+    * vector's approximate distance is just the sum of 8 table lookups
+    * on its stored codes — no touch of the vector's floats at query
+    * time. Top-5 per query by rounded approx distance + id tiebreak,
+    * oracle-replayed end-to-end (codes, LUT, scan, rank).
+    *
+    * Scale shape: codes are n×8 ints (the compiled assignment map);
+    * the LUT is nq×8×k rows — broadcast; the scan is one equi-join of
+    * codes against the broadcast LUT + a (q, vec) hash agg; the final
+    * rank pre-prunes per-partition top-5 per query in a bounded
+    * compiled pass (the q07 pattern), so the nq-partition ranking
+    * window sees ≤ 5·P·nq rows, never the n×nq scan output.
+    */
+  private val q48 = Q(
+    "q48_pq_adc_topk",
+    (s, d) => {
+      import s.implicits._
+      val PqCtx(emb, cb1) = pqCtx(s, d)
+      val bc1 = s.sparkContext.broadcast(cb1)
+      // corpus PQ codes: (vec_id, sub, cent) — one row per subspace the
+      // vector has dims in and the codebook covers (the oracle's a1)
+      val codes = emb.mapPartitions { it =>
+        val bySub = pqBySub(bc1.value)
+        it.flatMap { case (id, _, vf) =>
+          if (vf == null) Iterator.empty
+          else {
+            val v = vf.map(_.toDouble)
+            val asg = pqNearest(v, bySub)
+            val nSubs = math.min(bySub.length, (v.length + 7) / 8)
+            (0 until nSubs).iterator
+              .filter(sub => asg(sub) >= 0)
+              .map(sub => (id, sub, asg(sub)))
+          }
+        }
+      }.toDF("vec_id", "sub", "cent")
+      // per-query ADC lookup table, built with the same join shape as
+      // the oracle (fp summation-order differences absorbed by r6/r4)
+      val qs = emb.filter($"vec_id" < 10 && $"embedding".isNotNull)
+        .select($"vec_id".as("q_id"),
+          posexplode(expr("transform(embedding, x -> cast(x as double))")))
+        .select($"q_id", expr("CAST(pos div 8 AS INT)").as("sub"),
+          expr("CAST(pos % 8 AS INT)").as("sd"), $"col".as("qv"))
+      val cbDf = cb1.toSeq
+        .flatMap { case (cent, sub, pairs) =>
+          pairs.map { case (sd, cv) => (sub, cent, sd, cv) }
+        }.toDF("sub", "cent", "sd", "cv")
+      val lut = qs.join(broadcast(cbDf), Seq("sub", "sd"))
+        .groupBy($"q_id", $"sub", $"cent")
+        .agg(sum(($"qv" - $"cv") * ($"qv" - $"cv")).as("pd2"))
+      val scan = codes.join(broadcast(lut), Seq("sub", "cent"))
+        .filter($"vec_id" =!= $"q_id")
+        .groupBy($"q_id", $"vec_id")
+        .agg(sum($"pd2").as("d2"))
+      // q07-style bounded pre-prune: local top-5 per query per partition
+      val pruned = scan.as[(Long, Long, Double)].mapPartitions { it =>
+        val best = scala.collection.mutable.HashMap[Long,
+          scala.collection.mutable.PriorityQueue[(Double, Long, Double)]]()
+        it.foreach { case (q, v, d2) =>
+          val r = math.floor(d2 * 1e6 + 0.5) / 1e6
+          val heap = best.getOrElseUpdate(q,
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long, Double)](
+              Ordering.by(x => (x._1, x._2))))  // max-heap: worst on top
+          heap.enqueue((r, v, d2))
+          if (heap.size > 5) heap.dequeue()
+        }
+        best.iterator.flatMap { case (q, heap) =>
+          heap.iterator.map { case (_, v, d2) => (q, v, d2) }
+        }
+      }.toDF("q_id", "vec_id", "d2")
+      pruned
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"q_id").orderBy(r6($"d2"), $"vec_id")).cast("long"))
+        .filter($"rk" <= 5)
+        .select($"q_id", $"rk", $"vec_id".as("n_id"), r4($"d2").as("approx_d2"))
+        .orderBy($"q_id", $"rk")
+    },
+    Some(s"""
+      WITH $pqOracleCtes,
+      ql AS (SELECT us.vec_id AS q_id, us.sub, c.cent,
+               sum((us.v - c.cv) * (us.v - c.cv)) AS pd2
+             FROM us JOIN cb1 c ON us.sub = c.sub AND us.sd = c.sd
+             WHERE us.vec_id < 10
+             GROUP BY 1, 2, 3),
+      scan AS (SELECT l.q_id, a.vec_id AS n_id, sum(l.pd2) AS d2
+               FROM a1 a JOIN ql l ON a.sub = l.sub AND a.cent = l.cent
+               WHERE a.vec_id <> l.q_id
+               GROUP BY 1, 2),
+      rnk AS (SELECT q_id, n_id, d2,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY round(d2, 6), n_id) AS rk
+              FROM scan)
+      SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, round(d2, 4) AS approx_d2
+      FROM rnk WHERE rk <= 5
+      ORDER BY q_id, rk"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48)
 }
