@@ -298,17 +298,22 @@ object Similarity {
       val over = bt.groupBy($"tbl", $"bucket").agg(count(lit(1)).as("cnt"))
         .filter($"cnt" > T.lshBucketCap).select($"tbl", $"bucket")
       val btc = bt.join(broadcast(over), Seq("tbl", "bucket"), "left_anti")
+      // canonical pairs (a < b), distinct'd across tables: the dot is
+      // symmetric, so scoring each unordered pair ONCE and mirroring
+      // afterwards halves the dot-join volume vs both-direction pairs
       val cand = btc.as("x").join(btc.as("y"),
           $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" &&
-            $"x.vec_id" =!= $"y.vec_id")
+            $"x.vec_id" < $"y.vec_id")
         .select($"x.vec_id".as("a_id"), $"y.vec_id".as("b_id"))
         .distinct()
       val ua = ctx.u.select($"vec_id".as("a_id"), $"i", $"v".as("av"))
       val ub = ctx.u.select($"vec_id".as("bb_id"), $"i".as("bi"), $"v".as("bv"))
-      val dots = cand.join(ua, "a_id")
+      val dots1 = cand.join(ua, "a_id")
         .join(ub, $"b_id" === $"bb_id" && $"i" === $"bi")
         .groupBy($"a_id", $"b_id")
         .agg(sum($"av" * $"bv").as("dot"))
+      val dots = dots1.unionAll(
+        dots1.select($"b_id".as("a_id"), $"a_id".as("b_id"), $"dot"))
       val n = ctx.n
       val scored = dots
         .join(broadcast(n.select($"vec_id".as("a_id"), $"nrm".as("an"))), "a_id")
