@@ -45,7 +45,10 @@ final case class DeviceConfig(
     logFile: Option[String] = None,    // [logging] file, post-interpolation
     // X2 admission cap (the reference's bounded-queue backpressure,
     // readport.py:457-464): max messages admitted per micro-batch
-    maxPerTrigger: Option[Long] = None) {
+    maxPerTrigger: Option[Long] = None,
+    // WAL hygiene: live segments compact past this count (source option
+    // walMaxSegments; None = the source default)
+    walMaxSegments: Option[Int] = None) {
 
   /** DeviceConfig → StructType compiler (SURVEY.md §1.4): DoubleType
     * default, the group key keeps its configured type, plus the reserved
@@ -196,6 +199,9 @@ object DeviceConfig {
       logFile = opt("logging", "file"),
       maxPerTrigger = opt("device", "max_messages_per_trigger").map(v =>
         v.toLongOption.filter(_ > 0).getOrElse(throw ConfigurationError(
-          "max_messages_per_trigger must be a positive integer"))))
+          "max_messages_per_trigger must be a positive integer"))),
+      walMaxSegments = opt("device", "wal_max_segments").map(v =>
+        v.toIntOption.filter(_ > 0).getOrElse(throw ConfigurationError(
+          "wal_max_segments must be a positive integer"))))
   }
 }

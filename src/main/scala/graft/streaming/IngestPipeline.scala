@@ -25,11 +25,13 @@ object IngestPipeline {
     */
   def rawStream(spark: SparkSession, host: String, port: Int,
       timeoutSec: Option[Double] = None,
-      maxPerTrigger: Option[Long] = None): DataFrame = {
+      maxPerTrigger: Option[Long] = None,
+      walMaxSegments: Option[Int] = None): DataFrame = {
     val r = spark.readStream.format("graft-socket")
       .option("host", host).option("port", port)
     timeoutSec.foreach(t => r.option("timeoutSec", t))
     maxPerTrigger.foreach(m => r.option("maxMessagesPerTrigger", m))
+    walMaxSegments.foreach(w => r.option("walMaxSegments", w))
     r.load()
   }
 
@@ -92,7 +94,8 @@ object IngestPipeline {
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
     val parsed = parseStage(
-      rawStream(spark, cfg.host, cfg.port, cfg.timeoutSec, cfg.maxPerTrigger), cfg)
+      rawStream(spark, cfg.host, cfg.port, cfg.timeoutSec, cfg.maxPerTrigger,
+        cfg.walMaxSegments), cfg)
     val keyed = cfg.groupBy match {
       case Some(g) => parsed
       case None    => parsed.withColumn("_device", lit(cfg.device))
@@ -120,7 +123,8 @@ object IngestPipeline {
       dest: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
     val parsed = parseStage(
-      rawStream(spark, cfg.host, cfg.port, cfg.timeoutSec, cfg.maxPerTrigger), cfg)
+      rawStream(spark, cfg.host, cfg.port, cfg.timeoutSec, cfg.maxPerTrigger,
+        cfg.walMaxSegments), cfg)
     val keyed = cfg.groupBy match {
       case Some(_) => parsed
       case None    => parsed.withColumn("_device", lit(cfg.device))

@@ -89,6 +89,16 @@ class DeviceConfigSpec extends AnyFunSuite {
     intercept[ConfigurationError](DeviceConfig.load(bad))
   }
 
+  test("wal_max_segments parses and validates (WAL hygiene knob)") {
+    val base = sonicConf.replace("[parser]",
+      "wal_max_segments = 4\n[parser]")
+    assert(DeviceConfig.load(base).walMaxSegments == Some(4))
+    assert(DeviceConfig.load(sonicConf).walMaxSegments.isEmpty)
+    val bad = sonicConf.replace("[parser]",
+      "wal_max_segments = 0\n[parser]")
+    intercept[ConfigurationError](DeviceConfig.load(bad))
+  }
+
   test("missing required option → ConfigurationError") {
     val bad = sonicConf.replace("pack_length = 12000", "")
     val e = intercept[ConfigurationError](DeviceConfig.load(bad))
