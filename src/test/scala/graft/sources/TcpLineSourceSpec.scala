@@ -377,4 +377,48 @@ class TcpLineSourceSpec extends SparkTestBase {
       assert(rows.map(_._2).toSeq == Seq(0L, 1000L, 2000L, 3000L))
     } finally c.stop()
   }
+
+  test("WAL segment format: hostile payloads round-trip via an independent writer") {
+    // The segment encoding (ts:i64, fresh:bool, len:i32, bytes) is a
+    // COMPATIBILITY surface - a restarted (possibly upgraded) source
+    // must replay segments an older incarnation wrote. This spec writes
+    // segments with its own encoder and asserts the source's reader
+    // returns them byte-exactly: empty messages, every ISO-8859-1 high
+    // byte, embedded '\r', a 64 KiB line, and split points at segment
+    // boundaries.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-walf-")
+      .toString + "/sources/0"
+    val walPath = java.nio.file.Paths.get(ckpt, "wal")
+    java.nio.file.Files.createDirectories(walPath)
+    val highBytes = new String((128 to 255).map(_.toByte).toArray,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val msgs: IndexedSeq[(String, Long, Boolean)] = IndexedSeq(
+      ("", 1L, true),                       // empty frame
+      (highBytes, 2L, false),               // all high bytes
+      ("with\rcarriage", 3L, false),        // embedded CR survives
+      ("x" * 65536, 4L, false),             // long line
+      ("plain", 5L, true))
+    def writeSeg(start: Int, upto: Int): Unit = {
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(walPath.resolve(s"$start-$upto"))))
+      try (start until upto).foreach { i =>
+        val (m, ts, fr) = msgs(i)
+        val bytes = m.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        out.writeLong(ts); out.writeBoolean(fr)
+        out.writeInt(bytes.length); out.write(bytes)
+      } finally out.close()
+    }
+    writeSeg(0, 2); writeSeg(2, 3); writeSeg(3, 5)
+    val src = new TcpLineMicroBatchStream("localhost", 1, None, None, Some(ckpt))
+    try {
+      assert(src.latestOffset().asInstanceOf[TcpOffset].n == 5L)
+      val rows = src.planInputPartitions(TcpOffset(0), TcpOffset(5))(0)
+        .asInstanceOf[TcpLinePartition].rows
+      assert(rows.toSeq == msgs, "WAL round-trip altered a payload")
+      // a mid-segment range replays exactly its slice
+      val mid = src.planInputPartitions(TcpOffset(1), TcpOffset(4))(0)
+        .asInstanceOf[TcpLinePartition].rows
+      assert(mid.toSeq == msgs.slice(1, 4))
+    } finally src.stop()
+  }
 }
