@@ -757,34 +757,34 @@ object Similarity {
     * r6 centroid means → final assignment `a1`, beside the exploded
     * `us` and refined codebook `cb1`.
     */
-  private val pqOracleCtes = """params AS (SELECT greatest(1, count(*) // 16) AS stride FROM embeddings),
-      u AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS i,
+  private val pqOracleCtes = """pparams AS (SELECT greatest(1, count(*) // 16) AS stride FROM embeddings),
+      pu AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS i,
               unnest(embedding)::DOUBLE AS v FROM embeddings),
-      us AS (SELECT vec_id, label, CAST(i // 8 AS INT) AS sub,
-               CAST(i % 8 AS INT) AS sd, v FROM u),
-      cb0 AS (SELECT vec_id AS cent, sub, sd, v AS cv FROM us
-              WHERE vec_id % (SELECT stride FROM params) = 0),
-      d0 AS (SELECT us.vec_id, us.sub, c.cent,
-               sum((us.v - c.cv) * (us.v - c.cv)) AS d2
-             FROM us JOIN cb0 c ON us.sub = c.sub AND us.sd = c.sd
+      pus AS (SELECT vec_id, label, CAST(i // 8 AS INT) AS sub,
+               CAST(i % 8 AS INT) AS sd, v FROM pu),
+      pcb0 AS (SELECT vec_id AS cent, sub, sd, v AS cv FROM pus
+              WHERE vec_id % (SELECT stride FROM pparams) = 0),
+      pd0 AS (SELECT pus.vec_id, pus.sub, c.cent,
+               sum((pus.v - c.cv) * (pus.v - c.cv)) AS d2
+             FROM pus JOIN pcb0 c ON pus.sub = c.sub AND pus.sd = c.sd
              GROUP BY 1, 2, 3),
-      a0 AS (SELECT vec_id, sub, cent FROM (
+      pa0 AS (SELECT vec_id, sub, cent FROM (
                SELECT vec_id, sub, cent,
                       row_number() OVER (PARTITION BY vec_id, sub
                         ORDER BY round(d2, 6), cent) AS rk
-               FROM d0) WHERE rk = 1),
-      cb1 AS (SELECT a.sub, a.cent, us.sd, round(avg(us.v), 6) AS cv
-              FROM us JOIN a0 a ON us.vec_id = a.vec_id AND us.sub = a.sub
+               FROM pd0) WHERE rk = 1),
+      pcb1 AS (SELECT a.sub, a.cent, pus.sd, round(avg(pus.v), 6) AS cv
+              FROM pus JOIN pa0 a ON pus.vec_id = a.vec_id AND pus.sub = a.sub
               GROUP BY 1, 2, 3),
-      d1 AS (SELECT us.vec_id, us.sub, c.cent,
-               sum((us.v - c.cv) * (us.v - c.cv)) AS d2
-             FROM us JOIN cb1 c ON us.sub = c.sub AND us.sd = c.sd
+      pd1 AS (SELECT pus.vec_id, pus.sub, c.cent,
+               sum((pus.v - c.cv) * (pus.v - c.cv)) AS d2
+             FROM pus JOIN pcb1 c ON pus.sub = c.sub AND pus.sd = c.sd
              GROUP BY 1, 2, 3),
-      a1 AS (SELECT vec_id, sub, cent FROM (
+      pa1 AS (SELECT vec_id, sub, cent FROM (
                SELECT vec_id, sub, cent,
                       row_number() OVER (PARTITION BY vec_id, sub
                         ORDER BY round(d2, 6), cent) AS rk
-               FROM d1) WHERE rk = 1)"""
+               FROM pd1) WHERE rk = 1)"""
 
   /** The shared PQ context: the cached typed embeddings view and the
     * Lloyd-refined per-subspace codebook (seed on `vec_id % stride`,
@@ -889,11 +889,11 @@ object Similarity {
     },
     Some(s"""
       WITH $pqOracleCtes,
-      recon AS (SELECT us.label, us.v, coalesce(cb1.cv, 0.0) AS dq
-                FROM us
-                JOIN a1 ON us.vec_id = a1.vec_id AND us.sub = a1.sub
-                LEFT JOIN cb1 ON cb1.sub = us.sub AND cb1.cent = a1.cent
-                             AND cb1.sd = us.sd)
+      recon AS (SELECT pus.label, pus.v, coalesce(pcb1.cv, 0.0) AS dq
+                FROM pus
+                JOIN pa1 ON pus.vec_id = pa1.vec_id AND pus.sub = pa1.sub
+                LEFT JOIN pcb1 ON pcb1.sub = pus.sub AND pcb1.cent = pa1.cent
+                             AND pcb1.sd = pus.sd)
       SELECT label, count(*) AS n_vals,
              round(sqrt(avg((v - dq) * (v - dq))), 6) AS rmse,
              round(max(abs(v - dq)), 6) AS max_err
@@ -979,13 +979,13 @@ object Similarity {
     },
     Some(s"""
       WITH $pqOracleCtes,
-      ql AS (SELECT us.vec_id AS q_id, us.sub, c.cent,
-               sum((us.v - c.cv) * (us.v - c.cv)) AS pd2
-             FROM us JOIN cb1 c ON us.sub = c.sub AND us.sd = c.sd
-             WHERE us.vec_id < 10
+      ql AS (SELECT pus.vec_id AS q_id, pus.sub, c.cent,
+               sum((pus.v - c.cv) * (pus.v - c.cv)) AS pd2
+             FROM pus JOIN pcb1 c ON pus.sub = c.sub AND pus.sd = c.sd
+             WHERE pus.vec_id < 10
              GROUP BY 1, 2, 3),
       scan AS (SELECT l.q_id, a.vec_id AS n_id, sum(l.pd2) AS d2
-               FROM a1 a JOIN ql l ON a.sub = l.sub AND a.cent = l.cent
+               FROM pa1 a JOIN ql l ON a.sub = l.sub AND a.cent = l.cent
                WHERE a.vec_id <> l.q_id
                GROUP BY 1, 2),
       rnk AS (SELECT q_id, n_id, d2,
@@ -996,5 +996,100 @@ object Similarity {
       FROM rnk WHERE rk <= 5
       ORDER BY q_id, rk"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48)
+  /** IVF + PQ search — the two index halves composed the way a
+    * production vector store runs them (FAISS's IVFADC): the query
+    * probes its Tuning.nprobe nearest IVF cells (the q44 coarse
+    * quantizer), and the candidates homed there are ranked by PQ
+    * asymmetric distance (the q48 lookup tables) — so the full-precision
+    * corpus floats are touched by NEITHER the candidate generation NOR
+    * the ranking. Candidate volume is nprobe·√n per query; ranking is 8
+    * integer lookups per candidate against a broadcast nq×8×k LUT. Both
+    * index builds are the shared deterministic contexts (ivfCtx, pqCtx),
+    * and the oracle composes the two generated CTE chains (IVF
+    * unprefixed, PQ `p`-prefixed) verbatim.
+    */
+  private val q49 = Q(
+    "q49_ivf_pq_search",
+    (s, d) => {
+      import s.implicits._
+      val ctx = annCtx(s, d)
+      val ictx = ivfCtx(s, d, ctx)
+      val PqCtx(emb, pqCb) = pqCtx(s, d)
+      // coarse probes: the query set's nprobe nearest cells; candidates
+      // are every vector HOMED in a probed cell (rank-1), as q44
+      val probed = assignCells(s, d, ictx.cb, nProbe = Tuning.current.nprobe)
+        .cache()
+      val qprobes = probed.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"cell")
+      val home = probed.filter($"rk" === 1)
+        .select($"vec_id".as("n_id"), $"cell")
+      val cand = qprobes.join(home, "cell")
+        .filter($"q_id" =!= $"n_id")
+        .select($"q_id", $"n_id")
+      // PQ codes for the corpus + per-query ADC lookup tables, as q48
+      val bc1 = s.sparkContext.broadcast(pqCb)
+      val codes = emb.mapPartitions { it =>
+        val bySub = pqBySub(bc1.value)
+        it.flatMap { case (id, _, vf) =>
+          if (vf == null) Iterator.empty
+          else {
+            val v = vf.map(_.toDouble)
+            val asg = pqNearest(v, bySub)
+            val nSubs = math.min(bySub.length, (v.length + 7) / 8)
+            (0 until nSubs).iterator
+              .filter(sub => asg(sub) >= 0)
+              .map(sub => (id, sub, asg(sub)))
+          }
+        }
+      }.toDF("n_id", "sub", "cent")
+      val qs = emb.filter($"vec_id" < 10 && $"embedding".isNotNull)
+        .select($"vec_id".as("q_id"),
+          posexplode(expr("transform(embedding, x -> cast(x as double))")))
+        .select($"q_id", expr("CAST(pos div 8 AS INT)").as("sub"),
+          expr("CAST(pos % 8 AS INT)").as("sd"), $"col".as("qv"))
+      val cbDf = pqCb.toSeq
+        .flatMap { case (cent, sub, pairs) =>
+          pairs.map { case (sd, cv) => (sub, cent, sd, cv) }
+        }.toDF("sub", "cent", "sd", "cv")
+      val lut = qs.join(broadcast(cbDf), Seq("sub", "sd"))
+        .groupBy($"q_id", $"sub", $"cent")
+        .agg(sum(($"qv" - $"cv") * ($"qv" - $"cv")).as("pd2"))
+      val scored = cand.join(codes, "n_id")
+        .join(broadcast(lut), Seq("q_id", "sub", "cent"))
+        .groupBy($"q_id", $"n_id")
+        .agg(sum($"pd2").as("d2"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"q_id").orderBy(r6($"d2"), $"n_id")).cast("long"))
+        .filter($"rk" <= 5)
+        .select($"q_id", $"rk", $"n_id", r4($"d2").as("approx_d2"))
+        .orderBy($"q_id", $"rk")
+    },
+    Some(s"""
+      WITH ${ivfOracleCtes(Tuning.current.lloydIters)},
+      ${pqOracleCtes.trim},
+      ql AS (SELECT pus.vec_id AS q_id, pus.sub, c.cent,
+               sum((pus.v - c.cv) * (pus.v - c.cv)) AS pd2
+             FROM pus JOIN pcb1 c ON pus.sub = c.sub AND pus.sd = c.sd
+             WHERE pus.vec_id < 10
+             GROUP BY 1, 2, 3),
+      probes AS (SELECT vec_id AS q_id, cell FROM fa
+                 WHERE rk <= ${Tuning.current.nprobe} AND vec_id < 10),
+      home AS (SELECT vec_id AS n_id, cell FROM fa WHERE rk = 1),
+      cp AS (SELECT p.q_id, h.n_id FROM probes p JOIN home h ON p.cell = h.cell
+             WHERE p.q_id <> h.n_id),
+      sc AS (SELECT cp.q_id, cp.n_id, sum(l.pd2) AS d2
+             FROM cp
+             JOIN pa1 a ON a.vec_id = cp.n_id
+             JOIN ql l ON l.q_id = cp.q_id AND l.sub = a.sub AND l.cent = a.cent
+             GROUP BY 1, 2),
+      rnk AS (SELECT q_id, n_id, d2,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY round(d2, 6), n_id) AS rk
+              FROM sc)
+      SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, round(d2, 4) AS approx_d2
+      FROM rnk WHERE rk <= 5
+      ORDER BY q_id, rk"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }
