@@ -11,18 +11,18 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** All operator registries, in presentation order. */
-  def allQ: Seq[Q] = Relational.all ++ Stats.all ++ Dedup.all ++
-    Similarity.all ++ TextOps.all ++ Multimodal.all ++ Assemble.all ++
-    ParseOps.all
+  /** All operator registries, in presentation order — the default-knob
+    * [[QRegistry]]; build a `new QRegistry(tuning)` for another knob set.
+    */
+  def allQ: Seq[Q] = QRegistry.default.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.all.head.spark(spark, "/root/testdata/sf0.001")
+    allQ.head.spark(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allQ.map(q => q.name -> q.spark).toMap
+    QRegistry.default.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,10 +31,7 @@ object SparkEntry {
     * computes bit-identical doubles to [[Cols.r2]]/r4/r6 — see the
     * rationale on [[Cols]].
     */
-  def oracleSql: Map[String, String] =
-    allQ.collect { case Q(n, _, Some(sql)) =>
-      n -> portableRoundSql(sql.trim)
-    }.toMap
+  def oracleSql: Map[String, String] = QRegistry.default.oracleSql
 
   /** Rewrite every `round(expr, n)` in an oracle SQL string to
     * `(floor((expr) * 10^n + 0.5) / 10^n)`, respecting nested parens

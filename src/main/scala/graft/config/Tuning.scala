@@ -43,7 +43,23 @@ final case class Tuning(
     sourceQuota: Int = 20,
     /** q29: k-minimum-values sketch size (distinct-count state bound
       * per group). */
-    kmvK: Int = 256) {
+    kmvK: Int = 256,
+    /** q40/q45/q48/q49: ANN query-set size — queries are the vectors
+      * with `vec_id < annQueries`. */
+    annQueries: Int = 10,
+    /** q38: rounded-Jaccard threshold for a near-dup edge. */
+    ccEdgeJaccard: Double = 0.5,
+    /** q47/q48/q49: PQ subspace count cap (effective subspaces =
+      * min(this, ceil(dim / pqSubDim))). */
+    pqSubspaces: Int = 8,
+    /** q47/q48/q49: dimensions per PQ subspace. */
+    pqSubDim: Int = 8,
+    /** q47/q48/q49: centroids per PQ subspace (seed stride = n / this). */
+    pqCentroids: Int = 16,
+    /** q45/q49: exact re-rank candidate multiplier — the refined search
+      * re-scores the top `refineFactor × k` ADC candidates with exact
+      * float distances (FAISS's refine step). */
+    refineFactor: Int = 4) {
 
   /** Minhash signature length — bands × rows, every row one affine
     * permutation over the 2³¹−1 prime field. */
@@ -57,6 +73,11 @@ final case class Tuning(
     pos(minhashRows, "minhashRows"); pos(minhashBucketCap, "minhashBucketCap")
     pos(lshTables, "lshTables"); pos(lshBucketCap, "lshBucketCap")
     pos(nprobe, "nprobe"); pos(sourceQuota, "sourceQuota"); pos(kmvK, "kmvK")
+    pos(annQueries, "annQueries"); pos(pqSubspaces, "pqSubspaces")
+    pos(pqSubDim, "pqSubDim"); pos(pqCentroids, "pqCentroids")
+    pos(refineFactor, "refineFactor")
+    if (ccEdgeJaccard <= 0.0 || ccEdgeJaccard > 1.0) throw ConfigurationError(
+      s"graft.tuning.ccEdgeJaccard must be in (0, 1], got $ccEdgeJaccard")
     if (lloydIters < 0) throw ConfigurationError(
       s"graft.tuning.lloydIters must be >= 0, got $lloydIters")
     // the affine minhash constants stay inside a signed 64-bit product
@@ -70,17 +91,31 @@ final case class Tuning(
 
 object Tuning {
 
-  private def knob(name: String, default: Int): Int = {
+  private def raw(name: String): Option[String] = {
     val prop = s"graft.tuning.$name"
     val env = "GRAFT_TUNING_" + name.replaceAll("([A-Z])", "_$1").toUpperCase
-    sys.props.get(prop).orElse(sys.env.get(env)).map { v =>
+    sys.props.get(prop).orElse(sys.env.get(env))
+  }
+
+  private def knob(name: String, default: Int): Int =
+    raw(name).map { v =>
       try v.trim.toInt
       catch {
         case _: NumberFormatException =>
-          throw ConfigurationError(s"$prop must be an integer, got '$v'")
+          throw ConfigurationError(
+            s"graft.tuning.$name must be an integer, got '$v'")
       }
     }.getOrElse(default)
-  }
+
+  private def knobD(name: String, default: Double): Double =
+    raw(name).map { v =>
+      try v.trim.toDouble
+      catch {
+        case _: NumberFormatException =>
+          throw ConfigurationError(
+            s"graft.tuning.$name must be a number, got '$v'")
+      }
+    }.getOrElse(default)
 
   /** The session's knob set — resolved once, used by both the Spark
     * plans and the oracle SQL they are checked against.
@@ -96,7 +131,13 @@ object Tuning {
       nprobe = knob("nprobe", 16),
       lloydIters = knob("lloydIters", 2),
       sourceQuota = knob("sourceQuota", 20),
-      kmvK = knob("kmvK", 256))
+      kmvK = knob("kmvK", 256),
+      annQueries = knob("annQueries", 10),
+      ccEdgeJaccard = knobD("ccEdgeJaccard", 0.5),
+      pqSubspaces = knob("pqSubspaces", 8),
+      pqSubDim = knob("pqSubDim", 8),
+      pqCentroids = knob("pqCentroids", 16),
+      refineFactor = knob("refineFactor", 4))
     t.validate()
     t
   }

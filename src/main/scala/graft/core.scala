@@ -15,6 +15,37 @@ final case class Q(
     spark: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None)
 
+/** The full operator registry for ONE knob set: the tuned modules are
+  * instantiated with `tuning` (their oracle SQL interpolates the same
+  * instance, so each registry is hash-checkable against its own knobs),
+  * the knob-free modules contribute their singletons. Two registries
+  * with different knobs coexist in one JVM — the library contract; the
+  * process-wide default (driver contract, [[SparkEntry]]) is
+  * [[QRegistry.default]], built from [[graft.config.Tuning.current]].
+  */
+final class QRegistry(val tuning: graft.config.Tuning) {
+  val all: Seq[Q] =
+    new graft.operators.Relational(tuning).all ++
+    graft.operators.Stats.all ++
+    new graft.operators.Dedup(tuning).all ++
+    new graft.operators.Similarity(tuning).all ++
+    graft.operators.TextOps.all ++
+    graft.operators.Multimodal.all ++
+    new graft.operators.Assemble(tuning).all ++
+    graft.operators.ParseOps.all
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.spark).toMap
+  val oracleSql: Map[String, String] =
+    all.collect { case Q(n, _, Some(sql)) =>
+      n -> SparkEntry.portableRoundSql(sql.trim)
+    }.toMap
+}
+
+object QRegistry {
+  /** The default-knob registry — what the driver contract serves. */
+  lazy val default = new QRegistry(graft.config.Tuning.current)
+}
+
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {

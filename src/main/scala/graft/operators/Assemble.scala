@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   * (q30-q36) and quality (q50-q56) tiers.
   */
 object Assemble {
+  /** The default-knob instance — [[graft.QRegistry.default]]'s member. */
+  lazy val default = new Assemble(graft.config.Tuning.current)
+  def all: Seq[Q] = default.all
+}
+
+/** The tuned assembly tier: one instance per knob set — the oracle SQL
+  * interpolates THIS instance's `tuning` (see [[graft.QRegistry]]).
+  */
+final class Assemble(val tuning: graft.config.Tuning) extends Serializable {
 
   /** Deterministic hash split: md5-derived 60-bit hash of the doc id,
     * mod 100 → 80/10/10. Hash-based (not random) so the split is stable
@@ -195,7 +204,7 @@ object Assemble {
     "q59_source_quota_sample",
     (s, d) => {
       import s.implicits._
-      val quota = graft.config.Tuning.current.sourceQuota
+      val quota = tuning.sourceQuota
       val withH = t(s, d, "documents")
         .select($"doc_id", $"source",
           md5Long($"doc_id".cast("string")).as("h"))
@@ -221,7 +230,7 @@ object Assemble {
               row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
             FROM h)
       SELECT source, doc_id
-      FROM r WHERE rn <= ${graft.config.Tuning.current.sourceQuota}
+      FROM r WHERE rn <= ${tuning.sourceQuota}
       ORDER BY source, doc_id"""))
 
   /** Mixture rebalancing — the data-dependent generalization of q59's
@@ -268,14 +277,17 @@ object Assemble {
                    ${md5LongSql("CAST(doc_id AS VARCHAR)")} AS h
                  FROM documents),
       n AS (SELECT source, count(*) AS n FROM h GROUP BY source),
-      r AS (SELECT h.source, h.doc_id,
-              row_number() OVER (PARTITION BY h.source ORDER BY h.h) AS rn,
+      dh AS (SELECT DISTINCT source, h FROM h),
+      r AS (SELECT dh.source, dh.h,
+              row_number() OVER (PARTITION BY dh.source ORDER BY dh.h) AS rn,
               n.n
-            FROM h JOIN n ON h.source IS NOT DISTINCT FROM n.source)
-      SELECT source, doc_id
-      FROM r
-      WHERE rn <= least(64, CAST(ceil(sqrt(n) - 1e-9) AS BIGINT))
-      ORDER BY source, doc_id"""))
+            FROM dh JOIN n ON dh.source IS NOT DISTINCT FROM n.source),
+      kept AS (SELECT source, h FROM r
+               WHERE rn <= least(64, CAST(ceil(sqrt(n) - 1e-9) AS BIGINT)))
+      SELECT h.source, h.doc_id
+      FROM h JOIN kept ON h.source IS NOT DISTINCT FROM kept.source
+                      AND h.h = kept.h
+      ORDER BY h.source, h.doc_id"""))
 
   val all: Seq[Q] = Seq(q37, q57, q58, q59, q39)
 }

@@ -73,6 +73,21 @@ object Dedup {
       .toDF("doc_id", "nsh", "t")
   }
 
+  /** The default-knob instance — [[graft.QRegistry.default]]'s member. */
+  lazy val default = new Dedup(Tuning.current)
+  def all: Seq[Q] = default.all
+
+  /** Forwarder for the unit spec — [[components]] is knob-free. */
+  private[operators] def components(edges: DataFrame): DataFrame =
+    default.components(edges)
+}
+
+/** The tuned dedup tier: one instance per knob set — the oracle SQL
+  * interpolates THIS instance's `tuning` (see [[graft.QRegistry]]).
+  */
+final class Dedup(val tuning: Tuning) extends Serializable {
+  import Dedup.{toksExpr, toksSqlDuck, shinglesSqlDuck, shinglePostings}
+
   /** Exact dedup: hash-groupBy on the normalized text. One shuffle on the
     * 128-bit fingerprint; at 100 TB this is the classic first pass
     * (map-side partial count keeps the shuffle at one row per distinct).
@@ -116,7 +131,7 @@ object Dedup {
     * boilerplate), so top-20 ranking is unaffected in practice — and the
     * oracle applies the identical cap, so the check stays exact.
     */
-  private val dfCap = Tuning.current.dfCap
+  private val dfCap = tuning.dfCap
   private val q31 = Q(
     "q31_dedup_ngram_jaccard",
     (s, d) => {
@@ -184,10 +199,10 @@ object Dedup {
     *    CANDIDATE documents alone (semi-join on the candidate ids), so
     *    the broadcast is small by construction at any corpus size.
     */
-  private val mBands = Tuning.current.minhashBands
-  private val mRows = Tuning.current.minhashRows
-  private val sigK = Tuning.current.sigK
-  private val mCap = Tuning.current.minhashBucketCap
+  private val mBands = tuning.minhashBands
+  private val mRows = tuning.minhashRows
+  private val sigK = tuning.sigK
+  private val mCap = tuning.minhashBucketCap
   /** The MinHash+LSH candidate pipeline ending in exact-verified pairs
     * `(a_id, b_id, jacc)` (raw double score) — the body of q32, factored
     * so q38's component clustering consumes the identical edge set.
@@ -364,7 +379,7 @@ object Dedup {
     (s, d) => {
       import s.implicits._
       val edges = minhashVerified(s, d)
-        .filter(r6($"jacc") >= 0.5)
+        .filter(r6($"jacc") >= tuning.ccEdgeJaccard)
         .select($"a_id", $"b_id")
       components(edges).orderBy($"component", $"doc_id")
     },
@@ -374,7 +389,7 @@ object Dedup {
                len(list_intersect(sha.sh, shb.sh)) /
                (len(sha.sh) + len(shb.sh) - len(list_intersect(sha.sh, shb.sh))) AS jacc
              FROM cand JOIN sh sha ON a_id = sha.doc_id JOIN sh shb ON b_id = shb.doc_id),
-      edges AS (SELECT a_id, b_id FROM ev WHERE round(jacc, 6) >= 0.5),
+      edges AS (SELECT a_id, b_id FROM ev WHERE round(jacc, 6) >= ${tuning.ccEdgeJaccard}),
       bi AS (SELECT a_id AS src, b_id AS dst FROM edges
              UNION ALL SELECT b_id, a_id FROM edges),
       nodes AS (SELECT DISTINCT src AS node FROM bi),
@@ -493,7 +508,7 @@ object Dedup {
       // anti-join)
       val over = u0.filter($"i" === 0)
         .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
-        .filter($"cnt" > Tuning.current.lshBucketCap).select($"bucket")
+        .filter($"cnt" > tuning.lshBucketCap).select($"bucket")
       val u = u0.join(broadcast(over), Seq("bucket"), "left_anti")
       val n = Similarity.norms(u)
       val a = u.select($"vec_id".as("a_id"), $"bucket", $"i".as("ai"), $"v".as("av"))
@@ -518,7 +533,7 @@ object Dedup {
              FROM embeddings),
       e AS (SELECT * FROM e0 WHERE bucket NOT IN
               (SELECT bucket FROM e0 GROUP BY bucket
-               HAVING count(*) > ${Tuning.current.lshBucketCap})),
+               HAVING count(*) > ${tuning.lshBucketCap})),
       n AS (SELECT vec_id,
               sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
             FROM e),

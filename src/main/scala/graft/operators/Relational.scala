@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB posture) are on each query.
   */
 object Relational {
+  /** The default-knob instance — [[graft.QRegistry.default]]'s member. */
+  lazy val default = new Relational(graft.config.Tuning.current)
+  def all: Seq[Q] = default.all
+}
+
+/** The tuned relational tier: one instance per knob set — the oracle SQL
+  * interpolates THIS instance's `tuning` (see [[graft.QRegistry]]).
+  */
+final class Relational(val tuning: graft.config.Tuning) extends Serializable {
 
   /** TPC-H Q1-shaped hash aggregation: map-side partial agg then a 6-group
     * final — shuffles only 6×cores rows regardless of input size.
@@ -652,12 +661,12 @@ object Relational {
     * bottleneck. The oracle keeps the window form — DuckDB has no
     * bounded k-min, and the results are identical by construction.
     */
-  private val kmvOracleK = graft.config.Tuning.current.kmvK
+  private val kmvOracleK = tuning.kmvK
   private val q29 = Q(
     "q29_kmv_distinct",
     (s, d) => {
       import s.implicits._
-      val k = graft.config.Tuning.current.kmvK
+      val k = tuning.kmvK
       t(s, d, "events")
         .select($"event_type", md5Long($"user_id".cast("string")).as("h"))
         // NULL user_ids carry no distinct-count signal; dropping them

@@ -101,6 +101,24 @@ object Similarity {
     */
   private[operators] type Codebook = Array[(Long, Array[Double])]
 
+  /** The default-knob instance — [[graft.QRegistry.default]]'s member;
+    * kept here so direct `Similarity.all` references keep working.
+    */
+  lazy val default = new Similarity(Tuning.current)
+  def all: Seq[Q] = default.all
+}
+
+/** The tuned ANN tier: one instance per knob set. The oracle SQL strings
+  * interpolate THIS instance's `tuning`, so every registry stays
+  * hash-checkable against its own knobs, and two registries with
+  * different knobs can coexist in one JVM (the [[graft.QRegistry]]
+  * contract). Serializable because compiled hot-path closures
+  * (PQ assignment passes) call instance helpers; the captured state is
+  * the knob case class only.
+  */
+final class Similarity(val tuning: Tuning) extends Serializable {
+  import Similarity._
+
   /** The deterministic initial codebook: the ⌈√n⌉ vectors with
     * `vec_id % stride = 0`, collected once. Column-predicate filter
     * BEFORE the typed view so seed selection stays codegen'd (a lambda
@@ -204,11 +222,11 @@ object Similarity {
     cb
   }
 
-  /** Brute-force cosine top-5 for a fixed query set (vec_id < 10). */
+  /** Brute-force cosine top-5 for the configured query set (vec_id < annQueries). */
   private def bruteforceDF(s: SparkSession, d: String, ctx: AnnCtx): DataFrame = {
       import s.implicits._
       val AnnCtx(_, u, n) = ctx
-      val qs = u.filter($"vec_id" < 10)
+      val qs = u.filter($"vec_id" < tuning.annQueries)
         .select($"vec_id".as("q_id"), $"i".as("qi"), $"v".as("qv"))
       val dots = qs.join(u.select($"vec_id".as("n_id"), $"i", $"v"),
           $"qi" === $"i" && $"q_id" =!= $"n_id")
@@ -229,7 +247,7 @@ object Similarity {
   private val q40 = Q(
     "q40_ann_bruteforce",
     (s, d) => bruteforceDF(s, d, annCtx(s, d)),
-    Some("""
+    Some(s"""
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
       n AS (SELECT vec_id,
               sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
@@ -237,7 +255,7 @@ object Similarity {
       u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
               unnest(embedding)::DOUBLE AS v FROM e),
       d AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, sum(q.v * c.v) AS dot
-            FROM (SELECT * FROM u WHERE vec_id < 10) q
+            FROM (SELECT * FROM u WHERE vec_id < ${tuning.annQueries}) q
             JOIN u c ON q.i = c.i AND q.vec_id <> c.vec_id
             GROUP BY 1, 2),
       scored AS (SELECT q_id, n_id, dot / (nq.nrm * nc.nrm) AS cosine
@@ -281,7 +299,7 @@ object Similarity {
     */
   private def lshDF(s: SparkSession, d: String, ctx: AnnCtx): DataFrame = {
       import s.implicits._
-      val T = Tuning.current
+      val T = tuning
       val bits = signBits(ctx.n0)
       // (vec_id, tbl, bucket): row-local sign buckets for all L tables,
       // one scan, static codegen'd expressions (no HOF)
@@ -328,7 +346,7 @@ object Similarity {
   }
 
   private def lshOracle: String = {
-    val T = Tuning.current
+    val T = tuning
     s"""
       WITH params AS (SELECT least(64, greatest(4,
                         CAST(ceil(log2(count(*) / 64.0) - 1e-9) AS INT))) AS bits
@@ -425,7 +443,7 @@ object Similarity {
     val k = math.ceil(math.sqrt(ctx.n0.toDouble) - 1e-9).toLong
     val stride = math.max(1L, ctx.n0 / k)
     IvfCtx(ctx.u, ctx.n,
-      refinedCodebook(s, d, stride, ctx.u, Tuning.current.lloydIters))
+      refinedCodebook(s, d, stride, ctx.u, tuning.lloydIters))
   }
 
   private def ivfSearch(s: SparkSession, d: String, ctx: IvfCtx): DataFrame = {
@@ -484,7 +502,7 @@ object Similarity {
              WHERE rk = 1),
       cb${i + 1} AS (SELECT a.cell, u.i AS dim, round(avg(u.v), 6) AS cv
               FROM u JOIN a$i a ON u.vec_id = a.vec_id GROUP BY 1, 2)"""
-    }.mkString(",", ",", "")
+    }
     val fin = s"""
       n$iters AS (SELECT cell, sum(cv * cv) AS cn2 FROM cb$iters GROUP BY cell),
       d$iters AS (SELECT u.vec_id, cb$iters.cell, sum(u.v * cb$iters.cv) AS dot
@@ -493,14 +511,16 @@ object Similarity {
                     row_number() OVER (PARTITION BY d.vec_id
                       ORDER BY round(n$iters.cn2 - 2.0 * d.dot, 6), d.cell) AS rk
              FROM d$iters d JOIN n$iters ON d.cell = n$iters.cell)"""
-    head + steps + "," + fin
+    // Single join over the whole CTE list: at iters=0 `steps` is empty and
+    // the old prefix/suffix mkString emitted a bare "," (invalid SQL).
+    (head +: steps :+ fin).mkString(",")
   }
 
   private val q43 = Q(
     "q43_ann_ivf",
     (s, d) => ivfSearch(s, d, ivfCtx(s, d, annCtx(s, d))),
     Some(s"""
-      WITH ${ivfOracleCtes(Tuning.current.lloydIters)},
+      WITH ${ivfOracleCtes(tuning.lloydIters)},
       assign AS (SELECT vec_id, cell FROM fa WHERE rk = 1),
       ua AS (SELECT u.vec_id, a.cell, u.i, u.v FROM u JOIN assign a ON u.vec_id = a.vec_id),
       pd AS (SELECT x.vec_id AS a_id, x.cell, y.vec_id AS b_id, sum(x.v * y.v) AS dot
@@ -534,7 +554,7 @@ object Similarity {
       val IvfCtx(u, n, cb) = ctx
       // cache the n×nprobe probe table so the assignment map runs once
       // (home is derived from it)
-      val probed = assignCells(s, d, cb, nProbe = Tuning.current.nprobe).cache()
+      val probed = assignCells(s, d, cb, nProbe = tuning.nprobe).cache()
       val probes = probed.select($"vec_id", $"cell")
       val home = probed.filter($"rk" === 1).select($"vec_id", $"cell")
       val a = u.join(probes, "vec_id")
@@ -559,8 +579,8 @@ object Similarity {
     "q44_ann_ivf_multiprobe",
     (s, d) => ivfMultiprobeSearch(s, d, ivfCtx(s, d, annCtx(s, d))),
     Some(s"""
-      WITH ${ivfOracleCtes(Tuning.current.lloydIters)},
-      probes AS (SELECT vec_id, cell FROM fa WHERE rk <= ${Tuning.current.nprobe}),
+      WITH ${ivfOracleCtes(tuning.lloydIters)},
+      probes AS (SELECT vec_id, cell FROM fa WHERE rk <= ${tuning.nprobe}),
       home AS (SELECT vec_id, cell FROM fa WHERE rk = 1),
       pd AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, sum(x.v * y.v) AS dot
              FROM (SELECT p.vec_id, p.cell, u.i, u.v
@@ -581,7 +601,7 @@ object Similarity {
 
   /** Recall@1 report: how often each approximate tier (q41 LSH, q43
     * IVF, q44 multi-probe IVF) returns the TRUE nearest neighbor (q40
-    * brute force) for the fixed query set (vec_id < 10). A query whose
+    * brute force) for the configured query set (vec_id < annQueries). A query whose
     * approximate tier returns nothing (bucket dropped / singleton cell)
     * counts as a miss — that IS the recall cost of the blocking scheme.
     * Everything here is deterministic (rounded scores, id tiebreaks),
@@ -728,7 +748,8 @@ object Similarity {
     * Returns nearest-centroid id indexed by subspace (-1 = empty sub).
     */
   private def pqNearest(v: Array[Double],
-      bySub: Array[Array[(Long, Array[(Int, Double)])]]): Array[Long] = {
+      bySub: Array[Array[(Long, Array[(Int, Double)])]],
+      subDim: Int): Array[Long] = {
     val out = new Array[Long](bySub.length)
     var sub = 0
     while (sub < bySub.length) {
@@ -737,7 +758,7 @@ object Similarity {
       bySub(sub).foreach { case (cent, pairs) =>
         var d2 = 0.0
         pairs.foreach { case (sd, cv) =>
-          val idx = sub * 8 + sd
+          val idx = sub * subDim + sd
           // the oracle's d2 is an equi-join on (sub, sd): a dim absent
           // from EITHER side contributes nothing to assignment (absent
           // dims surface only at reconstruction, as v−0)
@@ -757,13 +778,14 @@ object Similarity {
     * r6 centroid means → final assignment `a1`, beside the exploded
     * `us` and refined codebook `cb1`.
     */
-  private val pqOracleCtes = """pparams AS (SELECT greatest(1, count(*) // 16) AS stride FROM embeddings),
+  private val pqOracleCtes = s"""pparams AS (SELECT greatest(1, count(*) // ${tuning.pqCentroids}) AS stride FROM embeddings),
       pu AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS i,
               unnest(embedding)::DOUBLE AS v FROM embeddings),
-      pus AS (SELECT vec_id, label, CAST(i // 8 AS INT) AS sub,
-               CAST(i % 8 AS INT) AS sd, v FROM pu),
+      pus AS (SELECT vec_id, label, CAST(i // ${tuning.pqSubDim} AS INT) AS sub,
+               CAST(i % ${tuning.pqSubDim} AS INT) AS sd, v FROM pu),
       pcb0 AS (SELECT vec_id AS cent, sub, sd, v AS cv FROM pus
-              WHERE vec_id % (SELECT stride FROM pparams) = 0),
+              WHERE vec_id % (SELECT stride FROM pparams) = 0
+                AND sub < ${tuning.pqSubspaces}),
       pd0 AS (SELECT pus.vec_id, pus.sub, c.cent,
                sum((pus.v - c.cv) * (pus.v - c.cv)) AS d2
              FROM pus JOIN pcb0 c ON pus.sub = c.sub AND pus.sd = c.sd
@@ -798,7 +820,7 @@ object Similarity {
   private def pqCtx(s: SparkSession, d: String): PqCtx = {
     import s.implicits._
     val n0 = Tables.rowCount(s, d, "embeddings")
-    val stride = math.max(1L, n0 / 16)
+    val stride = math.max(1L, n0 / tuning.pqCentroids)
     val emb = spread(t(s, d, "embeddings"))
       .select($"vec_id", $"label", $"embedding")
       .as[(Long, String, Array[Float])].cache()
@@ -809,9 +831,9 @@ object Similarity {
       .collect()
       .flatMap { case (sid, vf) =>
         val v = vf.map(_.toDouble)
-        (0 until 8).map { sub =>
-          val pairs = (0 until 8).flatMap { sd =>
-            val idx = sub * 8 + sd
+        (0 until tuning.pqSubspaces).map { sub =>
+          val pairs = (0 until tuning.pqSubDim).flatMap { sd =>
+            val idx = sub * tuning.pqSubDim + sd
             if (idx < v.length) Some((sd, v(idx))) else None
           }.toArray
           (sid, sub, pairs)
@@ -820,15 +842,20 @@ object Similarity {
     // one compiled Lloyd pass: assign on seeds, emit centroid
     // contributions, r6-rounded means become the refined codebook
     val bc = s.sparkContext.broadcast(cb0)
+    val subDim = tuning.pqSubDim
     val cb1: PqCodebook = emb.mapPartitions { it =>
         val bySub = pqBySub(bc.value)  // regrouped once per partition
         it.flatMap { case (_, _, vf) =>
           if (vf == null) Iterator.empty
           else {
             val v = vf.map(_.toDouble)
-            val asg = pqNearest(v, bySub)
-            v.indices.iterator.map { i =>
-              (i / 8, asg(i / 8), i % 8, v(i))
+            val asg = pqNearest(v, bySub, subDim)
+            // bound by the codebook's subspace count: a corpus vector
+            // longer than every seed has no centroids (hence no oracle
+            // assignment rows) past bySub.length — skip, don't index
+            val lim = math.min(v.length, bySub.length * subDim)
+            (0 until lim).iterator.map { i =>
+              (i / subDim, asg(i / subDim), i % subDim, v(i))
             }
           }
         }
@@ -852,15 +879,19 @@ object Similarity {
       // reconstruction pass (compiled): assign on the refined codebook,
       // emit per-element errors
       val bc1 = s.sparkContext.broadcast(cb1)
+      val subDim = tuning.pqSubDim
       val errs = emb.mapPartitions { it =>
         val bySub = pqBySub(bc1.value)
         it.flatMap { case (_, label, vf) =>
           if (vf == null) Iterator.empty
           else {
             val v = vf.map(_.toDouble)
-            val asg = pqNearest(v, bySub)
-            v.indices.iterator.map { i =>
-              val sub = i / 8
+            val asg = pqNearest(v, bySub, subDim)
+            // same uncovered-subspace bound as the Lloyd pass: the
+            // oracle's recon inner-joins pa1, so dims past the codebook
+            // have no assignment row and drop out entirely
+            (0 until math.min(v.length, bySub.length * subDim)).iterator.map { i =>
+              val sub = i / subDim
               // reconstruct from the assigned centroid's present dims
               var dq = 0.0
               if (asg(sub) >= 0) {
@@ -871,7 +902,7 @@ object Similarity {
                   val pairs = cents(lo)._2
                   var j = 0
                   while (j < pairs.length) {
-                    if (pairs(j)._1 == i % 8) dq = pairs(j)._2
+                    if (pairs(j)._1 == i % subDim) dq = pairs(j)._2
                     j += 1
                   }
                 }
@@ -920,6 +951,7 @@ object Similarity {
       import s.implicits._
       val PqCtx(emb, cb1) = pqCtx(s, d)
       val bc1 = s.sparkContext.broadcast(cb1)
+      val subDim = tuning.pqSubDim
       // corpus PQ codes: (vec_id, sub, cent) — one row per subspace the
       // vector has dims in and the codebook covers (the oracle's a1)
       val codes = emb.mapPartitions { it =>
@@ -928,8 +960,8 @@ object Similarity {
           if (vf == null) Iterator.empty
           else {
             val v = vf.map(_.toDouble)
-            val asg = pqNearest(v, bySub)
-            val nSubs = math.min(bySub.length, (v.length + 7) / 8)
+            val asg = pqNearest(v, bySub, subDim)
+            val nSubs = math.min(bySub.length, (v.length + subDim - 1) / subDim)
             (0 until nSubs).iterator
               .filter(sub => asg(sub) >= 0)
               .map(sub => (id, sub, asg(sub)))
@@ -938,11 +970,11 @@ object Similarity {
       }.toDF("vec_id", "sub", "cent")
       // per-query ADC lookup table, built with the same join shape as
       // the oracle (fp summation-order differences absorbed by r6/r4)
-      val qs = emb.filter($"vec_id" < 10 && $"embedding".isNotNull)
+      val qs = emb.filter($"vec_id" < tuning.annQueries && $"embedding".isNotNull)
         .select($"vec_id".as("q_id"),
           posexplode(expr("transform(embedding, x -> cast(x as double))")))
-        .select($"q_id", expr("CAST(pos div 8 AS INT)").as("sub"),
-          expr("CAST(pos % 8 AS INT)").as("sd"), $"col".as("qv"))
+        .select($"q_id", expr(s"CAST(pos div $subDim AS INT)").as("sub"),
+          expr(s"CAST(pos % $subDim AS INT)").as("sd"), $"col".as("qv"))
       val cbDf = cb1.toSeq
         .flatMap { case (cent, sub, pairs) =>
           pairs.map { case (sd, cv) => (sub, cent, sd, cv) }
@@ -982,7 +1014,7 @@ object Similarity {
       ql AS (SELECT pus.vec_id AS q_id, pus.sub, c.cent,
                sum((pus.v - c.cv) * (pus.v - c.cv)) AS pd2
              FROM pus JOIN pcb1 c ON pus.sub = c.sub AND pus.sd = c.sd
-             WHERE pus.vec_id < 10
+             WHERE pus.vec_id < ${tuning.annQueries}
              GROUP BY 1, 2, 3),
       scan AS (SELECT l.q_id, a.vec_id AS n_id, sum(l.pd2) AS d2
                FROM pa1 a JOIN ql l ON a.sub = l.sub AND a.cent = l.cent
@@ -1017,9 +1049,9 @@ object Similarity {
       val PqCtx(emb, pqCb) = pqCtx(s, d)
       // coarse probes: the query set's nprobe nearest cells; candidates
       // are every vector HOMED in a probed cell (rank-1), as q44
-      val probed = assignCells(s, d, ictx.cb, nProbe = Tuning.current.nprobe)
+      val probed = assignCells(s, d, ictx.cb, nProbe = tuning.nprobe)
         .cache()
-      val qprobes = probed.filter($"vec_id" < 10)
+      val qprobes = probed.filter($"vec_id" < tuning.annQueries)
         .select($"vec_id".as("q_id"), $"cell")
       val home = probed.filter($"rk" === 1)
         .select($"vec_id".as("n_id"), $"cell")
@@ -1028,25 +1060,26 @@ object Similarity {
         .select($"q_id", $"n_id")
       // PQ codes for the corpus + per-query ADC lookup tables, as q48
       val bc1 = s.sparkContext.broadcast(pqCb)
+      val subDim = tuning.pqSubDim
       val codes = emb.mapPartitions { it =>
         val bySub = pqBySub(bc1.value)
         it.flatMap { case (id, _, vf) =>
           if (vf == null) Iterator.empty
           else {
             val v = vf.map(_.toDouble)
-            val asg = pqNearest(v, bySub)
-            val nSubs = math.min(bySub.length, (v.length + 7) / 8)
+            val asg = pqNearest(v, bySub, subDim)
+            val nSubs = math.min(bySub.length, (v.length + subDim - 1) / subDim)
             (0 until nSubs).iterator
               .filter(sub => asg(sub) >= 0)
               .map(sub => (id, sub, asg(sub)))
           }
         }
       }.toDF("n_id", "sub", "cent")
-      val qs = emb.filter($"vec_id" < 10 && $"embedding".isNotNull)
+      val qs = emb.filter($"vec_id" < tuning.annQueries && $"embedding".isNotNull)
         .select($"vec_id".as("q_id"),
           posexplode(expr("transform(embedding, x -> cast(x as double))")))
-        .select($"q_id", expr("CAST(pos div 8 AS INT)").as("sub"),
-          expr("CAST(pos % 8 AS INT)").as("sd"), $"col".as("qv"))
+        .select($"q_id", expr(s"CAST(pos div $subDim AS INT)").as("sub"),
+          expr(s"CAST(pos % $subDim AS INT)").as("sd"), $"col".as("qv"))
       val cbDf = pqCb.toSeq
         .flatMap { case (cent, sub, pairs) =>
           pairs.map { case (sd, cv) => (sub, cent, sd, cv) }
@@ -1066,15 +1099,15 @@ object Similarity {
         .orderBy($"q_id", $"rk")
     },
     Some(s"""
-      WITH ${ivfOracleCtes(Tuning.current.lloydIters)},
+      WITH ${ivfOracleCtes(tuning.lloydIters)},
       ${pqOracleCtes.trim},
       ql AS (SELECT pus.vec_id AS q_id, pus.sub, c.cent,
                sum((pus.v - c.cv) * (pus.v - c.cv)) AS pd2
              FROM pus JOIN pcb1 c ON pus.sub = c.sub AND pus.sd = c.sd
-             WHERE pus.vec_id < 10
+             WHERE pus.vec_id < ${tuning.annQueries}
              GROUP BY 1, 2, 3),
       probes AS (SELECT vec_id AS q_id, cell FROM fa
-                 WHERE rk <= ${Tuning.current.nprobe} AND vec_id < 10),
+                 WHERE rk <= ${tuning.nprobe} AND vec_id < ${tuning.annQueries}),
       home AS (SELECT vec_id AS n_id, cell FROM fa WHERE rk = 1),
       cp AS (SELECT p.q_id, h.n_id FROM probes p JOIN home h ON p.cell = h.cell
              WHERE p.q_id <> h.n_id),

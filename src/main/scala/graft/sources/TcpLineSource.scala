@@ -344,6 +344,10 @@ class TcpLineMicroBatchStream(host: String, port: Int,
       out.writeInt(bytes.length); out.write(bytes)
     } finally out.close()
     val seg = new org.apache.hadoop.fs.Path(dir, s"$start-$end")
+    // a same-named segment can only be a crashed compaction's output for
+    // the identical [start, end) range — same deterministic content, so
+    // replacing it is safe, and local/HDFS rename refuses otherwise
+    if (walFs.exists(seg)) walFs.delete(seg, false)
     if (!walFs.rename(tmp, seg))
       throw new java.io.IOException(
         s"graft-socket WAL: rename failed for segment [$start, $end)")
@@ -395,6 +399,21 @@ class TcpLineMicroBatchStream(host: String, port: Int,
     if (live.length > walMaxSegments) {
       val start = math.max(committed, live.map(_._1).min)
       val end = live.map(_._2).max
+      // a crash between a previous compaction's rename and its deletes
+      // leaves the merged segment beside its stale sources; every row
+      // still needed is inside the spanning segment, so finish the
+      // deletes instead of rewriting the whole backlog again
+      val spanning = live.filter { case (a, b, _) => a <= start && b >= end }
+      if (spanning.nonEmpty) {
+        val keep = spanning.map(_._3.getName).toSet
+        live.foreach { case (_, _, p) =>
+          if (!keep.contains(p.getName)) walFs.delete(p, false)
+        }
+        segCount = spanning.length
+        logInfo(s"graft-socket $host:$port: pruned ${live.length - spanning.length} " +
+          s"stale WAL segments overlapped by [$start, $end)")
+        return
+      }
       val rows = readWal(start, end)
       // only compact a gapless backlog: a hole (manually deleted
       // segment) must not be papered over with a mislabeled range
