@@ -2,22 +2,21 @@ package graft.operators
 
 import graft.{Q, Tables}
 import Tables.{t, spread}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, decoded per-partition through a typed Dataset.
   *
-  * The decode used by q60 is a STUB — a deterministic fake (the
-  * synthetic `documents` payloads aren't media, and this container has
-  * no codec libs): "dimensions" and "frame count" are arithmetic on
-  * the byte length, the content hash is real MD5. The Spark-side
-  * plumbing is the real thing being exercised: binary column →
-  * case-class Encoder → `mapPartitions` (one decoder instance per
-  * partition, the same batch shape a JNI/codec decoder would use) →
-  * typed metadata table. That the slot takes REAL parsers is proven by
-  * [[RealDecoders]]: working pure-JVM PPM (P6) and WAV (RIFF/PCM)
-  * decoders with unit specs over handcrafted media bytes, dispatched
-  * by format sniffing with the stub as last resort.
+  * The data path is the real thing end to end: a parquet
+  * `media(doc_id, blob BINARY)` table ([[MediaLake]], generated once at
+  * setup from deterministic spec-conformant PPM/WAV payloads), read
+  * back like any lake table, decoded by the byte-walking
+  * [[RealDecoders]] parsers in a compiled `mapPartitions` pass — binary
+  * column → case-class Encoder → one decoder instance per partition,
+  * the same batch shape a JNI/codec decoder would use → typed metadata
+  * table. Unknown formats degrade to an honest opaque record (length +
+  * content hash, no fabricated dimensions).
   *
   * At 100 TB: blobs stay columnar in Parquet, the decoder runs
   * data-local per partition, and metadata (not pixels) is what
@@ -29,25 +28,35 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, byte_len: Long, width: Long,
       height: Long, n_frames: Long, content_hash: String)
 
-  /** Deterministic fake decode: replace with a real codec off-container. */
-  def decodeStub(rec: MediaRecord): MediaMeta = {
-    val len = rec.blob.length.toLong
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hash = md.digest(rec.blob).map("%02x".format(_)).mkString
-    MediaMeta(rec.doc_id, len,
-      width = len % 64,
-      height = (len / 64) % 64 + 1,
-      n_frames = len % 7 + 1,
-      content_hash = hash)
+  /** md5 over the UPPERCASE-HEX rendering of the blob — the
+    * engine-portable content hash (DuckDB 1.x md5 accepts VARCHAR only,
+    * so both engines hash the same 2n ASCII chars; same strength).
+    */
+  def hexMd5(blob: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(blob.length * 2)
+    blob.foreach(b => sb.append("%02X".format(b & 0xff)))
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes("US-ASCII"))
+      .map("%02x".format(_)).mkString
   }
 
-  /** REAL pure-JVM decoders for two self-describing formats, proving the
-    * decode slot takes actual parsers, not just the stub (the synthetic
-    * `documents` payloads aren't media, so q60 keeps the deterministic
-    * stub for its oracle; these are exercised by unit specs over
-    * handcrafted image/audio bytes and are what a deployment swaps in).
+  /** REAL pure-JVM decoders for two self-describing formats — the
+    * production dispatch for the q60/q64 decode slot, exercised both by
+    * unit specs over handcrafted bytes and by the oracle-checked
+    * queries over the stored [[MediaLake]] blobs.
     */
   object RealDecoders {
+
+    /** The honest fallback for a blob no parser claims: length and
+      * content hash are real, and no dimensions are invented (all
+      * zero). This is what a curation pipeline records for opaque
+      * payloads before routing them to a quarantine/raw bucket.
+      */
+    def opaque(rec: MediaRecord): MediaMeta = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hash = md.digest(rec.blob).map("%02x".format(_)).mkString
+      MediaMeta(rec.doc_id, rec.blob.length.toLong, 0L, 0L, 0L, hash)
+    }
     /** Binary PPM (P6): "P6" <ws> width <ws> height <ws> maxval <single
       * ws> raw RGB triplets. None if the magic/shape doesn't hold.
       */
@@ -133,39 +142,104 @@ object Multimodal {
       }
     }
 
-    /** Format-sniffing decode: real parsers first, stub as last resort —
-      * the production dispatch shape (one instance per partition via
-      * `mapPartitions`, exactly like q60's stub path).
+    /** Format-sniffing decode: real parsers first, [[opaque]] as the
+      * last resort — the production dispatch shape (one instance per
+      * partition via `mapPartitions`).
       */
     def decode(rec: MediaRecord): MediaMeta =
-      decodePpm(rec).orElse(decodeWav(rec)).getOrElse(decodeStub(rec))
+      decodePpm(rec).orElse(decodeWav(rec)).getOrElse(opaque(rec))
   }
 
+  /** The stored-media fixture: a parquet `media(doc_id BIGINT, blob
+    * BINARY)` table built ONCE per sf dir at setup time from
+    * [[MediaFixtures]] (deterministic, spec-conformant PPM/WAV bytes per
+    * document id) and then read back through `spark.read.parquet` like
+    * any other lake table. The testdata dir is read-only, so the fixture
+    * lands under `-Dgraft.media.dir` (default: java.io.tmpdir/
+    * graft-media), keyed by the sf dir path; generation is a distributed
+    * write (ids → blobs per partition, no driver materialization) into a
+    * staging dir renamed into place, so concurrent sessions converge on
+    * one copy. The QUERIES only ever see the stored BINARY column — the
+    * engine never synthesizes its input mid-query.
+    */
+  object MediaLake {
+    def path(d: String): String = {
+      val root = sys.props.getOrElse("graft.media.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-media")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      s"$root/media-$key"
+    }
+
+    def table(s: SparkSession, d: String): DataFrame = {
+      ensure(s, d)
+      s.read.parquet(path(d))
+    }
+
+    private val ready = scala.collection.mutable.HashSet[String]()
+
+    /** Generate the fixture if this JVM hasn't confirmed it yet.
+      * Staging-dir + rename keeps a crashed writer invisible; losing
+      * the rename race to another process is success (same bytes —
+      * the builder is deterministic).
+      */
+    def ensure(s: SparkSession, d: String): Unit = synchronized {
+      val p = path(d)
+      if (ready.contains(p)) return
+      val target = new java.io.File(p)
+      if (!new java.io.File(target, "_SUCCESS").isFile) {
+        import s.implicits._
+        target.getParentFile.mkdirs()
+        val staging =
+          new java.io.File(target.getParentFile, s".${target.getName}.staging")
+        t(s, d, "documents").select($"doc_id").as[Long]
+          .mapPartitions(_.map(id => (id, MediaFixtures.blobFor(id))))
+          .toDF("doc_id", "blob")
+          .write.mode("overwrite").parquet(staging.getAbsolutePath)
+        if (!staging.renameTo(target) &&
+            !new java.io.File(target, "_SUCCESS").isFile)
+          throw new java.io.IOException(s"media fixture rename failed: $p")
+      }
+      ready += p
+    }
+  }
+
+  /** Decode the STORED media table: blobs come off parquet as a BINARY
+    * column and run through the format-sniffing [[RealDecoders]]
+    * dispatch — real byte-walking parsers, data-local, one compiled
+    * pass; only the metadata shuffles for the final sort. The reported
+    * content hash is the portable [[hexMd5]] so the oracle (which
+    * reconstructs the stored bytes arithmetically — it has no codec and
+    * never reads the media table) pins every payload byte.
+    */
   private val q60 = Q(
     "q60_multimodal_decode",
     (s, d) => {
       import s.implicits._
-      t(s, d, "documents")
-        .select($"doc_id", $"text".cast("binary").as("blob"))
+      MediaLake.table(s, d)
+        .select($"doc_id", $"blob")
         .as[MediaRecord]
-        .mapPartitions(_.map(decodeStub))
-        .toDF()
+        .mapPartitions(_.map { rec =>
+          val m = RealDecoders.decode(rec)
+          (m.doc_id, m.byte_len, m.width, m.height, m.n_frames,
+            hexMd5(rec.blob))
+        })
+        .toDF("doc_id", "byte_len", "width", "height", "n_frames",
+          "content_hash")
         .orderBy($"doc_id")
     },
-    Some("""
-      SELECT doc_id,
-             CAST(octet_length(encode(text)) AS BIGINT)              AS byte_len,
-             CAST(octet_length(encode(text)) % 64 AS BIGINT)         AS width,
-             CAST((octet_length(encode(text)) // 64) % 64 + 1 AS BIGINT) AS height,
-             CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT)      AS n_frames,
-             md5(text)                                               AS content_hash
-      FROM documents
-      ORDER BY doc_id"""))
+    Some(s"""
+      WITH $mediaOracleCtes
+      SELECT doc_id, CAST(length(hx) // 2 AS BIGINT) AS byte_len,
+             width, height, n_frames, md5(hx) AS content_hash
+      FROM m ORDER BY doc_id"""))
 
-  /** Frame sampling: the decoded metadata's `n_frames` drives a per-frame
-    * table — every 2nd frame (the training-data "sample k-th frame"
-    * stage), each with a deterministic frame fingerprint derived from
-    * the content hash (a real pipeline hashes decoded frame bytes; the
+  /** Frame sampling over the STORED media table: the real decoder's
+    * `n_frames` (WAV frame count; a still image is 1 frame) drives a
+    * per-frame table — every 2nd frame (the training-data "sample k-th
+    * frame" stage), each with a deterministic frame fingerprint derived
+    * from the ids (a real pipeline hashes decoded frame bytes; the
     * derivation point is identical). Pixels never shuffle — the frame
     * table carries ids + hashes, and a downstream decoder re-reads
     * blobs data-locally by (doc_id, frame_idx).
@@ -174,10 +248,10 @@ object Multimodal {
     "q61_multimodal_frame_sample",
     (s, d) => {
       import s.implicits._
-      t(s, d, "documents")
-        .select($"doc_id", $"text".cast("binary").as("blob"))
+      MediaLake.table(s, d)
+        .select($"doc_id", $"blob")
         .as[MediaRecord]
-        .mapPartitions(_.map(decodeStub))
+        .mapPartitions(_.map(RealDecoders.decode))
         .toDF()
         .select($"doc_id", $"n_frames",
           explode(expr("sequence(0, cast(n_frames - 1 as int), 2)")).as("frame_idx"))
@@ -188,7 +262,8 @@ object Multimodal {
     },
     Some("""
       WITH meta AS (SELECT doc_id,
-                      CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS n_frames
+                      CASE WHEN doc_id % 2 = 0 THEN CAST(1 AS BIGINT)
+                           ELSE CAST(10 + doc_id % 50 AS BIGINT) END AS n_frames
                     FROM documents),
       frames AS (SELECT doc_id, n_frames,
                    unnest(range(0, n_frames, 2)) AS frame_idx
@@ -200,21 +275,23 @@ object Multimodal {
 
   /** Resize/thumbnail planning: integer aspect-preserving fit into a
     * 32×32 box (ceil-division, exact in both engines) over the decoded
-    * dimensions. In a real pipeline the scaler runs next to the decoder
-    * in the same mapPartitions pass; the plan (per-blob target dims,
-    * scale decision) is what downstream stages consume and is all that
+    * IMAGE dimensions — only blobs the PPM parser claims produce a
+    * plan row (audio has no resize semantics), which is why the Spark
+    * side dispatches `decodePpm` directly: the flatMap IS the image
+    * filter. In a real pipeline the scaler runs next to the decoder in
+    * the same mapPartitions pass; the plan (per-blob target dims, scale
+    * decision) is what downstream stages consume and is all that
     * shuffles.
     */
   private val q62 = Q(
     "q62_multimodal_resize_plan",
     (s, d) => {
       import s.implicits._
-      t(s, d, "documents")
-        .select($"doc_id", $"text".cast("binary").as("blob"))
+      MediaLake.table(s, d)
+        .select($"doc_id", $"blob")
         .as[MediaRecord]
-        .mapPartitions(_.map(decodeStub))
+        .mapPartitions(_.flatMap(RealDecoders.decodePpm))
         .toDF()
-        .filter($"width" > 0)
         .select($"doc_id", $"width", $"height",
           greatest($"width", $"height").as("long_side"))
         .withColumn("out_w",
@@ -227,12 +304,12 @@ object Multimodal {
     },
     Some("""
       WITH meta AS (SELECT doc_id,
-                      CAST(octet_length(encode(text)) % 64 AS BIGINT) AS width,
-                      CAST((octet_length(encode(text)) // 64) % 64 + 1 AS BIGINT) AS height
-                    FROM documents),
+                      CAST(1 + doc_id % 47 AS BIGINT) AS width,
+                      CAST(1 + doc_id % 19 AS BIGINT) AS height
+                    FROM documents WHERE doc_id % 2 = 0),
       dims AS (SELECT doc_id, width, height,
                  greatest(width, height) AS long_side
-               FROM meta WHERE width > 0)
+               FROM meta)
       SELECT doc_id, width, height,
              CAST(greatest(1, (width * 32) // long_side) AS BIGINT)  AS out_w,
              CAST(greatest(1, (height * 32) // long_side) AS BIGINT) AS out_h,
@@ -329,8 +406,8 @@ object Multimodal {
     */
   object MediaFixtures {
     def ppm(id: Long): Array[Byte] = {
-      val w = (1 + id % 13).toInt
-      val h = (1 + id % 7).toInt
+      val w = (1 + id % 47).toInt
+      val h = (1 + id % 19).toInt
       val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
       val raster = Array.tabulate(w * h * 3)(i => (32 + ((id + i) % 64)).toByte)
       header ++ raster
@@ -369,51 +446,14 @@ object Multimodal {
   private def u16le(x: String): String =
     s"printf('%02X%02X', (($x))%256, (($x)//256)%256)"
 
-  /** End-to-end REAL decode (the round-3 verdict's last `partial`
-    * component): build genuine PPM/WAV payloads per document id
-    * ([[MediaFixtures]]), push them through the format-sniffing
-    * [[RealDecoders]] dispatch — the actual byte-walking parsers, not
-    * the arithmetic stub — and report which parser claimed the blob
-    * plus the header fields it extracted. The oracle reconstructs the
-    * identical blobs in SQL and derives the expected fields
-    * arithmetically, so a parser that misreads any header byte (or a
-    * builder that emits a malformed file, forcing the stub fallback
-    * and a different `kind`) hash-mismatches.
-    *
-    * Content equality is pinned by md5 over the UPPERCASE HEX of the
-    * blob (not the raw bytes) because DuckDB 1.x md5 only accepts
-    * VARCHAR — same strength, both engines hash the same 2n ASCII
-    * chars. At 100 TB the shape is q60's: blobs decode data-locally in
-    * one compiled map pass; only metadata shuffles for the final sort.
+  /** The oracle's reconstruction of the STORED media table: `m(doc_id,
+    * kind, hx, width, height, n_frames)` where `hx` is the uppercase
+    * hex of the exact stored bytes, derived arithmetically from the id
+    * (the oracle has no codec and never reads parquet binary). A
+    * fixture builder that emits one wrong byte, or a parser that
+    * misreads one header field, hash-mismatches.
     */
-  private val q64 = Q(
-    "q64_multimodal_real_decode",
-    (s, d) => {
-      import s.implicits._
-      spread(t(s, d, "documents"))
-        .select($"doc_id").as[Long]
-        .mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          it.map { id =>
-            val blob = MediaFixtures.blobFor(id)
-            val rec = MediaRecord(id, blob)
-            val (kind, m) = RealDecoders.decodePpm(rec).map(("ppm", _))
-              .orElse(RealDecoders.decodeWav(rec).map(("wav", _)))
-              .getOrElse(("stub", decodeStub(rec)))
-            val sb = new java.lang.StringBuilder(blob.length * 2)
-            blob.foreach(b => sb.append("%02X".format(b & 0xff)))
-            md.reset()
-            val hash = md.digest(sb.toString.getBytes("US-ASCII"))
-              .map("%02x".format(_)).mkString
-            (id, kind, m.byte_len, m.width, m.height, m.n_frames, hash)
-          }
-        }
-        .toDF("doc_id", "kind", "byte_len", "width", "height", "n_frames",
-          "content_hash")
-        .orderBy($"doc_id")
-    },
-    Some(s"""
-      WITH p AS (SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h
+  private def mediaOracleCtes: String = s"""p AS (SELECT doc_id, 1 + doc_id % 47 AS w, 1 + doc_id % 19 AS h
                  FROM documents WHERE doc_id % 2 = 0),
       ppm AS (SELECT doc_id, 'ppm' AS kind,
                 hex('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)) ||
@@ -436,7 +476,43 @@ object Multimodal {
                 CAST(c AS BIGINT) AS width, CAST(rate AS BIGINT) AS height,
                 CAST(frames AS BIGINT) AS n_frames
               FROM w1),
-      m AS (SELECT * FROM ppm UNION ALL SELECT * FROM wav)
+      m AS (SELECT * FROM ppm UNION ALL SELECT * FROM wav)"""
+
+  /** End-to-end REAL decode over STORED binary: read the
+    * [[MediaLake]] parquet `blob` column, push it through the
+    * format-sniffing [[RealDecoders]] dispatch — actual byte-walking
+    * parsers — and report which parser claimed each blob plus the
+    * header fields it extracted. The oracle reconstructs the identical
+    * stored bytes in SQL and derives the expected fields
+    * arithmetically, so a parser that misreads any header byte (or a
+    * fixture that stores a malformed file, forcing the opaque fallback
+    * and a different `kind`) hash-mismatches.
+    *
+    * Content equality is pinned by [[hexMd5]] (DuckDB 1.x md5 only
+    * accepts VARCHAR — both engines hash the same 2n ASCII chars). At
+    * 100 TB: blobs decode data-locally in one compiled map pass; only
+    * metadata shuffles for the final sort.
+    */
+  private val q64 = Q(
+    "q64_multimodal_real_decode",
+    (s, d) => {
+      import s.implicits._
+      MediaLake.table(s, d)
+        .select($"doc_id", $"blob")
+        .as[MediaRecord]
+        .mapPartitions(_.map { rec =>
+          val (kind, m) = RealDecoders.decodePpm(rec).map(("ppm", _))
+            .orElse(RealDecoders.decodeWav(rec).map(("wav", _)))
+            .getOrElse(("raw", RealDecoders.opaque(rec)))
+          (rec.doc_id, kind, m.byte_len, m.width, m.height, m.n_frames,
+            hexMd5(rec.blob))
+        })
+        .toDF("doc_id", "kind", "byte_len", "width", "height", "n_frames",
+          "content_hash")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH $mediaOracleCtes
       SELECT doc_id, kind, CAST(length(hx) // 2 AS BIGINT) AS byte_len,
              width, height, n_frames, md5(hx) AS content_hash
       FROM m ORDER BY doc_id"""))

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.types.{BinaryType, LongType}
+
+/** The stored-media fixture contract: q60-q64's decode tier reads a real
+  * parquet BINARY column, generated once and byte-stable across calls.
+  */
+class MediaLakeSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+  import Multimodal.{MediaLake, MediaFixtures}
+
+  test("media table: one BINARY blob per document, byte-identical to the builder") {
+    val docs = graft.Tables.t(spark, sf, "documents").count()
+    val m = MediaLake.table(spark, sf)
+    val sch = m.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(sch("doc_id") == LongType && sch("blob") == BinaryType)
+    assert(m.count() == docs)
+    val sample = m.filter("doc_id < 20").collect()
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("blob"),
+        MediaFixtures.blobFor(id)), s"stored blob for doc $id drifted")
+    }
+  }
+
+  test("generation is idempotent: second ensure() reuses the stored copy") {
+    MediaLake.ensure(spark, sf)
+    val dir = new java.io.File(MediaLake.path(sf))
+    val before = dir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    MediaLake.ensure(spark, sf)
+    val after = dir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(before == after, "ensure() rewrote an existing fixture")
+  }
+
+  test("q60/q64 read the stored parquet, not a mid-query synthesizer") {
+    for (q <- Seq("q60_multimodal_decode", "q64_multimodal_real_decode")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      // the analyzed plan's only leaf must be the parquet relation over
+      // the fixture path (AQE wraps the physical plan, so inspect the
+      // logical tree)
+      val plan = df.queryExecution.analyzed.toString
+      assert(plan.toLowerCase.contains("parquet"),
+        s"$q plan has no parquet relation:\n$plan")
+      val key = new java.io.File(MediaLake.path(sf)).getName
+      assert(df.inputFiles.exists(_.contains(key)),
+        s"$q does not scan the media fixture path: ${df.inputFiles.toSeq}")
+    }
+  }
+}

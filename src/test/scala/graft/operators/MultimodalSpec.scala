@@ -26,12 +26,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.featurize(4L, "é").get.byte_len == 2L)
   }
 
-  test("decodeStub is deterministic and hashes content") {
+  test("opaque fallback is honest: real length+hash, no invented dimensions") {
     val rec = Multimodal.MediaRecord(7L, "payload".getBytes("UTF-8"))
-    val a = Multimodal.decodeStub(rec)
-    val b = Multimodal.decodeStub(rec)
-    assert(a == b)
+    val a = Multimodal.RealDecoders.opaque(rec)
+    assert(a == Multimodal.RealDecoders.opaque(rec))
     assert(a.byte_len == 7L)
+    assert(a.width == 0L && a.height == 0L && a.n_frames == 0L)
     assert(a.content_hash.matches("[0-9a-f]{32}"))
   }
 
@@ -63,12 +63,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(RealDecoders.decodeWav(MediaRecord(2L, "RIFFjunk".getBytes)).isEmpty)
   }
 
-  test("decode dispatch: sniffs real formats, falls back to the stub") {
+  test("decode dispatch: sniffs real formats, falls back to opaque") {
     import Multimodal.{MediaRecord, RealDecoders}
     val ppm = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array.fill(3)(0.toByte)
     assert(RealDecoders.decode(MediaRecord(1L, ppm)).width == 1)
     val junk = MediaRecord(2L, "not media at all".getBytes)
-    assert(RealDecoders.decode(junk) == Multimodal.decodeStub(junk))
+    assert(RealDecoders.decode(junk) == RealDecoders.opaque(junk))
   }
 
   test("RealDecoders reject hostile/truncated inputs — no hangs, no throws") {
@@ -92,21 +92,22 @@ class MultimodalSpec extends AnyFunSuite {
     // PPM whose dims overflow the raster-length product
     assert(RealDecoders.decodePpm(
       MediaRecord(4L, "P6 9000000 9000000 255 ".getBytes)).isEmpty)
-    // and the dispatch still lands on the stub for every rejected blob
+    // and the dispatch still lands on the opaque record for every
+    // rejected blob
     for ((b, id) <- Seq(wrap -> 5L, trunc -> 6L)) {
       val rec = MediaRecord(id, b)
-      assert(RealDecoders.decode(rec) == Multimodal.decodeStub(rec))
+      assert(RealDecoders.decode(rec) == RealDecoders.opaque(rec))
     }
   }
 
-  test("MediaFixtures blobs are claimed by the REAL parsers, never the stub") {
+  test("MediaFixtures blobs are claimed by the REAL parsers, never the fallback") {
     import Multimodal.{MediaFixtures, MediaRecord, RealDecoders}
     for (id <- 0L until 200L) {
       val rec = MediaRecord(id, MediaFixtures.blobFor(id))
       if (id % 2 == 0) {
         val m = RealDecoders.decodePpm(rec)
           .getOrElse(fail(s"PPM fixture $id rejected by the PPM parser"))
-        assert(m.width == 1 + id % 13 && m.height == 1 + id % 7)
+        assert(m.width == 1 + id % 47 && m.height == 1 + id % 19)
         assert(m.n_frames == 1)
         assert(m.byte_len == rec.blob.length.toLong)
       } else {
