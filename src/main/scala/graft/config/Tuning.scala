@@ -54,12 +54,17 @@ final case class Tuning(
     pqSubspaces: Int = 8,
     /** q47/q48/q49: dimensions per PQ subspace. */
     pqSubDim: Int = 8,
-    /** q47/q48/q49: centroids per PQ subspace (seed stride = n / this). */
-    pqCentroids: Int = 16,
+    /** q47/q48/q49: centroids per PQ subspace (seed stride = n / this).
+      * FAISS's standard 8-bit codebook (256) — measured at sf0.1 on the
+      * worst-case uniform-random embeddings: 16 centroids left the
+      * refined tier at 0.4 recall@1, 256 reaches multiprobe's 0.8. */
+    pqCentroids: Int = 256,
     /** q45/q49: exact re-rank candidate multiplier — the refined search
       * re-scores the top `refineFactor × k` ADC candidates with exact
-      * float distances (FAISS's refine step). */
-    refineFactor: Int = 4) {
+      * float cosine (FAISS's refine step). 16 (R = 80 of the ~nprobe·√n
+      * candidates, a 5% shortlist) is the measured knee where refined
+      * recall@1 reaches the candidate-coverage bound at sf0.1. */
+    refineFactor: Int = 16) {
 
   /** Minhash signature length — bands × rows, every row one affine
     * permutation over the 2³¹−1 prime field. */
@@ -121,23 +126,26 @@ object Tuning {
     * plans and the oracle SQL they are checked against.
     */
   val current: Tuning = {
+    // the shipped defaults live ONLY on the case class — the loader
+    // derives them from an unconfigured instance so the two can't drift
+    val d = Tuning()
     val t = Tuning(
-      dfCap = knob("dfCap", 100),
-      minhashBands = knob("minhashBands", 8),
-      minhashRows = knob("minhashRows", 2),
-      minhashBucketCap = knob("minhashBucketCap", 100),
-      lshTables = knob("lshTables", 4),
-      lshBucketCap = knob("lshBucketCap", 512),
-      nprobe = knob("nprobe", 16),
-      lloydIters = knob("lloydIters", 2),
-      sourceQuota = knob("sourceQuota", 20),
-      kmvK = knob("kmvK", 256),
-      annQueries = knob("annQueries", 10),
-      ccEdgeJaccard = knobD("ccEdgeJaccard", 0.5),
-      pqSubspaces = knob("pqSubspaces", 8),
-      pqSubDim = knob("pqSubDim", 8),
-      pqCentroids = knob("pqCentroids", 16),
-      refineFactor = knob("refineFactor", 4))
+      dfCap = knob("dfCap", d.dfCap),
+      minhashBands = knob("minhashBands", d.minhashBands),
+      minhashRows = knob("minhashRows", d.minhashRows),
+      minhashBucketCap = knob("minhashBucketCap", d.minhashBucketCap),
+      lshTables = knob("lshTables", d.lshTables),
+      lshBucketCap = knob("lshBucketCap", d.lshBucketCap),
+      nprobe = knob("nprobe", d.nprobe),
+      lloydIters = knob("lloydIters", d.lloydIters),
+      sourceQuota = knob("sourceQuota", d.sourceQuota),
+      kmvK = knob("kmvK", d.kmvK),
+      annQueries = knob("annQueries", d.annQueries),
+      ccEdgeJaccard = knobD("ccEdgeJaccard", d.ccEdgeJaccard),
+      pqSubspaces = knob("pqSubspaces", d.pqSubspaces),
+      pqSubDim = knob("pqSubDim", d.pqSubDim),
+      pqCentroids = knob("pqCentroids", d.pqCentroids),
+      refineFactor = knob("refineFactor", d.refineFactor))
     t.validate()
     t
   }

@@ -631,9 +631,21 @@ final class Similarity(val tuning: Tuning) extends Serializable {
             $"hits".cast("long").as("hits"),
             r4($"hits".cast("double") / $"n_queries").as("recall_at_1"))
       val ictx = ivfCtx(s, d, ctx)
+      val adc = adcCtx(s, pqCtx(s, d))
+      val iadcScored = ivfadcScoredDF(s, d, ictx, adc).cache()
+      val adcNN = adcRankedDF(s, adc).filter($"rk" === 1)
+        .select($"q_id".as("a_id"), $"n_id".as("nn_id"))
+      val iadcNN = iadcScored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"q_id").orderBy(r6($"d2"), $"n_id")))
+        .filter($"rk" === 1)
+        .select($"q_id".as("a_id"), $"n_id".as("nn_id"))
       recallOf("ivf", ivfSearch(s, d, ictx))
         .unionAll(recallOf("ivf_multiprobe", ivfMultiprobeSearch(s, d, ictx)))
         .unionAll(recallOf("lsh", lshDF(s, d, ctx)))
+        .unionAll(recallOf("pq_adc", adcNN))
+        .unionAll(recallOf("ivfadc", iadcNN))
+        .unionAll(recallOf("ivfadc_refined", refinedDF(ctx, iadcScored)))
         .orderBy($"method")
     },
     Some(s"""
@@ -642,6 +654,11 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       m_lsh AS (SELECT a_id, nn_id FROM (${q41.oracle.get}) x),
       m_ivf AS (SELECT a_id, nn_id FROM (${q43.oracle.get}) x),
       m_mp AS (SELECT a_id, nn_id FROM (${q44.oracle.get}) x),
+      m_adc AS (SELECT q_id AS a_id, n_id AS nn_id FROM ($adcOracleSql) x
+                WHERE x.rk = 1),
+      m_iadc AS (SELECT q_id AS a_id, n_id AS nn_id FROM ($ivfadcOracleSql) x
+                 WHERE x.rk = 1),
+      m_ref AS (SELECT a_id, nn_id FROM ($refinedOracleSql) x),
       r AS (
         SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS n_queries,
                CAST(sum(CASE WHEN m.nn_id = gt.true_nn THEN 1 ELSE 0 END) AS BIGINT) AS hits
@@ -653,7 +670,19 @@ final class Similarity(val tuning: Tuning) extends Serializable {
         UNION ALL
         SELECT 'lsh', CAST(count(*) AS BIGINT),
                CAST(sum(CASE WHEN m.nn_id = gt.true_nn THEN 1 ELSE 0 END) AS BIGINT)
-        FROM gt LEFT JOIN m_lsh m ON gt.q_id = m.a_id)
+        FROM gt LEFT JOIN m_lsh m ON gt.q_id = m.a_id
+        UNION ALL
+        SELECT 'pq_adc', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN m.nn_id = gt.true_nn THEN 1 ELSE 0 END) AS BIGINT)
+        FROM gt LEFT JOIN m_adc m ON gt.q_id = m.a_id
+        UNION ALL
+        SELECT 'ivfadc', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN m.nn_id = gt.true_nn THEN 1 ELSE 0 END) AS BIGINT)
+        FROM gt LEFT JOIN m_iadc m ON gt.q_id = m.a_id
+        UNION ALL
+        SELECT 'ivfadc_refined', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN m.nn_id = gt.true_nn THEN 1 ELSE 0 END) AS BIGINT)
+        FROM gt LEFT JOIN m_ref m ON gt.q_id = m.a_id)
       SELECT method, n_queries, hits,
              round(CAST(hits AS DOUBLE) / n_queries, 4) AS recall_at_1
       FROM r ORDER BY method"""))
@@ -778,7 +807,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * r6 centroid means → final assignment `a1`, beside the exploded
     * `us` and refined codebook `cb1`.
     */
-  private val pqOracleCtes = s"""pparams AS (SELECT greatest(1, count(*) // ${tuning.pqCentroids}) AS stride FROM embeddings),
+  private def pqOracleCtes: String = s"""pparams AS (SELECT greatest(1, count(*) // ${tuning.pqCentroids}) AS stride FROM embeddings),
       pu AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS i,
               unnest(embedding)::DOUBLE AS v FROM embeddings),
       pus AS (SELECT vec_id, label, CAST(i // ${tuning.pqSubDim} AS INT) AS sub,
@@ -945,77 +974,160 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * compiled pass (the q07 pattern), so the nq-partition ranking
     * window sees ≤ 5·P·nq rows, never the n×nq scan output.
     */
-  private val q48 = Q(
-    "q48_pq_adc_topk",
-    (s, d) => {
-      import s.implicits._
-      val PqCtx(emb, cb1) = pqCtx(s, d)
-      val bc1 = s.sparkContext.broadcast(cb1)
-      val subDim = tuning.pqSubDim
-      // corpus PQ codes: (vec_id, sub, cent) — one row per subspace the
-      // vector has dims in and the codebook covers (the oracle's a1)
-      val codes = emb.mapPartitions { it =>
-        val bySub = pqBySub(bc1.value)
-        it.flatMap { case (id, _, vf) =>
-          if (vf == null) Iterator.empty
-          else {
-            val v = vf.map(_.toDouble)
-            val asg = pqNearest(v, bySub, subDim)
-            val nSubs = math.min(bySub.length, (v.length + subDim - 1) / subDim)
-            (0 until nSubs).iterator
-              .filter(sub => asg(sub) >= 0)
-              .map(sub => (id, sub, asg(sub)))
-          }
+  /** The shared ADC context: corpus PQ codes `(n_id, sub, cent)` — the
+    * compiled assignment map — and the per-query lookup table
+    * `(q_id, sub, cent, pd2)`. The two halves every ADC-ranked search
+    * composes: q48's full-corpus scan, q49's IVF-gated scan, and q45's
+    * refined tier. Codes are cached so a query running several tiers
+    * (q45) assigns the corpus once.
+    */
+  private case class AdcCtx(codes: DataFrame, lut: DataFrame)
+
+  private def adcCtx(s: SparkSession, pc: PqCtx): AdcCtx = {
+    import s.implicits._
+    val PqCtx(emb, cb1) = pc
+    val bc1 = s.sparkContext.broadcast(cb1)
+    val subDim = tuning.pqSubDim
+    // corpus PQ codes: one row per subspace the vector has dims in and
+    // the codebook covers (the oracle's pa1)
+    val codes = emb.mapPartitions { it =>
+      val bySub = pqBySub(bc1.value)
+      it.flatMap { case (id, _, vf) =>
+        if (vf == null) Iterator.empty
+        else {
+          val v = vf.map(_.toDouble)
+          val asg = pqNearest(v, bySub, subDim)
+          val nSubs = math.min(bySub.length, (v.length + subDim - 1) / subDim)
+          (0 until nSubs).iterator
+            .filter(sub => asg(sub) >= 0)
+            .map(sub => (id, sub, asg(sub)))
         }
-      }.toDF("vec_id", "sub", "cent")
-      // per-query ADC lookup table, built with the same join shape as
-      // the oracle (fp summation-order differences absorbed by r6/r4)
-      val qs = emb.filter($"vec_id" < tuning.annQueries && $"embedding".isNotNull)
-        .select($"vec_id".as("q_id"),
-          posexplode(expr("transform(embedding, x -> cast(x as double))")))
-        .select($"q_id", expr(s"CAST(pos div $subDim AS INT)").as("sub"),
-          expr(s"CAST(pos % $subDim AS INT)").as("sd"), $"col".as("qv"))
-      val cbDf = cb1.toSeq
-        .flatMap { case (cent, sub, pairs) =>
-          pairs.map { case (sd, cv) => (sub, cent, sd, cv) }
-        }.toDF("sub", "cent", "sd", "cv")
-      val lut = qs.join(broadcast(cbDf), Seq("sub", "sd"))
-        .groupBy($"q_id", $"sub", $"cent")
-        .agg(sum(($"qv" - $"cv") * ($"qv" - $"cv")).as("pd2"))
-      val scan = codes.join(broadcast(lut), Seq("sub", "cent"))
-        .filter($"vec_id" =!= $"q_id")
-        .groupBy($"q_id", $"vec_id")
-        .agg(sum($"pd2").as("d2"))
-      // q07-style bounded pre-prune: local top-5 per query per partition
-      val pruned = scan.as[(Long, Long, Double)].mapPartitions { it =>
-        val best = scala.collection.mutable.HashMap[Long,
-          scala.collection.mutable.PriorityQueue[(Double, Long, Double)]]()
-        it.foreach { case (q, v, d2) =>
-          val r = math.floor(d2 * 1e6 + 0.5) / 1e6
-          val heap = best.getOrElseUpdate(q,
-            scala.collection.mutable.PriorityQueue.empty[(Double, Long, Double)](
-              Ordering.by(x => (x._1, x._2))))  // max-heap: worst on top
-          heap.enqueue((r, v, d2))
-          if (heap.size > 5) heap.dequeue()
-        }
-        best.iterator.flatMap { case (q, heap) =>
-          heap.iterator.map { case (_, v, d2) => (q, v, d2) }
-        }
-      }.toDF("q_id", "vec_id", "d2")
-      pruned
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"q_id").orderBy(r6($"d2"), $"vec_id")).cast("long"))
-        .filter($"rk" <= 5)
-        .select($"q_id", $"rk", $"vec_id".as("n_id"), r4($"d2").as("approx_d2"))
-        .orderBy($"q_id", $"rk")
-    },
-    Some(s"""
-      WITH $pqOracleCtes,
+      }
+    }.toDF("n_id", "sub", "cent").cache()
+    // per-query ADC lookup table, built with the same join shape as
+    // the oracle (fp summation-order differences absorbed by r6/r4)
+    val qs = emb.filter($"vec_id" < tuning.annQueries && $"embedding".isNotNull)
+      .select($"vec_id".as("q_id"),
+        posexplode(expr("transform(embedding, x -> cast(x as double))")))
+      .select($"q_id", expr(s"CAST(pos div $subDim AS INT)").as("sub"),
+        expr(s"CAST(pos % $subDim AS INT)").as("sd"), $"col".as("qv"))
+    val cbDf = cb1.toSeq
+      .flatMap { case (cent, sub, pairs) =>
+        pairs.map { case (sd, cv) => (sub, cent, sd, cv) }
+      }.toDF("sub", "cent", "sd", "cv")
+    val lut = qs.join(broadcast(cbDf), Seq("sub", "sd"))
+      .groupBy($"q_id", $"sub", $"cent")
+      .agg(sum(($"qv" - $"cv") * ($"qv" - $"cv")).as("pd2"))
+    AdcCtx(codes, lut)
+  }
+
+  /** q48's ranked full-corpus ADC scan, top-5 per query. The rank
+    * pre-prunes per-partition top-5 in a bounded compiled pass (the q07
+    * pattern), so the nq-partition ranking window sees ≤ 5·P·nq rows,
+    * never the n×nq scan output.
+    */
+  private def adcRankedDF(s: SparkSession, adc: AdcCtx): DataFrame = {
+    import s.implicits._
+    val scan = adc.codes.join(broadcast(adc.lut), Seq("sub", "cent"))
+      .filter($"n_id" =!= $"q_id")
+      .groupBy($"q_id", $"n_id")
+      .agg(sum($"pd2").as("d2"))
+    val pruned = scan.as[(Long, Long, Double)].mapPartitions { it =>
+      val best = scala.collection.mutable.HashMap[Long,
+        scala.collection.mutable.PriorityQueue[(Double, Long, Double)]]()
+      it.foreach { case (q, v, d2) =>
+        val r = math.floor(d2 * 1e6 + 0.5) / 1e6
+        val heap = best.getOrElseUpdate(q,
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long, Double)](
+            Ordering.by(x => (x._1, x._2))))  // max-heap: worst on top
+        heap.enqueue((r, v, d2))
+        if (heap.size > 5) heap.dequeue()
+      }
+      best.iterator.flatMap { case (q, heap) =>
+        heap.iterator.map { case (_, v, d2) => (q, v, d2) }
+      }
+    }.toDF("q_id", "n_id", "d2")
+    pruned
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy(r6($"d2"), $"n_id")).cast("long"))
+      .filter($"rk" <= 5)
+  }
+
+  /** q49's IVF-gated ADC scores `(q_id, n_id, d2)`: candidates are the
+    * vectors HOMED (rank-1) in the query's nprobe probed cells, scored
+    * by PQ asymmetric distance — full-precision corpus floats touched
+    * by neither candidate generation nor ranking.
+    */
+  private def ivfadcScoredDF(s: SparkSession, d: String, ictx: IvfCtx,
+      adc: AdcCtx): DataFrame = {
+    import s.implicits._
+    val probed = assignCells(s, d, ictx.cb, nProbe = tuning.nprobe).cache()
+    val qprobes = probed.filter($"vec_id" < tuning.annQueries)
+      .select($"vec_id".as("q_id"), $"cell")
+    val home = probed.filter($"rk" === 1)
+      .select($"vec_id".as("n_id"), $"cell")
+    val cand = qprobes.join(home, "cell")
+      .filter($"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id")
+    cand.join(adc.codes, "n_id")
+      .join(broadcast(adc.lut), Seq("q_id", "sub", "cent"))
+      .groupBy($"q_id", $"n_id")
+      .agg(sum($"pd2").as("d2"))
+  }
+
+  /** FAISS's refine step — the production IVFADC search path: take the
+    * ADC scan's top `refineFactor × 5` candidates per query and re-rank
+    * them by EXACT cosine over the full-precision floats (a
+    * nq·R-pair-sized join against the cached exploded table — the
+    * expensive precision is paid only for the shortlist). Emits the
+    * refined nearest neighbor per query `(a_id, nn_id)`.
+    */
+  private def refinedDF(ctx: AnnCtx, scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val topR = scored.withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy(r6($"d2"), $"n_id")))
+      .filter($"rk" <= tuning.refineFactor * 5)
+      .select($"q_id", $"n_id")
+    val qU = ctx.u.select($"vec_id".as("q_id"), $"i", $"v".as("qv"))
+    val nU = ctx.u.select($"vec_id".as("n_id"), $"i", $"v".as("nv"))
+    // pairs × query components is nq·R·dim rows — always the broadcast
+    // side against the corpus-sized exploded table
+    val dots = broadcast(broadcast(topR).join(qU, "q_id"))
+      .join(nU, Seq("n_id", "i"))
+      .groupBy($"q_id", $"n_id")
+      .agg(sum($"qv" * $"nv").as("dot"))
+    dots
+      .join(broadcast(ctx.n.select($"vec_id".as("q_id"), $"nrm".as("qn"))), "q_id")
+      .join(broadcast(ctx.n.select($"vec_id".as("n_id"), $"nrm".as("cn"))), "n_id")
+      .withColumn("cosine", $"dot" / ($"qn" * $"cn"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy(r6($"cosine").desc, $"n_id")))
+      .filter($"rk" === 1)
+      .select($"q_id".as("a_id"), $"n_id".as("nn_id"))
+  }
+
+  /** The shared `ql` CTE (per-query ADC lookup table, oracle side). */
+  private def adcLutOracleCte: String = s"""
       ql AS (SELECT pus.vec_id AS q_id, pus.sub, c.cent,
                sum((pus.v - c.cv) * (pus.v - c.cv)) AS pd2
              FROM pus JOIN pcb1 c ON pus.sub = c.sub AND pus.sd = c.sd
              WHERE pus.vec_id < ${tuning.annQueries}
-             GROUP BY 1, 2, 3),
+             GROUP BY 1, 2, 3)"""
+
+  private val q48 = Q(
+    "q48_pq_adc_topk",
+    (s, d) => {
+      import s.implicits._
+      adcRankedDF(s, adcCtx(s, pqCtx(s, d)))
+        .select($"q_id", $"rk", $"n_id", r4($"d2").as("approx_d2"))
+        .orderBy($"q_id", $"rk")
+    },
+    Some(adcOracleSql))
+
+  private def adcOracleSql: String = s"""
+      WITH $pqOracleCtes,
+      ${adcLutOracleCte.trim},
       scan AS (SELECT l.q_id, a.vec_id AS n_id, sum(l.pd2) AS d2
                FROM pa1 a JOIN ql l ON a.sub = l.sub AND a.cent = l.cent
                WHERE a.vec_id <> l.q_id
@@ -1026,7 +1138,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
               FROM scan)
       SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, round(d2, 4) AS approx_d2
       FROM rnk WHERE rk <= 5
-      ORDER BY q_id, rk"""))
+      ORDER BY q_id, rk"""
 
   /** IVF + PQ search — the two index halves composed the way a
     * production vector store runs them (FAISS's IVFADC): the query
@@ -1046,66 +1158,23 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       import s.implicits._
       val ctx = annCtx(s, d)
       val ictx = ivfCtx(s, d, ctx)
-      val PqCtx(emb, pqCb) = pqCtx(s, d)
-      // coarse probes: the query set's nprobe nearest cells; candidates
-      // are every vector HOMED in a probed cell (rank-1), as q44
-      val probed = assignCells(s, d, ictx.cb, nProbe = tuning.nprobe)
-        .cache()
-      val qprobes = probed.filter($"vec_id" < tuning.annQueries)
-        .select($"vec_id".as("q_id"), $"cell")
-      val home = probed.filter($"rk" === 1)
-        .select($"vec_id".as("n_id"), $"cell")
-      val cand = qprobes.join(home, "cell")
-        .filter($"q_id" =!= $"n_id")
-        .select($"q_id", $"n_id")
-      // PQ codes for the corpus + per-query ADC lookup tables, as q48
-      val bc1 = s.sparkContext.broadcast(pqCb)
-      val subDim = tuning.pqSubDim
-      val codes = emb.mapPartitions { it =>
-        val bySub = pqBySub(bc1.value)
-        it.flatMap { case (id, _, vf) =>
-          if (vf == null) Iterator.empty
-          else {
-            val v = vf.map(_.toDouble)
-            val asg = pqNearest(v, bySub, subDim)
-            val nSubs = math.min(bySub.length, (v.length + subDim - 1) / subDim)
-            (0 until nSubs).iterator
-              .filter(sub => asg(sub) >= 0)
-              .map(sub => (id, sub, asg(sub)))
-          }
-        }
-      }.toDF("n_id", "sub", "cent")
-      val qs = emb.filter($"vec_id" < tuning.annQueries && $"embedding".isNotNull)
-        .select($"vec_id".as("q_id"),
-          posexplode(expr("transform(embedding, x -> cast(x as double))")))
-        .select($"q_id", expr(s"CAST(pos div $subDim AS INT)").as("sub"),
-          expr(s"CAST(pos % $subDim AS INT)").as("sd"), $"col".as("qv"))
-      val cbDf = pqCb.toSeq
-        .flatMap { case (cent, sub, pairs) =>
-          pairs.map { case (sd, cv) => (sub, cent, sd, cv) }
-        }.toDF("sub", "cent", "sd", "cv")
-      val lut = qs.join(broadcast(cbDf), Seq("sub", "sd"))
-        .groupBy($"q_id", $"sub", $"cent")
-        .agg(sum(($"qv" - $"cv") * ($"qv" - $"cv")).as("pd2"))
-      val scored = cand.join(codes, "n_id")
-        .join(broadcast(lut), Seq("q_id", "sub", "cent"))
-        .groupBy($"q_id", $"n_id")
-        .agg(sum($"pd2").as("d2"))
-      scored
+      val adc = adcCtx(s, pqCtx(s, d))
+      ivfadcScoredDF(s, d, ictx, adc)
         .withColumn("rk", row_number().over(
           Window.partitionBy($"q_id").orderBy(r6($"d2"), $"n_id")).cast("long"))
         .filter($"rk" <= 5)
         .select($"q_id", $"rk", $"n_id", r4($"d2").as("approx_d2"))
         .orderBy($"q_id", $"rk")
     },
-    Some(s"""
-      WITH ${ivfOracleCtes(tuning.lloydIters)},
-      ${pqOracleCtes.trim},
-      ql AS (SELECT pus.vec_id AS q_id, pus.sub, c.cent,
-               sum((pus.v - c.cv) * (pus.v - c.cv)) AS pd2
-             FROM pus JOIN pcb1 c ON pus.sub = c.sub AND pus.sd = c.sd
-             WHERE pus.vec_id < ${tuning.annQueries}
-             GROUP BY 1, 2, 3),
+    Some(ivfadcOracleSql))
+
+  /** q49's oracle chain after the composed IVF+PQ CTEs: coarse probes →
+    * homed candidates → ADC-scored → ranked (`rnk`). Shared verbatim by
+    * q49 (rk ≤ 5) and the refined tier's oracle (rk ≤ R → exact
+    * re-rank), so the two engines replay ONE candidate pipeline.
+    */
+  private def ivfadcOracleChain: String = s"""
+      ${adcLutOracleCte.trim},
       probes AS (SELECT vec_id AS q_id, cell FROM fa
                  WHERE rk <= ${tuning.nprobe} AND vec_id < ${tuning.annQueries}),
       home AS (SELECT vec_id AS n_id, cell FROM fa WHERE rk = 1),
@@ -1119,10 +1188,38 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       rnk AS (SELECT q_id, n_id, d2,
                 row_number() OVER (PARTITION BY q_id
                   ORDER BY round(d2, 6), n_id) AS rk
-              FROM sc)
+              FROM sc)"""
+
+  private def ivfadcOracleSql: String = s"""
+      WITH ${ivfOracleCtes(tuning.lloydIters)},
+      ${pqOracleCtes.trim},
+      ${ivfadcOracleChain.trim}
       SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, round(d2, 4) AS approx_d2
       FROM rnk WHERE rk <= 5
-      ORDER BY q_id, rk"""))
+      ORDER BY q_id, rk"""
+
+  /** The refined tier's oracle: the q49 chain's top-R candidates
+    * re-ranked by exact cosine over the exploded floats (`u`/`n` from
+    * the IVF CTE chain) — one row per query, the refined NN.
+    */
+  private def refinedOracleSql: String = s"""
+      WITH ${ivfOracleCtes(tuning.lloydIters)},
+      ${pqOracleCtes.trim},
+      ${ivfadcOracleChain.trim},
+      topr AS (SELECT q_id, n_id FROM rnk WHERE rk <= ${tuning.refineFactor * 5}),
+      ed AS (SELECT t.q_id, t.n_id, sum(qu.v * nu.v) AS dot
+             FROM topr t
+             JOIN u qu ON qu.vec_id = t.q_id
+             JOIN u nu ON nu.vec_id = t.n_id AND nu.i = qu.i
+             GROUP BY 1, 2),
+      ec AS (SELECT ed.q_id, ed.n_id, ed.dot / (nq.nrm * nn.nrm) AS cosine
+             FROM ed JOIN n nq ON nq.vec_id = ed.q_id
+                     JOIN n nn ON nn.vec_id = ed.n_id),
+      rr AS (SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY round(cosine, 6) DESC, n_id) AS rk
+             FROM ec)
+      SELECT q_id AS a_id, n_id AS nn_id FROM rr WHERE rk = 1"""
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }
