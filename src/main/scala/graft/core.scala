@@ -71,8 +71,51 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (plannedScanSplits(df).getOrElse(rddPartitions(df)) < p)
+      df.repartition(p)
+    else df
   }
+
+  /** The scan's file-split count from the PLAN, not from compiling the
+    * DataFrame to an RDD: replicate FilePartition's packing arithmetic
+    * (maxSplitBytes from maxPartitionBytes/openCost/minPartitionNum,
+    * greedy size-desc packing with per-file open cost) over the
+    * relation's already-listed FileIndex. Driver-side listing reuse —
+    * no job, no RDD lineage materialization. None when the plan has no
+    * file relation (then the RDD fallback decides).
+    */
+  private def plannedScanSplits(df: DataFrame): Option[Int] = try {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val conf = df.sparkSession.sessionState.conf
+    val rels = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation
+    }.collect { case h: HadoopFsRelation => h }
+    if (rels.isEmpty) return None
+    val sizes = rels.flatMap(_.location.listFiles(Nil, Nil))
+      .flatMap(_.files.map(_.getLen)).filter(_ > 0)
+    if (sizes.isEmpty) return Some(1)
+    val openCost = conf.filesOpenCostInBytes
+    val minParts = conf.filesMinPartitionNum
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    val bytesPerCore = sizes.map(_ + openCost).sum / math.max(1, minParts)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore))
+    val chunks = sizes.flatMap { len =>
+      (0L until len by maxSplit).map(off => math.min(maxSplit, len - off))
+    }.sortBy(-_)
+    var count = 0
+    var cur = 0L
+    chunks.foreach { c =>
+      if (cur + c > maxSplit) { count += 1; cur = 0L }
+      cur += c + openCost
+    }
+    Some(if (cur > 0) count + 1 else math.max(count, 1))
+  } catch { case _: Exception => None }
+
+  /** Fallback for non-file plans (never hit by the operator modules —
+    * every `spread` call wraps a [[t]] scan).
+    */
+  private def rddPartitions(df: DataFrame): Int = df.rdd.getNumPartitions
 
   /** Exact table row count from Parquet FOOTER metadata — no scan job,
     * no executor time. Used by the self-sizing operators (adaptive LSH
