@@ -378,6 +378,51 @@ class TcpLineSourceSpec extends SparkTestBase {
     } finally c.stop()
   }
 
+  test("compaction retry after a crash in the rename-to-delete window prunes, not rewrites") {
+    // The r5 ADVICE defect: merged segment + stale sources left by a
+    // crashed compaction made the NEXT compaction recompute the same
+    // [start, end) name and fail its rename forever (repeated
+    // full-backlog IO). The fixed path detects the spanning segment and
+    // finishes the deletes.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-walr-")
+      .toString + "/sources/0"
+    val walPath = java.nio.file.Paths.get(ckpt, "wal")
+    java.nio.file.Files.createDirectories(walPath)
+    def writeSeg(start: Int, msgs: Seq[String]): Unit = {
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(
+          walPath.resolve(s"$start-${start + msgs.length}"))))
+      try msgs.zipWithIndex.foreach { case (m, j) =>
+        val bytes = m.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        out.writeLong(1000L * (start + j)); out.writeBoolean(false)
+        out.writeInt(bytes.length); out.write(bytes)
+      } finally out.close()
+    }
+    val all = (0 until 8).map(i => s"ret $i")
+    writeSeg(0, all)                       // the crashed compaction's merge 0-8
+    (0 until 8).foreach(i => writeSeg(i, Seq(all(i))))  // its 8 stale sources
+    // device gone; walMaxSegments = 4 < 9 live segments, so the commit
+    // path's hygiene check invokes compaction, which must PRUNE the 8
+    // stale singles (the spanning 0-8 already covers the backlog), not
+    // rewrite-and-fail on the existing name
+    val a = new TcpLineMicroBatchStream("localhost", 1, None, None,
+      Some(ckpt), walMaxSegments = 4)
+    try {
+      assert(a.latestOffset().asInstanceOf[TcpOffset].n == 8L)
+      a.commit(TcpOffset(0))   // nothing durable yet — pure hygiene pass
+      def segs() = java.nio.file.Files.list(walPath).toArray
+        .map(p => p.asInstanceOf[java.nio.file.Path].getFileName.toString)
+        .filter(_.matches("""\d+-\d+"""))
+      val after = segs()
+      assert(after.contains("0-8"), s"spanning segment deleted: ${after.toSeq}")
+      assert(after.length == 1, s"stale sources not pruned: ${after.toSeq}")
+      // and the whole range still replays exactly once
+      val rows = a.planInputPartitions(TcpOffset(0), TcpOffset(8))(0)
+        .asInstanceOf[TcpLinePartition].rows
+      assert(rows.map(_._1).toSeq == all)
+    } finally a.stop()
+  }
+
   test("WAL segment format: hostile payloads round-trip via an independent writer") {
     // The segment encoding (ts:i64, fresh:bool, len:i32, bytes) is a
     // COMPATIBILITY surface - a restarted (possibly upgraded) source

@@ -412,4 +412,141 @@ class IngestPipelineSpec extends SparkTestBase {
       }
     } finally phase2.values.foreach(_.stop())
   }
+
+  test("SOAK: repeated kill cycles keep WAL segments and state-store size bounded") {
+    // The long-run worry isn't one recovery (the specs above) but
+    // ACCUMULATION: does anything grow monotonically across kill/restart
+    // cycles at the reference's station shape (3 fast sonics + slow
+    // probe)? Three cycles of burst → metered drain → hard kill
+    // mid-backlog → device gone, then a final drain-from-WAL phase.
+    // After every cycle each device's WAL must hold ≤ walMaxSegments+1
+    // segments (compaction hygiene), and the checkpoint's state-store
+    // footprint must stay flat once retention kicks in, not scale with
+    // cycle count.
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "3")
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "2s")
+    val cycles = 3
+    val perSonic = 200    // per cycle; 600 total = 24 full packs of 25
+    val perProbe = 8      // per cycle; 24 total = 8 full packs of 3
+    def cfgFor(name: String, port: Int, pack: Int, cap: Int) = DeviceConfig.load(s"""
+      |[device]
+      |station = MSU
+      |name = $name
+      |host = localhost
+      |port = $port
+      |max_messages_per_trigger = $cap
+      |[parser]
+      |regex = ^(?P<level>\\S+) RH= *(?P<rh>\\S+) %RH T= *(?P<temp>\\S+) .C\\s*$$
+      |group_by = level:int
+      |pack_length = $pack
+      |destination = ./ignored
+      |""".stripMargin)
+    val dirs = (Seq("S1", "S2", "S3", "P4")).map { name =>
+      name -> (Files.createTempDirectory(s"graft-soak-$name-").toString,
+               Files.createTempDirectory(s"graft-soak-$name-ckpt-").toString)
+    }.toMap
+    def readCount(dest: String) =
+      try spark.read.parquet(dest).count() catch { case _: Exception => 0L }
+    def walSegs(ckpt: String): Int = {
+      val p = java.nio.file.Paths.get(ckpt, "sources", "0", "wal")
+      if (!java.nio.file.Files.isDirectory(p)) 0
+      else java.nio.file.Files.list(p).toArray
+        .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+        .count(_.matches("""\d+-\d+"""))
+    }
+    def dirBytes(root: String): Long = {
+      val p = java.nio.file.Paths.get(root)
+      if (!java.nio.file.Files.isDirectory(p)) 0L
+      else java.nio.file.Files.walk(p).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size(_)).sum
+    }
+    def stateBytes(ckpt: String): Long = dirBytes(s"$ckpt/state")
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("150 milliseconds")
+    val stateSizes = Array.fill(cycles)(Map.empty[String, Long])
+    for (c <- 0 until cycles) {
+      val sonicSrvs = (1 to 3).map { k =>
+        val srv = new TcpFixtureServer
+        val msgs = (c * perSonic + 1 to (c + 1) * perSonic)
+          .map(i => s"0$k RH= ${i % 97}.${i % 10} %RH T= ${i % 30}.0 'C \r\n")
+        srv.enqueueScript(graft.sources.TcpFixtureServer.Send(msgs.mkString.getBytes))
+        s"S$k" -> srv
+      }.toMap
+      val probeSrv = new TcpFixtureServer
+      probeSrv.enqueueScript(graft.sources.TcpFixtureServer.Send(
+        (c * perProbe + 1 to (c + 1) * perProbe)
+          .map(i => s"07 RH= $i.0 %RH T= 10.0 'C \r\n").mkString.getBytes))
+      val devs = (1 to 3).map { k =>
+        (s"S$k", cfgFor(s"S$k", sonicSrvs(s"S$k").port, 25, 40))
+      } :+ (("P4", cfgFor("P4", probeSrv.port, 3, 4)))
+      val qs = devs.map { case (name, cfg) =>
+        val (dest, ckpt) = dirs(name)
+        name -> IngestPipeline.start(spark, cfg, dest, ckpt, trigger = trig)
+      }.toMap
+      try {
+        // kill mid-drain: each sonic has committed PART of this cycle's
+        // burst (the reader WAL-persisted all of it long before)
+        val deadline = System.currentTimeMillis() + 90000
+        def midway() = (1 to 3).forall { k =>
+          readCount(dirs(s"S$k")._1) >= c * perSonic + 75
+        }
+        while (!midway() && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(midway(), s"cycle $c never reached its kill point")
+      } finally {
+        qs.values.foreach(_.stop())
+        sonicSrvs.values.foreach(_.close()); probeSrv.close()
+      }
+      dirs.foreach { case (name, (_, ckpt)) =>
+        val segs = walSegs(ckpt)
+        assert(segs <= 9, s"$name cycle $c: WAL grew to $segs segments")
+      }
+      stateSizes(c) = dirs.map { case (name, (_, ckpt)) =>
+        name -> stateBytes(ckpt)
+      }
+    }
+    // final phase: every device gone — drain the last backlog from WAL
+    val devs = (1 to 3).map(k => (s"S$k", cfgFor(s"S$k", 1, 25, 40))) :+
+      (("P4", cfgFor("P4", 1, 3, 4)))
+    val totals = Map("S1" -> (cycles * perSonic).toLong,
+      "S2" -> (cycles * perSonic).toLong, "S3" -> (cycles * perSonic).toLong,
+      "P4" -> (cycles * perProbe).toLong)
+    val fin = devs.map { case (name, cfg) =>
+      val (dest, ckpt) = dirs(name)
+      name -> IngestPipeline.start(spark, cfg, dest, ckpt, trigger = trig)
+    }.toMap
+    try {
+      val deadline = System.currentTimeMillis() + 90000
+      def complete() = totals.forall { case (n, t) => readCount(dirs(n)._1) >= t }
+      while (!complete() && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      totals.foreach { case (name, t) =>
+        assert(readCount(dirs(name)._1) == t,
+          s"$name: ${readCount(dirs(name)._1)} of $t rows after soak")
+      }
+      // structural zero-loss: every committed pack is full
+      devs.foreach { case (name, cfg) =>
+        val perPack = spark.read.parquet(dirs(name)._1)
+          .groupBy("level", "pack_seq").count()
+          .select("count").distinct().collect().map(_.getLong(0)).toSet
+        assert(perPack == Set(cfg.packLength.toLong),
+          s"$name: partial packs after soak: $perPack")
+      }
+      // state-store boundedness: the last cycle's footprint is within
+      // 4x the first cycle's (retention keeps a sliding window of
+      // deltas/snapshots — flat across cycles, not linear in them);
+      // the 64 KiB floor absorbs tiny-file noise on near-empty stores
+      dirs.foreach { case (name, _) =>
+        val first = stateSizes(0)(name)
+        val last = stateSizes(cycles - 1)(name)
+        assert(last <= math.max(first * 4, 65536L),
+          s"$name: state store grew $first -> $last bytes across cycles")
+      }
+    } finally {
+      fin.values.foreach(_.stop())
+      spark.conf.unset("spark.sql.streaming.minBatchesToRetain")
+      spark.conf.unset("spark.sql.streaming.stateStore.maintenanceInterval")
+    }
+  }
 }
