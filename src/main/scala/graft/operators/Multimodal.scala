@@ -191,8 +191,12 @@ object Multimodal {
       if (!new java.io.File(target, "_SUCCESS").isFile) {
         import s.implicits._
         target.getParentFile.mkdirs()
+        // a target dir WITHOUT _SUCCESS is a crashed writer's leftovers —
+        // clear it or the rename below can never succeed
+        if (target.exists()) deleteTree(target)
         val staging =
           new java.io.File(target.getParentFile, s".${target.getName}.staging")
+        if (staging.exists()) deleteTree(staging)
         t(s, d, "documents").select($"doc_id").as[Long]
           .mapPartitions(_.map(id => (id, MediaFixtures.blobFor(id))))
           .toDF("doc_id", "blob")
@@ -202,6 +206,11 @@ object Multimodal {
           throw new java.io.IOException(s"media fixture rename failed: $p")
       }
       ready += p
+    }
+
+    private def deleteTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteTree))
+      f.delete()
     }
   }
 

@@ -123,6 +123,28 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q48/q49/q45: the ADC tiers join broadcast LUTs — no cross product, floats stay put") {
+    for (q <- Seq("q48_pq_adc_topk", "q49_ivf_pq_search", "q45_ann_recall")) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q plans a cross product")
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast LUT join")
+    }
+  }
+
+  test("q60/q64: decode is one scan of the media parquet + a row-local map — no joins") {
+    for (q <- Seq("q60_multimodal_decode", "q64_multimodal_real_decode")) {
+      val p = planOf(q)
+      assert(p.contains("Scan parquet") && p.contains("MapPartitions"),
+        s"$q lost its scan+map shape")
+      assert(!p.contains("Join"), s"$q grew a join")
+      // exactly one exchange: the final presentation sort (count the
+      // formatted-mode detail headers — the tree section repeats names)
+      assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1,
+        s"$q shuffles more than the sort")
+    }
+  }
+
   test("q65: the funnel is one aggregate pass — no Window, no cross product") {
     val p = planOf("q65_curation_funnel")
     assert(!p.contains("Window"), "q65 plans a Window")

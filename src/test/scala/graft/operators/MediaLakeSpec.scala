@@ -25,6 +25,25 @@ class MediaLakeSpec extends SparkTestBase {
     }
   }
 
+  test("a crashed writer's leftovers (dir without _SUCCESS) are healed, not wedged") {
+    // use a DIFFERENT sf dir than the other tests so planting junk at
+    // its fixture path cannot race a concurrently-running suite
+    val sf2 = "/root/testdata/sf0.01"
+    val target = new java.io.File(MediaLake.path(sf2))
+    def deleteTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteTree))
+      f.delete()
+    }
+    deleteTree(target)
+    target.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(target, "part-junk.parquet").toPath, "not parquet")
+    // no _SUCCESS marker: ensure() must clear the carcass and regenerate
+    val m = MediaLake.table(spark, sf2)
+    assert(new java.io.File(target, "_SUCCESS").isFile)
+    assert(m.count() == graft.Tables.t(spark, sf2, "documents").count())
+  }
+
   test("generation is idempotent: second ensure() reuses the stored copy") {
     MediaLake.ensure(spark, sf)
     val dir = new java.io.File(MediaLake.path(sf))
