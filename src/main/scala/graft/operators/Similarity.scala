@@ -549,12 +549,15 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * candidate's HOME cell is unique, so (a, b) appears via at most
     * one probe.
     */
-  private def ivfMultiprobeSearch(s: SparkSession, d: String, ctx: IvfCtx): DataFrame = {
+  private def ivfMultiprobeSearch(s: SparkSession, d: String, ctx: IvfCtx,
+      shared: Option[DataFrame] = None): DataFrame = {
       import s.implicits._
       val IvfCtx(u, n, cb) = ctx
       // cache the n×nprobe probe table so the assignment map runs once
-      // (home is derived from it)
-      val probed = assignCells(s, d, cb, nProbe = tuning.nprobe).cache()
+      // (home is derived from it); q45 passes ONE shared table so its
+      // multiprobe and ivfadc tiers assign the corpus once, not twice
+      val probed = shared.getOrElse(
+        assignCells(s, d, cb, nProbe = tuning.nprobe).cache())
       val probes = probed.select($"vec_id", $"cell")
       val home = probed.filter($"rk" === 1).select($"vec_id", $"cell")
       val a = u.join(probes, "vec_id")
@@ -632,7 +635,8 @@ final class Similarity(val tuning: Tuning) extends Serializable {
             r4($"hits".cast("double") / $"n_queries").as("recall_at_1"))
       val ictx = ivfCtx(s, d, ctx)
       val adc = adcCtx(s, pqCtx(s, d))
-      val iadcScored = ivfadcScoredDF(s, d, ictx, adc).cache()
+      val probed = assignCells(s, d, ictx.cb, nProbe = tuning.nprobe).cache()
+      val iadcScored = ivfadcScoredDF(s, d, ictx, adc, Some(probed)).cache()
       val adcNN = adcRankedDF(s, adc).filter($"rk" === 1)
         .select($"q_id".as("a_id"), $"n_id".as("nn_id"))
       val iadcNN = iadcScored
@@ -641,7 +645,8 @@ final class Similarity(val tuning: Tuning) extends Serializable {
         .filter($"rk" === 1)
         .select($"q_id".as("a_id"), $"n_id".as("nn_id"))
       recallOf("ivf", ivfSearch(s, d, ictx))
-        .unionAll(recallOf("ivf_multiprobe", ivfMultiprobeSearch(s, d, ictx)))
+        .unionAll(recallOf("ivf_multiprobe",
+          ivfMultiprobeSearch(s, d, ictx, Some(probed))))
         .unionAll(recallOf("lsh", lshDF(s, d, ctx)))
         .unionAll(recallOf("pq_adc", adcNN))
         .unionAll(recallOf("ivfadc", iadcNN))
@@ -1059,9 +1064,10 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * by neither candidate generation nor ranking.
     */
   private def ivfadcScoredDF(s: SparkSession, d: String, ictx: IvfCtx,
-      adc: AdcCtx): DataFrame = {
+      adc: AdcCtx, shared: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    val probed = assignCells(s, d, ictx.cb, nProbe = tuning.nprobe).cache()
+    val probed = shared.getOrElse(
+      assignCells(s, d, ictx.cb, nProbe = tuning.nprobe).cache())
     val qprobes = probed.filter($"vec_id" < tuning.annQueries)
       .select($"vec_id".as("q_id"), $"cell")
     val home = probed.filter($"rk" === 1)
