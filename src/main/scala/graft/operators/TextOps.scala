@@ -459,5 +459,87 @@ object TextOps {
         UNION ALL SELECT '5_exact_dedup', c5 FROM agg)
       ORDER BY stage"""))
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q65)
+  /** Cross-modal curation manifest — the composition a multimodal
+    * training-mix assembler runs: the text tier's language gate joined
+    * doc-for-doc with the REAL media decode over the stored
+    * [[Multimodal.MediaLake]] lake, rolled up per (source, media kind):
+    * docs, English docs, total frames, total media bytes — the numbers
+    * that size a per-source multimodal training mix. Scale shape: the
+    * decode is the q60 row-local map; the join is a doc_id equi-join of
+    * two n-sized tables (bucketable/colocatable at scale); the rollup
+    * is a map-side-combinable agg over |sources|×|kinds| groups. The
+    * oracle derives every media field arithmetically from the id (the
+    * fixture is deterministic), so a decoder misreading a header, or
+    * the join dropping a doc, breaks the hash.
+    */
+  private val q66 = Q(
+    "q66_crossmodal_manifest",
+    (s, d) => {
+      import s.implicits._
+      import Multimodal.{MediaLake, MediaRecord, RealDecoders}
+      val meta = MediaLake.table(s, d)
+        .select($"doc_id", $"blob").as[MediaRecord]
+        .mapPartitions(_.map { rec =>
+          val (kind, m) = RealDecoders.decodePpm(rec).map(("ppm", _))
+            .orElse(RealDecoders.decodeWav(rec).map(("wav", _)))
+            .getOrElse(("raw", RealDecoders.opaque(rec)))
+          (rec.doc_id, kind, m.byte_len, m.n_frames)
+        }).toDF("doc_id", "kind", "media_bytes", "n_frames")
+      val lang = t(s, d, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("s_en", expr(
+          "size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in')))"))
+        .withColumn("s_es", expr(
+          "size(filter(toks, x -> x IN ('el', 'la', 'de', 'que', 'y')))"))
+        .withColumn("s_de", expr(
+          "size(filter(toks, x -> x IN ('der', 'die', 'und', 'das', 'ist')))"))
+        .withColumn("s_fr", expr(
+          "size(filter(toks, x -> x IN ('le', 'les', 'et', 'des', 'un')))"))
+        .withColumn("is_en", expr(
+          """CASE WHEN s_es > greatest(s_en, s_de, s_fr) THEN false
+                  WHEN s_de > greatest(s_en, s_fr) THEN false
+                  WHEN s_fr > s_en THEN false
+                  ELSE true END"""))
+        .select($"doc_id", $"source", $"is_en")
+      lang.join(meta, "doc_id")
+        .groupBy($"source", $"kind")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"is_en", 1L).otherwise(0L)).as("n_en"),
+          sum($"n_frames").cast("long").as("sum_frames"),
+          sum($"media_bytes").cast("long").as("sum_media_bytes"))
+        .orderBy($"source", $"kind")
+    },
+    Some(s"""
+      WITH sc AS (
+        SELECT doc_id, source,
+          len(list_filter($toksSqlDuck, x -> x IN ('the', 'a', 'of', 'and', 'in')))  AS s_en,
+          len(list_filter($toksSqlDuck, x -> x IN ('el', 'la', 'de', 'que', 'y')))   AS s_es,
+          len(list_filter($toksSqlDuck, x -> x IN ('der', 'die', 'und', 'das', 'ist'))) AS s_de,
+          len(list_filter($toksSqlDuck, x -> x IN ('le', 'les', 'et', 'des', 'un'))) AS s_fr
+        FROM documents),
+      lang AS (SELECT doc_id, source,
+                 CASE WHEN s_es > greatest(s_en, s_de, s_fr) THEN false
+                      WHEN s_de > greatest(s_en, s_fr) THEN false
+                      WHEN s_fr > s_en THEN false
+                      ELSE true END AS is_en
+               FROM sc),
+      mm AS (SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS kind,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 9 + length(CAST(1 + doc_id % 47 AS VARCHAR))
+                           + length(CAST(1 + doc_id % 19 AS VARCHAR))
+                           + (1 + doc_id % 47) * (1 + doc_id % 19) * 3
+                    ELSE 44 + (10 + doc_id % 50) * (1 + doc_id % 3) * 2
+               END AS media_bytes,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 10 + doc_id % 50 END AS n_frames
+             FROM documents)
+      SELECT l.source, m.kind, count(*) AS n_docs,
+             CAST(sum(CASE WHEN l.is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+             CAST(sum(m.n_frames) AS BIGINT) AS sum_frames,
+             CAST(sum(m.media_bytes) AS BIGINT) AS sum_media_bytes
+      FROM lang l JOIN mm m ON l.doc_id = m.doc_id
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q65, q66)
 }
