@@ -81,7 +81,9 @@ final case class Tuning(
     pos(annQueries, "annQueries"); pos(pqSubspaces, "pqSubspaces")
     pos(pqSubDim, "pqSubDim"); pos(pqCentroids, "pqCentroids")
     pos(refineFactor, "refineFactor")
-    if (ccEdgeJaccard <= 0.0 || ccEdgeJaccard > 1.0) throw ConfigurationError(
+    // positive form so NaN (for which every comparison is false) is
+    // rejected rather than slipping past a <=||> pair
+    if (!(ccEdgeJaccard > 0.0 && ccEdgeJaccard <= 1.0)) throw ConfigurationError(
       s"graft.tuning.ccEdgeJaccard must be in (0, 1], got $ccEdgeJaccard")
     if (lloydIters < 0) throw ConfigurationError(
       s"graft.tuning.lloydIters must be >= 0, got $lloydIters")

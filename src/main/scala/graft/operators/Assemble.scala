@@ -13,12 +13,6 @@ import org.apache.spark.sql.functions._
   * ingest); these complete the LLM-pipeline surface next to the dedup
   * (q30-q36) and quality (q50-q56) tiers.
   */
-object Assemble {
-  /** The default-knob instance — [[graft.QRegistry.default]]'s member. */
-  lazy val default = new Assemble(graft.config.Tuning.current)
-  def all: Seq[Q] = default.all
-}
-
 /** The tuned assembly tier: one instance per knob set — the oracle SQL
   * interpolates THIS instance's `tuning` (see [[graft.QRegistry]]).
   */

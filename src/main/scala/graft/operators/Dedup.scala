@@ -73,13 +73,11 @@ object Dedup {
       .toDF("doc_id", "nsh", "t")
   }
 
-  /** The default-knob instance — [[graft.QRegistry.default]]'s member. */
-  lazy val default = new Dedup(Tuning.current)
-  def all: Seq[Q] = default.all
-
-  /** Forwarder for the unit spec — [[components]] is knob-free. */
+  /** Forwarder for the unit spec — [[components]] is knob-free (the
+    * instance exists only because the module is a tuned class).
+    */
   private[operators] def components(edges: DataFrame): DataFrame =
-    default.components(edges)
+    new Dedup(Tuning.current).components(edges)
 }
 
 /** The tuned dedup tier: one instance per knob set — the oracle SQL

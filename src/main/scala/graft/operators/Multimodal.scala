@@ -32,11 +32,20 @@ object Multimodal {
     * engine-portable content hash (DuckDB 1.x md5 accepts VARCHAR only,
     * so both engines hash the same 2n ASCII chars; same strength).
     */
+  private val HexUpper = "0123456789ABCDEF".getBytes("US-ASCII")
+
   def hexMd5(blob: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(blob.length * 2)
-    blob.foreach(b => sb.append("%02X".format(b & 0xff)))
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(sb.toString.getBytes("US-ASCII"))
+    // nibble lookup, not "%02X".format per byte: this runs once per
+    // blob byte on the data-local decode path
+    val hex = new Array[Byte](blob.length * 2)
+    var i = 0
+    while (i < blob.length) {
+      val b = blob(i) & 0xff
+      hex(2 * i) = HexUpper(b >>> 4)
+      hex(2 * i + 1) = HexUpper(b & 0xf)
+      i += 1
+    }
+    java.security.MessageDigest.getInstance("MD5").digest(hex)
       .map("%02x".format(_)).mkString
   }
 
@@ -163,13 +172,22 @@ object Multimodal {
     * engine never synthesizes its input mid-query.
     */
   object MediaLake {
+    /** Bump when [[MediaFixtures]]'s byte derivation changes: the key
+      * includes it, so an existing _SUCCESS-marked fixture generated by
+      * an older builder can never be served against the new oracle
+      * arithmetic (stale-bytes hash mismatches misdiagnosed as decoder
+      * bugs).
+      */
+    private val fixtureVersion = 2
+
     def path(d: String): String = {
       val root = sys.props.getOrElse("graft.media.dir",
         s"${sys.props("java.io.tmpdir")}/graft-media")
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
+        .digest((new java.io.File(d).getCanonicalPath + ":" + fixtureVersion)
+          .getBytes("UTF-8"))
         .take(6).map("%02x".format(_)).mkString
-      s"$root/media-$key"
+      s"$root/media-$key-v$fixtureVersion"
     }
 
     def table(s: SparkSession, d: String): DataFrame = {
@@ -194,16 +212,22 @@ object Multimodal {
         // a target dir WITHOUT _SUCCESS is a crashed writer's leftovers —
         // clear it or the rename below can never succeed
         if (target.exists()) deleteTree(target)
-        val staging =
-          new java.io.File(target.getParentFile, s".${target.getName}.staging")
-        if (staging.exists()) deleteTree(staging)
+        // staging is per-writer-unique: two processes racing on the
+        // shared deterministic name could overwrite-delete each other
+        // mid-write and install a mixed fixture under a _SUCCESS marker
+        val staging = new java.io.File(target.getParentFile,
+          s".${target.getName}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
         t(s, d, "documents").select($"doc_id").as[Long]
           .mapPartitions(_.map(id => (id, MediaFixtures.blobFor(id))))
           .toDF("doc_id", "blob")
           .write.mode("overwrite").parquet(staging.getAbsolutePath)
-        if (!staging.renameTo(target) &&
-            !new java.io.File(target, "_SUCCESS").isFile)
-          throw new java.io.IOException(s"media fixture rename failed: $p")
+        if (!staging.renameTo(target)) {
+          // lost the race: the winner's fixture is byte-identical (same
+          // builder version — the path key pins it); drop our copy
+          deleteTree(staging)
+          if (!new java.io.File(target, "_SUCCESS").isFile)
+            throw new java.io.IOException(s"media fixture rename failed: $p")
+        }
       }
       ready += p
     }
@@ -253,6 +277,15 @@ object Multimodal {
     * table carries ids + hashes, and a downstream decoder re-reads
     * blobs data-locally by (doc_id, frame_idx).
     */
+  /** Every-2nd-frame index list. An opaque blob decodes to
+    * n_frames = 0 and must emit NO frames (the oracle's empty
+    * range(0, 0, 2)) — a bare sequence(0, -1, 2) throws on illegal
+    * boundaries, so the empty case is explicit.
+    */
+  private[operators] val frameIdxExpr =
+    """CASE WHEN n_frames < 1 THEN array()
+       ELSE sequence(0, cast(n_frames - 1 as int), 2) END"""
+
   private val q61 = Q(
     "q61_multimodal_frame_sample",
     (s, d) => {
@@ -263,7 +296,7 @@ object Multimodal {
         .mapPartitions(_.map(RealDecoders.decode))
         .toDF()
         .select($"doc_id", $"n_frames",
-          explode(expr("sequence(0, cast(n_frames - 1 as int), 2)")).as("frame_idx"))
+          explode(expr(frameIdxExpr)).as("frame_idx"))
         .select($"doc_id", $"n_frames", $"frame_idx".cast("long").as("frame_idx"),
           md5(concat(col("doc_id").cast("string"), lit(":"),
             col("frame_idx").cast("string"))).as("frame_fp"))

@@ -19,12 +19,6 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB posture) are on each query.
   */
-object Relational {
-  /** The default-knob instance — [[graft.QRegistry.default]]'s member. */
-  lazy val default = new Relational(graft.config.Tuning.current)
-  def all: Seq[Q] = default.all
-}
-
 /** The tuned relational tier: one instance per knob set — the oracle SQL
   * interpolates THIS instance's `tuning` (see [[graft.QRegistry]]).
   */

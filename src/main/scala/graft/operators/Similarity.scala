@@ -101,11 +101,6 @@ object Similarity {
     */
   private[operators] type Codebook = Array[(Long, Array[Double])]
 
-  /** The default-knob instance — [[graft.QRegistry.default]]'s member;
-    * kept here so direct `Similarity.all` references keep working.
-    */
-  lazy val default = new Similarity(Tuning.current)
-  def all: Seq[Q] = default.all
 }
 
 /** The tuned ANN tier: one instance per knob set. The oracle SQL strings

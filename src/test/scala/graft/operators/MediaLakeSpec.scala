@@ -53,6 +53,16 @@ class MediaLakeSpec extends SparkTestBase {
     assert(before == after, "ensure() rewrote an existing fixture")
   }
 
+  test("q61's frame expansion: opaque blobs (n_frames = 0) emit zero frames, not a crash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, expr}
+    val out = Seq((1L, 0L), (2L, 3L)).toDF("doc_id", "n_frames")
+      .select($"doc_id", explode(expr(Multimodal.frameIdxExpr)).as("frame_idx"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out == Set((2L, 0), (2L, 2)),
+      "opaque blob leaked frames or the sequence bound threw")
+  }
+
   test("q60/q64 read the stored parquet, not a mid-query synthesizer") {
     for (q <- Seq("q60_multimodal_decode", "q64_multimodal_real_decode")) {
       val df = graft.SparkEntry.queries(q)(spark, sf)
