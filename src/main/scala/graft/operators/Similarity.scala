@@ -441,10 +441,14 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       refinedCodebook(s, d, stride, ctx.u, tuning.lloydIters))
   }
 
-  private def ivfSearch(s: SparkSession, d: String, ctx: IvfCtx): DataFrame = {
+  private def ivfSearch(s: SparkSession, d: String, ctx: IvfCtx,
+      shared: Option[DataFrame] = None): DataFrame = {
       import s.implicits._
       val IvfCtx(u, n, cb) = ctx
-      val assign = assignCells(s, d, cb, nProbe = 1)
+      // the home cell is the shared nprobe table's rank-1 row when q45
+      // passes one — single-probe search needs no assignment of its own
+      val assign = shared.map(_.filter($"rk" === 1)).getOrElse(
+          assignCells(s, d, cb, nProbe = 1))
         .select($"vec_id", $"cell")
       val ua = u.join(assign, "vec_id")
       val a = ua.select($"vec_id".as("a_id"), $"cell", $"i".as("ai"), $"v".as("av"))
@@ -639,7 +643,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
           Window.partitionBy($"q_id").orderBy(r6($"d2"), $"n_id")))
         .filter($"rk" === 1)
         .select($"q_id".as("a_id"), $"n_id".as("nn_id"))
-      recallOf("ivf", ivfSearch(s, d, ictx))
+      recallOf("ivf", ivfSearch(s, d, ictx, Some(probed)))
         .unionAll(recallOf("ivf_multiprobe",
           ivfMultiprobeSearch(s, d, ictx, Some(probed))))
         .unionAll(recallOf("lsh", lshDF(s, d, ctx)))
