@@ -1,0 +1,32 @@
+#!/bin/bash
+# Dev helper: re-drive the correctness gate at non-default knob sets
+# (SURVEY §12 "tuned runs verified, not just defaults"). Each combo
+# exercises every knob the queries under test interpolate, at a value
+# that demonstrably changes behavior, and must stay hash-green.
+# Usage: scripts/tuned_matrix.sh [sf-dir]   (default /root/testdata/sf0.01)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF="${1:-/root/testdata/sf0.01}"
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}"
+run() {
+  local name="$1" filter="$2"; shift 2
+  local out="/tmp/graft_tuned_$name"
+  echo "=== $name: $* ==="
+  env "$@" scripts/run.sh graft.Verify "$SF" "$out" "$filter" 2>/dev/null | tail -1
+  python3 scripts/check.py "$SF" "$out" | tail -1
+}
+# A: ANN/PQ geometry + the lloydIters=0 seed-codebook edge
+run a q40,q41,q43,q44,q45,q47,q48,q49 \
+  GRAFT_TUNING_ANN_QUERIES=5 GRAFT_TUNING_PQ_SUBSPACES=4 \
+  GRAFT_TUNING_PQ_SUB_DIM=16 GRAFT_TUNING_PQ_CENTROIDS=32 \
+  GRAFT_TUNING_REFINE_FACTOR=2 GRAFT_TUNING_NPROBE=4 \
+  GRAFT_TUNING_LLOYD_ITERS=0
+# B: dedup/assembly knobs
+run b q29,q31,q32,q38,q39,q59 \
+  GRAFT_TUNING_CC_EDGE_JACCARD=0.3 GRAFT_TUNING_MINHASH_BANDS=4 \
+  GRAFT_TUNING_MINHASH_ROWS=4 GRAFT_TUNING_DF_CAP=50 \
+  GRAFT_TUNING_SOURCE_QUOTA=7 GRAFT_TUNING_KMV_K=128
+# C: partial PQ coverage (2 subspaces of 8 — the uncovered-dims bound)
+run c q40,q47,q48,q49 \
+  GRAFT_TUNING_PQ_SUBSPACES=2 GRAFT_TUNING_ANN_QUERIES=3
+echo "=== tuned matrix complete ==="

@@ -145,6 +145,16 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q66: the crossmodal manifest is one equi-join + one two-phase agg") {
+    val p = planOf("q66_crossmodal_manifest")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "q66 plans a cross product")
+    assert(!p.contains("Window"), "q66 grew a window")
+    // partial (map-side) then final aggregation around one exchange
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size >= 2,
+      "q66 lost its two-phase aggregation")
+  }
+
   test("q65: the funnel is one aggregate pass — no Window, no cross product") {
     val p = planOf("q65_curation_funnel")
     assert(!p.contains("Window"), "q65 plans a Window")
