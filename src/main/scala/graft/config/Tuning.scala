@@ -70,7 +70,7 @@ final case class Tuning(
     * permutation over the 2³¹−1 prime field. */
   def sigK: Int = minhashBands * minhashRows
 
-  private[config] def validate(): Unit = {
+  private[graft] def validate(): Unit = {
     def pos(v: Int, name: String): Unit =
       if (v < 1) throw ConfigurationError(
         s"graft.tuning.$name must be a positive integer, got $v")

@@ -24,6 +24,11 @@ final case class Q(
   * [[QRegistry.default]], built from [[graft.config.Tuning.current]].
   */
 final class QRegistry(val tuning: graft.config.Tuning) {
+  // library-constructed registries must meet the same range contract the
+  // property loader enforces: an out-of-range knob (ccEdgeJaccard NaN,
+  // minhash 64-bit overflow bound) would otherwise produce silently
+  // wrong plans AND matching-but-wrong oracle SQL
+  tuning.validate()
   val all: Seq[Q] =
     new graft.operators.Relational(tuning).all ++
     graft.operators.Stats.all ++
@@ -79,10 +84,19 @@ object Tables {
   /** The scan's file-split count from the PLAN, not from compiling the
     * DataFrame to an RDD: replicate FilePartition's packing arithmetic
     * (maxSplitBytes from maxPartitionBytes/openCost/minPartitionNum,
-    * greedy size-desc packing with per-file open cost) over the
+    * greedy size-desc packing with per-file open cost) over each
     * relation's already-listed FileIndex. Driver-side listing reuse —
     * no job, no RDD lineage materialization. None when the plan has no
     * file relation (then the RDD fallback decides).
+    *
+    * Multi-relation plans take the MAX of the per-relation estimates —
+    * [[spread]] only wraps single-table scans, so the max answers "is
+    * the widest scan already parallel enough" without conflating two
+    * relations' files into one fictitious joint scan. Blind spot:
+    * listFiles(Nil, Nil) ignores partition pruning, so a pruned scan's
+    * estimate is an over-count (more splits than Spark will schedule) —
+    * conservative for spread's purpose (it can only suppress a
+    * repartition that pruning might have justified, never add one).
     */
   private def plannedScanSplits(df: DataFrame): Option[Int] = try {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -91,25 +105,30 @@ object Tables {
       case l: LogicalRelation => l.relation
     }.collect { case h: HadoopFsRelation => h }
     if (rels.isEmpty) return None
-    val sizes = rels.flatMap(_.location.listFiles(Nil, Nil))
-      .flatMap(_.files.map(_.getLen)).filter(_ > 0)
-    if (sizes.isEmpty) return Some(1)
     val openCost = conf.filesOpenCostInBytes
     val minParts = conf.filesMinPartitionNum
       .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
-    val bytesPerCore = sizes.map(_ + openCost).sum / math.max(1, minParts)
-    val maxSplit = math.min(conf.filesMaxPartitionBytes,
-      math.max(openCost, bytesPerCore))
-    val chunks = sizes.flatMap { len =>
-      (0L until len by maxSplit).map(off => math.min(maxSplit, len - off))
-    }.sortBy(-_)
-    var count = 0
-    var cur = 0L
-    chunks.foreach { c =>
-      if (cur + c > maxSplit) { count += 1; cur = 0L }
-      cur += c + openCost
+    val perRel = rels.map { rel =>
+      val sizes = rel.location.listFiles(Nil, Nil)
+        .flatMap(_.files.map(_.getLen)).filter(_ > 0)
+      if (sizes.isEmpty) 1
+      else {
+        val bytesPerCore = sizes.map(_ + openCost).sum / math.max(1, minParts)
+        val maxSplit = math.min(conf.filesMaxPartitionBytes,
+          math.max(openCost, bytesPerCore))
+        val chunks = sizes.flatMap { len =>
+          (0L until len by maxSplit).map(off => math.min(maxSplit, len - off))
+        }.sortBy(-_)
+        var count = 0
+        var cur = 0L
+        chunks.foreach { c =>
+          if (cur + c > maxSplit) { count += 1; cur = 0L }
+          cur += c + openCost
+        }
+        if (cur > 0) count + 1 else math.max(count, 1)
+      }
     }
-    Some(if (cur > 0) count + 1 else math.max(count, 1))
+    Some(perRel.max)
   } catch { case _: Exception => None }
 
   /** Fallback for non-file plans (never hit by the operator modules —

@@ -210,8 +210,18 @@ object Multimodal {
         import s.implicits._
         target.getParentFile.mkdirs()
         // a target dir WITHOUT _SUCCESS is a crashed writer's leftovers —
-        // clear it or the rename below can never succeed
-        if (target.exists()) deleteTree(target)
+        // clear it or the rename below can never succeed. Re-check the
+        // marker IMMEDIATELY before deleting: another process may have
+        // renamed a completed fixture into place since the outer check,
+        // and a completed copy must never be removed out from under a
+        // concurrent reader.
+        if (target.exists()) {
+          if (new java.io.File(target, "_SUCCESS").isFile) {
+            ready += p
+            return
+          }
+          deleteTree(target)
+        }
         // staging is per-writer-unique: two processes racing on the
         // shared deterministic name could overwrite-delete each other
         // mid-write and install a mixed fixture under a _SUCCESS marker

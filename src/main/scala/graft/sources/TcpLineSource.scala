@@ -331,7 +331,8 @@ class TcpLineMicroBatchStream(host: String, port: Int,
     * (rewrite path).
     */
   private def writeSegment(start: Long,
-      rows: Array[(String, Long, Boolean)]): Unit = {
+      rows: Array[(String, Long, Boolean)],
+      allowReplace: Boolean = false): Unit = {
     val dir = walDir.get
     if (!walFs.exists(dir)) walFs.mkdirs(dir)
     val end = start + rows.length
@@ -344,10 +345,12 @@ class TcpLineMicroBatchStream(host: String, port: Int,
       out.writeInt(bytes.length); out.write(bytes)
     } finally out.close()
     val seg = new org.apache.hadoop.fs.Path(dir, s"$start-$end")
-    // a same-named segment can only be a crashed compaction's output for
-    // the identical [start, end) range — same deterministic content, so
-    // replacing it is safe, and local/HDFS rename refuses otherwise
-    if (walFs.exists(seg)) walFs.delete(seg, false)
+    // only the COMPACTION caller may replace a same-named segment (a
+    // crashed compaction's output for the identical [start, end) range —
+    // same deterministic content). The append path keeps rename-refusal
+    // fatal: a colliding name there means a bookkeeping bug, and a
+    // silent replace would swallow the evidence.
+    if (allowReplace && walFs.exists(seg)) walFs.delete(seg, false)
     if (!walFs.rename(tmp, seg))
       throw new java.io.IOException(
         s"graft-socket WAL: rename failed for segment [$start, $end)")
@@ -418,7 +421,7 @@ class TcpLineMicroBatchStream(host: String, port: Int,
       // only compact a gapless backlog: a hole (manually deleted
       // segment) must not be papered over with a mislabeled range
       if (rows.length == (end - start).toInt) {
-        writeSegment(start, rows)
+        writeSegment(start, rows, allowReplace = true)
         val merged = s"$start-$end"
         live.foreach { case (_, _, p) =>
           if (p.getName != merged) walFs.delete(p, false)
