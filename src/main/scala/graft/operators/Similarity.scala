@@ -101,6 +101,24 @@ object Similarity {
     */
   private[operators] type Codebook = Array[(Long, Array[Double])]
 
+  /** Dense codebook from sparse (cell, dim, cv) rows — the lake-table
+    * form ([[Similarity#ensureIndex]]). Sparse dims (possible with
+    * ragged embeddings) fill with 0.0: contributes nothing to ‖c‖² or
+    * the dot, same as the oracle's absent (cell, dim) row.
+    */
+  private[operators] def rowsToCodebook(rows: Array[(Long, Int, Double)]): Codebook =
+    rows.groupBy(_._1).toArray.sortBy(_._1).map { case (cell, rs) =>
+      val arr = new Array[Double](rs.map(_._2).max + 1)
+      rs.foreach { case (_, i, cv) => arr(i) = cv }
+      (cell, arr)
+    }
+
+  /** Count of ACTUAL index builds this JVM has run — spec hook proving
+    * a second registry/session reuses the stored artifact instead of
+    * rebuilding ([[graft.operators.IndexLakeSpec]]).
+    */
+  private[operators] val indexBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
 }
 
 /** The tuned ANN tier: one instance per knob set. The oracle SQL strings
@@ -194,27 +212,33 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * both sides. Cell ids remain the original seed vec_ids.
     */
   private[operators] def refinedCodebook(s: SparkSession, d: String,
-      stride: Long, u: DataFrame, iters: Int): Codebook = {
+      stride: Long, u: DataFrame, iters: Int): Codebook =
+    rowsToCodebook(refinedCodebookRows(s, d, stride, u, iters))
+
+  /** [[refinedCodebook]] in its SPARSE lake-table form: one (cell, dim,
+    * cv) row per dimension PRESENT in the refinement aggregate — exactly
+    * the oracle's cb{iters} CTE rows, which is what the stored
+    * `ivf_codebook` table must hold for the index-build query to
+    * hash-pin it.
+    */
+  private[operators] def refinedCodebookRows(s: SparkSession, d: String,
+      stride: Long, u: DataFrame, iters: Int): Array[(Long, Int, Double)] = {
     import s.implicits._
-    var cb = seedCodebook(s, d, stride)
+    // iters = 0: the seed vectors' full component rows (the oracle's
+    // cb0 = u filtered to the stride seeds — every dim present)
+    var rows: Array[(Long, Int, Double)] = seedCodebook(s, d, stride)
+      .flatMap { case (sid, v) => v.indices.map(i => (sid, i, v(i))) }
     for (_ <- 1 to iters) {
+      val cb = rowsToCodebook(rows)
       val assign = assignCells(s, d, cb, nProbe = 1).select($"vec_id", $"cell")
-      val cents = u.select($"vec_id", $"i", $"v")
+      rows = u.select($"vec_id", $"i", $"v")
         .join(assign, "vec_id")
         .groupBy($"cell", $"i")
         .agg(r6(avg($"v")).as("cv"))
         .as[(Long, Int, Double)]
         .collect()
-      cb = cents.groupBy(_._1).toArray.sortBy(_._1).map { case (cell, rows) =>
-        // sparse dims (possible with ragged embeddings) fill with 0.0 —
-        // contributes nothing to ‖c‖² or the dot, same as the oracle's
-        // absent (cell, dim) row
-        val arr = new Array[Double](rows.map(_._2).max + 1)
-        rows.foreach { case (_, i, cv) => arr(i) = cv }
-        (cell, arr)
-      }
     }
-    cb
+    rows
   }
 
   /** Brute-force cosine top-5 for the configured query set (vec_id < annQueries). */
@@ -434,21 +458,17 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     */
   private case class IvfCtx(u: DataFrame, n: DataFrame, cb: Codebook)
 
-  private def ivfCtx(s: SparkSession, d: String, ctx: AnnCtx): IvfCtx = {
-    val k = math.ceil(math.sqrt(ctx.n0.toDouble) - 1e-9).toLong
-    val stride = math.max(1L, ctx.n0 / k)
-    IvfCtx(ctx.u, ctx.n,
-      refinedCodebook(s, d, stride, ctx.u, tuning.lloydIters))
-  }
+  private def ivfCtx(s: SparkSession, d: String, ctx: AnnCtx): IvfCtx =
+    IvfCtx(ctx.u, ctx.n, loadIvfCodebook(s, d))
 
   private def ivfSearch(s: SparkSession, d: String, ctx: IvfCtx,
       shared: Option[DataFrame] = None): DataFrame = {
       import s.implicits._
-      val IvfCtx(u, n, cb) = ctx
-      // the home cell is the shared nprobe table's rank-1 row when q45
-      // passes one — single-probe search needs no assignment of its own
-      val assign = shared.map(_.filter($"rk" === 1)).getOrElse(
-          assignCells(s, d, cb, nProbe = 1))
+      val IvfCtx(u, n, _) = ctx
+      // the home cell is the STORED assignment table's rank-1 row (q45
+      // passes its shared cached read; standalone q43 reads it directly)
+      val assign = shared.getOrElse(probedDF(s, d))
+        .filter($"rk" === 1)
         .select($"vec_id", $"cell")
       val ua = u.join(assign, "vec_id")
       val a = ua.select($"vec_id".as("a_id"), $"cell", $"i".as("ai"), $"v".as("av"))
@@ -551,12 +571,11 @@ final class Similarity(val tuning: Tuning) extends Serializable {
   private def ivfMultiprobeSearch(s: SparkSession, d: String, ctx: IvfCtx,
       shared: Option[DataFrame] = None): DataFrame = {
       import s.implicits._
-      val IvfCtx(u, n, cb) = ctx
-      // cache the n×nprobe probe table so the assignment map runs once
-      // (home is derived from it); q45 passes ONE shared table so its
-      // multiprobe and ivfadc tiers assign the corpus once, not twice
-      val probed = shared.getOrElse(
-        assignCells(s, d, cb, nProbe = tuning.nprobe).cache())
+      val IvfCtx(u, n, _) = ctx
+      // the STORED n×nprobe probe table (home is its rank-1 row); q45
+      // passes ONE shared cached read so its multiprobe and ivfadc
+      // tiers scan the assignment table once, not twice
+      val probed = shared.getOrElse(probedDF(s, d))
       val probes = probed.select($"vec_id", $"cell")
       val home = probed.filter($"rk" === 1).select($"vec_id", $"cell")
       val a = u.join(probes, "vec_id")
@@ -633,8 +652,8 @@ final class Similarity(val tuning: Tuning) extends Serializable {
             $"hits".cast("long").as("hits"),
             r4($"hits".cast("double") / $"n_queries").as("recall_at_1"))
       val ictx = ivfCtx(s, d, ctx)
-      val adc = adcCtx(s, pqCtx(s, d))
-      val probed = assignCells(s, d, ictx.cb, nProbe = tuning.nprobe).cache()
+      val adc = adcCtx(s, d, pqCtx(s, d))
+      val probed = probedDF(s, d).cache()
       val iadcScored = ivfadcScoredDF(s, d, ictx, adc, Some(probed)).cache()
       val adcNN = adcRankedDF(s, adc).filter($"rk" === 1)
         .select($"q_id".as("a_id"), $"n_id".as("nn_id"))
@@ -850,13 +869,32 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       emb: org.apache.spark.sql.Dataset[(Long, String, Array[Float])],
       cb1: PqCodebook)
 
-  private def pqCtx(s: SparkSession, d: String): PqCtx = {
+  /** The cached typed embeddings view — the corpus scan every PQ stage
+    * shares (LUT query side, q47's exploded recon view, the build).
+    */
+  private def pqEmb(s: SparkSession, d: String) = {
+    import s.implicits._
+    spread(t(s, d, "embeddings"))
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, String, Array[Float])].cache()
+  }
+
+  /** READ-side PQ context: the corpus view plus the STORED refined
+    * codebook ([[ensureIndex]] — built once per (sf dir, knobs), read
+    * thereafter).
+    */
+  private def pqCtx(s: SparkSession, d: String): PqCtx =
+    PqCtx(pqEmb(s, d), loadPqCodebook(s, d))
+
+  /** BUILD-side PQ codebook: seed on `vec_id % stride`, one compiled
+    * Lloyd pass, r6-rounded centroid means. Runs only inside
+    * [[buildIndex]] — queries read the stored table.
+    */
+  private def buildPqCodebook(s: SparkSession, d: String,
+      emb: org.apache.spark.sql.Dataset[(Long, String, Array[Float])]): PqCodebook = {
     import s.implicits._
     val n0 = Tables.rowCount(s, d, "embeddings")
     val stride = math.max(1L, n0 / tuning.pqCentroids)
-    val emb = spread(t(s, d, "embeddings"))
-      .select($"vec_id", $"label", $"embedding")
-      .as[(Long, String, Array[Float])].cache()
     // seed codebook: stride sub-vectors, driver-collected (tiny)
     val cb0: PqCodebook = emb
       .filter($"vec_id" % stride === 0 && $"embedding".isNotNull)
@@ -901,7 +939,201 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       .map { case ((cent, sub), rows) =>
         (cent, sub, rows.map(r => (r._3, r._4)).sortBy(_._1))
       }.sortBy(c => (c._1, c._2))
-    PqCtx(emb, cb1)
+    cb1
+  }
+
+  // ------------------------------------------------------------------
+  // The stored vector index — build once per (sf dir, knobs), search
+  // many. The MediaLake pattern (Multimodal.scala): a keyed parquet
+  // artifact installed by staged rename, idempotent, crash-healed;
+  // every ANN/PQ search READS the stored tables instead of recomputing
+  // the Lloyd refinement, corpus assignment, and PQ codes per query.
+  // At 100 TB the build is hours while a search is ms — this is the
+  // difference between "an ANN query" and a vector store.
+  //
+  // Four tables under one root:
+  //   ivf_codebook(cell, dim, cv)   — the Lloyd-refined coarse quantizer
+  //                                   (sparse rows = the oracle's
+  //                                   cb{lloydIters} CTE; tiny, read →
+  //                                   broadcast)
+  //   ivf_assign(vec_id, cell, rk)  — every vector's nprobe nearest
+  //                                   cells (rk = 1 is the home cell)
+  //   pq_codebook(cent, sub, sd, cv)— the refined per-subspace PQ
+  //                                   codebook (tiny, read → broadcast)
+  //   pq_codes(n_id, sub, cent)     — the corpus PQ codes the ADC scan
+  //                                   ranks on
+  //
+  // The key hashes the sf dir plus every knob that SHAPES the artifact
+  // (lloydIters, nprobe, pqSubspaces, pqSubDim, pqCentroids) — a tuned
+  // registry gets its own index; annQueries/refineFactor are
+  // search-time-only and deliberately excluded. The stored content is
+  // bit-deterministic (r6 rounding, id tiebreaks), so losing an
+  // install race to another process is success, and the index-build
+  // query (q67) hash-pins the whole artifact against the oracle's
+  // from-scratch SQL replay.
+  // ------------------------------------------------------------------
+
+  /** Bump when the index derivation changes: stale artifacts keyed by
+    * older versions can never be served against new oracle arithmetic.
+    */
+  private val indexVersion = 1
+
+  /** Snapshot the root once per instance: ensure and the subsequent
+    * reads must resolve the SAME path even if the property changes
+    * mid-session (spec isolation).
+    */
+  @transient private lazy val indexRoot: String =
+    sys.props.getOrElse("graft.index.dir",
+      s"${sys.props("java.io.tmpdir")}/graft-index")
+
+  private[operators] def indexPath(d: String): String = {
+    val root = indexRoot
+    val knobs = s"${tuning.lloydIters}:${tuning.nprobe}:${tuning.pqSubspaces}:" +
+      s"${tuning.pqSubDim}:${tuning.pqCentroids}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((new java.io.File(d).getCanonicalPath + ":" + knobs + ":" +
+        indexVersion).getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    s"$root/index-$key-v$indexVersion"
+  }
+
+  /** Paths this INSTANCE has confirmed on disk. Per-instance, not
+    * JVM-global: a second registry (the "second session") starts empty,
+    * finds the _SUCCESS marker, and reuses the artifact without
+    * rebuilding — which is exactly what IndexLakeSpec proves via
+    * [[Similarity.indexBuilds]].
+    */
+  private val indexReady = scala.collection.mutable.HashSet[String]()
+
+  private[operators] def ensureIndex(s: SparkSession, d: String): Unit = synchronized {
+    val p = indexPath(d)
+    if (indexReady.contains(p)) return
+    val target = new java.io.File(p)
+    if (!new java.io.File(target, "_SUCCESS").isFile) {
+      target.getParentFile.mkdirs()
+      // a target dir WITHOUT _SUCCESS is a crashed writer's leftovers;
+      // re-check the marker immediately before deleting — another
+      // process may have installed a completed index since the check
+      if (target.exists()) {
+        if (new java.io.File(target, "_SUCCESS").isFile) {
+          indexReady += p; return
+        }
+        deleteTree(target)
+      }
+      // per-writer-unique staging: racing processes must not overwrite
+      // each other mid-write and install a mixed artifact
+      val staging = new java.io.File(target.getParentFile,
+        s".${target.getName}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+      buildIndex(s, d, staging.getAbsolutePath)
+      // the top-level marker is written LAST: its presence means all
+      // four tables are complete
+      if (!new java.io.File(staging, "_SUCCESS").createNewFile())
+        throw new java.io.IOException(s"index marker create failed: $staging")
+      Similarity.indexBuilds.incrementAndGet()
+      if (!staging.renameTo(target)) {
+        // lost the race: the winner's index is byte-identical (the
+        // build is deterministic and the path key pins the knobs)
+        deleteTree(staging)
+        if (!new java.io.File(target, "_SUCCESS").isFile)
+          throw new java.io.IOException(s"index rename failed: $p")
+      }
+    }
+    indexReady += p
+  }
+
+  /** One pass over the corpus per index half: IVF (Lloyd-refined
+    * codebook + nprobe cell assignment) and PQ (refined codebook +
+    * corpus codes), written as parquet into the staging dir. Codebooks
+    * are driver-tiny and written single-file; the corpus-sized tables
+    * (`ivf_assign`, `pq_codes`) write with the scan's partitioning —
+    * at production scale they are the distributed outputs of the two
+    * compiled assignment maps, no extra shuffle.
+    */
+  private def buildIndex(s: SparkSession, d: String, staging: String): Unit = {
+    import s.implicits._
+    val ctx = annCtx(s, d)
+    val k = math.ceil(math.sqrt(ctx.n0.toDouble) - 1e-9).toLong
+    val stride = math.max(1L, ctx.n0 / k)
+    val cbRows = refinedCodebookRows(s, d, stride, ctx.u, tuning.lloydIters)
+    cbRows.toSeq.toDF("cell", "dim", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/ivf_codebook")
+    assignCells(s, d, Similarity.rowsToCodebook(cbRows), nProbe = tuning.nprobe)
+      .write.mode("overwrite").parquet(s"$staging/ivf_assign")
+    val emb = pqEmb(s, d)
+    val cb1 = buildPqCodebook(s, d, emb)
+    cb1.toSeq
+      .flatMap { case (cent, sub, pairs) =>
+        pairs.map { case (sd, cv) => (cent, sub, sd, cv) }
+      }.toDF("cent", "sub", "sd", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/pq_codebook")
+    buildPqCodes(s, emb, cb1)
+      .write.mode("overwrite").parquet(s"$staging/pq_codes")
+    ctx.u.unpersist()
+    emb.unpersist()
+  }
+
+  /** Corpus PQ codes `(n_id, sub, cent)` — the compiled assignment map
+    * over the refined codebook (the oracle's pa1). Build-side only.
+    */
+  private def buildPqCodes(s: SparkSession,
+      emb: org.apache.spark.sql.Dataset[(Long, String, Array[Float])],
+      cb1: PqCodebook): DataFrame = {
+    import s.implicits._
+    val bc1 = s.sparkContext.broadcast(cb1)
+    val subDim = tuning.pqSubDim
+    emb.mapPartitions { it =>
+      val bySub = pqBySub(bc1.value)
+      it.flatMap { case (id, _, vf) =>
+        if (vf == null) Iterator.empty
+        else {
+          val v = vf.map(_.toDouble)
+          val asg = pqNearest(v, bySub, subDim)
+          val nSubs = math.min(bySub.length, (v.length + subDim - 1) / subDim)
+          (0 until nSubs).iterator
+            .filter(sub => asg(sub) >= 0)
+            .map(sub => (id, sub, asg(sub)))
+        }
+      }
+    }.toDF("n_id", "sub", "cent")
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteTree))
+    f.delete()
+  }
+
+  /** The stored coarse quantizer, read → dense → broadcast-small. */
+  private def loadIvfCodebook(s: SparkSession, d: String): Codebook = {
+    ensureIndex(s, d)
+    import s.implicits._
+    Similarity.rowsToCodebook(
+      s.read.parquet(s"${indexPath(d)}/ivf_codebook")
+        .select($"cell", $"dim", $"cv").as[(Long, Int, Double)].collect())
+  }
+
+  /** The stored nprobe cell-assignment table (rk = 1 is the home cell). */
+  private def probedDF(s: SparkSession, d: String): DataFrame = {
+    ensureIndex(s, d)
+    s.read.parquet(s"${indexPath(d)}/ivf_assign")
+  }
+
+  /** The stored PQ codebook, regrouped to the in-memory shape. */
+  private def loadPqCodebook(s: SparkSession, d: String): PqCodebook = {
+    ensureIndex(s, d)
+    import s.implicits._
+    s.read.parquet(s"${indexPath(d)}/pq_codebook")
+      .select($"cent", $"sub", $"sd", $"cv").as[(Long, Int, Int, Double)]
+      .collect()
+      .groupBy(c => (c._1, c._2)).toArray
+      .map { case ((cent, sub), rows) =>
+        (cent, sub, rows.map(r => (r._3, r._4)).sortBy(_._1))
+      }.sortBy(c => (c._1, c._2))
+  }
+
+  /** The stored corpus PQ codes — what the ADC scan ranks on. */
+  private def codesDF(s: SparkSession, d: String): DataFrame = {
+    ensureIndex(s, d)
+    s.read.parquet(s"${indexPath(d)}/pq_codes")
   }
 
   private val q47 = Q(
@@ -909,43 +1141,26 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     (s, d) => {
       import s.implicits._
       val PqCtx(emb, cb1) = pqCtx(s, d)
-      // reconstruction pass (compiled): assign on the refined codebook,
-      // emit per-element errors
-      val bc1 = s.sparkContext.broadcast(cb1)
       val subDim = tuning.pqSubDim
-      val errs = emb.mapPartitions { it =>
-        val bySub = pqBySub(bc1.value)
-        it.flatMap { case (_, label, vf) =>
-          if (vf == null) Iterator.empty
-          else {
-            val v = vf.map(_.toDouble)
-            val asg = pqNearest(v, bySub, subDim)
-            // same uncovered-subspace bound as the Lloyd pass: the
-            // oracle's recon inner-joins pa1, so dims past the codebook
-            // have no assignment row and drop out entirely
-            (0 until math.min(v.length, bySub.length * subDim)).iterator.map { i =>
-              val sub = i / subDim
-              // reconstruct from the assigned centroid's present dims
-              var dq = 0.0
-              if (asg(sub) >= 0) {
-                val cents = bySub(sub)
-                var lo = 0
-                while (lo < cents.length && cents(lo)._1 != asg(sub)) lo += 1
-                if (lo < cents.length) {
-                  val pairs = cents(lo)._2
-                  var j = 0
-                  while (j < pairs.length) {
-                    if (pairs(j)._1 == i % subDim) dq = pairs(j)._2
-                    j += 1
-                  }
-                }
-              }
-              (label, v(i) - dq)
-            }
-          }
-        }
-      }.toDF("label", "err")
-      errs.groupBy($"label")
+      // reconstruction over the STORED index: the corpus codes and the
+      // refined codebook are both read off the lake, so this measures
+      // exactly what a search would decode — the Spark plan mirrors the
+      // oracle's recon CTE (inner-join codes, left-join codebook,
+      // absent dims reconstruct as 0.0)
+      val pus = emb.select($"vec_id", $"label",
+          posexplode(expr("transform(embedding, x -> cast(x as double))")))
+        .select($"vec_id", $"label",
+          expr(s"CAST(pos div $subDim AS INT)").as("sub"),
+          expr(s"CAST(pos % $subDim AS INT)").as("sd"), $"col".as("v"))
+      val codes = codesDF(s, d).withColumnRenamed("n_id", "vec_id")
+      val cbDf = cb1.toSeq
+        .flatMap { case (cent, sub, pairs) =>
+          pairs.map { case (sd, cv) => (sub, cent, sd, cv) }
+        }.toDF("sub", "cent", "sd", "cv")
+      pus.join(codes, Seq("vec_id", "sub"))
+        .join(broadcast(cbDf), Seq("sub", "cent", "sd"), "left")
+        .select($"label", ($"v" - coalesce($"cv", lit(0.0))).as("err"))
+        .groupBy($"label")
         .agg(count(lit(1)).as("n_vals"),
           r6(sqrt(avg($"err" * $"err"))).as("rmse"),
           r6(max(abs($"err"))).as("max_err"))
@@ -987,27 +1202,13 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     */
   private case class AdcCtx(codes: DataFrame, lut: DataFrame)
 
-  private def adcCtx(s: SparkSession, pc: PqCtx): AdcCtx = {
+  private def adcCtx(s: SparkSession, d: String, pc: PqCtx): AdcCtx = {
     import s.implicits._
     val PqCtx(emb, cb1) = pc
-    val bc1 = s.sparkContext.broadcast(cb1)
     val subDim = tuning.pqSubDim
-    // corpus PQ codes: one row per subspace the vector has dims in and
-    // the codebook covers (the oracle's pa1)
-    val codes = emb.mapPartitions { it =>
-      val bySub = pqBySub(bc1.value)
-      it.flatMap { case (id, _, vf) =>
-        if (vf == null) Iterator.empty
-        else {
-          val v = vf.map(_.toDouble)
-          val asg = pqNearest(v, bySub, subDim)
-          val nSubs = math.min(bySub.length, (v.length + subDim - 1) / subDim)
-          (0 until nSubs).iterator
-            .filter(sub => asg(sub) >= 0)
-            .map(sub => (id, sub, asg(sub)))
-        }
-      }
-    }.toDF("n_id", "sub", "cent").cache()
+    // corpus PQ codes come off the STORED index table — the vectors'
+    // floats are not touched to produce candidates or ranks
+    val codes = codesDF(s, d)
     // per-query ADC lookup table, built with the same join shape as
     // the oracle (fp summation-order differences absorbed by r6/r4)
     val qs = emb.filter($"vec_id" < tuning.annQueries && $"embedding".isNotNull)
@@ -1065,8 +1266,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
   private def ivfadcScoredDF(s: SparkSession, d: String, ictx: IvfCtx,
       adc: AdcCtx, shared: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    val probed = shared.getOrElse(
-      assignCells(s, d, ictx.cb, nProbe = tuning.nprobe).cache())
+    val probed = shared.getOrElse(probedDF(s, d))
     val qprobes = probed.filter($"vec_id" < tuning.annQueries)
       .select($"vec_id".as("q_id"), $"cell")
     val home = probed.filter($"rk" === 1)
@@ -1124,7 +1324,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     "q48_pq_adc_topk",
     (s, d) => {
       import s.implicits._
-      adcRankedDF(s, adcCtx(s, pqCtx(s, d)))
+      adcRankedDF(s, adcCtx(s, d, pqCtx(s, d)))
         .select($"q_id", $"rk", $"n_id", r4($"d2").as("approx_d2"))
         .orderBy($"q_id", $"rk")
     },
@@ -1163,7 +1363,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       import s.implicits._
       val ctx = annCtx(s, d)
       val ictx = ivfCtx(s, d, ctx)
-      val adc = adcCtx(s, pqCtx(s, d))
+      val adc = adcCtx(s, d, pqCtx(s, d))
       ivfadcScoredDF(s, d, ictx, adc)
         .withColumn("rk", row_number().over(
           Window.partitionBy($"q_id").orderBy(r6($"d2"), $"n_id")).cast("long"))
@@ -1226,5 +1426,54 @@ final class Similarity(val tuning: Tuning) extends Serializable {
              FROM ec)
       SELECT q_id AS a_id, n_id AS nn_id FROM rr WHERE rk = 1"""
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
+  /** The index build itself as an oracle-checked query: dump the four
+    * STORED index tables in one canonical (part, k1, k2, k3, val)
+    * union while the oracle replays the entire build — seed → Lloyd →
+    * assignment, PQ seed → refine → codes — from scratch in SQL. A
+    * builder that writes one wrong centroid value, drops an assignment
+    * row, or mis-codes one vector hash-mismatches, so the artifact
+    * every search reads is pinned end-to-end the way the media fixture
+    * is (MediaLakeSpec pattern). Keys are unique per part (cell×dim /
+    * vec×cell / cent×sub×sd / vec×sub), so the output order is total.
+    */
+  private val q67 = Q(
+    "q67_ivf_pq_index_build",
+    (s, d) => {
+      import s.implicits._
+      ensureIndex(s, d)
+      val p = indexPath(d)
+      val ivfCb = s.read.parquet(s"$p/ivf_codebook")
+        .select(lit("ivf_cb").as("part"), $"cell".as("k1"),
+          $"dim".cast("long").as("k2"), lit(-1L).as("k3"), $"cv".as("val"))
+      val assign = s.read.parquet(s"$p/ivf_assign")
+        .select(lit("ivf_assign").as("part"), $"vec_id".as("k1"),
+          $"cell".as("k2"), $"rk".cast("long").as("k3"), lit(0.0).as("val"))
+      val pqCb = s.read.parquet(s"$p/pq_codebook")
+        .select(lit("pq_cb").as("part"), $"cent".as("k1"),
+          $"sub".cast("long").as("k2"), $"sd".cast("long").as("k3"),
+          $"cv".as("val"))
+      val codes = s.read.parquet(s"$p/pq_codes")
+        .select(lit("pq_codes").as("part"), $"n_id".as("k1"),
+          $"sub".cast("long").as("k2"), $"cent".as("k3"), lit(0.0).as("val"))
+      ivfCb.unionAll(assign).unionAll(pqCb).unionAll(codes)
+        .orderBy($"part", $"k1", $"k2", $"k3")
+    },
+    Some(s"""
+      WITH ${ivfOracleCtes(tuning.lloydIters)},
+      ${pqOracleCtes.trim}
+      -- the ivf chain's dim is generate_subscripts' 1-based index; the
+      -- stored table (and the pq chain) are 0-based
+      SELECT 'ivf_cb' AS part, cell AS k1, CAST(dim - 1 AS BIGINT) AS k2,
+             CAST(-1 AS BIGINT) AS k3, cv AS val FROM cb${tuning.lloydIters}
+      UNION ALL
+      SELECT 'ivf_assign', vec_id, cell, CAST(rk AS BIGINT), 0.0
+      FROM fa WHERE rk <= ${tuning.nprobe}
+      UNION ALL
+      SELECT 'pq_cb', cent, CAST(sub AS BIGINT), CAST(sd AS BIGINT), cv
+      FROM pcb1
+      UNION ALL
+      SELECT 'pq_codes', vec_id, CAST(sub AS BIGINT), cent, 0.0 FROM pa1
+      ORDER BY part, k1, k2, k3"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q67)
 }
