@@ -66,11 +66,11 @@ object Multimodal {
       val hash = md.digest(rec.blob).map("%02x".format(_)).mkString
       MediaMeta(rec.doc_id, rec.blob.length.toLong, 0L, 0L, 0L, hash)
     }
-    /** Binary PPM (P6): "P6" <ws> width <ws> height <ws> maxval <single
-      * ws> raw RGB triplets. None if the magic/shape doesn't hold.
+    /** Parsed P6 header: (width, height, bytesPerSample, raster
+      * offset) — the byte-walking parse shared by the metadata decode
+      * and the frame-byte slicer. None if the magic/shape doesn't hold.
       */
-    def decodePpm(rec: MediaRecord): Option[MediaMeta] = {
-      val b = rec.blob
+    def ppmHeader(b: Array[Byte]): Option[(Long, Long, Int, Int)] = {
       if (b.length < 9 || b(0) != 'P' || b(1) != '6') return None
       // header tokens are ASCII ints separated by whitespace/comments
       var i = 2
@@ -101,18 +101,24 @@ object Multimodal {
         if i < b.length && b(i).toChar.isWhitespace
         bytesPerSample = if (maxv < 256) 1 else 2
         if b.length - (i + 1) >= w * h * 3 * bytesPerSample
-      } yield {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hash = md.digest(b).map("%02x".format(_)).mkString
-        MediaMeta(rec.doc_id, b.length.toLong, w, h, n_frames = 1, hash)
-      }
+      } yield (w, h, bytesPerSample, i + 1)
     }
 
-    /** WAV (RIFF/WAVE, PCM): frame count = data-chunk bytes / block
-      * align; "width" carries channels, "height" the sample rate.
+    /** Binary PPM (P6): "P6" <ws> width <ws> height <ws> maxval <single
+      * ws> raw RGB triplets. None if the magic/shape doesn't hold.
       */
-    def decodeWav(rec: MediaRecord): Option[MediaMeta] = {
-      val b = rec.blob
+    def decodePpm(rec: MediaRecord): Option[MediaMeta] =
+      ppmHeader(rec.blob).map { case (w, h, _, _) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hash = md.digest(rec.blob).map("%02x".format(_)).mkString
+        MediaMeta(rec.doc_id, rec.blob.length.toLong, w, h, n_frames = 1, hash)
+      }
+
+    /** Parsed RIFF/PCM WAV header: (channels, rate, blockAlign,
+      * data-chunk offset, data-chunk length). Shared by the metadata
+      * decode and the frame-byte slicer.
+      */
+    def wavHeader(b: Array[Byte]): Option[(Long, Long, Long, Int, Long)] = {
       def ascii(off: Int, s: String) =
         b.length >= off + s.length && s.indices.forall(j => b(off + j) == s(j).toByte)
       def u16(off: Int) = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
@@ -121,7 +127,8 @@ object Multimodal {
       if (b.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
       // walk chunks: fmt then data (other chunks may intervene)
       var i = 12
-      var channels = 0L; var rate = 0L; var blockAlign = 0L; var dataLen = -1L
+      var channels = 0L; var rate = 0L; var blockAlign = 0L
+      var dataLen = -1L; var dataOff = -1
       var malformed = false
       while (!malformed && i + 8 <= b.length && (dataLen < 0 || channels == 0)) {
         val size = u32(i + 4)
@@ -136,20 +143,50 @@ object Multimodal {
             channels = u16(i + 10).toLong
             rate = u32(i + 12)
             blockAlign = u16(i + 20).toLong
-          } else if (ascii(i, "data")) dataLen = size
+          } else if (ascii(i, "data")) { dataLen = size; dataOff = i + 8 }
           i += 8 + size.toInt + (size.toInt & 1)  // chunks are word-aligned
         }
       }
-      if (malformed) return None
-      if (channels <= 0 || blockAlign <= 0 || dataLen < 0) None
-      else {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hash = md.digest(b).map("%02x".format(_)).mkString
-        Some(MediaMeta(rec.doc_id, b.length.toLong,
-          width = channels, height = rate,
-          n_frames = dataLen / blockAlign, content_hash = hash))
-      }
+      if (malformed || channels <= 0 || blockAlign <= 0 || dataLen < 0) None
+      else Some((channels, rate, blockAlign, dataOff, dataLen))
     }
+
+    /** WAV (RIFF/WAVE, PCM): frame count = data-chunk bytes / block
+      * align; "width" carries channels, "height" the sample rate.
+      */
+    def decodeWav(rec: MediaRecord): Option[MediaMeta] =
+      wavHeader(rec.blob).map { case (channels, rate, blockAlign, _, dataLen) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hash = md.digest(rec.blob).map("%02x".format(_)).mkString
+        MediaMeta(rec.doc_id, rec.blob.length.toLong,
+          width = channels, height = rate,
+          n_frames = dataLen / blockAlign, content_hash = hash)
+      }
+
+    /** The sampled frames' RAW BYTES — every 2nd frame, sliced from the
+      * stored blob: a PPM still is one frame whose bytes are its full
+      * pixel raster; a WAV frame is its blockAlign-sized PCM block
+      * inside the data chunk. Opaque blobs have no frames. Emits
+      * (n_frames, frame_idx, frame bytes) — the q61 fingerprint hashes
+      * these ACTUAL bytes, so a corrupted payload changes the fp.
+      */
+    def sampledFrames(rec: MediaRecord): Iterator[(Long, Long, Array[Byte])] =
+      ppmHeader(rec.blob) match {
+        case Some((w, h, bps, off)) =>
+          val len = (w * h * 3 * bps).toInt
+          Iterator((1L, 0L,
+            java.util.Arrays.copyOfRange(rec.blob, off, off + len)))
+        case None => wavHeader(rec.blob) match {
+          case Some((_, _, ba, dataOff, dataLen)) =>
+            val nf = dataLen / ba
+            (0L until nf by 2).iterator.map { fi =>
+              val st = dataOff + (fi * ba).toInt
+              (nf, fi,
+                java.util.Arrays.copyOfRange(rec.blob, st, st + ba.toInt))
+            }
+          case None => Iterator.empty
+        }
+      }
 
     /** Format-sniffing decode: real parsers first, [[opaque]] as the
       * last resort — the production dispatch shape (one instance per
@@ -157,6 +194,33 @@ object Multimodal {
       */
     def decode(rec: MediaRecord): MediaMeta =
       decodePpm(rec).orElse(decodeWav(rec)).getOrElse(opaque(rec))
+
+    /** Nearest-neighbor resample of a P6 raster to (outW, outH): output
+      * pixel (oy, ox) copies source pixel (⌊oy·h/outH⌋, ⌊ox·w/outW⌋) —
+      * the standard integer NN index map, exact in both engines. Runs
+      * data-local beside the decoder in the same compiled pass; only
+      * the resized raster's hash leaves the partition.
+      */
+    def resizeNearest(b: Array[Byte], w: Long, h: Long, bps: Int,
+        off: Int, outW: Long, outH: Long): Array[Byte] = {
+      val px = 3 * bps
+      val out = new Array[Byte]((outW * outH).toInt * px)
+      var p = 0
+      var oy = 0L
+      while (oy < outH) {
+        val sy = oy * h / outH
+        var ox = 0L
+        while (ox < outW) {
+          val sx = ox * w / outW
+          val sp = off + ((sy * w + sx) * px).toInt
+          var c = 0
+          while (c < px) { out(p) = b(sp + c); p += 1; c += 1 }
+          ox += 1
+        }
+        oy += 1
+      }
+      out
+    }
   }
 
   /** The stored-media fixture: a parquet `media(doc_id BIGINT, blob
@@ -278,19 +342,21 @@ object Multimodal {
              width, height, n_frames, md5(hx) AS content_hash
       FROM m ORDER BY doc_id"""))
 
-  /** Frame sampling over the STORED media table: the real decoder's
-    * `n_frames` (WAV frame count; a still image is 1 frame) drives a
-    * per-frame table — every 2nd frame (the training-data "sample k-th
-    * frame" stage), each with a deterministic frame fingerprint derived
-    * from the ids (a real pipeline hashes decoded frame bytes; the
-    * derivation point is identical). Pixels never shuffle — the frame
-    * table carries ids + hashes, and a downstream decoder re-reads
-    * blobs data-locally by (doc_id, frame_idx).
+  /** Frame sampling over the STORED media table: every 2nd frame (the
+    * training-data "sample k-th frame" stage), each fingerprinted from
+    * its DECODED BYTES — a PPM still's frame is its full pixel raster,
+    * a WAV frame is the blockAlign PCM block the header addresses —
+    * sliced data-locally from the stored blob by [[RealDecoders
+    * .sampledFrames]] and hashed with the portable [[hexMd5]]. The
+    * oracle reconstructs the identical slice arithmetically (the same
+    * hex it already rebuilds whole for q60/q64), so a decoder that
+    * mis-addresses one frame, or a payload with one corrupted byte,
+    * hash-mismatches. Pixels never shuffle — the frame table carries
+    * ids + hashes, decoded per partition in one compiled pass.
     */
-  /** Every-2nd-frame index list. An opaque blob decodes to
-    * n_frames = 0 and must emit NO frames (the oracle's empty
-    * range(0, 0, 2)) — a bare sequence(0, -1, 2) throws on illegal
-    * boundaries, so the empty case is explicit.
+  /** Every-2nd-frame index list (kept for the empty-case spec: an
+    * opaque blob decodes to n_frames = 0 and must emit NO frames — a
+    * bare sequence(0, -1, 2) throws on illegal boundaries).
     */
   private[operators] val frameIdxExpr =
     """CASE WHEN n_frames < 1 THEN array()
@@ -303,37 +369,49 @@ object Multimodal {
       MediaLake.table(s, d)
         .select($"doc_id", $"blob")
         .as[MediaRecord]
-        .mapPartitions(_.map(RealDecoders.decode))
-        .toDF()
-        .select($"doc_id", $"n_frames",
-          explode(expr(frameIdxExpr)).as("frame_idx"))
-        .select($"doc_id", $"n_frames", $"frame_idx".cast("long").as("frame_idx"),
-          md5(concat(col("doc_id").cast("string"), lit(":"),
-            col("frame_idx").cast("string"))).as("frame_fp"))
+        .mapPartitions(_.flatMap { rec =>
+          RealDecoders.sampledFrames(rec).map { case (nf, fi, bytes) =>
+            (rec.doc_id, nf, fi, hexMd5(bytes))
+          }
+        })
+        .toDF("doc_id", "n_frames", "frame_idx", "frame_fp")
         .orderBy($"doc_id", $"frame_idx")
     },
     Some("""
-      WITH meta AS (SELECT doc_id,
-                      CASE WHEN doc_id % 2 = 0 THEN CAST(1 AS BIGINT)
-                           ELSE CAST(10 + doc_id % 50 AS BIGINT) END AS n_frames
-                    FROM documents),
-      frames AS (SELECT doc_id, n_frames,
-                   unnest(range(0, n_frames, 2)) AS frame_idx
-                 FROM meta)
-      SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
-             md5(doc_id || ':' || frame_idx) AS frame_fp
-      FROM frames
+      WITH pf AS (SELECT doc_id, 1 + doc_id % 47 AS w, 1 + doc_id % 19 AS h
+                  FROM documents WHERE doc_id % 2 = 0),
+      ppmf AS (SELECT doc_id, CAST(1 AS BIGINT) AS n_frames,
+                 CAST(0 AS BIGINT) AS frame_idx,
+                 md5(array_to_string(list_transform(range(0, w*h*3),
+                   i -> printf('%02X', 32 + (doc_id + i) % 64)), '')) AS frame_fp
+               FROM pf),
+      wf AS (SELECT doc_id, (1 + doc_id % 3) * 2 AS ba,
+               10 + doc_id % 50 AS nf
+             FROM documents WHERE doc_id % 2 = 1),
+      wse AS (SELECT doc_id, ba, nf, unnest(range(0, nf, 2)) AS frame_idx
+              FROM wf),
+      wavf AS (SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+                 CAST(frame_idx AS BIGINT) AS frame_idx,
+                 md5(array_to_string(list_transform(range(0, ba),
+                   j -> printf('%02X', (doc_id*7 + (frame_idx*ba + j)*13) % 256)), '')) AS frame_fp
+               FROM wse)
+      SELECT doc_id, n_frames, frame_idx, frame_fp FROM ppmf
+      UNION ALL
+      SELECT doc_id, n_frames, frame_idx, frame_fp FROM wavf
       ORDER BY doc_id, frame_idx"""))
 
-  /** Resize/thumbnail planning: integer aspect-preserving fit into a
-    * 32×32 box (ceil-division, exact in both engines) over the decoded
-    * IMAGE dimensions — only blobs the PPM parser claims produce a
-    * plan row (audio has no resize semantics), which is why the Spark
-    * side dispatches `decodePpm` directly: the flatMap IS the image
-    * filter. In a real pipeline the scaler runs next to the decoder in
-    * the same mapPartitions pass; the plan (per-blob target dims, scale
-    * decision) is what downstream stages consume and is all that
-    * shuffles.
+  /** Resize EXECUTION (plan + pixels): integer aspect-preserving fit
+    * into a 32×32 box over the decoded IMAGE dimensions, then the
+    * actual nearest-neighbor resample of the stored raster to the
+    * planned (out_w, out_h) — [[RealDecoders.resizeNearest]] runs
+    * beside the decoder in the same compiled mapPartitions pass, and
+    * `out_hash` pins every byte of the resized raster. Only blobs the
+    * PPM parser claims produce a row (audio has no resize semantics) —
+    * the flatMap IS the image filter. The oracle derives the selected
+    * source pixels arithmetically (the same NN index map over the
+    * fixture's id-derived raster), so a scaler that picks one wrong
+    * source pixel hash-mismatches. Only ids, dims, and hashes shuffle;
+    * pixels stay in the partition.
     */
   private val q62 = Q(
     "q62_multimodal_resize_plan",
@@ -342,16 +420,18 @@ object Multimodal {
       MediaLake.table(s, d)
         .select($"doc_id", $"blob")
         .as[MediaRecord]
-        .mapPartitions(_.flatMap(RealDecoders.decodePpm))
-        .toDF()
-        .select($"doc_id", $"width", $"height",
-          greatest($"width", $"height").as("long_side"))
-        .withColumn("out_w",
-          expr("CAST(greatest(1, (width * 32) div long_side) AS BIGINT)"))
-        .withColumn("out_h",
-          expr("CAST(greatest(1, (height * 32) div long_side) AS BIGINT)"))
-        .withColumn("downscaled", ($"long_side" > 32).cast("boolean"))
-        .select($"doc_id", $"width", $"height", $"out_w", $"out_h", $"downscaled")
+        .mapPartitions(_.flatMap { rec =>
+          RealDecoders.ppmHeader(rec.blob).map { case (w, h, bps, off) =>
+            val longSide = math.max(w, h)
+            val outW = math.max(1L, w * 32 / longSide)
+            val outH = math.max(1L, h * 32 / longSide)
+            val resized = RealDecoders.resizeNearest(
+              rec.blob, w, h, bps, off, outW, outH)
+            (rec.doc_id, w, h, outW, outH, longSide > 32, hexMd5(resized))
+          }
+        })
+        .toDF("doc_id", "width", "height", "out_w", "out_h", "downscaled",
+          "out_hash")
         .orderBy($"doc_id")
     },
     Some("""
@@ -360,12 +440,16 @@ object Multimodal {
                       CAST(1 + doc_id % 19 AS BIGINT) AS height
                     FROM documents WHERE doc_id % 2 = 0),
       dims AS (SELECT doc_id, width, height,
-                 greatest(width, height) AS long_side
+                 greatest(width, height) AS long_side,
+                 CAST(greatest(1, (width * 32) // greatest(width, height)) AS BIGINT)  AS out_w,
+                 CAST(greatest(1, (height * 32) // greatest(width, height)) AS BIGINT) AS out_h
                FROM meta)
-      SELECT doc_id, width, height,
-             CAST(greatest(1, (width * 32) // long_side) AS BIGINT)  AS out_w,
-             CAST(greatest(1, (height * 32) // long_side) AS BIGINT) AS out_h,
-             long_side > 32 AS downscaled
+      SELECT doc_id, width, height, out_w, out_h,
+             long_side > 32 AS downscaled,
+             md5(array_to_string(list_transform(range(0, out_w*out_h*3),
+               i -> printf('%02X', 32 + (doc_id +
+                 ((((i//3) // out_w) * height // out_h) * width +
+                  (((i//3) % out_w) * width // out_w)) * 3 + i % 3) % 64)), '')) AS out_hash
       FROM dims
       ORDER BY doc_id"""))
 

@@ -120,4 +120,46 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q61 frame fingerprints are CONTENT-derived: a corrupted payload byte changes the fp") {
+    import Multimodal.{MediaFixtures, MediaRecord, RealDecoders, hexMd5}
+    // WAV: corrupt one byte inside frame 2's PCM block — only that
+    // frame's fingerprint may change
+    val id = 7L  // odd → WAV; ba = (1 + 7%3)*2 = 4, frames = 10 + 7 = 17
+    val clean = MediaFixtures.wav(id)
+    val (_, _, ba, dataOff, _) = RealDecoders.wavHeader(clean).get
+    val corrupt = clean.clone()
+    val victim = dataOff + (2 * ba).toInt + 1  // inside frame 2
+    corrupt(victim) = (corrupt(victim) ^ 0x5a).toByte
+    val fps = RealDecoders.sampledFrames(MediaRecord(id, clean))
+      .map { case (_, fi, bytes) => fi -> hexMd5(bytes) }.toMap
+    val fpsC = RealDecoders.sampledFrames(MediaRecord(id, corrupt))
+      .map { case (_, fi, bytes) => fi -> hexMd5(bytes) }.toMap
+    assert(fps.keySet == fpsC.keySet)
+    assert(fps(2L) != fpsC(2L), "corrupted frame kept its fingerprint")
+    (fps.keySet - 2L).foreach(fi =>
+      assert(fps(fi) == fpsC(fi), s"untouched frame $fi changed"))
+
+    // PPM: the single frame is the raster — corrupt a pixel byte
+    val pid = 8L
+    val pClean = MediaFixtures.ppm(pid)
+    val Some((_, _, _, off)) = RealDecoders.ppmHeader(pClean)
+    val pCorrupt = pClean.clone()
+    pCorrupt(off + 5) = (pCorrupt(off + 5) ^ 0x5a).toByte
+    def fpOf(b: Array[Byte]) =
+      RealDecoders.sampledFrames(MediaRecord(pid, b)).next()._3
+    assert(hexMd5(fpOf(pClean)) != hexMd5(fpOf(pCorrupt)))
+  }
+
+  test("resizeNearest picks the exact NN source pixels (handcrafted 4x2 -> 2x1)") {
+    import Multimodal.{MediaRecord, RealDecoders}
+    // 4x2 image, bytes 0..23; out 2x1: oy=0→sy=0; ox=0→sx=0, ox=1→sx=2
+    val header = "P6\n4 2\n255\n".getBytes("US-ASCII")
+    val raster = Array.tabulate(24)(_.toByte)
+    val b = header ++ raster
+    val Some((w, h, bps, off)) = RealDecoders.ppmHeader(b)
+    val out = RealDecoders.resizeNearest(b, w, h, bps, off, 2, 1)
+    // pixel (0,0) = bytes 0,1,2; pixel (0,2) = bytes 6,7,8
+    assert(out.toSeq == Seq[Byte](0, 1, 2, 6, 7, 8))
+  }
 }
