@@ -45,8 +45,11 @@ final case class Tuning(
       * per group). */
     kmvK: Int = 256,
     /** q40/q45/q48/q49: ANN query-set size — queries are the vectors
-      * with `vec_id < annQueries`. */
-    annQueries: Int = 10,
+      * with `vec_id < annQueries`. 100 gives q45's recall@1 a 0.01
+      * granularity (10 distinguished only 11 levels and one boundary
+      * query flipped a tier by 0.1); the query side stays
+      * broadcast-small, so cost grows ~linearly. */
+    annQueries: Int = 100,
     /** q38: rounded-Jaccard threshold for a near-dup edge. */
     ccEdgeJaccard: Double = 0.5,
     /** q47/q48/q49: PQ subspace count cap (effective subspaces =
@@ -61,10 +64,13 @@ final case class Tuning(
     pqCentroids: Int = 256,
     /** q45/q49: exact re-rank candidate multiplier — the refined search
       * re-scores the top `refineFactor × k` ADC candidates with exact
-      * float cosine (FAISS's refine step). 16 (R = 80 of the ~nprobe·√n
-      * candidates, a 5% shortlist) is the measured knee where refined
-      * recall@1 reaches the candidate-coverage bound at sf0.1. */
-    refineFactor: Int = 16) {
+      * float cosine (FAISS's refine step). 64 (R = 320 of the ~nprobe·√n
+      * candidates) is the measured knee at annQueries = 100 where
+      * refined recall@1 reaches the candidate-coverage bound (=
+      * multiprobe's 0.80 at sf0.1); 16 left two queries' true NN below
+      * the ADC shortlist. The refine join stays nq·R broadcast pairs —
+      * raising it is cheap. */
+    refineFactor: Int = 64) {
 
   /** Minhash signature length — bands × rows, every row one affine
     * permutation over the 2³¹−1 prime field. */
