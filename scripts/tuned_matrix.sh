@@ -12,11 +12,16 @@ run() {
   local name="$1" filter="$2"; shift 2
   local out="/tmp/graft_tuned_$name"
   echo "=== $name: $* ==="
-  env "$@" scripts/run.sh graft.Verify "$SF" "$out" "$filter" 2>/dev/null | tail -1
+  if [ -n "$filter" ]; then
+    env "$@" scripts/run.sh graft.Verify "$SF" "$out" "$filter" 2>/dev/null | tail -1
+  else
+    env "$@" scripts/run.sh graft.Verify "$SF" "$out" 2>/dev/null | tail -1
+  fi
   python3 scripts/check.py "$SF" "$out" | tail -1
 }
-# A: ANN/PQ geometry + the lloydIters=0 seed-codebook edge
-run a q40,q41,q43,q44,q45,q47,q48,q49 \
+# A: ANN/PQ geometry + the lloydIters=0 seed-codebook edge (q67 pins
+# the per-knob STORED index artifact at this geometry)
+run a q40,q41,q43,q44,q45,q47,q48,q49,q67 \
   GRAFT_TUNING_ANN_QUERIES=5 GRAFT_TUNING_PQ_SUBSPACES=4 \
   GRAFT_TUNING_PQ_SUB_DIM=16 GRAFT_TUNING_PQ_CENTROIDS=32 \
   GRAFT_TUNING_REFINE_FACTOR=2 GRAFT_TUNING_NPROBE=4 \
@@ -27,6 +32,17 @@ run b q29,q31,q32,q38,q39,q59 \
   GRAFT_TUNING_MINHASH_ROWS=4 GRAFT_TUNING_DF_CAP=50 \
   GRAFT_TUNING_SOURCE_QUOTA=7 GRAFT_TUNING_KMV_K=128
 # C: partial PQ coverage (2 subspaces of 8 — the uncovered-dims bound)
-run c q40,q47,q48,q49 \
+run c q40,q47,q48,q49,q67 \
   GRAFT_TUNING_PQ_SUBSPACES=2 GRAFT_TUNING_ANN_QUERIES=3
+# D: hostile all-boundary set — every integer knob at its floor,
+# ccEdgeJaccard at its ceiling, deep Lloyd chain — FULL registry
+run d "" \
+  GRAFT_TUNING_DF_CAP=1 GRAFT_TUNING_MINHASH_BANDS=1 \
+  GRAFT_TUNING_MINHASH_ROWS=1 GRAFT_TUNING_MINHASH_BUCKET_CAP=1 \
+  GRAFT_TUNING_LSH_TABLES=1 GRAFT_TUNING_LSH_BUCKET_CAP=1 \
+  GRAFT_TUNING_NPROBE=1 GRAFT_TUNING_LLOYD_ITERS=5 \
+  GRAFT_TUNING_SOURCE_QUOTA=1 GRAFT_TUNING_KMV_K=1 \
+  GRAFT_TUNING_ANN_QUERIES=1 GRAFT_TUNING_CC_EDGE_JACCARD=1.0 \
+  GRAFT_TUNING_PQ_SUBSPACES=1 GRAFT_TUNING_PQ_SUB_DIM=1 \
+  GRAFT_TUNING_PQ_CENTROIDS=1 GRAFT_TUNING_REFINE_FACTOR=1
 echo "=== tuned matrix complete ==="

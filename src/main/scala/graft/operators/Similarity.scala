@@ -241,23 +241,77 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     rows
   }
 
-  /** Brute-force cosine top-5 for the configured query set (vec_id < annQueries). */
+  /** Brute-force cosine top-5 for the configured query set (vec_id <
+    * annQueries) — the exact-search scale shape: the nq query vectors
+    * broadcast (nq×64 doubles), ONE compiled pass over the corpus
+    * computes every (query, vector) cosine in a tight dim-order loop
+    * and keeps a bounded per-partition top-5 heap per query (the
+    * q07/q48 prune pattern), so NOTHING pair-sized ever materializes
+    * or shuffles — the nq-partition ranking window sees ≤ 5·P·nq rows.
+    * (The previous posexplode equi-join form materialized and shuffled
+    * n·nq·1 aggregated pair rows from a 320M-row join at sf0.1 —
+    * correct, but the join is pure overhead when one side broadcasts.)
+    *
+    * Determinism mirrors the oracle's join-form arithmetic: dots sum
+    * over SHARED dims in dimension order, norms over each side's own
+    * dims, ranking by the shared floor-rounded cosine + n_id tiebreak
+    * — the [[assignCells]] recipe, fp summation-order differences
+    * absorbed by r6/r4.
+    */
   private def bruteforceDF(s: SparkSession, d: String, ctx: AnnCtx): DataFrame = {
       import s.implicits._
-      val AnnCtx(_, u, n) = ctx
-      val qs = u.filter($"vec_id" < tuning.annQueries)
-        .select($"vec_id".as("q_id"), $"i".as("qi"), $"v".as("qv"))
-      val dots = qs.join(u.select($"vec_id".as("n_id"), $"i", $"v"),
-          $"qi" === $"i" && $"q_id" =!= $"n_id")
-        .groupBy($"q_id", $"n_id")
-        .agg(sum($"qv" * $"v").as("dot"))
-      val scored = dots
-        .join(broadcast(n.select($"vec_id".as("q_id"), $"nrm".as("qn"))), "q_id")
-        .join(broadcast(n.select($"vec_id".as("n_id"), $"nrm".as("cn"))), "n_id")
-        .withColumn("cosine", $"dot" / ($"qn" * $"cn"))
+      val queries: Array[(Long, Array[Double], Double)] =
+        t(s, d, "embeddings")
+          .filter($"vec_id" < tuning.annQueries && $"embedding".isNotNull)
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+          .collect()
+          .map { case (id, vf) =>
+            val v = vf.map(_.toDouble)
+            var qn2 = 0.0
+            var i = 0
+            while (i < v.length) { qn2 += v(i) * v(i); i += 1 }
+            (id, v, math.sqrt(qn2))
+          }.sortBy(_._1)
+      val bc = s.sparkContext.broadcast(queries)
+      val emb = spread(t(s, d, "embeddings"))
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      val pruned = emb.mapPartitions { it =>
+        val qs = bc.value
+        // per-query bounded heap, worst candidate on top
+        val best = scala.collection.mutable.HashMap[Long,
+          scala.collection.mutable.PriorityQueue[(Double, Long, Double)]]()
+        it.foreach { case (nid, vf) =>
+          if (vf != null) {
+            val v = vf.map(_.toDouble)
+            var cn2 = 0.0
+            var i = 0
+            while (i < v.length) { cn2 += v(i) * v(i); i += 1 }
+            val cn = math.sqrt(cn2)
+            qs.foreach { case (qid, qv, qn) =>
+              if (qid != nid) {
+                var dot = 0.0
+                val lim = math.min(qv.length, v.length)
+                var j = 0
+                while (j < lim) { dot += qv(j) * v(j); j += 1 }
+                val cos = dot / (qn * cn)
+                val r = math.floor(cos * 1e6 + 0.5) / 1e6
+                val heap = best.getOrElseUpdate(qid,
+                  scala.collection.mutable.PriorityQueue
+                    .empty[(Double, Long, Double)](
+                      Ordering.by(x => (-x._1, x._2))))
+                heap.enqueue((r, nid, cos))
+                if (heap.size > 5) heap.dequeue()
+              }
+            }
+          }
+        }
+        best.iterator.flatMap { case (q, heap) =>
+          heap.iterator.map { case (_, nid, cos) => (q, nid, cos) }
+        }
+      }.toDF("q_id", "n_id", "cosine")
       val w = Window.partitionBy($"q_id")
         .orderBy(r6($"cosine").desc, $"n_id")
-      scored.withColumn("rk", row_number().over(w).cast("long"))
+      pruned.withColumn("rk", row_number().over(w).cast("long"))
         .filter($"rk" <= 5)
         .select($"q_id", $"rk", $"n_id", r4($"cosine").as("cosine"))
         .orderBy($"q_id", $"rk")
@@ -456,15 +510,24 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * reused by q43, q44 and q45 (which runs both searches and would
     * otherwise pay for two identical refinements).
     */
-  private case class IvfCtx(u: DataFrame, n: DataFrame, cb: Codebook)
+  /** Search-side IVF context: the shared exploded/norm tables. The
+    * coarse-quantizer CODEBOOK is not here — the query set is corpus
+    * vectors whose probe cells are already in the stored `ivf_assign`
+    * table, so searches never collect the codebook (an out-of-corpus
+    * query vector would read `ivf_codebook` and assign itself against
+    * the broadcast — the q67-pinned table exists exactly for that).
+    */
+  private case class IvfCtx(u: DataFrame, n: DataFrame)
 
-  private def ivfCtx(s: SparkSession, d: String, ctx: AnnCtx): IvfCtx =
-    IvfCtx(ctx.u, ctx.n, loadIvfCodebook(s, d))
+  private def ivfCtx(s: SparkSession, d: String, ctx: AnnCtx): IvfCtx = {
+    ensureIndex(s, d)
+    IvfCtx(ctx.u, ctx.n)
+  }
 
   private def ivfSearch(s: SparkSession, d: String, ctx: IvfCtx,
       shared: Option[DataFrame] = None): DataFrame = {
       import s.implicits._
-      val IvfCtx(u, n, _) = ctx
+      val IvfCtx(u, n) = ctx
       // the home cell is the STORED assignment table's rank-1 row (q45
       // passes its shared cached read; standalone q43 reads it directly)
       val assign = shared.getOrElse(probedDF(s, d))
@@ -571,7 +634,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
   private def ivfMultiprobeSearch(s: SparkSession, d: String, ctx: IvfCtx,
       shared: Option[DataFrame] = None): DataFrame = {
       import s.implicits._
-      val IvfCtx(u, n, _) = ctx
+      val IvfCtx(u, n) = ctx
       // the STORED n×nprobe probe table (home is its rank-1 row); q45
       // passes ONE shared cached read so its multiprobe and ivfadc
       // tiers scan the assignment table once, not twice
@@ -1102,8 +1165,13 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     f.delete()
   }
 
-  /** The stored coarse quantizer, read → dense → broadcast-small. */
-  private def loadIvfCodebook(s: SparkSession, d: String): Codebook = {
+  /** The stored coarse quantizer, read → dense → broadcast-small: the
+    * entry point for assigning an OUT-OF-CORPUS query vector to its
+    * probe cells (corpus vectors are pre-assigned in `ivf_assign`).
+    * Exercised by IndexLakeSpec; the registry's own query set is
+    * corpus-drawn, so the registered searches go through [[probedDF]].
+    */
+  private[operators] def loadIvfCodebook(s: SparkSession, d: String): Codebook = {
     ensureIndex(s, d)
     import s.implicits._
     Similarity.rowsToCodebook(

@@ -108,6 +108,23 @@ class IndexLakeSpec extends SparkTestBase {
     }
   }
 
+  test("the stored codebook re-assigns vectors to their stored cells (out-of-corpus entry)") {
+    withTempRoot {
+      val s1 = new Similarity(knobs)
+      val cb = s1.loadIvfCodebook(spark, sf)
+      assert(cb.nonEmpty)
+      // assigning through the READ codebook must agree with the stored
+      // assignment table — the consistency an out-of-corpus query relies on
+      val fresh = s1.assignCells(spark, sf, cb, nProbe = 1)
+        .filter("rk = 1").select("vec_id", "cell")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val stored = spark.read.parquet(s"${s1.indexPath(sf)}/ivf_assign")
+        .filter("rk = 1").select("vec_id", "cell")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fresh == stored, "stored codebook and stored assignment disagree")
+    }
+  }
+
   test("a crashed writer's leftovers (dir without _SUCCESS) are healed") {
     withTempRoot {
       val s1 = new Similarity(knobs)
