@@ -367,8 +367,10 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     *    whole, the same rule as the q32 LSH bucket cap; the oracle
     *    applies the identical cap. The overfull set is tiny, so it
     *    anti-joins as a broadcast — no extra shuffle on the big side.
-    *  - candidate pairs are DISTINCT'd before the dot-product join, so
-    *    a pair cohabiting in several tables is scored once.
+    *  - a pair cohabiting in several tables is scored identically in
+    *    each (same compiled dim-order loop over the same arrays), and
+    *    only per-group bests reach the global rank — duplicates
+    *    collapse there, no pair-level DISTINCT shuffle needed.
     */
   private def lshDF(s: SparkSession, d: String, ctx: AnnCtx): DataFrame = {
       import s.implicits._
@@ -389,32 +391,60 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       val over = bt.groupBy($"tbl", $"bucket").agg(count(lit(1)).as("cnt"))
         .filter($"cnt" > T.lshBucketCap).select($"tbl", $"bucket")
       val btc = bt.join(broadcast(over), Seq("tbl", "bucket"), "left_anti")
-      // canonical pairs (a < b), distinct'd across tables: the dot is
-      // symmetric, so scoring each unordered pair ONCE and mirroring
-      // afterwards halves the dot-join volume vs both-direction pairs
-      val cand = btc.as("x").join(btc.as("y"),
-          $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" &&
-            $"x.vec_id" < $"y.vec_id")
-        .select($"x.vec_id".as("a_id"), $"y.vec_id".as("b_id"))
-        .distinct()
-      val ua = ctx.u.select($"vec_id".as("a_id"), $"i", $"v".as("av"))
-      val ub = ctx.u.select($"vec_id".as("bb_id"), $"i".as("bi"), $"v".as("bv"))
-      val dots1 = cand.join(ua, "a_id")
-        .join(ub, $"b_id" === $"bb_id" && $"i" === $"bi")
-        .groupBy($"a_id", $"b_id")
-        .agg(sum($"av" * $"bv").as("dot"))
-      val dots = dots1.unionAll(
-        dots1.select($"b_id".as("a_id"), $"a_id".as("b_id"), $"dot"))
-      val n = ctx.n
-      val scored = dots
-        .join(broadcast(n.select($"vec_id".as("a_id"), $"nrm".as("an"))), "a_id")
-        .join(broadcast(n.select($"vec_id".as("b_id"), $"nrm".as("bn"))), "b_id")
-        .withColumn("cosine", $"dot" / ($"an" * $"bn"))
+      // ONE shuffle of the bucketed VECTORS (n·L rows, cap-bounded
+      // groups), then all within-bucket pairing runs in a compiled
+      // per-group loop that emits only each vector's PER-GROUP BEST
+      // neighbor (r6 + id tiebreak — the group-local order equals the
+      // global rank order, so max-over-group-bests IS the global best).
+      // The previous form shuffled the candidate pairs × 64 exploded
+      // components (~200M rows at sf0.1, n·L·bucket·64 at scale) through
+      // a pair-keyed aggregation; the arithmetic is identical, the
+      // materialized volume is now n·L rows in and ≤ n·L best-rows out.
+      val emb = t(s, d, "embeddings")
+        .filter($"embedding".isNotNull)
+        .select($"vec_id", $"embedding")
+      val grouped = btc.join(emb, "vec_id")
+        .select($"tbl", $"bucket", $"vec_id", $"embedding")
+        .as[(Int, Long, Long, Array[Float])]
+        .groupByKey(r => (r._1, r._2))
+      val best = grouped.flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Array[Float])]) =>
+        val vs = it.map(r => (r._3, r._4.map(_.toDouble))).toArray.sortBy(_._1)
+        val norms = vs.map { case (_, v) =>
+          var s2 = 0.0
+          var i = 0
+          while (i < v.length) { s2 += v(i) * v(i); i += 1 }
+          math.sqrt(s2)
+        }
+        (0 until vs.length).iterator.flatMap { ai =>
+          val (aId, av) = vs(ai)
+          var bestR = Double.NegativeInfinity
+          var bestB = Long.MaxValue
+          var bestCos = 0.0
+          var bi = 0
+          while (bi < vs.length) {
+            if (bi != ai) {
+              val (bId, bv) = vs(bi)
+              var dot = 0.0
+              val lim = math.min(av.length, bv.length)
+              var j = 0
+              while (j < lim) { dot += av(j) * bv(j); j += 1 }
+              val cos = dot / (norms(ai) * norms(bi))
+              val r = math.floor(cos * 1e6 + 0.5) / 1e6
+              if (r > bestR || (r == bestR && bId < bestB)) {
+                bestR = r; bestB = bId; bestCos = cos
+              }
+            }
+            bi += 1
+          }
+          if (bestB == Long.MaxValue) Iterator.empty
+          else Iterator((aId, bestB, bestCos))
+        }
+      }.toDF("a_id", "nn_id", "cosine")
       val w = Window.partitionBy($"a_id")
-        .orderBy(r6($"cosine").desc, $"b_id")
-      scored.withColumn("rk", row_number().over(w))
+        .orderBy(r6($"cosine").desc, $"nn_id")
+      best.withColumn("rk", row_number().over(w))
         .filter($"rk" === 1)
-        .select($"a_id", $"b_id".as("nn_id"), r4($"cosine").as("cosine"))
+        .select($"a_id", $"nn_id", r4($"cosine").as("cosine"))
         .orderBy($"a_id")
   }
 
