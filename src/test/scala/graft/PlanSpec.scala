@@ -88,6 +88,56 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q40: exact search is one compiled corpus pass — no join anywhere in the plan") {
+    val p = planOf("q40_ann_bruteforce")
+    // queries broadcast into the partition loop; candidates prune to
+    // bounded per-partition heaps — a Join node would mean pair rows
+    // materialized again (the round-7 rewrite this locks in)
+    assert(!p.contains("Join"), s"q40 reintroduced a join:\n$p")
+    assert(p.contains("MapPartitions"), "q40 lost its compiled scan")
+  }
+
+  test("q41: bucket pairing is a grouped compiled pass — vectors shuffle once, pairs never") {
+    val p = planOf("q41_ann_lsh_bucket")
+    assert(p.contains("FlatMapGroups") || p.contains("MapGroups"),
+      "q41 lost its per-bucket compiled pairing")
+    // the old shape shuffled candidate pairs × 64 exploded components
+    // through a pair-keyed HashAggregate; with per-group bests the only
+    // aggregates left are the bucket-cap count and none over pairs
+    assert(!p.contains("posexplode"), "q41 re-exploded the vectors")
+  }
+
+  test("q26: bound checks use conditional sums — no Window, no per-group sort") {
+    val p = planOf("q26_approx_sketches")
+    assert(!p.contains("Window"), "q26 ranks with a window instead of sums")
+  }
+
+  test("q61/q62: pixels never shuffle — one Exchange (the final sort) past the decode") {
+    for (q <- Seq("q61_multimodal_frame_sample", "q62_multimodal_resize_plan")) {
+      val p = planOf(q)
+      assert(p.contains("MapPartitions"), s"$q lost its compiled decode pass")
+      // scan → compiled decode/hash → project → ONE range exchange for
+      // the output sort; any second exchange would be carrying blob
+      // bytes across the cluster
+      // count tree nodes ("Exchange (7)"), not their detail headers
+      val exchanges = "Exchange \\(".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$q shuffles more than the final sort:\n$p")
+    }
+  }
+
+  test("q43/q44/q47/q48/q49: searches scan the STORED index (no in-query rebuild)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val key = "/graft-index"
+      for (q <- Seq("q43_ann_ivf", "q44_ann_ivf_multiprobe", "q47_embedding_pq",
+          "q48_pq_adc_topk", "q49_ivf_pq_search")) {
+        val df = SparkEntry.queries(q)(spark, sf)
+        assert(df.inputFiles.exists(_.contains(key)),
+          s"$q does not scan a stored index table: ${df.inputFiles.toSeq}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q22: percentile rank is range-partitioned — no per-group Window sort") {
     // round-2 form shipped each returnflag group through ONE reducer
     // (Window.partitionBy(group).orderBy(v)); the two-pass form range-
