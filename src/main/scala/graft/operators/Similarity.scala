@@ -119,6 +119,27 @@ object Similarity {
     */
   private[operators] val indexBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** One vector's nProbe nearest cells — the [[Similarity#assignCells]]
+    * scoring loop factored out so the out-of-corpus serving path
+    * ([[Similarity#search]]) assigns ad-hoc query vectors against the
+    * READ codebook with the identical determinism (r6-rounded
+    * ‖c‖²−2⟨v,c⟩, cell-id tiebreak). Returns (cell, rank 1..nProbe).
+    */
+  private[operators] def nearestCells(v: Array[Double], cells: Codebook,
+      nProbe: Int): Array[(Long, Int)] =
+    cells.map { case (cid, cv) =>
+      var dot = 0.0
+      var cn2 = 0.0
+      var i = 0
+      while (i < cv.length) {
+        cn2 += cv(i) * cv(i)
+        if (i < v.length) dot += v(i) * cv(i)
+        i += 1
+      }
+      (math.floor((cn2 - 2.0 * dot) * 1e6 + 0.5) / 1e6, cid)
+    }.sortBy(x => (x._1, x._2)).take(nProbe)
+      .zipWithIndex.map { case ((_, cid), idx) => (cid, idx + 1) }
+
 }
 
 /** The tuned ANN tier: one instance per knob set. The oracle SQL strings
@@ -171,25 +192,11 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       it.flatMap { case (id, vf) =>
         // NULL embedding ⇒ unassigned, matching the oracle (no rows)
         if (vf == null) Iterator.empty
-        else {
-          val v = vf.map(_.toDouble)
-          val scored = cells.map { case (cid, cv) =>
-            var dot = 0.0
-            var cn2 = 0.0
-            var i = 0
-            // ‖c‖² over ALL centroid dims (the oracle's sum(cv*cv));
-            // the dot only over dims the vector has
-            while (i < cv.length) {
-              cn2 += cv(i) * cv(i)
-              if (i < v.length) dot += v(i) * cv(i)
-              i += 1
-            }
-            (math.floor((cn2 - 2.0 * dot) * 1e6 + 0.5) / 1e6, cid)
-          }
-          scored.sortBy(x => (x._1, x._2)).take(nProbe)
-            .iterator.zipWithIndex
-            .map { case ((_, cid), idx) => (id, cid, idx + 1) }
-        }
+        else
+          // ‖c‖² over ALL centroid dims (the oracle's sum(cv*cv)); the
+          // dot only over dims the vector has — see [[nearestCells]]
+          Similarity.nearestCells(vf.map(_.toDouble), cells, nProbe)
+            .iterator.map { case (cid, rk) => (id, cid, rk) }
       }
     }.toDF("vec_id", "cell", "rk")
   }
@@ -554,6 +561,14 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     IvfCtx(ctx.u, ctx.n)
   }
 
+  /** NOTE on shape: within-CELL pairing stays an exploded equi-JOIN
+    * (unlike q41's grouped compiled pass) deliberately — IVF cells
+    * hold ~√n vectors with NO hard cap, so a per-cell group would
+    * concentrate (√n)² pair work in one task as n grows (10⁹ dots per
+    * task at n = 10⁹), while the join form lets Spark distribute the
+    * within-cell pair space across tasks. LSH buckets are cap-bounded
+    * (lshBucketCap), which is what makes the grouped pass safe there.
+    */
   private def ivfSearch(s: SparkSession, d: String, ctx: IvfCtx,
       shared: Option[DataFrame] = None): DataFrame = {
       import s.implicits._
@@ -1232,6 +1247,100 @@ final class Similarity(val tuning: Tuning) extends Serializable {
   private def codesDF(s: SparkSession, d: String): DataFrame = {
     ensureIndex(s, d)
     s.read.parquet(s"${indexPath(d)}/pq_codes")
+  }
+
+  /** The SERVING path of the vector store: ANN top-k for AD-HOC query
+    * vectors (not drawn from the corpus) over the STORED index, end to
+    * end — no index build, no corpus floats except the refine
+    * shortlist:
+    *
+    *  1. assign each query to its `nprobe` nearest cells against the
+    *     READ coarse codebook (driver-side [[Similarity.nearestCells]]
+    *     — the codebook is √n·dims, always small);
+    *  2. candidates = corpus vectors HOMED in the probed cells, from
+    *     the stored `ivf_assign` (broadcast query-probe table joined
+    *     into the corpus-sized assignment — one equi-join);
+    *  3. rank by PQ asymmetric distance: per-query LUT computed
+    *     driver-side against the READ PQ codebook (nq×subs×cents rows,
+    *     broadcast), summed over the stored `pq_codes` — 8 lookups per
+    *     candidate, floats untouched;
+    *  4. optionally (`refine = true`) re-rank the top
+    *     `refineFactor × k` shortlist by exact cosine over the corpus
+    *     floats — the only step that touches them.
+    *
+    * Not a driver-contract query (ad-hoc input has no oracle);
+    * spec-covered by SimilaritySearchSpec, which feeds known vectors
+    * and checks the exact-identity and brute-force agreement
+    * properties. Queries with NULL/empty vectors return no rows.
+    */
+  def search(s: SparkSession, d: String,
+      queryVecs: Seq[(Long, Array[Float])], k: Int = 5,
+      refine: Boolean = true): DataFrame = {
+    import s.implicits._
+    ensureIndex(s, d)
+    val qs = queryVecs.filter(q => q._2 != null && q._2.nonEmpty)
+      .map { case (qid, vf) => (qid, vf.map(_.toDouble)) }
+    val cb = loadIvfCodebook(s, d)
+    val qprobes = qs.flatMap { case (qid, v) =>
+      Similarity.nearestCells(v, cb, tuning.nprobe)
+        .map { case (cell, _) => (qid, cell) }
+    }.toDF("q_id", "cell")
+    val home = probedDF(s, d).filter($"rk" === 1)
+      .select($"vec_id".as("n_id"), $"cell")
+    val cand = home.join(broadcast(qprobes), "cell").select($"q_id", $"n_id")
+    // per-query ADC lookup table against the READ PQ codebook — the
+    // same only-shared-dims semantics as the adcCtx join
+    val subDim = tuning.pqSubDim
+    val pq = loadPqCodebook(s, d)
+    val lut = qs.flatMap { case (qid, v) =>
+      pq.map { case (cent, sub, pairs) =>
+        var d2 = 0.0
+        pairs.foreach { case (sd, cv) =>
+          val idx = sub * subDim + sd
+          if (idx < v.length) { val e = v(idx) - cv; d2 += e * e }
+        }
+        (qid, sub, cent, d2)
+      }
+    }.toDF("q_id", "sub", "cent", "pd2")
+    val scored = cand.join(codesDF(s, d), "n_id")
+      .join(broadcast(lut), Seq("q_id", "sub", "cent"))
+      .groupBy($"q_id", $"n_id")
+      .agg(sum($"pd2").as("d2"))
+    val ranked = scored.withColumn("rk", row_number().over(
+      Window.partitionBy($"q_id").orderBy(r6($"d2"), $"n_id")))
+    if (!refine)
+      ranked.filter($"rk" <= k)
+        .select($"q_id", $"rk".cast("long").as("rk"), $"n_id",
+          r4($"d2").as("approx_d2"))
+        .orderBy($"q_id", $"rk")
+    else {
+      val topR = ranked.filter($"rk" <= tuning.refineFactor.toLong * k)
+        .select($"q_id", $"n_id")
+      val u = unpacked(s, d)
+      val n = norms(u)
+      val qu = qs.flatMap { case (qid, v) =>
+        v.iterator.zipWithIndex.map { case (x, i) => (qid, i, x) }
+      }.toDF("q_id", "i", "qv")
+      val qn = qs.map { case (qid, v) =>
+        var s2 = 0.0
+        var i = 0
+        while (i < v.length) { s2 += v(i) * v(i); i += 1 }
+        (qid, math.sqrt(s2))
+      }.toDF("q_id", "qn")
+      val dots = broadcast(broadcast(topR).join(qu, "q_id"))
+        .join(u.select($"vec_id".as("n_id"), $"i", $"v"), Seq("n_id", "i"))
+        .groupBy($"q_id", $"n_id")
+        .agg(sum($"qv" * $"v").as("dot"))
+      dots.join(broadcast(qn), "q_id")
+        .join(broadcast(n.select($"vec_id".as("n_id"), $"nrm".as("cn"))), "n_id")
+        .withColumn("cosine", $"dot" / ($"qn" * $"cn"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"q_id").orderBy(r6($"cosine").desc, $"n_id")))
+        .filter($"rk" <= k)
+        .select($"q_id", $"rk".cast("long").as("rk"), $"n_id",
+          r4($"cosine").as("cosine"))
+        .orderBy($"q_id", $"rk")
+    }
   }
 
   private val q47 = Q(
