@@ -43,7 +43,7 @@ object Bench {
     // bursts poison BOTH back-to-back runs, e.g. q41 [87.4, 5.0] with
     // the burst ending mid-pair) then lands on *different* queries in
     // each pass, so the per-query min survives it. Per-pass wall-clocks
-    // are recorded ("pass_secs") so a burst is visible as one slow pass.
+    // stream to stderr so a burst is visible as one slow pass.
     // A failed run's time-to-failure is NOT a sample — a 0.3 s crash
     // must not be recorded as a 0.3 s query; queries with any failed run
     // are listed in "errors".
@@ -87,13 +87,11 @@ object Bench {
     // short keys), 2-dp mins, and the sf basename — ~700 chars, safe
     // margin. Everything verbose (full names, both pass times, pass
     // wall-clocks) streams to stderr above.
-    val qs = results.map { case (k, best, _) => "\"" + k.take(3) + "\":" + num(best, 2) }
+    def short(k: String) = k.takeWhile(_ != '_')  // q45, q100 — no 3-digit collision
+    val qs = results.map { case (k, best, _) => "\"" + short(k) + "\":" + num(best, 2) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, runs) if runs.exists(!_._2) => "\"" + k.take(3) + "\"" }
+    val errs = results.collect { case (k, _, runs) if runs.exists(!_._2) => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
-    passes.zipWithIndex.foreach { case ((_, wall), i) =>
-      System.err.println(s"[bench] pass ${i + 1} wall: ${num(wall, 1)} s")
-    }
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfName"}""")

@@ -1,0 +1,56 @@
+package graft.operators
+
+/** Keyed on-disk artifact installation — the shared machinery behind
+  * the stored media fixture ([[Multimodal.MediaLake]]) and the stored
+  * vector index ([[Similarity]]'s ensureIndex). One copy of the
+  * concurrency-sensitive invariants, bug-fixed in one place:
+  *
+  *  - a target dir is COMPLETE iff a top-level `_SUCCESS` exists, and
+  *    the marker is the LAST thing written before the rename;
+  *  - a target without the marker is a crashed writer's leftovers —
+  *    but the marker is re-checked IMMEDIATELY before deleting, so a
+  *    completed artifact another process renamed into place since the
+  *    outer check is never removed out from under a reader;
+  *  - staging dirs are per-writer-unique (UUID suffix), so racing
+  *    processes cannot overwrite-delete each other mid-write and
+  *    install a mixed artifact under a marker;
+  *  - losing the rename race is SUCCESS when (and only when) the
+  *    builder is deterministic and the target path keys everything the
+  *    bytes depend on — both callers guarantee this (fixture/index
+  *    version + knob + data-fingerprint keys).
+  */
+private[operators] object ArtifactLake {
+
+  /** Install `target` if not already complete. `build` populates the
+    * passed staging dir; a `_SUCCESS` the build itself created (e.g. a
+    * parquet commit into the staging root) is honored, otherwise one
+    * is created after `build` returns. Returns true iff THIS call
+    * performed the build (false = already installed, or lost the
+    * install race to an identical artifact).
+    */
+  def ensure(target: java.io.File)(build: java.io.File => Unit): Boolean = {
+    if (new java.io.File(target, "_SUCCESS").isFile) return false
+    target.getParentFile.mkdirs()
+    if (target.exists()) {
+      if (new java.io.File(target, "_SUCCESS").isFile) return false
+      deleteTree(target)
+    }
+    val staging = new java.io.File(target.getParentFile,
+      s".${target.getName}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    build(staging)
+    val marker = new java.io.File(staging, "_SUCCESS")
+    if (!marker.isFile && !marker.createNewFile())
+      throw new java.io.IOException(s"artifact marker create failed: $staging")
+    if (!staging.renameTo(target)) {
+      deleteTree(staging)
+      if (!new java.io.File(target, "_SUCCESS").isFile)
+        throw new java.io.IOException(s"artifact rename failed: $target")
+    }
+    true
+  }
+
+  def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteTree))
+    f.delete()
+  }
+}

@@ -261,54 +261,24 @@ object Multimodal {
 
     private val ready = scala.collection.mutable.HashSet[String]()
 
-    /** Generate the fixture if this JVM hasn't confirmed it yet.
-      * Staging-dir + rename keeps a crashed writer invisible; losing
-      * the rename race to another process is success (same bytes —
-      * the builder is deterministic).
+    /** Generate the fixture if this JVM hasn't confirmed it yet — the
+      * shared [[ArtifactLake]] staged-rename recipe (marker-last,
+      * re-check before delete, per-writer staging; losing the install
+      * race is success: the builder is deterministic and the path key
+      * pins the version). The parquet commit writes its own `_SUCCESS`
+      * into the staging root, which the helper honors.
       */
     def ensure(s: SparkSession, d: String): Unit = synchronized {
       val p = path(d)
       if (ready.contains(p)) return
-      val target = new java.io.File(p)
-      if (!new java.io.File(target, "_SUCCESS").isFile) {
+      ArtifactLake.ensure(new java.io.File(p)) { staging =>
         import s.implicits._
-        target.getParentFile.mkdirs()
-        // a target dir WITHOUT _SUCCESS is a crashed writer's leftovers —
-        // clear it or the rename below can never succeed. Re-check the
-        // marker IMMEDIATELY before deleting: another process may have
-        // renamed a completed fixture into place since the outer check,
-        // and a completed copy must never be removed out from under a
-        // concurrent reader.
-        if (target.exists()) {
-          if (new java.io.File(target, "_SUCCESS").isFile) {
-            ready += p
-            return
-          }
-          deleteTree(target)
-        }
-        // staging is per-writer-unique: two processes racing on the
-        // shared deterministic name could overwrite-delete each other
-        // mid-write and install a mixed fixture under a _SUCCESS marker
-        val staging = new java.io.File(target.getParentFile,
-          s".${target.getName}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
         t(s, d, "documents").select($"doc_id").as[Long]
           .mapPartitions(_.map(id => (id, MediaFixtures.blobFor(id))))
           .toDF("doc_id", "blob")
           .write.mode("overwrite").parquet(staging.getAbsolutePath)
-        if (!staging.renameTo(target)) {
-          // lost the race: the winner's fixture is byte-identical (same
-          // builder version — the path key pins it); drop our copy
-          deleteTree(staging)
-          if (!new java.io.File(target, "_SUCCESS").isFile)
-            throw new java.io.IOException(s"media fixture rename failed: $p")
-        }
       }
       ready += p
-    }
-
-    private def deleteTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteTree))
-      f.delete()
     }
   }
 

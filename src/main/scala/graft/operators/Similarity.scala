@@ -218,11 +218,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * bit-deterministic. Cells that lose all members simply drop out on
     * both sides. Cell ids remain the original seed vec_ids.
     */
-  private[operators] def refinedCodebook(s: SparkSession, d: String,
-      stride: Long, u: DataFrame, iters: Int): Codebook =
-    rowsToCodebook(refinedCodebookRows(s, d, stride, u, iters))
-
-  /** [[refinedCodebook]] in its SPARSE lake-table form: one (cell, dim,
+  /** The Lloyd-refined IVF codebook in its SPARSE lake-table form: one (cell, dim,
     * cv) row per dimension PRESENT in the refinement aggregate — exactly
     * the oracle's cb{iters} CTE rows, which is what the stored
     * `ivf_codebook` table must hold for the index-build query to
@@ -265,7 +261,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * — the [[assignCells]] recipe, fp summation-order differences
     * absorbed by r6/r4.
     */
-  private def bruteforceDF(s: SparkSession, d: String, ctx: AnnCtx): DataFrame = {
+  private def bruteforceDF(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val queries: Array[(Long, Array[Double], Double)] =
         t(s, d, "embeddings")
@@ -326,7 +322,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
 
   private val q40 = Q(
     "q40_ann_bruteforce",
-    (s, d) => bruteforceDF(s, d, annCtx(s, d)),
+    (s, d) => bruteforceDF(s, d),
     Some(s"""
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
       n AS (SELECT vec_id,
@@ -535,7 +531,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * deterministically by `vec_id % ⌊n/k⌋ = 0` (both engines derive k
     * and the stride from the same count with the same ε-guarded sqrt)
     * and is then Lloyd-refined for Tuning.lloydIters deterministic
-    * k-means iterations ([[refinedCodebook]] — tighter cells, higher
+    * k-means iterations ([[refinedCodebookRows]] — tighter cells, higher
     * recall, same asymptotics; the oracle replays the identical
     * refinement). Expected cell size is √n, the classic IVF balance
     * point: assignment is n·k broadcast-codebook dot products and
@@ -596,7 +592,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
         .orderBy($"a_id")
   }
 
-  /** The oracle's replay of [[refinedCodebook]] + the final assignment,
+  /** The oracle's replay of [[refinedCodebookRows]] + the final assignment,
     * GENERATED for Tuning.lloydIters iterations: cb0 = stride seeds,
     * then per iteration i the chain n_i (cell norms) → d_i (dots) →
     * a_i (rank-1 assignment) → cb_{i+1} (r6 centroids), ending in the
@@ -749,7 +745,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     (s, d) => {
       import s.implicits._
       val ctx = annCtx(s, d)
-      val gt = bruteforceDF(s, d, ctx).filter($"rk" === 1)
+      val gt = bruteforceDF(s, d).filter($"rk" === 1)
         .select($"q_id", $"n_id".as("true_nn"))
       def recallOf(method: String, df: DataFrame) =
         gt.join(df.select($"a_id".as("q_id"), $"nn_id"), Seq("q_id"), "left")
@@ -1094,6 +1090,28 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     sys.props.getOrElse("graft.index.dir",
       s"${sys.props("java.io.tmpdir")}/graft-index")
 
+  /** Fingerprint of the embeddings table's FILE LISTING (names, sizes,
+    * mtimes) — a stat-only walk, no data read. Part of the index key:
+    * the artifact depends on the corpus CONTENT, not just the dir
+    * path, so a regenerated table at the same path re-keys and can
+    * never be served a stale stored index (the failure would otherwise
+    * surface as oracle hash-mismatches misdiagnosed as engine bugs —
+    * or, for the oracle-less [[search]], as silently wrong neighbors).
+    * Non-local paths fall back to path-only keying ("nofp").
+    */
+  private[operators] def dataFingerprint(d: String): String = try {
+    val p = new java.io.File(s"$d/embeddings.parquet")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val sig = walk(p)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    if (sig.isEmpty) "nofp"
+    else java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  } catch { case _: Exception => "nofp" }
+
   private[operators] def indexPath(d: String): String = {
     val root = indexRoot
     val knobs = s"${tuning.lloydIters}:${tuning.nprobe}:${tuning.pqSubspaces}:" +
@@ -1102,7 +1120,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       .digest((new java.io.File(d).getCanonicalPath + ":" + knobs + ":" +
         indexVersion).getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
-    s"$root/index-$key-v$indexVersion"
+    s"$root/index-$key-${dataFingerprint(d)}-v$indexVersion"
   }
 
   /** Paths this INSTANCE has confirmed on disk. Per-instance, not
@@ -1113,39 +1131,17 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     */
   private val indexReady = scala.collection.mutable.HashSet[String]()
 
+  /** Install-or-reuse via the shared [[ArtifactLake]] machinery; the
+    * build is deterministic and the path keys knobs + data fingerprint,
+    * so losing an install race to another process is success.
+    */
   private[operators] def ensureIndex(s: SparkSession, d: String): Unit = synchronized {
     val p = indexPath(d)
     if (indexReady.contains(p)) return
-    val target = new java.io.File(p)
-    if (!new java.io.File(target, "_SUCCESS").isFile) {
-      target.getParentFile.mkdirs()
-      // a target dir WITHOUT _SUCCESS is a crashed writer's leftovers;
-      // re-check the marker immediately before deleting — another
-      // process may have installed a completed index since the check
-      if (target.exists()) {
-        if (new java.io.File(target, "_SUCCESS").isFile) {
-          indexReady += p; return
-        }
-        deleteTree(target)
-      }
-      // per-writer-unique staging: racing processes must not overwrite
-      // each other mid-write and install a mixed artifact
-      val staging = new java.io.File(target.getParentFile,
-        s".${target.getName}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    val built = ArtifactLake.ensure(new java.io.File(p)) { staging =>
       buildIndex(s, d, staging.getAbsolutePath)
-      // the top-level marker is written LAST: its presence means all
-      // four tables are complete
-      if (!new java.io.File(staging, "_SUCCESS").createNewFile())
-        throw new java.io.IOException(s"index marker create failed: $staging")
-      Similarity.indexBuilds.incrementAndGet()
-      if (!staging.renameTo(target)) {
-        // lost the race: the winner's index is byte-identical (the
-        // build is deterministic and the path key pins the knobs)
-        deleteTree(staging)
-        if (!new java.io.File(target, "_SUCCESS").isFile)
-          throw new java.io.IOException(s"index rename failed: $p")
-      }
     }
+    if (built) Similarity.indexBuilds.incrementAndGet()
     indexReady += p
   }
 
@@ -1176,8 +1172,12 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       .coalesce(1).write.mode("overwrite").parquet(s"$staging/pq_codebook")
     buildPqCodes(s, emb, cb1)
       .write.mode("overwrite").parquet(s"$staging/pq_codes")
-    ctx.u.unpersist()
-    emb.unpersist()
+    // deliberately NO unpersist: Spark caches by logical plan, so the
+    // entries built here are the SAME entries the triggering query's
+    // own annCtx/pqCtx share — evicting them would force the first-
+    // build query to re-materialize the n×64 explode for every later
+    // tier. The per-query harness (Verify/Bench) clears the cache
+    // between queries.
   }
 
   /** Corpus PQ codes `(n_id, sub, cent)` — the compiled assignment map
@@ -1203,11 +1203,6 @@ final class Similarity(val tuning: Tuning) extends Serializable {
         }
       }
     }.toDF("n_id", "sub", "cent")
-  }
-
-  private def deleteTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteTree))
-    f.delete()
   }
 
   /** The stored coarse quantizer, read → dense → broadcast-small: the

@@ -108,6 +108,24 @@ class IndexLakeSpec extends SparkTestBase {
     }
   }
 
+  test("regenerated corpus data re-keys the artifact (no stale index served)") {
+    val s1 = new Similarity(knobs)
+    // a fake sf dir whose embeddings table we can mutate
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp-spec").toFile
+    val table = new java.io.File(dir, "embeddings.parquet")
+    table.mkdirs()
+    val part = new java.io.File(table, "part-0.parquet")
+    java.nio.file.Files.writeString(part.toPath, "v1-bytes")
+    val p1 = s1.indexPath(dir.getAbsolutePath)
+    // same listing → same key
+    assert(s1.indexPath(dir.getAbsolutePath) == p1)
+    // changed content (length/mtime) → different key
+    java.nio.file.Files.writeString(part.toPath, "v2-bytes-longer")
+    part.setLastModified(part.lastModified() + 5000)
+    assert(s1.indexPath(dir.getAbsolutePath) != p1,
+      "data change did not re-key the stored index")
+  }
+
   test("the stored codebook re-assigns vectors to their stored cells (out-of-corpus entry)") {
     withTempRoot {
       val s1 = new Similarity(knobs)
