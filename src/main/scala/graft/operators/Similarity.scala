@@ -119,6 +119,16 @@ object Similarity {
     */
   private[operators] val indexBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Count of delta segments actually INSTALLED this JVM — spec hook
+    * proving add() idempotence and cross-session segment reuse
+    * ([[graft.operators.SimilarityAddSpec]]).
+    */
+  private[operators] val indexAdds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Count of tombstone segments actually INSTALLED this JVM
+    * ([[graft.operators.SimilarityRemoveSpec]]). */
+  private[operators] val indexRemoves = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** One vector's nProbe nearest cells — the [[Similarity#assignCells]]
     * scoring loop factored out so the out-of-corpus serving path
     * ([[Similarity#search]]) assigns ad-hoc query vectors against the
@@ -1263,6 +1273,10 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     *     `refineFactor × k` shortlist by exact cosine over the corpus
     *     floats — the only step that touches them.
     *
+    * Every corpus-sized read (assignment, codes, refine floats) is the
+    * base table ∪ the installed [[addVectors]] delta segments, so
+    * added vectors are served exactly like built ones.
+    *
     * Not a driver-contract query (ad-hoc input has no oracle);
     * spec-covered by SimilaritySearchSpec, which feeds known vectors
     * and checks the exact-identity and brute-force agreement
@@ -1280,8 +1294,15 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       Similarity.nearestCells(v, cb, tuning.nprobe)
         .map { case (cell, _) => (qid, cell) }
     }.toDF("q_id", "cell")
-    val home = probedDF(s, d).filter($"rk" === 1)
+    // base ∪ installed delta segments: added vectors are served the
+    // moment their segment's marker lands ([[addVectors]]); tombstoned
+    // ids drop out here, upstream of codes and refine ([[removeVectors]])
+    val home0 = withDeltas(s, d, probedDF(s, d), "ivf_assign")
+      .filter($"rk" === 1)
       .select($"vec_id".as("n_id"), $"cell")
+    val home = tombstonedIds(s, d).fold(home0)(ts =>
+      home0.join(broadcast(ts.withColumnRenamed("vec_id", "n_id")),
+        Seq("n_id"), "left_anti"))
     val cand = home.join(broadcast(qprobes), "cell").select($"q_id", $"n_id")
     // per-query ADC lookup table against the READ PQ codebook — the
     // same only-shared-dims semantics as the adcCtx join
@@ -1297,7 +1318,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
         (qid, sub, cent, d2)
       }
     }.toDF("q_id", "sub", "cent", "pd2")
-    val scored = cand.join(codesDF(s, d), "n_id")
+    val scored = cand.join(withDeltas(s, d, codesDF(s, d), "pq_codes"), "n_id")
       .join(broadcast(lut), Seq("q_id", "sub", "cent"))
       .groupBy($"q_id", $"n_id")
       .agg(sum($"pd2").as("d2"))
@@ -1311,7 +1332,14 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     else {
       val topR = ranked.filter($"rk" <= tuning.refineFactor.toLong * k)
         .select($"q_id", $"n_id")
-      val u = unpacked(s, d)
+      // exact-refine floats: the corpus explode ∪ each delta segment's
+      // stored vectors, unpacked with the identical transform
+      val u0 = unpacked(s, d).select($"vec_id", $"i", $"v")
+      val u = deltaDirs(d).foldLeft(u0)((acc, dir) =>
+        acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/vectors")
+          .select($"vec_id", posexplode(
+            expr("transform(embedding, x -> cast(x as double))")))
+          .withColumnRenamed("pos", "i").withColumnRenamed("col", "v")))
       val n = norms(u)
       val qu = qs.flatMap { case (qid, v) =>
         v.iterator.zipWithIndex.map { case (x, i) => (qid, i, x) }
@@ -1336,6 +1364,207 @@ final class Similarity(val tuning: Tuning) extends Serializable {
           r4($"cosine").as("cosine"))
         .orderBy($"q_id", $"rk")
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental add — the vector store's DML half. FAISS add()
+  // semantics: the quantizers (coarse + PQ codebooks) are TRAINED once
+  // by the stored build and FROZEN; adding vectors encodes them against
+  // the frozen quantizers and installs one immutable delta segment —
+  // no retrain, no rebuild, no touch of the existing corpus or
+  // segments. Segments are SERVING-side state: [[search]] unions them;
+  // the registered q43-q49 stay base-only because the base tables
+  // mirror the corpus parquet the DuckDB oracle replays (an ad-hoc add
+  // has no oracle). When the corpus table itself changes,
+  // [[dataFingerprint]] re-keys the whole index and old segments age
+  // out with it.
+  // ------------------------------------------------------------------
+
+  /** Installed delta segments under the index, name-ordered. Names are
+    * content keys, so the order is deterministic but semantically
+    * irrelevant — segments are id-disjoint by [[addVectors]]' guard.
+    */
+  private def deltaDirs(d: String): Seq[java.io.File] = {
+    val root = new java.io.File(s"${indexPath(d)}/deltas")
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("add-") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .sortBy(_.getName)
+  }
+
+  /** `base` plus the same-named table of every installed delta segment. */
+  private def withDeltas(s: SparkSession, d: String, base: DataFrame,
+      table: String): DataFrame =
+    deltaDirs(d).foldLeft(base)((acc, dir) =>
+      acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/$table")))
+
+  /** Installed tombstone segments ([[removeVectors]]), name-ordered. */
+  private def tombstoneDirs(d: String): Seq[java.io.File] = {
+    val root = new java.io.File(s"${indexPath(d)}/deltas")
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("del-") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .sortBy(_.getName)
+  }
+
+  /** All tombstoned ids as one column `vec_id`; None when no tombstone
+    * segment is installed (the overwhelmingly common case — spares
+    * every search the anti-join).
+    */
+  private def tombstonedIds(s: SparkSession, d: String): Option[DataFrame] =
+    tombstoneDirs(d) match {
+      case Seq() => None
+      case dirs => Some(dirs.map(dir =>
+        s.read.parquet(s"${dir.getAbsolutePath}/ids")).reduce(_ unionByName _))
+    }
+
+  /** Ids already present in the index (base or any delta) among `ids` —
+    * the loud guard that keeps segments id-disjoint. A silently
+    * duplicated id would contribute twice to the ADC distance sum
+    * (`groupBy(q_id, n_id).agg(sum(pd2))`) and corrupt ranks, so add
+    * refuses it. One broadcast semi-probe against the home-cell rows
+    * (every indexed vector has exactly one rk = 1 row) — bounded by
+    * the batch size, one narrow job per add.
+    */
+  private def indexedIds(s: SparkSession, d: String,
+      ids: Seq[Long]): Array[Long] = {
+    import s.implicits._
+    val taken = withDeltas(s, d, probedDF(s, d), "ivf_assign")
+      .filter($"rk" === 1).select($"vec_id")
+    // tombstoned ids count as taken: retirement is permanent
+    // ([[removeVectors]] — resurrection would need compaction)
+    tombstonedIds(s, d).fold(taken)(taken.unionByName(_))
+      .join(broadcast(ids.toDF("vec_id")), "vec_id")
+      .select($"vec_id").distinct().as[Long].collect()
+  }
+
+  /** FAISS-style `add()`: encode a batch of NEW vectors against the
+    * FROZEN stored quantizers and install them as one immutable,
+    * content-keyed delta segment under the index —
+    *
+    *   `deltas/add-<md5(sorted batch)>/{ivf_assign, pq_codes, vectors}`
+    *
+    * installed atomically by [[ArtifactLake.ensure]]. Consequences:
+    *
+    *  - idempotent: re-adding the same batch (an at-least-once ingest
+    *    retry) finds its own content key installed and is a no-op;
+    *  - crash-safe: a died add leaves only an unmarked staging dir;
+    *  - disjoint: ids already indexed are rejected loudly
+    *    ([[indexedIds]]); NULL/empty vectors are skipped like the
+    *    build's NULL-embedding rows.
+    *
+    * The encode is the same two broadcast-codebook compiled maps as
+    * the build ([[assignCells]] / [[buildPqCodes]] arithmetic), run
+    * over the parallelized batch — a bulk ingest is this method over a
+    * bigger batch, cost linear in the batch size alone. The segment
+    * stores the raw floats beside the codes so [[search]]'s exact
+    * refine covers added vectors too.
+    *
+    * Returns true iff THIS call installed the segment (false = same
+    * batch already installed, or lost the install race to it).
+    */
+  def addVectors(s: SparkSession, d: String,
+      vecs: Seq[(Long, Array[Float])]): Boolean = {
+    import s.implicits._
+    ensureIndex(s, d)
+    val batch = vecs.filter(v => v._2 != null && v._2.nonEmpty).sortBy(_._1)
+    if (batch.isEmpty) return false
+    require(batch.map(_._1).distinct.length == batch.length,
+      "addVectors: duplicate vec_id within the batch")
+
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    batch.foreach { case (id, vf) =>
+      bb.clear(); bb.putLong(id); md.update(bb.array(), 0, 8)
+      vf.foreach { x =>
+        bb.clear(); bb.putInt(java.lang.Float.floatToIntBits(x))
+        md.update(bb.array(), 0, 4)
+      }
+    }
+    val key = md.digest().take(8).map("%02x".format(_)).mkString
+    val target = new java.io.File(s"${indexPath(d)}/deltas/add-$key")
+
+    // the retry no-op MUST precede the id guard: an at-least-once
+    // re-send of the same batch carries already-indexed ids by
+    // definition — its content key finds the installed segment and
+    // returns quietly. Only a DIFFERENT batch claiming taken ids is a
+    // conflict worth failing loudly.
+    if (new java.io.File(target, "_SUCCESS").isFile) return false
+    val dup = indexedIds(s, d, batch.map(_._1))
+    require(dup.isEmpty,
+      s"addVectors: ids already indexed: ${dup.sorted.take(8).mkString(", ")}")
+
+    val cb = loadIvfCodebook(s, d)
+    val bySub = pqBySub(loadPqCodebook(s, d))
+    val subDim = tuning.pqSubDim
+    val nprobe = tuning.nprobe
+    val installed = ArtifactLake.ensure(target) { staging =>
+      val out = staging.getAbsolutePath
+      val ds = s.createDataset(batch)
+      val bcCb = s.sparkContext.broadcast(cb)
+      val bcPq = s.sparkContext.broadcast(bySub)
+      ds.mapPartitions { it =>
+        val cells = bcCb.value
+        it.flatMap { case (id, vf) =>
+          Similarity.nearestCells(vf.map(_.toDouble), cells, nprobe)
+            .iterator.map { case (cid, rk) => (id, cid, rk) }
+        }
+      }.toDF("vec_id", "cell", "rk")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/ivf_assign")
+      ds.mapPartitions { it =>
+        val bs = bcPq.value
+        it.flatMap { case (id, vf) =>
+          val v = vf.map(_.toDouble)
+          val asg = pqNearest(v, bs, subDim)
+          val nSubs = math.min(bs.length, (v.length + subDim - 1) / subDim)
+          (0 until nSubs).iterator.filter(i => asg(i) >= 0)
+            .map(i => (id, i, asg(i)))
+        }
+      }.toDF("n_id", "sub", "cent")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/pq_codes")
+      ds.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/vectors")
+    }
+    if (installed) Similarity.indexAdds.incrementAndGet()
+    installed
+  }
+
+  /** FAISS-style `remove_ids()`: retire ids via one immutable,
+    * content-keyed tombstone segment — `deltas/del-<md5(sorted ids)>/
+    * ids(vec_id)` — installed by the same [[ArtifactLake]] recipe.
+    * [[search]] anti-joins tombstones out of the home-cell candidates,
+    * which suffices end to end: ADC codes and refine floats are only
+    * ever reached THROUGH the candidate set.
+    *
+    * Tombstones are monotone: a retired id stays retired permanently,
+    * whether it came from the base build, a delta segment, or was
+    * never indexed at all — in a lake of immutable segments,
+    * resurrecting an id would require compaction, and the base is
+    * oracle-pinned ([[addVectors]] therefore rejects tombstoned ids;
+    * a new identity is a new id). Re-removing the same id set is a
+    * content-key no-op; the registered q43-q49 stay base-only exactly
+    * as with add. Returns true iff THIS call installed the segment.
+    */
+  def removeVectors(s: SparkSession, d: String, ids: Seq[Long]): Boolean = {
+    import s.implicits._
+    ensureIndex(s, d)
+    val sorted = ids.distinct.sorted
+    if (sorted.isEmpty) return false
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    sorted.foreach { id =>
+      bb.clear(); bb.putLong(id); md.update(bb.array(), 0, 8)
+    }
+    val key = md.digest().take(8).map("%02x".format(_)).mkString
+    val target = new java.io.File(s"${indexPath(d)}/deltas/del-$key")
+    if (new java.io.File(target, "_SUCCESS").isFile) return false
+    val installed = ArtifactLake.ensure(target) { staging =>
+      sorted.toDF("vec_id").coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"${staging.getAbsolutePath}/ids")
+    }
+    if (installed) Similarity.indexRemoves.incrementAndGet()
+    installed
   }
 
   private val q47 = Q(
