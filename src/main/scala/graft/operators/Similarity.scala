@@ -1378,6 +1378,15 @@ final class Similarity(val tuning: Tuning) extends Serializable {
   // has no oracle). When the corpus table itself changes,
   // [[dataFingerprint]] re-keys the whole index and old segments age
   // out with it.
+  //
+  // Known trade-off, stated rather than hidden: every search lists and
+  // reads each installed segment, so segment COUNT is the small-files
+  // pressure point under long-running fine-grained ingest. Batch-sized
+  // triggers keep it low; an online compactor that merges served
+  // segments would need reader-epoch tracking to delete safely (the
+  // MediaLake race class) and is deliberately out of scope — the
+  // durable fix at corpus scale is folding adds into the next corpus
+  // regeneration, which re-keys the index wholesale.
   // ------------------------------------------------------------------
 
   /** Installed delta segments under the index, name-ordered. Names are
@@ -1429,8 +1438,14 @@ final class Similarity(val tuning: Tuning) extends Serializable {
   private def indexedIds(s: SparkSession, d: String,
       ids: Seq[Long]): Array[Long] = {
     import s.implicits._
+    // the [min, max] envelope of the batch is a pushable superset
+    // predicate: parquet row-group stats prune the corpus-sized
+    // assignment scan to NOTHING in the common ingest case (fresh ids
+    // beyond the corpus id range) — the broadcast join alone would
+    // read every row group just to discard it
     val taken = withDeltas(s, d, probedDF(s, d), "ivf_assign")
-      .filter($"rk" === 1).select($"vec_id")
+      .filter($"rk" === 1 && $"vec_id".between(ids.min, ids.max))
+      .select($"vec_id")
     // tombstoned ids count as taken: retirement is permanent
     // ([[removeVectors]] — resurrection would need compaction)
     tombstonedIds(s, d).fold(taken)(taken.unionByName(_))
@@ -1460,11 +1475,19 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * stores the raw floats beside the codes so [[search]]'s exact
     * refine covers added vectors too.
     *
+    * Concurrency: the instance monitor serializes in-JVM writers (the
+    * id guard is check-then-act, so unsynchronized interleaving could
+    * install two overlapping-id segments). ACROSS processes the
+    * contract is one logical writer per index — the [[ingestStream]]
+    * shape; a cross-process race on the SAME batch stays benign
+    * (content key), only concurrent different-batch writers sharing
+    * ids are out of contract.
+    *
     * Returns true iff THIS call installed the segment (false = same
     * batch already installed, or lost the install race to it).
     */
   def addVectors(s: SparkSession, d: String,
-      vecs: Seq[(Long, Array[Float])]): Boolean = {
+      vecs: Seq[(Long, Array[Float])]): Boolean = synchronized {
     import s.implicits._
     ensureIndex(s, d)
     val batch = vecs.filter(v => v._2 != null && v._2.nonEmpty).sortBy(_._1)
@@ -1543,9 +1566,11 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * oracle-pinned ([[addVectors]] therefore rejects tombstoned ids;
     * a new identity is a new id). Re-removing the same id set is a
     * content-key no-op; the registered q43-q49 stay base-only exactly
-    * as with add. Returns true iff THIS call installed the segment.
+    * as with add; the instance monitor serializes in-JVM writers like
+    * [[addVectors]]. Returns true iff THIS call installed the segment.
     */
-  def removeVectors(s: SparkSession, d: String, ids: Seq[Long]): Boolean = {
+  def removeVectors(s: SparkSession, d: String,
+      ids: Seq[Long]): Boolean = synchronized {
     import s.implicits._
     ensureIndex(s, d)
     val sorted = ids.distinct.sorted
@@ -1566,6 +1591,43 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     if (installed) Similarity.indexRemoves.incrementAndGet()
     installed
   }
+
+  /** Continuous vector ingest — the vector store's streaming DML.
+    * Attaches [[addVectors]] to any streaming frame with `vec_id`
+    * (castable to LONG) and `embedding` (ARRAY&lt;FLOAT&gt;) columns,
+    * one delta segment per non-empty micro-batch.
+    *
+    * Delivery: Structured Streaming re-runs an interrupted micro-batch
+    * with identical content (replayable source + checkpoint); the
+    * replayed batch reproduces its content key, finds the installed
+    * segment, and no-ops — at-least-once replay × content-keyed
+    * idempotent install = effectively-once index ingest, the same
+    * recipe as the engine's WAL'd socket source (same-named segment =
+    * same bytes). Upstream owns id-uniqueness ACROSS batches
+    * (`dropDuplicates` under a watermark); a cross-batch duplicate id
+    * is a real conflict and fails the query loudly, by design.
+    *
+    * The per-batch driver collect is bounded by the trigger's
+    * admission control (the socket source's maxMessagesPerTrigger
+    * pattern); the encode inside [[addVectors]] is the distributed
+    * broadcast-codebook map, so the driver holds one trigger's worth
+    * of vectors, never the corpus.
+    */
+  def ingestStream(d: String, stream: DataFrame, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        import bs.implicits._
+        val vecs = batch
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Array[Float])].collect().toSeq
+        addVectors(bs, d, vecs)
+        ()
+      }
+      .start()
 
   private val q47 = Q(
     "q47_embedding_pq",
