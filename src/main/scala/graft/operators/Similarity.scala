@@ -768,7 +768,8 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       val ictx = ivfCtx(s, d, ctx)
       val adc = adcCtx(s, d, pqCtx(s, d))
       val probed = probedDF(s, d).cache()
-      val iadcScored = ivfadcScoredDF(s, d, ictx, adc, Some(probed)).cache()
+      val iadcScored =
+        ivfadcScoredDF(s, d, resAdcCtx(s, d, Some(probed)), Some(probed)).cache()
       val adcNN = adcRankedDF(s, adc).filter($"rk" === 1)
         .select($"q_id".as("a_id"), $"n_id".as("nn_id"))
       val iadcNN = iadcScored
@@ -993,6 +994,45 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       .as[(Long, String, Array[Float])].cache()
   }
 
+  /** [[pqEmb]] widened to double components (exact), the raw-vector
+    * input of the flat PQ build. */
+  private def pqEmbD(s: SparkSession, d: String) = {
+    import s.implicits._
+    pqEmb(s, d)
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+      .as[(Long, String, Array[Double])]
+  }
+
+  /** The residual view x − centroid(home cell) — the input FAISS's
+    * IVFADC trains its PQ on. Home is the rank-1 cell of the SAME
+    * [[Similarity.nearestCells]] arithmetic the stored assignment
+    * replays; centroid dims absent from the sparse row set subtract
+    * 0.0 (the oracle's LEFT JOIN … coalesce(cv, 0)); NULL embeddings
+    * stay NULL (skipped by the builder like the oracle's empty
+    * unnest). Build-side only — one compiled broadcast-codebook map,
+    * no shuffle.
+    */
+  private def resEmbD(s: SparkSession, d: String, cb: Codebook) = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cb)
+    pqEmb(s, d).mapPartitions { it =>
+      val cells = bc.value
+      val byId = cells.toMap
+      it.map { case (id, label, vf) =>
+        if (vf == null) (id, label, null.asInstanceOf[Array[Double]])
+        else {
+          val v = vf.map(_.toDouble)
+          val home = Similarity.nearestCells(v, cells, 1).head._1
+          val c = byId(home)
+          (id, label, Array.tabulate(v.length)(i =>
+            v(i) - (if (i < c.length) c(i) else 0.0)))
+        }
+      }
+    }.toDF("vec_id", "label", "embedding")
+      .as[(Long, String, Array[Double])]
+  }
+
   /** READ-side PQ context: the corpus view plus the STORED refined
     * codebook ([[ensureIndex]] — built once per (sf dir, knobs), read
     * thereafter).
@@ -1002,20 +1042,23 @@ final class Similarity(val tuning: Tuning) extends Serializable {
 
   /** BUILD-side PQ codebook: seed on `vec_id % stride`, one compiled
     * Lloyd pass, r6-rounded centroid means. Runs only inside
-    * [[buildIndex]] — queries read the stored table.
+    * [[buildIndex]] — queries read the stored table. Takes DOUBLE
+    * components so the residual half ([[resEmbD]] — x − centroid,
+    * computed in double on both engines) trains without a lossy
+    * float round-trip; the raw half converts float→double upstream
+    * (exact).
     */
   private def buildPqCodebook(s: SparkSession, d: String,
-      emb: org.apache.spark.sql.Dataset[(Long, String, Array[Float])]): PqCodebook = {
+      emb: org.apache.spark.sql.Dataset[(Long, String, Array[Double])]): PqCodebook = {
     import s.implicits._
     val n0 = Tables.rowCount(s, d, "embeddings")
     val stride = math.max(1L, n0 / tuning.pqCentroids)
     // seed codebook: stride sub-vectors, driver-collected (tiny)
     val cb0: PqCodebook = emb
       .filter($"vec_id" % stride === 0 && $"embedding".isNotNull)
-      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .select($"vec_id", $"embedding").as[(Long, Array[Double])]
       .collect()
-      .flatMap { case (sid, vf) =>
-        val v = vf.map(_.toDouble)
+      .flatMap { case (sid, v) =>
         (0 until tuning.pqSubspaces).map { sub =>
           val pairs = (0 until tuning.pqSubDim).flatMap { sd =>
             val idx = sub * tuning.pqSubDim + sd
@@ -1030,10 +1073,9 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     val subDim = tuning.pqSubDim
     val cb1: PqCodebook = emb.mapPartitions { it =>
         val bySub = pqBySub(bc.value)  // regrouped once per partition
-        it.flatMap { case (_, _, vf) =>
-          if (vf == null) Iterator.empty
+        it.flatMap { case (_, _, v) =>
+          if (v == null) Iterator.empty
           else {
-            val v = vf.map(_.toDouble)
             val asg = pqNearest(v, bySub, subDim)
             // bound by the codebook's subspace count: a corpus vector
             // longer than every seed has no centroids (hence no oracle
@@ -1074,8 +1116,14 @@ final class Similarity(val tuning: Tuning) extends Serializable {
   //                                   cells (rk = 1 is the home cell)
   //   pq_codebook(cent, sub, sd, cv)— the refined per-subspace PQ
   //                                   codebook (tiny, read → broadcast)
-  //   pq_codes(n_id, sub, cent)     — the corpus PQ codes the ADC scan
-  //                                   ranks on
+  //   pq_codes(n_id, sub, cent)     — the corpus PQ codes the flat ADC
+  //                                   scan (q48) ranks on
+  //   pq_res_codebook(cent,sub,sd,cv)— the RESIDUAL PQ codebook,
+  //                                   trained on x − centroid(home) —
+  //                                   FAISS IVFADC proper
+  //   pq_res_codes(n_id, sub, cent) — the corpus residual codes the
+  //                                   IVF-gated ADC (q49, q45 ivfadc
+  //                                   tiers) ranks on
   //
   // The key hashes the sf dir plus every knob that SHAPES the artifact
   // (lloydIters, nprobe, pqSubspaces, pqSubDim, pqCentroids) — a tuned
@@ -1089,8 +1137,9 @@ final class Similarity(val tuning: Tuning) extends Serializable {
 
   /** Bump when the index derivation changes: stale artifacts keyed by
     * older versions can never be served against new oracle arithmetic.
+    * v2: added the residual-PQ half (pq_res_codebook / pq_res_codes).
     */
-  private val indexVersion = 1
+  private val indexVersion = 2
 
   /** Snapshot the root once per instance: ensure and the subsequent
     * reads must resolve the SAME path even if the property changes
@@ -1173,15 +1222,28 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       .coalesce(1).write.mode("overwrite").parquet(s"$staging/ivf_codebook")
     assignCells(s, d, Similarity.rowsToCodebook(cbRows), nProbe = tuning.nprobe)
       .write.mode("overwrite").parquet(s"$staging/ivf_assign")
-    val emb = pqEmb(s, d)
-    val cb1 = buildPqCodebook(s, d, emb)
+    val embD = pqEmbD(s, d)
+    val cb1 = buildPqCodebook(s, d, embD)
     cb1.toSeq
       .flatMap { case (cent, sub, pairs) =>
         pairs.map { case (sd, cv) => (cent, sub, sd, cv) }
       }.toDF("cent", "sub", "sd", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$staging/pq_codebook")
-    buildPqCodes(s, emb, cb1)
+    buildPqCodes(s, embD, cb1)
       .write.mode("overwrite").parquet(s"$staging/pq_codes")
+    // residual half (FAISS IVFADC proper): train and encode on
+    // x − centroid(home cell) so the PQ spends its centroids on the
+    // within-cell displacement, not on re-describing the cell layout —
+    // same builder, residual input
+    val rEmb = resEmbD(s, d, Similarity.rowsToCodebook(cbRows))
+    val rcb1 = buildPqCodebook(s, d, rEmb)
+    rcb1.toSeq
+      .flatMap { case (cent, sub, pairs) =>
+        pairs.map { case (sd, cv) => (cent, sub, sd, cv) }
+      }.toDF("cent", "sub", "sd", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/pq_res_codebook")
+    buildPqCodes(s, rEmb, rcb1)
+      .write.mode("overwrite").parquet(s"$staging/pq_res_codes")
     // deliberately NO unpersist: Spark caches by logical plan, so the
     // entries built here are the SAME entries the triggering query's
     // own annCtx/pqCtx share — evicting them would force the first-
@@ -1191,20 +1253,21 @@ final class Similarity(val tuning: Tuning) extends Serializable {
   }
 
   /** Corpus PQ codes `(n_id, sub, cent)` — the compiled assignment map
-    * over the refined codebook (the oracle's pa1). Build-side only.
+    * over the refined codebook (the oracle's pa1 / ra1). Build-side
+    * only; double components for the same reason as
+    * [[buildPqCodebook]].
     */
   private def buildPqCodes(s: SparkSession,
-      emb: org.apache.spark.sql.Dataset[(Long, String, Array[Float])],
+      emb: org.apache.spark.sql.Dataset[(Long, String, Array[Double])],
       cb1: PqCodebook): DataFrame = {
     import s.implicits._
     val bc1 = s.sparkContext.broadcast(cb1)
     val subDim = tuning.pqSubDim
     emb.mapPartitions { it =>
       val bySub = pqBySub(bc1.value)
-      it.flatMap { case (id, _, vf) =>
-        if (vf == null) Iterator.empty
+      it.flatMap { case (id, _, v) =>
+        if (v == null) Iterator.empty
         else {
-          val v = vf.map(_.toDouble)
           val asg = pqNearest(v, bySub, subDim)
           val nSubs = math.min(bySub.length, (v.length + subDim - 1) / subDim)
           (0 until nSubs).iterator
@@ -1248,10 +1311,32 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       }.sortBy(c => (c._1, c._2))
   }
 
-  /** The stored corpus PQ codes — what the ADC scan ranks on. */
+  /** The stored corpus PQ codes — what the flat ADC scan ranks on. */
   private def codesDF(s: SparkSession, d: String): DataFrame = {
     ensureIndex(s, d)
     s.read.parquet(s"${indexPath(d)}/pq_codes")
+  }
+
+  /** The stored corpus RESIDUAL codes — what [[search]] and the
+    * IVF-gated tiers rank on. */
+  private def resCodesDF(s: SparkSession, d: String): DataFrame = {
+    ensureIndex(s, d)
+    s.read.parquet(s"${indexPath(d)}/pq_res_codes")
+  }
+
+  /** The stored RESIDUAL PQ codebook, regrouped to the in-memory
+    * shape — the quantizer [[search]] and [[addVectors]] encode
+    * against. */
+  private def loadResPqCodebook(s: SparkSession, d: String): PqCodebook = {
+    ensureIndex(s, d)
+    import s.implicits._
+    s.read.parquet(s"${indexPath(d)}/pq_res_codebook")
+      .select($"cent", $"sub", $"sd", $"cv").as[(Long, Int, Int, Double)]
+      .collect()
+      .groupBy(c => (c._1, c._2)).toArray
+      .map { case ((cent, sub), rows) =>
+        (cent, sub, rows.map(r => (r._3, r._4)).sortBy(_._1))
+      }.sortBy(c => (c._1, c._2))
   }
 
   /** The SERVING path of the vector store: ANN top-k for AD-HOC query
@@ -1265,9 +1350,11 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     *  2. candidates = corpus vectors HOMED in the probed cells, from
     *     the stored `ivf_assign` (broadcast query-probe table joined
     *     into the corpus-sized assignment — one equi-join);
-    *  3. rank by PQ asymmetric distance: per-query LUT computed
-    *     driver-side against the READ PQ codebook (nq×subs×cents rows,
-    *     broadcast), summed over the stored `pq_codes` — 8 lookups per
+    *  3. rank by RESIDUAL PQ asymmetric distance (the q49 arithmetic):
+    *     per-(query, probed cell) LUT computed driver-side — the
+    *     query's residual w.r.t. each probed centroid against the READ
+    *     residual codebook (nq×nprobe×subs×cents rows, broadcast) —
+    *     summed over the stored `pq_res_codes` — 8 lookups per
     *     candidate, floats untouched;
     *  4. optionally (`refine = true`) re-rank the top
     *     `refineFactor × k` shortlist by exact cosine over the corpus
@@ -1290,9 +1377,12 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     val qs = queryVecs.filter(q => q._2 != null && q._2.nonEmpty)
       .map { case (qid, vf) => (qid, vf.map(_.toDouble)) }
     val cb = loadIvfCodebook(s, d)
-    val qprobes = qs.flatMap { case (qid, v) =>
-      Similarity.nearestCells(v, cb, tuning.nprobe)
-        .map { case (cell, _) => (qid, cell) }
+    // each query's probe cells, kept driver-side for the residual LUT
+    val qpro = qs.map { case (qid, v) =>
+      (qid, v, Similarity.nearestCells(v, cb, tuning.nprobe).map(_._1))
+    }
+    val qprobes = qpro.flatMap { case (qid, _, cells) =>
+      cells.map(c => (qid, c))
     }.toDF("q_id", "cell")
     // base ∪ installed delta segments: added vectors are served the
     // moment their segment's marker lands ([[addVectors]]); tombstoned
@@ -1303,23 +1393,33 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     val home = tombstonedIds(s, d).fold(home0)(ts =>
       home0.join(broadcast(ts.withColumnRenamed("vec_id", "n_id")),
         Seq("n_id"), "left_anti"))
-    val cand = home.join(broadcast(qprobes), "cell").select($"q_id", $"n_id")
-    // per-query ADC lookup table against the READ PQ codebook — the
-    // same only-shared-dims semantics as the adcCtx join
+    val cand = home.join(broadcast(qprobes), "cell")
+      .select($"q_id", $"n_id", $"cell")
+    // RESIDUAL ADC — the q49 arithmetic, driver-computed: per-(query,
+    // probed cell) LUT of the query's residual w.r.t. that cell's
+    // centroid against the READ residual codebook; same
+    // only-shared-dims semantics as the oracle's equi-join
     val subDim = tuning.pqSubDim
-    val pq = loadPqCodebook(s, d)
-    val lut = qs.flatMap { case (qid, v) =>
-      pq.map { case (cent, sub, pairs) =>
-        var d2 = 0.0
-        pairs.foreach { case (sd, cv) =>
-          val idx = sub * subDim + sd
-          if (idx < v.length) { val e = v(idx) - cv; d2 += e * e }
+    val byId = cb.toMap
+    val rpq = loadResPqCodebook(s, d)
+    val lut = qpro.flatMap { case (qid, v, cells) =>
+      cells.toSeq.flatMap { cell =>
+        val c = byId(cell)
+        val rv = Array.tabulate(v.length)(i =>
+          v(i) - (if (i < c.length) c(i) else 0.0))
+        rpq.toSeq.map { case (cent, sub, pairs) =>
+          var d2 = 0.0
+          pairs.foreach { case (sd, cv) =>
+            val idx = sub * subDim + sd
+            if (idx < rv.length) { val e = rv(idx) - cv; d2 += e * e }
+          }
+          (qid, cell, sub, cent, d2)
         }
-        (qid, sub, cent, d2)
       }
-    }.toDF("q_id", "sub", "cent", "pd2")
-    val scored = cand.join(withDeltas(s, d, codesDF(s, d), "pq_codes"), "n_id")
-      .join(broadcast(lut), Seq("q_id", "sub", "cent"))
+    }.toDF("q_id", "cell", "sub", "cent", "pd2")
+    val scored = cand
+      .join(withDeltas(s, d, resCodesDF(s, d), "pq_res_codes"), "n_id")
+      .join(broadcast(lut), Seq("q_id", "cell", "sub", "cent"))
       .groupBy($"q_id", $"n_id")
       .agg(sum($"pd2").as("d2"))
     val ranked = scored.withColumn("rk", row_number().over(
@@ -1457,7 +1557,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * FROZEN stored quantizers and install them as one immutable,
     * content-keyed delta segment under the index —
     *
-    *   `deltas/add-<md5(sorted batch)>/{ivf_assign, pq_codes, vectors}`
+    *   `deltas/add-<md5(sorted batch)>/{ivf_assign, pq_res_codes, vectors}`
     *
     * installed atomically by [[ArtifactLake.ensure]]. Consequences:
     *
@@ -1518,7 +1618,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       s"addVectors: ids already indexed: ${dup.sorted.take(8).mkString(", ")}")
 
     val cb = loadIvfCodebook(s, d)
-    val bySub = pqBySub(loadPqCodebook(s, d))
+    val bySub = pqBySub(loadResPqCodebook(s, d))
     val subDim = tuning.pqSubDim
     val nprobe = tuning.nprobe
     val installed = ArtifactLake.ensure(target) { staging =>
@@ -1534,17 +1634,26 @@ final class Similarity(val tuning: Tuning) extends Serializable {
         }
       }.toDF("vec_id", "cell", "rk")
         .coalesce(1).write.mode("overwrite").parquet(s"$out/ivf_assign")
+      // RESIDUAL codes — encoded exactly like the base build: the
+      // vector's displacement from its home-cell centroid, against the
+      // frozen residual codebook
       ds.mapPartitions { it =>
+        val cells = bcCb.value
+        val byId = cells.toMap
         val bs = bcPq.value
         it.flatMap { case (id, vf) =>
           val v = vf.map(_.toDouble)
-          val asg = pqNearest(v, bs, subDim)
-          val nSubs = math.min(bs.length, (v.length + subDim - 1) / subDim)
+          val home = Similarity.nearestCells(v, cells, 1).head._1
+          val c = byId(home)
+          val rv = Array.tabulate(v.length)(i =>
+            v(i) - (if (i < c.length) c(i) else 0.0))
+          val asg = pqNearest(rv, bs, subDim)
+          val nSubs = math.min(bs.length, (rv.length + subDim - 1) / subDim)
           (0 until nSubs).iterator.filter(i => asg(i) >= 0)
             .map(i => (id, i, asg(i)))
         }
       }.toDF("n_id", "sub", "cent")
-        .coalesce(1).write.mode("overwrite").parquet(s"$out/pq_codes")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/pq_res_codes")
       ds.toDF("vec_id", "embedding")
         .coalesce(1).write.mode("overwrite").parquet(s"$out/vectors")
     }
@@ -1751,13 +1860,58 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       .filter($"rk" <= 5)
   }
 
+  /** The RESIDUAL ADC context — FAISS IVFADC's query side over the
+    * stored residual half: corpus residual codes (`pq_res_codes` —
+    * each vector encoded as x − centroid(home cell)), and the
+    * per-(query, probed cell) lookup table: the query's residual
+    * w.r.t. EACH probed cell's centroid, scored against the residual
+    * PQ codebook. The LUT is nq × nprobe × subs × cents rows —
+    * broadcast, like FAISS's per-probe LUT recomputation.
+    */
+  private case class ResAdcCtx(codes: DataFrame, lut: DataFrame)
+
+  private def resAdcCtx(s: SparkSession, d: String,
+      shared: Option[DataFrame] = None): ResAdcCtx = {
+    import s.implicits._
+    ensureIndex(s, d)
+    val p = indexPath(d)
+    val codes = resCodesDF(s, d)
+    val subDim = tuning.pqSubDim
+    val probed = shared.getOrElse(probedDF(s, d))
+    val qprobes = probed.filter($"vec_id" < tuning.annQueries)
+      .select($"vec_id".as("q_id"), $"cell")
+    val qs = pqEmb(s, d)
+      .filter($"vec_id" < tuning.annQueries && $"embedding".isNotNull)
+      .select($"vec_id".as("q_id"),
+        posexplode(expr("transform(embedding, x -> cast(x as double))")))
+      .select($"q_id", $"pos".as("i"), $"col".as("qv"))
+    // stored coarse centroids, 0-based dims like the explode
+    val cbRows = s.read.parquet(s"$p/ivf_codebook")
+      .select($"cell", $"dim".as("i"), $"cv")
+    val rq = qprobes.join(qs, "q_id")
+      .join(broadcast(cbRows), Seq("cell", "i"), "left")
+      .select($"q_id", $"cell",
+        expr(s"CAST(i div $subDim AS INT)").as("sub"),
+        expr(s"CAST(i % $subDim AS INT)").as("sd"),
+        ($"qv" - coalesce($"cv", lit(0.0))).as("rqv"))
+    val rcb = s.read.parquet(s"$p/pq_res_codebook")
+      .select($"sub", $"cent", $"sd", $"cv")
+    val lut = rq.join(broadcast(rcb), Seq("sub", "sd"))
+      .groupBy($"q_id", $"cell", $"sub", $"cent")
+      .agg(sum(($"rqv" - $"cv") * ($"rqv" - $"cv")).as("pd2"))
+    ResAdcCtx(codes, lut)
+  }
+
   /** q49's IVF-gated ADC scores `(q_id, n_id, d2)`: candidates are the
     * vectors HOMED (rank-1) in the query's nprobe probed cells, scored
-    * by PQ asymmetric distance — full-precision corpus floats touched
-    * by neither candidate generation nor ranking.
+    * by RESIDUAL PQ asymmetric distance — the candidate's code was
+    * encoded w.r.t. its home cell, so the LUT row is keyed by that
+    * same cell (which IS the probed cell that surfaced it).
+    * Full-precision corpus floats touched by neither candidate
+    * generation nor ranking.
     */
-  private def ivfadcScoredDF(s: SparkSession, d: String, ictx: IvfCtx,
-      adc: AdcCtx, shared: Option[DataFrame] = None): DataFrame = {
+  private def ivfadcScoredDF(s: SparkSession, d: String,
+      radc: ResAdcCtx, shared: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val probed = shared.getOrElse(probedDF(s, d))
     val qprobes = probed.filter($"vec_id" < tuning.annQueries)
@@ -1766,9 +1920,9 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       .select($"vec_id".as("n_id"), $"cell")
     val cand = qprobes.join(home, "cell")
       .filter($"q_id" =!= $"n_id")
-      .select($"q_id", $"n_id")
-    cand.join(adc.codes, "n_id")
-      .join(broadcast(adc.lut), Seq("q_id", "sub", "cent"))
+      .select($"q_id", $"n_id", $"cell")
+    cand.join(radc.codes, "n_id")
+      .join(broadcast(radc.lut), Seq("q_id", "cell", "sub", "cent"))
       .groupBy($"q_id", $"n_id")
       .agg(sum($"pd2").as("d2"))
   }
@@ -1813,6 +1967,46 @@ final class Similarity(val tuning: Tuning) extends Serializable {
              WHERE pus.vec_id < ${tuning.annQueries}
              GROUP BY 1, 2, 3)"""
 
+  /** The RESIDUAL-PQ training replay (FAISS IVFADC): residual
+    * components `ru` = u − home-cell centroid (the ivf chain's
+    * 1-based dims → 0-based sub/sd), then the identical stride-seed →
+    * assign → r6-refine → assign recipe as the flat chain,
+    * r-prefixed. Requires [[ivfOracleCtes]] (u, cb{iters}, fa) and
+    * [[pqOracleCtes]] (pparams) upstream.
+    */
+  private def resPqOracleCtes: String = s"""
+      rhome AS (SELECT vec_id, cell FROM fa WHERE rk = 1),
+      ru AS (SELECT u.vec_id, u.i, u.v - coalesce(cb.cv, 0) AS v
+             FROM u JOIN rhome h ON u.vec_id = h.vec_id
+             LEFT JOIN cb${tuning.lloydIters} cb
+               ON cb.cell = h.cell AND cb.dim = u.i),
+      rus AS (SELECT vec_id, CAST((i - 1) // ${tuning.pqSubDim} AS INT) AS sub,
+               CAST((i - 1) % ${tuning.pqSubDim} AS INT) AS sd, v FROM ru),
+      rcb0 AS (SELECT vec_id AS cent, sub, sd, v AS cv FROM rus
+              WHERE vec_id % (SELECT stride FROM pparams) = 0
+                AND sub < ${tuning.pqSubspaces}),
+      rd0 AS (SELECT rus.vec_id, rus.sub, c.cent,
+               sum((rus.v - c.cv) * (rus.v - c.cv)) AS d2
+             FROM rus JOIN rcb0 c ON rus.sub = c.sub AND rus.sd = c.sd
+             GROUP BY 1, 2, 3),
+      ra0 AS (SELECT vec_id, sub, cent FROM (
+               SELECT vec_id, sub, cent,
+                      row_number() OVER (PARTITION BY vec_id, sub
+                        ORDER BY round(d2, 6), cent) AS rk
+               FROM rd0) WHERE rk = 1),
+      rcb1 AS (SELECT a.sub, a.cent, rus.sd, round(avg(rus.v), 6) AS cv
+              FROM rus JOIN ra0 a ON rus.vec_id = a.vec_id AND rus.sub = a.sub
+              GROUP BY 1, 2, 3),
+      rd1 AS (SELECT rus.vec_id, rus.sub, c.cent,
+               sum((rus.v - c.cv) * (rus.v - c.cv)) AS d2
+             FROM rus JOIN rcb1 c ON rus.sub = c.sub AND rus.sd = c.sd
+             GROUP BY 1, 2, 3),
+      ra1 AS (SELECT vec_id, sub, cent FROM (
+               SELECT vec_id, sub, cent,
+                      row_number() OVER (PARTITION BY vec_id, sub
+                        ORDER BY round(d2, 6), cent) AS rk
+               FROM rd1) WHERE rk = 1)"""
+
   private val q48 = Q(
     "q48_pq_adc_topk",
     (s, d) => {
@@ -1854,10 +2048,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     "q49_ivf_pq_search",
     (s, d) => {
       import s.implicits._
-      val ctx = annCtx(s, d)
-      val ictx = ivfCtx(s, d, ctx)
-      val adc = adcCtx(s, d, pqCtx(s, d))
-      ivfadcScoredDF(s, d, ictx, adc)
+      ivfadcScoredDF(s, d, resAdcCtx(s, d))
         .withColumn("rk", row_number().over(
           Window.partitionBy($"q_id").orderBy(r6($"d2"), $"n_id")).cast("long"))
         .filter($"rk" <= 5)
@@ -1866,22 +2057,37 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     },
     Some(ivfadcOracleSql))
 
-  /** q49's oracle chain after the composed IVF+PQ CTEs: coarse probes →
-    * homed candidates → ADC-scored → ranked (`rnk`). Shared verbatim by
-    * q49 (rk ≤ 5) and the refined tier's oracle (rk ≤ R → exact
-    * re-rank), so the two engines replay ONE candidate pipeline.
+  /** q49's oracle chain after the composed IVF + residual-PQ CTEs:
+    * coarse probes → homed candidates → per-(query, probed cell)
+    * residual LUT (`rql` — the query's residual w.r.t. each probed
+    * cell's centroid against the residual codebook) → ADC-scored →
+    * ranked (`rnk`). Shared verbatim by q49 (rk ≤ 5) and the refined
+    * tier's oracle (rk ≤ R → exact re-rank), so the two engines
+    * replay ONE candidate pipeline.
     */
   private def ivfadcOracleChain: String = s"""
-      ${adcLutOracleCte.trim},
       probes AS (SELECT vec_id AS q_id, cell FROM fa
                  WHERE rk <= ${tuning.nprobe} AND vec_id < ${tuning.annQueries}),
       home AS (SELECT vec_id AS n_id, cell FROM fa WHERE rk = 1),
-      cp AS (SELECT p.q_id, h.n_id FROM probes p JOIN home h ON p.cell = h.cell
+      cp AS (SELECT p.q_id, h.n_id, p.cell
+             FROM probes p JOIN home h ON p.cell = h.cell
              WHERE p.q_id <> h.n_id),
+      rqv AS (SELECT p.q_id, p.cell, u.i, u.v - coalesce(cb.cv, 0) AS rv
+              FROM probes p JOIN u ON u.vec_id = p.q_id
+              LEFT JOIN cb${tuning.lloydIters} cb
+                ON cb.cell = p.cell AND cb.dim = u.i),
+      rql AS (SELECT r.q_id, r.cell,
+                CAST((r.i - 1) // ${tuning.pqSubDim} AS INT) AS sub, c.cent,
+                sum((r.rv - c.cv) * (r.rv - c.cv)) AS pd2
+              FROM rqv r JOIN rcb1 c
+                ON c.sub = CAST((r.i - 1) // ${tuning.pqSubDim} AS INT)
+               AND c.sd = CAST((r.i - 1) % ${tuning.pqSubDim} AS INT)
+              GROUP BY 1, 2, 3, c.cent),
       sc AS (SELECT cp.q_id, cp.n_id, sum(l.pd2) AS d2
              FROM cp
-             JOIN pa1 a ON a.vec_id = cp.n_id
-             JOIN ql l ON l.q_id = cp.q_id AND l.sub = a.sub AND l.cent = a.cent
+             JOIN ra1 a ON a.vec_id = cp.n_id
+             JOIN rql l ON l.q_id = cp.q_id AND l.cell = cp.cell
+                       AND l.sub = a.sub AND l.cent = a.cent
              GROUP BY 1, 2),
       rnk AS (SELECT q_id, n_id, d2,
                 row_number() OVER (PARTITION BY q_id
@@ -1891,6 +2097,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
   private def ivfadcOracleSql: String = s"""
       WITH ${ivfOracleCtes(tuning.lloydIters)},
       ${pqOracleCtes.trim},
+      ${resPqOracleCtes.trim},
       ${ivfadcOracleChain.trim}
       SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, round(d2, 4) AS approx_d2
       FROM rnk WHERE rk <= 5
@@ -1903,6 +2110,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
   private def refinedOracleSql: String = s"""
       WITH ${ivfOracleCtes(tuning.lloydIters)},
       ${pqOracleCtes.trim},
+      ${resPqOracleCtes.trim},
       ${ivfadcOracleChain.trim},
       topr AS (SELECT q_id, n_id FROM rnk WHERE rk <= ${tuning.refineFactor * 5}),
       ed AS (SELECT t.q_id, t.n_id, sum(qu.v * nu.v) AS dot
@@ -1948,14 +2156,23 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       val codes = s.read.parquet(s"$p/pq_codes")
         .select(lit("pq_codes").as("part"), $"n_id".as("k1"),
           $"sub".cast("long").as("k2"), $"cent".as("k3"), lit(0.0).as("val"))
+      val rpqCb = s.read.parquet(s"$p/pq_res_codebook")
+        .select(lit("rpq_cb").as("part"), $"cent".as("k1"),
+          $"sub".cast("long").as("k2"), $"sd".cast("long").as("k3"),
+          $"cv".as("val"))
+      val rcodes = s.read.parquet(s"$p/pq_res_codes")
+        .select(lit("rpq_codes").as("part"), $"n_id".as("k1"),
+          $"sub".cast("long").as("k2"), $"cent".as("k3"), lit(0.0).as("val"))
       ivfCb.unionAll(assign).unionAll(pqCb).unionAll(codes)
+        .unionAll(rpqCb).unionAll(rcodes)
         .orderBy($"part", $"k1", $"k2", $"k3")
     },
     Some(s"""
       WITH ${ivfOracleCtes(tuning.lloydIters)},
-      ${pqOracleCtes.trim}
+      ${pqOracleCtes.trim},
+      ${resPqOracleCtes.trim}
       -- the ivf chain's dim is generate_subscripts' 1-based index; the
-      -- stored table (and the pq chain) are 0-based
+      -- stored table (and the pq chains) are 0-based
       SELECT 'ivf_cb' AS part, cell AS k1, CAST(dim - 1 AS BIGINT) AS k2,
              CAST(-1 AS BIGINT) AS k3, cv AS val FROM cb${tuning.lloydIters}
       UNION ALL
@@ -1966,6 +2183,11 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       FROM pcb1
       UNION ALL
       SELECT 'pq_codes', vec_id, CAST(sub AS BIGINT), cent, 0.0 FROM pa1
+      UNION ALL
+      SELECT 'rpq_cb', cent, CAST(sub AS BIGINT), CAST(sd AS BIGINT), cv
+      FROM rcb1
+      UNION ALL
+      SELECT 'rpq_codes', vec_id, CAST(sub AS BIGINT), cent, 0.0 FROM ra1
       ORDER BY part, k1, k2, k3"""))
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q67)
