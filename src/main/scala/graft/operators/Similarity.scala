@@ -2061,17 +2061,19 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * coarse probes → homed candidates → per-(query, probed cell)
     * residual LUT (`rql` — the query's residual w.r.t. each probed
     * cell's centroid against the residual codebook) → ADC-scored →
-    * ranked (`rnk`). Shared verbatim by q49 (rk ≤ 5) and the refined
-    * tier's oracle (rk ≤ R → exact re-rank), so the two engines
-    * replay ONE candidate pipeline.
+    * ranked (`rnk`). Shared verbatim by q49 (rk ≤ 5), the refined
+    * tier's oracle (rk ≤ R → exact re-rank), and q68's serving replay
+    * (`selfExclude = false` — an ad-hoc query is not a corpus member,
+    * so [[search]] never drops q = n), so the engines replay ONE
+    * candidate pipeline.
     */
-  private def ivfadcOracleChain: String = s"""
+  private def ivfadcOracleChain(selfExclude: Boolean = true): String = s"""
       probes AS (SELECT vec_id AS q_id, cell FROM fa
                  WHERE rk <= ${tuning.nprobe} AND vec_id < ${tuning.annQueries}),
       home AS (SELECT vec_id AS n_id, cell FROM fa WHERE rk = 1),
       cp AS (SELECT p.q_id, h.n_id, p.cell
              FROM probes p JOIN home h ON p.cell = h.cell
-             WHERE p.q_id <> h.n_id),
+             ${if (selfExclude) "WHERE p.q_id <> h.n_id" else ""}),
       rqv AS (SELECT p.q_id, p.cell, u.i, u.v - coalesce(cb.cv, 0) AS rv
               FROM probes p JOIN u ON u.vec_id = p.q_id
               LEFT JOIN cb${tuning.lloydIters} cb
@@ -2098,7 +2100,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       WITH ${ivfOracleCtes(tuning.lloydIters)},
       ${pqOracleCtes.trim},
       ${resPqOracleCtes.trim},
-      ${ivfadcOracleChain.trim}
+      ${ivfadcOracleChain().trim}
       SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, round(d2, 4) AS approx_d2
       FROM rnk WHERE rk <= 5
       ORDER BY q_id, rk"""
@@ -2111,7 +2113,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       WITH ${ivfOracleCtes(tuning.lloydIters)},
       ${pqOracleCtes.trim},
       ${resPqOracleCtes.trim},
-      ${ivfadcOracleChain.trim},
+      ${ivfadcOracleChain().trim},
       topr AS (SELECT q_id, n_id FROM rnk WHERE rk <= ${tuning.refineFactor * 5}),
       ed AS (SELECT t.q_id, t.n_id, sum(qu.v * nu.v) AS dot
              FROM topr t
@@ -2190,5 +2192,55 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       SELECT 'rpq_codes', vec_id, CAST(sub AS BIGINT), cent, 0.0 FROM ra1
       ORDER BY part, k1, k2, k3"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q67)
+  /** The SERVING path itself, oracle-pinned: the first `annQueries`
+    * corpus vectors replayed as an AD-HOC batch through [[search]]
+    * (refine = true, k = 5) — probes computed driver-side against the
+    * read codebook, candidates from the stored assignment, residual
+    * ADC shortlist, exact-cosine re-rank — while the oracle replays
+    * the identical pipeline in SQL: the q49 chain WITHOUT the
+    * self-exclusion (an ad-hoc query is not a corpus member, so
+    * [[search]] never drops q = n; feeding corpus vectors makes the
+    * self-hit the rank-1 sanity row) plus the refine tail ranked to
+    * k. SimilaritySearchSpec covers ad-hoc properties; this pins the
+    * end-to-end serving arithmetic to the same hash gate as the build
+    * (q67) and the corpus tiers (q43-q49). The collect is the
+    * annQueries×dims query batch — bounded, the serving contract's
+    * own input shape.
+    */
+  private val q68 = Q(
+    "q68_vector_store_serve",
+    (s, d) => {
+      import s.implicits._
+      val qs = pqEmb(s, d)
+        .filter($"vec_id" < tuning.annQueries)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        .collect().toSeq
+      search(s, d, qs, k = 5, refine = true)
+    },
+    Some(serveOracleSql))
+
+  private def serveOracleSql: String = s"""
+      WITH ${ivfOracleCtes(tuning.lloydIters)},
+      ${pqOracleCtes.trim},
+      ${resPqOracleCtes.trim},
+      ${ivfadcOracleChain(selfExclude = false).trim},
+      topr AS (SELECT q_id, n_id FROM rnk WHERE rk <= ${tuning.refineFactor * 5}),
+      ed AS (SELECT t.q_id, t.n_id, sum(qu.v * nu.v) AS dot
+             FROM topr t
+             JOIN u qu ON qu.vec_id = t.q_id
+             JOIN u nu ON nu.vec_id = t.n_id AND nu.i = qu.i
+             GROUP BY 1, 2),
+      ec AS (SELECT ed.q_id, ed.n_id, ed.dot / (nq.nrm * nn.nrm) AS cosine
+             FROM ed JOIN n nq ON nq.vec_id = ed.q_id
+                     JOIN n nn ON nn.vec_id = ed.n_id),
+      rr AS (SELECT q_id, n_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY round(cosine, 6) DESC, n_id) AS rk
+             FROM ec)
+      SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, round(cosine, 4) AS cosine
+      FROM rr WHERE rk <= 5
+      ORDER BY q_id, rk"""
+
+  val all: Seq[Q] =
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q67, q68)
 }

@@ -173,8 +173,9 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("q48/q49/q45: the ADC tiers join broadcast LUTs — no cross product, floats stay put") {
-    for (q <- Seq("q48_pq_adc_topk", "q49_ivf_pq_search", "q45_ann_recall")) {
+  test("q48/q49/q45/q68: the ADC tiers join broadcast LUTs — no cross product, floats stay put") {
+    for (q <- Seq("q48_pq_adc_topk", "q49_ivf_pq_search", "q45_ann_recall",
+        "q68_vector_store_serve")) {
       val p = planOf(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q plans a cross product")
