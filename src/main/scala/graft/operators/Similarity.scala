@@ -1395,28 +1395,15 @@ final class Similarity(val tuning: Tuning) extends Serializable {
         Seq("n_id"), "left_anti"))
     val cand = home.join(broadcast(qprobes), "cell")
       .select($"q_id", $"n_id", $"cell")
-    // RESIDUAL ADC — the q49 arithmetic, driver-computed: per-(query,
-    // probed cell) LUT of the query's residual w.r.t. that cell's
-    // centroid against the READ residual codebook; same
-    // only-shared-dims semantics as the oracle's equi-join
-    val subDim = tuning.pqSubDim
-    val byId = cb.toMap
-    val rpq = loadResPqCodebook(s, d)
-    val lut = qpro.flatMap { case (qid, v, cells) =>
-      cells.toSeq.flatMap { cell =>
-        val c = byId(cell)
-        val rv = Array.tabulate(v.length)(i =>
-          v(i) - (if (i < c.length) c(i) else 0.0))
-        rpq.toSeq.map { case (cent, sub, pairs) =>
-          var d2 = 0.0
-          pairs.foreach { case (sd, cv) =>
-            val idx = sub * subDim + sd
-            if (idx < rv.length) { val e = rv(idx) - cv; d2 += e * e }
-          }
-          (qid, cell, sub, cent, d2)
-        }
-      }
-    }.toDF("q_id", "cell", "sub", "cent", "pd2")
+    // RESIDUAL ADC — the q49 arithmetic via the SHARED plan-side LUT
+    // derivation ([[residualLut]]): the ad-hoc batch ships as a tiny
+    // (q_id, i, qv) exploded frame (nq × dims doubles), and the
+    // nq × nprobe × subs × cents LUT is computed distributed — never
+    // materialized on the driver
+    val qcomp = qs.flatMap { case (qid, v) =>
+      v.iterator.zipWithIndex.map { case (x, i) => (qid, i, x) }
+    }.toDF("q_id", "i", "qv")
+    val lut = residualLut(s, d, qprobes, qcomp)
     val scored = cand
       .join(withDeltas(s, d, resCodesDF(s, d), "pq_res_codes"), "n_id")
       .join(broadcast(lut), Seq("q_id", "cell", "sub", "cent"))
@@ -1874,9 +1861,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       shared: Option[DataFrame] = None): ResAdcCtx = {
     import s.implicits._
     ensureIndex(s, d)
-    val p = indexPath(d)
     val codes = resCodesDF(s, d)
-    val subDim = tuning.pqSubDim
     val probed = shared.getOrElse(probedDF(s, d))
     val qprobes = probed.filter($"vec_id" < tuning.annQueries)
       .select($"vec_id".as("q_id"), $"cell")
@@ -1885,10 +1870,31 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       .select($"vec_id".as("q_id"),
         posexplode(expr("transform(embedding, x -> cast(x as double))")))
       .select($"q_id", $"pos".as("i"), $"col".as("qv"))
+    ResAdcCtx(codes, residualLut(s, d, qprobes, qs))
+  }
+
+  /** The residual LUT derivation, shared by the corpus tiers
+    * ([[resAdcCtx]]) and the serving path ([[search]]): per-(query,
+    * probed cell) residual of the query against that cell's stored
+    * centroid, scored against the stored residual codebook — all
+    * plan-side (two broadcast joins + one partial agg), so an
+    * nq × nprobe × subs × cents LUT is computed distributed, never
+    * materialized on the driver.
+    *
+    * @param qprobes `(q_id, cell)` — each query's probed cells
+    * @param qcomp   `(q_id, i, qv)` — the query vectors' double
+    *                components, 0-based dims
+    */
+  private def residualLut(s: SparkSession, d: String,
+      qprobes: DataFrame, qcomp: DataFrame): DataFrame = {
+    import s.implicits._
+    ensureIndex(s, d)
+    val p = indexPath(d)
+    val subDim = tuning.pqSubDim
     // stored coarse centroids, 0-based dims like the explode
     val cbRows = s.read.parquet(s"$p/ivf_codebook")
       .select($"cell", $"dim".as("i"), $"cv")
-    val rq = qprobes.join(qs, "q_id")
+    val rq = qprobes.join(qcomp, "q_id")
       .join(broadcast(cbRows), Seq("cell", "i"), "left")
       .select($"q_id", $"cell",
         expr(s"CAST(i div $subDim AS INT)").as("sub"),
@@ -1896,10 +1902,9 @@ final class Similarity(val tuning: Tuning) extends Serializable {
         ($"qv" - coalesce($"cv", lit(0.0))).as("rqv"))
     val rcb = s.read.parquet(s"$p/pq_res_codebook")
       .select($"sub", $"cent", $"sd", $"cv")
-    val lut = rq.join(broadcast(rcb), Seq("sub", "sd"))
+    rq.join(broadcast(rcb), Seq("sub", "sd"))
       .groupBy($"q_id", $"cell", $"sub", $"cent")
       .agg(sum(($"rqv" - $"cv") * ($"rqv" - $"cv")).as("pd2"))
-    ResAdcCtx(codes, lut)
   }
 
   /** q49's IVF-gated ADC scores `(q_id, n_id, d2)`: candidates are the
