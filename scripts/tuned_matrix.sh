@@ -21,7 +21,7 @@ run() {
 }
 # A: ANN/PQ geometry + the lloydIters=0 seed-codebook edge (q67 pins
 # the per-knob STORED index artifact at this geometry)
-run a q40,q41,q43,q44,q45,q47,q48,q49,q67 \
+run a q40,q41,q43,q44,q45,q47,q48,q49,q67,q68 \
   GRAFT_TUNING_ANN_QUERIES=5 GRAFT_TUNING_PQ_SUBSPACES=4 \
   GRAFT_TUNING_PQ_SUB_DIM=16 GRAFT_TUNING_PQ_CENTROIDS=32 \
   GRAFT_TUNING_REFINE_FACTOR=2 GRAFT_TUNING_NPROBE=4 \
@@ -32,7 +32,7 @@ run b q29,q31,q32,q38,q39,q59 \
   GRAFT_TUNING_MINHASH_ROWS=4 GRAFT_TUNING_DF_CAP=50 \
   GRAFT_TUNING_SOURCE_QUOTA=7 GRAFT_TUNING_KMV_K=128
 # C: partial PQ coverage (2 subspaces of 8 — the uncovered-dims bound)
-run c q40,q47,q48,q49,q67 \
+run c q40,q47,q48,q49,q67,q68 \
   GRAFT_TUNING_PQ_SUBSPACES=2 GRAFT_TUNING_ANN_QUERIES=3
 # D: hostile all-boundary set — every integer knob at its floor,
 # ccEdgeJaccard at its ceiling, deep Lloyd chain — FULL registry

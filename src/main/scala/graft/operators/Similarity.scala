@@ -1377,12 +1377,9 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     val qs = queryVecs.filter(q => q._2 != null && q._2.nonEmpty)
       .map { case (qid, vf) => (qid, vf.map(_.toDouble)) }
     val cb = loadIvfCodebook(s, d)
-    // each query's probe cells, kept driver-side for the residual LUT
-    val qpro = qs.map { case (qid, v) =>
-      (qid, v, Similarity.nearestCells(v, cb, tuning.nprobe).map(_._1))
-    }
-    val qprobes = qpro.flatMap { case (qid, _, cells) =>
-      cells.map(c => (qid, c))
+    val qprobes = qs.flatMap { case (qid, v) =>
+      Similarity.nearestCells(v, cb, tuning.nprobe)
+        .map { case (cell, _) => (qid, cell) }
     }.toDF("q_id", "cell")
     // base ∪ installed delta segments: added vectors are served the
     // moment their segment's marker lands ([[addVectors]]); tombstoned
