@@ -53,4 +53,38 @@ private[operators] object ArtifactLake {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteTree))
     f.delete()
   }
+
+  /** Fingerprint of a source table's FILE LISTING (names, sizes,
+    * mtimes) — a stat-only walk, no data read. Part of an artifact's
+    * key: the stored content depends on the source CONTENT, not just
+    * the dir path, so a regenerated table at the same path re-keys and
+    * can never be served a stale artifact (the failure would otherwise
+    * surface as oracle hash-mismatches misdiagnosed as engine bugs —
+    * or, for the oracle-less serving paths, as silently wrong
+    * results). Non-local paths fall back to path-only keying ("nofp").
+    */
+  def fingerprint(table: java.io.File): String = try {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val sig = walk(table)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    if (sig.isEmpty) "nofp"
+    else java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  } catch { case _: Exception => "nofp" }
+
+  /** Installed (marker-complete) delta segments under `indexPath` with
+    * the given name prefix, name-ordered. Names are content keys, so
+    * the order is deterministic but semantically irrelevant — segments
+    * are id-disjoint by the writers' guards.
+    */
+  def segmentDirs(indexPath: String, prefix: String): Seq[java.io.File] = {
+    val root = new java.io.File(s"$indexPath/deltas")
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith(prefix) &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .sortBy(_.getName)
+  }
 }

@@ -49,10 +49,23 @@ object Dedup {
   private[operators] def shinglePostings(s: SparkSession, d: String,
       n: Int = 3): DataFrame = {
     import s.implicits._
-    spread(t(s, d, "documents"))
-      .select($"doc_id", $"text")
-      .as[(Long, String)]
-      .mapPartitions { it =>
+    shinglePostingsOf(
+      spread(t(s, d, "documents"))
+        .select($"doc_id", $"text")
+        .as[(Long, String)], n)
+  }
+
+  /** [[shinglePostings]] over an arbitrary `(doc_id, text)` dataset —
+    * the corpus scan above and the ad-hoc serving/DML batches
+    * ([[Dedup#serveNearDups]], [[Dedup#addDocs]]) shingle through ONE
+    * compiled implementation, so a served document is keyed exactly
+    * like a built one.
+    */
+  private[operators] def shinglePostingsOf(
+      ds: org.apache.spark.sql.Dataset[(Long, String)], n: Int = 3): DataFrame = {
+    val s = ds.sparkSession
+    import s.implicits._
+    ds.mapPartitions { it =>
         it.flatMap { case (id, text) =>
           // NULL text ⇒ zero shingles, matching the oracle's
           // lower(NULL)→NULL→unnest(NULL) and the HOF path it replaced
@@ -73,6 +86,15 @@ object Dedup {
       .toDF("doc_id", "nsh", "t")
   }
 
+  /** Stored-signature-lake observability counters (the
+    * [[Similarity.indexBuilds]] pattern): incremented only when THIS
+    * process performs the build/install — the spec hook proving a
+    * second session reuses the artifact instead of rebuilding.
+    */
+  private[operators] val sigBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[operators] val sigAdds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[operators] val sigRemoves = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Forwarder for the unit spec — [[components]] is knob-free (the
     * instance exists only because the module is a tuned class).
     */
@@ -84,7 +106,8 @@ object Dedup {
   * interpolates THIS instance's `tuning` (see [[graft.QRegistry]]).
   */
 final class Dedup(val tuning: Tuning) extends Serializable {
-  import Dedup.{toksExpr, toksSqlDuck, shinglesSqlDuck, shinglePostings}
+  import Dedup.{toksExpr, toksSqlDuck, shinglesSqlDuck, shinglePostings,
+    shinglePostingsOf}
 
   /** Exact dedup: hash-groupBy on the normalized text. One shuffle on the
     * 128-bit fingerprint; at 100 TB this is the classic first pass
@@ -201,42 +224,62 @@ final class Dedup(val tuning: Tuning) extends Serializable {
   private val mRows = tuning.minhashRows
   private val sigK = tuning.sigK
   private val mCap = tuning.minhashBucketCap
+  /** Banded MinHash signatures `(doc_id, band_key)` from shingle
+    * postings — the probe structure of the stored signature lake.
+    *
+    * Bit-parallel minhash (the simhash q33 trick, commit 29db76a):
+    * ONE groupBy(doc_id) with sigK min-aggregate columns — one hash
+    * per shingle, the sigK affine permutations evaluated as sigK
+    * codegen'd projection columns. Shuffle volume = docs × sigK
+    * scalars (map-side partial min), vs the earlier
+    * explode(sequence(0,15)) form whose shuffle was shingles × sigK
+    * rows — a sigK×|shingles/doc| cut.
+    *
+    * Band key b = md5("b:mh_{b·rows},…,mh_{b·rows+rows−1}") —
+    * identical bytes to the oracle's array_to_string over the
+    * signature slice. Zero-shingle documents emit no postings and so
+    * no bands — invisible to minhash dedup by construction (the
+    * oracle's `len(sh) > 0` filter).
+    */
+  private def bandedKeys(posts: DataFrame): DataFrame = {
+    val s = posts.sparkSession
+    import s.implicits._
+    val minCols = (0 until sigK).map { i =>
+      min(expr(s"pmod(${1222334441L + i * 98765L}L * h0 + ${i * 424242L + 7L}L, 2147483647L)"))
+        .as(s"mh$i")
+    }
+    val sig = posts
+      .select($"doc_id", expr(
+        "pmod(cast(conv(substring(md5(t), 1, 10), 16, 10) as bigint), 2147483647)").as("h0"))
+      .groupBy($"doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+    val bandKeys = (0 until mBands).map { b =>
+      val parts = (0 until mRows).flatMap { r =>
+        val c = col(s"mh${b * mRows + r}").cast("string")
+        if (r == 0) Seq(c) else Seq(lit(","), c)
+      }
+      md5(concat_ws("", (lit(s"$b:") +: parts): _*))
+    }
+    sig.select($"doc_id", explode(array(bandKeys: _*)).as("band_key"))
+  }
+
   /** The MinHash+LSH candidate pipeline ending in exact-verified pairs
     * `(a_id, b_id, jacc)` (raw double score) — the body of q32, factored
     * so q38's component clustering consumes the identical edge set.
+    *
+    * Candidates come from the STORED band table ([[ensureSigIndex]] —
+    * built once per (sf dir, signature knobs, data fingerprint), read
+    * thereafter): the corpus-wide shingling + signature aggregation is
+    * BUILD-side cost, not per-query cost. The exact-Jaccard verify then
+    * shingles the CANDIDATE documents only (semi-join on the candidate
+    * ids BEFORE the compiled shingling) — at 100 TB the per-query work
+    * is one bucket groupBy over the stored bands plus a
+    * candidate-bounded text pass, no full-corpus recompute anywhere.
     */
   private def minhashVerified(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
-      val posts = shinglePostings(s, d)
-        .cache()  // read by the signature pipeline and the verify arrays
-      // Bit-parallel minhash (the simhash q33 trick, commit 29db76a):
-      // ONE groupBy(doc_id) with sigK min-aggregate columns — one hash
-      // per shingle, the sigK affine permutations evaluated as sigK
-      // codegen'd projection columns. Shuffle volume = docs × sigK
-      // scalars (map-side partial min), vs the earlier
-      // explode(sequence(0,15)) form whose shuffle was shingles × sigK
-      // rows — a sigK×|shingles/doc| cut.
-      val minCols = (0 until sigK).map { i =>
-        min(expr(s"pmod(${1222334441L + i * 98765L}L * h0 + ${i * 424242L + 7L}L, 2147483647L)"))
-          .as(s"mh$i")
-      }
-      val sig = posts
-        .select($"doc_id", expr(
-          "pmod(cast(conv(substring(md5(t), 1, 10), 16, 10) as bigint), 2147483647)").as("h0"))
-        .groupBy($"doc_id")
-        .agg(minCols.head, minCols.tail: _*)
-      // band key b = md5("b:mh_{b·rows},…,mh_{b·rows+rows−1}") —
-      // identical bytes to the oracle's array_to_string over the
-      // signature slice.
-      val bandKeys = (0 until mBands).map { b =>
-        val parts = (0 until mRows).flatMap { r =>
-          val c = col(s"mh${b * mRows + r}").cast("string")
-          if (r == 0) Seq(c) else Seq(lit(","), c)
-        }
-        md5(concat_ws("", (lit(s"$b:") +: parts): _*))
-      }
-      val cand = sig
-        .select($"doc_id", explode(array(bandKeys: _*)).as("band_key"))
+      ensureSigIndex(s, d)
+      val cand = s.read.parquet(s"${sigPath(d)}/bands")
         .groupBy($"band_key")
         .agg(sort_array(collect_set($"doc_id")).as("ds"))
         .filter(size($"ds") > 1 && size($"ds") <= mCap)
@@ -249,10 +292,13 @@ final class Dedup(val tuning: Tuning) extends Serializable {
         .cache()  // read by the verify spine and the candidate-id set
       // exact-verify arrays for candidate documents ONLY: at 100 TB the
       // full doc→shingles map is corpus-sized, but the candidate set is
-      // bounded by bands × bucket-cap² — that is what broadcasts
+      // bounded by bands × bucket-cap² — only those documents are even
+      // shingled, and that is what broadcasts
       val candIds = cand
         .select(explode(array($"a_id", $"b_id")).as("doc_id")).distinct()
-      val shc = posts.join(candIds, Seq("doc_id"), "left_semi")
+      val shc = shinglePostingsOf(
+          t(s, d, "documents").join(candIds, Seq("doc_id"), "left_semi")
+            .select($"doc_id", $"text").as[(Long, String)])
         .groupBy($"doc_id").agg(collect_list($"t").as("sh"))
         .cache()
       cand
@@ -264,11 +310,78 @@ final class Dedup(val tuning: Tuning) extends Serializable {
         .select($"a_id", $"b_id", $"jacc")
   }
 
-  /** The q32/q38 oracle's shared CTE chain ending in `cand(a_id, b_id)`
-    * (band-bucketed, capped, distinct candidate pairs) beside
-    * `sh(doc_id, sh)` for the exact verify.
+  // ------------------------------------------------------------------
+  // The STORED signature lake — the vector store's build-once/serve-
+  // many contract ([[Similarity]]'s ensureIndex) applied to the dedup
+  // tier. The banded MinHash signatures of the corpus are computed
+  // ONCE per (sf dir, signature-shaping knobs, data fingerprint) and
+  // installed as a parquet `bands(doc_id, band_key)` table by the
+  // shared [[ArtifactLake]] recipe (staged rename, idempotent,
+  // crash-healed); q32/q38 candidate generation and the incremental
+  // serving path read the STORED table. At 100 TB the corpus-wide
+  // shingling + signature pass is the expensive half of minhash dedup
+  // — paying it per query was the dedup tier's recompute-per-query
+  // seam; paying it once is what makes "is this new batch a dup of
+  // anything in the corpus" an O(batch) question.
+  // ------------------------------------------------------------------
+
+  /** Bump when the signature derivation changes: stale artifacts keyed
+    * by older versions can never be served against new oracle
+    * arithmetic.
     */
-  private val minhashCandSql = s"""toks AS (SELECT doc_id, $toksSqlDuck AS toks FROM documents),
+  private val sigVersion = 1
+
+  /** Snapshot the root once per instance ([[Similarity]]'s rationale):
+    * ensure and the subsequent reads must resolve the SAME path even
+    * if the property changes mid-session (spec isolation).
+    */
+  @transient private lazy val sigRoot: String =
+    sys.props.getOrElse("graft.index.dir",
+      s"${sys.props("java.io.tmpdir")}/graft-index")
+
+  /** The artifact key: source dir + every knob the stored bytes depend
+    * on (bands × rows shape the signature; the bucket cap and dfCap
+    * are candidate-generation-time and deliberately excluded) + the
+    * documents table's content fingerprint + the derivation version.
+    */
+  private[operators] def sigPath(d: String): String = {
+    val knobs = s"$mBands:$mRows"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((new java.io.File(d).getCanonicalPath + ":" + knobs + ":" +
+        sigVersion).getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val fp = ArtifactLake.fingerprint(new java.io.File(s"$d/documents.parquet"))
+    s"$sigRoot/dedup-$key-$fp-v$sigVersion"
+  }
+
+  /** Paths this INSTANCE has confirmed on disk — per-instance, not
+    * JVM-global, so a second registry proves artifact reuse through
+    * the marker, not the memo ([[Dedup.sigBuilds]]).
+    */
+  private val sigReady = scala.collection.mutable.HashSet[String]()
+
+  /** Install-or-reuse the stored band table. The build is
+    * deterministic and the path keys knobs + data fingerprint, so
+    * losing an install race to another process is success.
+    */
+  private[operators] def ensureSigIndex(s: SparkSession, d: String): Unit = synchronized {
+    val p = sigPath(d)
+    if (sigReady.contains(p)) return
+    val built = ArtifactLake.ensure(new java.io.File(p)) { staging =>
+      bandedKeys(shinglePostings(s, d))
+        .write.mode("overwrite").parquet(s"${staging.getAbsolutePath}/bands")
+    }
+    if (built) Dedup.sigBuilds.incrementAndGet()
+    sigReady += p
+  }
+
+  /** The oracle's banded-signature CTE chain ending in
+    * `bands(doc_id, band_key)` beside `sh(doc_id, sh)` — the SQL
+    * replay of the stored band table's derivation, shared by the q32 /
+    * q38 candidate chain, the index-build pin (q69), and the serving
+    * replay (q72).
+    */
+  private val minhashBandsSql = s"""toks AS (SELECT doc_id, $toksSqlDuck AS toks FROM documents),
       sh0 AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM toks),
       sh AS (SELECT * FROM sh0 WHERE len(sh) > 0),
       sig AS (SELECT doc_id,
@@ -279,7 +392,13 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       bands AS (SELECT doc_id,
                   md5(CAST(b AS VARCHAR) || ':' ||
                       array_to_string(list_slice(sig, b*$mRows+1, b*$mRows+$mRows), ',')) AS band_key
-                FROM sig, (SELECT unnest(range(0, $mBands)) AS b) bs),
+                FROM sig, (SELECT unnest(range(0, $mBands)) AS b) bs)"""
+
+  /** The q32/q38 oracle's shared CTE chain ending in `cand(a_id, b_id)`
+    * (band-bucketed, capped, distinct candidate pairs) beside
+    * `sh(doc_id, sh)` for the exact verify.
+    */
+  private val minhashCandSql = s"""$minhashBandsSql,
       ok_buckets AS (SELECT band_key FROM bands GROUP BY band_key
                      HAVING count(*) > 1 AND count(*) <= $mCap),
       cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
@@ -399,6 +518,276 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       SELECT c.doc_id, c.component, s.n_members
       FROM comp c JOIN sizes s ON c.component = s.component
       ORDER BY c.component, c.doc_id"""))
+
+  // ------------------------------------------------------------------
+  // Incremental dedup — the signature lake's serving + DML half,
+  // mirroring the vector store's FAISS-shaped contract: the stored
+  // band table is the frozen index; serving probes it with a new
+  // batch's signatures; adds install immutable content-keyed delta
+  // segments (bands + the batch text for candidate verify); removes
+  // install tombstones. Registered q32/q38 stay base-only because the
+  // base table mirrors the corpus parquet the DuckDB oracle replays.
+  // ------------------------------------------------------------------
+
+  /** Installed add segments under the signature lake, name-ordered. */
+  private def sigDeltaDirs(d: String): Seq[java.io.File] =
+    ArtifactLake.segmentDirs(sigPath(d), "add-")
+
+  /** All tombstoned ids as one `doc_id` column; None when no tombstone
+    * segment is installed (spares serving the anti-join).
+    */
+  private def sigTombstonedIds(s: SparkSession, d: String): Option[DataFrame] =
+    ArtifactLake.segmentDirs(sigPath(d), "del-") match {
+      case Seq() => None
+      case dirs => Some(dirs.map(dir =>
+        s.read.parquet(s"${dir.getAbsolutePath}/ids")).reduce(_ unionByName _))
+    }
+
+  /** The LIVE band table: base ∪ installed add segments, minus
+    * tombstoned documents. Bucket sizes (the serve-side cap) count
+    * live members only.
+    */
+  private def liveBands(s: SparkSession, d: String): DataFrame = {
+    val all = sigDeltaDirs(d).foldLeft(s.read.parquet(s"${sigPath(d)}/bands"))(
+      (acc, dir) => acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/bands")))
+    sigTombstonedIds(s, d).fold(all)(ts =>
+      all.join(broadcast(ts), Seq("doc_id"), "left_anti"))
+  }
+
+  /** `(doc_id, text)` for candidate verify: the corpus table ∪ each add
+    * segment's stored batch text (an added document's text is not in
+    * the corpus parquet — the segment carries it, the way the vector
+    * store's segments carry raw floats for exact refine).
+    */
+  private def liveDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sigDeltaDirs(d).foldLeft(
+      t(s, d, "documents").select($"doc_id", $"text"))((acc, dir) =>
+      acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/docs")))
+  }
+
+  /** The SERVING path: which stored documents is each batch document a
+    * near-dup of? Probes the STORED band table with the batch's
+    * freshly-computed signatures — same compiled shingling, same
+    * affine minhash, same band keys as the build — then exact-verifies
+    * the candidates only. Returns `(probe_id, match_id, jaccard)`,
+    * jaccard r4-rounded, ordered.
+    *
+    * Cost shape: the batch side is O(batch); the corpus side is one
+    * bucket-size aggregate over the stored bands (no shingling, no
+    * signature pass) plus a candidate-bounded text fetch for verify —
+    * the difference between "a dedup query" and "a dedup service".
+    * The bucket cap drops band buckets with more than
+    * [[Tuning.minhashBucketCap]] LIVE members as non-discriminative
+    * (the q32 rule); a batch document matching itself (serving a
+    * corpus replay) is excluded by id, not by text.
+    */
+  def serveNearDups(s: SparkSession, d: String,
+      docs: Seq[(Long, String)]): DataFrame = {
+    import s.implicits._
+    ensureSigIndex(s, d)
+    val batch = docs.filter(_._2 != null)
+    require(batch.map(_._1).distinct.length == batch.length,
+      "serveNearDups: duplicate doc_id within the batch")
+    if (batch.isEmpty)
+      return s.emptyDataset[(Long, Long, Double)]
+        .toDF("probe_id", "match_id", "jaccard")
+    val bposts = shinglePostingsOf(s.createDataset(batch)).cache()
+    val bbands = bandedKeys(bposts)
+    val corpus = liveBands(s, d)
+    val ok = corpus.groupBy($"band_key")
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" <= mCap).select($"band_key")
+    val cand = bbands.select($"doc_id".as("probe_id"), $"band_key")
+      .join(ok, Seq("band_key"), "left_semi")
+      .join(corpus.select($"doc_id".as("match_id"), $"band_key"), "band_key")
+      .filter($"probe_id" =!= $"match_id")
+      .select($"probe_id", $"match_id")
+      .distinct()
+      .cache()
+    // verify: probe shingles from the batch itself; match shingles
+    // re-shingled from the CANDIDATE documents' stored text only
+    val matchIds = cand.select($"match_id".as("doc_id")).distinct()
+    val shm = shinglePostingsOf(
+        liveDocs(s, d).join(matchIds, Seq("doc_id"), "left_semi")
+          .as[(Long, String)])
+      .groupBy($"doc_id").agg(collect_list($"t").as("sh"))
+    val shp = bposts.groupBy($"doc_id").agg(collect_list($"t").as("sh"))
+    cand
+      .join(broadcast(shp.select($"doc_id".as("probe_id"), $"sh".as("sha"))), "probe_id")
+      .join(broadcast(shm.select($"doc_id".as("match_id"), $"sh".as("shb"))), "match_id")
+      .withColumn("common", size(array_intersect($"sha", $"shb")))
+      .withColumn("jacc",
+        $"common" / (size($"sha") + size($"shb") - $"common"))
+      .select($"probe_id", $"match_id", r4($"jacc").as("jaccard"))
+      .orderBy($"probe_id", $"match_id")
+  }
+
+  /** Incremental add — the dedup store's DML: sign a batch of NEW
+    * documents against the frozen signature arithmetic and install one
+    * immutable, content-keyed delta segment under the lake —
+    *
+    *   `deltas/add-<md5(sorted batch)>/{bands, docs}`
+    *
+    * [[ArtifactLake.ensure]] semantics as [[Similarity.addVectors]]:
+    * idempotent on at-least-once retry (content key), crash-safe
+    * (unmarked staging), id-disjoint (already-indexed ids rejected
+    * loudly). The segment stores the batch text beside the bands so
+    * serving's exact verify covers added documents. Blind spot, stated:
+    * a zero-shingle document (empty/whitespace text) emits no band
+    * rows, so it is invisible both to dedup and to the id guard —
+    * inherent to minhash over shingles. Returns true iff THIS call
+    * installed the segment.
+    */
+  def addDocs(s: SparkSession, d: String,
+      docs: Seq[(Long, String)]): Boolean = synchronized {
+    import s.implicits._
+    ensureSigIndex(s, d)
+    val batch = docs.filter(_._2 != null).sortBy(_._1)
+    if (batch.isEmpty) return false
+    require(batch.map(_._1).distinct.length == batch.length,
+      "addDocs: duplicate doc_id within the batch")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    batch.foreach { case (id, text) =>
+      bb.clear(); bb.putLong(id); md.update(bb.array(), 0, 8)
+      md.update(text.getBytes("UTF-8")); md.update(0.toByte)
+    }
+    val key = md.digest().take(8).map("%02x".format(_)).mkString
+    val target = new java.io.File(s"${sigPath(d)}/deltas/add-$key")
+    // retry no-op BEFORE the id guard (an at-least-once re-send carries
+    // already-indexed ids by definition — [[Similarity.addVectors]])
+    if (new java.io.File(target, "_SUCCESS").isFile) return false
+    val ids = batch.map(_._1)
+    // the [min, max] envelope is a pushable superset predicate: parquet
+    // row-group stats prune the corpus-sized band scan to nothing in
+    // the common fresh-ids case
+    val takenBase = liveBands(s, d)
+      .filter($"doc_id".between(ids.min, ids.max)).select($"doc_id")
+    val taken = sigTombstonedIds(s, d).fold(takenBase)(takenBase.unionByName(_))
+      .join(broadcast(ids.toDF("doc_id")), "doc_id")
+      .select($"doc_id").distinct().as[Long].collect()
+    require(taken.isEmpty,
+      s"addDocs: ids already indexed: ${taken.sorted.take(8).mkString(", ")}")
+    val installed = ArtifactLake.ensure(target) { staging =>
+      val out = staging.getAbsolutePath
+      val ds = s.createDataset(batch)
+      bandedKeys(shinglePostingsOf(ds))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/bands")
+      ds.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/docs")
+    }
+    if (installed) Dedup.sigAdds.incrementAndGet()
+    installed
+  }
+
+  /** Retire documents from serving via one immutable, content-keyed
+    * tombstone segment — `deltas/del-<md5(sorted ids)>/ids(doc_id)`.
+    * Monotone like the vector store's: a retired id stays retired
+    * ([[addDocs]] rejects it), re-removal is a content-key no-op.
+    * Returns true iff THIS call installed the segment.
+    */
+  def removeDocs(s: SparkSession, d: String, ids: Seq[Long]): Boolean = synchronized {
+    import s.implicits._
+    ensureSigIndex(s, d)
+    val sorted = ids.distinct.sorted
+    if (sorted.isEmpty) return false
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    sorted.foreach { id =>
+      bb.clear(); bb.putLong(id); md.update(bb.array(), 0, 8)
+    }
+    val key = md.digest().take(8).map("%02x".format(_)).mkString
+    val target = new java.io.File(s"${sigPath(d)}/deltas/del-$key")
+    if (new java.io.File(target, "_SUCCESS").isFile) return false
+    val installed = ArtifactLake.ensure(target) { staging =>
+      sorted.toDF("doc_id").coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"${staging.getAbsolutePath}/ids")
+    }
+    if (installed) Dedup.sigRemoves.incrementAndGet()
+    installed
+  }
+
+  /** Continuous document ingest into the signature lake — one delta
+    * segment per non-empty micro-batch, [[Similarity.ingestStream]]'s
+    * effectively-once recipe (at-least-once replay × content-keyed
+    * idempotent install). The per-batch collect is bounded by the
+    * trigger's admission control; the signing inside [[addDocs]] is
+    * the distributed compiled map.
+    */
+  def ingestStream(d: String, stream: DataFrame, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        import bs.implicits._
+        val docs = batch
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)].collect().toSeq
+        addDocs(bs, d, docs)
+        ()
+      }
+      .start()
+
+  /** The signature-lake build itself as an oracle-checked query: dump
+    * the STORED band table while the oracle replays the entire
+    * derivation — tokenize → shingle → minhash → band keys — from
+    * scratch in SQL (the q67 pattern). A builder that mis-hashes one
+    * shingle, drops one document, or mis-slices one band
+    * hash-mismatches, so the artifact every dedup query reads is
+    * pinned end-to-end.
+    */
+  private val q69 = Q(
+    "q69_minhash_index_build",
+    (s, d) => {
+      import s.implicits._
+      ensureSigIndex(s, d)
+      s.read.parquet(s"${sigPath(d)}/bands")
+        .orderBy($"doc_id", $"band_key")
+    },
+    Some(s"""
+      WITH $minhashBandsSql
+      SELECT doc_id, band_key FROM bands
+      ORDER BY doc_id, band_key"""))
+
+  /** The dedup SERVING path, oracle-pinned (the q68 pattern): every
+    * 10th corpus document replayed as an incoming batch through
+    * [[serveNearDups]] — fresh signatures probing the STORED band
+    * table, candidate-only exact verify — while the oracle replays the
+    * identical pipeline in SQL: the shared bands chain, live-bucket
+    * cap, probe ≠ match (a replayed corpus member's self-hit carries
+    * no information), exact Jaccard on the candidates. The collect is
+    * the batch itself — bounded, the serving contract's own input
+    * shape.
+    */
+  private val q72 = Q(
+    "q72_dedup_index_serve",
+    (s, d) => {
+      import s.implicits._
+      val batch = t(s, d, "documents")
+        .filter(expr("doc_id % 10 = 3"))
+        .select($"doc_id", $"text").as[(Long, String)]
+        .collect().toSeq
+      serveNearDups(s, d, batch)
+    },
+    Some(s"""
+      WITH $minhashBandsSql,
+      ok AS (SELECT band_key FROM bands GROUP BY band_key
+             HAVING count(*) <= $mCap),
+      cand AS (SELECT DISTINCT x.doc_id AS probe_id, y.doc_id AS match_id
+               FROM bands x JOIN bands y
+                 ON x.band_key = y.band_key AND x.doc_id <> y.doc_id
+               WHERE x.doc_id % 10 = 3
+                 AND x.band_key IN (SELECT band_key FROM ok))
+      SELECT probe_id, match_id,
+             round(len(list_intersect(sha.sh, shb.sh)) /
+                   (len(sha.sh) + len(shb.sh) - len(list_intersect(sha.sh, shb.sh))), 4) AS jaccard
+      FROM cand JOIN sh sha ON probe_id = sha.doc_id
+                JOIN sh shb ON match_id = shb.doc_id
+      ORDER BY probe_id, match_id"""))
 
   /** Per-doc 32-bit simhash signatures — one pass, 32 aggregate columns
     * (bit-parallel) instead of a 32× bit-explode: shuffle is docs×32
@@ -595,5 +984,5 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       WHERE round(n_dup / CAST(nsh AS DOUBLE), 4) >= 0.5
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q38)
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q38, q69, q72)
 }

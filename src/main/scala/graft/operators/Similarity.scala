@@ -1158,18 +1158,8 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * or, for the oracle-less [[search]], as silently wrong neighbors).
     * Non-local paths fall back to path-only keying ("nofp").
     */
-  private[operators] def dataFingerprint(d: String): String = try {
-    val p = new java.io.File(s"$d/embeddings.parquet")
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    val sig = walk(p)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-    if (sig.isEmpty) "nofp"
-    else java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-  } catch { case _: Exception => "nofp" }
+  private[operators] def dataFingerprint(d: String): String =
+    ArtifactLake.fingerprint(new java.io.File(s"$d/embeddings.parquet"))
 
   private[operators] def indexPath(d: String): String = {
     val root = indexRoot
@@ -1477,13 +1467,8 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * content keys, so the order is deterministic but semantically
     * irrelevant — segments are id-disjoint by [[addVectors]]' guard.
     */
-  private def deltaDirs(d: String): Seq[java.io.File] = {
-    val root = new java.io.File(s"${indexPath(d)}/deltas")
-    Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("add-") &&
-        new java.io.File(f, "_SUCCESS").isFile)
-      .sortBy(_.getName)
-  }
+  private def deltaDirs(d: String): Seq[java.io.File] =
+    ArtifactLake.segmentDirs(indexPath(d), "add-")
 
   /** `base` plus the same-named table of every installed delta segment. */
   private def withDeltas(s: SparkSession, d: String, base: DataFrame,
@@ -1492,13 +1477,8 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/$table")))
 
   /** Installed tombstone segments ([[removeVectors]]), name-ordered. */
-  private def tombstoneDirs(d: String): Seq[java.io.File] = {
-    val root = new java.io.File(s"${indexPath(d)}/deltas")
-    Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("del-") &&
-        new java.io.File(f, "_SUCCESS").isFile)
-      .sortBy(_.getName)
-  }
+  private def tombstoneDirs(d: String): Seq[java.io.File] =
+    ArtifactLake.segmentDirs(indexPath(d), "del-")
 
   /** All tombstoned ids as one column `vec_id`; None when no tombstone
     * segment is installed (the overwhelmingly common case — spares
