@@ -26,9 +26,9 @@ run a q40,q41,q43,q44,q45,q47,q48,q49,q67,q68 \
   GRAFT_TUNING_PQ_SUB_DIM=16 GRAFT_TUNING_PQ_CENTROIDS=32 \
   GRAFT_TUNING_REFINE_FACTOR=2 GRAFT_TUNING_NPROBE=4 \
   GRAFT_TUNING_LLOYD_ITERS=0
-# B: dedup/assembly knobs (q69/q72 pin the per-knob STORED signature
-# lake and its serving path at this geometry)
-run b q29,q31,q32,q38,q39,q59,q69,q72 \
+# B: dedup/assembly knobs (q69/q72/q33/q35/q73 pin the per-knob STORED
+# signature lake and both serving halves at this geometry)
+run b q29,q31,q32,q33,q35,q38,q39,q59,q69,q72,q73 \
   GRAFT_TUNING_CC_EDGE_JACCARD=0.3 GRAFT_TUNING_MINHASH_BANDS=4 \
   GRAFT_TUNING_MINHASH_ROWS=4 GRAFT_TUNING_DF_CAP=50 \
   GRAFT_TUNING_SOURCE_QUOTA=7 GRAFT_TUNING_KMV_K=128

@@ -327,9 +327,9 @@ final class Dedup(val tuning: Tuning) extends Serializable {
 
   /** Bump when the signature derivation changes: stale artifacts keyed
     * by older versions can never be served against new oracle
-    * arithmetic.
+    * arithmetic. v2: added the simhash half (`sig` table).
     */
-  private val sigVersion = 1
+  private val sigVersion = 2
 
   /** Snapshot the root once per instance ([[Similarity]]'s rationale):
     * ensure and the subsequent reads must resolve the SAME path even
@@ -340,9 +340,12 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       s"${sys.props("java.io.tmpdir")}/graft-index")
 
   /** The artifact key: source dir + every knob the stored bytes depend
-    * on (bands × rows shape the signature; the bucket cap and dfCap
-    * are candidate-generation-time and deliberately excluded) + the
-    * documents table's content fingerprint + the derivation version.
+    * on (bands × rows shape the minhash half; the bucket cap and dfCap
+    * are candidate-generation-time and deliberately excluded; the
+    * simhash half is knob-free and rides the same key — a bands-knob
+    * change rebuilds it too, a cheap price for ONE artifact, one DML
+    * segment stream, one serve surface) + the documents table's
+    * content fingerprint + the derivation version.
     */
   private[operators] def sigPath(d: String): String = {
     val knobs = s"$mBands:$mRows"
@@ -370,6 +373,8 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     val built = ArtifactLake.ensure(new java.io.File(p)) { staging =>
       bandedKeys(shinglePostings(s, d))
         .write.mode("overwrite").parquet(s"${staging.getAbsolutePath}/bands")
+      simhashSig(s, d)
+        .write.mode("overwrite").parquet(s"${staging.getAbsolutePath}/sig")
     }
     if (built) Dedup.sigBuilds.incrementAndGet()
     sigReady += p
@@ -554,6 +559,14 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       all.join(broadcast(ts), Seq("doc_id"), "left_anti"))
   }
 
+  /** The LIVE simhash table: base ∪ add segments, minus tombstones. */
+  private def liveSigs(s: SparkSession, d: String): DataFrame = {
+    val all = sigDeltaDirs(d).foldLeft(s.read.parquet(s"${sigPath(d)}/sig"))(
+      (acc, dir) => acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/sig")))
+    sigTombstonedIds(s, d).fold(all)(ts =>
+      all.join(broadcast(ts), Seq("doc_id"), "left_anti"))
+  }
+
   /** `(doc_id, text)` for candidate verify: the corpus table ∪ each add
     * segment's stored batch text (an added document's text is not in
     * the corpus parquet — the segment carries it, the way the vector
@@ -623,6 +636,35 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       .orderBy($"probe_id", $"match_id")
   }
 
+  /** The simhash half of the serving path: which stored documents does
+    * each batch document COLLIDE with (identical 32-bit signature —
+    * the q35 near-dup rule)? Batch signatures are computed fresh
+    * through the shared implementation and equi-joined against the
+    * STORED live table — no corpus token pass at serve time. No
+    * verify step by design: signature equality IS the simhash
+    * decision (q35's rule); the minhash path ([[serveNearDups]]) is
+    * the graded-similarity surface. Returns
+    * `(probe_id, match_id, simhash)`, ordered.
+    */
+  def serveSimhashMatches(s: SparkSession, d: String,
+      docs: Seq[(Long, String)]): DataFrame = {
+    import s.implicits._
+    ensureSigIndex(s, d)
+    val batch = docs.filter(_._2 != null)
+    require(batch.map(_._1).distinct.length == batch.length,
+      "serveSimhashMatches: duplicate doc_id within the batch")
+    if (batch.isEmpty)
+      return s.emptyDataset[(Long, Long, Long)]
+        .toDF("probe_id", "match_id", "simhash")
+    val bsig = simhashSigOf(s.createDataset(batch).toDF("doc_id", "text"))
+      .select($"doc_id".as("probe_id"), $"simhash")
+    bsig.join(
+        liveSigs(s, d).select($"doc_id".as("match_id"), $"simhash"), "simhash")
+      .filter($"probe_id" =!= $"match_id")
+      .select($"probe_id", $"match_id", $"simhash")
+      .orderBy($"probe_id", $"match_id")
+  }
+
   /** Incremental add — the dedup store's DML: sign a batch of NEW
     * documents against the frozen signature arithmetic and install one
     * immutable, content-keyed delta segment under the lake —
@@ -676,6 +718,8 @@ final class Dedup(val tuning: Tuning) extends Serializable {
         .coalesce(1).write.mode("overwrite").parquet(s"$out/bands")
       ds.toDF("doc_id", "text")
         .coalesce(1).write.mode("overwrite").parquet(s"$out/docs")
+      simhashSigOf(ds.toDF("doc_id", "text"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/sig")
     }
     if (installed) Dedup.sigAdds.incrementAndGet()
     installed
@@ -789,15 +833,47 @@ final class Dedup(val tuning: Tuning) extends Serializable {
                 JOIN sh shb ON match_id = shb.doc_id
       ORDER BY probe_id, match_id"""))
 
+  /** The simhash serving path, oracle-pinned: the q72 replay recipe
+    * over [[serveSimhashMatches]] — every 10th corpus document as an
+    * incoming batch, fresh signatures equi-joined against the STORED
+    * live table, while the oracle replays the whole derivation and
+    * the collision join in SQL.
+    */
+  private val q73 = Q(
+    "q73_simhash_index_serve",
+    (s, d) => {
+      import s.implicits._
+      val batch = t(s, d, "documents")
+        .filter(expr("doc_id % 10 = 3"))
+        .select($"doc_id", $"text").as[(Long, String)]
+        .collect().toSeq
+      serveSimhashMatches(s, d, batch)
+    },
+    Some(s"""
+      $simhashSqlDuck
+      SELECT x.doc_id AS probe_id, y.doc_id AS match_id, x.simhash
+      FROM sh x JOIN sh y
+        ON x.simhash = y.simhash AND x.doc_id <> y.doc_id
+      WHERE x.doc_id % 10 = 3
+      ORDER BY probe_id, match_id"""))
+
   /** Per-doc 32-bit simhash signatures — one pass, 32 aggregate columns
     * (bit-parallel) instead of a 32× bit-explode: shuffle is docs×32
     * scalars, not tokens×32 rows. h < 2^40 so integer division
     * h / 2^j equals the oracle's floor(h / pow(2, j)) exactly.
     * Shared by q33 (emit signatures) and q35 (collision clustering).
     */
-  private def simhashSig(s: SparkSession, d: String): DataFrame = {
+  private def simhashSig(s: SparkSession, d: String): DataFrame =
+    simhashSigOf(spread(t(s, d, "documents")))
+
+  /** [[simhashSig]] over an arbitrary `(doc_id, text, …)` frame — the
+    * corpus scan and the ad-hoc serving batches share one signature
+    * implementation ([[serveSimhashMatches]]).
+    */
+  private def simhashSigOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val tok = spread(t(s, d, "documents"))
+    val tok = docs
       .select($"doc_id", explode(expr(toksExpr)).as("tk"))
       .select($"doc_id",
         expr("cast(conv(substring(md5(tk), 1, 10), 16, 10) as bigint)").as("h"))
@@ -829,12 +905,18 @@ final class Dedup(val tuning: Tuning) extends Serializable {
   /** SimHash (32-bit): per-token md5-derived 40-bit hash, weighted bit
     * majority vote, integer-only arithmetic so both engines agree
     * exactly. Documents whose signatures collide are near-dup candidates.
+    *
+    * Reads the STORED `sig` table and thereby hash-pins it (the q69
+    * pattern — this dump IS the artifact q35 and the simhash serving
+    * path consume) while the oracle replays the derivation from
+    * scratch.
     */
   private val q33 = Q(
     "q33_dedup_simhash",
     (s, d) => {
       import s.implicits._
-      simhashSig(s, d).orderBy($"doc_id")
+      ensureSigIndex(s, d)
+      s.read.parquet(s"${sigPath(d)}/sig").orderBy($"doc_id")
     },
     Some(s"""
       $simhashSqlDuck
@@ -852,7 +934,8 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     "q35_dedup_simhash_cluster",
     (s, d) => {
       import s.implicits._
-      val sig = simhashSig(s, d)
+      ensureSigIndex(s, d)
+      val sig = s.read.parquet(s"${sigPath(d)}/sig")
       val clusters = sig.groupBy($"simhash")
         .agg(count(lit(1)).as("n_members"), min($"doc_id").as("keeper"))
         .filter($"n_members" > 1)
@@ -984,5 +1067,5 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       WHERE round(n_dup / CAST(nsh AS DOUBLE), 4) >= 0.5
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q38, q69, q72)
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q38, q69, q72, q73)
 }

@@ -88,10 +88,12 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("q69/q72: the dedup lake build dump and serving path scan the stored bands") {
+  test("q69/q72/q33/q35/q73: dedup lake dumps and serving paths scan the stored tables") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      for (q <- Seq("q69_minhash_index_build", "q72_dedup_index_serve")) {
+      for (q <- Seq("q69_minhash_index_build", "q72_dedup_index_serve",
+          "q33_dedup_simhash", "q35_dedup_simhash_cluster",
+          "q73_simhash_index_serve")) {
         val df = SparkEntry.queries(q)(spark, sf)
         assert(scanRoots(df).exists(_.contains("/graft-index")),
           s"$q does not scan the stored band table: ${scanRoots(df)}")

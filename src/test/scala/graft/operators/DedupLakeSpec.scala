@@ -115,6 +115,39 @@ class DedupLakeSpec extends SparkTestBase {
         .map(r => r.getLong(1) -> r.getDouble(2)).toMap
       assert(probe.get(src).contains(1.0), s"probe missed the corpus source: $probe")
       assert(probe.get(addedId).contains(1.0), s"probe missed the added doc: $probe")
+
+      // the simhash half serves the same added document: identical
+      // text collides with both the source and the added copy
+      val sh = d1.serveSimhashMatches(spark, sf, Seq(777000L -> texts(src)))
+        .collect().map(_.getLong(1)).toSet
+      assert(sh(src) && sh(addedId),
+        s"simhash serve missed the source or added doc: $sh")
+    }
+  }
+
+  test("simhash serving a corpus replay equals q33's collision pairs for the batch") {
+    withTempRoot {
+      val d1 = new Dedup(knobs)
+      val texts = docText
+      val batchIds = texts.keySet.filter(_ % 10 == 3)
+      val batch = batchIds.toSeq.sorted.map(id => id -> texts(id))
+
+      val served = d1.serveSimhashMatches(spark, sf, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+      // expected: q33's stored signatures, collision pairs with the
+      // probe side restricted to the batch
+      val q33 = d1.all.find(_.name == "q33_dedup_simhash").get
+      val sigs = q33.spark(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val bySig = sigs.groupBy(_._2)
+      val expected = (for {
+        (p, sg) <- sigs if batchIds(p)
+        (m, _) <- bySig(sg) if m != p
+      } yield (p, m, sg)).toSet
+      assert(served == expected,
+        s"simhash serve/q33 mismatch: served-only=${served diff expected}, " +
+          s"missing=${expected diff served}")
     }
   }
 
