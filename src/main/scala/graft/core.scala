@@ -54,12 +54,21 @@ object QRegistry {
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read nanos as long and truncate to micros —
-      // byte-identical to DuckDB's own nanos→micros truncation.
+      // events.ts has shipped in two parquet vintages: TIMESTAMP(NANOS)
+      // (rejected by Spark's vectorized reader — read nanos as long and
+      // truncate to micros) and plain timestamp[us] (surfaces as
+      // TIMESTAMP_NTZ). Dispatch on the footer type the read actually
+      // produced so either vintage loads; both paths land on session-UTC
+      // TimestampType with identical micros — byte-identical to DuckDB's
+      // own nanos→micros truncation.
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
