@@ -682,47 +682,73 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     * installed the segment.
     */
   def addDocs(s: SparkSession, d: String,
-      docs: Seq[(Long, String)]): Boolean = synchronized {
+      docs: Seq[(Long, String)]): Boolean = {
+    import s.implicits._
+    addDocs(s, d, s.createDataset(docs).toDF("doc_id", "text"))
+  }
+
+  /** Bulk, DataFrame-native add — the same contract as the `Seq`
+    * overload (which delegates here) with no driver materialization:
+    * the content key is one distributed order-independent digest
+    * (`bit_xor`-combined `xxhash64` row hashes + cardinality + id
+    * envelope, one aggregate job), the id guard joins the live band
+    * table instead of collecting ids, the signing is the shared
+    * compiled shingling/simhash over executors, and the segment writes
+    * land distributed (`ceil(n / 64k)` files, capped at 64). Driver
+    * memory held: one stats row and at most eight conflicting ids.
+    * Needs `doc_id` (castable to LONG) and `text` (STRING); NULL-text
+    * rows are skipped.
+    */
+  def addDocs(s: SparkSession, d: String, docs: DataFrame): Boolean = synchronized {
     import s.implicits._
     ensureSigIndex(s, d)
-    val batch = docs.filter(_._2 != null).sortBy(_._1)
-    if (batch.isEmpty) return false
-    require(batch.map(_._1).distinct.length == batch.length,
-      "addDocs: duplicate doc_id within the batch")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val bb = java.nio.ByteBuffer.allocate(8)
-    batch.foreach { case (id, text) =>
-      bb.clear(); bb.putLong(id); md.update(bb.array(), 0, 8)
-      md.update(text.getBytes("UTF-8")); md.update(0.toByte)
-    }
-    val key = md.digest().take(8).map("%02x".format(_)).mkString
-    val target = new java.io.File(s"${sigPath(d)}/deltas/add-$key")
-    // retry no-op BEFORE the id guard (an at-least-once re-send carries
-    // already-indexed ids by definition — [[Similarity.addVectors]])
-    if (new java.io.File(target, "_SUCCESS").isFile) return false
-    val ids = batch.map(_._1)
-    // the [min, max] envelope is a pushable superset predicate: parquet
-    // row-group stats prune the corpus-sized band scan to nothing in
-    // the common fresh-ids case
-    val takenBase = liveBands(s, d)
-      .filter($"doc_id".between(ids.min, ids.max)).select($"doc_id")
-    val taken = sigTombstonedIds(s, d).fold(takenBase)(takenBase.unionByName(_))
-      .join(broadcast(ids.toDF("doc_id")), "doc_id")
-      .select($"doc_id").distinct().as[Long].collect()
-    require(taken.isEmpty,
-      s"addDocs: ids already indexed: ${taken.sorted.take(8).mkString(", ")}")
-    val installed = ArtifactLake.ensure(target) { staging =>
-      val out = staging.getAbsolutePath
-      val ds = s.createDataset(batch)
-      bandedKeys(shinglePostingsOf(ds))
-        .coalesce(1).write.mode("overwrite").parquet(s"$out/bands")
-      ds.toDF("doc_id", "text")
-        .coalesce(1).write.mode("overwrite").parquet(s"$out/docs")
-      simhashSigOf(ds.toDF("doc_id", "text"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$out/sig")
-    }
-    if (installed) Dedup.sigAdds.incrementAndGet()
-    installed
+    val norm = docs.selectExpr(
+        "cast(doc_id as bigint) as doc_id", "cast(text as string) as text")
+      .filter("text is not null")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = norm.selectExpr(
+        "count(1) as cnt", "count(distinct doc_id) as dcnt",
+        "min(doc_id) as lo", "max(doc_id) as hi",
+        "bit_xor(xxhash64(doc_id, text)) as h1",
+        "bit_xor(xxhash64(text, doc_id)) as h2").head()
+      val cnt = st.getAs[Long]("cnt")
+      if (cnt == 0L) return false
+      require(st.getAs[Long]("dcnt") == cnt,
+        "addDocs: duplicate doc_id within the batch")
+      val (lo, hi) = (st.getAs[Long]("lo"), st.getAs[Long]("hi"))
+      val key = f"${st.getAs[Long]("h1")}%016x${st.getAs[Long]("h2")}%016x"
+      val target = new java.io.File(s"${sigPath(d)}/deltas/add-$key")
+      // retry no-op BEFORE the id guard (an at-least-once re-send carries
+      // already-indexed ids by definition — [[Similarity.addVectors]])
+      if (new java.io.File(target, "_SUCCESS").isFile) return false
+      // the [min, max] envelope is a pushable superset predicate: parquet
+      // row-group stats prune the corpus-sized band scan to nothing in
+      // the common fresh-ids case
+      val takenBase = liveBands(s, d)
+        .filter($"doc_id".between(lo, hi)).select($"doc_id")
+      val takenAll = sigTombstonedIds(s, d).fold(takenBase)(takenBase.unionByName(_))
+      val idsDf = norm.select($"doc_id")
+      val probe = if (cnt <= 4000000L) broadcast(idsDf) else idsDf
+      val taken = takenAll.join(probe, "doc_id")
+        .select($"doc_id").distinct().orderBy($"doc_id")
+        .limit(8).as[Long].collect()
+      require(taken.isEmpty,
+        s"addDocs: ids already indexed: ${taken.mkString(", ")}")
+      val nFiles = math.min(64L, math.max(1L, (cnt + 65535L) / 65536L)).toInt
+      val installed = ArtifactLake.ensure(target) { staging =>
+        val out = staging.getAbsolutePath
+        val ds = norm.repartition(nFiles).as[(Long, String)]
+        bandedKeys(shinglePostingsOf(ds))
+          .write.mode("overwrite").parquet(s"$out/bands")
+        ds.toDF("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$out/docs")
+        simhashSigOf(ds.toDF("doc_id", "text"))
+          .write.mode("overwrite").parquet(s"$out/sig")
+      }
+      if (installed) Dedup.sigAdds.incrementAndGet()
+      installed
+    } finally norm.unpersist()
   }
 
   /** Retire documents from serving via one immutable, content-keyed
@@ -756,9 +782,10 @@ final class Dedup(val tuning: Tuning) extends Serializable {
   /** Continuous document ingest into the signature lake — one delta
     * segment per non-empty micro-batch, [[Similarity.ingestStream]]'s
     * effectively-once recipe (at-least-once replay × content-keyed
-    * idempotent install). The per-batch collect is bounded by the
-    * trigger's admission control; the signing inside [[addDocs]] is
-    * the distributed compiled map.
+    * idempotent install). The micro-batch DataFrame passes straight
+    * into the DataFrame-native [[addDocs]] — key, guard, signing, and
+    * segment write all run on executors, no driver materialization at
+    * any batch size.
     */
   def ingestStream(d: String, stream: DataFrame, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -766,12 +793,7 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bs = batch.sparkSession
-        import bs.implicits._
-        val docs = batch
-          .select(col("doc_id").cast("long"), col("text"))
-          .as[(Long, String)].collect().toSeq
-        addDocs(bs, d, docs)
+        addDocs(batch.sparkSession, d, batch.select(col("doc_id"), col("text")))
         ()
       }
       .start()

