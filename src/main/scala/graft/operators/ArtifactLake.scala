@@ -87,4 +87,58 @@ private[operators] object ArtifactLake {
         new java.io.File(f, "_SUCCESS").isFile)
       .sortBy(_.getName)
   }
+
+  // ------------------------------------------------------------------
+  // Compaction generations. A generation is one immutable artifact dir
+  // `<indexPath>/gens/gen-<%05d seq>-<key>/` holding the FOLD of every
+  // delta segment installed so far (adds merged, tombstones applied)
+  // plus `consumed.txt`, the cumulative name list of the segments it
+  // subsumes. Serving reads: base tables ∪ current gen's tables ∪ only
+  // the UNCONSUMED segments — so after a compact the per-serve union
+  // list resets to one dir without deleting anything a racing reader
+  // might hold open (segments are only ever ADDED or, explicitly and
+  // under the single-writer maintenance contract, vacuumed). Install
+  // is the same staged-rename [[ensure]] as every other artifact;
+  // losing a race to an identical gen is success.
+  // ------------------------------------------------------------------
+
+  /** The newest complete generation under `indexPath`, if any.
+    * `gen-%05d-…` names sort lexicographically by sequence.
+    */
+  def currentGen(indexPath: String): Option[java.io.File] = {
+    val root = new java.io.File(s"$indexPath/gens")
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("gen-") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .sortBy(_.getName).lastOption
+  }
+
+  /** The cumulative set of delta-segment names a generation subsumes —
+    * empty when no generation is installed.
+    */
+  def consumedNames(gen: Option[java.io.File]): Set[String] = gen match {
+    case None => Set.empty
+    case Some(g) =>
+      val f = new java.io.File(g, "consumed.txt")
+      if (!f.isFile) Set.empty
+      else {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().map(_.trim).filter(_.nonEmpty).toSet
+        finally src.close()
+      }
+  }
+
+  /** A table dir written by a generation, present only when it holds
+    * data (an empty fold writes no files — Spark skips empty
+    * partitions — so presence IS the non-empty flag).
+    */
+  def tableIfPresent(gen: Option[java.io.File], table: String): Option[java.io.File] =
+    gen.map(g => new java.io.File(g, table)).filter(t =>
+      t.isDirectory && Option(t.listFiles()).exists(_.exists(f =>
+        f.getName.endsWith(".parquet"))))
+
+  def writeLines(f: java.io.File, lines: Seq[String]): Unit = {
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try lines.foreach(w.println) finally w.close()
+  }
 }

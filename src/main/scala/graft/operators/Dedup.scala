@@ -94,6 +94,7 @@ object Dedup {
   private[operators] val sigBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
   private[operators] val sigAdds = new java.util.concurrent.atomic.AtomicInteger(0)
   private[operators] val sigRemoves = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[operators] val sigCompacts = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Forwarder for the unit spec — [[components]] is knob-free (the
     * instance exists only because the module is a tuned class).
@@ -534,49 +535,72 @@ final class Dedup(val tuning: Tuning) extends Serializable {
   // base table mirrors the corpus parquet the DuckDB oracle replays.
   // ------------------------------------------------------------------
 
-  /** Installed add segments under the signature lake, name-ordered. */
-  private def sigDeltaDirs(d: String): Seq[java.io.File] =
-    ArtifactLake.segmentDirs(sigPath(d), "add-")
-
-  /** All tombstoned ids as one `doc_id` column; None when no tombstone
-    * segment is installed (spares serving the anti-join).
+  /** UNCONSUMED add segments under the signature lake — segments the
+    * current generation has folded ([[compact]]) are excluded.
     */
-  private def sigTombstonedIds(s: SparkSession, d: String): Option[DataFrame] =
-    ArtifactLake.segmentDirs(sigPath(d), "del-") match {
-      case Seq() => None
-      case dirs => Some(dirs.map(dir =>
-        s.read.parquet(s"${dir.getAbsolutePath}/ids")).reduce(_ unionByName _))
-    }
+  private def sigDeltaDirs(d: String): Seq[java.io.File] = {
+    val c = ArtifactLake.consumedNames(ArtifactLake.currentGen(sigPath(d)))
+    ArtifactLake.segmentDirs(sigPath(d), "add-")
+      .filterNot(f => c.contains(f.getName))
+  }
 
-  /** The LIVE band table: base ∪ installed add segments, minus
+  /** All LIVE tombstoned ids as one `doc_id` column — the generation's
+    * carried-forward tombstones plus unconsumed tombstone segments;
+    * None when neither exists (spares serving the anti-join).
+    */
+  private def sigTombstonedIds(s: SparkSession, d: String): Option[DataFrame] = {
+    val c = ArtifactLake.consumedNames(ArtifactLake.currentGen(sigPath(d)))
+    val gen = ArtifactLake.tableIfPresent(
+        ArtifactLake.currentGen(sigPath(d)), "tombstones")
+      .map(g => s.read.parquet(g.getAbsolutePath))
+    val segs = ArtifactLake.segmentDirs(sigPath(d), "del-")
+      .filterNot(f => c.contains(f.getName))
+      .map(dir => s.read.parquet(s"${dir.getAbsolutePath}/ids"))
+    (gen.toSeq ++ segs) match {
+      case Seq() => None
+      case all => Some(all.reduce(_ unionByName _))
+    }
+  }
+
+  /** `base table ∪ current generation's fold ∪ unconsumed segments` for
+    * one lake table — the shared union shape behind every live view.
+    */
+  private def withSigDeltas(s: SparkSession, d: String, base: DataFrame,
+      table: String): DataFrame = {
+    val gen = ArtifactLake.tableIfPresent(
+      ArtifactLake.currentGen(sigPath(d)), table)
+    val b0 = gen.fold(base)(g => base.unionByName(s.read.parquet(g.getAbsolutePath)))
+    sigDeltaDirs(d).foldLeft(b0)((acc, dir) =>
+      acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/$table")))
+  }
+
+  /** The LIVE band table: base ∪ gen ∪ unconsumed add segments, minus
     * tombstoned documents. Bucket sizes (the serve-side cap) count
     * live members only.
     */
   private def liveBands(s: SparkSession, d: String): DataFrame = {
-    val all = sigDeltaDirs(d).foldLeft(s.read.parquet(s"${sigPath(d)}/bands"))(
-      (acc, dir) => acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/bands")))
+    val all = withSigDeltas(s, d, s.read.parquet(s"${sigPath(d)}/bands"), "bands")
     sigTombstonedIds(s, d).fold(all)(ts =>
       all.join(broadcast(ts), Seq("doc_id"), "left_anti"))
   }
 
-  /** The LIVE simhash table: base ∪ add segments, minus tombstones. */
+  /** The LIVE simhash table: base ∪ gen ∪ add segments, minus tombstones. */
   private def liveSigs(s: SparkSession, d: String): DataFrame = {
-    val all = sigDeltaDirs(d).foldLeft(s.read.parquet(s"${sigPath(d)}/sig"))(
-      (acc, dir) => acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/sig")))
+    val all = withSigDeltas(s, d, s.read.parquet(s"${sigPath(d)}/sig"), "sig")
     sigTombstonedIds(s, d).fold(all)(ts =>
       all.join(broadcast(ts), Seq("doc_id"), "left_anti"))
   }
 
-  /** `(doc_id, text)` for candidate verify: the corpus table ∪ each add
-    * segment's stored batch text (an added document's text is not in
-    * the corpus parquet — the segment carries it, the way the vector
-    * store's segments carry raw floats for exact refine).
+  /** `(doc_id, text)` for candidate verify: the corpus table ∪ the
+    * generation's folded batch text ∪ each unconsumed add segment's
+    * stored text (an added document's text is not in the corpus
+    * parquet — the segment carries it, the way the vector store's
+    * segments carry raw floats for exact refine).
     */
   private def liveDocs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    sigDeltaDirs(d).foldLeft(
-      t(s, d, "documents").select($"doc_id", $"text"))((acc, dir) =>
-      acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/docs")))
+    withSigDeltas(s, d,
+      t(s, d, "documents").select($"doc_id", $"text"), "docs")
   }
 
   /** The SERVING path: which stored documents is each batch document a
@@ -718,7 +742,14 @@ final class Dedup(val tuning: Tuning) extends Serializable {
         "addDocs: duplicate doc_id within the batch")
       val (lo, hi) = (st.getAs[Long]("lo"), st.getAs[Long]("hi"))
       val key = f"${st.getAs[Long]("h1")}%016x${st.getAs[Long]("h2")}%016x"
-      val target = new java.io.File(s"${sigPath(d)}/deltas/add-$key")
+      // epoch-salt a name a generation already consumed; replay-vs-
+      // genuine-re-add is decided by id liveness below
+      // ([[Similarity.addVectors]])
+      val gen = ArtifactLake.currentGen(sigPath(d))
+      val genSeq = gen.map(_.getName.drop(4).takeWhile(_ != '-').toInt).getOrElse(0)
+      val folded = ArtifactLake.consumedNames(gen).contains(s"add-$key")
+      val name = if (folded) s"add-g$genSeq-$key" else s"add-$key"
+      val target = new java.io.File(s"${sigPath(d)}/deltas/$name")
       // retry no-op BEFORE the id guard (an at-least-once re-send carries
       // already-indexed ids by definition — [[Similarity.addVectors]])
       if (new java.io.File(target, "_SUCCESS").isFile) return false
@@ -730,9 +761,11 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       val takenAll = sigTombstonedIds(s, d).fold(takenBase)(takenBase.unionByName(_))
       val idsDf = norm.select($"doc_id")
       val probe = if (cnt <= 4000000L) broadcast(idsDf) else idsDf
-      val taken = takenAll.join(probe, "doc_id")
-        .select($"doc_id").distinct().orderBy($"doc_id")
-        .limit(8).as[Long].collect()
+      val dupDf = takenAll.join(probe, "doc_id").select($"doc_id").distinct()
+      // replay of folded-and-fully-live content no-ops; folded-and-
+      // tombstoned-away content is a genuine re-add
+      if (folded && dupDf.count() == cnt) return false
+      val taken = dupDf.orderBy($"doc_id").limit(8).as[Long].collect()
       require(taken.isEmpty,
         s"addDocs: ids already indexed: ${taken.mkString(", ")}")
       val nFiles = math.min(64L, math.max(1L, (cnt + 65535L) / 65536L)).toInt
@@ -768,7 +801,13 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       bb.clear(); bb.putLong(id); md.update(bb.array(), 0, 8)
     }
     val key = md.digest().take(8).map("%02x".format(_)).mkString
-    val target = new java.io.File(s"${sigPath(d)}/deltas/del-$key")
+    // epoch-salt when a generation consumed this tombstone: an id
+    // re-added after its compact must be removable again
+    val gen = ArtifactLake.currentGen(sigPath(d))
+    val genSeq = gen.map(_.getName.drop(4).takeWhile(_ != '-').toInt).getOrElse(0)
+    val name = if (ArtifactLake.consumedNames(gen).contains(s"del-$key"))
+      s"del-g$genSeq-$key" else s"del-$key"
+    val target = new java.io.File(s"${sigPath(d)}/deltas/$name")
     if (new java.io.File(target, "_SUCCESS").isFile) return false
     val installed = ArtifactLake.ensure(target) { staging =>
       sorted.toDF("doc_id").coalesce(1)
@@ -777,6 +816,94 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     }
     if (installed) Dedup.sigRemoves.incrementAndGet()
     installed
+  }
+
+  /** Fold every unconsumed add segment and tombstone into ONE new
+    * generation under the signature lake — [[Similarity.compact]]'s
+    * twin, sized to the deltas, not the corpus: merged `bands` /
+    * `docs` / `sig` with live-tombstoned rows physically dropped;
+    * carried-forward `tombstones` = only ids still shadowing a BASE
+    * row (the base tables mirror the corpus parquet and stay
+    * oracle-pinned), so an id whose only rows lived in a folded
+    * segment is re-addable afterwards; `consumed.txt` = the cumulative
+    * folded-segment names. Nothing is deleted ([[vacuum]] is the
+    * separate maintenance-window step), so racing readers serve either
+    * view — identical by construction. Returns true iff a new
+    * generation was installed.
+    */
+  def compact(s: SparkSession, d: String): Boolean = synchronized {
+    import s.implicits._
+    ensureSigIndex(s, d)
+    val c0 = ArtifactLake.consumedNames(ArtifactLake.currentGen(sigPath(d)))
+    val adds = sigDeltaDirs(d)
+    val dels = ArtifactLake.segmentDirs(sigPath(d), "del-")
+      .filterNot(f => c0.contains(f.getName))
+    if (adds.isEmpty && dels.isEmpty) return false
+    val prevGen = ArtifactLake.currentGen(sigPath(d))
+    val consumed = (c0 ++ adds.map(_.getName) ++ dels.map(_.getName))
+      .toSeq.sorted
+    val seq = prevGen.map(_.getName.drop(4).takeWhile(_ != '-').toInt)
+      .getOrElse(0) + 1
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(consumed.mkString("|").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val target = new java.io.File(f"${sigPath(d)}/gens/gen-$seq%05d-$key")
+    if (new java.io.File(target, "_SUCCESS").isFile) return false
+
+    val ts = sigTombstonedIds(s, d)
+    def foldOf(table: String): Option[DataFrame] = {
+      val parts =
+        ArtifactLake.tableIfPresent(prevGen, table)
+          .map(g => s.read.parquet(g.getAbsolutePath)).toSeq ++
+        adds.map(dir => s.read.parquet(s"${dir.getAbsolutePath}/$table"))
+      parts.reduceOption(_ unionByName _)
+    }
+    def minusTs(df: DataFrame): DataFrame =
+      ts.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+
+    val mergedDocs = foldOf("docs").map(minusTs)
+    val nLive = mergedDocs.map(_.count()).getOrElse(0L)
+    val nFiles = math.min(64L, math.max(1L, (nLive + 65535L) / 65536L)).toInt
+    // carried tombstones: live ts ids still shadowing a base row (the
+    // base sig table covers every corpus document; bands misses
+    // zero-shingle docs)
+    val carried = ts.map(_.join(
+        s.read.parquet(s"${sigPath(d)}/sig").select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      .distinct())
+
+    val installed = ArtifactLake.ensure(target) { staging =>
+      val out = staging.getAbsolutePath
+      if (nLive > 0) {
+        mergedDocs.foreach(
+          _.repartition(nFiles).write.mode("overwrite").parquet(s"$out/docs"))
+        foldOf("bands").map(minusTs).foreach(
+          _.repartition(nFiles).write.mode("overwrite").parquet(s"$out/bands"))
+        foldOf("sig").map(minusTs).foreach(
+          _.repartition(nFiles).write.mode("overwrite").parquet(s"$out/sig"))
+      }
+      carried.foreach { cd =>
+        if (cd.limit(1).count() > 0)
+          cd.repartition(1).write.mode("overwrite").parquet(s"$out/tombstones")
+      }
+      new java.io.File(out).mkdirs()
+      ArtifactLake.writeLines(new java.io.File(out, "consumed.txt"), consumed)
+    }
+    if (installed) Dedup.sigCompacts.incrementAndGet()
+    installed
+  }
+
+  /** Delete the segments the current generation subsumes. MAINTENANCE-
+    * WINDOW ONLY ([[Similarity.vacuum]]'s contract): safe iff no
+    * reader holds the pre-compact view open. Returns dirs removed.
+    */
+  def vacuum(d: String): Int = synchronized {
+    val c = ArtifactLake.consumedNames(ArtifactLake.currentGen(sigPath(d)))
+    val victims = ArtifactLake.segmentDirs(sigPath(d), "add-") ++
+      ArtifactLake.segmentDirs(sigPath(d), "del-")
+    val dead = victims.filter(f => c.contains(f.getName))
+    dead.foreach(ArtifactLake.deleteTree)
+    dead.length
   }
 
   /** Continuous document ingest into the signature lake — one delta

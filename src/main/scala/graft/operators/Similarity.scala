@@ -129,6 +129,9 @@ object Similarity {
     * ([[graft.operators.SimilarityRemoveSpec]]). */
   private[operators] val indexRemoves = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Count of generations actually INSTALLED this JVM ([[compact]]). */
+  private[operators] val indexCompacts = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** One vector's nProbe nearest cells — the [[Similarity#assignCells]]
     * scoring loop factored out so the out-of-corpus serving path
     * ([[Similarity#search]]) assigns ad-hoc query vectors against the
@@ -1406,11 +1409,17 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     else {
       val topR = ranked.filter($"rk" <= tuning.refineFactor.toLong * k)
         .select($"q_id", $"n_id")
-      // exact-refine floats: the corpus explode ∪ each delta segment's
-      // stored vectors, unpacked with the identical transform
+      // exact-refine floats: the corpus explode ∪ the generation's
+      // folded vectors ∪ each unconsumed segment's stored vectors,
+      // unpacked with the identical transform
       val u0 = unpacked(s, d).select($"vec_id", $"i", $"v")
-      val u = deltaDirs(d).foldLeft(u0)((acc, dir) =>
-        acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/vectors")
+      val addedVecDirs =
+        ArtifactLake.tableIfPresent(
+          ArtifactLake.currentGen(indexPath(d)), "vectors")
+          .map(_.getAbsolutePath).toSeq ++
+        deltaDirs(d).map(dir => s"${dir.getAbsolutePath}/vectors")
+      val u = addedVecDirs.foldLeft(u0)((acc, p) =>
+        acc.unionByName(s.read.parquet(p)
           .select($"vec_id", posexplode(
             expr("transform(embedding, x -> cast(x as double))")))
           .withColumnRenamed("pos", "i").withColumnRenamed("col", "v")))
@@ -1463,33 +1472,54 @@ final class Similarity(val tuning: Tuning) extends Serializable {
   // regeneration, which re-keys the index wholesale.
   // ------------------------------------------------------------------
 
-  /** Installed delta segments under the index, name-ordered. Names are
-    * content keys, so the order is deterministic but semantically
-    * irrelevant — segments are id-disjoint by [[addVectors]]' guard.
+  /** UNCONSUMED installed delta segments under the index — segments a
+    * generation has already folded ([[compact]]) are excluded, so the
+    * per-serve union list resets after a compact. Names are content
+    * keys; segments are id-disjoint by [[addVectors]]' guard.
     */
-  private def deltaDirs(d: String): Seq[java.io.File] =
+  private def deltaDirs(d: String): Seq[java.io.File] = {
+    val c = ArtifactLake.consumedNames(ArtifactLake.currentGen(indexPath(d)))
     ArtifactLake.segmentDirs(indexPath(d), "add-")
+      .filterNot(f => c.contains(f.getName))
+  }
 
-  /** `base` plus the same-named table of every installed delta segment. */
-  private def withDeltas(s: SparkSession, d: String, base: DataFrame,
-      table: String): DataFrame =
-    deltaDirs(d).foldLeft(base)((acc, dir) =>
-      acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/$table")))
-
-  /** Installed tombstone segments ([[removeVectors]]), name-ordered. */
-  private def tombstoneDirs(d: String): Seq[java.io.File] =
-    ArtifactLake.segmentDirs(indexPath(d), "del-")
-
-  /** All tombstoned ids as one column `vec_id`; None when no tombstone
-    * segment is installed (the overwhelmingly common case — spares
-    * every search the anti-join).
+  /** `base` ∪ the current generation's fold of that table (if any) ∪
+    * the same-named table of every unconsumed delta segment.
     */
-  private def tombstonedIds(s: SparkSession, d: String): Option[DataFrame] =
-    tombstoneDirs(d) match {
+  private def withDeltas(s: SparkSession, d: String, base: DataFrame,
+      table: String): DataFrame = {
+    val gen = ArtifactLake.tableIfPresent(
+      ArtifactLake.currentGen(indexPath(d)), table)
+    val b0 = gen.fold(base)(g => base.unionByName(s.read.parquet(g.getAbsolutePath)))
+    deltaDirs(d).foldLeft(b0)((acc, dir) =>
+      acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/$table")))
+  }
+
+  /** UNCONSUMED tombstone segments ([[removeVectors]]) — folded ones
+    * live on only as the generation's carried-forward tombstone table.
+    */
+  private def tombstoneDirs(d: String): Seq[java.io.File] = {
+    val c = ArtifactLake.consumedNames(ArtifactLake.currentGen(indexPath(d)))
+    ArtifactLake.segmentDirs(indexPath(d), "del-")
+      .filterNot(f => c.contains(f.getName))
+  }
+
+  /** All LIVE tombstoned ids as one column `vec_id` — the current
+    * generation's carried-forward tombstones plus unconsumed tombstone
+    * segments; None when neither exists (the overwhelmingly common
+    * case — spares every search the anti-join).
+    */
+  private def tombstonedIds(s: SparkSession, d: String): Option[DataFrame] = {
+    val gen = ArtifactLake.tableIfPresent(
+        ArtifactLake.currentGen(indexPath(d)), "tombstones")
+      .map(g => s.read.parquet(g.getAbsolutePath))
+    val segs = tombstoneDirs(d).map(dir =>
+      s.read.parquet(s"${dir.getAbsolutePath}/ids"))
+    (gen.toSeq ++ segs) match {
       case Seq() => None
-      case dirs => Some(dirs.map(dir =>
-        s.read.parquet(s"${dir.getAbsolutePath}/ids")).reduce(_ unionByName _))
+      case all => Some(all.reduce(_ unionByName _))
     }
+  }
 
   /** FAISS-style `add()`: encode a batch of NEW vectors against the
     * FROZEN stored quantizers and install them as one immutable,
@@ -1572,7 +1602,15 @@ final class Similarity(val tuning: Tuning) extends Serializable {
         "addVectors: duplicate vec_id within the batch")
       val (lo, hi) = (st.getAs[Long]("lo"), st.getAs[Long]("hi"))
       val key = f"${st.getAs[Long]("h1")}%016x${st.getAs[Long]("h2")}%016x"
-      val target = new java.io.File(s"${indexPath(d)}/deltas/add-$key")
+      // a CONSUMED same-content segment ([[compact]]) still owns the
+      // plain name on disk, so a post-compact write of this content
+      // needs an epoch-salted name; whether that write is a replay
+      // no-op or a genuine re-add is decided below by id liveness
+      val gen = ArtifactLake.currentGen(indexPath(d))
+      val genSeq = gen.map(_.getName.drop(4).takeWhile(_ != '-').toInt).getOrElse(0)
+      val folded = ArtifactLake.consumedNames(gen).contains(s"add-$key")
+      val name = if (folded) s"add-g$genSeq-$key" else s"add-$key"
+      val target = new java.io.File(s"${indexPath(d)}/deltas/$name")
 
       // the retry no-op MUST precede the id guard: an at-least-once
       // re-send of the same batch carries already-indexed ids by
@@ -1591,9 +1629,12 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       val takenAll = tombstonedIds(s, d).fold(takenBase)(takenBase.unionByName(_))
       val idsDf = norm.select($"vec_id")
       val probe = if (cnt <= 4000000L) broadcast(idsDf) else idsDf
-      val dup = takenAll.join(probe, "vec_id")
-        .select($"vec_id").distinct().orderBy($"vec_id")
-        .limit(8).as[Long].collect()
+      val dupDf = takenAll.join(probe, "vec_id").select($"vec_id").distinct()
+      // a replay of content a generation folded AND kept fully live is
+      // the at-least-once no-op; folded-and-tombstoned-away content is
+      // a genuine re-add (all its ids are free again post-compact)
+      if (folded && dupDf.count() == cnt) return false
+      val dup = dupDf.orderBy($"vec_id").limit(8).as[Long].collect()
       require(dup.isEmpty,
         s"addVectors: ids already indexed: ${dup.mkString(", ")}")
 
@@ -1672,7 +1713,13 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       bb.clear(); bb.putLong(id); md.update(bb.array(), 0, 8)
     }
     val key = md.digest().take(8).map("%02x".format(_)).mkString
-    val target = new java.io.File(s"${indexPath(d)}/deltas/del-$key")
+    // epoch-salt when a generation consumed this id set's tombstone:
+    // an id re-added after its compact must be removable again
+    val gen = ArtifactLake.currentGen(indexPath(d))
+    val genSeq = gen.map(_.getName.drop(4).takeWhile(_ != '-').toInt).getOrElse(0)
+    val name = if (ArtifactLake.consumedNames(gen).contains(s"del-$key"))
+      s"del-g$genSeq-$key" else s"del-$key"
+    val target = new java.io.File(s"${indexPath(d)}/deltas/$name")
     if (new java.io.File(target, "_SUCCESS").isFile) return false
     val installed = ArtifactLake.ensure(target) { staging =>
       sorted.toDF("vec_id").coalesce(1)
@@ -1681,6 +1728,108 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     }
     if (installed) Similarity.indexRemoves.incrementAndGet()
     installed
+  }
+
+  /** Fold every unconsumed delta segment and tombstone into ONE new
+    * generation — the lake's answer to FAISS `remove_ids()`'s physical
+    * compaction, sized to the DELTAS, not the corpus:
+    *
+    *  - merged `ivf_assign` / `pq_res_codes` / `vectors` = the union of
+    *    the folded add segments' tables with every live-tombstoned row
+    *    physically dropped;
+    *  - carried-forward `tombstones` = only the live tombstoned ids
+    *    that still shadow a BASE row (the oracle-pinned base tables are
+    *    immutable, so retiring a corpus vector must stay a serve-time
+    *    anti-join) — a tombstoned id whose only rows lived in a folded
+    *    segment is GONE, and [[addVectors]] accepts it again;
+    *  - `consumed.txt` = the cumulative segment names the generation
+    *    subsumes; serving unions base ∪ gen ∪ unconsumed only.
+    *
+    * Install is the staged-rename [[ArtifactLake.ensure]]; nothing is
+    * deleted, so a reader racing the compact serves either view —
+    * both identical by construction ([[vacuum]] is the separate,
+    * maintenance-window deletion). Returns true iff a new generation
+    * was installed (false = nothing unconsumed to fold).
+    */
+  def compact(s: SparkSession, d: String): Boolean = synchronized {
+    import s.implicits._
+    ensureIndex(s, d)
+    val adds = deltaDirs(d)
+    val dels = tombstoneDirs(d)
+    if (adds.isEmpty && dels.isEmpty) return false
+    val prevGen = ArtifactLake.currentGen(indexPath(d))
+    val prevNames = ArtifactLake.consumedNames(prevGen)
+    val consumed = (prevNames ++ adds.map(_.getName) ++ dels.map(_.getName))
+      .toSeq.sorted
+    val seq = prevGen.map(_.getName.drop(4).takeWhile(_ != '-').toInt)
+      .getOrElse(0) + 1
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(consumed.mkString("|").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val target = new java.io.File(
+      f"${indexPath(d)}/gens/gen-$seq%05d-$key")
+    if (new java.io.File(target, "_SUCCESS").isFile) return false
+
+    val ts = tombstonedIds(s, d)
+    // the fold inputs: the PREVIOUS generation's tables count as one
+    // more segment — a gen chain never re-reads segments twice deep
+    def foldOf(table: String): Option[DataFrame] = {
+      val parts =
+        ArtifactLake.tableIfPresent(prevGen, table)
+          .map(g => s.read.parquet(g.getAbsolutePath)).toSeq ++
+        adds.map(dir => s.read.parquet(s"${dir.getAbsolutePath}/$table"))
+      parts.reduceOption(_ unionByName _)
+    }
+    def minusTs(df: DataFrame, idCol: String): DataFrame =
+      ts.fold(df)(t => df.join(
+        broadcast(t.withColumnRenamed("vec_id", idCol)), Seq(idCol), "left_anti"))
+
+    val mergedAssign = foldOf("ivf_assign").map(minusTs(_, "vec_id"))
+    val nLive = mergedAssign.map(_.filter($"rk" === 1).count()).getOrElse(0L)
+    val nFiles = math.min(64L, math.max(1L, (nLive + 65535L) / 65536L)).toInt
+    // carried tombstones: live ts ids still shadowing a BASE row (one
+    // semi-join against the immutable base home cells); ids that only
+    // shadowed folded segments — or nothing — drop out
+    val carried = ts.map(_.join(
+        probedDF(s, d).filter($"rk" === 1).select($"vec_id"),
+        Seq("vec_id"), "left_semi")
+      .distinct())
+
+    val installed = ArtifactLake.ensure(target) { staging =>
+      val out = staging.getAbsolutePath
+      mergedAssign.filter(_ => nLive > 0).foreach(
+        _.repartition(nFiles).write.mode("overwrite").parquet(s"$out/ivf_assign"))
+      if (nLive > 0) {
+        foldOf("pq_res_codes").map(minusTs(_, "n_id")).foreach(
+          _.repartition(nFiles).write.mode("overwrite").parquet(s"$out/pq_res_codes"))
+        foldOf("vectors").map(minusTs(_, "vec_id")).foreach(
+          _.repartition(nFiles).write.mode("overwrite").parquet(s"$out/vectors"))
+      }
+      carried.foreach { c =>
+        if (c.limit(1).count() > 0)
+          c.repartition(1).write.mode("overwrite").parquet(s"$out/tombstones")
+      }
+      new java.io.File(out).mkdirs()
+      ArtifactLake.writeLines(new java.io.File(out, "consumed.txt"), consumed)
+    }
+    if (installed) Similarity.indexCompacts.incrementAndGet()
+    installed
+  }
+
+  /** Delete the delta segments the current generation has subsumed.
+    * MAINTENANCE-WINDOW ONLY: safe iff no reader holds the pre-compact
+    * view open (the single-logical-writer contract extended to a
+    * no-reader window — the reader-epoch tracking a hot vacuum would
+    * need is out of scope by design). Returns the number of segment
+    * dirs removed.
+    */
+  def vacuum(d: String): Int = synchronized {
+    val c = ArtifactLake.consumedNames(ArtifactLake.currentGen(indexPath(d)))
+    val victims = ArtifactLake.segmentDirs(indexPath(d), "add-") ++
+      ArtifactLake.segmentDirs(indexPath(d), "del-")
+    val dead = victims.filter(f => c.contains(f.getName))
+    dead.foreach(ArtifactLake.deleteTree)
+    dead.length
   }
 
   /** Continuous vector ingest — the vector store's streaming DML.
