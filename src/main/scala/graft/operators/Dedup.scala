@@ -790,32 +790,46 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     * ([[addDocs]] rejects it), re-removal is a content-key no-op.
     * Returns true iff THIS call installed the segment.
     */
-  def removeDocs(s: SparkSession, d: String, ids: Seq[Long]): Boolean = synchronized {
+  def removeDocs(s: SparkSession, d: String, ids: Seq[Long]): Boolean = {
     import s.implicits._
+    removeDocs(s, d, ids.toDF("doc_id"))
+  }
+
+  /** Bulk, DataFrame-native remove — the `Seq` overload delegates
+    * here ([[Similarity.removeVectors]]'s shape): one aggregate job
+    * for the order-independent content key, distributed tombstone
+    * write. `ids` needs a `doc_id` column castable to LONG.
+    */
+  def removeDocs(s: SparkSession, d: String, ids: DataFrame): Boolean = synchronized {
     ensureSigIndex(s, d)
-    val sorted = ids.distinct.sorted
-    if (sorted.isEmpty) return false
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val bb = java.nio.ByteBuffer.allocate(8)
-    sorted.foreach { id =>
-      bb.clear(); bb.putLong(id); md.update(bb.array(), 0, 8)
-    }
-    val key = md.digest().take(8).map("%02x".format(_)).mkString
-    // epoch-salt when a generation consumed this tombstone: an id
-    // re-added after its compact must be removable again
-    val gen = ArtifactLake.currentGen(sigPath(d))
-    val genSeq = gen.map(_.getName.drop(4).takeWhile(_ != '-').toInt).getOrElse(0)
-    val name = if (ArtifactLake.consumedNames(gen).contains(s"del-$key"))
-      s"del-g$genSeq-$key" else s"del-$key"
-    val target = new java.io.File(s"${sigPath(d)}/deltas/$name")
-    if (new java.io.File(target, "_SUCCESS").isFile) return false
-    val installed = ArtifactLake.ensure(target) { staging =>
-      sorted.toDF("doc_id").coalesce(1)
-        .write.mode("overwrite")
-        .parquet(s"${staging.getAbsolutePath}/ids")
-    }
-    if (installed) Dedup.sigRemoves.incrementAndGet()
-    installed
+    val norm = ids.selectExpr("cast(doc_id as bigint) as doc_id")
+      .filter("doc_id is not null").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = norm.selectExpr(
+        "count(1) as cnt",
+        "bit_xor(xxhash64(doc_id)) as h1",
+        "bit_xor(xxhash64(doc_id, doc_id)) as h2").head()
+      val cnt = st.getAs[Long]("cnt")
+      if (cnt == 0L) return false
+      val key = f"${st.getAs[Long]("h1")}%016x${st.getAs[Long]("h2")}%016x"
+      // epoch-salt when a generation consumed this tombstone: an id
+      // re-added after its compact must be removable again
+      val gen = ArtifactLake.currentGen(sigPath(d))
+      val genSeq = gen.map(_.getName.drop(4).takeWhile(_ != '-').toInt).getOrElse(0)
+      val name = if (ArtifactLake.consumedNames(gen).contains(s"del-$key"))
+        s"del-g$genSeq-$key" else s"del-$key"
+      val target = new java.io.File(s"${sigPath(d)}/deltas/$name")
+      if (new java.io.File(target, "_SUCCESS").isFile) return false
+      val nFiles = math.min(64L, math.max(1L, (cnt + 65535L) / 65536L)).toInt
+      val installed = ArtifactLake.ensure(target) { staging =>
+        norm.repartition(nFiles)
+          .write.mode("overwrite")
+          .parquet(s"${staging.getAbsolutePath}/ids")
+      }
+      if (installed) Dedup.sigRemoves.incrementAndGet()
+      installed
+    } finally norm.unpersist()
   }
 
   /** Fold every unconsumed add segment and tombstone into ONE new

@@ -1702,32 +1702,47 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * [[addVectors]]. Returns true iff THIS call installed the segment.
     */
   def removeVectors(s: SparkSession, d: String,
-      ids: Seq[Long]): Boolean = synchronized {
+      ids: Seq[Long]): Boolean = {
     import s.implicits._
+    removeVectors(s, d, ids.toDF("vec_id"))
+  }
+
+  /** Bulk, DataFrame-native `remove_ids()` — the `Seq` overload
+    * delegates here. Same no-driver-materialization shape as the
+    * DataFrame [[addVectors]]: one aggregate job derives the
+    * order-independent content key, the tombstone segment writes
+    * distributed. `ids` needs a `vec_id` column castable to LONG.
+    */
+  def removeVectors(s: SparkSession, d: String, ids: DataFrame): Boolean = synchronized {
     ensureIndex(s, d)
-    val sorted = ids.distinct.sorted
-    if (sorted.isEmpty) return false
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val bb = java.nio.ByteBuffer.allocate(8)
-    sorted.foreach { id =>
-      bb.clear(); bb.putLong(id); md.update(bb.array(), 0, 8)
-    }
-    val key = md.digest().take(8).map("%02x".format(_)).mkString
-    // epoch-salt when a generation consumed this id set's tombstone:
-    // an id re-added after its compact must be removable again
-    val gen = ArtifactLake.currentGen(indexPath(d))
-    val genSeq = gen.map(_.getName.drop(4).takeWhile(_ != '-').toInt).getOrElse(0)
-    val name = if (ArtifactLake.consumedNames(gen).contains(s"del-$key"))
-      s"del-g$genSeq-$key" else s"del-$key"
-    val target = new java.io.File(s"${indexPath(d)}/deltas/$name")
-    if (new java.io.File(target, "_SUCCESS").isFile) return false
-    val installed = ArtifactLake.ensure(target) { staging =>
-      sorted.toDF("vec_id").coalesce(1)
-        .write.mode("overwrite")
-        .parquet(s"${staging.getAbsolutePath}/ids")
-    }
-    if (installed) Similarity.indexRemoves.incrementAndGet()
-    installed
+    val norm = ids.selectExpr("cast(vec_id as bigint) as vec_id")
+      .filter("vec_id is not null").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = norm.selectExpr(
+        "count(1) as cnt",
+        "bit_xor(xxhash64(vec_id)) as h1",
+        "bit_xor(xxhash64(vec_id, vec_id)) as h2").head()
+      val cnt = st.getAs[Long]("cnt")
+      if (cnt == 0L) return false
+      val key = f"${st.getAs[Long]("h1")}%016x${st.getAs[Long]("h2")}%016x"
+      // epoch-salt when a generation consumed this id set's tombstone:
+      // an id re-added after its compact must be removable again
+      val gen = ArtifactLake.currentGen(indexPath(d))
+      val genSeq = gen.map(_.getName.drop(4).takeWhile(_ != '-').toInt).getOrElse(0)
+      val name = if (ArtifactLake.consumedNames(gen).contains(s"del-$key"))
+        s"del-g$genSeq-$key" else s"del-$key"
+      val target = new java.io.File(s"${indexPath(d)}/deltas/$name")
+      if (new java.io.File(target, "_SUCCESS").isFile) return false
+      val nFiles = math.min(64L, math.max(1L, (cnt + 65535L) / 65536L)).toInt
+      val installed = ArtifactLake.ensure(target) { staging =>
+        norm.repartition(nFiles)
+          .write.mode("overwrite")
+          .parquet(s"${staging.getAbsolutePath}/ids")
+      }
+      if (installed) Similarity.indexRemoves.incrementAndGet()
+      installed
+    } finally norm.unpersist()
   }
 
   /** Fold every unconsumed delta segment and tombstone into ONE new

@@ -69,6 +69,15 @@ class BulkIngestSpec extends SparkTestBase {
         "vec_id", "transform(sequence(0, 63), i -> cast(0.5 as float)) as embedding")
       val e = intercept[IllegalArgumentException](sim.addVectors(spark, sf, clash))
       assert(e.getMessage.contains("already indexed"))
+
+      // bulk DataFrame remove: half the batch tombstoned in one
+      // distributed segment, idempotent on replay
+      val toRemove = spark.range(1000000L, 1050000L).toDF("vec_id")
+      assert(sim.removeVectors(spark, sf, toRemove), "bulk remove must install")
+      assert(!sim.removeVectors(spark, sf, toRemove), "replayed remove must no-op")
+      val gone = sim.search(spark, sf, Seq(9L -> probe), k = 1).collect()
+      assert(gone.head.getAs[Long]("n_id") != 1000042L,
+        "bulk-removed vector still served")
     }
   }
 
