@@ -749,6 +749,84 @@ final class Relational(val tuning: graft.config.Tuning) extends Serializable {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** The streaming sessionizer's BATCH execution, oracle-pinned: the
+    * declarative `session_window` aggregate ([[graft.streaming
+    * .EventStreams.sessionize]], q24's streaming twin) run as a batch
+    * query over the events table, hash-checked against a SQL replay of
+    * session_window's OWN semantics — windows merge while the next
+    * event starts strictly BEFORE current end (ts ≥ prev + gap breaks,
+    * where q24's ordinal form breaks only on >; the two coincide
+    * unless an event lands exactly on the boundary, and the registered
+    * pair q24/q74 pins both rules). Sessions are identified by their
+    * start instant instead of q24's ordinal id — the join-free,
+    * shuffle-identical form a streaming sink would key by.
+    */
+  private val q74 = Q(
+    "q74_session_window",
+    (s, d) => {
+      import s.implicits._
+      graft.streaming.EventStreams.sessionize(
+          t(s, d, "events").select($"user_id", $"ts", $"value"))
+        .select($"user_id",
+          date_format($"session_start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          $"n_events", $"session_value")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g)
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             count(*) AS n_events,
+             round(sum(value), 2) AS session_value
+      FROM sess
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_start"""))
+
+  /** The streaming as-of aligner's BATCH execution, oracle-pinned: the
+    * stateful [[graft.streaming.AsOfStream.lastAtOrBefore]] (q19's
+    * streaming twin — one timestamp of state per key on
+    * `flatMapGroupsWithState`) run as a batch query, hash-checked
+    * against the same DuckDB ASOF LEFT JOIN as q19. One registered
+    * pair per stateful operator: the window formulation (q19) and the
+    * state formulation (q75) must agree byte-for-byte.
+    */
+  private val q75 = Q(
+    "q75_asof_state",
+    (s, d) => {
+      import s.implicits._
+      val e = t(s, d, "events")
+      graft.streaming.AsOfStream.lastAtOrBefore(
+          left = e.filter($"event_type" === "click")
+            .select($"user_id", $"ts", $"event_id"),
+          right = e.filter($"event_type" === "error")
+            .select($"user_id", $"ts"),
+          key = "user_id", time = "ts")
+        .select($"event_id", $"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("click_t"),
+          date_format($"asof_ts", "yyyy-MM-dd HH:mm:ss").as("err_t"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT c.event_id, c.user_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_t,
+             strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_t
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+        ON c.user_id = e.user_id AND c.ts >= e.ts
+      ORDER BY c.event_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q24, q25, q26, q29)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q24, q25, q26, q29,
+    q74, q75)
 }

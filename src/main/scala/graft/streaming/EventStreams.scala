@@ -35,7 +35,7 @@ object EventStreams {
       else events
     st.groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("session_value"))
+        graft.Cols.r2(sum(col("value"))).as("session_value"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
