@@ -345,4 +345,25 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2)  // partial + final
     assert(p.contains("codegen id"))
   }
+
+  test("q74: session_window plans as MergingSessions after ONE data shuffle") {
+    val p = planOf("q74_session_window")
+    assert(p.contains("MergingSessions"), "session_window operator missing")
+    // partial agg before the user_id exchange, final after; the only
+    // other Exchange is the output orderBy's range partition
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert("Exchange".r.findAllIn(p).size <= 4,
+      "session aggregation grew extra shuffles")
+    // pruning: the 3 needed columns only, never props/event_type
+    assert(p.contains("ReadSchema") && !p.contains("props"))
+  }
+
+  test("q75: stateful as-of is one keyed shuffle — no join operator at all") {
+    val p = planOf("q75_asof_state")
+    // batch execution lowers flatMapGroupsWithState to MapGroups (no
+    // state store); streaming plans the stateful node proper
+    assert(p.contains("FlatMapGroupsWithState") || p.contains("MapGroups"))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "as-of state formulation must not plan a join")
+  }
 }
