@@ -536,41 +536,48 @@ final class Dedup(val tuning: Tuning) extends Serializable {
   // ------------------------------------------------------------------
 
   /** UNCONSUMED add segments under the signature lake — segments the
-    * current generation has folded ([[compact]]) are excluded.
+    * snapshot generation has folded ([[compact]]) are excluded.
+    *
+    * `gen` is the caller's ONE snapshot of the generation pointer
+    * ([[ArtifactLake.currentGen]], read once per serve/DML entry):
+    * re-reading it per helper would let a compact installing between
+    * two reads yield a MIXED view — old-gen segment list anti-joined
+    * with new-gen carried tombstones drops segment-only tombstoned
+    * ids, briefly serving a retired document.
     */
-  private def sigDeltaDirs(d: String): Seq[java.io.File] = {
-    val c = ArtifactLake.consumedNames(ArtifactLake.currentGen(sigPath(d)))
+  private def sigDeltaDirs(d: String, gen: Option[java.io.File]): Seq[java.io.File] = {
+    val c = ArtifactLake.consumedNames(gen)
     ArtifactLake.segmentDirs(sigPath(d), "add-")
       .filterNot(f => c.contains(f.getName))
   }
 
-  /** All LIVE tombstoned ids as one `doc_id` column — the generation's
-    * carried-forward tombstones plus unconsumed tombstone segments;
-    * None when neither exists (spares serving the anti-join).
+  /** All LIVE tombstoned ids as one `doc_id` column — the snapshot
+    * generation's carried-forward tombstones plus the tombstone
+    * segments it has not consumed; None when neither exists (spares
+    * serving the anti-join).
     */
-  private def sigTombstonedIds(s: SparkSession, d: String): Option[DataFrame] = {
-    val c = ArtifactLake.consumedNames(ArtifactLake.currentGen(sigPath(d)))
-    val gen = ArtifactLake.tableIfPresent(
-        ArtifactLake.currentGen(sigPath(d)), "tombstones")
+  private def sigTombstonedIds(s: SparkSession, d: String,
+      gen: Option[java.io.File]): Option[DataFrame] = {
+    val c = ArtifactLake.consumedNames(gen)
+    val genTs = ArtifactLake.tableIfPresent(gen, "tombstones")
       .map(g => s.read.parquet(g.getAbsolutePath))
     val segs = ArtifactLake.segmentDirs(sigPath(d), "del-")
       .filterNot(f => c.contains(f.getName))
       .map(dir => s.read.parquet(s"${dir.getAbsolutePath}/ids"))
-    (gen.toSeq ++ segs) match {
+    (genTs.toSeq ++ segs) match {
       case Seq() => None
       case all => Some(all.reduce(_ unionByName _))
     }
   }
 
-  /** `base table ∪ current generation's fold ∪ unconsumed segments` for
-    * one lake table — the shared union shape behind every live view.
+  /** `base table ∪ snapshot generation's fold ∪ unconsumed segments`
+    * for one lake table — the shared union shape behind every live view.
     */
-  private def withSigDeltas(s: SparkSession, d: String, base: DataFrame,
-      table: String): DataFrame = {
-    val gen = ArtifactLake.tableIfPresent(
-      ArtifactLake.currentGen(sigPath(d)), table)
-    val b0 = gen.fold(base)(g => base.unionByName(s.read.parquet(g.getAbsolutePath)))
-    sigDeltaDirs(d).foldLeft(b0)((acc, dir) =>
+  private def withSigDeltas(s: SparkSession, d: String, gen: Option[java.io.File],
+      base: DataFrame, table: String): DataFrame = {
+    val genTable = ArtifactLake.tableIfPresent(gen, table)
+    val b0 = genTable.fold(base)(g => base.unionByName(s.read.parquet(g.getAbsolutePath)))
+    sigDeltaDirs(d, gen).foldLeft(b0)((acc, dir) =>
       acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/$table")))
   }
 
@@ -578,16 +585,18 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     * tombstoned documents. Bucket sizes (the serve-side cap) count
     * live members only.
     */
-  private def liveBands(s: SparkSession, d: String): DataFrame = {
-    val all = withSigDeltas(s, d, s.read.parquet(s"${sigPath(d)}/bands"), "bands")
-    sigTombstonedIds(s, d).fold(all)(ts =>
+  private def liveBands(s: SparkSession, d: String,
+      gen: Option[java.io.File]): DataFrame = {
+    val all = withSigDeltas(s, d, gen, s.read.parquet(s"${sigPath(d)}/bands"), "bands")
+    sigTombstonedIds(s, d, gen).fold(all)(ts =>
       all.join(broadcast(ts), Seq("doc_id"), "left_anti"))
   }
 
   /** The LIVE simhash table: base ∪ gen ∪ add segments, minus tombstones. */
-  private def liveSigs(s: SparkSession, d: String): DataFrame = {
-    val all = withSigDeltas(s, d, s.read.parquet(s"${sigPath(d)}/sig"), "sig")
-    sigTombstonedIds(s, d).fold(all)(ts =>
+  private def liveSigs(s: SparkSession, d: String,
+      gen: Option[java.io.File]): DataFrame = {
+    val all = withSigDeltas(s, d, gen, s.read.parquet(s"${sigPath(d)}/sig"), "sig")
+    sigTombstonedIds(s, d, gen).fold(all)(ts =>
       all.join(broadcast(ts), Seq("doc_id"), "left_anti"))
   }
 
@@ -597,9 +606,10 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     * parquet — the segment carries it, the way the vector store's
     * segments carry raw floats for exact refine).
     */
-  private def liveDocs(s: SparkSession, d: String): DataFrame = {
+  private def liveDocs(s: SparkSession, d: String,
+      gen: Option[java.io.File]): DataFrame = {
     import s.implicits._
-    withSigDeltas(s, d,
+    withSigDeltas(s, d, gen,
       t(s, d, "documents").select($"doc_id", $"text"), "docs")
   }
 
@@ -623,6 +633,10 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       docs: Seq[(Long, String)]): DataFrame = {
     import s.implicits._
     ensureSigIndex(s, d)
+    // ONE generation-pointer snapshot for the whole serve (bands,
+    // tombstones, and verify text all composed against the same gen —
+    // a racing compact cannot yield a mixed view)
+    val gen = ArtifactLake.currentGen(sigPath(d))
     val batch = docs.filter(_._2 != null)
     require(batch.map(_._1).distinct.length == batch.length,
       "serveNearDups: duplicate doc_id within the batch")
@@ -631,7 +645,7 @@ final class Dedup(val tuning: Tuning) extends Serializable {
         .toDF("probe_id", "match_id", "jaccard")
     val bposts = shinglePostingsOf(s.createDataset(batch)).cache()
     val bbands = bandedKeys(bposts)
-    val corpus = liveBands(s, d)
+    val corpus = liveBands(s, d, gen)
     val ok = corpus.groupBy($"band_key")
       .agg(count(lit(1)).as("cnt"))
       .filter($"cnt" <= mCap).select($"band_key")
@@ -646,7 +660,7 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     // re-shingled from the CANDIDATE documents' stored text only
     val matchIds = cand.select($"match_id".as("doc_id")).distinct()
     val shm = shinglePostingsOf(
-        liveDocs(s, d).join(matchIds, Seq("doc_id"), "left_semi")
+        liveDocs(s, d, gen).join(matchIds, Seq("doc_id"), "left_semi")
           .as[(Long, String)])
       .groupBy($"doc_id").agg(collect_list($"t").as("sh"))
     val shp = bposts.groupBy($"doc_id").agg(collect_list($"t").as("sh"))
@@ -674,6 +688,8 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       docs: Seq[(Long, String)]): DataFrame = {
     import s.implicits._
     ensureSigIndex(s, d)
+    // one gen snapshot per serve ([[serveNearDups]])
+    val gen = ArtifactLake.currentGen(sigPath(d))
     val batch = docs.filter(_._2 != null)
     require(batch.map(_._1).distinct.length == batch.length,
       "serveSimhashMatches: duplicate doc_id within the batch")
@@ -683,7 +699,7 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     val bsig = simhashSigOf(s.createDataset(batch).toDF("doc_id", "text"))
       .select($"doc_id".as("probe_id"), $"simhash")
     bsig.join(
-        liveSigs(s, d).select($"doc_id".as("match_id"), $"simhash"), "simhash")
+        liveSigs(s, d, gen).select($"doc_id".as("match_id"), $"simhash"), "simhash")
       .filter($"probe_id" =!= $"match_id")
       .select($"probe_id", $"match_id", $"simhash")
       .orderBy($"probe_id", $"match_id")
@@ -756,9 +772,9 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       // the [min, max] envelope is a pushable superset predicate: parquet
       // row-group stats prune the corpus-sized band scan to nothing in
       // the common fresh-ids case
-      val takenBase = liveBands(s, d)
+      val takenBase = liveBands(s, d, gen)
         .filter($"doc_id".between(lo, hi)).select($"doc_id")
-      val takenAll = sigTombstonedIds(s, d).fold(takenBase)(takenBase.unionByName(_))
+      val takenAll = sigTombstonedIds(s, d, gen).fold(takenBase)(takenBase.unionByName(_))
       val idsDf = norm.select($"doc_id")
       val probe = if (cnt <= 4000000L) broadcast(idsDf) else idsDf
       val dupDf = takenAll.join(probe, "doc_id").select($"doc_id").distinct()
@@ -848,12 +864,13 @@ final class Dedup(val tuning: Tuning) extends Serializable {
   def compact(s: SparkSession, d: String): Boolean = synchronized {
     import s.implicits._
     ensureSigIndex(s, d)
-    val c0 = ArtifactLake.consumedNames(ArtifactLake.currentGen(sigPath(d)))
-    val adds = sigDeltaDirs(d)
+    // one gen snapshot drives the segment listing AND the fold inputs
+    val prevGen = ArtifactLake.currentGen(sigPath(d))
+    val c0 = ArtifactLake.consumedNames(prevGen)
+    val adds = sigDeltaDirs(d, prevGen)
     val dels = ArtifactLake.segmentDirs(sigPath(d), "del-")
       .filterNot(f => c0.contains(f.getName))
     if (adds.isEmpty && dels.isEmpty) return false
-    val prevGen = ArtifactLake.currentGen(sigPath(d))
     val consumed = (c0 ++ adds.map(_.getName) ++ dels.map(_.getName))
       .toSeq.sorted
     val seq = prevGen.map(_.getName.drop(4).takeWhile(_ != '-').toInt)
@@ -864,7 +881,7 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     val target = new java.io.File(f"${sigPath(d)}/gens/gen-$seq%05d-$key")
     if (new java.io.File(target, "_SUCCESS").isFile) return false
 
-    val ts = sigTombstonedIds(s, d)
+    val ts = sigTombstonedIds(s, d, prevGen)
     def foldOf(table: String): Option[DataFrame] = {
       val parts =
         ArtifactLake.tableIfPresent(prevGen, table)

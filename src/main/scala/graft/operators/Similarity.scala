@@ -1367,6 +1367,12 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       refine: Boolean = true): DataFrame = {
     import s.implicits._
     ensureIndex(s, d)
+    // ONE generation-pointer snapshot for the whole serve: every live
+    // view below (assignment, tombstones, codes, refine floats) is
+    // composed against the same generation, so a compact installing
+    // mid-plan-construction cannot yield a mixed old-list/new-tombstone
+    // view that briefly serves a retired vector
+    val gen = ArtifactLake.currentGen(indexPath(d))
     val qs = queryVecs.filter(q => q._2 != null && q._2.nonEmpty)
       .map { case (qid, vf) => (qid, vf.map(_.toDouble)) }
     val cb = loadIvfCodebook(s, d)
@@ -1377,10 +1383,10 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     // base ∪ installed delta segments: added vectors are served the
     // moment their segment's marker lands ([[addVectors]]); tombstoned
     // ids drop out here, upstream of codes and refine ([[removeVectors]])
-    val home0 = withDeltas(s, d, probedDF(s, d), "ivf_assign")
+    val home0 = withDeltas(s, d, gen, probedDF(s, d), "ivf_assign")
       .filter($"rk" === 1)
       .select($"vec_id".as("n_id"), $"cell")
-    val home = tombstonedIds(s, d).fold(home0)(ts =>
+    val home = tombstonedIds(s, d, gen).fold(home0)(ts =>
       home0.join(broadcast(ts.withColumnRenamed("vec_id", "n_id")),
         Seq("n_id"), "left_anti"))
     val cand = home.join(broadcast(qprobes), "cell")
@@ -1395,7 +1401,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     }.toDF("q_id", "i", "qv")
     val lut = residualLut(s, d, qprobes, qcomp)
     val scored = cand
-      .join(withDeltas(s, d, resCodesDF(s, d), "pq_res_codes"), "n_id")
+      .join(withDeltas(s, d, gen, resCodesDF(s, d), "pq_res_codes"), "n_id")
       .join(broadcast(lut), Seq("q_id", "cell", "sub", "cent"))
       .groupBy($"q_id", $"n_id")
       .agg(sum($"pd2").as("d2"))
@@ -1414,10 +1420,9 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       // unpacked with the identical transform
       val u0 = unpacked(s, d).select($"vec_id", $"i", $"v")
       val addedVecDirs =
-        ArtifactLake.tableIfPresent(
-          ArtifactLake.currentGen(indexPath(d)), "vectors")
+        ArtifactLake.tableIfPresent(gen, "vectors")
           .map(_.getAbsolutePath).toSeq ++
-        deltaDirs(d).map(dir => s"${dir.getAbsolutePath}/vectors")
+        deltaDirs(d, gen).map(dir => s"${dir.getAbsolutePath}/vectors")
       val u = addedVecDirs.foldLeft(u0)((acc, p) =>
         acc.unionByName(s.read.parquet(p)
           .select($"vec_id", posexplode(
@@ -1476,46 +1481,53 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * generation has already folded ([[compact]]) are excluded, so the
     * per-serve union list resets after a compact. Names are content
     * keys; segments are id-disjoint by [[addVectors]]' guard.
+    *
+    * `gen` is the caller's ONE snapshot of the generation pointer
+    * ([[ArtifactLake.currentGen]], read once per serve/DML entry):
+    * re-reading it per helper would let a compact installing between
+    * two reads yield a MIXED view — old-gen segment list anti-joined
+    * with new-gen carried tombstones drops segment-only tombstoned
+    * ids, briefly serving a retired row.
     */
-  private def deltaDirs(d: String): Seq[java.io.File] = {
-    val c = ArtifactLake.consumedNames(ArtifactLake.currentGen(indexPath(d)))
+  private def deltaDirs(d: String, gen: Option[java.io.File]): Seq[java.io.File] = {
+    val c = ArtifactLake.consumedNames(gen)
     ArtifactLake.segmentDirs(indexPath(d), "add-")
       .filterNot(f => c.contains(f.getName))
   }
 
-  /** `base` ∪ the current generation's fold of that table (if any) ∪
-    * the same-named table of every unconsumed delta segment.
+  /** `base` ∪ the snapshot generation's fold of that table (if any) ∪
+    * the same-named table of every segment that generation has not
+    * consumed.
     */
-  private def withDeltas(s: SparkSession, d: String, base: DataFrame,
-      table: String): DataFrame = {
-    val gen = ArtifactLake.tableIfPresent(
-      ArtifactLake.currentGen(indexPath(d)), table)
-    val b0 = gen.fold(base)(g => base.unionByName(s.read.parquet(g.getAbsolutePath)))
-    deltaDirs(d).foldLeft(b0)((acc, dir) =>
+  private def withDeltas(s: SparkSession, d: String, gen: Option[java.io.File],
+      base: DataFrame, table: String): DataFrame = {
+    val genTable = ArtifactLake.tableIfPresent(gen, table)
+    val b0 = genTable.fold(base)(g => base.unionByName(s.read.parquet(g.getAbsolutePath)))
+    deltaDirs(d, gen).foldLeft(b0)((acc, dir) =>
       acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/$table")))
   }
 
   /** UNCONSUMED tombstone segments ([[removeVectors]]) — folded ones
     * live on only as the generation's carried-forward tombstone table.
     */
-  private def tombstoneDirs(d: String): Seq[java.io.File] = {
-    val c = ArtifactLake.consumedNames(ArtifactLake.currentGen(indexPath(d)))
+  private def tombstoneDirs(d: String, gen: Option[java.io.File]): Seq[java.io.File] = {
+    val c = ArtifactLake.consumedNames(gen)
     ArtifactLake.segmentDirs(indexPath(d), "del-")
       .filterNot(f => c.contains(f.getName))
   }
 
-  /** All LIVE tombstoned ids as one column `vec_id` — the current
-    * generation's carried-forward tombstones plus unconsumed tombstone
-    * segments; None when neither exists (the overwhelmingly common
-    * case — spares every search the anti-join).
+  /** All LIVE tombstoned ids as one column `vec_id` — the snapshot
+    * generation's carried-forward tombstones plus the tombstone
+    * segments it has not consumed; None when neither exists (the
+    * overwhelmingly common case — spares every search the anti-join).
     */
-  private def tombstonedIds(s: SparkSession, d: String): Option[DataFrame] = {
-    val gen = ArtifactLake.tableIfPresent(
-        ArtifactLake.currentGen(indexPath(d)), "tombstones")
+  private def tombstonedIds(s: SparkSession, d: String,
+      gen: Option[java.io.File]): Option[DataFrame] = {
+    val genTs = ArtifactLake.tableIfPresent(gen, "tombstones")
       .map(g => s.read.parquet(g.getAbsolutePath))
-    val segs = tombstoneDirs(d).map(dir =>
+    val segs = tombstoneDirs(d, gen).map(dir =>
       s.read.parquet(s"${dir.getAbsolutePath}/ids"))
-    (gen.toSeq ++ segs) match {
+    (genTs.toSeq ++ segs) match {
       case Seq() => None
       case all => Some(all.reduce(_ unionByName _))
     }
@@ -1623,10 +1635,10 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       // assignment scan to NOTHING in the common fresh-ids ingest case.
       // Tombstoned ids count as taken ([[removeVectors]] — retirement
       // is permanent without compaction).
-      val takenBase = withDeltas(s, d, probedDF(s, d), "ivf_assign")
+      val takenBase = withDeltas(s, d, gen, probedDF(s, d), "ivf_assign")
         .filter($"rk" === 1 && $"vec_id".between(lo, hi))
         .select($"vec_id")
-      val takenAll = tombstonedIds(s, d).fold(takenBase)(takenBase.unionByName(_))
+      val takenAll = tombstonedIds(s, d, gen).fold(takenBase)(takenBase.unionByName(_))
       val idsDf = norm.select($"vec_id")
       val probe = if (cnt <= 4000000L) broadcast(idsDf) else idsDf
       val dupDf = takenAll.join(probe, "vec_id").select($"vec_id").distinct()
@@ -1769,10 +1781,11 @@ final class Similarity(val tuning: Tuning) extends Serializable {
   def compact(s: SparkSession, d: String): Boolean = synchronized {
     import s.implicits._
     ensureIndex(s, d)
-    val adds = deltaDirs(d)
-    val dels = tombstoneDirs(d)
-    if (adds.isEmpty && dels.isEmpty) return false
+    // one gen snapshot drives the segment listing AND the fold inputs
     val prevGen = ArtifactLake.currentGen(indexPath(d))
+    val adds = deltaDirs(d, prevGen)
+    val dels = tombstoneDirs(d, prevGen)
+    if (adds.isEmpty && dels.isEmpty) return false
     val prevNames = ArtifactLake.consumedNames(prevGen)
     val consumed = (prevNames ++ adds.map(_.getName) ++ dels.map(_.getName))
       .toSeq.sorted
@@ -1785,7 +1798,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       f"${indexPath(d)}/gens/gen-$seq%05d-$key")
     if (new java.io.File(target, "_SUCCESS").isFile) return false
 
-    val ts = tombstonedIds(s, d)
+    val ts = tombstonedIds(s, d, prevGen)
     // the fold inputs: the PREVIOUS generation's tables count as one
     // more segment — a gen chain never re-reads segments twice deep
     def foldOf(table: String): Option[DataFrame] = {
