@@ -632,18 +632,59 @@ final class Dedup(val tuning: Tuning) extends Serializable {
   def serveNearDups(s: SparkSession, d: String,
       docs: Seq[(Long, String)]): DataFrame = {
     import s.implicits._
-    ensureSigIndex(s, d)
-    // ONE generation-pointer snapshot for the whole serve (bands,
-    // tombstones, and verify text all composed against the same gen —
-    // a racing compact cannot yield a mixed view)
-    val gen = ArtifactLake.currentGen(sigPath(d))
     val batch = docs.filter(_._2 != null)
     require(batch.map(_._1).distinct.length == batch.length,
       "serveNearDups: duplicate doc_id within the batch")
     if (batch.isEmpty)
       return s.emptyDataset[(Long, Long, Double)]
         .toDF("probe_id", "match_id", "jaccard")
-    val bposts = shinglePostingsOf(s.createDataset(batch)).cache()
+    serveNearDupsFrom(s, d, s.createDataset(batch), bcast = true)
+  }
+
+  /** Bulk, DataFrame-native serve — [[serveNearDups]] for a probe
+    * batch that never materializes on the driver (the write side's
+    * [[addDocs]] DataFrame contract mirrored onto the read side): the
+    * duplicate-id guard is one aggregate job instead of a driver
+    * distinct, the shingling is the shared compiled map over
+    * executors, and the batch-sized verify frames join WITHOUT a
+    * driver-materializing broadcast hint — AQE picks the strategy, so
+    * a crawl-shard-sized near-dup screen shuffles where the ad-hoc
+    * path would broadcast. `docs` needs `doc_id` (castable to LONG)
+    * and `text` (STRING); NULL-text rows are dropped like the `Seq`
+    * overload's. Output schema and arithmetic identical (BulkServeSpec
+    * pins the agreement).
+    */
+  def serveNearDups(s: SparkSession, d: String, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val norm = docs.selectExpr(
+        "cast(doc_id as bigint) as doc_id", "cast(text as string) as text")
+      .filter("text is not null")
+    // one bounded stats row — the contract's own admission check
+    val st = norm.selectExpr(
+      "count(1) as cnt", "count(distinct doc_id) as dcnt").head()
+    require(st.getAs[Long]("dcnt") == st.getAs[Long]("cnt"),
+      "serveNearDups: duplicate doc_id within the batch")
+    if (st.getAs[Long]("cnt") == 0L)
+      return s.emptyDataset[(Long, Long, Double)]
+        .toDF("probe_id", "match_id", "jaccard")
+    serveNearDupsFrom(s, d, norm.as[(Long, String)], bcast = false)
+  }
+
+  /** The shared serving tail behind both [[serveNearDups]] overloads.
+    * `bcast` keeps the ad-hoc overload's broadcast hints on the
+    * batch-sized verify frames and drops them for the bulk overload.
+    */
+  private def serveNearDupsFrom(s: SparkSession, d: String,
+      batch: org.apache.spark.sql.Dataset[(Long, String)],
+      bcast: Boolean): DataFrame = {
+    import s.implicits._
+    ensureSigIndex(s, d)
+    def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    // ONE generation-pointer snapshot for the whole serve (bands,
+    // tombstones, and verify text all composed against the same gen —
+    // a racing compact cannot yield a mixed view)
+    val gen = ArtifactLake.currentGen(sigPath(d))
+    val bposts = shinglePostingsOf(batch).cache()
     val bbands = bandedKeys(bposts)
     val corpus = liveBands(s, d, gen)
     val ok = corpus.groupBy($"band_key")
@@ -665,8 +706,8 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       .groupBy($"doc_id").agg(collect_list($"t").as("sh"))
     val shp = bposts.groupBy($"doc_id").agg(collect_list($"t").as("sh"))
     cand
-      .join(broadcast(shp.select($"doc_id".as("probe_id"), $"sh".as("sha"))), "probe_id")
-      .join(broadcast(shm.select($"doc_id".as("match_id"), $"sh".as("shb"))), "match_id")
+      .join(hint(shp.select($"doc_id".as("probe_id"), $"sh".as("sha"))), "probe_id")
+      .join(hint(shm.select($"doc_id".as("match_id"), $"sh".as("shb"))), "match_id")
       .withColumn("common", size(array_intersect($"sha", $"shb")))
       .withColumn("jacc",
         $"common" / (size($"sha") + size($"shb") - $"common"))
@@ -687,16 +728,46 @@ final class Dedup(val tuning: Tuning) extends Serializable {
   def serveSimhashMatches(s: SparkSession, d: String,
       docs: Seq[(Long, String)]): DataFrame = {
     import s.implicits._
-    ensureSigIndex(s, d)
-    // one gen snapshot per serve ([[serveNearDups]])
-    val gen = ArtifactLake.currentGen(sigPath(d))
     val batch = docs.filter(_._2 != null)
     require(batch.map(_._1).distinct.length == batch.length,
       "serveSimhashMatches: duplicate doc_id within the batch")
     if (batch.isEmpty)
       return s.emptyDataset[(Long, Long, Long)]
         .toDF("probe_id", "match_id", "simhash")
-    val bsig = simhashSigOf(s.createDataset(batch).toDF("doc_id", "text"))
+    serveSimhashFrom(s, d, s.createDataset(batch).toDF("doc_id", "text"))
+  }
+
+  /** Bulk, DataFrame-native simhash serve — [[serveSimhashMatches]]
+    * with no driver materialization: the duplicate-id guard is one
+    * aggregate job, signatures are the shared compiled implementation
+    * over executors, and the probe-vs-stored equi-join carries no
+    * broadcast hint in either overload (the stored side is
+    * corpus-sized; AQE already picks the build side). `docs` needs
+    * `doc_id` (castable to LONG) and `text` (STRING).
+    */
+  def serveSimhashMatches(s: SparkSession, d: String, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val norm = docs.selectExpr(
+        "cast(doc_id as bigint) as doc_id", "cast(text as string) as text")
+      .filter("text is not null")
+    val st = norm.selectExpr(
+      "count(1) as cnt", "count(distinct doc_id) as dcnt").head()
+    require(st.getAs[Long]("dcnt") == st.getAs[Long]("cnt"),
+      "serveSimhashMatches: duplicate doc_id within the batch")
+    if (st.getAs[Long]("cnt") == 0L)
+      return s.emptyDataset[(Long, Long, Long)]
+        .toDF("probe_id", "match_id", "simhash")
+    serveSimhashFrom(s, d, norm)
+  }
+
+  /** The shared simhash serving tail behind both overloads. */
+  private def serveSimhashFrom(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    import s.implicits._
+    ensureSigIndex(s, d)
+    // one gen snapshot per serve ([[serveNearDups]])
+    val gen = ArtifactLake.currentGen(sigPath(d))
+    val bsig = simhashSigOf(batch.toDF("doc_id", "text"))
       .select($"doc_id".as("probe_id"), $"simhash")
     bsig.join(
         liveSigs(s, d, gen).select($"doc_id".as("match_id"), $"simhash"), "simhash")

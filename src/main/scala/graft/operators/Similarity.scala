@@ -1367,12 +1367,6 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       refine: Boolean = true): DataFrame = {
     import s.implicits._
     ensureIndex(s, d)
-    // ONE generation-pointer snapshot for the whole serve: every live
-    // view below (assignment, tombstones, codes, refine floats) is
-    // composed against the same generation, so a compact installing
-    // mid-plan-construction cannot yield a mixed old-list/new-tombstone
-    // view that briefly serves a retired vector
-    val gen = ArtifactLake.currentGen(indexPath(d))
     val qs = queryVecs.filter(q => q._2 != null && q._2.nonEmpty)
       .map { case (qid, vf) => (qid, vf.map(_.toDouble)) }
     val cb = loadIvfCodebook(s, d)
@@ -1380,6 +1374,81 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       Similarity.nearestCells(v, cb, tuning.nprobe)
         .map { case (cell, _) => (qid, cell) }
     }.toDF("q_id", "cell")
+    val qcomp = qs.flatMap { case (qid, v) =>
+      v.iterator.zipWithIndex.map { case (x, i) => (qid, i, x) }
+    }.toDF("q_id", "i", "qv")
+    val qn = qs.map { case (qid, v) =>
+      var s2 = 0.0
+      var i = 0
+      while (i < v.length) { s2 += v(i) * v(i); i += 1 }
+      (qid, math.sqrt(s2))
+    }.toDF("q_id", "qn")
+    searchFrom(s, d, qprobes, qcomp, qn, k, refine, bcast = true)
+  }
+
+  /** Bulk, DataFrame-native serve — [[search]] for a query BATCH that
+    * never materializes on the driver (the write side's [[addVectors]]
+    * DataFrame contract, mirrored onto the read side): probe
+    * assignment runs as the same broadcast-codebook compiled map the
+    * index build and the DML encode use ([[assignCells]] arithmetic —
+    * the codebook is the one driver-held object, √n·dims by
+    * construction), the exploded query components and norms are
+    * derived declaratively, and every query-sized frame joins WITHOUT
+    * a driver-materializing broadcast hint — AQE picks the strategy
+    * from runtime sizes, so a million-query re-scoring batch shuffles
+    * where the ad-hoc path would broadcast.
+    *
+    * `queries` needs `q_id` (castable to LONG) and `embedding`
+    * (castable to ARRAY&lt;FLOAT&gt;); NULL/empty embeddings are
+    * dropped like the `Seq` overload's. Output schema and arithmetic
+    * are identical to the `Seq` overload (BulkServeSpec pins the
+    * agreement); no default arguments because the `Seq` overload
+    * carries them.
+    */
+  def search(s: SparkSession, d: String, queries: DataFrame, k: Int,
+      refine: Boolean): DataFrame = {
+    import s.implicits._
+    ensureIndex(s, d)
+    val norm = queries.selectExpr(
+        "cast(q_id as bigint) as q_id",
+        "cast(embedding as array<float>) as embedding")
+      .filter("q_id is not null and embedding is not null and size(embedding) > 0")
+    val bcCb = s.sparkContext.broadcast(loadIvfCodebook(s, d))
+    val np = tuning.nprobe
+    val qprobes = norm.as[(Long, Array[Float])].mapPartitions { it =>
+      val cells = bcCb.value
+      it.flatMap { case (qid, vf) =>
+        Similarity.nearestCells(vf.map(_.toDouble), cells, np)
+          .iterator.map { case (cid, _) => (qid, cid) }
+      }
+    }.toDF("q_id", "cell")
+    val qcomp = norm
+      .select($"q_id", posexplode(
+        expr("transform(embedding, x -> cast(x as double))")))
+      .select($"q_id", $"pos".as("i"), $"col".as("qv"))
+    val qn = qcomp.groupBy($"q_id")
+      .agg(sqrt(sum($"qv" * $"qv")).as("qn"))
+    searchFrom(s, d, qprobes, qcomp, qn, k, refine, bcast = false)
+  }
+
+  /** The shared serving tail behind both [[search]] overloads, from
+    * probe table to ranked output. `qprobes` = (q_id, cell), `qcomp` =
+    * the exploded (q_id, i, qv) query components, `qn` = (q_id, qn)
+    * norms; `bcast` keeps the ad-hoc overload's broadcast hints on the
+    * query-sized frames (nq is Seq-bounded there) and drops them for
+    * the bulk overload (AQE decides from runtime sizes).
+    */
+  private def searchFrom(s: SparkSession, d: String, qprobes: DataFrame,
+      qcomp: DataFrame, qn: DataFrame, k: Int, refine: Boolean,
+      bcast: Boolean): DataFrame = {
+    import s.implicits._
+    def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    // ONE generation-pointer snapshot for the whole serve: every live
+    // view below (assignment, tombstones, codes, refine floats) is
+    // composed against the same generation, so a compact installing
+    // mid-plan-construction cannot yield a mixed old-list/new-tombstone
+    // view that briefly serves a retired vector
+    val gen = ArtifactLake.currentGen(indexPath(d))
     // base ∪ installed delta segments: added vectors are served the
     // moment their segment's marker lands ([[addVectors]]); tombstoned
     // ids drop out here, upstream of codes and refine ([[removeVectors]])
@@ -1389,20 +1458,17 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     val home = tombstonedIds(s, d, gen).fold(home0)(ts =>
       home0.join(broadcast(ts.withColumnRenamed("vec_id", "n_id")),
         Seq("n_id"), "left_anti"))
-    val cand = home.join(broadcast(qprobes), "cell")
+    val cand = home.join(hint(qprobes), "cell")
       .select($"q_id", $"n_id", $"cell")
     // RESIDUAL ADC — the q49 arithmetic via the SHARED plan-side LUT
-    // derivation ([[residualLut]]): the ad-hoc batch ships as a tiny
+    // derivation ([[residualLut]]): the query batch ships as a
     // (q_id, i, qv) exploded frame (nq × dims doubles), and the
     // nq × nprobe × subs × cents LUT is computed distributed — never
     // materialized on the driver
-    val qcomp = qs.flatMap { case (qid, v) =>
-      v.iterator.zipWithIndex.map { case (x, i) => (qid, i, x) }
-    }.toDF("q_id", "i", "qv")
     val lut = residualLut(s, d, qprobes, qcomp)
     val scored = cand
       .join(withDeltas(s, d, gen, resCodesDF(s, d), "pq_res_codes"), "n_id")
-      .join(broadcast(lut), Seq("q_id", "cell", "sub", "cent"))
+      .join(hint(lut), Seq("q_id", "cell", "sub", "cent"))
       .groupBy($"q_id", $"n_id")
       .agg(sum($"pd2").as("d2"))
     val ranked = scored.withColumn("rk", row_number().over(
@@ -1429,21 +1495,12 @@ final class Similarity(val tuning: Tuning) extends Serializable {
             expr("transform(embedding, x -> cast(x as double))")))
           .withColumnRenamed("pos", "i").withColumnRenamed("col", "v")))
       val n = norms(u)
-      val qu = qs.flatMap { case (qid, v) =>
-        v.iterator.zipWithIndex.map { case (x, i) => (qid, i, x) }
-      }.toDF("q_id", "i", "qv")
-      val qn = qs.map { case (qid, v) =>
-        var s2 = 0.0
-        var i = 0
-        while (i < v.length) { s2 += v(i) * v(i); i += 1 }
-        (qid, math.sqrt(s2))
-      }.toDF("q_id", "qn")
-      val dots = broadcast(broadcast(topR).join(qu, "q_id"))
+      val dots = hint(hint(topR).join(qcomp, "q_id"))
         .join(u.select($"vec_id".as("n_id"), $"i", $"v"), Seq("n_id", "i"))
         .groupBy($"q_id", $"n_id")
         .agg(sum($"qv" * $"v").as("dot"))
-      dots.join(broadcast(qn), "q_id")
-        .join(broadcast(n.select($"vec_id".as("n_id"), $"nrm".as("cn"))), "n_id")
+      dots.join(hint(qn), "q_id")
+        .join(hint(n.select($"vec_id".as("n_id"), $"nrm".as("cn"))), "n_id")
         .withColumn("cosine", $"dot" / ($"qn" * $"cn"))
         .withColumn("rk", row_number().over(
           Window.partitionBy($"q_id").orderBy(r6($"cosine").desc, $"n_id")))
