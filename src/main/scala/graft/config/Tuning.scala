@@ -70,7 +70,18 @@ final case class Tuning(
       * multiprobe's 0.80 at sf0.1); 16 left two queries' true NN below
       * the ADC shortlist. The refine join stays nq·R broadcast pairs —
       * raising it is cheap. */
-    refineFactor: Int = 64) {
+    refineFactor: Int = 64,
+    /** Delta-store compaction trigger: after a DML install, the store
+      * folds its segments into a new generation when the UNCONSUMED
+      * count (adds + tombstones) exceeds this — the WAL's bounded-
+      * segment pattern applied to the delta lakes, so a long-lived
+      * store's per-serve union list stays bounded without an operator
+      * remembering to call compact(). Folding is additive (nothing
+      * deleted — vacuum stays the explicit maintenance-window step).
+      * 64 keeps steady micro-batch ingest to ~one fold per 64 batches
+      * while every serve unions at most 64 segment reads + one
+      * generation + the base. */
+    storeMaxSegments: Int = 64) {
 
   /** Minhash signature length — bands × rows, every row one affine
     * permutation over the 2³¹−1 prime field. */
@@ -86,7 +97,7 @@ final case class Tuning(
     pos(nprobe, "nprobe"); pos(sourceQuota, "sourceQuota"); pos(kmvK, "kmvK")
     pos(annQueries, "annQueries"); pos(pqSubspaces, "pqSubspaces")
     pos(pqSubDim, "pqSubDim"); pos(pqCentroids, "pqCentroids")
-    pos(refineFactor, "refineFactor")
+    pos(refineFactor, "refineFactor"); pos(storeMaxSegments, "storeMaxSegments")
     // positive form so NaN (for which every comparison is false) is
     // rejected rather than slipping past a <=||> pair
     if (!(ccEdgeJaccard > 0.0 && ccEdgeJaccard <= 1.0)) throw ConfigurationError(
@@ -153,7 +164,8 @@ object Tuning {
       pqSubspaces = knob("pqSubspaces", d.pqSubspaces),
       pqSubDim = knob("pqSubDim", d.pqSubDim),
       pqCentroids = knob("pqCentroids", d.pqCentroids),
-      refineFactor = knob("refineFactor", d.refineFactor))
+      refineFactor = knob("refineFactor", d.refineFactor),
+      storeMaxSegments = knob("storeMaxSegments", d.storeMaxSegments))
     t.validate()
     t
   }

@@ -866,9 +866,30 @@ final class Dedup(val tuning: Tuning) extends Serializable {
         simhashSigOf(ds.toDF("doc_id", "text"))
           .write.mode("overwrite").parquet(s"$out/sig")
       }
-      if (installed) Dedup.sigAdds.incrementAndGet()
+      if (installed) {
+        Dedup.sigAdds.incrementAndGet()
+        maybeCompactSig(s, d)
+      }
       installed
     } finally norm.unpersist()
+  }
+
+  /** The automatic compaction trigger on the signature lake —
+    * [[Similarity]]'s `maybeCompact` twin: after every DML install,
+    * fold a new generation once the unconsumed segment count exceeds
+    * [[graft.config.Tuning.storeMaxSegments]]. Folding deletes nothing
+    * ([[vacuum]] stays the explicit maintenance-window step).
+    */
+  private def maybeCompactSig(s: SparkSession, d: String): Unit = {
+    val gen = ArtifactLake.currentGen(sigPath(d))
+    val c = ArtifactLake.consumedNames(gen)
+    val n = sigDeltaDirs(d, gen).length +
+      ArtifactLake.segmentDirs(sigPath(d), "del-")
+        .count(f => !c.contains(f.getName))
+    if (n > tuning.storeMaxSegments) {
+      compact(s, d)
+      ()
+    }
   }
 
   /** Retire documents from serving via one immutable, content-keyed
@@ -914,7 +935,10 @@ final class Dedup(val tuning: Tuning) extends Serializable {
           .write.mode("overwrite")
           .parquet(s"${staging.getAbsolutePath}/ids")
       }
-      if (installed) Dedup.sigRemoves.incrementAndGet()
+      if (installed) {
+        Dedup.sigRemoves.incrementAndGet()
+        maybeCompactSig(s, d)
+      }
       installed
     } finally norm.unpersist()
   }

@@ -1748,9 +1748,31 @@ final class Similarity(val tuning: Tuning) extends Serializable {
         ds.toDF("vec_id", "embedding")
           .write.mode("overwrite").parquet(s"$out/vectors")
       }
-      if (installed) Similarity.indexAdds.incrementAndGet()
+      if (installed) {
+        Similarity.indexAdds.incrementAndGet()
+        maybeCompact(s, d)
+      }
       installed
     } finally norm.unpersist()
+  }
+
+  /** The automatic compaction trigger — the WAL's bounded-segment
+    * pattern (TcpLineSource's `walMaxSegments` fold) applied to the
+    * delta lake: called after every DML install, folds a new
+    * generation once the UNCONSUMED segment count exceeds
+    * [[Tuning.storeMaxSegments]], so a long-lived store's per-serve
+    * union list stays bounded without operator intervention. Runs
+    * under the instance monitor the DML already holds ([[compact]] is
+    * reentrant-synchronized); folding deletes nothing, so concurrent
+    * readers are unaffected ([[vacuum]] stays explicit).
+    */
+  private def maybeCompact(s: SparkSession, d: String): Unit = {
+    val gen = ArtifactLake.currentGen(indexPath(d))
+    if (deltaDirs(d, gen).length + tombstoneDirs(d, gen).length >
+        tuning.storeMaxSegments) {
+      compact(s, d)
+      ()
+    }
   }
 
   /** FAISS-style `remove_ids()`: retire ids via one immutable,
@@ -1809,7 +1831,10 @@ final class Similarity(val tuning: Tuning) extends Serializable {
           .write.mode("overwrite")
           .parquet(s"${staging.getAbsolutePath}/ids")
       }
-      if (installed) Similarity.indexRemoves.incrementAndGet()
+      if (installed) {
+        Similarity.indexRemoves.incrementAndGet()
+        maybeCompact(s, d)
+      }
       installed
     } finally norm.unpersist()
   }

@@ -18,7 +18,8 @@ class TuningSpec extends AnyFunSuite {
       "lshBucketCap" -> Tuning(lshBucketCap = -5),
       "nprobe" -> Tuning(nprobe = 0),
       "sourceQuota" -> Tuning(sourceQuota = 0),
-      "kmvK" -> Tuning(kmvK = 0))
+      "kmvK" -> Tuning(kmvK = 0),
+      "storeMaxSegments" -> Tuning(storeMaxSegments = 0))
     for ((name, t) <- bad) {
       val e = intercept[ConfigurationError](t.validate())
       assert(e.getMessage.contains(name), s"message for $name: ${e.getMessage}")
