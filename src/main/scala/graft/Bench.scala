@@ -32,13 +32,20 @@ object Bench {
     // signature lake, media fixture) BEFORE the measured passes: pass 1
     // of the first query touching each store must time serving, not the
     // store's one-time build (r7: q73 5.26 s pass 1 vs 1.25 s pass 2).
+    // prewarm outcome travels INSIDE the JSON line (r8's attribution
+    // hole: pass-1 inflation on store-touching queries was
+    // indistinguishable from a prewarm failure, because the failure
+    // printed to stderr far outside the driver's 2000-char tail window)
     val w0 = System.nanoTime()
-    try graft.operators.Prewarm.artifacts(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] prewarm failed (continuing): ${e.getMessage}")
-    }
+    val prewarmOk =
+      try { graft.operators.Prewarm.artifacts(spark, sfDir); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prewarm failed (continuing): ${e.getMessage}")
+        false
+      }
+    val prewarmS = (System.nanoTime() - w0) / 1e9
     System.err.println(
-      s"[bench] artifact prewarm: ${((System.nanoTime() - w0) / 1e8).round / 10.0} s")
+      s"[bench] artifact prewarm: ${(prewarmS * 10).round / 10.0} s (ok=$prewarmOk)")
 
     // Locale-pinned float rendering: the f-interpolator uses the JVM
     // default locale, and a comma-decimal locale would emit invalid JSON
@@ -109,7 +116,7 @@ object Bench {
     // line and the driver's bounded tail capture; the line is the last
     // thing this process writes to stdout
     spark.stop()
-    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"errors":$errs,"prewarm_s":${num(prewarmS, 1)},"prewarm_ok":$prewarmOk,"sf":"$sfName"}""")
     System.out.flush()
   }
 }
