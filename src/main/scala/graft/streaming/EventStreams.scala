@@ -61,6 +61,17 @@ object AsOfStream {
     * `right` must have exactly the columns (`key`, `time`). Works in
     * batch execution (one group pass, exact [[graft.operators.AsOfJoin]]
     * parity for any input) and streaming alike.
+    *
+    * SCALE GUIDANCE — batch execution funnels a key's ENTIRE history
+    * through one task's in-memory sort (the `rows.toVector.sortBy`
+    * below): the per-key buffer that streaming bounds per-trigger is
+    * per-key-TOTAL in batch, so a hot key's full event history must
+    * fit one executor's heap. EventStreamsSpec pins correctness under
+    * a deliberately skewed fixture, but for batch as-of at corpus
+    * scale use [[graft.operators.AsOfJoin]] (q19's form — the
+    * per-key window never materializes a Vector); this form exists to
+    * pin the streaming state arithmetic (q75) and to serve unbounded
+    * input, where the trigger bounds the buffer.
     */
   def lastAtOrBefore(left: DataFrame, right: DataFrame,
       key: String, time: String): DataFrame = {

@@ -124,6 +124,68 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("sessionize under a hot key: one user owning 10% of events stays exact") {
+    import spark.implicits._
+    // deliberately skewed fixture, generated on executors: user 1 owns
+    // 20k of 200k events (10%) in 200 bursts of 100 ten-second-spaced
+    // events (burst span 990s), bursts 2h apart — >30m of silence
+    // between bursts, so exactly 200 sessions of 100 events for the
+    // hot key's single MergingSessions group chain. 2000 cold users
+    // hold 90 events each at 1h spacing — every event its own session.
+    val base = 1700000000L
+    val hot = spark.range(0L, 20000L).selectExpr(
+      "cast(1 as bigint) as user_id",
+      s"timestamp_seconds($base + (id div 100) * 7200 + (id % 100) * 10) as ts",
+      "cast(1.0 as double) as value")
+    val cold = spark.range(0L, 180000L).selectExpr(
+      "cast(2 + (id % 2000) as bigint) as user_id",
+      s"timestamp_seconds($base + (id div 2000) * 3600) as ts",
+      "cast(0.5 as double) as value")
+    val sessions = EventStreams.sessionize(hot.unionByName(cold))
+    val agg = sessions.selectExpr(
+      "count(1) as n_sessions",
+      "sum(case when user_id = 1 then 1 else 0 end) as hot_sessions",
+      "min(case when user_id = 1 then n_events end) as hot_min_ev",
+      "max(case when user_id = 1 then n_events end) as hot_max_ev",
+      "max(case when user_id = 1 then session_value end) as hot_val",
+      "max(case when user_id != 1 then n_events end) as cold_max_ev").head()
+    assert(agg.getAs[Long]("hot_sessions") == 200L,
+      s"hot key sessions: ${agg.getAs[Long]("hot_sessions")}")
+    assert(agg.getAs[Long]("hot_min_ev") == 100L &&
+      agg.getAs[Long]("hot_max_ev") == 100L,
+      "hot-key session sizes drifted under skew")
+    assert(agg.getAs[Double]("hot_val") == 100.0)
+    assert(agg.getAs[Long]("cold_max_ev") == 1L,
+      "cold sessions must be singletons (1h spacing > 30m gap)")
+    assert(agg.getAs[Long]("n_sessions") == 200L + 2000L * 90L)
+  }
+
+  test("AsOfStream under a hot key agrees with AsOfJoin exactly") {
+    import spark.implicits._
+    // same skew shape on the as-of pair: the hot key funnels 20k left
+    // + 2k right rows through ONE task's sorted group pass in batch
+    // execution (the documented buffer bound) and must stay row-exact
+    // against the q19 batch operator on the identical input
+    val base = 1700000000L
+    val left = spark.range(0L, 22000L).selectExpr(
+      "case when id < 20000 then cast(1 as bigint) else 2 + (id % 100) end as user_id",
+      s"timestamp_seconds($base + (id % 20000) * 60) as ts",
+      "id as event_id")
+    val right = spark.range(0L, 2200L).selectExpr(
+      "case when id < 2000 then cast(1 as bigint) else 2 + (id % 100) end as user_id",
+      s"timestamp_seconds($base + (id % 2000) * 600 + 30) as ts")
+    val batch = graft.operators.AsOfJoin
+      .lastEventAtOrBefore(left, right, "user_id", "ts")
+      .select($"event_id", $"asof_ts")
+    val streamed = AsOfStream
+      .lastAtOrBefore(left, right, "user_id", "ts")
+      .select($"event_id", $"asof_ts")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 &&
+      batch.except(streamed).count() == 0,
+      "hot-key as-of output diverged between the twins")
+  }
+
   test("streamed session_window closes sessions at the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
