@@ -114,8 +114,13 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     // stop FIRST so Spark's shutdown chatter cannot land between the JSON
     // line and the driver's bounded tail capture; the line is the last
-    // thing this process writes to stdout
-    spark.stop()
+    // thing this process writes to stdout. A stop() failure (executor
+    // shutdown races, listener teardown) must not eat the line — every
+    // query already completed, so swallow and report on stderr.
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed (ignored): ${e.getMessage}")
+    }
     println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"errors":$errs,"prewarm_s":${num(prewarmS, 1)},"prewarm_ok":$prewarmOk,"sf":"$sfName"}""")
     System.out.flush()
   }

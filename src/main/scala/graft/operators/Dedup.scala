@@ -780,7 +780,11 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     * documents against the frozen signature arithmetic and install one
     * immutable, content-keyed delta segment under the lake —
     *
-    *   `deltas/add-<md5(sorted batch)>/{bands, docs}`
+    *   `deltas/add-<content key>/{bands, docs, sig}`
+    *
+    * (content key = the DataFrame overload's order-independent
+    * `bit_xor(xxhash64)` digest; pre-r9 Seq-shaped segments used
+    * `md5(sorted batch)` — see the upgrade note below).
     *
     * [[ArtifactLake.ensure]] semantics as [[Similarity.addVectors]]:
     * idempotent on at-least-once retry (content key), crash-safe
@@ -788,13 +792,31 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     * loudly). The segment stores the batch text beside the bands so
     * serving's exact verify covers added documents. Blind spot, stated:
     * a zero-shingle document (empty/whitespace text) emits no band
-    * rows, so it is invisible both to dedup and to the id guard —
-    * inherent to minhash over shingles. Returns true iff THIS call
+    * rows, so it is invisible to minhash DEDUP — inherent to shingling;
+    * the id GUARD still covers it (liveness reads the docs chain, where
+    * every stored document has a row). Returns true iff THIS call
     * installed the segment.
+    *
+    * Upgrade note: pre-r9 builds keyed Seq-shaped segments as
+    * `add-<md5(sorted batch)>`; this overload probes that legacy name
+    * first so an at-least-once replay of a batch installed by the old
+    * binary stays a quiet no-op instead of tripping the id guard.
     */
   def addDocs(s: SparkSession, d: String,
       docs: Seq[(Long, String)]): Boolean = {
     import s.implicits._
+    val batch = docs.filter(_._2 != null).sortBy(_._1)
+    if (batch.nonEmpty) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bb = java.nio.ByteBuffer.allocate(8)
+      batch.foreach { case (id, text) =>
+        bb.clear(); bb.putLong(id); md.update(bb.array(), 0, 8)
+        md.update(text.getBytes("UTF-8")); md.update(0.toByte)
+      }
+      val legacy = md.digest().take(8).map("%02x".format(_)).mkString
+      if (new java.io.File(
+          s"${sigPath(d)}/deltas/add-$legacy/_SUCCESS").isFile) return false
+    }
     addDocs(s, d, s.createDataset(docs).toDF("doc_id", "text"))
   }
 
@@ -841,13 +863,21 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       // already-indexed ids by definition — [[Similarity.addVectors]])
       if (new java.io.File(target, "_SUCCESS").isFile) return false
       // the [min, max] envelope is a pushable superset predicate: parquet
-      // row-group stats prune the corpus-sized band scan to nothing in
-      // the common fresh-ids case
-      val takenBase = liveBands(s, d, gen)
+      // row-group stats prune the corpus-sized scan to nothing in the
+      // common fresh-ids case. Liveness basis is the DOCS chain, not
+      // bands or sig: every stored document owns a docs row by
+      // construction, while a zero-shingle doc (text shorter than one
+      // shingle) has no bands row and a zero-token doc no sig row —
+      // under those bases its id would be silently re-addable,
+      // yielding duplicate doc_id rows in the lake.
+      val takenBase = liveDocs(s, d, gen)
         .filter($"doc_id".between(lo, hi)).select($"doc_id")
       val takenAll = sigTombstonedIds(s, d, gen).fold(takenBase)(takenBase.unionByName(_))
       val idsDf = norm.select($"doc_id")
-      val probe = if (cnt <= 4000000L) broadcast(idsDf) else idsDf
+      // broadcast only clearly-small batches; beyond ~1M ids a forced
+      // broadcast costs real driver heap and risks the broadcast
+      // timeout — AQE picks the strategy from actual sizes instead
+      val probe = if (cnt <= 1000000L) broadcast(idsDf) else idsDf
       val dupDf = takenAll.join(probe, "doc_id").select($"doc_id").distinct()
       // replay of folded-and-fully-live content no-ops; folded-and-
       // tombstoned-away content is a genuine re-add
@@ -990,11 +1020,13 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     val mergedDocs = foldOf("docs").map(minusTs)
     val nLive = mergedDocs.map(_.count()).getOrElse(0L)
     val nFiles = math.min(64L, math.max(1L, (nLive + 65535L) / 65536L)).toInt
-    // carried tombstones: live ts ids still shadowing a base row (the
-    // base sig table covers every corpus document; bands misses
-    // zero-shingle docs)
+    // carried tombstones: live ts ids still shadowing a base row. The
+    // basis is the corpus documents table itself — the only table that
+    // covers EVERY base document (sig misses zero-token docs, bands
+    // zero-shingle docs; dropping such a doc's tombstone on compact
+    // would let [[addDocs]]'s docs-chain guard free its id wrongly)
     val carried = ts.map(_.join(
-        s.read.parquet(s"${sigPath(d)}/sig").select($"doc_id"),
+        t(s, d, "documents").select($"doc_id"),
         Seq("doc_id"), "left_semi")
       .distinct())
 

@@ -1594,7 +1594,12 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * FROZEN stored quantizers and install them as one immutable,
     * content-keyed delta segment under the index —
     *
-    *   `deltas/add-<md5(sorted batch)>/{ivf_assign, pq_res_codes, vectors}`
+    *   `deltas/add-<content key>/{ivf_assign, pq_res_codes, vectors}`
+    *
+    * (content key = the DataFrame overload's order-independent
+    * `bit_xor(xxhash64)` digest; pre-r9 Seq-shaped segments used
+    * `md5(sorted batch)` — the Seq overload still probes that legacy
+    * name for replay no-ops).
     *
     * installed atomically by [[ArtifactLake.ensure]]. Consequences:
     *
@@ -1626,6 +1631,25 @@ final class Similarity(val tuning: Tuning) extends Serializable {
   def addVectors(s: SparkSession, d: String,
       vecs: Seq[(Long, Array[Float])]): Boolean = {
     import s.implicits._
+    // upgrade note: pre-r9 builds keyed Seq-shaped segments as
+    // `add-<md5(sorted batch)>`; probe that legacy name first so an
+    // at-least-once replay of a batch installed by the old binary
+    // stays a quiet no-op instead of tripping the id guard
+    val batch = vecs.filter(v => v._2 != null && v._2.nonEmpty).sortBy(_._1)
+    if (batch.nonEmpty) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bb = java.nio.ByteBuffer.allocate(8)
+      batch.foreach { case (id, vf) =>
+        bb.clear(); bb.putLong(id); md.update(bb.array(), 0, 8)
+        vf.foreach { x =>
+          bb.clear(); bb.putInt(java.lang.Float.floatToIntBits(x))
+          md.update(bb.array(), 0, 4)
+        }
+      }
+      val legacy = md.digest().take(8).map("%02x".format(_)).mkString
+      if (new java.io.File(
+          s"${indexPath(d)}/deltas/add-$legacy/_SUCCESS").isFile) return false
+    }
     addVectors(s, d, s.createDataset(vecs).toDF("vec_id", "embedding"))
   }
 
@@ -1697,7 +1721,10 @@ final class Similarity(val tuning: Tuning) extends Serializable {
         .select($"vec_id")
       val takenAll = tombstonedIds(s, d, gen).fold(takenBase)(takenBase.unionByName(_))
       val idsDf = norm.select($"vec_id")
-      val probe = if (cnt <= 4000000L) broadcast(idsDf) else idsDf
+      // broadcast only clearly-small batches; beyond ~1M ids a forced
+      // broadcast costs real driver heap and risks the broadcast
+      // timeout — AQE picks the strategy from actual sizes instead
+      val probe = if (cnt <= 1000000L) broadcast(idsDf) else idsDf
       val dupDf = takenAll.join(probe, "vec_id").select($"vec_id").distinct()
       // a replay of content a generation folded AND kept fully live is
       // the at-least-once no-op; folded-and-tombstoned-away content is

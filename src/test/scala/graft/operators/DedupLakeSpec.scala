@@ -190,6 +190,29 @@ class DedupLakeSpec extends SparkTestBase {
     }
   }
 
+  test("the id guard covers zero-shingle and zero-token stored documents") {
+    withTempRoot {
+      val d1 = new Dedup(knobs)
+      // "word" has a token but no shingle (no bands/no dedup presence);
+      // "" has no token at all (no sig row either) — both still own a
+      // docs row, which is the guard's liveness basis
+      assert(d1.addDocs(spark, sf, Seq(930001L -> "word", 930002L -> "")),
+        "short-text batch must install")
+      // a DIFFERENT batch re-claiming either id must fail loudly, not
+      // silently duplicate the id in the lake
+      val b1 = intercept[IllegalArgumentException] {
+        d1.addDocs(spark, sf, Seq(930001L -> "entirely different replacement text"))
+      }
+      assert(b1.getMessage.contains("already indexed"))
+      val b2 = intercept[IllegalArgumentException] {
+        d1.addDocs(spark, sf, Seq(930002L -> "resurrecting the empty doc id"))
+      }
+      assert(b2.getMessage.contains("already indexed"))
+      // the identical batch replay stays a quiet content-key no-op
+      assert(!d1.addDocs(spark, sf, Seq(930001L -> "word", 930002L -> "")))
+    }
+  }
+
   test("signature-shaping knobs key distinct artifacts; serve-time knobs do not") {
     withTempRoot {
       val d1 = new Dedup(knobs)
