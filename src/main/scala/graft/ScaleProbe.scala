@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale probe for the CORPUS-BOUND tiers past the testdata's sf0.1
+  * ceiling: generates synthetic sf-equivalents 10× (and optionally
+  * 100×) the driver's largest corpus with [[graft.operators
+  * .SyntheticCorpus]] and measures the build paths (q69 sig-lake
+  * build, q67 IVF-PQ index build, q58 packing, q38 near-dup
+  * components) plus the serve paths (q72 dedup serve, q68 vector
+  * store serve) at each size.
+  *
+  * Unlike [[Bench]] (which prewarms the disk artifacts so pass 1
+  * times SERVING), this probe points `graft.index.dir` at a fresh
+  * per-run root and reports each query's two passes SEPARATELY:
+  * pass 1 of q69/q67 IS the cold store build — the number the probe
+  * exists to watch grow — and pass 2 is the steady serve-path read.
+  * α = log10(t_big/t_small) per 10× step, per pass.
+  *
+  * Usage: `scripts/run.sh graft.ScaleProbe [mult ...]` (default
+  * `1 10`; each mult m probes 5000·m docs / 2000·m vectors — m=1
+  * matches sf0.1's corpus size so the step anchors against the
+  * known numbers). Prints one JSON line on stdout; verbose timing
+  * streams to stderr.
+  */
+object ScaleProbe {
+
+  private val probeQueries = Seq(
+    // order matters for attribution: q69's pass 1 carries the ONE
+    // sig-lake build, so q38/q72 measure their own work, not the
+    // store's; same for q67 before q68.
+    "q69_minhash_index_build",
+    "q38_dedup_components",
+    "q72_dedup_index_serve",
+    "q67_ivf_pq_index_build",
+    "q68_vector_store_serve",
+    "q58_sequence_packing")
+
+  def main(args: Array[String]): Unit = {
+    val mults: Seq[Int] =
+      if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10)
+    // fresh store root BEFORE the registry is built (each module
+    // snapshots the prop once per instance): every probed build is
+    // cold no matter what earlier runs left in the default root
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val storeRoot = s"${sys.props("java.io.tmpdir")}/graft-scale-index-$runId"
+    sys.props("graft.index.dir") = storeRoot
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+
+    val registry = new QRegistry(graft.config.Tuning.current)
+
+    // JIT/codegen warmup on a THROWAWAY tiny corpus (its lakes land in
+    // the same fresh root but key by size+fingerprint, so they cannot
+    // collide with a measured mult) — the first measured pass must not
+    // be charged for JVM warmup.
+    val warmDir = graft.operators.SyntheticCorpus.ensure(spark, 500, 200)
+    probeQueries.foreach { q =>
+      try registry.queries(q)(spark, warmDir).write
+        .mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[probe] warmup $q failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+    }
+    System.err.println(s"[probe] warmup done (500 docs / 200 vecs)")
+
+    // mult → query → (pass1, pass2); a failed pass records NaN
+    val results = mults.map { m =>
+      val docs = 5000L * m
+      val vecs = 2000L * m
+      val g0 = System.nanoTime()
+      val dir = graft.operators.SyntheticCorpus.ensure(spark, docs, vecs)
+      val genS = (System.nanoTime() - g0) / 1e9
+      System.err.println(
+        s"[probe] mult $m: corpus $docs docs / $vecs vecs at $dir " +
+          s"(ensure ${num(genS, 1)} s)")
+      val times = probeQueries.map { q =>
+        val passes = (1 to 2).map { pass =>
+          val t0 = System.nanoTime()
+          val ok =
+            try {
+              registry.queries(q)(spark, dir).write
+                .mode("overwrite").format("noop").save()
+              true
+            } catch { case e: Throwable =>
+              System.err.println(s"[probe] $q mult=$m pass=$pass failed: ${e.getMessage}")
+              false
+            }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          if (ok) dt else Double.NaN
+        }
+        System.err.println(
+          s"[probe] m=$m ${q.padTo(28, ' ')} pass1 ${num(passes(0), 2)} s  " +
+            s"pass2 ${num(passes(1), 2)} s")
+        q -> passes
+      }
+      m -> times.toMap
+    }.toMap
+
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[probe] spark.stop failed (ignored): ${e.getMessage}")
+    }
+
+    def short(k: String) = k.takeWhile(_ != '_')
+    def jnum(v: Double): String = if (v.isNaN) "null" else num(v, 2)
+    val sorted = mults.sorted
+    val qJson = probeQueries.map { q =>
+      val per = sorted.map { m =>
+        val p = results(m)(q)
+        s""""m$m":[${jnum(p(0))},${jnum(p(1))}]"""
+      }.mkString(",")
+      // α per adjacent step and pass, on the log10 of the mult ratio
+      val alphas = sorted.sliding(2).collect { case Seq(a, b) =>
+        val scale = math.log10(b.toDouble / a)
+        val al = (0 to 1).map { i =>
+          val (ta, tb) = (results(a)(q)(i), results(b)(q)(i))
+          if (ta > 0 && !ta.isNaN && !tb.isNaN)
+            math.log10(tb / ta) / scale
+          else Double.NaN
+        }
+        s""""a${a}_$b":[${jnum(al(0))},${jnum(al(1))}]"""
+      }.mkString(",")
+      s""""${short(q)}":{$per,$alphas}"""
+    }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"scale_probe","mults":[${sorted.mkString(",")}],""" +
+        s""""docs_per_mult":5000,"vecs_per_mult":2000,"queries":$qJson}""")
+    System.out.flush()
+  }
+}
