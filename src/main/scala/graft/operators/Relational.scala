@@ -826,7 +826,48 @@ final class Relational(val tuning: graft.config.Tuning) extends Serializable {
         ON c.user_id = e.user_id AND c.ts >= e.ts
       ORDER BY c.event_id"""))
 
+  /** The planner-native as-of formulation ([[AsOfJoin
+    * .lastEventAtOrBeforeNative]] — Spark's own Catalyst `AsOfJoin`
+    * node, lowered by the built-in `RewriteAsOfJoin`), hash-checked
+    * against the SAME DuckDB ASOF LEFT JOIN arithmetic as q19/q75.
+    * Three registered formulations of one operator — window (q19),
+    * state (q75), planner-native (q76) — must agree byte-for-byte;
+    * the window form stays the production default. SCOPED to every
+    * 20th user (both sides, oracle included): Spark lowers the native
+    * node through a distinct-left-ts × right nested-loop
+    * (AsOfNativeSpec locks that shape), so the unscoped corpus would
+    * spend bench seconds proving a plan we already reject — the pin
+    * needs the node exercised against the oracle, not the full corpus
+    * pushed through a quadratic rewrite.
+    */
+  private val q76 = Q(
+    "q76_asof_native",
+    (s, d) => {
+      import s.implicits._
+      val e = t(s, d, "events").filter($"user_id" % 20 === 3)
+      AsOfJoin.lastEventAtOrBeforeNative(
+          left = e.filter($"event_type" === "click")
+            .select($"user_id", $"ts", $"event_id"),
+          right = e.filter($"event_type" === "error")
+            .select($"user_id", $"ts"),
+          key = "user_id", time = "ts")
+        .select($"event_id", $"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("click_t"),
+          date_format($"asof_ts", "yyyy-MM-dd HH:mm:ss").as("err_t"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT c.event_id, c.user_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_t,
+             strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_t
+      FROM (SELECT * FROM events
+            WHERE event_type = 'click' AND user_id % 20 = 3) c
+      ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                      WHERE event_type = 'error' AND user_id % 20 = 3) e
+        ON c.user_id = e.user_id AND c.ts >= e.ts
+      ORDER BY c.event_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q24, q25, q26, q29,
-    q74, q75)
+    q74, q75, q76)
 }
