@@ -17,11 +17,12 @@ import org.apache.spark.sql.SparkSession
   * exists to watch grow — and pass 2 is the steady serve-path read.
   * α = log10(t_big/t_small) per 10× step, per pass.
   *
-  * Usage: `scripts/run.sh graft.ScaleProbe [mult ...]` (default
-  * `1 10`; each mult m probes 5000·m docs / 2000·m vectors — m=1
-  * matches sf0.1's corpus size so the step anchors against the
-  * known numbers). Prints one JSON line on stdout; verbose timing
-  * streams to stderr.
+  * Usage: `scripts/run.sh graft.ScaleProbe [--wide] [mult ...]`
+  * (default `1 10`; each mult m probes 5000·m docs / 2000·m
+  * vectors — m=1 matches sf0.1's corpus size so the step anchors
+  * against the known numbers; `--wide` sweeps the whole LLM tier
+  * instead of the six corpus-bound queries). Prints one JSON line
+  * on stdout; verbose timing streams to stderr.
   */
 object ScaleProbe {
 
@@ -36,9 +37,26 @@ object ScaleProbe {
     "q68_vector_store_serve",
     "q58_sequence_packing")
 
+  /** `--wide`: the ENTIRE LLM tier (every registered query whose only
+    * inputs are the documents/embeddings tables or the media lake
+    * derived from them) — the "no scale-killer anywhere in the tier"
+    * sweep, typically at 1×/10×. The store builds stay first so later
+    * queries measure their own work, not the one-time installs.
+    */
+  private def wideQueries(registry: QRegistry): Seq[String] = {
+    val tier = registry.queries.keys.filter { n =>
+      val num = n.drop(1).takeWhile(_.isDigit).toInt
+      (num >= 30 && num <= 69) || num == 72 || num == 73
+    }.toSeq.sorted
+    val builds = Seq("q69_minhash_index_build", "q67_ivf_pq_index_build")
+    builds ++ tier.filterNot(builds.contains)
+  }
+
   def main(args: Array[String]): Unit = {
+    val wide = args.contains("--wide")
+    val multArgs = args.filterNot(_.startsWith("--"))
     val mults: Seq[Int] =
-      if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10)
+      if (multArgs.nonEmpty) multArgs.toSeq.map(_.toInt) else Seq(1, 10)
     // fresh store root BEFORE the registry is built (each module
     // snapshots the prop once per instance): every probed build is
     // cold no matter what earlier runs left in the default root
@@ -61,13 +79,15 @@ object ScaleProbe {
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
 
     val registry = new QRegistry(graft.config.Tuning.current)
+    val queriesToProbe =
+      if (wide) wideQueries(registry) else probeQueries
 
     // JIT/codegen warmup on a THROWAWAY tiny corpus (its lakes land in
     // the same fresh root but key by size+fingerprint, so they cannot
     // collide with a measured mult) — the first measured pass must not
     // be charged for JVM warmup.
     val warmDir = graft.operators.SyntheticCorpus.ensure(spark, 500, 200)
-    probeQueries.foreach { q =>
+    queriesToProbe.foreach { q =>
       try registry.queries(q)(spark, warmDir).write
         .mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
@@ -87,7 +107,7 @@ object ScaleProbe {
       System.err.println(
         s"[probe] mult $m: corpus $docs docs / $vecs vecs at $dir " +
           s"(ensure ${num(genS, 1)} s)")
-      val times = probeQueries.map { q =>
+      val times = queriesToProbe.map { q =>
         val passes = (1 to 2).map { pass =>
           val t0 = System.nanoTime()
           val ok =
@@ -119,7 +139,7 @@ object ScaleProbe {
     def short(k: String) = k.takeWhile(_ != '_')
     def jnum(v: Double): String = if (v.isNaN) "null" else num(v, 2)
     val sorted = mults.sorted
-    val qJson = probeQueries.map { q =>
+    val qJson = queriesToProbe.map { q =>
       val per = sorted.map { m =>
         val p = results(m)(q)
         s""""m$m":[${jnum(p(0))},${jnum(p(1))}]"""
@@ -138,7 +158,7 @@ object ScaleProbe {
       s""""${short(q)}":{$per,$alphas}"""
     }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"scale_probe","mults":[${sorted.mkString(",")}],""" +
+      s"""{"metric":"scale_probe","wide":$wide,"mults":[${sorted.mkString(",")}],""" +
         s""""docs_per_mult":5000,"vecs_per_mult":2000,"queries":$qJson}""")
     System.out.flush()
   }

@@ -563,45 +563,121 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * query vector would read `ivf_codebook` and assign itself against
     * the broadcast — the q67-pinned table exists exactly for that).
     */
-  private case class IvfCtx(u: DataFrame, n: DataFrame)
+  private case class IvfCtx(n0: Long)
 
   private def ivfCtx(s: SparkSession, d: String, ctx: AnnCtx): IvfCtx = {
     ensureIndex(s, d)
-    IvfCtx(ctx.u, ctx.n)
+    IvfCtx(ctx.n0)
   }
 
-  /** NOTE on shape: within-CELL pairing stays an exploded equi-JOIN
-    * (unlike q41's grouped compiled pass) deliberately — IVF cells
-    * hold ~√n vectors with NO hard cap, so a per-cell group would
-    * concentrate (√n)² pair work in one task as n grows (10⁹ dots per
-    * task at n = 10⁹), while the join form lets Spark distribute the
-    * within-cell pair space across tasks. LSH buckets are cap-bounded
-    * (lshBucketCap), which is what makes the grouped pass safe there.
+  /** NOTE on shape (round 9): within-cell pairing ran as an exploded
+    * equi-join through round 8 — distribute-the-pair-space reasoning —
+    * but the wide scale probe measured that shape at α ≈ 2.0 on a
+    * clustered 20k-vector corpus (q44 293 s steady): the join
+    * materializes pairs × 64 component rows through the shuffle, and
+    * clustered data concentrates the per-cell pair mass the uniform
+    * testdata never showed. This is now the q41 compiled grouped pass
+    * PLUS probe-side blocking, which keeps BOTH properties: vectors
+    * shuffle packed (n·nprobe rows of float arrays, never exploded
+    * pairs), and per-task work stays bounded on the uncapped ~√n cells
+    * because a cell's probe side splits into ⌈probes/cell ÷ 4096⌉
+    * deterministic id-blocks, the home side replicating per block (at
+    * n = 10⁹: ~123 blocks × √n homes ≈ 4096·31k ≈ 10⁸ dots per task —
+    * bounded — versus one (√n)² task per cell un-blocked, and versus
+    * 16n^1.5 · 64 shuffled rows for the old join). Block count derives
+    * from the footer row count, so plans stay deterministic; results
+    * are block-invariant by construction (per-block best → global
+    * best).
     */
+
+  /** Blocked cell-local exact pairing: every `probes` row (a_id, cell)
+    * scores against every `home` row (b_id ≠ a_id, same cell) by full
+    * double cosine, emitting each probe's per-cell best (r6-rounded
+    * compare, id tiebreak — the q41 group-local order, which composes
+    * to the global rank order). One shuffle of packed vectors in,
+    * ≤ |probes| best-rows out.
+    */
+  private def cellLocalBest(s: SparkSession, d: String,
+      probes: DataFrame, home: DataFrame, nBlocks: Int): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+      .filter($"embedding".isNotNull && size($"embedding") > 0)
+      .select($"vec_id", $"embedding")
+    val pr = probes.join(emb, $"a_id" === $"vec_id")
+      .select($"cell", pmod($"a_id", lit(nBlocks)).cast("int").as("blk"),
+        $"a_id".as("id"), $"embedding", lit(true).as("isProbe"))
+    val hr = home.join(emb, $"b_id" === $"vec_id")
+      .select($"cell", explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"),
+        $"b_id".as("id"), $"embedding", lit(false).as("isProbe"))
+    pr.unionAll(hr)
+      .as[(Long, Int, Long, Array[Float], Boolean)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, Int), it: Iterator[(Long, Int, Long, Array[Float], Boolean)]) =>
+        val rows = it.toArray
+        val homes = rows.filter(!_._5)
+          .map(r => (r._3, r._4.map(_.toDouble))).sortBy(_._1)
+        val hNorm = homes.map { case (_, v) =>
+          var s2 = 0.0
+          var i = 0
+          while (i < v.length) { s2 += v(i) * v(i); i += 1 }
+          math.sqrt(s2)
+        }
+        if (homes.isEmpty) Iterator.empty
+        else rows.iterator.filter(_._5).flatMap { case (_, _, aId, aEmb, _) =>
+          val av = aEmb.map(_.toDouble)
+          var aN = 0.0
+          var i = 0
+          while (i < av.length) { aN += av(i) * av(i); i += 1 }
+          val an = math.sqrt(aN)
+          var bestR = Double.NegativeInfinity
+          var bestB = Long.MaxValue
+          var bestCos = 0.0
+          var bi = 0
+          while (bi < homes.length) {
+            val (bId, bv) = homes(bi)
+            if (bId != aId) {
+              var dot = 0.0
+              val lim = math.min(av.length, bv.length)
+              var j = 0
+              while (j < lim) { dot += av(j) * bv(j); j += 1 }
+              val cos = dot / (an * hNorm(bi))
+              val r = math.floor(cos * 1e6 + 0.5) / 1e6
+              if (r > bestR || (r == bestR && bId < bestB)) {
+                bestR = r; bestB = bId; bestCos = cos
+              }
+            }
+            bi += 1
+          }
+          if (bestB == Long.MaxValue) Iterator.empty
+          else Iterator((key._1, aId, bestB, bestCos))
+        }
+      }.toDF("cell", "a_id", "nn_id", "cosine")
+  }
+
+  /** Probe-side block count: expected probes per cell over a 4096-row
+    * per-task target, from the footer count — deterministic, no job.
+    */
+  private def ivfBlocks(n0: Long, probesPerVec: Int): Int = {
+    val perCell = probesPerVec * math.sqrt(math.max(1L, n0).toDouble)
+    math.max(1, math.ceil(perCell / 4096.0).toInt)
+  }
+
   private def ivfSearch(s: SparkSession, d: String, ctx: IvfCtx,
       shared: Option[DataFrame] = None): DataFrame = {
       import s.implicits._
-      val IvfCtx(u, n) = ctx
       // the home cell is the STORED assignment table's rank-1 row (q45
       // passes its shared cached read; standalone q43 reads it directly)
       val assign = shared.getOrElse(probedDF(s, d))
         .filter($"rk" === 1)
         .select($"vec_id", $"cell")
-      val ua = u.join(assign, "vec_id")
-      val a = ua.select($"vec_id".as("a_id"), $"cell", $"i".as("ai"), $"v".as("av"))
-      val b = ua.select($"vec_id".as("b_id"), $"cell".as("bc"), $"i".as("bi"), $"v".as("bv"))
-      val dots = a.join(b, $"ai" === $"bi" && $"cell" === $"bc" && $"a_id" =!= $"b_id")
-        .groupBy($"a_id", $"cell", $"b_id")
-        .agg(sum($"av" * $"bv").as("dot"))
-      val scored = dots
-        .join(broadcast(n.select($"vec_id".as("a_id"), $"nrm".as("an"))), "a_id")
-        .join(broadcast(n.select($"vec_id".as("b_id"), $"nrm".as("bn"))), "b_id")
-        .withColumn("cosine", $"dot" / ($"an" * $"bn"))
-      scored.withColumn("rk", row_number().over(
-          Window.partitionBy($"a_id").orderBy(r6($"cosine").desc, $"b_id")))
-        .filter($"rk" === 1)
+      // a probe's only cell is its home cell, so its per-cell best IS
+      // its global best — no final window needed
+      cellLocalBest(s, d,
+          probes = assign.select($"vec_id".as("a_id"), $"cell"),
+          home = assign.select($"vec_id".as("b_id"), $"cell"),
+          nBlocks = ivfBlocks(ctx.n0, 1))
         .select($"a_id", $"cell".cast("long").as("cell"),
-          $"b_id".as("nn_id"), r4($"cosine").as("cosine"))
+          $"nn_id", r4($"cosine").as("cosine"))
         .orderBy($"a_id")
   }
 
@@ -688,28 +764,21 @@ final class Similarity(val tuning: Tuning) extends Serializable {
   private def ivfMultiprobeSearch(s: SparkSession, d: String, ctx: IvfCtx,
       shared: Option[DataFrame] = None): DataFrame = {
       import s.implicits._
-      val IvfCtx(u, n) = ctx
       // the STORED n×nprobe probe table (home is its rank-1 row); q45
       // passes ONE shared cached read so its multiprobe and ivfadc
       // tiers scan the assignment table once, not twice
       val probed = shared.getOrElse(probedDF(s, d))
-      val probes = probed.select($"vec_id", $"cell")
-      val home = probed.filter($"rk" === 1).select($"vec_id", $"cell")
-      val a = u.join(probes, "vec_id")
-        .select($"vec_id".as("a_id"), $"cell", $"i".as("ai"), $"v".as("av"))
-      val b = u.join(home, "vec_id")
-        .select($"vec_id".as("b_id"), $"cell".as("bc"), $"i".as("bi"), $"v".as("bv"))
-      val dots = a.join(b, $"ai" === $"bi" && $"cell" === $"bc" && $"a_id" =!= $"b_id")
-        .groupBy($"a_id", $"b_id")
-        .agg(sum($"av" * $"bv").as("dot"))
-      val scored = dots
-        .join(broadcast(n.select($"vec_id".as("a_id"), $"nrm".as("an"))), "a_id")
-        .join(broadcast(n.select($"vec_id".as("b_id"), $"nrm".as("bn"))), "b_id")
-        .withColumn("cosine", $"dot" / ($"an" * $"bn"))
-      scored.withColumn("rk", row_number().over(
-          Window.partitionBy($"a_id").orderBy(r6($"cosine").desc, $"b_id")))
+      // per-cell bests → global best: a pair can't double-count (the
+      // candidate's home cell is unique), and max over per-cell (r6,
+      // id)-ordered bests equals the global (r6 desc, id) rank-1
+      val best = cellLocalBest(s, d,
+        probes = probed.select($"vec_id".as("a_id"), $"cell"),
+        home = probed.filter($"rk" === 1).select($"vec_id".as("b_id"), $"cell"),
+        nBlocks = ivfBlocks(ctx.n0, tuning.nprobe))
+      best.withColumn("rk", row_number().over(
+          Window.partitionBy($"a_id").orderBy(r6($"cosine").desc, $"nn_id")))
         .filter($"rk" === 1)
-        .select($"a_id", $"b_id".as("nn_id"), r4($"cosine").as("cosine"))
+        .select($"a_id", $"nn_id", r4($"cosine").as("cosine"))
         .orderBy($"a_id")
   }
 
