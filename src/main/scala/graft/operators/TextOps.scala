@@ -27,7 +27,7 @@ object TextOps {
     "q50_lang_id",
     (s, d) => {
       import s.implicits._
-      val scores = t(s, d, "documents")
+      val scores = spread(t(s, d, "documents"))
         .withColumn("toks", expr(toksExpr))
         .withColumn("s_en", expr(
           "size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in')))"))
@@ -72,7 +72,7 @@ object TextOps {
     "q51_quality_score",
     (s, d) => {
       import s.implicits._
-      t(s, d, "documents")
+      spread(t(s, d, "documents"))
         .withColumn("toks", expr(toksExpr))
         .withColumn("n_toks", size($"toks").cast("long"))
         .withColumn("n_stop", expr(
@@ -121,7 +121,7 @@ object TextOps {
     "q52_token_stats",
     (s, d) => {
       import s.implicits._
-      t(s, d, "documents")
+      spread(t(s, d, "documents"))
         .withColumn("n_ws", size(expr(toksExpr)).cast("long"))
         .withColumn("n_bpe", size(expr(
           """regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"""))
@@ -162,7 +162,7 @@ object TextOps {
     "q53_fingerprint",
     (s, d) => {
       import s.implicits._
-      t(s, d, "documents")
+      spread(t(s, d, "documents"))
         .withColumn("toks", expr(toksExpr))
         .withColumn("canon", expr(
           "concat_ws(' ', sort_array(array_distinct(toks)))"))
@@ -249,7 +249,7 @@ object TextOps {
       val phone = """\\+[0-9][0-9() -]{7,}[0-9]"""
       def cnt(pat: String) =
         expr(s"size(regexp_extract_all(lower(text), '$pat', 0))")
-      t(s, d, "documents")
+      spread(t(s, d, "documents"))
         .select($"source",
           cnt(email).as("ne"), cnt(url).as("nu"), cnt(phone).as("np"))
         .groupBy($"source")
@@ -336,7 +336,7 @@ object TextOps {
     "q65_curation_funnel",
     (s, d) => {
       import s.implicits._
-      val base = t(s, d, "documents")
+      val base = spread(t(s, d, "documents"))
         .withColumn("toks", expr(toksExpr))
         .withColumn("s_en", expr(
           "size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in')))"))
