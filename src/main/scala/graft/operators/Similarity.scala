@@ -597,7 +597,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * to the global rank order). One shuffle of packed vectors in,
     * ≤ |probes| best-rows out.
     */
-  private def cellLocalBest(s: SparkSession, d: String,
+  private[operators] def cellLocalBest(s: SparkSession, d: String,
       probes: DataFrame, home: DataFrame, nBlocks: Int): DataFrame = {
     import s.implicits._
     val emb = t(s, d, "embeddings")
