@@ -124,6 +124,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q43/q44: IVF pairing is one grouped compiled pass — no pair aggregation") {
+    // round-9 refactor lock: vectors shuffle PACKED into (cell, block)
+    // groups and pair inside compiled MapGroups. The round-8 shape —
+    // an exploded pairs × 64-component equi-join re-collapsed by a
+    // sum aggregate — measured α ≈ 2.0 on clustered corpora (q44
+    // 293 s at 20k vectors; SCALING.md "Wide sweep"); it would
+    // resurface here as an Aggregate/sum in the plan.
+    for (q <- Seq("q43_ann_ivf", "q44_ann_ivf_multiprobe")) {
+      val p = planOf(q)
+      assert(p.contains("MapGroups"), s"$q lost its compiled pairing pass")
+      assert(!p.toLowerCase.contains("sum"),
+        s"$q reintroduced the exploded dot-product aggregation")
+    }
+  }
+
   test("q40: exact search is one compiled corpus pass — no join anywhere in the plan") {
     val p = planOf("q40_ann_bruteforce")
     // queries broadcast into the partition loop; candidates prune to
