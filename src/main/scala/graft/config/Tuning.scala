@@ -81,7 +81,17 @@ final case class Tuning(
       * 64 keeps steady micro-batch ingest to ~one fold per 64 batches
       * while every serve unions at most 64 segment reads + one
       * generation + the base. */
-    storeMaxSegments: Int = 64) {
+    storeMaxSegments: Int = 64,
+    /** q77: bloom-filter size in BITS for the contamination prescreen
+      * sketch. The sketch is the one driver-side touchpoint of the
+      * operator (bloomBits/8 bytes collected then re-broadcast as a
+      * plan literal); 2²³ bits = 1 MiB holds ~0.5 M train shingles at
+      * ~16 bits/item (fpp ≈ 4·10⁻⁴). Sizing is a pure work/space
+      * trade: an undersized sketch only raises the false-positive
+      * rate (more rows surviving to the exact verify join), never
+      * wrongness — there are no false negatives. Capped at 2²⁶ =
+      * Spark's own runtime-filter numBits ceiling. */
+    bloomBits: Int = 1 << 23) {
 
   /** Minhash signature length — bands × rows, every row one affine
     * permutation over the 2³¹−1 prime field. */
@@ -98,6 +108,9 @@ final case class Tuning(
     pos(annQueries, "annQueries"); pos(pqSubspaces, "pqSubspaces")
     pos(pqSubDim, "pqSubDim"); pos(pqCentroids, "pqCentroids")
     pos(refineFactor, "refineFactor"); pos(storeMaxSegments, "storeMaxSegments")
+    pos(bloomBits, "bloomBits")
+    if (bloomBits > (1 << 26)) throw ConfigurationError(
+      s"graft.tuning.bloomBits must be <= ${1 << 26} (Spark's runtime-filter ceiling), got $bloomBits")
     // positive form so NaN (for which every comparison is false) is
     // rejected rather than slipping past a <=||> pair
     if (!(ccEdgeJaccard > 0.0 && ccEdgeJaccard <= 1.0)) throw ConfigurationError(
@@ -165,7 +178,8 @@ object Tuning {
       pqSubDim = knob("pqSubDim", d.pqSubDim),
       pqCentroids = knob("pqCentroids", d.pqCentroids),
       refineFactor = knob("refineFactor", d.refineFactor),
-      storeMaxSegments = knob("storeMaxSegments", d.storeMaxSegments))
+      storeMaxSegments = knob("storeMaxSegments", d.storeMaxSegments),
+      bloomBits = knob("bloomBits", d.bloomBits))
     t.validate()
     t
   }

@@ -3,8 +3,11 @@ package graft.operators
 import graft.{Q, Cols, Tables}
 import Cols._
 import Tables.t
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** Dataset-assembly operators — the steps between a cleaned corpus and
   * a training run: deterministic train/val/test splitting, train→test
@@ -70,27 +73,75 @@ final class Assemble(val tuning: graft.config.Tuning) extends Serializable {
     * explode into pairs (no DF cap needed, unlike the pairing joins).
     * Emits contaminated test docs with their hit ratio.
     */
-  private val q37 = Q(
-    "q37_contamination",
-    (s, d) => {
-      import s.implicits._
-      val ex = Dedup.shinglePostings(s, d, n = 8)
-        .select($"doc_id", $"nsh", md5Long($"t").as("h"))
-        .withColumn("b", splitBucket($"doc_id"))
-        .cache()  // feeds BOTH join sides — uncached, the corpus would
-                  // be scanned + shingled + hashed twice
-      val trainGrams = ex.filter($"b" < 80).select($"h").distinct()
-      ex.filter($"b" >= 90)
-        .join(trainGrams, Seq("h"), "left_semi")
-        .groupBy($"doc_id", $"nsh")
-        .agg(count(lit(1)).as("n_hit"))
-        .select($"doc_id",
-          $"nsh".cast("long").as("n_grams"),
-          $"n_hit".cast("long").as("n_hit"),
-          r4($"n_hit" / $"nsh").as("hit_ratio"))
-        .orderBy($"doc_id")
-    },
-    Some(s"""
+  /** The shared train→test contamination pipeline behind q37 and q77.
+    * `bloom = true` inserts the result-transparent sketch prescreen of
+    * [[bloomPrescreen]] between the eval-side shingle stream and the
+    * exact verify join.
+    */
+  private def contamination(s: SparkSession, d: String, bloom: Boolean): DataFrame = {
+    import s.implicits._
+    val ex = Dedup.shinglePostings(s, d, n = 8)
+      .select($"doc_id", $"nsh", md5Long($"t").as("h"))
+      .withColumn("b", splitBucket($"doc_id"))
+      .cache()  // feeds BOTH join sides — uncached, the corpus would
+                // be scanned + shingled + hashed twice
+    val trainGrams = ex.filter($"b" < 80).select($"h").distinct()
+    val eval0 = ex.filter($"b" >= 90)
+    val evalSide = if (bloom) bloomPrescreen(trainGrams, eval0) else eval0
+    evalSide
+      .join(trainGrams, Seq("h"), "left_semi")
+      .groupBy($"doc_id", $"nsh")
+      .agg(count(lit(1)).as("n_hit"))
+      .select($"doc_id",
+        $"nsh".cast("long").as("n_grams"),
+        $"n_hit".cast("long").as("n_hit"),
+        r4($"n_hit" / $"nsh").as("hit_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** Bloom-filter prescreen: fold `train`'s `h` column into one
+    * bloomBits-bit sketch and drop every `evalSide` row whose hash the
+    * sketch rules out, BEFORE the verify join's shuffle. This is
+    * Spark's own runtime-filter machinery
+    * ([[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]] /
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * — the pair `InjectRuntimeFilter` plants beside shuffle joins)
+    * promoted to a first-class operator step where the optimizer's own
+    * heuristics wouldn't fire (the creation side here is itself a
+    * derived aggregate, not a selective scan filter).
+    *
+    * Result-transparent by construction: a bloom filter has NO false
+    * negatives, and the exact semi join downstream removes the false
+    * positives — so q77 ≡ q37 byte-for-byte, and an undersized sketch
+    * only costs verify work, never correctness. The sketch build is
+    * map-side partial-aggregated (each task folds its partition into a
+    * local filter, merges are bitwise ORs); the ONE driver-side
+    * touchpoint is the finished sketch — bloomBits/8 bytes (1 MiB at
+    * the default), bounded by the validated knob like the codebook
+    * collects — re-entering the plan as a literal the filter evaluates
+    * executor-side. At 100 TB the win is the point: the eval side's
+    * shuffle volume drops by the non-contaminated fraction (typically
+    * ≫ 99%) for one extra row-local pass.
+    *
+    * An EMPTY train side folds to a null sketch (Spark returns null
+    * for the zero-row aggregate); no hash can match, so the prescreen
+    * is `false` — same rows (none) as the verify join would keep.
+    */
+  private[operators] def bloomPrescreen(train: DataFrame, evalSide: DataFrame): DataFrame = {
+    val items = math.max(1L, tuning.bloomBits / 16L)  // ~16 bits/item → fpp ≈ 4e-4
+    val sketch = train.agg(GraftShims.toColumn(
+      new BloomFilterAggregate(
+        GraftShims.toExpression(col("h")),
+        Literal(items), Literal(tuning.bloomBits.toLong)
+      ).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (sketch == null) evalSide.filter(lit(false))
+    else evalSide.filter(GraftShims.toColumn(BloomFilterMightContain(
+      Literal.create(sketch, BinaryType),
+      GraftShims.toExpression(col("h")))))
+  }
+
+  private val contaminationOracle = s"""
       WITH toks AS (SELECT doc_id, ${Dedup.toksSqlDuck} AS toks FROM documents),
       sh AS (SELECT doc_id,
                list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
@@ -109,7 +160,23 @@ final class Assemble(val tuning: graft.config.Tuning) extends Serializable {
              CAST(n_hit AS BIGINT) AS n_hit,
              round(n_hit / CAST(nsh AS DOUBLE), 4) AS hit_ratio
       FROM hits
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""
+
+  private val q37 = Q(
+    "q37_contamination",
+    (s, d) => contamination(s, d, bloom = false),
+    Some(contaminationOracle))
+
+  /** q37 behind the bloom prescreen ([[bloomPrescreen]]) — the scale
+    * path of the contamination scan. Same oracle VERBATIM: the sketch
+    * is result-transparent (no false negatives; false positives die in
+    * the exact verify join), so the gate checks the transparency claim
+    * itself, byte-for-byte, every round.
+    */
+  private val q77 = Q(
+    "q77_contamination_bloom",
+    (s, d) => contamination(s, d, bloom = true),
+    Some(contaminationOracle))
 
   /** Sequence packing (concat-and-chunk): documents are concatenated in
     * doc_id order and cut into fixed 512-token context windows; a doc
@@ -283,5 +350,5 @@ final class Assemble(val tuning: graft.config.Tuning) extends Serializable {
                       AND h.h = kept.h
       ORDER BY h.source, h.doc_id"""))
 
-  val all: Seq[Q] = Seq(q37, q57, q58, q59, q39)
+  val all: Seq[Q] = Seq(q37, q57, q58, q59, q39, q77)
 }

@@ -45,6 +45,40 @@ class AssembleSpec extends SparkTestBase {
     })
   }
 
+  test("q77: bloom prescreen is result-transparent — byte-identical to q37") {
+    val exact = q("q37_contamination").collect().map(_.toSeq).toSeq
+    val bloom = q("q77_contamination_bloom").collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty)
+    assert(bloom == exact)
+  }
+
+  test("q77: the physical plan carries the might_contain prescreen") {
+    val plan = q("q77_contamination_bloom").queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom prescreen missing from the physical plan:\n$plan")
+  }
+
+  test("bloomPrescreen: no false negatives, near-total rejection of non-members") {
+    import spark.implicits._
+    val asm = new Assemble(graft.config.Tuning.current)
+    val train = (1L to 100L).toDF("h")
+    val evalSide = (51L to 150L).map(h => (h, h * 10)).toDF("h", "doc_id")
+    val kept = asm.bloomPrescreen(train, evalSide).select($"h").as[Long].collect().toSet
+    // every true member survives — the transparency guarantee
+    assert((51L to 100L).forall(kept.contains))
+    // at 2^23 bits over 100 items the fpp is ~0: effectively all of the
+    // 50 non-members must be rejected (allow a couple of collisions)
+    assert(kept.count(_ > 100L) <= 2, s"prescreen kept too much: $kept")
+  }
+
+  test("bloomPrescreen: empty train side rejects everything (null sketch path)") {
+    import spark.implicits._
+    val asm = new Assemble(graft.config.Tuning.current)
+    val train = Seq.empty[Long].toDF("h")
+    val evalSide = (1L to 10L).map(h => (h, h)).toDF("h", "doc_id")
+    assert(asm.bloomPrescreen(train, evalSide).count() == 0L)
+  }
+
   test("q37: contamination hits are bounded by the doc's gram count") {
     val rows = q("q37_contamination").collect()
     assert(rows.nonEmpty, "fixture corpus has no contaminated test docs — " +
