@@ -91,7 +91,11 @@ final case class Tuning(
       * rate (more rows surviving to the exact verify join), never
       * wrongness — there are no false negatives. Capped at 2²⁶ =
       * Spark's own runtime-filter numBits ceiling. */
-    bloomBits: Int = 1 << 23) {
+    bloomBits: Int = 1 << 23,
+    /** q78: outliers reported per label — the k farthest-from-centroid
+      * vectors. Bounds the per-group aggregate state (k longs) and the
+      * result size (labels × k rows). */
+    outlierK: Int = 10) {
 
   /** Minhash signature length — bands × rows, every row one affine
     * permutation over the 2³¹−1 prime field. */
@@ -108,7 +112,7 @@ final case class Tuning(
     pos(annQueries, "annQueries"); pos(pqSubspaces, "pqSubspaces")
     pos(pqSubDim, "pqSubDim"); pos(pqCentroids, "pqCentroids")
     pos(refineFactor, "refineFactor"); pos(storeMaxSegments, "storeMaxSegments")
-    pos(bloomBits, "bloomBits")
+    pos(bloomBits, "bloomBits"); pos(outlierK, "outlierK")
     if (bloomBits > (1 << 26)) throw ConfigurationError(
       s"graft.tuning.bloomBits must be <= ${1 << 26} (Spark's runtime-filter ceiling), got $bloomBits")
     // positive form so NaN (for which every comparison is false) is
@@ -179,7 +183,8 @@ object Tuning {
       pqCentroids = knob("pqCentroids", d.pqCentroids),
       refineFactor = knob("refineFactor", d.refineFactor),
       storeMaxSegments = knob("storeMaxSegments", d.storeMaxSegments),
-      bloomBits = knob("bloomBits", d.bloomBits))
+      bloomBits = knob("bloomBits", d.bloomBits),
+      outlierK = knob("outlierK", d.outlierK))
     t.validate()
     t
   }

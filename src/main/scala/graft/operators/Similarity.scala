@@ -533,6 +533,85 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       GROUP BY 1, 2
       ORDER BY label, dim"""))
 
+  /** Embedding-space outlier scan — the embedding tier's quality
+    * filter (the step CLIP-style curation runs to surface mislabeled /
+    * noise vectors): for every label, the `outlierK` vectors FARTHEST
+    * from their label centroid by cosine, with rank and rounded score.
+    *
+    * Scale shape: the centroid aggregate is q42's one exploded
+    * partial-agg shuffle (labels × dims rows out); scoring joins the
+    * BROADCAST centroid components back to the shared exploded table
+    * (codegen'd equi-join + hash-agg, the house dot-product pipeline —
+    * not HOF lambdas, see the module doc) — one more map-side-
+    * combinable shuffle keyed on vec_id; the per-label bottom-k runs
+    * through [[graft.functions.KMinValues]], the bounded k-min
+    * aggregate, so per-group state is k longs and NO per-label window
+    * ever sorts a label's full vector population in one task (10
+    * labels over 10⁹ vectors would otherwise funnel 10⁸-row
+    * partitions through single reducers).
+    *
+    * Determinism: centroid components are r6-rounded (absorbing
+    * group-sum order noise exactly as q42's gate-checked output does)
+    * before the dot product, and the cosine is compared in r6 MICROS
+    * encoded with the vec_id tiebreak into one sortable long:
+    * `(micros + 2·10⁶) · 2⁴¹ + vec_id` — ascending encodes ascending
+    * (rounded cosine, vec_id), so the k-min array IS the rank order.
+    * Bound: vec_id must fit 41 bits (~2.2·10¹²) — an id-space
+    * contract, documented here, cheap to widen if ids outgrow it.
+    * Zero-norm vectors (no cosine) are excluded on both engines.
+    */
+  private val q78 = Q(
+    "q78_centroid_outliers",
+    (s, d) => {
+      import s.implicits._
+      val up = unpacked(s, d)
+      val cent = up.groupBy($"label", $"i")
+        .agg(r6(avg($"v")).as("c"))
+      val nc = cent.groupBy($"label").agg(sum($"c" * $"c").as("nc"))
+      val scored = up.join(broadcast(cent), Seq("label", "i"))
+        .groupBy($"vec_id", $"label")
+        .agg(sum($"v" * $"c").as("dot"), sum($"v" * $"v").as("nv"))
+        .join(broadcast(nc), Seq("label"))
+        .filter($"nv" > 0.0 && $"nc" > 0.0)
+      val enc = ((floor($"dot" / sqrt($"nv" * $"nc") * lit(1e6) + lit(0.5))
+        .cast("long") + lit(2000000L)) * lit(1L << 41) + $"vec_id").as("enc")
+      scored.select($"label", enc)
+        .groupBy($"label")
+        .agg(graft.functions.KMinValues.kMinValues($"enc", tuning.outlierK).as("mins"))
+        .select($"label", posexplode($"mins"))
+        .select($"label",
+          ($"pos" + 1).cast("long").as("rank"),
+          $"col".bitwiseAND(lit((1L << 41) - 1)).as("vec_id"),
+          // decode via shift/mask, NOT long `/` (Spark's `/` is double
+          // division — lossy above 2⁵³)
+          ((shiftright($"col", 41) - lit(2000000L))
+            .cast("double") / lit(1e6)).as("cosine"))
+        .orderBy($"label", $"rank")
+    },
+    Some(s"""
+      WITH u AS (SELECT vec_id, label,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+                   unnest(embedding)::DOUBLE AS v
+                 FROM embeddings),
+      cent AS (SELECT label, i, round(avg(v), 6) AS c
+               FROM u GROUP BY 1, 2),
+      nc AS (SELECT label, sum(c * c) AS nc FROM cent GROUP BY 1),
+      sc AS (SELECT u.vec_id, u.label,
+               sum(u.v * cent.c) AS dot, sum(u.v * u.v) AS nv
+             FROM u JOIN cent ON u.label = cent.label AND u.i = cent.i
+             GROUP BY 1, 2),
+      r AS (SELECT sc.label, sc.vec_id,
+              round(sc.dot / sqrt(sc.nv * nc.nc), 6) AS cosine
+            FROM sc JOIN nc ON sc.label = nc.label
+            WHERE sc.nv > 0 AND nc.nc > 0),
+      rk AS (SELECT label, vec_id, cosine,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY cosine, vec_id) AS rank
+             FROM r)
+      SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+      FROM rk WHERE rank <= ${tuning.outlierK}
+      ORDER BY label, rank"""))
+
   /** IVF-style ANN: coarse-quantize every vector to its NEAREST cell
     * seed, then search only inside the assigned cell. Assignment
     * minimizes ‖c‖²−2·⟨v,c⟩ (≡ squared distance, per-vector constant
@@ -2592,5 +2671,5 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       ORDER BY q_id, rk"""
 
   val all: Seq[Q] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q67, q68)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q67, q68, q78)
 }

@@ -211,6 +211,26 @@ class PlanSpec extends SparkTestBase {
       "q29 lost its two-phase bounded aggregate")
   }
 
+  test("q78: per-label bottom-k is the bounded k-min agg — no Window, centroids broadcast") {
+    // a per-label row_number window would funnel each label's full
+    // vector population through one task (10 labels over 10⁹ vectors =
+    // 10⁸-row reducer partitions); the KMinValues form keeps k longs
+    // of state per label and merges map-side
+    val p = planOf("q78_centroid_outliers")
+    assert(!p.contains("Window"), "q78 plans a per-label Window sort")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "q78 lost its two-phase bounded k-min aggregate")
+    assert(p.contains("BroadcastHashJoin"), "centroid join stopped broadcasting")
+    assert(!p.contains("might_contain"), "stray bloom in q78")
+  }
+
+  test("q77: bloom prescreen sits before the verify join — and the join stays semi") {
+    val p = planOf("q77_contamination_bloom")
+    assert(p.contains("might_contain"), "bloom prescreen missing")
+    assert(p.contains("LeftSemi"), "exact verify join lost")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q39/q59: bounded-state sampling — no per-source Window sort") {
     // both samplers replace `row_number() OVER (PARTITION BY source
     // ORDER BY h)` (the oracle's form — a hot domain funnels through
