@@ -802,6 +802,49 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     * first so an at-least-once replay of a batch installed by the old
     * binary stays a quiet no-op instead of tripping the id guard.
     */
+  /** The LIVE signature view of the dedup lake as one DataFrame
+    * `(doc_id, simhash)`: every document the serve paths cover — the
+    * stored sig table ∪ the snapshot generation's fold ∪ unconsumed
+    * add segments, minus live tombstones — composed against ONE
+    * generation-pointer read (the serve calls' snapshot isolation).
+    * Deliberately plan composition, not a custom DataSource — same
+    * rationale as [[Similarity.liveVectors]] (Catalyst keeps
+    * pushdown/pruning across a union of parquet scans; a source
+    * façade would hide it). [[registerView]] names it for SQL users.
+    */
+  def liveSignatures(s: SparkSession, d: String): DataFrame = {
+    ensureSigIndex(s, d)
+    liveSigs(s, d, ArtifactLake.currentGen(sigPath(d)))
+  }
+
+  /** Register [[liveSignatures]] as a session temp view (default
+    * `graft_doc_sigs`). Snapshot semantics as
+    * [[Similarity.registerView]]: the view pins the composition at
+    * registration; re-register to see later DML, exactly as a new
+    * serve call would.
+    */
+  def registerView(s: SparkSession, d: String,
+      name: String = "graft_doc_sigs"): Unit =
+    liveSignatures(s, d).createOrReplaceTempView(name)
+
+  /** The SQL surface gate: q79 reads the STORE through
+    * [[registerView]] + `spark.sql` — no DataFrame API in the query
+    * path — and the oracle recomputes every signature from the corpus
+    * text. On the fresh store the gate thus hash-checks THREE layers
+    * at once: the stored sig table's derivation (as q69 does for
+    * bands), the live-view union/anti-join composition (nothing
+    * dropped, nothing duplicated), and the temp-view SQL plumbing.
+    */
+  private val q79 = Q(
+    "q79_sig_view_sql",
+    (s, d) => {
+      registerView(s, d, "graft_doc_sigs_q79")
+      s.sql("SELECT doc_id, simhash FROM graft_doc_sigs_q79 ORDER BY doc_id")
+    },
+    Some(s"""
+      $simhashSqlDuck
+      SELECT doc_id, simhash FROM sh ORDER BY doc_id"""))
+
   def addDocs(s: SparkSession, d: String,
       docs: Seq[(Long, String)]): Boolean = {
     import s.implicits._
@@ -1374,5 +1417,5 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       WHERE round(n_dup / CAST(nsh AS DOUBLE), 4) >= 0.5
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q38, q69, q72, q73)
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q38, q69, q72, q73, q79)
 }

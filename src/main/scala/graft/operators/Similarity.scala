@@ -1659,6 +1659,80 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     }
   }
 
+  /** The LIVE vector view of the stored index as one DataFrame
+    * `(vec_id, embedding)`: every id [[search]] would serve — base
+    * corpus ∪ the snapshot generation's folded vectors ∪ each
+    * unconsumed add segment's stored vectors, minus live tombstones.
+    * ONE generation-pointer read composes the whole view (the same
+    * snapshot isolation every serve call gets).
+    *
+    * This IS the engine's relational access path to the store —
+    * deliberately a DataFrame-composing function, NOT a custom
+    * DataSource: the view is a union of parquet scans plus one
+    * broadcast anti-join, and leaving it as plan composition keeps
+    * Catalyst's pushdown/pruning and whole-stage codegen across the
+    * boundary (a DSv2 façade would re-implement the parquet reader
+    * behind an opaque wall; a DSv1 RDD bridge would sever codegen).
+    * [[registerView]] names it for pure-SQL users.
+    */
+  def liveVectors(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ensureIndex(s, d)
+    val gen = ArtifactLake.currentGen(indexPath(d))
+    val base = t(s, d, "embeddings").select($"vec_id", $"embedding")
+    val segDirs =
+      ArtifactLake.tableIfPresent(gen, "vectors").map(_.getAbsolutePath).toSeq ++
+      deltaDirs(d, gen).map(dir => s"${dir.getAbsolutePath}/vectors")
+    val all = segDirs.foldLeft(base)((acc, p) =>
+      acc.unionByName(s.read.parquet(p).select($"vec_id", $"embedding")))
+    tombstonedIds(s, d, gen).fold(all)(ts =>
+      all.join(broadcast(ts), Seq("vec_id"), "left_anti"))
+  }
+
+  /** Register [[liveVectors]] as a session temp view (default
+    * `graft_vectors`) so a pure-SQL user reads the store with
+    * `spark.sql`. The view is a SNAPSHOT of the live composition at
+    * registration time — the same generation-snapshot isolation every
+    * serve call gets; DML installed later is visible after
+    * re-registering, exactly as a new serve call sees it.
+    */
+  def registerView(s: SparkSession, d: String,
+      name: String = "graft_vectors"): Unit =
+    liveVectors(s, d).createOrReplaceTempView(name)
+
+  /** The vector-store SQL-surface gate, q79's twin: reads the store
+    * through [[registerView]] + `spark.sql` only, emitting per-vector
+    * dims and the r6-rounded component sum (a sequential left-fold on
+    * BOTH engines — Spark's `aggregate` HOF and DuckDB's `list_sum`
+    * accumulate in index order, so the doubles match bit-for-bit
+    * before rounding). The oracle recomputes from the corpus parquet:
+    * on the fresh store the live view must be EXACTLY the corpus —
+    * ids, lengths, and contents — through the union/anti-join
+    * composition and the temp-view plumbing. The HOF (interpreted,
+    * not codegen'd) is fine HERE because the gate's job is content
+    * equality, not throughput; the serving paths keep the compiled
+    * dot-product pipeline.
+    */
+  private val q80 = Q(
+    "q80_vector_view_sql",
+    (s, d) => {
+      registerView(s, d, "graft_vectors_q80")
+      s.sql("""
+        SELECT vec_id,
+               CAST(size(embedding) AS BIGINT) AS dims,
+               -- 1e6/0.5D double literals: a 1000000.0 literal parses
+               -- as DECIMAL in Spark SQL and drags the whole rounding
+               -- into decimal math the oracle's double floor won't match
+               (floor(aggregate(embedding, 0D, (a, x) -> a + cast(x as double))
+                      * 1e6 + 0.5D) / 1e6) AS comp_sum
+        FROM graft_vectors_q80 ORDER BY vec_id""")
+    },
+    Some("""
+      SELECT vec_id,
+             CAST(len(embedding) AS BIGINT) AS dims,
+             round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS comp_sum
+      FROM embeddings ORDER BY vec_id"""))
+
   // ------------------------------------------------------------------
   // Incremental add — the vector store's DML half. FAISS add()
   // semantics: the quantizers (coarse + PQ codebooks) are TRAINED once
@@ -2671,5 +2745,5 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       ORDER BY q_id, rk"""
 
   val all: Seq[Q] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q67, q68, q78)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q67, q68, q78, q80)
 }
