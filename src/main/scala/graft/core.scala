@@ -154,9 +154,19 @@ object Tables {
     * size. Falls back to a counting scan if the footer read fails
     * (non-parquet layout, odd filesystem).
     */
-  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
-    val fromFooters: Option[Long] = try {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    footerCount(spark, s"$dir/$name.parquet")
+      .getOrElse(t(spark, dir, name).count())
+
+  /** [[rowCount]]'s footer walk for an arbitrary parquet dir/file path
+    * — None when the layout is unrecognized (caller decides whether a
+    * scan fallback is worth it). Also the row-count primitive for the
+    * store-stats surfaces, whose segment dirs aren't `<dir>/<name>
+    * .parquet`-shaped.
+    */
+  def footerCount(spark: SparkSession, path: String): Option[Long] = {
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
       val conf = spark.sessionState.newHadoopConf()
       val fs = p.getFileSystem(conf)
       // RECURSIVE listing: partitioned layouts nest data files under
@@ -183,7 +193,6 @@ object Tables {
         try r.getRecordCount finally r.close()
       }.sum)
     } catch { case _: Exception => None }
-    fromFooters.getOrElse(t(spark, dir, name).count())
   }
 }
 

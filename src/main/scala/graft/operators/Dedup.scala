@@ -845,6 +845,46 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       $simhashSqlDuck
       SELECT doc_id, simhash FROM sh ORDER BY doc_id"""))
 
+  /** One-row operational profile of the dedup lake —
+    * [[Similarity.storeStats]]'s twin: generation, segment counts, and
+    * per-layer `sig`-row volumes (base build, generation fold,
+    * unconsumed add segments, live tombstones), all from footers and
+    * listings — zero executor scans, pollable at any corpus size.
+    * `live_rows` counts SIGNED documents (a token-less doc has no sig
+    * row — the documented shingling blind spot), matching what
+    * [[liveSignatures]] serves — except the edge where a TOKEN-LESS
+    * stored doc is tombstoned: its tombstone subtracts 1 with no sig
+    * row to cancel, so live_rows can undercount the served view by
+    * the number of such tombstones. Footer arithmetic can't see
+    * which; exact accounting would cost the scan this surface
+    * exists to avoid, so the skew is documented instead.
+    */
+  def storeStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ensureSigIndex(s, d)
+    val p = sigPath(d)
+    val gen = ArtifactLake.currentGen(p)
+    val genSeq = gen.map(_.getName.split('-')(1).toLong).getOrElse(-1L)
+    val consumed = ArtifactLake.consumedNames(gen)
+    val adds = sigDeltaDirs(d, gen)
+    val dels = ArtifactLake.segmentDirs(p, "del-")
+      .filterNot(f => consumed.contains(f.getName))
+    def cnt(path: String): Long = Tables.footerCount(s, path).getOrElse(0L)
+    val baseRows = cnt(s"$p/sig")
+    val genRows = ArtifactLake.tableIfPresent(gen, "sig")
+      .map(f => cnt(f.getAbsolutePath)).getOrElse(0L)
+    val segRows = adds.map(dir => cnt(s"${dir.getAbsolutePath}/sig")).sum
+    val tsRows = ArtifactLake.tableIfPresent(gen, "tombstones")
+      .map(f => cnt(f.getAbsolutePath)).getOrElse(0L) +
+      dels.map(dir => cnt(s"${dir.getAbsolutePath}/ids")).sum
+    Seq((genSeq, consumed.size.toLong, adds.size.toLong, dels.size.toLong,
+      baseRows, genRows, segRows, tsRows,
+      baseRows + genRows + segRows - tsRows))
+      .toDF("generation", "consumed_segments", "unconsumed_adds",
+        "unconsumed_dels", "base_rows", "generation_rows", "segment_rows",
+        "tombstone_rows", "live_rows")
+  }
+
   def addDocs(s: SparkSession, d: String,
       docs: Seq[(Long, String)]): Boolean = {
     import s.implicits._

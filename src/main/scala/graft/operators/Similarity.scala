@@ -1733,6 +1733,43 @@ final class Similarity(val tuning: Tuning) extends Serializable {
              round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS comp_sum
       FROM embeddings ORDER BY vec_id"""))
 
+  /** One-row operational profile of the stored index — the numbers an
+    * operator watches to decide when to compact/vacuum and to verify
+    * DML landed: current generation (−1 = none), folded vs unconsumed
+    * segment counts, and row volumes per layer (base corpus, the
+    * generation's folded adds, unconsumed add segments, live
+    * tombstones). All counts come from parquet FOOTERS and directory
+    * listings — metadata reads proportional to file count, zero
+    * executor scans, safe to poll from a monitoring loop at any
+    * corpus size. Derived liveness (`base + generation + segments −
+    * tombstones`) holds because every DML guard enforces one present
+    * row per live tombstone.
+    */
+  def storeStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ensureIndex(s, d)
+    val p = indexPath(d)
+    val gen = ArtifactLake.currentGen(p)
+    val genSeq = gen.map(_.getName.split('-')(1).toLong).getOrElse(-1L)
+    val adds = deltaDirs(d, gen)
+    val dels = tombstoneDirs(d, gen)
+    def cnt(path: String): Long = Tables.footerCount(s, path).getOrElse(0L)
+    val baseRows = Tables.rowCount(s, d, "embeddings")
+    val genRows = ArtifactLake.tableIfPresent(gen, "vectors")
+      .map(f => cnt(f.getAbsolutePath)).getOrElse(0L)
+    val segRows = adds.map(dir => cnt(s"${dir.getAbsolutePath}/vectors")).sum
+    val tsRows = ArtifactLake.tableIfPresent(gen, "tombstones")
+      .map(f => cnt(f.getAbsolutePath)).getOrElse(0L) +
+      dels.map(dir => cnt(s"${dir.getAbsolutePath}/ids")).sum
+    Seq((genSeq, ArtifactLake.consumedNames(gen).size.toLong,
+      adds.size.toLong, dels.size.toLong,
+      baseRows, genRows, segRows, tsRows,
+      baseRows + genRows + segRows - tsRows))
+      .toDF("generation", "consumed_segments", "unconsumed_adds",
+        "unconsumed_dels", "base_rows", "generation_rows", "segment_rows",
+        "tombstone_rows", "live_rows")
+  }
+
   // ------------------------------------------------------------------
   // Incremental add — the vector store's DML half. FAISS add()
   // semantics: the quantizers (coarse + PQ codebooks) are TRAINED once
