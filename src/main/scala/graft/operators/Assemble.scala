@@ -4,10 +4,11 @@ import graft.{Q, Cols, Tables}
 import Cols._
 import Tables.t
 import org.apache.spark.sql.{Column, DataFrame, GraftShims, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, BloomFilterMightContain, Literal, ScalarSubquery}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.graft.PlanBridge
 
 /** Dataset-assembly operators — the steps between a cleaned corpus and
   * a training run: deterministic train/val/test splitting, train→test
@@ -123,22 +124,31 @@ final class Assemble(val tuning: graft.config.Tuning) extends Serializable {
     * shuffle volume drops by the non-contaminated fraction (typically
     * ≫ 99%) for one extra row-local pass.
     *
-    * An EMPTY train side folds to a null sketch (Spark returns null
-    * for the zero-row aggregate); no hash can match, so the prescreen
-    * is `false` — same rows (none) as the verify join would keep.
+    * An EMPTY train side folds to a NULL sketch (Spark's zero-row
+    * aggregate); `might_contain(NULL, h)` is NULL, so the filter drops
+    * every row — same rows (none) as the verify join would keep.
+    *
+    * The sketch rides a SCALAR SUBQUERY, not a collected literal —
+    * InjectRuntimeFilter's own shape. The first cut collected the
+    * bytes and re-embedded them as a BinaryType literal: correct, but
+    * a 1 MiB literal lands hex-rendered in EVERY plan string
+    * (explain, listener events, error messages — measured 6 MB of
+    * explain output), and the collect adds a driver round-trip. As a
+    * subquery the aggregate executes inside the query, the plan text
+    * carries a subquery reference, and the sketch bytes never touch
+    * the driver path at all.
     */
   private[operators] def bloomPrescreen(train: DataFrame, evalSide: DataFrame): DataFrame = {
+    val trainPlan = PlanBridge.analyzed(train)
+    val h = trainPlan.output.find(_.name == "h").getOrElse(
+      throw new IllegalArgumentException("bloomPrescreen: train side must expose a column `h`"))
     val items = math.max(1L, tuning.bloomBits / 16L)  // ~16 bits/item → fpp ≈ 4e-4
-    val sketch = train.agg(GraftShims.toColumn(
-      new BloomFilterAggregate(
-        GraftShims.toExpression(col("h")),
-        Literal(items), Literal(tuning.bloomBits.toLong)
-      ).toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    if (sketch == null) evalSide.filter(lit(false))
-    else evalSide.filter(GraftShims.toColumn(BloomFilterMightContain(
-      Literal.create(sketch, BinaryType),
-      GraftShims.toExpression(col("h")))))
+    val agg = new BloomFilterAggregate(h, Literal(items),
+      Literal(tuning.bloomBits.toLong)).toAggregateExpression()
+    val sketch = ScalarSubquery(
+      Aggregate(Nil, Seq(Alias(agg, "bf")()), trainPlan))
+    evalSide.filter(GraftShims.toColumn(BloomFilterMightContain(
+      sketch, GraftShims.toExpression(col("h")))))
   }
 
   private val contaminationOracle = s"""
