@@ -293,8 +293,14 @@ final class Dedup(val tuning: Tuning) extends Serializable {
         .cache()  // read by the verify spine and the candidate-id set
       // exact-verify arrays for candidate documents ONLY: at 100 TB the
       // full doc→shingles map is corpus-sized, but the candidate set is
-      // bounded by bands × bucket-cap² — only those documents are even
-      // shingled, and that is what broadcasts
+      // per-BUCKET bounded (bands × bucket-cap² pairs per bucket) —
+      // only those documents are even shingled. No broadcast HINT on
+      // the verify joins: bucket-bounded is not corpus-bounded — at
+      // constant dup density the candidate set grows ~linearly with
+      // the corpus, and the forced broadcast was measured blowing the
+      // 1 GiB driver ceiling at the 1000× probe decade (5 M docs).
+      // AQE broadcasts from ACTUAL size while it fits and shuffles
+      // past that — the plan you want at both ends.
       val candIds = cand
         .select(explode(array($"a_id", $"b_id")).as("doc_id")).distinct()
       val shc = shinglePostingsOf(
@@ -303,8 +309,8 @@ final class Dedup(val tuning: Tuning) extends Serializable {
         .groupBy($"doc_id").agg(collect_list($"t").as("sh"))
         .cache()
       cand
-        .join(broadcast(shc.select($"doc_id".as("a_id"), $"sh".as("sha"))), "a_id")
-        .join(broadcast(shc.select($"doc_id".as("b_id"), $"sh".as("shb"))), "b_id")
+        .join(shc.select($"doc_id".as("a_id"), $"sh".as("sha")), "a_id")
+        .join(shc.select($"doc_id".as("b_id"), $"sh".as("shb")), "b_id")
         .withColumn("common", size(array_intersect($"sha", $"shb")))
         .withColumn("jacc",
           $"common" / (size($"sha") + size($"shb") - $"common"))
@@ -492,8 +498,11 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     System.err.println(s"[graft] components: converged in $rounds rounds")
     if (changed > 0) throw new IllegalStateException(
       s"components: label propagation not converged after $rounds rounds")
+    // size join unhinted: component COUNT approaches the candidate-doc
+    // count when dups are sparse, so a forced broadcast is corpus-
+    // proportional at scale — AQE broadcasts while it actually fits
     val sizes = comp.groupBy($"comp").agg(count(lit(1)).as("n_members"))
-    comp.join(broadcast(sizes), "comp")
+    comp.join(sizes, "comp")
       .select($"doc_id", $"comp".as("component"), $"n_members")
   }
 
@@ -1193,19 +1202,20 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     * table, candidate-only exact verify — while the oracle replays the
     * identical pipeline in SQL: the shared bands chain, live-bucket
     * cap, probe ≠ match (a replayed corpus member's self-hit carries
-    * no information), exact Jaccard on the candidates. The collect is
-    * the batch itself — bounded, the serving contract's own input
-    * shape.
+    * no information), exact Jaccard on the candidates. The batch rides
+    * the DataFrame overload: the registered probe set is every 10th
+    * CORPUS document, so it scales with the corpus — the r9 Seq-shaped
+    * form (collect + broadcast-hinted verify frames) was measured
+    * blowing the 1 GiB driver ceiling at the 1000× probe decade. The
+    * Seq overload keeps its hints for genuinely ad-hoc batches.
     */
   private val q72 = Q(
     "q72_dedup_index_serve",
     (s, d) => {
       import s.implicits._
-      val batch = t(s, d, "documents")
-        .filter(expr("doc_id % 10 = 3"))
-        .select($"doc_id", $"text").as[(Long, String)]
-        .collect().toSeq
-      serveNearDups(s, d, batch)
+      serveNearDups(s, d,
+        t(s, d, "documents").filter(expr("doc_id % 10 = 3"))
+          .select($"doc_id", $"text"))
     },
     Some(s"""
       WITH $minhashBandsSql,
@@ -1233,11 +1243,10 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     "q73_simhash_index_serve",
     (s, d) => {
       import s.implicits._
-      val batch = t(s, d, "documents")
-        .filter(expr("doc_id % 10 = 3"))
-        .select($"doc_id", $"text").as[(Long, String)]
-        .collect().toSeq
-      serveSimhashMatches(s, d, batch)
+      // DataFrame overload — corpus-proportional probe set, as q72
+      serveSimhashMatches(s, d,
+        t(s, d, "documents").filter(expr("doc_id % 10 = 3"))
+          .select($"doc_id", $"text"))
     },
     Some(s"""
       $simhashSqlDuck
@@ -1376,8 +1385,10 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       a.join(b, $"ai" === $"bi" && $"bucket" === $"bk" && $"a_id" < $"b_id")
         .groupBy($"a_id", $"b_id")
         .agg(sum($"av" * $"bv").as("dot"))
-        .join(broadcast(n.select($"vec_id".as("a_id"), $"nrm".as("anrm"))), "a_id")
-        .join(broadcast(n.select($"vec_id".as("b_id"), $"nrm".as("bnrm"))), "b_id")
+        // norm joins unhinted — the norm table is corpus-sized, so a
+        // forced broadcast inverts at scale; AQE picks from actual size
+        .join(n.select($"vec_id".as("a_id"), $"nrm".as("anrm")), "a_id")
+        .join(n.select($"vec_id".as("b_id"), $"nrm".as("bnrm")), "b_id")
         .withColumn("cosine", $"dot" / ($"anrm" * $"bnrm"))
         .filter(r6($"cosine") >= 0.35)
         .select($"a_id", $"b_id", r4($"cosine").as("cosine"))

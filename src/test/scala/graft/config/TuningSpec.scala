@@ -19,7 +19,9 @@ class TuningSpec extends AnyFunSuite {
       "nprobe" -> Tuning(nprobe = 0),
       "sourceQuota" -> Tuning(sourceQuota = 0),
       "kmvK" -> Tuning(kmvK = 0),
-      "storeMaxSegments" -> Tuning(storeMaxSegments = 0))
+      "storeMaxSegments" -> Tuning(storeMaxSegments = 0),
+      "bloomBits" -> Tuning(bloomBits = 0),
+      "outlierK" -> Tuning(outlierK = -1))
     for ((name, t) <- bad) {
       val e = intercept[ConfigurationError](t.validate())
       assert(e.getMessage.contains(name), s"message for $name: ${e.getMessage}")
@@ -35,6 +37,12 @@ class TuningSpec extends AnyFunSuite {
     Tuning(minhashBands = 32, minhashRows = 2).validate() // 64: legal
     intercept[ConfigurationError](
       Tuning(minhashBands = 33, minhashRows = 2).validate())
+  }
+
+  test("bloomBits capped at Spark's runtime-filter ceiling (2^26)") {
+    Tuning(bloomBits = 1 << 26).validate()
+    val e = intercept[ConfigurationError](Tuning(bloomBits = (1 << 26) + 1).validate())
+    assert(e.getMessage.contains("bloomBits"))
   }
 
   test("lshTables capped at 16") {
