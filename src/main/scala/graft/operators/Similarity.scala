@@ -1677,7 +1677,11 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     */
   def liveVectors(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    ensureIndex(s, d)
+    // NO ensureIndex: the view's base is the corpus parquet, and delta
+    // segments only exist if a DML ran (which ensured the index
+    // itself) — so composing from whatever is on disk is already
+    // exactly what a post-build search would serve, without forcing
+    // the full IVF+PQ build as a side effect of a read
     val gen = ArtifactLake.currentGen(indexPath(d))
     val base = t(s, d, "embeddings").select($"vec_id", $"embedding")
     val segDirs =
@@ -1747,7 +1751,9 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     */
   def storeStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    ensureIndex(s, d)
+    // no ensureIndex — a monitoring poll must not trigger an index
+    // build (see liveVectors); an unbuilt store reports gen −1,
+    // zero segments, corpus-sized base
     val p = indexPath(d)
     val gen = ArtifactLake.currentGen(p)
     val genSeq = gen.map(_.getName.split('-')(1).toLong).getOrElse(-1L)
