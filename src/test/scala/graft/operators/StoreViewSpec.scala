@@ -76,6 +76,25 @@ class StoreViewSpec extends SparkTestBase {
     }
   }
 
+  test("liveVectors: an id filter pushes down into the parquet scans") {
+    // the reason the view is plan composition and not a DataSource
+    // façade: Catalyst must keep seeing the scans through the union
+    withTempRoot {
+      import org.apache.spark.sql.functions.col
+      val sim = new Similarity(knobs)
+      assert(sim.addVectors(spark, sf,
+        Seq(930001L -> Array.tabulate(64)(i => if (i == 1) 2f else 0.03f))))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val plan = sim.liveVectors(spark, sf)
+          .filter(col("vec_id") === 930001L)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,930001)]"),
+          s"id filter not pushed into the scans:\n$plan")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("liveSignatures: adds appear with a real signature, removes disappear") {
     withTempRoot {
       import spark.implicits._
