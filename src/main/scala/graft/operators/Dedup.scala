@@ -303,10 +303,15 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       // past that — the plan you want at both ends.
       val candIds = cand
         .select(explode(array($"a_id", $"b_id")).as("doc_id")).distinct()
+      // verify arrays carry 60-bit md5Long HASHES, not shingle strings:
+      // the intersect/union counts are identical (the oracle hashes the
+      // same way, so even a collision — ~4·10⁻¹⁵ per pair — lands on
+      // both engines), and the pair join's shuffle rows shrink ~4×,
+      // which is what bounds the verify at the saturated probe decades
       val shc = shinglePostingsOf(
           t(s, d, "documents").join(candIds, Seq("doc_id"), "left_semi")
             .select($"doc_id", $"text").as[(Long, String)])
-        .groupBy($"doc_id").agg(collect_list($"t").as("sh"))
+        .groupBy($"doc_id").agg(collect_list(md5Long($"t")).as("sh"))
         .cache()
       cand
         .join(shc.select($"doc_id".as("a_id"), $"sh".as("sha")), "a_id")
@@ -427,11 +432,12 @@ final class Dedup(val tuning: Tuning) extends Serializable {
         .orderBy($"a_id", $"b_id")
     },
     Some(s"""
-      WITH $minhashCandSql
+      WITH $minhashCandSql,
+      shh AS (SELECT doc_id, list_transform(sh, t -> ${md5LongSql("t")}) AS sh FROM sh)
       SELECT a_id, b_id,
              round(len(list_intersect(sha.sh, shb.sh)) /
                    (len(sha.sh) + len(shb.sh) - len(list_intersect(sha.sh, shb.sh))), 4) AS jaccard
-      FROM cand JOIN sh sha ON a_id = sha.doc_id JOIN sh shb ON b_id = shb.doc_id
+      FROM cand JOIN shh sha ON a_id = sha.doc_id JOIN shh shb ON b_id = shb.doc_id
       ORDER BY a_id, b_id"""))
 
   /** Near-dup CONNECTED COMPONENTS — the step after pair-finding that
@@ -517,10 +523,11 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     },
     Some(s"""
       WITH RECURSIVE $minhashCandSql,
+      shh AS (SELECT doc_id, list_transform(sh, t -> ${md5LongSql("t")}) AS sh FROM sh),
       ev AS (SELECT a_id, b_id,
                len(list_intersect(sha.sh, shb.sh)) /
                (len(sha.sh) + len(shb.sh) - len(list_intersect(sha.sh, shb.sh))) AS jacc
-             FROM cand JOIN sh sha ON a_id = sha.doc_id JOIN sh shb ON b_id = shb.doc_id),
+             FROM cand JOIN shh sha ON a_id = sha.doc_id JOIN shh shb ON b_id = shb.doc_id),
       edges AS (SELECT a_id, b_id FROM ev WHERE round(jacc, 6) >= ${tuning.ccEdgeJaccard}),
       bi AS (SELECT a_id AS src, b_id AS dst FROM edges
              UNION ALL SELECT b_id, a_id FROM edges),
@@ -709,11 +716,13 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     // verify: probe shingles from the batch itself; match shingles
     // re-shingled from the CANDIDATE documents' stored text only
     val matchIds = cand.select($"match_id".as("doc_id")).distinct()
+    // hashed verify arrays, as minhashVerified — longs through the
+    // shuffle, oracle hashes identically
     val shm = shinglePostingsOf(
         liveDocs(s, d, gen).join(matchIds, Seq("doc_id"), "left_semi")
           .as[(Long, String)])
-      .groupBy($"doc_id").agg(collect_list($"t").as("sh"))
-    val shp = bposts.groupBy($"doc_id").agg(collect_list($"t").as("sh"))
+      .groupBy($"doc_id").agg(collect_list(md5Long($"t")).as("sh"))
+    val shp = bposts.groupBy($"doc_id").agg(collect_list(md5Long($"t")).as("sh"))
     cand
       .join(hint(shp.select($"doc_id".as("probe_id"), $"sh".as("sha"))), "probe_id")
       .join(hint(shm.select($"doc_id".as("match_id"), $"sh".as("shb"))), "match_id")
@@ -1225,12 +1234,13 @@ final class Dedup(val tuning: Tuning) extends Serializable {
                FROM bands x JOIN bands y
                  ON x.band_key = y.band_key AND x.doc_id <> y.doc_id
                WHERE x.doc_id % 10 = 3
-                 AND x.band_key IN (SELECT band_key FROM ok))
+                 AND x.band_key IN (SELECT band_key FROM ok)),
+      shh AS (SELECT doc_id, list_transform(sh, t -> ${md5LongSql("t")}) AS sh FROM sh)
       SELECT probe_id, match_id,
              round(len(list_intersect(sha.sh, shb.sh)) /
                    (len(sha.sh) + len(shb.sh) - len(list_intersect(sha.sh, shb.sh))), 4) AS jaccard
-      FROM cand JOIN sh sha ON probe_id = sha.doc_id
-                JOIN sh shb ON match_id = shb.doc_id
+      FROM cand JOIN shh sha ON probe_id = sha.doc_id
+                JOIN shh shb ON match_id = shb.doc_id
       ORDER BY probe_id, match_id"""))
 
   /** The simhash serving path, oracle-pinned: the q72 replay recipe
