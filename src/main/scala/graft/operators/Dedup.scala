@@ -512,17 +512,12 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       .select($"doc_id", $"comp".as("component"), $"n_members")
   }
 
-  private val q38 = Q(
-    "q38_dedup_components",
-    (s, d) => {
-      import s.implicits._
-      val edges = minhashVerified(s, d)
-        .filter(r6($"jacc") >= tuning.ccEdgeJaccard)
-        .select($"a_id", $"b_id")
-      components(edges).orderBy($"component", $"doc_id")
-    },
-    Some(s"""
-      WITH RECURSIVE $minhashCandSql,
+  /** The q38/q81 oracle's shared CTE chain: bands → capped candidates
+    * → hashed-array exact verify → thresholded edges → recursive
+    * label-propagation, ending at `comp(doc_id, component)` and
+    * `sizes(component, n_members)`.
+    */
+  private val componentsSqlDuck = s"""$minhashCandSql,
       shh AS (SELECT doc_id, list_transform(sh, t -> ${md5LongSql("t")}) AS sh FROM sh),
       ev AS (SELECT a_id, b_id,
                len(list_intersect(sha.sh, shb.sh)) /
@@ -536,10 +531,92 @@ final class Dedup(val tuning: Tuning) extends Serializable {
              UNION
              SELECT b.dst AS node, c.lab FROM cc c JOIN bi b ON b.src = c.node),
       comp AS (SELECT node AS doc_id, min(lab) AS component FROM cc GROUP BY node),
-      sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY component)
+      sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY component)"""
+
+  private val q38 = Q(
+    "q38_dedup_components",
+    (s, d) => {
+      import s.implicits._
+      val edges = minhashVerified(s, d)
+        .filter(r6($"jacc") >= tuning.ccEdgeJaccard)
+        .select($"a_id", $"b_id")
+      components(edges).orderBy($"component", $"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $componentsSqlDuck
       SELECT c.doc_id, c.component, s.n_members
       FROM comp c JOIN sizes s ON c.component = s.component
       ORDER BY c.component, c.doc_id"""))
+
+  /** Keeper selection over the near-dup clusters — the step a dedup
+    * pipeline actually SHIPS: q38 names the clusters, this picks the
+    * one document each cluster keeps (highest q51 composite quality,
+    * lowest doc_id on ties) and sizes the drop list. The keeper pick
+    * is ONE map-side-combinable `max(struct(score, -doc_id, doc_id))`
+    * aggregate per component — not a per-component window sort, which
+    * a mega-cluster (the boilerplate pathology) would funnel through
+    * a single task. Quality arithmetic restates q51's gate-checked
+    * formulas with identical rounding (the q65 funnel precedent), so
+    * the manifest composes two independently-oracled operators and is
+    * itself oracle-pinned end-to-end.
+    */
+  private val q81 = Q(
+    "q81_dedup_keeper_manifest",
+    (s, d) => {
+      import s.implicits._
+      val edges = minhashVerified(s, d)
+        .filter(r6($"jacc") >= tuning.ccEdgeJaccard)
+        .select($"a_id", $"b_id")
+      val scored = t(s, d, "documents")
+        .join(components(edges), "doc_id")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_toks", size($"toks").cast("long"))
+        .withColumn("n_stop", expr(
+          "size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in', 'to')))").cast("long"))
+        .withColumn("avg_tok_len", r4(
+          expr("aggregate(toks, cast(0 as bigint), (acc, x) -> acc + length(x))") /
+            greatest($"n_toks", lit(1L))))
+        .withColumn("stop_ratio", r4($"n_stop" / greatest($"n_toks", lit(1L))))
+        .withColumn("score", r4(
+          least($"n_toks" / lit(100.0), lit(1.0)) * 0.5 +
+            (lit(1.0) - $"stop_ratio") * 0.3 +
+            least($"avg_tok_len" / lit(10.0), lit(1.0)) * 0.2))
+      scored.groupBy($"component")
+        .agg(
+          max(struct($"score", (lit(0L) - $"doc_id").as("nid"),
+            $"doc_id".as("kid"))).as("k"),
+          max($"n_members").as("n_members"))
+        .select($"component", $"k.kid".as("keeper_id"),
+          $"k.score".as("keeper_score"), $"n_members",
+          ($"n_members" - 1).cast("long").as("n_dropped"))
+        .orderBy($"component")
+    },
+    Some(s"""
+      WITH RECURSIVE $componentsSqlDuck,
+      qd AS (SELECT c.component, d.doc_id, d.text, $toksSqlDuck AS toks
+             FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+      m AS (SELECT component, doc_id,
+              CAST(len(toks) AS BIGINT) AS n_toks,
+              CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS BIGINT) AS n_stop,
+              round(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+                    / greatest(len(toks), 1), 4) AS avg_tok_len
+            FROM qd),
+      r AS (SELECT component, doc_id, n_toks, avg_tok_len,
+              round(n_stop / greatest(n_toks, 1), 4) AS stop_ratio
+            FROM m),
+      sc AS (SELECT component, doc_id,
+               round(least(n_toks / 100.0, 1.0) * 0.5 + (1.0 - stop_ratio) * 0.3
+                     + least(avg_tok_len / 10.0, 1.0) * 0.2, 4) AS score
+             FROM r),
+      k AS (SELECT component, doc_id, score,
+              row_number() OVER (PARTITION BY component
+                ORDER BY score DESC, doc_id) AS rk
+            FROM sc)
+      SELECT k.component, k.doc_id AS keeper_id, k.score AS keeper_score,
+             s.n_members, CAST(s.n_members - 1 AS BIGINT) AS n_dropped
+      FROM k JOIN sizes s ON k.component = s.component
+      WHERE k.rk = 1
+      ORDER BY k.component"""))
 
   // ------------------------------------------------------------------
   // Incremental dedup — the signature lake's serving + DML half,
@@ -1478,5 +1555,5 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       WHERE round(n_dup / CAST(nsh AS DOUBLE), 4) >= 0.5
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q38, q69, q72, q73, q79)
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q38, q69, q72, q73, q79, q81)
 }

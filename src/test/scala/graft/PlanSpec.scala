@@ -231,6 +231,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q81: keeper pick is one max-struct aggregate — no per-component Window") {
+    // a mega-cluster (the boilerplate pathology) would funnel a
+    // window's partition through one task; max(struct(...)) combines
+    // map-side
+    val p = planOf("q81_dedup_keeper_manifest")
+    assert(!p.contains("Window"), "q81 plans a per-component Window sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q39/q59: bounded-state sampling — no per-source Window sort") {
     // both samplers replace `row_number() OVER (PARTITION BY source
     // ORDER BY h)` (the oracle's form — a hot domain funnels through

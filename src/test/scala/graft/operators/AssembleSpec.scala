@@ -79,6 +79,28 @@ class AssembleSpec extends SparkTestBase {
     assert(asm.bloomPrescreen(train, evalSide).count() == 0L)
   }
 
+  test("q81: keeper manifest agrees with q38 clusters and q51 scores") {
+    val comps = q("q38_dedup_components").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[Long]("n_members"))).toMap
+    val scores = q("q51_quality_score").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val manifest = q("q81_dedup_keeper_manifest").collect()
+    assert(manifest.nonEmpty)
+    // one row per distinct q38 component, each keeper a member with
+    // the component's max q51 score (lowest id on ties)
+    assert(manifest.length == comps.values.map(_._1).toSet.size)
+    manifest.foreach { r =>
+      val (compId, keeper) = (r.getAs[Long]("component"), r.getAs[Long]("keeper_id"))
+      val members = comps.filter(_._2._1 == compId).keys.toSeq
+      assert(members.contains(keeper))
+      val best = members.map(m => (scores(m), m)).sortBy { case (sc, id) => (-sc, id) }.head
+      assert(keeper == best._2 && r.getAs[Double]("keeper_score") == best._1)
+      assert(r.getAs[Long]("n_dropped") == r.getAs[Long]("n_members") - 1)
+      assert(r.getAs[Long]("n_members") == comps(keeper)._2)
+    }
+  }
+
   test("q37: contamination hits are bounded by the doc's gram count") {
     val rows = q("q37_contamination").collect()
     assert(rows.nonEmpty, "fixture corpus has no contaminated test docs — " +
