@@ -194,6 +194,28 @@ object Tables {
       }.sum)
     } catch { case _: Exception => None }
   }
+
+  /** Layer row count for the store-stats surfaces: footer metadata when
+    * readable, 0 when the path is ABSENT (a genuinely missing layer —
+    * e.g. a store with no generation yet), and a loud counting-scan
+    * fallback when the path EXISTS but its footers can't be read
+    * (non-parquet layout, odd filesystem). Collapsing those last two
+    * into 0 would make a present-but-unreadable layer silently
+    * undercount `live_rows` — a stats surface must degrade to slower,
+    * never to wrong.
+    */
+  def layerCount(spark: SparkSession, path: String): Long =
+    footerCount(spark, path).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) 0L
+      else {
+        System.err.println(
+          s"[graft] layerCount: footer read failed for existing path $path" +
+            " — falling back to a counting scan")
+        spark.read.parquet(path).count()
+      }
+    }
 }
 
 /** Shared column helpers, engine-portable by construction: every derived

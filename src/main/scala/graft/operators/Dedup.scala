@@ -944,7 +944,9 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     * [[Similarity.storeStats]]'s twin: generation, segment counts, and
     * per-layer `sig`-row volumes (base build, generation fold,
     * unconsumed add segments, live tombstones), all from footers and
-    * listings — zero executor scans, pollable at any corpus size.
+    * listings — zero executor scans, pollable at any corpus size, and
+    * never a build trigger: an unbuilt lake reports generation −1 and
+    * zero rows everywhere rather than paying the corpus signing pass.
     * `live_rows` counts SIGNED documents (a token-less doc has no sig
     * row — the documented shingling blind spot), matching what
     * [[liveSignatures]] serves — except the edge where a TOKEN-LESS
@@ -956,7 +958,10 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     */
   def storeStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    ensureSigIndex(s, d)
+    // no ensureSigIndex — a monitoring poll must not trigger the full
+    // corpus shingle+simhash+bands build (the Similarity.storeStats
+    // stance, applied to the dedup side too); an unbuilt lake reports
+    // generation −1, zero segments, zero base rows
     val p = sigPath(d)
     val gen = ArtifactLake.currentGen(p)
     val genSeq = gen.map(_.getName.split('-')(1).toLong).getOrElse(-1L)
@@ -964,7 +969,7 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     val adds = sigDeltaDirs(d, gen)
     val dels = ArtifactLake.segmentDirs(p, "del-")
       .filterNot(f => consumed.contains(f.getName))
-    def cnt(path: String): Long = Tables.footerCount(s, path).getOrElse(0L)
+    def cnt(path: String): Long = Tables.layerCount(s, path)
     val baseRows = cnt(s"$p/sig")
     val genRows = ArtifactLake.tableIfPresent(gen, "sig")
       .map(f => cnt(f.getAbsolutePath)).getOrElse(0L)

@@ -557,7 +557,8 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * `(micros + 2·10⁶) · 2⁴¹ + vec_id` — ascending encodes ascending
     * (rounded cosine, vec_id), so the k-min array IS the rank order.
     * Bound: vec_id must fit 41 bits (~2.2·10¹²) — an id-space
-    * contract, documented here, cheap to widen if ids outgrow it.
+    * contract ENFORCED in the plan (`raise_error` on violation, the
+    * validated-contract house style), cheap to widen if ids outgrow it.
     * Zero-norm vectors (no cosine) are excluded on both engines.
     */
   private val q78 = Q(
@@ -573,8 +574,15 @@ final class Similarity(val tuning: Tuning) extends Serializable {
         .agg(sum($"v" * $"c").as("dot"), sum($"v" * $"v").as("nv"))
         .join(broadcast(nc), Seq("label"))
         .filter($"nv" > 0.0 && $"nc" > 0.0)
+      // the 41-bit id-space contract, enforced rather than assumed: an
+      // out-of-range vec_id would silently corrupt BOTH the decoded id
+      // (the mask wraps) and the k-min rank order — fail loudly instead
+      val vid = when($"vec_id".between(0L, (1L << 41) - 1), $"vec_id")
+        .otherwise(raise_error(concat(
+          lit("q78_centroid_outliers: vec_id outside the 41-bit encode contract: "),
+          $"vec_id".cast("string"))))
       val enc = ((floor($"dot" / sqrt($"nv" * $"nc") * lit(1e6) + lit(0.5))
-        .cast("long") + lit(2000000L)) * lit(1L << 41) + $"vec_id").as("enc")
+        .cast("long") + lit(2000000L)) * lit(1L << 41) + vid).as("enc")
       scored.select($"label", enc)
         .groupBy($"label")
         .agg(graft.functions.KMinValues.kMinValues($"enc", tuning.outlierK).as("mins"))
@@ -1759,7 +1767,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     val genSeq = gen.map(_.getName.split('-')(1).toLong).getOrElse(-1L)
     val adds = deltaDirs(d, gen)
     val dels = tombstoneDirs(d, gen)
-    def cnt(path: String): Long = Tables.footerCount(s, path).getOrElse(0L)
+    def cnt(path: String): Long = Tables.layerCount(s, path)
     val baseRows = Tables.rowCount(s, d, "embeddings")
     val genRows = ArtifactLake.tableIfPresent(gen, "vectors")
       .map(f => cnt(f.getAbsolutePath)).getOrElse(0L)

@@ -66,7 +66,17 @@ class StoreStatsSpec extends SparkTestBase {
   test("dedup lake: stats track DML and match the served live view") {
     withTempRoot {
       val dd = new Dedup(knobs)
-      val fresh = m(dd.storeStats(spark, sf).head())
+      // a monitoring poll of an UNBUILT lake must not trigger the
+      // corpus signing build: it reports gen −1 / zero rows instead
+      val before = Dedup.sigBuilds.get()
+      val unbuilt = m(dd.storeStats(spark, sf).head())
+      assert(Dedup.sigBuilds.get() == before, "storeStats triggered a build")
+      assert(unbuilt("generation") == -1L && unbuilt("base_rows") == 0L &&
+        unbuilt("live_rows") == 0L)
+      val fresh = m { // liveSignatures builds; stats then agree with it
+        dd.liveSignatures(spark, sf)
+        dd.storeStats(spark, sf).head()
+      }
       assert(fresh("generation") == -1L && fresh("tombstone_rows") == 0L)
       assert(fresh("live_rows") == dd.liveSignatures(spark, sf).count())
 
