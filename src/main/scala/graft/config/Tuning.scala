@@ -95,7 +95,19 @@ final case class Tuning(
     /** q78: outliers reported per label — the k farthest-from-centroid
       * vectors. Bounds the per-group aggregate state (k longs) and the
       * result size (labels × k rows). */
-    outlierK: Int = 10) {
+    outlierK: Int = 10,
+    /** q32/q38/q81: max LSH candidate pairs per exact-verify pass. A
+      * saturated corpus (boilerplate-heavy, low-entropy vocabulary)
+      * can emit candidate mass far beyond what one node's shuffle
+      * spill space absorbs in a single join — the measured fourth-
+      * decade failure mode; over this budget the verify runs as
+      * ⌈candidates / budget⌉ deterministic hash-partitioned passes,
+      * each materialized before the next starts, so the failure mode
+      * is bounded extra passes, never a dead job. Results are
+      * bit-identical to the single-pass plan (a pure partition of the
+      * candidate set). 8M pairs ≈ tens of GB of spill per pass at
+      * typical shingle-array widths. */
+    verifyPairBudget: Int = 8000000) {
 
   /** Minhash signature length — bands × rows, every row one affine
     * permutation over the 2³¹−1 prime field. */
@@ -113,6 +125,7 @@ final case class Tuning(
     pos(pqSubDim, "pqSubDim"); pos(pqCentroids, "pqCentroids")
     pos(refineFactor, "refineFactor"); pos(storeMaxSegments, "storeMaxSegments")
     pos(bloomBits, "bloomBits"); pos(outlierK, "outlierK")
+    pos(verifyPairBudget, "verifyPairBudget")
     if (bloomBits > (1 << 26)) throw ConfigurationError(
       s"graft.tuning.bloomBits must be <= ${1 << 26} (Spark's runtime-filter ceiling), got $bloomBits")
     // positive form so NaN (for which every comparison is false) is
@@ -184,7 +197,8 @@ object Tuning {
       refineFactor = knob("refineFactor", d.refineFactor),
       storeMaxSegments = knob("storeMaxSegments", d.storeMaxSegments),
       bloomBits = knob("bloomBits", d.bloomBits),
-      outlierK = knob("outlierK", d.outlierK))
+      outlierK = knob("outlierK", d.outlierK),
+      verifyPairBudget = knob("verifyPairBudget", d.verifyPairBudget))
     t.validate()
     t
   }

@@ -291,35 +291,75 @@ final class Dedup(val tuning: Tuning) extends Serializable {
         .select($"p.a_id".as("a_id"), $"p.b_id".as("b_id"))
         .distinct()
         .cache()  // read by the verify spine and the candidate-id set
-      // exact-verify arrays for candidate documents ONLY: at 100 TB the
-      // full doc→shingles map is corpus-sized, but the candidate set is
-      // per-BUCKET bounded (bands × bucket-cap² pairs per bucket) —
-      // only those documents are even shingled. No broadcast HINT on
-      // the verify joins: bucket-bounded is not corpus-bounded — at
-      // constant dup density the candidate set grows ~linearly with
-      // the corpus, and the forced broadcast was measured blowing the
-      // 1 GiB driver ceiling at the 1000× probe decade (5 M docs).
-      // AQE broadcasts from ACTUAL size while it fits and shuffles
-      // past that — the plan you want at both ends.
+      // The candidate-pair BUDGET (Tuning.verifyPairBudget): the count
+      // materializes the cache every downstream pass reuses, and pair
+      // mass beyond the budget runs as deterministic hash-partitioned
+      // verify passes, each fully materialized before the next starts
+      // — the verify's spill footprint is one pass's, not the corpus's.
+      // A saturated low-entropy corpus (the measured fourth-decade
+      // pathology: 96M pairs, 99.8% spurious, spilling past node disk)
+      // thereby degrades to bounded extra passes instead of dying; the
+      // result is a pure partition of the candidate set, bit-identical
+      // to the single-pass plan, so the oracle never sees the seam.
+      val nCand = cand.count()
+      val passes = math.max(1L,
+        (nCand + tuning.verifyPairBudget - 1) / tuning.verifyPairBudget).toInt
+      if (passes == 1) verifyPass(s, d, cand)._1
+      else {
+        System.err.println(s"[graft] minhashVerified: $nCand candidates" +
+          s" over budget ${tuning.verifyPairBudget} — $passes bounded verify passes")
+        (0 until passes).map { p =>
+          val sub = cand.filter(
+            pmod(xxhash64($"a_id", $"b_id"), lit(passes)) === p)
+          val (out, shc) = verifyPass(s, d, sub)
+          // eager materialization bounds the concurrent shuffle/spill
+          // footprint to ONE pass; the verified output itself is small
+          // (ids + one double per surviving pair)
+          val done = out.localCheckpoint(true)
+          shc.unpersist()
+          done
+        }.reduce(_ unionAll _)
+      }
+  }
+
+  /** One exact-verify pass over a (sub)set of candidate pairs —
+    * returns the verified `(a_id, b_id, jacc)` plan plus the cached
+    * shingle-array table so a budgeted caller can release it once the
+    * pass is materialized.
+    *
+    * Exact-verify arrays are built for candidate documents ONLY: at
+    * 100 TB the full doc→shingles map is corpus-sized, but the
+    * candidate set is per-BUCKET bounded (bands × bucket-cap² pairs
+    * per bucket) — only those documents are even shingled. No
+    * broadcast HINT on the verify joins: bucket-bounded is not
+    * corpus-bounded — at constant dup density the candidate set grows
+    * ~linearly with the corpus, and the forced broadcast was measured
+    * blowing the 1 GiB driver ceiling at the 1000× probe decade (5 M
+    * docs). AQE broadcasts from ACTUAL size while it fits and shuffles
+    * past that — the plan you want at both ends. The arrays carry
+    * 60-bit md5Long HASHES, not shingle strings: the intersect/union
+    * counts are identical (the oracle hashes the same way, so even a
+    * collision — ~4·10⁻¹⁵ per pair — lands on both engines), and the
+    * pair join's shuffle rows shrink ~4×.
+    */
+  private def verifyPass(s: SparkSession, d: String,
+      cand: DataFrame): (DataFrame, DataFrame) = {
+      import s.implicits._
       val candIds = cand
         .select(explode(array($"a_id", $"b_id")).as("doc_id")).distinct()
-      // verify arrays carry 60-bit md5Long HASHES, not shingle strings:
-      // the intersect/union counts are identical (the oracle hashes the
-      // same way, so even a collision — ~4·10⁻¹⁵ per pair — lands on
-      // both engines), and the pair join's shuffle rows shrink ~4×,
-      // which is what bounds the verify at the saturated probe decades
       val shc = shinglePostingsOf(
           t(s, d, "documents").join(candIds, Seq("doc_id"), "left_semi")
             .select($"doc_id", $"text").as[(Long, String)])
         .groupBy($"doc_id").agg(collect_list(md5Long($"t")).as("sh"))
         .cache()
-      cand
+      val out = cand
         .join(shc.select($"doc_id".as("a_id"), $"sh".as("sha")), "a_id")
         .join(shc.select($"doc_id".as("b_id"), $"sh".as("shb")), "b_id")
         .withColumn("common", size(array_intersect($"sha", $"shb")))
         .withColumn("jacc",
           $"common" / (size($"sha") + size($"shb") - $"common"))
         .select($"a_id", $"b_id", $"jacc")
+      (out, shc)
   }
 
   // ------------------------------------------------------------------
