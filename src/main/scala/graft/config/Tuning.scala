@@ -107,7 +107,12 @@ final case class Tuning(
       * bit-identical to the single-pass plan (a pure partition of the
       * candidate set). 8M pairs ≈ tens of GB of spill per pass at
       * typical shingle-array widths. */
-    verifyPairBudget: Int = 8000000) {
+    verifyPairBudget: Int = 8000000,
+    /** q82/q83: BPE merge rounds to train. Each round is one bounded
+      * aggregation over the VOCABULARY table (not the corpus) plus a
+      * 1-row driver collect — the q38 fixpoint pattern; training may
+      * stop early when no adjacent pair repeats (count < 2). */
+    bpeMerges: Int = 40) {
 
   /** Minhash signature length — bands × rows, every row one affine
     * permutation over the 2³¹−1 prime field. */
@@ -125,7 +130,7 @@ final case class Tuning(
     pos(pqSubDim, "pqSubDim"); pos(pqCentroids, "pqCentroids")
     pos(refineFactor, "refineFactor"); pos(storeMaxSegments, "storeMaxSegments")
     pos(bloomBits, "bloomBits"); pos(outlierK, "outlierK")
-    pos(verifyPairBudget, "verifyPairBudget")
+    pos(verifyPairBudget, "verifyPairBudget"); pos(bpeMerges, "bpeMerges")
     if (bloomBits > (1 << 26)) throw ConfigurationError(
       s"graft.tuning.bloomBits must be <= ${1 << 26} (Spark's runtime-filter ceiling), got $bloomBits")
     // positive form so NaN (for which every comparison is false) is
@@ -198,7 +203,8 @@ object Tuning {
       storeMaxSegments = knob("storeMaxSegments", d.storeMaxSegments),
       bloomBits = knob("bloomBits", d.bloomBits),
       outlierK = knob("outlierK", d.outlierK),
-      verifyPairBudget = knob("verifyPairBudget", d.verifyPairBudget))
+      verifyPairBudget = knob("verifyPairBudget", d.verifyPairBudget),
+      bpeMerges = knob("bpeMerges", d.bpeMerges))
     t.validate()
     t
   }

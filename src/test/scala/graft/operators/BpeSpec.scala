@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.config.Tuning
+
+/** BPE training/apply invariants beyond the oracle hash gate: the
+  * greedy-merge trajectory's structural properties and the train↔apply
+  * consistency the gate's per-query checks can't see across queries.
+  */
+class BpeSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(t: Tuning, name: String) =
+    new Bpe(t).all.find(_.name == name).get.spark(spark, sf)
+
+  test("training trajectory: ranks consecutive, merged = l||r, counts non-increasing") {
+    val rows = q(Tuning(), "q82_bpe_train").collect()
+    assert(rows.length == Tuning().bpeMerges,
+      "the sf0.001 corpus should sustain every configured round")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i + 1L)
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+    }
+    // a merge can only create pairs no more frequent than itself, so
+    // the greedy argmax sequence is non-increasing in weighted count
+    val counts = rows.map(_.getAs[Long]("pair_count"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("apply: per-doc token counts bounded by words below and chars above") {
+    import spark.implicits._
+    val tok = q(Tuning(), "q83_bpe_tokenize")
+      .select($"doc_id", $"n_words", $"n_tokens")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, w, t) => id -> ((w, t)) }.toMap
+    assert(tok.nonEmpty)
+    val chars = graft.Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "aggregate(" + Dedup.toksExpr + ", 0L, (a, x) -> a + length(x)) as c")
+      .as[(Long, Long)].collect().toMap
+    tok.foreach { case (id, (w, t)) =>
+      assert(t >= w, s"doc $id: fewer tokens than words")
+      assert(t <= chars(id), s"doc $id: more tokens than characters")
+    }
+  }
+
+  test("fewer merge rounds yield a prefix of the merge table") {
+    val full = q(Tuning(), "q82_bpe_train").collect().map(_.toString).toSeq
+    val short = q(Tuning(bpeMerges = 7), "q82_bpe_train").collect()
+      .map(_.toString).toSeq
+    assert(short == full.take(7),
+      "the greedy trajectory must not depend on the round cap")
+  }
+}
