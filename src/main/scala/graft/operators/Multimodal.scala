@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   *
   * The data path is the real thing end to end: a parquet
   * `media(doc_id, blob BINARY)` table ([[MediaLake]], generated once at
-  * setup from deterministic spec-conformant PPM/WAV payloads), read
+  * setup from deterministic spec-conformant PPM/WAV/PNG/JPEG payloads
+  * — the latter two what an actual crawl shard contains, parsed
+  * header-only per the public byte-level specs), read
   * back like any lake table, decoded by the byte-walking
   * [[RealDecoders]] parsers in a compiled `mapPartitions` pass — binary
   * column → case-class Encoder → one decoder instance per partition,
@@ -188,12 +190,85 @@ object Multimodal {
         }
       }
 
+    /** Parsed PNG IHDR: (width, height). Header-only — the dimensions
+      * a crawl pipeline reads without inflating IDAT (the same contract
+      * as a `file`/EXIF probe): 8-byte signature, first chunk must be a
+      * 13-byte IHDR, bit depth and colour type must be legal spec
+      * combinations. CRCs are not verified (header probes never do);
+      * content equality is pinned separately by the q60/q64 hash.
+      */
+    def pngHeader(b: Array[Byte]): Option[(Long, Long)] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      if (b.length < 33 || !sig.indices.forall(i => b(i) == sig(i))) return None
+      def u32(off: Int): Long = ((b(off) & 0xffL) << 24) |
+        ((b(off + 1) & 0xffL) << 16) | ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+      def ascii(off: Int, s: String) =
+        s.indices.forall(j => b(off + j) == s(j).toByte)
+      if (u32(8) != 13L || !ascii(12, "IHDR")) return None
+      val (w, h) = (u32(16), u32(20))
+      val (depth, colour) = (b(24) & 0xff, b(25) & 0xff)
+      val depthOk = Set(1, 2, 4, 8, 16).contains(depth)
+      val colourOk = Set(0, 2, 3, 4, 6).contains(colour)
+      if (w > 0 && h > 0 && w <= (1L << 20) && h <= (1L << 20) &&
+        depthOk && colourOk) Some((w, h))
+      else None
+    }
+
+    /** Parsed JPEG dimensions: (width, height) from the first SOF0/1/2
+      * frame header reached by the standard marker walk (skip each
+      * segment by its big-endian length; stop at SOS/EOI). Bounds are
+      * checked at every step — a truncated or lying length field
+      * yields None, never a scan past the blob.
+      */
+    def jpegHeader(b: Array[Byte]): Option[(Long, Long)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      def u16(off: Int) = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+      var i = 2
+      while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xd9 || marker == 0xda) return None  // EOI/SOS: no SOF seen
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+        else {
+          val len = u16(i + 2)
+          if (len < 2 || i + 2 + len > b.length) return None
+          if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+            if (len < 7) return None
+            val h = u16(i + 5).toLong
+            val w = u16(i + 7).toLong
+            return if (w > 0 && h > 0) Some((w, h)) else None
+          }
+          i += 2 + len
+        }
+      }
+      None
+    }
+
+    /** PNG: header-only dimensions + real length/hash; one still frame. */
+    def decodePng(rec: MediaRecord): Option[MediaMeta] =
+      pngHeader(rec.blob).map { case (w, h) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hash = md.digest(rec.blob).map("%02x".format(_)).mkString
+        MediaMeta(rec.doc_id, rec.blob.length.toLong, w, h, n_frames = 1, hash)
+      }
+
+    /** JPEG: SOF dimensions + real length/hash; one still frame. */
+    def decodeJpeg(rec: MediaRecord): Option[MediaMeta] =
+      jpegHeader(rec.blob).map { case (w, h) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hash = md.digest(rec.blob).map("%02x".format(_)).mkString
+        MediaMeta(rec.doc_id, rec.blob.length.toLong, w, h, n_frames = 1, hash)
+      }
+
     /** Format-sniffing decode: real parsers first, [[opaque]] as the
       * last resort — the production dispatch shape (one instance per
-      * partition via `mapPartitions`).
+      * partition via `mapPartitions`). PNG/JPEG are header-only
+      * (dimensions + hash, no raster): their stills don't join the
+      * q61 frame sample or the q62 resize, which need decoded pixels.
       */
     def decode(rec: MediaRecord): MediaMeta =
-      decodePpm(rec).orElse(decodeWav(rec)).getOrElse(opaque(rec))
+      decodePpm(rec).orElse(decodeWav(rec)).orElse(decodePng(rec))
+        .orElse(decodeJpeg(rec)).getOrElse(opaque(rec))
 
     /** Nearest-neighbor resample of a P6 raster to (outW, outH): output
       * pixel (oy, ox) copies source pixel (⌊oy·h/outH⌋, ⌊ox·w/outW⌋) —
@@ -242,7 +317,7 @@ object Multimodal {
       * arithmetic (stale-bytes hash mismatches misdiagnosed as decoder
       * bugs).
       */
-    private val fixtureVersion = 2
+    private val fixtureVersion = 3
 
     def path(d: String): String = {
       val root = sys.props.getOrElse("graft.media.dir",
@@ -349,7 +424,7 @@ object Multimodal {
     },
     Some("""
       WITH pf AS (SELECT doc_id, 1 + doc_id % 47 AS w, 1 + doc_id % 19 AS h
-                  FROM documents WHERE doc_id % 2 = 0),
+                  FROM documents WHERE doc_id % 4 = 0),
       ppmf AS (SELECT doc_id, CAST(1 AS BIGINT) AS n_frames,
                  CAST(0 AS BIGINT) AS frame_idx,
                  md5(array_to_string(list_transform(range(0, w*h*3),
@@ -357,7 +432,7 @@ object Multimodal {
                FROM pf),
       wf AS (SELECT doc_id, (1 + doc_id % 3) * 2 AS ba,
                10 + doc_id % 50 AS nf
-             FROM documents WHERE doc_id % 2 = 1),
+             FROM documents WHERE doc_id % 4 = 1),
       wse AS (SELECT doc_id, ba, nf, unnest(range(0, nf, 2)) AS frame_idx
               FROM wf),
       wavf AS (SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
@@ -408,7 +483,7 @@ object Multimodal {
       WITH meta AS (SELECT doc_id,
                       CAST(1 + doc_id % 47 AS BIGINT) AS width,
                       CAST(1 + doc_id % 19 AS BIGINT) AS height
-                    FROM documents WHERE doc_id % 2 = 0),
+                    FROM documents WHERE doc_id % 4 = 0),
       dims AS (SELECT doc_id, width, height,
                  greatest(width, height) AS long_side,
                  CAST(greatest(1, (width * 32) // greatest(width, height)) AS BIGINT)  AS out_w,
@@ -538,7 +613,67 @@ object Multimodal {
       bb.array()
     }
 
-    def blobFor(id: Long): Array[Byte] = if (id % 2 == 0) ppm(id) else wav(id)
+    /** Minimal structurally-valid PNG: signature, 13-byte IHDR (8-bit
+      * truecolour), an id-derived IDAT payload, IEND — every chunk
+      * carrying its REAL CRC-32 (java.util.zip; the oracle recomputes
+      * the same polynomial as a SQL fold, so even the checksums are
+      * engine-portable). The IDAT bytes are not a zlib stream — the
+      * fixture exercises header parsing and byte fidelity, not
+      * inflation, exactly the q60 header-probe contract.
+      */
+    def png(id: Long): Array[Byte] = {
+      val w = (1 + id % 53).toInt
+      val h = (1 + id % 29).toInt
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val crc = new java.util.zip.CRC32()
+        val tb = typ.getBytes("US-ASCII")
+        crc.update(tb); crc.update(data)
+        java.nio.ByteBuffer.allocate(12 + data.length)
+          .putInt(data.length).put(tb).put(data)
+          .putInt(crc.getValue.toInt).array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .array()
+      val idat = Array.tabulate((16 + id % 32).toInt)(j =>
+        (((id * 11 + j * 17) % 256) & 0xff).toByte)
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+        chunk("IEND", Array.empty[Byte])
+    }
+
+    /** Minimal structurally-valid JPEG: SOI, the standard 16-byte JFIF
+      * APP0, a 3-component baseline SOF0 with id-derived dimensions,
+      * EOI. No entropy-coded data — header parsing plus byte fidelity,
+      * as above.
+      */
+    def jpeg(id: Long): Array[Byte] = {
+      val w = (1 + id % 61).toInt
+      val h = (1 + id % 37).toInt
+      val bb = java.nio.ByteBuffer.allocate(2 + 18 + 19 + 2)
+      bb.putShort(0xffd8.toShort)
+      bb.putShort(0xffe0.toShort).putShort(16)
+        .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+        .put(1.toByte).put(1.toByte)              // version 1.1
+        .put(0.toByte)                            // units: none
+        .putShort(1).putShort(1)                  // pixel aspect 1:1
+        .put(0.toByte).put(0.toByte)              // no thumbnail
+      bb.putShort(0xffc0.toShort).putShort(17)
+        .put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+        .put(1.toByte).put(0x22.toByte).put(0.toByte)
+        .put(2.toByte).put(0x11.toByte).put(1.toByte)
+        .put(3.toByte).put(0x11.toByte).put(1.toByte)
+      bb.putShort(0xffd9.toShort)
+      bb.array()
+    }
+
+    def blobFor(id: Long): Array[Byte] = (id % 4) match {
+      case 0 => ppm(id)
+      case 1 => wav(id)
+      case 2 => png(id)
+      case _ => jpeg(id)
+    }
   }
 
   /** The little-endian hex fragments of the oracle's WAV header —
@@ -559,8 +694,28 @@ object Multimodal {
     * fixture builder that emits one wrong byte, or a parser that
     * misreads one header field, hash-mismatches.
     */
-  private def mediaOracleCtes: String = s"""p AS (SELECT doc_id, 1 + doc_id % 47 AS w, 1 + doc_id % 19 AS h
-                 FROM documents WHERE doc_id % 2 = 0),
+  /** CRC-32 (the PNG polynomial) as a DuckDB fold: the 256-entry table
+    * built by an 8-step reduce per index, then the running fold over
+    * `type||data` byte values. `list_prepend` supplies the initial
+    * accumulator (list_reduce folds the first element as the seed).
+    */
+  // a def, not a val: q60 is initialized ABOVE this declaration and
+  // interpolates it through mediaOracleCtes at object-init time
+  private def crcTabCte =
+    """crctab AS MATERIALIZED (SELECT list_transform(range(0, 256), n ->
+         list_reduce(list_prepend(CAST(n AS BIGINT), range(0, 8)),
+           (c, k) -> CASE WHEN c % 2 = 1 THEN xor(3988292384, c // 2)
+                          ELSE c // 2 END)) AS t)"""
+  private def crcHex(bytesExpr: String): String =
+    s"""printf('%08X', xor(4294967295, list_reduce(
+          list_prepend(CAST(4294967295 AS BIGINT), $bytesExpr),
+          (crc, b) -> xor(t[1 + CAST(xor(crc, b) % 256 AS INT)], crc // 256))))"""
+  private def bytesHex(bytesExpr: String): String =
+    s"array_to_string(list_transform($bytesExpr, b -> printf('%02X', b)), '')"
+
+  private def mediaOracleCtes: String = s"""$crcTabCte,
+      p AS (SELECT doc_id, 1 + doc_id % 47 AS w, 1 + doc_id % 19 AS h
+                 FROM documents WHERE doc_id % 4 = 0),
       ppm AS (SELECT doc_id, 'ppm' AS kind,
                 hex('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)) ||
                 array_to_string(list_transform(range(0, w*h*3),
@@ -570,7 +725,7 @@ object Multimodal {
               FROM p),
       w0 AS (SELECT doc_id, 1 + doc_id % 3 AS c, 8000 + (doc_id % 5) * 1000 AS rate,
                10 + doc_id % 50 AS frames
-             FROM documents WHERE doc_id % 2 = 1),
+             FROM documents WHERE doc_id % 4 = 1),
       w1 AS (SELECT doc_id, c, rate, frames, c*2 AS ba, frames*c*2 AS datalen,
                rate*c*2 AS byterate FROM w0),
       wav AS (SELECT doc_id, 'wav' AS kind,
@@ -582,7 +737,40 @@ object Multimodal {
                 CAST(c AS BIGINT) AS width, CAST(rate AS BIGINT) AS height,
                 CAST(frames AS BIGINT) AS n_frames
               FROM w1),
-      m AS (SELECT * FROM ppm UNION ALL SELECT * FROM wav)"""
+      g0 AS (SELECT doc_id, 1 + doc_id % 53 AS w, 1 + doc_id % 29 AS h,
+               16 + doc_id % 32 AS ilen
+             FROM documents WHERE doc_id % 4 = 2),
+      g1 AS (SELECT doc_id, w, h, ilen,
+               list_concat([CAST(73 AS BIGINT), 72, 68, 82,
+                 (w//16777216)%256, (w//65536)%256, (w//256)%256, w%256,
+                 (h//16777216)%256, (h//65536)%256, (h//256)%256, h%256,
+                 8, 2, 0, 0, 0], []) AS ihdr_td,
+               list_concat([CAST(73 AS BIGINT), 68, 65, 84],
+                 list_transform(range(0, ilen),
+                   j -> (doc_id*11 + j*17) % 256)) AS idat_td
+             FROM g0),
+      png AS (SELECT doc_id, 'png' AS kind,
+                '89504E470D0A1A0A' || '0000000D' ||
+                ${bytesHex("ihdr_td")} || ${crcHex("ihdr_td")} ||
+                printf('%08X', ilen) ||
+                ${bytesHex("idat_td")} || ${crcHex("idat_td")} ||
+                '0000000049454E44AE426082' AS hx,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST(1 AS BIGINT) AS n_frames
+              FROM g1, crctab),
+      j0 AS (SELECT doc_id, 1 + doc_id % 61 AS w, 1 + doc_id % 37 AS h
+             FROM documents WHERE doc_id % 4 = 3),
+      jpg AS (SELECT doc_id, 'jpeg' AS kind,
+                'FFD8' || 'FFE0' || '0010' || '4A46494600' || '0101' || '00' ||
+                '0001' || '0001' || '0000' ||
+                'FFC0' || '0011' || '08' || printf('%04X', h) ||
+                printf('%04X', w) || '03' || '012200' || '021101' || '031101' ||
+                'FFD9' AS hx,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST(1 AS BIGINT) AS n_frames
+              FROM j0),
+      m AS (SELECT * FROM ppm UNION ALL SELECT * FROM wav
+            UNION ALL SELECT * FROM png UNION ALL SELECT * FROM jpg)"""
 
   /** End-to-end REAL decode over STORED binary: read the
     * [[MediaLake]] parquet `blob` column, push it through the
@@ -609,6 +797,8 @@ object Multimodal {
         .mapPartitions(_.map { rec =>
           val (kind, m) = RealDecoders.decodePpm(rec).map(("ppm", _))
             .orElse(RealDecoders.decodeWav(rec).map(("wav", _)))
+            .orElse(RealDecoders.decodePng(rec).map(("png", _)))
+            .orElse(RealDecoders.decodeJpeg(rec).map(("jpeg", _)))
             .getOrElse(("raw", RealDecoders.opaque(rec)))
           (rec.doc_id, kind, m.byte_len, m.width, m.height, m.n_frames,
             hexMd5(rec.blob))

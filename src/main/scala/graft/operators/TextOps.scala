@@ -482,6 +482,8 @@ object TextOps {
         .mapPartitions(_.map { rec =>
           val (kind, m) = RealDecoders.decodePpm(rec).map(("ppm", _))
             .orElse(RealDecoders.decodeWav(rec).map(("wav", _)))
+            .orElse(RealDecoders.decodePng(rec).map(("png", _)))
+            .orElse(RealDecoders.decodeJpeg(rec).map(("jpeg", _)))
             .getOrElse(("raw", RealDecoders.opaque(rec)))
           (rec.doc_id, kind, m.byte_len, m.n_frames)
         }).toDF("doc_id", "kind", "media_bytes", "n_frames")
@@ -524,14 +526,19 @@ object TextOps {
                       ELSE true END AS is_en
                FROM sc),
       mm AS (SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS kind,
-               CASE WHEN doc_id % 2 = 0
-                    THEN 9 + length(CAST(1 + doc_id % 47 AS VARCHAR))
+               CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
+                               WHEN 2 THEN 'png' ELSE 'jpeg' END AS kind,
+               CASE doc_id % 4
+                    WHEN 0 THEN 9 + length(CAST(1 + doc_id % 47 AS VARCHAR))
                            + length(CAST(1 + doc_id % 19 AS VARCHAR))
                            + (1 + doc_id % 47) * (1 + doc_id % 19) * 3
-                    ELSE 44 + (10 + doc_id % 50) * (1 + doc_id % 3) * 2
+                    WHEN 1 THEN 44 + (10 + doc_id % 50) * (1 + doc_id % 3) * 2
+                    -- PNG: 8 sig + 25 IHDR + (12 + idat payload) + 12 IEND
+                    WHEN 2 THEN 57 + 16 + doc_id % 32
+                    -- JPEG: SOI + JFIF APP0 + 3-component SOF0 + EOI
+                    ELSE 41
                END AS media_bytes,
-               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 10 + doc_id % 50 END AS n_frames
+               CASE WHEN doc_id % 4 = 1 THEN 10 + doc_id % 50 ELSE 1 END AS n_frames
              FROM documents)
       SELECT l.source, m.kind, count(*) AS n_docs,
              CAST(sum(CASE WHEN l.is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,

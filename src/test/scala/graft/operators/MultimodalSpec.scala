@@ -104,20 +104,91 @@ class MultimodalSpec extends AnyFunSuite {
     import Multimodal.{MediaFixtures, MediaRecord, RealDecoders}
     for (id <- 0L until 200L) {
       val rec = MediaRecord(id, MediaFixtures.blobFor(id))
-      if (id % 2 == 0) {
-        val m = RealDecoders.decodePpm(rec)
-          .getOrElse(fail(s"PPM fixture $id rejected by the PPM parser"))
-        assert(m.width == 1 + id % 47 && m.height == 1 + id % 19)
-        assert(m.n_frames == 1)
-        assert(m.byte_len == rec.blob.length.toLong)
-      } else {
-        assert(RealDecoders.decodePpm(rec).isEmpty, s"WAV fixture $id parsed as PPM")
-        val m = RealDecoders.decodeWav(rec)
-          .getOrElse(fail(s"WAV fixture $id rejected by the WAV parser"))
-        assert(m.width == 1 + id % 3, "channels")
-        assert(m.height == 8000 + (id % 5) * 1000, "sample rate")
-        assert(m.n_frames == 10 + id % 50, "frame count")
+      (id % 4) match {
+        case 0 =>
+          val m = RealDecoders.decodePpm(rec)
+            .getOrElse(fail(s"PPM fixture $id rejected by the PPM parser"))
+          assert(m.width == 1 + id % 47 && m.height == 1 + id % 19)
+          assert(m.n_frames == 1)
+          assert(m.byte_len == rec.blob.length.toLong)
+        case 1 =>
+          assert(RealDecoders.decodePpm(rec).isEmpty, s"WAV fixture $id parsed as PPM")
+          val m = RealDecoders.decodeWav(rec)
+            .getOrElse(fail(s"WAV fixture $id rejected by the WAV parser"))
+          assert(m.width == 1 + id % 3, "channels")
+          assert(m.height == 8000 + (id % 5) * 1000, "sample rate")
+          assert(m.n_frames == 10 + id % 50, "frame count")
+        case 2 =>
+          val m = RealDecoders.decodePng(rec)
+            .getOrElse(fail(s"PNG fixture $id rejected by the PNG parser"))
+          assert(m.width == 1 + id % 53 && m.height == 1 + id % 29)
+          assert(m.n_frames == 1)
+          // fixture CRCs are REAL: ImageIO-grade readers check them
+          // even when our header probe doesn't
+          val crc = new java.util.zip.CRC32()
+          crc.update(rec.blob, 12, 4 + 13)  // IHDR type+data
+          val stored = java.nio.ByteBuffer.wrap(rec.blob, 29, 4).getInt
+          assert(stored == crc.getValue.toInt, "IHDR CRC mismatch")
+        case _ =>
+          val m = RealDecoders.decodeJpeg(rec)
+            .getOrElse(fail(s"JPEG fixture $id rejected by the JPEG parser"))
+          assert(m.width == 1 + id % 61 && m.height == 1 + id % 37)
+          assert(m.n_frames == 1)
+          // images without decodable rasters must emit NO q61 frames
+          assert(RealDecoders.sampledFrames(rec).isEmpty)
       }
+    }
+  }
+
+  test("pngHeader rejects corrupted headers — wrong magic, bad IHDR, hostile dims") {
+    import Multimodal.{MediaFixtures, MediaRecord, RealDecoders}
+    val good = MediaFixtures.png(2L)
+    assert(RealDecoders.pngHeader(good).contains((1L + 2 % 53, 1L + 2 % 29)))
+    // truncated signature
+    assert(RealDecoders.pngHeader(good.take(7)).isEmpty)
+    // flipped signature byte
+    val badSig = good.clone(); badSig(1) = 'Q'.toByte
+    assert(RealDecoders.pngHeader(badSig).isEmpty)
+    // first chunk not IHDR
+    val notIhdr = good.clone(); notIhdr(13) = 'X'.toByte
+    assert(RealDecoders.pngHeader(notIhdr).isEmpty)
+    // zero width (bytes 16..19 big-endian)
+    val zeroW = good.clone(); for (i <- 16 to 19) zeroW(i) = 0
+    assert(RealDecoders.pngHeader(zeroW).isEmpty)
+    // illegal colour type (3 bit-depth-1 combos are legal; 7 is not)
+    val badColour = good.clone(); badColour(25) = 7
+    assert(RealDecoders.pngHeader(badColour).isEmpty)
+    // hostile dimensions past the 2^20 sanity bound
+    val hugeW = good.clone(); hugeW(16) = 0x7f.toByte
+    assert(RealDecoders.pngHeader(hugeW).isEmpty)
+    // every rejection degrades to the honest opaque record
+    for ((b, id) <- Seq(badSig -> 1L, notIhdr -> 2L, badColour -> 3L)) {
+      val rec = MediaRecord(id, b)
+      assert(RealDecoders.decode(rec) == RealDecoders.opaque(rec))
+    }
+  }
+
+  test("jpegHeader rejects corrupted headers — no SOF, lying lengths, truncation") {
+    import Multimodal.{MediaFixtures, MediaRecord, RealDecoders}
+    val good = MediaFixtures.jpeg(3L)
+    assert(RealDecoders.jpegHeader(good).contains((1L + 3 % 61, 1L + 3 % 37)))
+    // SOI alone: no SOF before the walk ends
+    assert(RealDecoders.jpegHeader(Array(0xff, 0xd8).map(_.toByte)).isEmpty)
+    // SOI + EOI: explicit end marker before any SOF
+    assert(RealDecoders.jpegHeader(
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+    // a segment length pointing past the blob must not be walked
+    val lying = good.clone()
+    lying(4) = 0x7f.toByte  // APP0 length high byte → 0x7f10 ≫ blob
+    assert(RealDecoders.jpegHeader(lying).isEmpty)
+    // truncated mid-SOF: the dims sit past the end
+    assert(RealDecoders.jpegHeader(good.take(25)).isEmpty)
+    // marker byte that isn't 0xFF stops the walk (corrupt stream)
+    val derail = good.clone(); derail(2) = 0x00
+    assert(RealDecoders.jpegHeader(derail).isEmpty)
+    for ((b, id) <- Seq(lying -> 1L, derail -> 2L)) {
+      val rec = MediaRecord(id, b)
+      assert(RealDecoders.decode(rec) == RealDecoders.opaque(rec))
     }
   }
 
