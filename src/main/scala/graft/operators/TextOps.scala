@@ -19,6 +19,69 @@ object TextOps {
 
   import Dedup.{toksExpr, toksSqlDuck}
 
+  /** The q65 curation funnel's ROW-LOCAL gates as one reusable compiled
+    * projection — the streaming-ingest face of the funnel: language-ID
+    * (f1), composite quality (f2), bigram repetition (f3), and PII scan
+    * (f4), plus `kept` = f1∧f2∧f3∧f4. The exact-dedup stage (f5) is
+    * deliberately absent: it is cross-document state, which on the
+    * streaming path is the signature lake's job ([[Dedup.ingestStream]]
+    * + the near-dup serve/keeper machinery downstream). Formulas
+    * restate q65's gate arithmetic with identical rounding (the
+    * q81/q51 precedent), with the one structural difference that
+    * `rep_ratio` folds row-locally (a per-document statistic needs no
+    * shuffle — q65's explode+groupBy form exists to share the oracle's
+    * declarative shape). Works identically on batch and streaming
+    * DataFrames: no state, no watermark, one codegen'd pass.
+    *
+    * Input needs `doc_id` and `text`; output adds pred/score/
+    * rep_ratio/n_pii/kept and keeps `text` for the downstream DML.
+    */
+  def curateStream(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    docs
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("s_en", expr(
+        "size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in')))"))
+      .withColumn("s_es", expr(
+        "size(filter(toks, x -> x IN ('el', 'la', 'de', 'que', 'y')))"))
+      .withColumn("s_de", expr(
+        "size(filter(toks, x -> x IN ('der', 'die', 'und', 'das', 'ist')))"))
+      .withColumn("s_fr", expr(
+        "size(filter(toks, x -> x IN ('le', 'les', 'et', 'des', 'un')))"))
+      .withColumn("pred", expr(
+        """CASE WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+                WHEN s_de > greatest(s_en, s_fr) THEN 'de'
+                WHEN s_fr > s_en THEN 'fr'
+                ELSE 'en' END"""))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in', 'to')))").cast("long"))
+      .withColumn("avg_tok_len", r4(
+        expr("aggregate(toks, cast(0 as bigint), (acc, x) -> acc + length(x))") /
+          greatest(col("n_toks"), lit(1L))))
+      .withColumn("stop_ratio", r4(col("n_stop") / greatest(col("n_toks"), lit(1L))))
+      .withColumn("score", r4(
+        least(col("n_toks") / lit(100.0), lit(1.0)) * 0.5 +
+          (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(col("avg_tok_len") / lit(10.0), lit(1.0)) * 0.2))
+      .withColumn("n_pii", expr(
+        """size(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', 0)) +
+           size(regexp_extract_all(lower(text), 'https?://[^\\s]+', 0)) +
+           size(regexp_extract_all(lower(text), '\\+[0-9][0-9() -]{7,}[0-9]', 0))"""))
+      .withColumn("bgs", expr(
+        """CASE WHEN size(toks) < 2 THEN cast(array() as array<string>)
+           ELSE transform(sequence(1, size(toks)-1),
+                  i -> concat_ws(' ', slice(toks, i, 2))) END"""))
+      .withColumn("rep_ratio", when(size(col("bgs")) === 0, lit(null))
+        .otherwise(r4(expr(
+          "array_max(transform(bgs, x -> size(filter(bgs, y -> y = x))))") /
+          size(col("bgs")))))
+      .withColumn("kept",
+        col("pred") === "en" && col("score") >= 0.5 &&
+          coalesce(col("rep_ratio"), lit(0.0)) < 0.2 && col("n_pii") === 0)
+      .select(col("doc_id"), col("text"), col("pred"), col("score"),
+        col("rep_ratio"), col("n_pii"), col("kept"))
+  }
+
   /** Language-ID via stopword-profile scoring: count marker-word hits per
     * language profile, argmax with deterministic tie order. Output is the
     * lang-metadata × predicted-language confusion matrix.
