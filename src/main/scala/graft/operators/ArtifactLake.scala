@@ -113,20 +113,58 @@ private[operators] object ArtifactLake {
       .sortBy(_.getName).lastOption
   }
 
-  /** The cumulative set of delta-segment names a generation subsumes —
-    * empty when no generation is installed.
+  /** The cumulative set of delta-segment names a generation (or a
+    * rebase base — same file contract) subsumes — empty when none is
+    * installed.
     */
-  def consumedNames(gen: Option[java.io.File]): Set[String] = gen match {
-    case None => Set.empty
-    case Some(g) =>
-      val f = new java.io.File(g, "consumed.txt")
-      if (!f.isFile) Set.empty
-      else {
-        val src = scala.io.Source.fromFile(f, "UTF-8")
-        try src.getLines().map(_.trim).filter(_.nonEmpty).toSet
-        finally src.close()
-      }
+  def consumedNames(gen: Option[java.io.File]): Set[String] =
+    linesOf(gen, "consumed.txt")
+
+  // ------------------------------------------------------------------
+  // Rebase bases. A base is one immutable artifact dir
+  // `<indexPath>/bases/base-<%05d seq>-<key>/` holding the FULL
+  // compaction of the store — root tables ∪ generation ∪ every
+  // unconsumed segment, tombstones physically applied — plus
+  // `consumed.txt` (every segment name folded in) and `gens.txt`
+  // (every generation name subsumed). Serving resolves the newest
+  // base as its bottom layer INSTEAD of the root tables, and skips
+  // any generation listed in the base's gens.txt — so after heavy
+  // churn the per-serve composition collapses back to one table scan
+  // without a long-lived store carrying its history forever. Install
+  // is the same staged-rename [[ensure]]; nothing is deleted
+  // (vacuum remains the maintenance-window step).
+  // ------------------------------------------------------------------
+
+  /** The newest complete rebase base under `indexPath`, if any.
+    * `base-%05d-…` names sort lexicographically by sequence.
+    */
+  def currentBase(indexPath: String): Option[java.io.File] = {
+    val root = new java.io.File(s"$indexPath/bases")
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("base-") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .sortBy(f => f.getName).lastOption
   }
+
+  /** The generation names a rebase base subsumes (its `gens.txt`) — a
+    * subsumed generation's tables are already folded into the base and
+    * must never re-enter a composition that sees the base.
+    */
+  def subsumedGens(base: Option[java.io.File]): Set[String] =
+    linesOf(base, "gens.txt")
+
+  private def linesOf(dir: Option[java.io.File], name: String): Set[String] =
+    dir match {
+      case None => Set.empty
+      case Some(g) =>
+        val f = new java.io.File(g, name)
+        if (!f.isFile) Set.empty
+        else {
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.getLines().map(_.trim).filter(_.nonEmpty).toSet
+          finally src.close()
+        }
+    }
 
   /** A table dir written by a generation, present only when it holds
     * data (an empty fold writes no files — Spark skips empty

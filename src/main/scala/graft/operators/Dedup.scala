@@ -95,6 +95,7 @@ object Dedup {
   private[operators] val sigAdds = new java.util.concurrent.atomic.AtomicInteger(0)
   private[operators] val sigRemoves = new java.util.concurrent.atomic.AtomicInteger(0)
   private[operators] val sigCompacts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[operators] val sigRebases = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Forwarder for the unit spec — [[components]] is knob-free (the
     * instance exists only because the module is a tuned class).
@@ -668,34 +669,56 @@ final class Dedup(val tuning: Tuning) extends Serializable {
   // base table mirrors the corpus parquet the DuckDB oracle replays.
   // ------------------------------------------------------------------
 
-  /** UNCONSUMED add segments under the signature lake — segments the
-    * snapshot generation has folded ([[compact]]) are excluded.
-    *
-    * `gen` is the caller's ONE snapshot of the generation pointer
-    * ([[ArtifactLake.currentGen]], read once per serve/DML entry):
-    * re-reading it per helper would let a compact installing between
-    * two reads yield a MIXED view — old-gen segment list anti-joined
-    * with new-gen carried tombstones drops segment-only tombstoned
-    * ids, briefly serving a retired document.
+  /** One atomic snapshot of the lake's layered composition — the
+    * rebase-aware generalization of the bare generation pointer every
+    * serve/DML entry resolves ONCE and passes down (the snapshot-
+    * isolation rationale: re-reading per helper would let a racing
+    * compact/rebase yield a MIXED view): `base` = the newest full-
+    * compaction base ([[rebase]]; None = the root corpus-derived
+    * tables), `gen` = the current generation UNLESS the base subsumes
+    * it (its tables are already folded in), `rawGen` = the unfiltered
+    * pointer (sequence numbering and name salting must advance past
+    * subsumed generations too), `consumed` = every delta-segment name
+    * folded into base and/or gen. Any interleaving with a racing
+    * rebase lands on a data-identical composition: a rebase is
+    * content-neutral, and the subsumption filter excludes a folded
+    * generation whenever its base is visible.
     */
-  private def sigDeltaDirs(d: String, gen: Option[java.io.File]): Seq[java.io.File] = {
-    val c = ArtifactLake.consumedNames(gen)
-    ArtifactLake.segmentDirs(sigPath(d), "add-")
-      .filterNot(f => c.contains(f.getName))
+  private final case class SigView(
+      base: Option[java.io.File],
+      gen: Option[java.io.File],
+      rawGen: Option[java.io.File],
+      consumed: Set[String])
+
+  private def sigView(d: String): SigView = {
+    val p = sigPath(d)
+    val base = ArtifactLake.currentBase(p)
+    val subs = ArtifactLake.subsumedGens(base)
+    val rawGen = ArtifactLake.currentGen(p)
+    val gen = rawGen.filterNot(g => subs.contains(g.getName))
+    SigView(base, gen, rawGen,
+      ArtifactLake.consumedNames(base) ++ ArtifactLake.consumedNames(gen))
   }
+
+  /** UNCONSUMED add segments under the signature lake — segments the
+    * snapshot's base or generation has folded are excluded.
+    */
+  private def sigDeltaDirs(d: String, v: SigView): Seq[java.io.File] =
+    ArtifactLake.segmentDirs(sigPath(d), "add-")
+      .filterNot(f => v.consumed.contains(f.getName))
 
   /** All LIVE tombstoned ids as one `doc_id` column — the snapshot
     * generation's carried-forward tombstones plus the tombstone
-    * segments it has not consumed; None when neither exists (spares
-    * serving the anti-join).
+    * segments neither base nor generation consumed; None when neither
+    * exists (spares serving the anti-join). A rebase base carries no
+    * tombstones by construction (the fold applies them physically).
     */
   private def sigTombstonedIds(s: SparkSession, d: String,
-      gen: Option[java.io.File]): Option[DataFrame] = {
-    val c = ArtifactLake.consumedNames(gen)
-    val genTs = ArtifactLake.tableIfPresent(gen, "tombstones")
+      v: SigView): Option[DataFrame] = {
+    val genTs = ArtifactLake.tableIfPresent(v.gen, "tombstones")
       .map(g => s.read.parquet(g.getAbsolutePath))
     val segs = ArtifactLake.segmentDirs(sigPath(d), "del-")
-      .filterNot(f => c.contains(f.getName))
+      .filterNot(f => v.consumed.contains(f.getName))
       .map(dir => s.read.parquet(s"${dir.getAbsolutePath}/ids"))
     (genTs.toSeq ++ segs) match {
       case Seq() => None
@@ -703,47 +726,65 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     }
   }
 
-  /** `base table ∪ snapshot generation's fold ∪ unconsumed segments`
-    * for one lake table — the shared union shape behind every live view.
+  /** `bottom layer ∪ snapshot generation's fold ∪ unconsumed segments`
+    * for one lake table — the shared union shape behind every live
+    * view. `baseReplacesRoot` selects the bottom layer's semantics
+    * when a rebase base exists: the derived tables (bands/sig) are
+    * fully folded into the base, which therefore REPLACES the root
+    * scan; the docs chain's root is the external corpus parquet, which
+    * a base only ever EXTENDS (its docs table holds DML-added text —
+    * the corpus text is never copied).
     */
-  private def withSigDeltas(s: SparkSession, d: String, gen: Option[java.io.File],
-      base: DataFrame, table: String): DataFrame = {
-    val genTable = ArtifactLake.tableIfPresent(gen, table)
-    val b0 = genTable.fold(base)(g => base.unionByName(s.read.parquet(g.getAbsolutePath)))
-    sigDeltaDirs(d, gen).foldLeft(b0)((acc, dir) =>
+  private def withSigDeltas(s: SparkSession, d: String, v: SigView,
+      root: DataFrame, table: String, baseReplacesRoot: Boolean): DataFrame = {
+    val baseTable = v.base.flatMap(b => ArtifactLake.tableIfPresent(Some(b), table))
+    val b0 = (baseTable, v.base) match {
+      case (Some(bt), _) if baseReplacesRoot => s.read.parquet(bt.getAbsolutePath)
+      case (None, Some(_)) if baseReplacesRoot =>
+        // base installed but this fold was EMPTY (everything
+        // tombstoned): an absent table means zero rows, not "fall
+        // back to the root scan" — that would resurrect the store
+        root.limit(0)
+      case (Some(bt), _) => root.unionByName(s.read.parquet(bt.getAbsolutePath))
+      case _ => root
+    }
+    val b1 = ArtifactLake.tableIfPresent(v.gen, table)
+      .fold(b0)(g => b0.unionByName(s.read.parquet(g.getAbsolutePath)))
+    sigDeltaDirs(d, v).foldLeft(b1)((acc, dir) =>
       acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/$table")))
   }
 
-  /** The LIVE band table: base ∪ gen ∪ unconsumed add segments, minus
-    * tombstoned documents. Bucket sizes (the serve-side cap) count
-    * live members only.
+  /** The LIVE band table: (base or root) ∪ gen ∪ unconsumed add
+    * segments, minus tombstoned documents. Bucket sizes (the
+    * serve-side cap) count live members only.
     */
-  private def liveBands(s: SparkSession, d: String,
-      gen: Option[java.io.File]): DataFrame = {
-    val all = withSigDeltas(s, d, gen, s.read.parquet(s"${sigPath(d)}/bands"), "bands")
-    sigTombstonedIds(s, d, gen).fold(all)(ts =>
+  private def liveBands(s: SparkSession, d: String, v: SigView): DataFrame = {
+    val all = withSigDeltas(s, d, v,
+      s.read.parquet(s"${sigPath(d)}/bands"), "bands", baseReplacesRoot = true)
+    sigTombstonedIds(s, d, v).fold(all)(ts =>
       all.join(broadcast(ts), Seq("doc_id"), "left_anti"))
   }
 
-  /** The LIVE simhash table: base ∪ gen ∪ add segments, minus tombstones. */
-  private def liveSigs(s: SparkSession, d: String,
-      gen: Option[java.io.File]): DataFrame = {
-    val all = withSigDeltas(s, d, gen, s.read.parquet(s"${sigPath(d)}/sig"), "sig")
-    sigTombstonedIds(s, d, gen).fold(all)(ts =>
+  /** The LIVE simhash table: (base or root) ∪ gen ∪ add segments,
+    * minus tombstones. */
+  private def liveSigs(s: SparkSession, d: String, v: SigView): DataFrame = {
+    val all = withSigDeltas(s, d, v,
+      s.read.parquet(s"${sigPath(d)}/sig"), "sig", baseReplacesRoot = true)
+    sigTombstonedIds(s, d, v).fold(all)(ts =>
       all.join(broadcast(ts), Seq("doc_id"), "left_anti"))
   }
 
   /** `(doc_id, text)` for candidate verify: the corpus table ∪ the
-    * generation's folded batch text ∪ each unconsumed add segment's
-    * stored text (an added document's text is not in the corpus
-    * parquet — the segment carries it, the way the vector store's
-    * segments carry raw floats for exact refine).
+    * base's and generation's folded batch text ∪ each unconsumed add
+    * segment's stored text (an added document's text is not in the
+    * corpus parquet — the segment carries it, the way the vector
+    * store's segments carry raw floats for exact refine).
     */
-  private def liveDocs(s: SparkSession, d: String,
-      gen: Option[java.io.File]): DataFrame = {
+  private def liveDocs(s: SparkSession, d: String, v: SigView): DataFrame = {
     import s.implicits._
-    withSigDeltas(s, d, gen,
-      t(s, d, "documents").select($"doc_id", $"text"), "docs")
+    withSigDeltas(s, d, v,
+      t(s, d, "documents").select($"doc_id", $"text"), "docs",
+      baseReplacesRoot = false)
   }
 
   /** The SERVING path: which stored documents is each batch document a
@@ -813,13 +854,13 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     import s.implicits._
     ensureSigIndex(s, d)
     def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
-    // ONE generation-pointer snapshot for the whole serve (bands,
-    // tombstones, and verify text all composed against the same gen —
-    // a racing compact cannot yield a mixed view)
-    val gen = ArtifactLake.currentGen(sigPath(d))
+    // ONE composition snapshot for the whole serve (bands,
+    // tombstones, and verify text all composed against the same view —
+    // a racing compact/rebase cannot yield a mixed view)
+    val v = sigView(d)
     val bposts = shinglePostingsOf(batch).cache()
     val bbands = bandedKeys(bposts)
-    val corpus = liveBands(s, d, gen)
+    val corpus = liveBands(s, d, v)
     val ok = corpus.groupBy($"band_key")
       .agg(count(lit(1)).as("cnt"))
       .filter($"cnt" <= mCap).select($"band_key")
@@ -836,7 +877,7 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     // hashed verify arrays, as minhashVerified — longs through the
     // shuffle, oracle hashes identically
     val shm = shinglePostingsOf(
-        liveDocs(s, d, gen).join(matchIds, Seq("doc_id"), "left_semi")
+        liveDocs(s, d, v).join(matchIds, Seq("doc_id"), "left_semi")
           .as[(Long, String)])
       .groupBy($"doc_id").agg(collect_list(md5Long($"t")).as("sh"))
     val shp = bposts.groupBy($"doc_id").agg(collect_list(md5Long($"t")).as("sh"))
@@ -900,12 +941,12 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       batch: DataFrame): DataFrame = {
     import s.implicits._
     ensureSigIndex(s, d)
-    // one gen snapshot per serve ([[serveNearDups]])
-    val gen = ArtifactLake.currentGen(sigPath(d))
+    // one composition snapshot per serve ([[serveNearDups]])
+    val v = sigView(d)
     val bsig = simhashSigOf(batch.toDF("doc_id", "text"))
       .select($"doc_id".as("probe_id"), $"simhash")
     bsig.join(
-        liveSigs(s, d, gen).select($"doc_id".as("match_id"), $"simhash"), "simhash")
+        liveSigs(s, d, v).select($"doc_id".as("match_id"), $"simhash"), "simhash")
       .filter($"probe_id" =!= $"match_id")
       .select($"probe_id", $"match_id", $"simhash")
       .orderBy($"probe_id", $"match_id")
@@ -949,7 +990,7 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     */
   def liveSignatures(s: SparkSession, d: String): DataFrame = {
     ensureSigIndex(s, d)
-    liveSigs(s, d, ArtifactLake.currentGen(sigPath(d)))
+    liveSigs(s, d, sigView(d))
   }
 
   /** Register [[liveSignatures]] as a session temp view (default
@@ -1003,25 +1044,33 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     // stance, applied to the dedup side too); an unbuilt lake reports
     // generation −1, zero segments, zero base rows
     val p = sigPath(d)
-    val gen = ArtifactLake.currentGen(p)
-    val genSeq = gen.map(_.getName.split('-')(1).toLong).getOrElse(-1L)
-    val consumed = ArtifactLake.consumedNames(gen)
-    val adds = sigDeltaDirs(d, gen)
+    val v = sigView(d)
+    // post-rebase the generation pointer reads as RESET (−1): the base
+    // subsumed it, and the new epoch's first compact starts a new one
+    val genSeq = v.gen.map(_.getName.split('-')(1).toLong).getOrElse(-1L)
+    val baseEpoch = v.base.map(_.getName.split('-')(1).toLong).getOrElse(0L)
+    val adds = sigDeltaDirs(d, v)
     val dels = ArtifactLake.segmentDirs(p, "del-")
-      .filterNot(f => consumed.contains(f.getName))
+      .filterNot(f => v.consumed.contains(f.getName))
     def cnt(path: String): Long = Tables.layerCount(s, path)
-    val baseRows = cnt(s"$p/sig")
-    val genRows = ArtifactLake.tableIfPresent(gen, "sig")
+    val baseRows = v.base match {
+      case Some(b) => ArtifactLake.tableIfPresent(Some(b), "sig")
+        .map(f => cnt(f.getAbsolutePath)).getOrElse(0L)
+      case None => cnt(s"$p/sig")
+    }
+    val genRows = ArtifactLake.tableIfPresent(v.gen, "sig")
       .map(f => cnt(f.getAbsolutePath)).getOrElse(0L)
     val segRows = adds.map(dir => cnt(s"${dir.getAbsolutePath}/sig")).sum
-    val tsRows = ArtifactLake.tableIfPresent(gen, "tombstones")
+    val tsRows = ArtifactLake.tableIfPresent(v.gen, "tombstones")
       .map(f => cnt(f.getAbsolutePath)).getOrElse(0L) +
       dels.map(dir => cnt(s"${dir.getAbsolutePath}/ids")).sum
-    Seq((genSeq, consumed.size.toLong, adds.size.toLong, dels.size.toLong,
+    Seq((genSeq, baseEpoch, v.consumed.size.toLong,
+      adds.size.toLong, dels.size.toLong,
       baseRows, genRows, segRows, tsRows,
       baseRows + genRows + segRows - tsRows))
-      .toDF("generation", "consumed_segments", "unconsumed_adds",
-        "unconsumed_dels", "base_rows", "generation_rows", "segment_rows",
+      .toDF("generation", "base_epoch", "consumed_segments",
+        "unconsumed_adds", "unconsumed_dels", "base_rows",
+        "generation_rows", "segment_rows",
         "tombstone_rows", "live_rows")
   }
 
@@ -1077,9 +1126,9 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       // epoch-salt a name a generation already consumed; replay-vs-
       // genuine-re-add is decided by id liveness below
       // ([[Similarity.addVectors]])
-      val gen = ArtifactLake.currentGen(sigPath(d))
-      val genSeq = gen.map(_.getName.drop(4).takeWhile(_ != '-').toInt).getOrElse(0)
-      val folded = ArtifactLake.consumedNames(gen).contains(s"add-$key")
+      val v = sigView(d)
+      val genSeq = v.rawGen.map(_.getName.drop(4).takeWhile(_ != '-').toInt).getOrElse(0)
+      val folded = v.consumed.contains(s"add-$key")
       val name = if (folded) s"add-g$genSeq-$key" else s"add-$key"
       val target = new java.io.File(s"${sigPath(d)}/deltas/$name")
       // retry no-op BEFORE the id guard (an at-least-once re-send carries
@@ -1093,9 +1142,9 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       // shingle) has no bands row and a zero-token doc no sig row —
       // under those bases its id would be silently re-addable,
       // yielding duplicate doc_id rows in the lake.
-      val takenBase = liveDocs(s, d, gen)
+      val takenBase = liveDocs(s, d, v)
         .filter($"doc_id".between(lo, hi)).select($"doc_id")
-      val takenAll = sigTombstonedIds(s, d, gen).fold(takenBase)(takenBase.unionByName(_))
+      val takenAll = sigTombstonedIds(s, d, v).fold(takenBase)(takenBase.unionByName(_))
       val idsDf = norm.select($"doc_id")
       // broadcast only clearly-small batches; beyond ~1M ids a forced
       // broadcast costs real driver heap and risks the broadcast
@@ -1134,11 +1183,10 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     * ([[vacuum]] stays the explicit maintenance-window step).
     */
   private def maybeCompactSig(s: SparkSession, d: String): Unit = {
-    val gen = ArtifactLake.currentGen(sigPath(d))
-    val c = ArtifactLake.consumedNames(gen)
-    val n = sigDeltaDirs(d, gen).length +
+    val v = sigView(d)
+    val n = sigDeltaDirs(d, v).length +
       ArtifactLake.segmentDirs(sigPath(d), "del-")
-        .count(f => !c.contains(f.getName))
+        .count(f => !v.consumed.contains(f.getName))
     if (n > tuning.storeMaxSegments) {
       compact(s, d)
       ()
@@ -1176,9 +1224,9 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       val key = f"${st.getAs[Long]("h1")}%016x${st.getAs[Long]("h2")}%016x"
       // epoch-salt when a generation consumed this tombstone: an id
       // re-added after its compact must be removable again
-      val gen = ArtifactLake.currentGen(sigPath(d))
-      val genSeq = gen.map(_.getName.drop(4).takeWhile(_ != '-').toInt).getOrElse(0)
-      val name = if (ArtifactLake.consumedNames(gen).contains(s"del-$key"))
+      val v = sigView(d)
+      val genSeq = v.rawGen.map(_.getName.drop(4).takeWhile(_ != '-').toInt).getOrElse(0)
+      val name = if (v.consumed.contains(s"del-$key"))
         s"del-g$genSeq-$key" else s"del-$key"
       val target = new java.io.File(s"${sigPath(d)}/deltas/$name")
       if (new java.io.File(target, "_SUCCESS").isFile) return false
@@ -1212,16 +1260,18 @@ final class Dedup(val tuning: Tuning) extends Serializable {
   def compact(s: SparkSession, d: String): Boolean = synchronized {
     import s.implicits._
     ensureSigIndex(s, d)
-    // one gen snapshot drives the segment listing AND the fold inputs
-    val prevGen = ArtifactLake.currentGen(sigPath(d))
-    val c0 = ArtifactLake.consumedNames(prevGen)
-    val adds = sigDeltaDirs(d, prevGen)
+    // one composition snapshot drives the segment listing AND the
+    // fold inputs; sequence numbering advances past a SUBSUMED
+    // generation too (rawGen) so names stay unique across a rebase
+    val v = sigView(d)
+    val c0 = v.consumed
+    val adds = sigDeltaDirs(d, v)
     val dels = ArtifactLake.segmentDirs(sigPath(d), "del-")
       .filterNot(f => c0.contains(f.getName))
     if (adds.isEmpty && dels.isEmpty) return false
     val consumed = (c0 ++ adds.map(_.getName) ++ dels.map(_.getName))
       .toSeq.sorted
-    val seq = prevGen.map(_.getName.drop(4).takeWhile(_ != '-').toInt)
+    val seq = v.rawGen.map(_.getName.drop(4).takeWhile(_ != '-').toInt)
       .getOrElse(0) + 1
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(consumed.mkString("|").getBytes("UTF-8"))
@@ -1229,10 +1279,10 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     val target = new java.io.File(f"${sigPath(d)}/gens/gen-$seq%05d-$key")
     if (new java.io.File(target, "_SUCCESS").isFile) return false
 
-    val ts = sigTombstonedIds(s, d, prevGen)
+    val ts = sigTombstonedIds(s, d, v)
     def foldOf(table: String): Option[DataFrame] = {
       val parts =
-        ArtifactLake.tableIfPresent(prevGen, table)
+        ArtifactLake.tableIfPresent(v.gen, table)
           .map(g => s.read.parquet(g.getAbsolutePath)).toSeq ++
         adds.map(dir => s.read.parquet(s"${dir.getAbsolutePath}/$table"))
       parts.reduceOption(_ unionByName _)
@@ -1248,9 +1298,11 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     // covers EVERY base document (sig misses zero-token docs, bands
     // zero-shingle docs; dropping such a doc's tombstone on compact
     // would let [[addDocs]]'s docs-chain guard free its id wrongly)
-    val carried = ts.map(_.join(
-        t(s, d, "documents").select($"doc_id"),
-        Seq("doc_id"), "left_semi")
+    val basisDocs = v.base
+      .flatMap(b => ArtifactLake.tableIfPresent(Some(b), "docs"))
+      .map(f => s.read.parquet(f.getAbsolutePath).select($"doc_id"))
+      .foldLeft(t(s, d, "documents").select($"doc_id"))(_ unionByName _)
+    val carried = ts.map(_.join(basisDocs, Seq("doc_id"), "left_semi")
       .distinct())
 
     val installed = ArtifactLake.ensure(target) { staging =>
@@ -1274,15 +1326,95 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     installed
   }
 
+  /** FULL compaction into a NEW base — the lifecycle step past
+    * [[compact]]: after heavy churn, a long-lived store's
+    * base ∪ generation ∪ tombstones composition carries dead weight
+    * forever (tombstoned base rows are filtered on every serve; the
+    * generation re-folds on every compact). `rebase` folds the ENTIRE
+    * live view — root-or-base tables ∪ generation ∪ unconsumed
+    * segments, tombstones physically applied — into one immutable
+    * `bases/base-<seq>-<key>` artifact ([[ArtifactLake]] staged
+    * rename, crash-safe, race-losing = success) that serving then
+    * resolves INSTEAD of the root tables, with `gens.txt` marking the
+    * subsumed generation so it can never re-enter a composition.
+    * Nothing is deleted — racing readers keep whichever (data-
+    * identical) view they snapshotted, and [[vacuum]] retires the
+    * subsumed segments AND generations in a maintenance window.
+    *
+    * The ROOT tables are untouched: the registered q32/q38/q69 stay
+    * base-only against the corpus derivation the DuckDB oracle
+    * replays, exactly as before. Returns true iff THIS call installed
+    * a new base.
+    */
+  def rebase(s: SparkSession, d: String): Boolean = synchronized {
+    import s.implicits._
+    ensureSigIndex(s, d)
+    val v = sigView(d)
+    val adds = sigDeltaDirs(d, v)
+    val dels = ArtifactLake.segmentDirs(sigPath(d), "del-")
+      .filterNot(f => v.consumed.contains(f.getName))
+    // nothing beyond the current bottom layer → nothing to fold
+    if (v.gen.isEmpty && adds.isEmpty && dels.isEmpty) return false
+    val consumed = (v.consumed ++ adds.map(_.getName) ++ dels.map(_.getName))
+      .toSeq.sorted
+    val gens = (ArtifactLake.subsumedGens(v.base) ++
+      v.rawGen.map(_.getName)).toSeq.sorted
+    val seq = v.base.map(_.getName.drop(5).takeWhile(_ != '-').toInt)
+      .getOrElse(0) + 1
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((consumed ++ gens).mkString("|").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val target = new java.io.File(f"${sigPath(d)}/bases/base-$seq%05d-$key")
+    if (new java.io.File(target, "_SUCCESS").isFile) return false
+
+    // the full folds ARE the live views (tombstones applied): the new
+    // base serves bit-identically by construction
+    val bands = liveBands(s, d, v)
+    val sigs = liveSigs(s, d, v)
+    val ts = sigTombstonedIds(s, d, v)
+    val docsParts =
+      v.base.flatMap(b => ArtifactLake.tableIfPresent(Some(b), "docs"))
+        .map(f => s.read.parquet(f.getAbsolutePath)).toSeq ++
+      ArtifactLake.tableIfPresent(v.gen, "docs")
+        .map(f => s.read.parquet(f.getAbsolutePath)).toSeq ++
+      adds.map(dir => s.read.parquet(s"${dir.getAbsolutePath}/docs"))
+    val docsFold = docsParts.reduceOption(_ unionByName _)
+      .map(df => ts.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti")))
+
+    val nLive = sigs.count()
+    val nFiles = math.min(64L, math.max(1L, (nLive + 65535L) / 65536L)).toInt
+    val installed = ArtifactLake.ensure(target) { staging =>
+      val out = staging.getAbsolutePath
+      if (nLive > 0) {
+        bands.repartition(nFiles).write.mode("overwrite").parquet(s"$out/bands")
+        sigs.repartition(nFiles).write.mode("overwrite").parquet(s"$out/sig")
+      }
+      docsFold.foreach { df =>
+        if (df.limit(1).count() > 0)
+          df.repartition(nFiles).write.mode("overwrite").parquet(s"$out/docs")
+      }
+      new java.io.File(out).mkdirs()
+      ArtifactLake.writeLines(new java.io.File(out, "consumed.txt"), consumed)
+      ArtifactLake.writeLines(new java.io.File(out, "gens.txt"), gens)
+    }
+    if (installed) Dedup.sigRebases.incrementAndGet()
+    installed
+  }
+
   /** Delete the segments the current generation subsumes. MAINTENANCE-
     * WINDOW ONLY ([[Similarity.vacuum]]'s contract): safe iff no
     * reader holds the pre-compact view open. Returns dirs removed.
     */
   def vacuum(d: String): Int = synchronized {
-    val c = ArtifactLake.consumedNames(ArtifactLake.currentGen(sigPath(d)))
+    val v = sigView(d)
+    val subsumed = ArtifactLake.subsumedGens(v.base)
     val victims = ArtifactLake.segmentDirs(sigPath(d), "add-") ++
       ArtifactLake.segmentDirs(sigPath(d), "del-")
-    val dead = victims.filter(f => c.contains(f.getName))
+    val deadSegs = victims.filter(f => v.consumed.contains(f.getName))
+    // a rebase base also subsumes whole generations — same contract
+    val deadGens = Option(new java.io.File(s"${sigPath(d)}/gens").listFiles())
+      .toSeq.flatten.filter(f => subsumed.contains(f.getName))
+    val dead = deadSegs ++ deadGens
     dead.foreach(ArtifactLake.deleteTree)
     dead.length
   }

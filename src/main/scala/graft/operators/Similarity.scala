@@ -131,6 +131,7 @@ object Similarity {
 
   /** Count of generations actually INSTALLED this JVM ([[compact]]). */
   private[operators] val indexCompacts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[operators] val indexRebases = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** One vector's nProbe nearest cells — the [[Similarity#assignCells]]
     * scoring loop factored out so the out-of-corpus serving path
@@ -1599,19 +1600,20 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       bcast: Boolean): DataFrame = {
     import s.implicits._
     def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
-    // ONE generation-pointer snapshot for the whole serve: every live
+    // ONE composition snapshot for the whole serve: every live
     // view below (assignment, tombstones, codes, refine floats) is
-    // composed against the same generation, so a compact installing
+    // composed against the same view, so a compact/rebase installing
     // mid-plan-construction cannot yield a mixed old-list/new-tombstone
     // view that briefly serves a retired vector
-    val gen = ArtifactLake.currentGen(indexPath(d))
+    val v = idxView(d)
     // base ∪ installed delta segments: added vectors are served the
     // moment their segment's marker lands ([[addVectors]]); tombstoned
     // ids drop out here, upstream of codes and refine ([[removeVectors]])
-    val home0 = withDeltas(s, d, gen, probedDF(s, d), "ivf_assign")
+    val home0 = withDeltas(s, d, v, probedDF(s, d), "ivf_assign",
+        baseReplacesRoot = true)
       .filter($"rk" === 1)
       .select($"vec_id".as("n_id"), $"cell")
-    val home = tombstonedIds(s, d, gen).fold(home0)(ts =>
+    val home = tombstonedIds(s, d, v).fold(home0)(ts =>
       home0.join(broadcast(ts.withColumnRenamed("vec_id", "n_id")),
         Seq("n_id"), "left_anti"))
     val cand = home.join(hint(qprobes), "cell")
@@ -1623,7 +1625,8 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     // materialized on the driver
     val lut = residualLut(s, d, qprobes, qcomp)
     val scored = cand
-      .join(withDeltas(s, d, gen, resCodesDF(s, d), "pq_res_codes"), "n_id")
+      .join(withDeltas(s, d, v, resCodesDF(s, d), "pq_res_codes",
+        baseReplacesRoot = true), "n_id")
       .join(hint(lut), Seq("q_id", "cell", "sub", "cent"))
       .groupBy($"q_id", $"n_id")
       .agg(sum($"pd2").as("d2"))
@@ -1642,9 +1645,11 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       // unpacked with the identical transform
       val u0 = unpacked(s, d).select($"vec_id", $"i", $"v")
       val addedVecDirs =
-        ArtifactLake.tableIfPresent(gen, "vectors")
+        v.base.flatMap(b => ArtifactLake.tableIfPresent(Some(b), "vectors"))
           .map(_.getAbsolutePath).toSeq ++
-        deltaDirs(d, gen).map(dir => s"${dir.getAbsolutePath}/vectors")
+        ArtifactLake.tableIfPresent(v.gen, "vectors")
+          .map(_.getAbsolutePath).toSeq ++
+        deltaDirs(d, v).map(dir => s"${dir.getAbsolutePath}/vectors")
       val u = addedVecDirs.foldLeft(u0)((acc, p) =>
         acc.unionByName(s.read.parquet(p)
           .select($"vec_id", posexplode(
@@ -1690,14 +1695,16 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     // itself) — so composing from whatever is on disk is already
     // exactly what a post-build search would serve, without forcing
     // the full IVF+PQ build as a side effect of a read
-    val gen = ArtifactLake.currentGen(indexPath(d))
+    val v = idxView(d)
     val base = t(s, d, "embeddings").select($"vec_id", $"embedding")
     val segDirs =
-      ArtifactLake.tableIfPresent(gen, "vectors").map(_.getAbsolutePath).toSeq ++
-      deltaDirs(d, gen).map(dir => s"${dir.getAbsolutePath}/vectors")
+      v.base.flatMap(b => ArtifactLake.tableIfPresent(Some(b), "vectors"))
+        .map(_.getAbsolutePath).toSeq ++
+      ArtifactLake.tableIfPresent(v.gen, "vectors").map(_.getAbsolutePath).toSeq ++
+      deltaDirs(d, v).map(dir => s"${dir.getAbsolutePath}/vectors")
     val all = segDirs.foldLeft(base)((acc, p) =>
       acc.unionByName(s.read.parquet(p).select($"vec_id", $"embedding")))
-    tombstonedIds(s, d, gen).fold(all)(ts =>
+    tombstonedIds(s, d, v).fold(all)(ts =>
       all.join(broadcast(ts), Seq("vec_id"), "left_anti"))
   }
 
@@ -1762,25 +1769,34 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     // no ensureIndex — a monitoring poll must not trigger an index
     // build (see liveVectors); an unbuilt store reports gen −1,
     // zero segments, corpus-sized base
-    val p = indexPath(d)
-    val gen = ArtifactLake.currentGen(p)
-    val genSeq = gen.map(_.getName.split('-')(1).toLong).getOrElse(-1L)
-    val adds = deltaDirs(d, gen)
-    val dels = tombstoneDirs(d, gen)
+    val v = idxView(d)
+    val genSeq = v.gen.map(_.getName.split('-')(1).toLong).getOrElse(-1L)
+    val baseEpoch = v.base.map(_.getName.split('-')(1).toLong).getOrElse(0L)
+    val adds = deltaDirs(d, v)
+    val dels = tombstoneDirs(d, v)
     def cnt(path: String): Long = Tables.layerCount(s, path)
-    val baseRows = Tables.rowCount(s, d, "embeddings")
-    val genRows = ArtifactLake.tableIfPresent(gen, "vectors")
+    // the corpus parquet stays the bottom layer at every epoch; a
+    // rebase base only EXTENDS it with folded DML vectors, and its
+    // corpus-shadowing tombstones count in tombstone_rows
+    val baseRows = Tables.rowCount(s, d, "embeddings") +
+      v.base.flatMap(b => ArtifactLake.tableIfPresent(Some(b), "vectors"))
+        .map(f => cnt(f.getAbsolutePath)).getOrElse(0L)
+    val genRows = ArtifactLake.tableIfPresent(v.gen, "vectors")
       .map(f => cnt(f.getAbsolutePath)).getOrElse(0L)
     val segRows = adds.map(dir => cnt(s"${dir.getAbsolutePath}/vectors")).sum
-    val tsRows = ArtifactLake.tableIfPresent(gen, "tombstones")
-      .map(f => cnt(f.getAbsolutePath)).getOrElse(0L) +
+    val tsRows =
+      v.base.flatMap(b => ArtifactLake.tableIfPresent(Some(b), "tombstones"))
+        .map(f => cnt(f.getAbsolutePath)).getOrElse(0L) +
+      ArtifactLake.tableIfPresent(v.gen, "tombstones")
+        .map(f => cnt(f.getAbsolutePath)).getOrElse(0L) +
       dels.map(dir => cnt(s"${dir.getAbsolutePath}/ids")).sum
-    Seq((genSeq, ArtifactLake.consumedNames(gen).size.toLong,
+    Seq((genSeq, baseEpoch, v.consumed.size.toLong,
       adds.size.toLong, dels.size.toLong,
       baseRows, genRows, segRows, tsRows,
       baseRows + genRows + segRows - tsRows))
-      .toDF("generation", "consumed_segments", "unconsumed_adds",
-        "unconsumed_dels", "base_rows", "generation_rows", "segment_rows",
+      .toDF("generation", "base_epoch", "consumed_segments",
+        "unconsumed_adds", "unconsumed_dels", "base_rows",
+        "generation_rows", "segment_rows",
         "tombstone_rows", "live_rows")
   }
 
@@ -1819,45 +1835,83 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * with new-gen carried tombstones drops segment-only tombstoned
     * ids, briefly serving a retired row.
     */
-  private def deltaDirs(d: String, gen: Option[java.io.File]): Seq[java.io.File] = {
-    val c = ArtifactLake.consumedNames(gen)
+  private def deltaDirs(d: String, v: IdxView): Seq[java.io.File] =
     ArtifactLake.segmentDirs(indexPath(d), "add-")
-      .filterNot(f => c.contains(f.getName))
+      .filterNot(f => v.consumed.contains(f.getName))
+
+  /** One atomic snapshot of the index's layered composition —
+    * [[Dedup]]'s SigView twin ([[rebase]]): `base` = the newest full-
+    * compaction base (None = the root index tables), `gen` = the
+    * current generation unless the base subsumes it, `rawGen` = the
+    * unfiltered pointer (sequence numbering / name salting), and
+    * `consumed` = every segment name folded into base and/or gen.
+    */
+  private final case class IdxView(
+      base: Option[java.io.File],
+      gen: Option[java.io.File],
+      rawGen: Option[java.io.File],
+      consumed: Set[String])
+
+  private def idxView(d: String): IdxView = {
+    val p = indexPath(d)
+    val base = ArtifactLake.currentBase(p)
+    val subs = ArtifactLake.subsumedGens(base)
+    val rawGen = ArtifactLake.currentGen(p)
+    val gen = rawGen.filterNot(g => subs.contains(g.getName))
+    IdxView(base, gen, rawGen,
+      ArtifactLake.consumedNames(base) ++ ArtifactLake.consumedNames(gen))
   }
 
-  /** `base` ∪ the snapshot generation's fold of that table (if any) ∪
-    * the same-named table of every segment that generation has not
-    * consumed.
+  /** `bottom layer ∪ the snapshot generation's fold ∪ unconsumed
+    * segments` for one index table. `baseReplacesRoot` picks the
+    * bottom layer when a rebase base exists: the derived tables
+    * (ivf_assign / pq_res_codes) are fully folded into the base, which
+    * REPLACES the root scan; the raw-float `vectors` chain's root is
+    * the external corpus parquet, which a base only EXTENDS.
     */
-  private def withDeltas(s: SparkSession, d: String, gen: Option[java.io.File],
-      base: DataFrame, table: String): DataFrame = {
-    val genTable = ArtifactLake.tableIfPresent(gen, table)
-    val b0 = genTable.fold(base)(g => base.unionByName(s.read.parquet(g.getAbsolutePath)))
-    deltaDirs(d, gen).foldLeft(b0)((acc, dir) =>
+  private def withDeltas(s: SparkSession, d: String, v: IdxView,
+      root: DataFrame, table: String, baseReplacesRoot: Boolean): DataFrame = {
+    val baseTable = v.base.flatMap(b => ArtifactLake.tableIfPresent(Some(b), table))
+    val b0 = (baseTable, v.base) match {
+      case (Some(bt), _) if baseReplacesRoot => s.read.parquet(bt.getAbsolutePath)
+      case (None, Some(_)) if baseReplacesRoot =>
+        // base installed but this fold was EMPTY (everything
+        // tombstoned): absent table = zero rows, never the root scan
+        root.limit(0)
+      case (Some(bt), _) => root.unionByName(s.read.parquet(bt.getAbsolutePath))
+      case _ => root
+    }
+    val b1 = ArtifactLake.tableIfPresent(v.gen, table)
+      .fold(b0)(g => b0.unionByName(s.read.parquet(g.getAbsolutePath)))
+    deltaDirs(d, v).foldLeft(b1)((acc, dir) =>
       acc.unionByName(s.read.parquet(s"${dir.getAbsolutePath}/$table")))
   }
 
   /** UNCONSUMED tombstone segments ([[removeVectors]]) — folded ones
-    * live on only as the generation's carried-forward tombstone table.
+    * live on only as the generation's (or base's) carried-forward
+    * tombstone table.
     */
-  private def tombstoneDirs(d: String, gen: Option[java.io.File]): Seq[java.io.File] = {
-    val c = ArtifactLake.consumedNames(gen)
+  private def tombstoneDirs(d: String, v: IdxView): Seq[java.io.File] =
     ArtifactLake.segmentDirs(indexPath(d), "del-")
-      .filterNot(f => c.contains(f.getName))
-  }
+      .filterNot(f => v.consumed.contains(f.getName))
 
-  /** All LIVE tombstoned ids as one column `vec_id` — the snapshot
-    * generation's carried-forward tombstones plus the tombstone
-    * segments it has not consumed; None when neither exists (the
+  /** All LIVE tombstoned ids as one column `vec_id` — the base's
+    * corpus-shadowing tombstones (a rebase cannot rewrite the external
+    * corpus parquet, so ids retiring CORPUS rows survive every fold —
+    * unlike the dedup lake, whose membership tables are all
+    * lake-owned), the snapshot generation's carried-forward ones, and
+    * the unconsumed tombstone segments; None when none exist (the
     * overwhelmingly common case — spares every search the anti-join).
     */
   private def tombstonedIds(s: SparkSession, d: String,
-      gen: Option[java.io.File]): Option[DataFrame] = {
-    val genTs = ArtifactLake.tableIfPresent(gen, "tombstones")
+      v: IdxView): Option[DataFrame] = {
+    val baseTs = v.base.flatMap(b => ArtifactLake.tableIfPresent(Some(b), "tombstones"))
       .map(g => s.read.parquet(g.getAbsolutePath))
-    val segs = tombstoneDirs(d, gen).map(dir =>
+    val genTs = ArtifactLake.tableIfPresent(v.gen, "tombstones")
+      .map(g => s.read.parquet(g.getAbsolutePath))
+    val segs = tombstoneDirs(d, v).map(dir =>
       s.read.parquet(s"${dir.getAbsolutePath}/ids"))
-    (genTs.toSeq ++ segs) match {
+    (baseTs.toSeq ++ genTs.toSeq ++ segs) match {
       case Seq() => None
       case all => Some(all.reduce(_ unionByName _))
     }
@@ -1972,9 +2026,9 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       // plain name on disk, so a post-compact write of this content
       // needs an epoch-salted name; whether that write is a replay
       // no-op or a genuine re-add is decided below by id liveness
-      val gen = ArtifactLake.currentGen(indexPath(d))
-      val genSeq = gen.map(_.getName.drop(4).takeWhile(_ != '-').toInt).getOrElse(0)
-      val folded = ArtifactLake.consumedNames(gen).contains(s"add-$key")
+      val v = idxView(d)
+      val genSeq = v.rawGen.map(_.getName.drop(4).takeWhile(_ != '-').toInt).getOrElse(0)
+      val folded = v.consumed.contains(s"add-$key")
       val name = if (folded) s"add-g$genSeq-$key" else s"add-$key"
       val target = new java.io.File(s"${indexPath(d)}/deltas/$name")
 
@@ -1989,10 +2043,11 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       // assignment scan to NOTHING in the common fresh-ids ingest case.
       // Tombstoned ids count as taken ([[removeVectors]] — retirement
       // is permanent without compaction).
-      val takenBase = withDeltas(s, d, gen, probedDF(s, d), "ivf_assign")
+      val takenBase = withDeltas(s, d, v, probedDF(s, d), "ivf_assign",
+          baseReplacesRoot = true)
         .filter($"rk" === 1 && $"vec_id".between(lo, hi))
         .select($"vec_id")
-      val takenAll = tombstonedIds(s, d, gen).fold(takenBase)(takenBase.unionByName(_))
+      val takenAll = tombstonedIds(s, d, v).fold(takenBase)(takenBase.unionByName(_))
       val idsDf = norm.select($"vec_id")
       // broadcast only clearly-small batches; beyond ~1M ids a forced
       // broadcast costs real driver heap and risks the broadcast
@@ -2067,8 +2122,8 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * readers are unaffected ([[vacuum]] stays explicit).
     */
   private def maybeCompact(s: SparkSession, d: String): Unit = {
-    val gen = ArtifactLake.currentGen(indexPath(d))
-    if (deltaDirs(d, gen).length + tombstoneDirs(d, gen).length >
+    val v = idxView(d)
+    if (deltaDirs(d, v).length + tombstoneDirs(d, v).length >
         tuning.storeMaxSegments) {
       compact(s, d)
       ()
@@ -2119,9 +2174,9 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       val key = f"${st.getAs[Long]("h1")}%016x${st.getAs[Long]("h2")}%016x"
       // epoch-salt when a generation consumed this id set's tombstone:
       // an id re-added after its compact must be removable again
-      val gen = ArtifactLake.currentGen(indexPath(d))
-      val genSeq = gen.map(_.getName.drop(4).takeWhile(_ != '-').toInt).getOrElse(0)
-      val name = if (ArtifactLake.consumedNames(gen).contains(s"del-$key"))
+      val v = idxView(d)
+      val genSeq = v.rawGen.map(_.getName.drop(4).takeWhile(_ != '-').toInt).getOrElse(0)
+      val name = if (v.consumed.contains(s"del-$key"))
         s"del-g$genSeq-$key" else s"del-$key"
       val target = new java.io.File(s"${indexPath(d)}/deltas/$name")
       if (new java.io.File(target, "_SUCCESS").isFile) return false
@@ -2163,15 +2218,16 @@ final class Similarity(val tuning: Tuning) extends Serializable {
   def compact(s: SparkSession, d: String): Boolean = synchronized {
     import s.implicits._
     ensureIndex(s, d)
-    // one gen snapshot drives the segment listing AND the fold inputs
-    val prevGen = ArtifactLake.currentGen(indexPath(d))
-    val adds = deltaDirs(d, prevGen)
-    val dels = tombstoneDirs(d, prevGen)
+    // one composition snapshot drives the segment listing AND the
+    // fold inputs; sequence numbering advances past a SUBSUMED
+    // generation too (rawGen) so names stay unique across a rebase
+    val v = idxView(d)
+    val adds = deltaDirs(d, v)
+    val dels = tombstoneDirs(d, v)
     if (adds.isEmpty && dels.isEmpty) return false
-    val prevNames = ArtifactLake.consumedNames(prevGen)
-    val consumed = (prevNames ++ adds.map(_.getName) ++ dels.map(_.getName))
+    val consumed = (v.consumed ++ adds.map(_.getName) ++ dels.map(_.getName))
       .toSeq.sorted
-    val seq = prevGen.map(_.getName.drop(4).takeWhile(_ != '-').toInt)
+    val seq = v.rawGen.map(_.getName.drop(4).takeWhile(_ != '-').toInt)
       .getOrElse(0) + 1
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(consumed.mkString("|").getBytes("UTF-8"))
@@ -2180,12 +2236,12 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       f"${indexPath(d)}/gens/gen-$seq%05d-$key")
     if (new java.io.File(target, "_SUCCESS").isFile) return false
 
-    val ts = tombstonedIds(s, d, prevGen)
+    val ts = tombstonedIds(s, d, v)
     // the fold inputs: the PREVIOUS generation's tables count as one
     // more segment — a gen chain never re-reads segments twice deep
     def foldOf(table: String): Option[DataFrame] = {
       val parts =
-        ArtifactLake.tableIfPresent(prevGen, table)
+        ArtifactLake.tableIfPresent(v.gen, table)
           .map(g => s.read.parquet(g.getAbsolutePath)).toSeq ++
         adds.map(dir => s.read.parquet(s"${dir.getAbsolutePath}/$table"))
       parts.reduceOption(_ unionByName _)
@@ -2197,13 +2253,30 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     val mergedAssign = foldOf("ivf_assign").map(minusTs(_, "vec_id"))
     val nLive = mergedAssign.map(_.filter($"rk" === 1).count()).getOrElse(0L)
     val nFiles = math.min(64L, math.max(1L, (nLive + 65535L) / 65536L)).toInt
-    // carried tombstones: live ts ids still shadowing a BASE row (one
-    // semi-join against the immutable base home cells); ids that only
-    // shadowed folded segments — or nothing — drop out
-    val carried = ts.map(_.join(
-        probedDF(s, d).filter($"rk" === 1).select($"vec_id"),
-        Seq("vec_id"), "left_semi")
-      .distinct())
+    // carried tombstones: live ts ids still shadowing a BOTTOM-LAYER
+    // row — the root home cells, or the rebase base's assignment table
+    // when one exists (it covers both corpus rows and folded adds, so
+    // a tombstone retiring a base-folded add survives the compact
+    // instead of vanishing while its rows stay). Ids that only
+    // shadowed folded segments — or nothing — drop out, and ids the
+    // rebase base already records permanently are not re-carried
+    // (they would double-count in every stats subtraction).
+    val baseTs = v.base
+      .flatMap(b => ArtifactLake.tableIfPresent(Some(b), "tombstones"))
+      .map(f => s.read.parquet(f.getAbsolutePath))
+    val bottomIds = v.base match {
+      case Some(b) => ArtifactLake.tableIfPresent(Some(b), "ivf_assign")
+        .map(f => s.read.parquet(f.getAbsolutePath)
+          .filter($"rk" === 1).select($"vec_id"))
+        .getOrElse(probedDF(s, d).filter($"rk" === 1).select($"vec_id").limit(0))
+      case None => probedDF(s, d).filter($"rk" === 1).select($"vec_id")
+    }
+    val carried = ts.map { t0 =>
+      val fresh = baseTs.fold(t0)(bt =>
+        t0.join(broadcast(bt), Seq("vec_id"), "left_anti"))
+      fresh.join(bottomIds, Seq("vec_id"), "left_semi")
+      .distinct()
+    }
 
     val installed = ArtifactLake.ensure(target) { staging =>
       val out = staging.getAbsolutePath
@@ -2226,6 +2299,87 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     installed
   }
 
+  /** FULL compaction into a NEW base — [[Dedup.rebase]]'s vector-store
+    * twin: fold the entire live composition (root-or-base index tables
+    * ∪ generation ∪ unconsumed segments, tombstones applied) into one
+    * immutable `bases/base-<seq>-<key>` artifact that serving resolves
+    * INSTEAD of the root derived tables, with `gens.txt` marking the
+    * subsumed generation. One structural difference from the dedup
+    * lake: the corpus parquet is external and immutable, so ids
+    * retiring CORPUS rows are carried forward as the base's own
+    * tombstone table (they can never be physically applied to the
+    * bottom layer) — only segment/generation dead weight is actually
+    * shed. Root tables untouched (the oracle-pinned q43-q49 reads);
+    * nothing deleted ([[vacuum]]); returns true iff THIS call
+    * installed a new base.
+    */
+  def rebase(s: SparkSession, d: String): Boolean = synchronized {
+    import s.implicits._
+    ensureIndex(s, d)
+    val v = idxView(d)
+    val adds = deltaDirs(d, v)
+    val dels = tombstoneDirs(d, v)
+    if (v.gen.isEmpty && adds.isEmpty && dels.isEmpty) return false
+    val consumed = (v.consumed ++ adds.map(_.getName) ++ dels.map(_.getName))
+      .toSeq.sorted
+    val gens = (ArtifactLake.subsumedGens(v.base) ++
+      v.rawGen.map(_.getName)).toSeq.sorted
+    val seq = v.base.map(_.getName.drop(5).takeWhile(_ != '-').toInt)
+      .getOrElse(0) + 1
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((consumed ++ gens).mkString("|").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val target = new java.io.File(f"${indexPath(d)}/bases/base-$seq%05d-$key")
+    if (new java.io.File(target, "_SUCCESS").isFile) return false
+
+    val ts = tombstonedIds(s, d, v)
+    def minusTs(df: DataFrame, idCol: String): DataFrame =
+      ts.fold(df)(t => df.join(
+        broadcast(t.withColumnRenamed("vec_id", idCol)), Seq(idCol), "left_anti"))
+    // the full folds ARE the live views: base-or-root ∪ gen ∪ segments
+    // minus every live tombstone — serve-identical by construction
+    val assign = minusTs(withDeltas(s, d, v, probedDF(s, d), "ivf_assign",
+      baseReplacesRoot = true), "vec_id")
+    val codes = minusTs(withDeltas(s, d, v, resCodesDF(s, d), "pq_res_codes",
+      baseReplacesRoot = true), "n_id")
+    val vecParts =
+      v.base.flatMap(b => ArtifactLake.tableIfPresent(Some(b), "vectors"))
+        .map(f => s.read.parquet(f.getAbsolutePath)).toSeq ++
+      ArtifactLake.tableIfPresent(v.gen, "vectors")
+        .map(f => s.read.parquet(f.getAbsolutePath)).toSeq ++
+      adds.map(dir => s.read.parquet(s"${dir.getAbsolutePath}/vectors"))
+    val vecFold = vecParts.reduceOption(_ unionByName _)
+      .map(minusTs(_, "vec_id"))
+    // corpus-shadowing tombstones survive the fold (see the scaladoc)
+    val carried = ts.map(_.join(
+        probedDF(s, d).filter($"rk" === 1).select($"vec_id"),
+        Seq("vec_id"), "left_semi")
+      .distinct())
+
+    val nLive = assign.filter($"rk" === 1).count()
+    val nFiles = math.min(64L, math.max(1L, (nLive + 65535L) / 65536L)).toInt
+    val installed = ArtifactLake.ensure(target) { staging =>
+      val out = staging.getAbsolutePath
+      if (nLive > 0) {
+        assign.repartition(nFiles).write.mode("overwrite").parquet(s"$out/ivf_assign")
+        codes.repartition(nFiles).write.mode("overwrite").parquet(s"$out/pq_res_codes")
+      }
+      vecFold.foreach { df =>
+        if (df.limit(1).count() > 0)
+          df.repartition(nFiles).write.mode("overwrite").parquet(s"$out/vectors")
+      }
+      carried.foreach { c =>
+        if (c.limit(1).count() > 0)
+          c.repartition(1).write.mode("overwrite").parquet(s"$out/tombstones")
+      }
+      new java.io.File(out).mkdirs()
+      ArtifactLake.writeLines(new java.io.File(out, "consumed.txt"), consumed)
+      ArtifactLake.writeLines(new java.io.File(out, "gens.txt"), gens)
+    }
+    if (installed) Similarity.indexRebases.incrementAndGet()
+    installed
+  }
+
   /** Delete the delta segments the current generation has subsumed.
     * MAINTENANCE-WINDOW ONLY: safe iff no reader holds the pre-compact
     * view open (the single-logical-writer contract extended to a
@@ -2234,10 +2388,15 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * dirs removed.
     */
   def vacuum(d: String): Int = synchronized {
-    val c = ArtifactLake.consumedNames(ArtifactLake.currentGen(indexPath(d)))
+    val v = idxView(d)
+    val subsumed = ArtifactLake.subsumedGens(v.base)
     val victims = ArtifactLake.segmentDirs(indexPath(d), "add-") ++
       ArtifactLake.segmentDirs(indexPath(d), "del-")
-    val dead = victims.filter(f => c.contains(f.getName))
+    val deadSegs = victims.filter(f => v.consumed.contains(f.getName))
+    // a rebase base also subsumes whole generations — same contract
+    val deadGens = Option(new java.io.File(s"${indexPath(d)}/gens").listFiles())
+      .toSeq.flatten.filter(f => subsumed.contains(f.getName))
+    val dead = deadSegs ++ deadGens
     dead.foreach(ArtifactLake.deleteTree)
     dead.length
   }
