@@ -236,5 +236,78 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       FROM dw JOIN wt USING (w)
       GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q82, q83)
+  /** q84: sequence packing into 512-token context windows by REAL BPE
+    * token counts — q58's range-partitioned two-pass prefix sum (no
+    * single-reducer window), re-based from the whitespace proxy onto
+    * the trained tokenizer: a document's length is what the model
+    * actually consumes, so this is the packing a training run ships.
+    * Per-doc counts come from the q83 vocabulary join (left, so docs
+    * with no in-vocabulary words pack as zero-length — they consume
+    * no context budget, exactly as q58 treats empty text).
+    */
+  private val q84 = Q(
+    "q84_bpe_packing",
+    (s, d) => {
+      import s.implicits._
+      val ctx = 512L
+      val wt = finalSeg(s, d)
+        .select($"w", size(segToks($"seg")).cast("long").as("nt"))
+      val perDoc = t(s, d, "documents")
+        .select($"doc_id", explode_outer(expr(toksExpr)).as("w"))
+        .join(wt, Seq("w"), "left")
+        .groupBy($"doc_id")
+        .agg(coalesce(sum($"nt"), lit(0L)).as("n"))
+      val ranged = TwoPass.rangedPinned(perDoc.as[(Long, Long)], $"doc_id")
+      // pass 1: per-partition token totals — P scalars to the driver
+      val sums = TwoPass.withPid(ranged) { (pid, it) =>
+        var tot = 0L
+        it.foreach { case (_, n) => tot += n }
+        Iterator.single((pid, tot))
+      }.collect()
+      val offsets: Map[Int, Long] = {
+        var running = 0L
+        sums.sortBy(_._1).map { case (pid, tot) =>
+          val off = running; running += tot; pid -> off
+        }.toMap
+      }
+      val bOff = s.sparkContext.broadcast(offsets)
+      // pass 2: a doc's start offset = partition offset + tokens
+      // before it locally; its bin is start / ctx
+      val binned = TwoPass.withPid(ranged) { (pid, it) =>
+        var run = bOff.value.getOrElse(pid, 0L)
+        it.map { case (id, n) =>
+          val start = run
+          run += n
+          (id, n, start / ctx)
+        }
+      }.toDF("doc_id", "n", "bin")
+      binned.groupBy($"bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n").cast("long").as("n_tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy($"bin")
+    },
+    Some(s"""
+      WITH $trainCtes,
+      wt AS (SELECT w, CAST(len(regexp_extract_all(seg, '\\(([^()]*)\\)', 1)) AS BIGINT) AS nt
+             FROM s$nRounds),
+      dw AS (SELECT doc_id, unnest($toksSqlDuck) AS w FROM documents),
+      dn AS (SELECT dw.doc_id, CAST(coalesce(sum(wt.nt), 0) AS BIGINT) AS n
+             FROM dw LEFT JOIN wt USING (w) GROUP BY dw.doc_id),
+      c AS (SELECT d.doc_id, CAST(coalesce(dn.n, 0) AS BIGINT) AS n
+            FROM documents d LEFT JOIN dn USING (doc_id)),
+      pw AS (SELECT doc_id, n,
+              coalesce(sum(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+            FROM c),
+      b AS (SELECT doc_id, n, CAST(strt // 512 AS BIGINT) AS bin FROM pw)
+      SELECT bin, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM b
+      GROUP BY bin
+      ORDER BY bin"""))
+
+  val all: Seq[Q] = Seq(q82, q83, q84)
 }

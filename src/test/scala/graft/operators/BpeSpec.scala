@@ -44,6 +44,19 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("q84 packing conserves q83's token mass and q58's corpus coverage") {
+    import spark.implicits._
+    val bins = q(Tuning(), "q84_bpe_packing")
+      .select($"n_docs", $"n_tokens").as[(Long, Long)].collect()
+    val (docs, toks) = (bins.map(_._1).sum, bins.map(_._2).sum)
+    // every document packs exactly once (including token-less ones)
+    assert(docs == graft.Tables.t(spark, sf, "documents").count())
+    // the packed token mass IS q83's corpus total
+    val q83Toks = q(Tuning(), "q83_bpe_tokenize")
+      .agg(org.apache.spark.sql.functions.sum($"n_tokens")).head().getLong(0)
+    assert(toks == q83Toks)
+  }
+
   test("fewer merge rounds yield a prefix of the merge table") {
     val full = q(Tuning(), "q82_bpe_train").collect().map(_.toString).toSeq
     val short = q(Tuning(bpeMerges = 7), "q82_bpe_train").collect()
