@@ -112,7 +112,14 @@ final case class Tuning(
       * aggregation over the VOCABULARY table (not the corpus) plus a
       * 1-row driver collect — the q38 fixpoint pattern; training may
       * stop early when no adjacent pair repeats (count < 2). */
-    bpeMerges: Int = 40) {
+    bpeMerges: Int = 40,
+    /** q86: minimum shared-run length IN TOKENS for a doc pair to be
+      * reported as an exact-substring overlap. Runs shorter than the
+      * 8-token window can't be observed at all, so this must be ≥ 8;
+      * raising it cheapens the report (fewer pairs survive the island
+      * aggregation) without changing the candidate volume, which
+      * [[dfCap]] bounds. */
+    runMinTokens: Int = 16) {
 
   /** Minhash signature length — bands × rows, every row one affine
     * permutation over the 2³¹−1 prime field. */
@@ -131,6 +138,9 @@ final case class Tuning(
     pos(refineFactor, "refineFactor"); pos(storeMaxSegments, "storeMaxSegments")
     pos(bloomBits, "bloomBits"); pos(outlierK, "outlierK")
     pos(verifyPairBudget, "verifyPairBudget"); pos(bpeMerges, "bpeMerges")
+    if (runMinTokens < 8) throw ConfigurationError(
+      s"graft.tuning.runMinTokens must be >= 8 (the shingle window width" +
+        s" — shorter runs are unobservable), got $runMinTokens")
     if (bloomBits > (1 << 26)) throw ConfigurationError(
       s"graft.tuning.bloomBits must be <= ${1 << 26} (Spark's runtime-filter ceiling), got $bloomBits")
     // positive form so NaN (for which every comparison is false) is
@@ -204,7 +214,8 @@ object Tuning {
       bloomBits = knob("bloomBits", d.bloomBits),
       outlierK = knob("outlierK", d.outlierK),
       verifyPairBudget = knob("verifyPairBudget", d.verifyPairBudget),
-      bpeMerges = knob("bpeMerges", d.bpeMerges))
+      bpeMerges = knob("bpeMerges", d.bpeMerges),
+      runMinTokens = knob("runMinTokens", d.runMinTokens))
     t.validate()
     t
   }

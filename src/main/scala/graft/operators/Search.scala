@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.Tables.{spread, t}
+import graft.Cols.{md5Long, md5LongSql, r4}
+import graft.config.Tuning
+
+/** Corpus search + exact-overlap operators over the documents table —
+  * the retrieval half of a curation stack: BM25 keyword ranking (what
+  * you run to AUDIT a corpus — "which documents dominate this topic")
+  * and exact substring-run detection (the dedup family's sharpest
+  * instrument: not "these docs look alike" but "these docs share this
+  * literal 16+-token span", the signal used to strip boilerplate and
+  * verbatim-copied passages from training data).
+  *
+  * Both are inverted-index-shaped: one explode, hash-partitioned joins
+  * on the term/window key, bounded per-key fan-out. No all-pairs
+  * anywhere — q86's candidate volume is bounded by [[Tuning.dfCap]]²
+  * per window exactly like q31's posting-list cap.
+  */
+final class Search(tuning: Tuning) {
+  import Dedup.{toksExpr, toksSqlDuck}
+
+  /** BM25 query terms — a fixed audit probe set drawn from the corpus
+    * domain vocabulary. A production deployment parameterizes these per
+    * audit; the registry pins one set so the oracle can replay it.
+    */
+  private val terms = Seq("spark", "window", "hash", "stream")
+  private val termsSql = terms.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** q85: BM25 ranking (Robertson k1=1.2, b=0.75, Lucene's
+    * non-negative idf = ln(1 + (N−df+0.5)/(df+0.5))) of every document
+    * against the probe term set; top 20 by score.
+    *
+    * Shape at scale: corpus stats (N, avgdl) are ONE map-side-combinable
+    * aggregate collapsed to a 1-row broadcast; per-term df is a ≤|terms|-
+    * row broadcast; the tf table is the only corpus-sized intermediate
+    * and it's already filtered to the probe terms AT THE EXPLODE, so the
+    * shuffle carries matching (doc, term) rows only — the inverted-index
+    * slice, not the corpus. Final top-k is a TakeOrdered, not a sort.
+    */
+  private val q85 = Q(
+    "q85_bm25_search",
+    (s, d) => {
+      import s.implicits._
+      val docs = spread(t(s, d, "documents"))
+        .withColumn("toks", expr(toksExpr))
+        .select($"doc_id", size($"toks").cast("double").as("dl"), $"toks")
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg($"dl").as("avgdl"))
+      val tf = docs
+        .select($"doc_id", $"dl", explode($"toks").as("tk"))
+        .where($"tk".isin(terms: _*))
+        .groupBy($"doc_id", $"dl", $"tk")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfTerm = tf.groupBy($"tk")
+        .agg(countDistinct($"doc_id").cast("double").as("df"))
+      tf.join(broadcast(dfTerm), Seq("tk"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+        .withColumn("s",
+          $"idf" * $"tf" * lit(2.2) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+        .groupBy($"doc_id")
+        .agg(r4(sum($"s")).as("bm25"), count(lit(1)).as("n_terms"))
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(20)
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, CAST(len($toksSqlDuck) AS DOUBLE) AS dl,
+               $toksSqlDuck AS toks
+        FROM documents),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d),
+      x AS (SELECT doc_id, dl, unnest(toks) AS tk FROM d),
+      tf AS (SELECT doc_id, dl, tk, CAST(count(*) AS DOUBLE) AS tf
+             FROM x WHERE tk IN $termsSql
+             GROUP BY doc_id, dl, tk),
+      dft AS (SELECT tk, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM tf GROUP BY tk),
+      sc AS (SELECT tf.doc_id,
+               ln(1 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * 2.2 /
+                 (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)) AS s
+             FROM tf JOIN dft USING (tk) CROSS JOIN st)
+      SELECT doc_id, round(sum(s), 4) AS bm25, count(*) AS n_terms
+      FROM sc
+      GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20"""))
+
+  /** Exact-substring window width in tokens — runs shorter than this
+    * are invisible; [[Tuning.runMinTokens]] (≥ this) sets the report
+    * threshold.
+    */
+  private val W = 8
+
+  /** q86: exact shared-substring runs between document pairs — the
+    * exact-substring dedup signal (Lee et al. 2021's suffix-array
+    * method, re-expressed as a Spark-native inverted-index join): two
+    * docs share a literal K-token span iff they share K−W+1 CONSECUTIVE
+    * positional W-token windows on one alignment diagonal. Emits, per
+    * pair with any run ≥ [[Tuning.runMinTokens]] tokens, the longest
+    * run and the total aligned-window count.
+    *
+    * Plan: positional window hashes (one explode, 60-bit md5 keys so
+    * the shuffle carries longs, not strings) → df-capped postings (the
+    * q31 boilerplate cap — a window seen in > dfCap docs is dropped,
+    * bounding pair volume at dfCap²/2 per window) → hash-partitioned
+    * self-join → gaps-and-islands per (pair, diagonal) partition. The
+    * island window function partitions by (doc_a, doc_b, diag), whose
+    * size is bounded by ONE document's length — never a corpus-scale
+    * window partition.
+    */
+  private val q86 = Q(
+    "q86_substring_runs",
+    (s, d) => {
+      import s.implicits._
+      val pos = spread(t(s, d, "documents"))
+        .withColumn("toks", expr(toksExpr))
+        .where(size($"toks") >= W)
+        .select($"doc_id", posexplode(expr(
+          s"transform(sequence(0, size(toks) - $W), i -> concat_ws(' ', slice(toks, i + 1, $W)))"))
+          .as(Seq("pos", "win")))
+        .select($"doc_id", $"pos".cast("long").as("pos"), md5Long($"win").as("h"))
+      val keep = pos.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("df"))
+        .where($"df" >= 2 && $"df" <= tuning.dfCap)
+        .select($"h")
+      val p = pos.join(keep, Seq("h"))
+      val pairs = p.as("a").join(p.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        .select(
+          $"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          $"a.pos".as("pa"), ($"a.pos" - $"b.pos").as("diag"))
+      val runs = pairs
+        .withColumn("grp", $"pa" -
+          row_number().over(Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa")))
+        .groupBy($"doc_a", $"doc_b", $"diag", $"grp")
+        .agg(count(lit(1)).as("len"))
+      runs.groupBy($"doc_a", $"doc_b")
+        .agg(
+          (max($"len") + lit(W - 1).cast("long")).as("max_run_tokens"),
+          sum($"len").as("n_aligned"))
+        .where($"max_run_tokens" >= tuning.runMinTokens)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSqlDuck AS toks FROM documents),
+      ix AS (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - ${W - 2}, 1))) AS i
+             FROM tk WHERE len(toks) >= $W),
+      ph AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               ${md5LongSql(s"array_to_string(list_slice(toks, i, i + ${W - 1}), ' ')")} AS h
+             FROM ix),
+      keep AS (SELECT h FROM ph GROUP BY h
+               HAVING count(DISTINCT doc_id) BETWEEN 2 AND ${tuning.dfCap}),
+      pk AS (SELECT ph.* FROM ph JOIN keep USING (h)),
+      pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.pos AS pa, a.pos - b.pos AS diag
+             FROM pk a JOIN pk b USING (h)
+             WHERE a.doc_id < b.doc_id),
+      g AS (SELECT doc_a, doc_b, diag, pa,
+              pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+            FROM pr),
+      runs AS (SELECT doc_a, doc_b, diag, grp, CAST(count(*) AS BIGINT) AS len
+               FROM g GROUP BY doc_a, doc_b, diag, grp)
+      SELECT doc_a, doc_b,
+             CAST(max(len) + ${W - 1} AS BIGINT) AS max_run_tokens,
+             CAST(sum(len) AS BIGINT) AS n_aligned
+      FROM runs
+      GROUP BY doc_a, doc_b
+      HAVING max(len) + ${W - 1} >= ${tuning.runMinTokens}
+      ORDER BY doc_a, doc_b"""))
+
+  val all: Seq[Q] = Seq(q85, q86)
+}

@@ -45,6 +45,12 @@ class TuningSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bloomBits"))
   }
 
+  test("runMinTokens floored at the 8-token window width") {
+    Tuning(runMinTokens = 8).validate()
+    val e = intercept[ConfigurationError](Tuning(runMinTokens = 7).validate())
+    assert(e.getMessage.contains("runMinTokens"))
+  }
+
   test("lshTables capped at 16") {
     Tuning(lshTables = 16).validate()
     intercept[ConfigurationError](Tuning(lshTables = 17).validate())
