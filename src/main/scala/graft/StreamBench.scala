@@ -163,8 +163,27 @@ object StreamBench {
       done = devices.forall { case (n, _, _, _, m) => committedRows(n) == m }
     }
     val t1 = System.nanoTime()
-    val t0 = devices.map(_._2.acceptedAtNanos).filter(_ > 0).min
     queries.foreach(q => try q.stop() catch { case _: Exception => })
+
+    // timeout/never-connected guard: a hung run must still EMIT its
+    // failure JSON line (the bench's contract is one parseable line per
+    // run) — computing min over zero accepted connections, or a rate
+    // from a clock that never started, would crash before reporting
+    val accepted = devices.map(_._2.acceptedAtNanos).filter(_ > 0)
+    if (!done || accepted.isEmpty) {
+      devices.foreach(_._2.close())
+      val committed = devices.map { case (n, _, _, _, m) =>
+        s""""$n":{"committed":${committedRows(n)},"expected":$m}""" }.mkString(",")
+      try spark.stop() catch { case _: Exception => }
+      println(
+        s"""{"metric":"stream_bench","messages":$totalMsgs,""" +
+          s""""elapsed_s":-1.0,"msg_per_s":-1.0,"x_reference_60msgs":-1.0,""" +
+          s""""zero_dropped_packs":false,"timed_out":${!done},""" +
+          s""""never_connected":${accepted.isEmpty},"devices":{$committed}}""")
+      System.out.flush()
+      sys.exit(1)
+    }
+    val t0 = accepted.min
 
     // zero-dropped-packs audit: every pack present, every pack full —
     // pack_seq is per KEY (the probe's levels each count 0..n), so the

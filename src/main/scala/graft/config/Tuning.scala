@@ -113,6 +113,18 @@ final case class Tuning(
       * 1-row driver collect — the q38 fixpoint pattern; training may
       * stop early when no adjacent pair repeats (count < 2). */
     bpeMerges: Int = 40,
+    /** q32/q38/q72/q81 (defense in depth under [[verifyPairBudget]]):
+      * optional band-bucket ceiling BELOW [[minhashBucketCap]] — a band
+      * bucket holding more than this many documents is dropped before
+      * pairing, cutting a saturated corpus's candidate mass at the root
+      * (a bucket of b docs emits b·(b−1)/2 pairs, so halving the cap
+      * quarters the worst-case volume) where the verify budget merely
+      * survives it in bounded passes. 0 = disabled (the shipped
+      * default — dropping buckets CHANGES results, so turning it on is
+      * a per-dataset recall/cost decision, matrix-tested like dfCap).
+      * When enabled the effective ceiling is min(this,
+      * minhashBucketCap), mirrored in the oracle SQL. */
+    bandBucketCap: Int = 0,
     /** q86: minimum shared-run length IN TOKENS for a doc pair to be
       * reported as an exact-substring overlap. Runs shorter than the
       * 8-token window can't be observed at all, so this must be ≥ 8;
@@ -138,6 +150,8 @@ final case class Tuning(
     pos(refineFactor, "refineFactor"); pos(storeMaxSegments, "storeMaxSegments")
     pos(bloomBits, "bloomBits"); pos(outlierK, "outlierK")
     pos(verifyPairBudget, "verifyPairBudget"); pos(bpeMerges, "bpeMerges")
+    if (bandBucketCap < 0) throw ConfigurationError(
+      s"graft.tuning.bandBucketCap must be >= 0 (0 disables the cap), got $bandBucketCap")
     if (runMinTokens < 8) throw ConfigurationError(
       s"graft.tuning.runMinTokens must be >= 8 (the shingle window width" +
         s" — shorter runs are unobservable), got $runMinTokens")
@@ -215,6 +229,7 @@ object Tuning {
       outlierK = knob("outlierK", d.outlierK),
       verifyPairBudget = knob("verifyPairBudget", d.verifyPairBudget),
       bpeMerges = knob("bpeMerges", d.bpeMerges),
+      bandBucketCap = knob("bandBucketCap", d.bandBucketCap),
       runMinTokens = knob("runMinTokens", d.runMinTokens))
     t.validate()
     t

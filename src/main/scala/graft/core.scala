@@ -204,7 +204,14 @@ object Tables {
     * (non-parquet layout, odd filesystem). Collapsing those last two
     * into 0 would make a present-but-unreadable layer silently
     * undercount `live_rows` — a stats surface must degrade to slower,
-    * never to wrong.
+    * never to wrong. If even the counting scan throws (an empty or
+    * partially-written layer dir with no readable parquet), the layer
+    * reports 0 after a loud stderr note instead of propagating the
+    * exception: storeStats is documented as "pollable at any corpus
+    * size, never a build trigger", and a monitoring poll that crashes
+    * on a transient half-written layer is worse than one that briefly
+    * under-reports a layer mid-install (the _SUCCESS protocol means a
+    * readable layer is never half-counted).
     */
   def layerCount(spark: SparkSession, path: String): Long =
     footerCount(spark, path).getOrElse {
@@ -215,7 +222,15 @@ object Tables {
         System.err.println(
           s"[graft] layerCount: footer read failed for existing path $path" +
             " — falling back to a counting scan")
-        spark.read.parquet(path).count()
+        try spark.read.parquet(path).count()
+        catch {
+          case e: Exception =>
+            System.err.println(
+              s"[graft] layerCount: counting scan also failed for $path" +
+                s" (${e.getMessage}) — reporting 0 to keep the stats" +
+                " surface pollable")
+            0L
+        }
       }
     }
 }

@@ -71,9 +71,20 @@ final class Bpe(val tuning: Tuning) extends Serializable {
   @transient private lazy val memo =
     scala.collection.mutable.HashMap[String, Seq[Merge]]()
 
-  private def memoKey(d: String): String =
+  /** Memo key = corpus path + file-listing fingerprint + parquet
+    * footer ROW COUNT + rounds. The row count closes the listing
+    * fingerprint's stale-cache window (a corpus regenerated in place
+    * with same-sized files inside the mtime granularity): content that
+    * changes the row count re-keys even when the listing doesn't.
+    * Remaining contract: a same-rowcount same-size in-place rewrite
+    * within one mtime tick replays the memo — acceptable for the
+    * fixture workflow, and any on-disk artifact keyed the same way
+    * shares it.
+    */
+  private def memoKey(s: SparkSession, d: String): String =
     new java.io.File(d).getCanonicalPath + ":" +
       ArtifactLake.fingerprint(new java.io.File(s"$d/documents.parquet")) +
+      ":" + Tables.footerCount(s, s"$d/documents.parquet").getOrElse(-1L) +
       ":" + nRounds
 
   /** `(w, freq, seg)` — the vocabulary with each word's initial
@@ -94,7 +105,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
 
   /** The training loop — see the module doc for the per-round shape. */
   private def train(s: SparkSession, d: String): Seq[Merge] = synchronized {
-    memo.getOrElseUpdate(memoKey(d), {
+    memo.getOrElseUpdate(memoKey(s, d), {
       import s.implicits._
       var seg = vocab(s, d).localCheckpoint(true)
       val out = Vector.newBuilder[Merge]

@@ -226,6 +226,16 @@ final class Dedup(val tuning: Tuning) extends Serializable {
   private val mRows = tuning.minhashRows
   private val sigK = tuning.sigK
   private val mCap = tuning.minhashBucketCap
+  /** The EFFECTIVE band-bucket ceiling for candidate generation:
+    * [[graft.config.Tuning.minhashBucketCap]] tightened by the
+    * optional [[graft.config.Tuning.bandBucketCap]] (0 = off, the
+    * default — then this IS mCap and nothing changes). Every surface
+    * that pairs within band buckets (q32/q38/q81 candidates, the
+    * serve path, and their oracle replays) gates on this one value, so
+    * a capped run stays hash-checkable end-to-end.
+    */
+  private val bCap =
+    if (tuning.bandBucketCap > 0) math.min(mCap, tuning.bandBucketCap) else mCap
   /** Banded MinHash signatures `(doc_id, band_key)` from shingle
     * postings — the probe structure of the stored signature lake.
     *
@@ -284,7 +294,7 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       val cand = s.read.parquet(s"${sigPath(d)}/bands")
         .groupBy($"band_key")
         .agg(sort_array(collect_set($"doc_id")).as("ds"))
-        .filter(size($"ds") > 1 && size($"ds") <= mCap)
+        .filter(size($"ds") > 1 && size($"ds") <= bCap)
         .select(explode(expr(
           """flatten(transform(ds, (x, i) ->
                transform(slice(ds, i + 2, size(ds)),
@@ -458,7 +468,7 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     */
   private val minhashCandSql = s"""$minhashBandsSql,
       ok_buckets AS (SELECT band_key FROM bands GROUP BY band_key
-                     HAVING count(*) > 1 AND count(*) <= $mCap),
+                     HAVING count(*) > 1 AND count(*) <= $bCap),
       cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                FROM bands x JOIN bands y
                  ON x.band_key = y.band_key AND x.doc_id < y.doc_id
@@ -863,7 +873,7 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     val corpus = liveBands(s, d, v)
     val ok = corpus.groupBy($"band_key")
       .agg(count(lit(1)).as("cnt"))
-      .filter($"cnt" <= mCap).select($"band_key")
+      .filter($"cnt" <= bCap).select($"band_key")
     val cand = bbands.select($"doc_id".as("probe_id"), $"band_key")
       .join(ok, Seq("band_key"), "left_semi")
       .join(corpus.select($"doc_id".as("match_id"), $"band_key"), "band_key")
@@ -1483,7 +1493,7 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     Some(s"""
       WITH $minhashBandsSql,
       ok AS (SELECT band_key FROM bands GROUP BY band_key
-             HAVING count(*) <= $mCap),
+             HAVING count(*) <= $bCap),
       cand AS (SELECT DISTINCT x.doc_id AS probe_id, y.doc_id AS match_id
                FROM bands x JOIN bands y
                  ON x.band_key = y.band_key AND x.doc_id <> y.doc_id

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,6 +22,15 @@ import graft.config.Tuning
   * anywhere — q86's candidate volume is bounded by [[Tuning.dfCap]]²
   * per window exactly like q31's posting-list cap.
   */
+object Search {
+  /** Stored-BM25-index observability counter (the
+    * [[Similarity.indexBuilds]] pattern): incremented only when THIS
+    * process performs the build — the spec hook proving a second
+    * session reuses the artifact instead of rebuilding.
+    */
+  private[operators] val bm25Builds = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 final class Search(tuning: Tuning) {
   import Dedup.{toksExpr, toksSqlDuck}
 
@@ -29,7 +38,7 @@ final class Search(tuning: Tuning) {
     * domain vocabulary. A production deployment parameterizes these per
     * audit; the registry pins one set so the oracle can replay it.
     */
-  private val terms = Seq("spark", "window", "hash", "stream")
+  private[operators] val terms = Seq("spark", "window", "hash", "stream")
   private val termsSql = terms.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** q85: BM25 ranking (Robertson k1=1.2, b=0.75, Lucene's
@@ -93,6 +102,156 @@ final class Search(tuning: Tuning) {
       GROUP BY doc_id
       ORDER BY bm25 DESC, doc_id
       LIMIT 20"""))
+
+  // ------------------------------------------------------------------
+  // The SERVED search face: a stored BM25 inverted index (the q67
+  // build-once/serve-many pattern) + `serveBm25` overloads, so search
+  // joins the other tiers' ad-hoc serving surfaces instead of staying
+  // pinned to the registry's constant probe set. The artifact holds
+  //   stats(n_docs, avgdl)      — 1 row, the corpus-wide aggregate
+  //   termdf(tk, df, tkb)       — per-term document frequency
+  //   postings(doc_id, dl, tf, tk, tkb) — the full inverted index
+  // with both term tables PARTITIONED on tkb = md5Long(tk) % 64: a
+  // probe set prunes to its terms' partitions at the SCAN (literal
+  // partition predicates), so a served query reads the posting slices
+  // it touches, never the corpus — the property that matters when the
+  // postings table is 100 TB-corpus-sized. Building costs one corpus
+  // pass (the same tf derivation q85 compiles, unfiltered); q85 itself
+  // keeps its direct filtered-at-the-explode plan — for a one-shot
+  // audit that is strictly cheaper than materializing the index.
+  // ------------------------------------------------------------------
+
+  /** Bump when the index derivation changes. */
+  private val bm25Version = 1
+
+  /** Term-partition count. 64 dirs: enough that one partition of a
+    * 100 TB postings table is ~1.6 TB (splittable further by parquet),
+    * few enough that the test-scale artifact stays manageable.
+    */
+  private val bm25Buckets = 64
+
+  /** Snapshot the root once per instance (spec isolation — the
+    * [[Similarity]] rationale).
+    */
+  @transient private lazy val bm25Root: String =
+    sys.props.getOrElse("graft.index.dir",
+      s"${sys.props("java.io.tmpdir")}/graft-index")
+
+  private def bm25Path(d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((new java.io.File(d).getCanonicalPath + ":" + bm25Version)
+        .getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val fp = ArtifactLake.fingerprint(new java.io.File(s"$d/documents.parquet"))
+    s"$bm25Root/bm25-$key-$fp-v$bm25Version"
+  }
+
+  private val bm25Ready = scala.collection.mutable.HashSet[String]()
+
+  /** Driver-side twin of the write-side `pmod(md5Long(tk), 64)` —
+    * the partition-pruning path must compute the same bucket for a
+    * collected probe term that the build computed for the stored one.
+    */
+  private def bucketOf(tk: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(tk.getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.take(15)
+    (new java.math.BigInteger(hex, 16)
+      .mod(java.math.BigInteger.valueOf(bm25Buckets))).intValue
+  }
+
+  private[operators] def ensureBm25Index(s: SparkSession, d: String): Unit = synchronized {
+    import s.implicits._
+    val p = bm25Path(d)
+    if (bm25Ready.contains(p)) return
+    val built = ArtifactLake.ensure(new java.io.File(p)) { staging =>
+      val root = staging.getAbsolutePath
+      val docs = spread(t(s, d, "documents"))
+        .withColumn("toks", expr(toksExpr))
+        .select($"doc_id", size($"toks").cast("double").as("dl"), $"toks")
+      docs.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          avg($"dl").as("avgdl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
+      val tf = docs
+        .select($"doc_id", $"dl", explode($"toks").as("tk"))
+        .groupBy($"doc_id", $"dl", $"tk")
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .withColumn("tkb", pmod(md5Long($"tk"), lit(bm25Buckets)).cast("int"))
+      tf.write.mode("overwrite").partitionBy("tkb").parquet(s"$root/postings")
+      // (doc_id, tk) is unique after the groupBy, so df = plain count
+      tf.groupBy($"tk")
+        .agg(count(lit(1)).cast("double").as("df"))
+        .withColumn("tkb", pmod(md5Long($"tk"), lit(bm25Buckets)).cast("int"))
+        .write.mode("overwrite").partitionBy("tkb").parquet(s"$root/termdf")
+    }
+    if (built) Search.bm25Builds.incrementAndGet()
+    bm25Ready += p
+  }
+
+  /** Probe sets up to this size collect to the driver for partition
+    * pruning (a BM25 query's term set is query-sized by nature);
+    * larger sets stay fully distributed via semi-joins.
+    */
+  private val bm25CollectCap = 4096
+
+  /** Serve a BM25 ranking for an ad-hoc probe-term batch against the
+    * STORED index — the same scoring tail as q85 (Robertson k1=1.2,
+    * b=0.75, Lucene idf), so serving the registry's pinned term set
+    * reproduces q85 bit-for-bit (ServeBm25Spec). Terms are lowercased
+    * on entry (the index tokenizes lowercased text).
+    *
+    * Scale shape: small probe sets (≤ [[bm25CollectCap]]) prune the
+    * postings/termdf scans to their md5-bucket partitions with literal
+    * predicates — the scan reads only the touched slices; larger sets
+    * degrade to distributed semi-joins over the full postings scan.
+    * df and stats ride broadcasts; top-k is a TakeOrdered.
+    */
+  def serveBm25(s: SparkSession, d: String, terms: Seq[String]): DataFrame =
+    serveBm25(s, d, terms, 20)
+
+  def serveBm25(s: SparkSession, d: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    import s.implicits._
+    serveBm25(s, d, terms.toDF("tk"), k)
+  }
+
+  /** DataFrame overload — `termsDf` must carry a string column `tk`. */
+  def serveBm25(s: SparkSession, d: String, termsDf: DataFrame,
+      k: Int = 20): DataFrame = {
+    import s.implicits._
+    require(k > 0, s"serveBm25: k must be positive, got $k")
+    ensureBm25Index(s, d)
+    val p = bm25Path(d)
+    val probe = termsDf.select(lower(col("tk")).as("tk"))
+      .where($"tk".isNotNull && $"tk" =!= "").distinct()
+    val stats = s.read.parquet(s"$p/stats")
+    val postings = s.read.parquet(s"$p/postings")
+    val termdf = s.read.parquet(s"$p/termdf")
+    val collected = {
+      val c = probe.limit(bm25CollectCap + 1).collect().map(_.getString(0))
+      if (c.length <= bm25CollectCap) Some(c.toSeq) else None
+    }
+    val (posts, dfT) = collected match {
+      case Some(ts) =>
+        val buckets = ts.map(bucketOf).distinct.map(Int.box)
+        (postings.where($"tkb".isin(buckets: _*) && $"tk".isin(ts: _*)),
+          termdf.where($"tkb".isin(buckets: _*) && $"tk".isin(ts: _*)))
+      case None =>
+        (postings.join(probe, Seq("tk"), "left_semi"),
+          termdf.join(probe, Seq("tk"), "left_semi"))
+    }
+    posts.join(broadcast(dfT.select($"tk", $"df")), Seq("tk"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("s",
+        $"idf" * $"tf" * lit(2.2) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+      .groupBy($"doc_id")
+      .agg(r4(sum($"s")).as("bm25"), count(lit(1)).as("n_terms"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(k)
+  }
 
   /** Exact-substring window width in tokens — runs shorter than this
     * are invisible; [[Tuning.runMinTokens]] (≥ this) sets the report

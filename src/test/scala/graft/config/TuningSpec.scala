@@ -51,6 +51,13 @@ class TuningSpec extends AnyFunSuite {
     assert(e.getMessage.contains("runMinTokens"))
   }
 
+  test("bandBucketCap: 0 disables, positive tightens, negative rejected") {
+    Tuning(bandBucketCap = 0).validate()
+    Tuning(bandBucketCap = 5).validate()
+    val e = intercept[ConfigurationError](Tuning(bandBucketCap = -1).validate())
+    assert(e.getMessage.contains("bandBucketCap"))
+  }
+
   test("lshTables capped at 16") {
     Tuning(lshTables = 16).validate()
     intercept[ConfigurationError](Tuning(lshTables = 17).validate())
