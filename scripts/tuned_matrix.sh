@@ -36,14 +36,17 @@ run a q40,q41,q43,q44,q45,q47,q48,q49,q67,q68 \
 # narrows q86's posting lists and runMinTokens=9 widens its report;
 # bandBucketCap=3 engages the optional band-bucket ceiling — buckets
 # over 3 docs are dropped before pairing, a results-changing cut the
-# oracle must mirror in q32/q38/q72/q81)
+# oracle must mirror in q32/q38/q72/q81; bpeSampleMod=2 trains the
+# tokenizer on the half-corpus sample while q83/q84 still apply it to
+# every document — the oracle's separate apply chain must mirror both)
 run b q29,q31,q32,q33,q35,q38,q39,q59,q69,q72,q73,q77,q78,q79,q81,q82,q83,q84,q86 \
   GRAFT_TUNING_CC_EDGE_JACCARD=0.3 GRAFT_TUNING_MINHASH_BANDS=4 \
   GRAFT_TUNING_MINHASH_ROWS=4 GRAFT_TUNING_DF_CAP=50 \
   GRAFT_TUNING_SOURCE_QUOTA=7 GRAFT_TUNING_KMV_K=128 \
   GRAFT_TUNING_BLOOM_BITS=1024 GRAFT_TUNING_OUTLIER_K=3 \
   GRAFT_TUNING_VERIFY_PAIR_BUDGET=5 GRAFT_TUNING_BPE_MERGES=12 \
-  GRAFT_TUNING_RUN_MIN_TOKENS=9 GRAFT_TUNING_BAND_BUCKET_CAP=3
+  GRAFT_TUNING_RUN_MIN_TOKENS=9 GRAFT_TUNING_BAND_BUCKET_CAP=3 \
+  GRAFT_TUNING_BPE_SAMPLE_MOD=2
 # C: partial PQ coverage (2 subspaces of 8 — the uncovered-dims bound)
 run c q40,q47,q48,q49,q67,q68 \
   GRAFT_TUNING_PQ_SUBSPACES=2 GRAFT_TUNING_ANN_QUERIES=3

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Vocabulary-scale probe for BPE training: can the trainer reach a
+  * REAL merge count (thousands, the road to a deployable tokenizer's
+  * 32k) on a corpus 100× the driver's largest, in minutes?
+  *
+  * The distributed per-round path (q82's trainer) is the ORACLE-GATED
+  * surface — one Spark job + one 1-row collect per merge, correct but
+  * O(100)-merge-bounded in practice. The scale path measured here is
+  * [[graft.operators.Bpe#trainLocalMerges]]: ONE Spark job collapses
+  * the corpus to its (bounded, optionally sampled) vocabulary, then
+  * the driver-local incremental merge loop runs every round job-free.
+  * BpeLocalSpec pins local ≡ distributed on identical input; this
+  * probe reports the wall-clock split (corpus→vocab collect vs merge
+  * loop) and the achieved merges/second.
+  *
+  * The corpus is [[graft.operators.SyntheticCorpus.ensureText]] — the
+  * probe generator with a REALISTIC (Zipf-drawn, `vocabWords`-sized)
+  * lexicon: the standard 31-word probe corpus exhausts its repeating
+  * pairs after ~100 merges no matter the trainer, which would measure
+  * the fixture, not the loop.
+  *
+  * Usage: `scripts/run.sh graft.BpeProbe [docs] [vocabWords] [merges]`
+  * (default 500000 50000 1200 — docs = 100× sf0.1's corpus). Prints
+  * one JSON line on stdout; verbose timing streams to stderr.
+  */
+object BpeProbe {
+
+  def main(args: Array[String]): Unit = {
+    val docs = if (args.length > 0) args(0).toLong else 500000L
+    val vocabWords = if (args.length > 1) args(1).toInt else 50000
+    val merges = if (args.length > 2) args(2).toInt else 1200
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bpe-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+    val g0 = System.nanoTime()
+    val dir = graft.operators.SyntheticCorpus.ensureText(spark, docs, vocabWords)
+    val genS = (System.nanoTime() - g0) / 1e9
+    System.err.println(s"[bpe-probe] corpus $docs docs / lexicon $vocabWords at $dir (ensure ${num(genS)} s)")
+
+    val bpe = new graft.operators.Bpe(graft.config.Tuning.current)
+
+    // split timing: the one Spark job (vocab collapse + collect) is
+    // instrumented by running the same derivation standalone first —
+    // its result is discarded; trainLocalMerges re-runs it inside the
+    // measured total so the reported total is the true end-to-end cost
+    val v0 = System.nanoTime()
+    val vocabRows = graft.Tables.spread(graft.Tables.t(spark, dir, "documents"))
+      .selectExpr(s"explode(${graft.operators.Dedup.toksExpr}) AS w")
+      .where("NOT contains(w, '(') AND NOT contains(w, ')')")
+      .groupBy($"w").count()
+      .count()
+    val vocabS = (System.nanoTime() - v0) / 1e9
+    System.err.println(s"[bpe-probe] vocabulary $vocabRows word types (collapse ${num(vocabS)} s)")
+
+    val t0 = System.nanoTime()
+    val trained = bpe.trainLocalMerges(spark, dir, merges)
+    val trainS = (System.nanoTime() - t0) / 1e9
+    System.err.println(s"[bpe-probe] trained ${trained.size}/$merges merges in ${num(trainS)} s " +
+      s"(${num(trained.size / trainS)} merges/s)")
+
+    try spark.stop() catch { case _: Exception => }
+
+    println(
+      s"""{"metric":"bpe_probe","docs":$docs,"lexicon":$vocabWords,""" +
+        s""""vocab_word_types":$vocabRows,"merges_requested":$merges,""" +
+        s""""merges_trained":${trained.size},"corpus_ensure_s":${num(genS)},""" +
+        s""""vocab_collapse_s":${num(vocabS)},"train_total_s":${num(trainS)},""" +
+        s""""merges_per_s":${num(trained.size / math.max(trainS, 1e-9))}}""")
+    System.out.flush()
+  }
+}

@@ -113,6 +113,17 @@ final case class Tuning(
       * 1-row driver collect — the q38 fixpoint pattern; training may
       * stop early when no adjacent pair repeats (count < 2). */
     bpeMerges: Int = 40,
+    /** q82/q83/q84: deterministic corpus-sample modulus for BPE
+      * TRAINING — the vocabulary is built from documents with
+      * `doc_id % bpeSampleMod = 0` (1 = the whole corpus, the shipped
+      * default). Sampling is how production tokenizer trainers bound
+      * cost at corpus scale: the merge table trains on the sample's
+      * vocabulary, while tokenization (q83) and packing (q84) still
+      * apply the trained merges to EVERY document's words — exactly how
+      * a trained tokenizer meets unseen text. Mirrored in the oracle
+      * SQL (a sampled run stays hash-checkable), matrix-tested like
+      * dfCap because it changes results. */
+    bpeSampleMod: Int = 1,
     /** q32/q38/q72/q81 (defense in depth under [[verifyPairBudget]]):
       * optional band-bucket ceiling BELOW [[minhashBucketCap]] — a band
       * bucket holding more than this many documents is dropped before
@@ -150,6 +161,7 @@ final case class Tuning(
     pos(refineFactor, "refineFactor"); pos(storeMaxSegments, "storeMaxSegments")
     pos(bloomBits, "bloomBits"); pos(outlierK, "outlierK")
     pos(verifyPairBudget, "verifyPairBudget"); pos(bpeMerges, "bpeMerges")
+    pos(bpeSampleMod, "bpeSampleMod")
     if (bandBucketCap < 0) throw ConfigurationError(
       s"graft.tuning.bandBucketCap must be >= 0 (0 disables the cap), got $bandBucketCap")
     if (runMinTokens < 8) throw ConfigurationError(
@@ -229,6 +241,7 @@ object Tuning {
       outlierK = knob("outlierK", d.outlierK),
       verifyPairBudget = knob("verifyPairBudget", d.verifyPairBudget),
       bpeMerges = knob("bpeMerges", d.bpeMerges),
+      bpeSampleMod = knob("bpeSampleMod", d.bpeSampleMod),
       bandBucketCap = knob("bandBucketCap", d.bandBucketCap),
       runMinTokens = knob("runMinTokens", d.runMinTokens))
     t.validate()

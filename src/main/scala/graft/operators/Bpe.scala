@@ -54,13 +54,145 @@ import org.apache.spark.sql.functions._
   * Nothing corpus-sized ever reaches the driver; the one collected
   * row per round is the argmax pair.
   */
-final class Bpe(val tuning: Tuning) extends Serializable {
-  import Dedup.{toksExpr, toksSqlDuck}
-
-  private val nRounds = tuning.bpeMerges
+object Bpe {
 
   /** One trained merge: (rank, left, right, merged, weighted count). */
-  private type Merge = (Long, String, String, String, Long)
+  type Merge = (Long, String, String, String, Long)
+
+  /** Spark/DuckDB-compatible string order: unsigned lexicographic over
+    * UTF-8 bytes (both engines compare binary) — Java's `compareTo`
+    * orders by UTF-16 code unit and diverges above the BMP.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** One merge applied to a token array — left-to-right,
+    * non-overlapping, exactly the engine-portable
+    * `replace(seg, '(l)(r)', '(m)')` over the delimited encoding.
+    */
+  private[operators] def applyMerge(toks: Array[String], l: String,
+      r: String, m: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var j = 0
+    while (j < toks.length) {
+      if (j + 1 < toks.length && toks(j) == l && toks(j + 1) == r) {
+        out += m; j += 2
+      } else { out += toks(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** The DRIVER-LOCAL merge loop over a collected `(word, freq)`
+    * vocabulary — bit-identical rounds to the distributed trainer on
+    * the same input (BpeLocalSpec pins this), at job-free per-round
+    * cost: this is what lets training reach a REAL vocabulary size
+    * (thousands of merges) where the distributed loop's
+    * one-Spark-job-per-merge granularity caps out at O(100) rounds.
+    * The vocabulary is bounded (Heaps' law: ~√corpus, and the
+    * [[graft.config.Tuning.bpeSampleMod]] sample bounds it further),
+    * so driver memory holds it the way it holds a collected codebook.
+    *
+    * Pair counts are maintained INCREMENTALLY: a merge re-counts only
+    * the words that actually contain the merged pair (tracked by an
+    * occurrence index; entries go stale when a word evolves away from
+    * a pair and are skip-checked at use). Each round's argmax is a
+    * full scan of the live pair-count map with the engines' total
+    * order (count desc, then (l, r) ascending in UTF-8 byte order) —
+    * O(distinct pairs) per round, no heap needed at tested scales.
+    * Early-stops when no pair repeats (count < 2), like the
+    * distributed loop.
+    */
+  def localMergeLoop(vocab: Seq[(String, Long)], rounds: Int): Seq[Merge] = {
+    val words = vocab.iterator.map { case (w, _) =>
+      w.toCharArray.map(_.toString)
+    }.toArray
+    val freqs = vocab.iterator.map(_._2).toArray
+    val counts = new java.util.HashMap[(String, String), Long]()
+    val occur = new java.util.HashMap[(String, String),
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    def bump(p: (String, String), by: Long): Unit = {
+      val nv = counts.getOrDefault(p, 0L) + by
+      if (nv == 0L) counts.remove(p) else counts.put(p, nv)
+    }
+    def note(p: (String, String), i: Int): Unit = {
+      var b = occur.get(p)
+      if (b == null) { b = scala.collection.mutable.ArrayBuffer[Int](); occur.put(p, b) }
+      if (b.isEmpty || b.last != i) b += i
+    }
+    var i = 0
+    while (i < words.length) {
+      val w = words(i); val f = freqs(i)
+      var j = 0
+      while (j + 1 < w.length) {
+        val p = (w(j), w(j + 1)); bump(p, f); note(p, i); j += 1
+      }
+      i += 1
+    }
+    val out = Vector.newBuilder[Merge]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      // argmax with the engines' total order
+      var bl: String = null; var br: String = null; var bc = 1L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue
+        if (c >= 2 && (c > bc || (c == bc && (bl == null ||
+            utf8Lt(e.getKey._1, bl) ||
+            (e.getKey._1 == bl && utf8Lt(e.getKey._2, br)))))) {
+          bl = e.getKey._1; br = e.getKey._2; bc = c
+        }
+      }
+      if (bl == null) done = true
+      else {
+        val m = bl + br
+        out += ((r + 1L, bl, br, m, bc))
+        val p = (bl, br)
+        val touched = occur.remove(p)
+        if (touched != null) touched.foreach { wi =>
+          val w = words(wi)
+          // stale-entry skip: the word may have merged away from p
+          var has = false
+          var j = 0
+          while (!has && j + 1 < w.length) {
+            if (w(j) == bl && w(j + 1) == br) has = true
+            j += 1
+          }
+          if (has) {
+            val f = freqs(wi)
+            j = 0
+            while (j + 1 < w.length) { bump((w(j), w(j + 1)), -f); j += 1 }
+            val nw = applyMerge(w, bl, br, m)
+            words(wi) = nw
+            j = 0
+            while (j + 1 < nw.length) {
+              val q = (nw(j), nw(j + 1)); bump(q, f); note(q, wi); j += 1
+            }
+          }
+        }
+      }
+      r += 1
+    }
+    out.result()
+  }
+}
+
+final class Bpe(val tuning: Tuning) extends Serializable {
+  import Dedup.{toksExpr, toksSqlDuck}
+  import Bpe.Merge
+
+  private val nRounds = tuning.bpeMerges
+  private val sampleMod = tuning.bpeSampleMod
 
   /** Trained merges per (corpus dir canonical path + content
     * fingerprint + rounds) — training is deterministic, so a second
@@ -85,16 +217,21 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     new java.io.File(d).getCanonicalPath + ":" +
       ArtifactLake.fingerprint(new java.io.File(s"$d/documents.parquet")) +
       ":" + Tables.footerCount(s, s"$d/documents.parquet").getOrElse(-1L) +
-      ":" + nRounds
+      ":" + nRounds + ":" + sampleMod
 
   /** `(w, freq, seg)` — the vocabulary with each word's initial
     * character segmentation. The corpus collapses here; everything
-    * after is vocabulary-sized.
+    * after is vocabulary-sized. `sampled = true` is the TRAINING view:
+    * it sees only documents with `doc_id % bpeSampleMod = 0` (the
+    * whole corpus at the default 1); application surfaces (q83/q84)
+    * always read the full view — trained merges meet every word.
     */
-  private def vocab(s: SparkSession, d: String): DataFrame = {
+  private def vocab(s: SparkSession, d: String, sampled: Boolean): DataFrame = {
     import s.implicits._
-    spread(t(s, d, "documents"))
-      .select(explode(expr(toksExpr)).as("w"))
+    val docs = spread(t(s, d, "documents"))
+    val in = if (sampled && sampleMod > 1)
+      docs.filter($"doc_id" % sampleMod === 0) else docs
+    in.select(explode(expr(toksExpr)).as("w"))
       .filter(!$"w".contains("(") && !$"w".contains(")"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       .withColumn("seg", regexp_replace($"w", "(.)", "($1)"))
@@ -107,7 +244,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
   private def train(s: SparkSession, d: String): Seq[Merge] = synchronized {
     memo.getOrElseUpdate(memoKey(s, d), {
       import s.implicits._
-      var seg = vocab(s, d).localCheckpoint(true)
+      var seg = vocab(s, d, sampled = true).localCheckpoint(true)
       val out = Vector.newBuilder[Merge]
       var r = 0
       var done = false
@@ -154,7 +291,22 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     val segCol = merges.foldLeft(col("seg")) { case (c, (_, l, r, m, _)) =>
       call_function("replace", c, lit(s"($l)($r)"), lit(s"($m)"))
     }
-    vocab(s, d).withColumn("seg", segCol)
+    vocab(s, d, sampled = false).withColumn("seg", segCol)
+  }
+
+  /** The driver-local trainer over this registry's sampled vocabulary
+    * — ONE Spark job (the vocabulary collapse + collect), then
+    * [[Bpe.localMergeLoop]] for the rounds. Bit-identical to [[train]]
+    * on the same input (BpeLocalSpec), and the path that reaches real
+    * vocabulary sizes: `rounds` is a parameter, not the registry knob,
+    * because the caller asking for 32k merges is a training-prep run,
+    * not an oracle-gated query.
+    */
+  def trainLocalMerges(s: SparkSession, d: String, rounds: Int): Seq[Merge] = {
+    import s.implicits._
+    val vb = vocab(s, d, sampled = true)
+      .select($"w", $"freq").as[(String, Long)].collect().toSeq
+    Bpe.localMergeLoop(vb, rounds)
   }
 
   // ------------------------------------------------------------------
@@ -162,9 +314,15 @@ final class Bpe(val tuning: Tuning) extends Serializable {
   // ------------------------------------------------------------------
 
   private def trainCtes: String = {
+    // the training vocabulary: sampled when bpeSampleMod > 1 (the
+    // default 1 keeps the original unfiltered scan)
+    val docScan =
+      if (sampleMod > 1)
+        s"SELECT unnest($toksSqlDuck) AS w FROM documents WHERE doc_id % $sampleMod = 0"
+      else s"SELECT unnest($toksSqlDuck) AS w FROM documents"
     val head = Seq(
       s"""w AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
-            SELECT unnest($toksSqlDuck) AS w FROM documents)
+            $docScan)
           WHERE w NOT LIKE '%(%' AND w NOT LIKE '%)%' GROUP BY w)""",
       """s0 AS MATERIALIZED (SELECT w, freq,
            regexp_replace(w, '(.)', '(\1)', 'g') AS seg FROM w)""")
@@ -187,8 +345,40 @@ final class Bpe(val tuning: Tuning) extends Serializable {
                                 '(' || b.m || ')') END AS seg
               FROM s$p LEFT JOIN b$i b ON TRUE)""")
     }
-    (head ++ rounds).mkString(",\n      ")
+    (head ++ rounds ++ applyCtes).mkString(",\n      ")
   }
+
+  /** Application-side segmentation chain: when training is SAMPLED the
+    * apply surfaces (q83/q84) still segment the FULL vocabulary, so
+    * the oracle replays the trained merges (the b$i argmax rows) over
+    * an unsampled `f` chain. At the default (no sampling) the training
+    * chain's s$nRounds IS the full-vocabulary segmentation and no
+    * extra CTEs are emitted.
+    */
+  private def applyCtes: Seq[String] =
+    if (sampleMod == 1) Seq.empty
+    else {
+      val head = Seq(
+        s"""wf AS MATERIALIZED (SELECT w FROM (
+              SELECT unnest($toksSqlDuck) AS w FROM documents)
+            WHERE w NOT LIKE '%(%' AND w NOT LIKE '%)%' GROUP BY w)""",
+        """f0 AS MATERIALIZED (SELECT w,
+             regexp_replace(w, '(.)', '(\1)', 'g') AS seg FROM wf)""")
+      head ++ (1 to nRounds).map { i =>
+        val p = i - 1
+        s"""f$i AS MATERIALIZED (SELECT w,
+              CASE WHEN b.l IS NULL THEN seg
+                   ELSE replace(seg, '(' || b.l || ')(' || b.r || ')',
+                                '(' || b.m || ')') END AS seg
+              FROM f$p LEFT JOIN b$i b ON TRUE)"""
+      }
+    }
+
+  /** The CTE holding the full-vocabulary FINAL segmentation the apply
+    * surfaces read.
+    */
+  private def applySegCte: String =
+    if (sampleMod == 1) s"s$nRounds" else s"f$nRounds"
 
   /** q82: the trained merge table — rank-ordered (left, right, merged,
     * weighted pair count). The gate hash-checks every round's argmax
@@ -239,7 +429,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     Some(s"""
       WITH $trainCtes,
       wt AS (SELECT w, CAST(len(regexp_extract_all(seg, '\\(([^()]*)\\)', 1)) AS BIGINT) AS nt
-             FROM s$nRounds),
+             FROM $applySegCte),
       dw AS (SELECT doc_id, unnest($toksSqlDuck) AS w FROM documents)
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
              CAST(sum(nt) AS BIGINT) AS n_tokens,
@@ -303,7 +493,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     Some(s"""
       WITH $trainCtes,
       wt AS (SELECT w, CAST(len(regexp_extract_all(seg, '\\(([^()]*)\\)', 1)) AS BIGINT) AS nt
-             FROM s$nRounds),
+             FROM $applySegCte),
       dw AS (SELECT doc_id, unnest($toksSqlDuck) AS w FROM documents),
       dn AS (SELECT dw.doc_id, CAST(coalesce(sum(wt.nt), 0) AS BIGINT) AS n
              FROM dw LEFT JOIN wt USING (w) GROUP BY dw.doc_id),

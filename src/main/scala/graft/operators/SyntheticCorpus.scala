@@ -148,6 +148,78 @@ object SyntheticCorpus {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Rich-vocabulary TEXT corpus for the tokenizer-training probe. The
+  // standard probe corpus above reuses the testdata's 31-word
+  // vocabulary — right for the dedup/packing tiers it feeds, but BPE
+  // training is bounded by VOCABULARY structure (31 short words
+  // exhaust their repeating pairs after ~100 merges no matter the
+  // trainer). This variant draws each word from a `vocabWords`-sized
+  // synthetic lexicon with a Zipf-ish rank bias (u² inverse draw —
+  // low ranks dominate, the long tail thins out), word strings unique
+  // by construction (rank encoded in base-26) with 3–7 hash-derived
+  // prefix letters for realistic lengths. Same purity contract: every
+  // row generates independently from its id on executors.
+  // ------------------------------------------------------------------
+
+  private def base26(n: Long): String = {
+    var x = n
+    val sb = new StringBuilder
+    do { sb += ('a' + (x % 26).toInt).toChar; x /= 26 } while (x > 0)
+    sb.result()
+  }
+
+  /** The word string for a lexicon rank — unique per rank (base-26
+    * suffix) with a deterministic 3–7 letter prefix.
+    */
+  private[operators] def synthWord(rank: Long): String = {
+    val pLen = 3 + floorMod(draw(rank ^ 0x778F00DL, 7), 5)
+    val prefix = Array.tabulate(pLen)(k =>
+      ('a' + floorMod(draw(rank ^ 0x778F00DL, k + 11), 26)).toChar).mkString
+    prefix + base26(rank)
+  }
+
+  /** doc_id → text over the rich lexicon: 30–120 words, ranks drawn
+    * with quadratic low-rank bias.
+    */
+  private[operators] def richTextFor(id: Long, vocabWords: Int): String = {
+    val n = 30 + floorMod(draw(id, 0x7E57L), 91)
+    Array.tabulate(n) { k =>
+      val u = uniform01(draw(id, 0x10000L + k))
+      val rank = math.min(vocabWords - 1L, (u * u * vocabWords).toLong)
+      synthWord(rank)
+    }.mkString(" ")
+  }
+
+  def textDirFor(docs: Long, vocabWords: Int, root: String = defaultRoot): String =
+    s"$root/text-v$version-d$docs-w$vocabWords"
+
+  /** Install (or reuse) a rich-vocabulary text-only corpus dir:
+    * `documents.parquet` schema-identical to the driver testdata
+    * (lang/source drawn as in [[docFor]]), written distributed from
+    * `spark.range`. Returns the dir path.
+    */
+  def ensureText(spark: SparkSession, docs: Long, vocabWords: Int,
+      root: String = defaultRoot): String = {
+    require(vocabWords > 0, "ensureText: vocabWords must be positive")
+    val dir = textDirFor(docs, vocabWords, root)
+    ArtifactLake.ensure(new java.io.File(dir)) { staging =>
+      import spark.implicits._
+      val par = spark.sparkContext.defaultParallelism
+      spark.range(0, docs, 1, par)
+        .map { id =>
+          val text = richTextFor(id, vocabWords)
+          val lang = langs(langCut.indexWhere(floorMod(draw(id, 200), 100) < _))
+          val source = "src" + floorMod(draw(id, 201), 20)
+          (id, text, lang, source, text.length.toLong)
+        }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .parquet(s"${staging.getAbsolutePath}/documents.parquet")
+    }
+    dir
+  }
+
   def defaultRoot: String =
     sys.props.getOrElse("graft.scale.dir",
       s"${sys.props("java.io.tmpdir")}/graft-scale")
