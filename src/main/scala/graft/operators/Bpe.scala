@@ -5,6 +5,7 @@ import Cols._
 import Tables.{t, spread}
 import graft.config.Tuning
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer: vocabulary TRAINING (q82) and corpus
@@ -58,6 +59,13 @@ object Bpe {
 
   /** One trained merge: (rank, left, right, merged, weighted count). */
   type Merge = (Long, String, String, String, Long)
+
+  /** Shard-artifact observability counter (the
+    * [[Similarity.indexBuilds]] pattern): incremented only when THIS
+    * process performs the build — the spec hook proving replay is a
+    * no-op.
+    */
+  private[operators] val shardBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Spark/DuckDB-compatible string order: unsigned lexicographic over
     * UTF-8 bytes (both engines compare binary) — Java's `compareTo`
@@ -446,11 +454,18 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     * with no in-vocabulary words pack as zero-length — they consume
     * no context budget, exactly as q58 treats empty text).
     */
-  private val q84 = Q(
-    "q84_bpe_packing",
-    (s, d) => {
+  /** The context-window size q84/q87 pack into. */
+  private val ctx = 512L
+
+  /** `(doc_id, n, bin)` for EVERY document — per-doc BPE token counts
+    * (q83's vocabulary join, left so out-of-vocabulary-only docs count
+    * 0) run through the q58 range-partitioned two-pass prefix sum; a
+    * doc's bin is its running-start offset / [[ctx]]. The body of q84,
+    * factored so the shard materializer ([[ensureShards]]) packs the
+    * identical bins.
+    */
+  private def binnedDocs(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
-      val ctx = 512L
       val wt = finalSeg(s, d)
         .select($"w", size(segToks($"seg")).cast("long").as("nt"))
       val perDoc = t(s, d, "documents")
@@ -474,7 +489,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       val bOff = s.sparkContext.broadcast(offsets)
       // pass 2: a doc's start offset = partition offset + tokens
       // before it locally; its bin is start / ctx
-      val binned = TwoPass.withPid(ranged) { (pid, it) =>
+      TwoPass.withPid(ranged) { (pid, it) =>
         var run = bOff.value.getOrElse(pid, 0L)
         it.map { case (id, n) =>
           val start = run
@@ -482,7 +497,13 @@ final class Bpe(val tuning: Tuning) extends Serializable {
           (id, n, start / ctx)
         }
       }.toDF("doc_id", "n", "bin")
-      binned.groupBy($"bin")
+  }
+
+  private val q84 = Q(
+    "q84_bpe_packing",
+    (s, d) => {
+      import s.implicits._
+      binnedDocs(s, d).groupBy($"bin")
         .agg(
           count(lit(1)).as("n_docs"),
           sum($"n").cast("long").as("n_tokens"),
@@ -492,7 +513,19 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     },
     Some(s"""
       WITH $trainCtes,
-      wt AS (SELECT w, CAST(len(regexp_extract_all(seg, '\\(([^()]*)\\)', 1)) AS BIGINT) AS nt
+      $binCtes
+      SELECT bin, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM b
+      GROUP BY bin
+      ORDER BY bin"""))
+
+  /** The oracle's replay of [[binnedDocs]] — per-doc token counts and
+    * the `ORDER BY doc_id` prefix-sum bin assignment, ending in
+    * `b(doc_id, n, bin)`. Shared by q84 (bin manifest) and q87 (shard
+    * dump).
+    */
+  private def binCtes: String = s"""wt AS (SELECT w, CAST(len(regexp_extract_all(seg, '\\(([^()]*)\\)', 1)) AS BIGINT) AS nt
              FROM $applySegCte),
       dw AS (SELECT doc_id, unnest($toksSqlDuck) AS w FROM documents),
       dn AS (SELECT dw.doc_id, CAST(coalesce(sum(wt.nt), 0) AS BIGINT) AS n
@@ -503,12 +536,154 @@ final class Bpe(val tuning: Tuning) extends Serializable {
               coalesce(sum(n) OVER (ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
             FROM c),
-      b AS (SELECT doc_id, n, CAST(strt // 512 AS BIGINT) AS bin FROM pw)
-      SELECT bin, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
-             min(doc_id) AS first_doc, max(doc_id) AS last_doc
-      FROM b
-      GROUP BY bin
-      ORDER BY bin"""))
+      b AS (SELECT doc_id, n, CAST(strt // $ctx AS BIGINT) AS bin FROM pw)"""
 
-  val all: Seq[Q] = Seq(q82, q83, q84)
+  // ------------------------------------------------------------------
+  // TRAINING-SHARD MATERIALIZATION (q87): q84 plans which bin each
+  // document lands in; this ships the bytes a training run actually
+  // reads — per-document BPE TOKEN-ID sequences, binned and bundled
+  // into shard files — through the shared ArtifactLake recipe (staged
+  // rename, _SUCCESS, content keys, replay = no-op). The artifact:
+  //   vocab/     (tid INT, tok)           — the id↔token table: distinct
+  //              final-segmentation tokens, ids = rank in UTF-8 byte
+  //              order (the engines' shared collation); bounded by
+  //              alphabet + bpeMerges
+  //   manifest/  q84's bin table          — (bin, n_docs, n_tokens,
+  //              first_doc, last_doc)
+  //   data/shard=N/  (doc_id, bin, n_tokens, token_ids ARRAY<INT>)
+  //              — 64 bins per shard dir, rows sorted (bin, doc_id)
+  // At 100 TB this is THE corpus-sized materialization of the tier (a
+  // tokenized training corpus), written with the scan's parallelism:
+  // the per-word id arrays ride a vocabulary join (AQE-broadcast while
+  // the vocab fits), the per-doc flatten groups one row per (doc,
+  // word), and nothing corpus-sized touches the driver. The one
+  // global window (token-id ranks) sorts the VOCABULARY, not the
+  // corpus.
+  // ------------------------------------------------------------------
+
+  /** Bump when the shard derivation changes. */
+  private val shardsVersion = 1
+
+  /** Bins bundled per shard dir. */
+  private val binsPerShard = 64L
+
+  @transient private lazy val shardsRoot: String =
+    sys.props.getOrElse("graft.index.dir",
+      s"${sys.props("java.io.tmpdir")}/graft-index")
+
+  private[operators] def shardsPath(d: String): String = {
+    val knobs = s"$nRounds:$sampleMod:$ctx"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((new java.io.File(d).getCanonicalPath + ":" + knobs + ":" +
+        shardsVersion).getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val fp = ArtifactLake.fingerprint(new java.io.File(s"$d/documents.parquet"))
+    s"$shardsRoot/shards-$key-$fp-v$shardsVersion"
+  }
+
+  private val shardsReady = scala.collection.mutable.HashSet[String]()
+
+  /** Install-or-reuse the packed training shards. Deterministic build
+    * (trained merges + UTF-8 id ranks + doc_id orders), so losing an
+    * install race is success; [[Bpe.shardBuilds]] is the spec hook.
+    */
+  def ensureShards(s: SparkSession, d: String): String = synchronized {
+    import s.implicits._
+    val p = shardsPath(d)
+    if (shardsReady.contains(p)) return p
+    val built = ArtifactLake.ensure(new java.io.File(p)) { staging =>
+      val root = staging.getAbsolutePath
+      val wtoks = finalSeg(s, d).select($"w", segToks($"seg").as("tk"))
+        .localCheckpoint(true) // two consumers (tid + wids): cut the
+                               // shared train-replay lineage once
+      // token-id table: distinct final tokens ranked in UTF-8 order —
+      // a vocabulary-sized global sort, never the corpus
+      val tid = wtoks.select(explode($"tk").as("tok")).distinct()
+        .withColumn("tid",
+          (row_number().over(Window.orderBy($"tok")) - 1).cast("int"))
+      tid.select($"tid", $"tok")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/vocab")
+      // per-word ordered id arrays
+      val wids = wtoks
+        .select($"w", posexplode($"tk").as(Seq("tpos", "tok")))
+        .join(tid, "tok")
+        .groupBy($"w")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(tpos, tid))), x -> x.tid)")
+          .as("ids"))
+      // per-doc flattened sequences: words in text order, each word's
+      // subword ids in segmentation order
+      val dseq = spread(t(s, d, "documents"))
+        .select($"doc_id", posexplode(expr(toksExpr)).as(Seq("wpos", "w")))
+        .join(wids, Seq("w"))
+        .groupBy($"doc_id")
+        .agg(expr(
+          "flatten(transform(sort_array(collect_list(struct(wpos, ids))), x -> x.ids))")
+          .as("token_ids"))
+      val binned = binnedDocs(s, d)
+      binned.groupBy($"bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n").cast("long").as("n_tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/manifest")
+      binned.join(dseq, Seq("doc_id"), "left")
+        .select($"doc_id", $"bin", $"n".as("n_tokens"),
+          coalesce($"token_ids", expr("array()").cast("array<int>"))
+            .as("token_ids"),
+          ($"bin" / binsPerShard).cast("long").as("shard"))
+        .repartition($"shard")
+        .sortWithinPartitions($"bin", $"doc_id")
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$root/data")
+    }
+    if (built) Bpe.shardBuilds.incrementAndGet()
+    shardsReady += p
+    p
+  }
+
+  /** q87: the shard dump, hash-pinned the q67 way — the query reads
+    * the STORED artifact (doc→bin assignment and the stored token-id
+    * sequence, hashed), while the oracle re-derives everything from
+    * scratch in SQL: trained merges → full-vocabulary segmentation →
+    * UTF-8-ranked token ids → per-doc flattened sequences → prefix-sum
+    * bins. One wrong stored byte anywhere (a mis-ranked id, a
+    * mis-ordered word, a doc in the wrong bin) hash-mismatches.
+    */
+  private val q87 = Q(
+    "q87_pack_shards",
+    (s, d) => {
+      import s.implicits._
+      val p = ensureShards(s, d)
+      s.read.parquet(s"$p/data")
+        .select($"bin", $"doc_id", $"n_tokens",
+          md5(concat_ws(",",
+            expr("transform(token_ids, x -> cast(x as string))"))).as("ids_hash"))
+        .orderBy($"bin", $"doc_id")
+    },
+    Some(s"""
+      WITH $trainCtes,
+      fsegtk AS (SELECT w, regexp_extract_all(seg, '\\(([^()]*)\\)', 1) AS tk
+                 FROM $applySegCte),
+      tok AS (SELECT DISTINCT unnest(tk) AS tok FROM fsegtk),
+      tid AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS INT) AS tid
+              FROM tok),
+      wtok AS (SELECT w, unnest(range(1, len(tk) + 1)) AS tpos, unnest(tk) AS tok
+               FROM fsegtk),
+      wids AS (SELECT w, list(tid ORDER BY tpos) AS ids
+               FROM wtok JOIN tid USING (tok) GROUP BY w),
+      dwo AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS wpos,
+                     unnest(toks) AS w
+              FROM (SELECT doc_id, $toksSqlDuck AS toks FROM documents)),
+      dseq AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
+               FROM dwo JOIN wids USING (w) GROUP BY doc_id),
+      $binCtes
+      SELECT b.bin, b.doc_id, b.n AS n_tokens,
+             md5(array_to_string(
+               list_transform(coalesce(dseq.ids, []), x -> CAST(x AS VARCHAR)),
+               ',')) AS ids_hash
+      FROM b LEFT JOIN dseq USING (doc_id)
+      ORDER BY bin, doc_id"""))
+
+  val all: Seq[Q] = Seq(q82, q83, q84, q87)
 }
