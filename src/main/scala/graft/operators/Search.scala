@@ -276,9 +276,16 @@ final class Search(tuning: Tuning) {
     * size is bounded by ONE document's length — never a corpus-scale
     * window partition.
     */
-  private val q86 = Q(
-    "q86_substring_runs",
-    (s, d) => {
+  /** All maximal aligned-window islands between document pairs:
+    * `(doc_a, doc_b, diag, len, start_a)` — one row per maximal run of
+    * CONSECUTIVE shared positional W-token windows on one alignment
+    * diagonal (gaps-and-islands per (pair, diagonal); the island
+    * window partition is bounded by ONE document's length). `len` is
+    * the WINDOW count — the island spans `len + W − 1` tokens starting
+    * at token `start_a` in doc_a and `start_a − diag` in doc_b. The
+    * shared spine of q86 (report) and q88 (strip).
+    */
+  private def runIslands(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val pos = spread(t(s, d, "documents"))
         .withColumn("toks", expr(toksExpr))
@@ -296,20 +303,17 @@ final class Search(tuning: Tuning) {
         .select(
           $"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
           $"a.pos".as("pa"), ($"a.pos" - $"b.pos").as("diag"))
-      val runs = pairs
+      pairs
         .withColumn("grp", $"pa" -
           row_number().over(Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa")))
         .groupBy($"doc_a", $"doc_b", $"diag", $"grp")
-        .agg(count(lit(1)).as("len"))
-      runs.groupBy($"doc_a", $"doc_b")
-        .agg(
-          (max($"len") + lit(W - 1).cast("long")).as("max_run_tokens"),
-          sum($"len").as("n_aligned"))
-        .where($"max_run_tokens" >= tuning.runMinTokens)
-        .orderBy($"doc_a", $"doc_b")
-    },
-    Some(s"""
-      WITH tk AS (SELECT doc_id, $toksSqlDuck AS toks FROM documents),
+        .agg(count(lit(1)).as("len"), min($"pa").as("start_a"))
+  }
+
+  /** The oracle's replay of [[runIslands]], ending in
+    * `runs(doc_a, doc_b, diag, len, start_a)`.
+    */
+  private val islandCtes = s"""tk AS (SELECT doc_id, $toksSqlDuck AS toks FROM documents),
       ix AS (SELECT doc_id, toks,
                unnest(range(1, greatest(len(toks) - ${W - 2}, 1))) AS i
              FROM tk WHERE len(toks) >= $W),
@@ -326,8 +330,23 @@ final class Search(tuning: Tuning) {
       g AS (SELECT doc_a, doc_b, diag, pa,
               pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
             FROM pr),
-      runs AS (SELECT doc_a, doc_b, diag, grp, CAST(count(*) AS BIGINT) AS len
-               FROM g GROUP BY doc_a, doc_b, diag, grp)
+      runs AS (SELECT doc_a, doc_b, diag, grp, CAST(count(*) AS BIGINT) AS len,
+                      min(pa) AS start_a
+               FROM g GROUP BY doc_a, doc_b, diag, grp)"""
+
+  private val q86 = Q(
+    "q86_substring_runs",
+    (s, d) => {
+      import s.implicits._
+      runIslands(s, d).groupBy($"doc_a", $"doc_b")
+        .agg(
+          (max($"len") + lit(W - 1).cast("long")).as("max_run_tokens"),
+          sum($"len").as("n_aligned"))
+        .where($"max_run_tokens" >= tuning.runMinTokens)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""
+      WITH $islandCtes
       SELECT doc_a, doc_b,
              CAST(max(len) + ${W - 1} AS BIGINT) AS max_run_tokens,
              CAST(sum(len) AS BIGINT) AS n_aligned
@@ -336,5 +355,122 @@ final class Search(tuning: Tuning) {
       HAVING max(len) + ${W - 1} >= ${tuning.runMinTokens}
       ORDER BY doc_a, doc_b"""))
 
-  val all: Seq[Q] = Seq(q85, q86)
+  /** Token positions covered by a reportable shared run, BOTH sides of
+    * every qualifying island: `(doc_id, pos)`, distinct. The per-island
+    * threshold is the Lee et al. rule — an island of `len` windows
+    * spans `len + W − 1` tokens and qualifies when that span ≥
+    * [[Tuning.runMinTokens]] (q86's report thresholds per PAIR on the
+    * longest run; removal is per ISLAND — every qualifying span is
+    * boilerplate wherever it sits).
+    */
+  private def coveredPositions(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val big = runIslands(s, d)
+        .where($"len" + lit(W - 1).cast("long") >= tuning.runMinTokens)
+      val covA = big.select($"doc_a".as("doc_id"), $"start_a".as("st"), $"len")
+      val covB = big.select($"doc_b".as("doc_id"),
+        ($"start_a" - $"diag").as("st"), $"len")
+      covA.unionAll(covB)
+        .select($"doc_id",
+          explode(expr(s"sequence(st, st + len + ${W - 2})")).as("pos"))
+        .distinct()
+  }
+
+  /** BOILERPLATE REMOVAL — the second half of the Lee et al. (2021)
+    * exact-substring signal: q86 detects shared literal spans, this
+    * STRIPS them. Returns `(doc_id, text)` for the WHOLE corpus:
+    * affected documents carry their kept tokens (covered positions
+    * removed) re-joined with single spaces; untouched documents keep
+    * their original text verbatim. Compose it in front of the q65
+    * funnel / lake ingest (CurationPipelineSpec does) — removing the
+    * shared spans is also what cuts q38's saturated-corpus candidate
+    * mass at the root.
+    *
+    * Scale shape: the island spine is q86's (df-capped postings, no
+    * all-pairs); coverage explodes one row per covered TOKEN of an
+    * affected doc (bounded by the affected docs' length, not the
+    * corpus); the rebuild groups one doc's tokens — sort_array over a
+    * single document's kept tokens, never a cross-doc window.
+    */
+  def stripRuns(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val cov = coveredPositions(s, d)
+      val toks = spread(t(s, d, "documents"))
+        .select($"doc_id", posexplode(expr(toksExpr)).as(Seq("pos", "tok")))
+        .select($"doc_id", $"pos".cast("long").as("pos"), $"tok")
+      val strippedText = toks
+        .join(cov.select($"doc_id"), Seq("doc_id"), "left_semi")
+        .join(cov, Seq("doc_id", "pos"), "left_anti")
+        .groupBy($"doc_id")
+        .agg(concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("stripped"))
+      // the affected set is marked EXPLICITLY: a fully-covered document
+      // has no kept tokens and therefore no strippedText row, but must
+      // come back as the empty string, not its original text
+      val affected = cov.select($"doc_id").distinct().withColumn("aff", lit(true))
+      t(s, d, "documents").select($"doc_id", $"text")
+        .join(affected, Seq("doc_id"), "left")
+        .join(strippedText, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"aff", coalesce($"stripped", lit(""))).otherwise($"text")
+            .as("text"))
+  }
+
+  /** q88: the strip REPORT, oracle-checked — for every document that
+    * loses tokens: total tokens, tokens removed, and the md5 of the
+    * stripped token sequence, so the oracle pins exactly WHICH
+    * positions were cut and what survived (a off-by-one in either
+    * side's interval arithmetic hash-mismatches).
+    */
+  private val q88 = Q(
+    "q88_boilerplate_strip",
+    (s, d) => {
+      import s.implicits._
+      val cov = coveredPositions(s, d)
+      val toks = spread(t(s, d, "documents"))
+        .select($"doc_id", posexplode(expr(toksExpr)).as(Seq("pos", "tok")))
+        .select($"doc_id", $"pos".cast("long").as("pos"), $"tok")
+      val tot = toks.groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+      val rem = cov.groupBy($"doc_id").agg(count(lit(1)).as("n_removed"))
+      val kept = toks.join(cov, Seq("doc_id", "pos"), "left_anti")
+        .groupBy($"doc_id")
+        .agg(md5(concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)")))
+          .as("stripped_hash"))
+      rem.join(tot, Seq("doc_id"))
+        .join(kept, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens", $"n_removed",
+          coalesce($"stripped_hash", md5(lit(""))).as("stripped_hash"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH $islandCtes,
+      big AS (SELECT * FROM runs WHERE len + ${W - 1} >= ${tuning.runMinTokens}),
+      cov0 AS (SELECT doc_a AS doc_id,
+                 unnest(range(start_a, start_a + len + ${W - 1})) AS pos FROM big
+               UNION ALL
+               SELECT doc_b AS doc_id,
+                 unnest(range(start_a - diag, start_a - diag + len + ${W - 1})) AS pos
+               FROM big),
+      cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+      tp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+             FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+                   FROM tk)),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM tp GROUP BY doc_id),
+      rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+              FROM cov GROUP BY doc_id),
+      kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+               FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+               WHERE cov.doc_id IS NULL),
+      sh AS (SELECT doc_id,
+               md5(array_to_string(list(tok ORDER BY pos), ' ')) AS stripped_hash
+             FROM kept GROUP BY doc_id)
+      SELECT r.doc_id, t.n_tokens, r.n_removed,
+             coalesce(sh.stripped_hash, md5('')) AS stripped_hash
+      FROM rem r JOIN tot t USING (doc_id) LEFT JOIN sh USING (doc_id)
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q85, q86, q88)
 }

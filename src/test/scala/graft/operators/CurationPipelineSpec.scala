@@ -112,4 +112,32 @@ class CurationPipelineSpec extends SparkTestBase {
       assert(manifest(0).getAs[Long]("n_members") == 2L)
     }
   }
+
+  test("boilerplate strip composes in front of the funnel: stripped text runs the q65 gates") {
+    import spark.implicits._
+    // STRIP → GATES: the corpus with its >=runMinTokens shared literal
+    // spans removed (Search.stripRuns, q88's operator face) feeds the
+    // same row-local gates the stream runs — the Lee et al. order
+    // (remove verbatim boilerplate BEFORE quality/dedup decisions)
+    val search = new Search(Tuning.current)
+    val stripped = search.stripRuns(spark, sf)
+    val gated = TextOps.curateStream(stripped)
+    val rows = gated.collect()
+    val total = graft.Tables.t(spark, sf, "documents").count()
+    assert(rows.length.toLong == total, "strip must preserve the corpus row-for-row")
+    // the strip genuinely changed some documents' gate inputs: compare
+    // against the unstripped funnel on the kept flag OR score
+    val before = TextOps.curateStream(
+        graft.Tables.t(spark, sf, "documents").select($"doc_id", $"text"))
+      .select($"doc_id", $"score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val after = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(after.keySet == before.keySet)
+    assert(after.exists { case (id, sc) => before(id) != sc },
+      "no document's funnel score changed — the strip did nothing on this fixture")
+    // and every gate column is present and well-typed for the DML tail
+    val kept = gated.filter($"kept").select($"doc_id", $"text")
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+  }
 }

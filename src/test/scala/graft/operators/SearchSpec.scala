@@ -89,4 +89,68 @@ class SearchSpec extends SparkTestBase {
     assert(got.nonEmpty, "fixture has no exact-substring pairs — threshold too high to test")
     assert(got == expected)
   }
+
+  test("q88 + stripRuns: stripped positions match a brute-force diagonal run scan") {
+    val minRun = graft.config.Tuning.current.runMinTokens
+    // independent coverage: for every pair and alignment diagonal, walk
+    // maximal equal-token runs; a run of >= minRun tokens marks its
+    // positions covered on BOTH sides
+    val cov = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    def mark(id: Long, from: Long, until: Long): Unit = {
+      val s = cov.getOrElseUpdate(id, scala.collection.mutable.Set[Long]())
+      (from until until).foreach(s += _)
+    }
+    for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+    } {
+      val (ia, ib) = if (docs(i)._1 < docs(j)._1) (i, j) else (j, i)
+      val (da, ta) = docs(ia); val (db, tb) = docs(ib)
+      for (diag <- -(tb.length - 1) to (ta.length - 1)) {
+        var p = math.max(0, diag); var runStart = p
+        while (p <= ta.length && {
+          val in = p < ta.length && (p - diag) < tb.length
+          val eq = in && ta(p) == tb(p - diag)
+          if (!eq) {
+            if (p - runStart >= minRun) {
+              mark(da, runStart, p); mark(db, runStart - diag, p - diag)
+            }
+            runStart = p + 1
+          }
+          in
+        }) p += 1
+      }
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byId = docs.toMap
+    val expected = cov.toSeq.sortBy(_._1).map { case (id, ps) =>
+      val toks = byId(id)
+      val kept = toks.indices.filterNot(k => ps.contains(k.toLong)).map(toks)
+      (id, toks.length.toLong, ps.size.toLong, md5hex(kept.mkString(" ")))
+    }
+    val got = graft.SparkEntry.queries("q88_boilerplate_strip")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("stripped_hash"))).toSeq
+    assert(got.nonEmpty, "fixture strips nothing — threshold too high to test")
+    assert(got == expected)
+
+    // and the composable operator returns the kept text for affected
+    // docs, the verbatim original for the rest
+    val search = new Search(graft.config.Tuning.current)
+    val stripped = search.stripRuns(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val original = graft.Tables.t(spark, sf, "documents")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    original.foreach { case (id, text) =>
+      cov.get(id) match {
+        case Some(ps) =>
+          val toks = byId(id)
+          val kept = toks.indices.filterNot(k => ps.contains(k.toLong)).map(toks)
+          assert(stripped(id) == kept.mkString(" "), s"doc $id stripped text")
+        case None =>
+          assert(stripped(id) == text, s"doc $id must be untouched")
+      }
+    }
+  }
 }
