@@ -186,7 +186,12 @@ object Multimodal {
               (nf, fi,
                 java.util.Arrays.copyOfRange(rec.blob, st, st + ba.toInt))
             }
-          case None => Iterator.empty
+          case None => pngRaster(rec.blob) match {
+            // a PNG still's one frame is its DECODED pixel raster —
+            // real inflation + de-filter; a corrupt IDAT emits nothing
+            case Some((_, _, px)) => Iterator((1L, 0L, px))
+            case None => Iterator.empty
+          }
         }
       }
 
@@ -244,6 +249,112 @@ object Multimodal {
       None
     }
 
+    /** Concatenated IDAT payloads from a bounds-checked chunk walk —
+      * None on any malformed length/truncation, or if IEND never
+      * arrives.
+      */
+    def pngIdat(b: Array[Byte]): Option[Array[Byte]] = {
+      if (b.length < 8) return None
+      def u32(off: Int): Long = ((b(off) & 0xffL) << 24) |
+        ((b(off + 1) & 0xffL) << 16) | ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+      val buf = new java.io.ByteArrayOutputStream()
+      var i = 8
+      while (i + 8 <= b.length) {
+        val len = u32(i)
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        if (len > Int.MaxValue - 12 || i + 8 + len + 4 > b.length) return None
+        if (typ == "IDAT") buf.write(b, i + 8, len.toInt)
+        if (typ == "IEND") return Some(buf.toByteArray)
+        i += 8 + len.toInt + 4
+      }
+      None
+    }
+
+    /** Inflate a zlib stream to EXACTLY `expected` bytes — None on
+      * corruption (bad header, bad Adler, short or oversized stream).
+      */
+    private[operators] def inflate(data: Array[Byte], expected: Int): Option[Array[Byte]] =
+      try {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(data)
+        val out = new Array[Byte](expected)
+        var off = 0
+        var stalled = false
+        while (off < expected && !inf.finished() && !stalled) {
+          val n = inf.inflate(out, off, expected - off)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+          off += n
+        }
+        // drain one more call so end-of-stream (and its Adler check)
+        // is reached even when the payload filled `out` exactly; any
+        // byte it produces means the stream holds MORE than `expected`
+        var extra = 0
+        if (!inf.finished() && !stalled)
+          extra = inf.inflate(new Array[Byte](1), 0, 1)
+        val ok = off == expected && extra == 0 &&
+          inf.finished() && inf.getRemaining == 0
+        inf.end()
+        if (ok) Some(out) else None
+      } catch { case _: Exception => None }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Reverse the PNG scanline filters (types 0–4, the full spec set)
+      * over `h` scanlines of `w·bpp` bytes each, every line prefixed by
+      * its filter byte. None on a size mismatch or an undefined filter
+      * type.
+      */
+    private[operators] def defilter(data: Array[Byte], w: Int, h: Int,
+        bpp: Int): Option[Array[Byte]] = {
+      val stride = w * bpp
+      if (data.length != h * (1 + stride)) return None
+      val out = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        val ft = data(y * (1 + stride)) & 0xff
+        if (ft > 4) return None
+        var x = 0
+        while (x < stride) {
+          val raw = data(y * (1 + stride) + 1 + x) & 0xff
+          val left = if (x >= bpp) out(y * stride + x - bpp) & 0xff else 0
+          val up = if (y > 0) out((y - 1) * stride + x) & 0xff else 0
+          val ul = if (y > 0 && x >= bpp) out((y - 1) * stride + x - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + (left + up) / 2
+            case _ => raw + paeth(left, up, ul)
+          }
+          out(y * stride + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    }
+
+    /** Full PNG raster decode: header → IDAT walk → real zlib
+      * inflation → de-filter. Only 8-bit truecolour (the fixture
+      * profile and the common crawl case); anything else — or any
+      * corruption anywhere in the stream — is None, never a throw.
+      * Returns `(w, h, rgb)` with `rgb` the raw `h·w·3` pixel bytes.
+      */
+    def pngRaster(b: Array[Byte]): Option[(Long, Long, Array[Byte])] =
+      for {
+        wh <- pngHeader(b)
+        (w, h) = wh
+        if (b(24) & 0xff) == 8 && (b(25) & 0xff) == 2 // 8-bit truecolour
+        if h * (1 + 3 * w) <= (1L << 26)              // inflation bound
+        idat <- pngIdat(b)
+        u <- inflate(idat, (h * (1 + 3 * w)).toInt)
+        px <- defilter(u, w.toInt, h.toInt, 3)
+      } yield (w, h, px)
+
     /** PNG: header-only dimensions + real length/hash; one still frame. */
     def decodePng(rec: MediaRecord): Option[MediaMeta] =
       pngHeader(rec.blob).map { case (w, h) =>
@@ -262,9 +373,11 @@ object Multimodal {
 
     /** Format-sniffing decode: real parsers first, [[opaque]] as the
       * last resort — the production dispatch shape (one instance per
-      * partition via `mapPartitions`). PNG/JPEG are header-only
-      * (dimensions + hash, no raster): their stills don't join the
-      * q61 frame sample or the q62 resize, which need decoded pixels.
+      * partition via `mapPartitions`). JPEG is header-only (dimensions
+      * + hash — entropy decoding needs a codec): its stills don't join
+      * the q61 frame sample or the q62 resize. PNG decodes fully
+      * ([[pngRaster]]: real zlib inflation + de-filter) and joins
+      * both pixel tiers.
       */
     def decode(rec: MediaRecord): MediaMeta =
       decodePpm(rec).orElse(decodeWav(rec)).orElse(decodePng(rec))
@@ -317,7 +430,7 @@ object Multimodal {
       * arithmetic (stale-bytes hash mismatches misdiagnosed as decoder
       * bugs).
       */
-    private val fixtureVersion = 3
+    private val fixtureVersion = 4
 
     def path(d: String): String = {
       val root = sys.props.getOrElse("graft.media.dir",
@@ -390,7 +503,9 @@ object Multimodal {
   /** Frame sampling over the STORED media table: every 2nd frame (the
     * training-data "sample k-th frame" stage), each fingerprinted from
     * its DECODED BYTES — a PPM still's frame is its full pixel raster,
-    * a WAV frame is the blockAlign PCM block the header addresses —
+    * a PNG still's frame is its INFLATED, de-filtered RGB raster (a
+    * real `java.util.zip` decode of the stored zlib stream), a WAV
+    * frame is the blockAlign PCM block the header addresses —
     * sliced data-locally from the stored blob by [[RealDecoders
     * .sampledFrames]] and hashed with the portable [[hexMd5]]. The
     * oracle reconstructs the identical slice arithmetically (the same
@@ -439,10 +554,20 @@ object Multimodal {
                  CAST(frame_idx AS BIGINT) AS frame_idx,
                  md5(array_to_string(list_transform(range(0, ba),
                    j -> printf('%02X', (doc_id*7 + (frame_idx*ba + j)*13) % 256)), '')) AS frame_fp
-               FROM wse)
+               FROM wse),
+      gf AS (SELECT doc_id, 1 + doc_id % 53 AS w, 1 + doc_id % 29 AS h
+             FROM documents WHERE doc_id % 4 = 2),
+      pngf AS (SELECT doc_id, CAST(1 AS BIGINT) AS n_frames,
+                 CAST(0 AS BIGINT) AS frame_idx,
+                 md5(array_to_string(list_transform(range(0, w*h*3),
+                   i -> printf('%02X', (doc_id*11 +
+                     ((i // (3*w))*(1+3*w) + 1 + (i % (3*w)))*17) % 256)), '')) AS frame_fp
+               FROM gf)
       SELECT doc_id, n_frames, frame_idx, frame_fp FROM ppmf
       UNION ALL
       SELECT doc_id, n_frames, frame_idx, frame_fp FROM wavf
+      UNION ALL
+      SELECT doc_id, n_frames, frame_idx, frame_fp FROM pngf
       ORDER BY doc_id, frame_idx"""))
 
   /** Resize EXECUTION (plan + pixels): integer aspect-preserving fit
@@ -466,12 +591,19 @@ object Multimodal {
         .select($"doc_id", $"blob")
         .as[MediaRecord]
         .mapPartitions(_.flatMap { rec =>
-          RealDecoders.ppmHeader(rec.blob).map { case (w, h, bps, off) =>
+          // an IMAGE decodes to (w, h, raster bytes, bps, offset):
+          // PPM rasters live in the blob at their header offset; PNG
+          // rasters come out of the real inflate+defilter decode
+          val img = RealDecoders.ppmHeader(rec.blob)
+            .map { case (w, h, bps, off) => (w, h, rec.blob, bps, off) }
+            .orElse(RealDecoders.pngRaster(rec.blob)
+              .map { case (w, h, px) => (w, h, px, 1, 0) })
+          img.map { case (w, h, raster, bps, off) =>
             val longSide = math.max(w, h)
             val outW = math.max(1L, w * 32 / longSide)
             val outH = math.max(1L, h * 32 / longSide)
             val resized = RealDecoders.resizeNearest(
-              rec.blob, w, h, bps, off, outW, outH)
+              raster, w, h, bps, off, outW, outH)
             (rec.doc_id, w, h, outW, outH, longSide > 32, hexMd5(resized))
           }
         })
@@ -482,19 +614,33 @@ object Multimodal {
     Some("""
       WITH meta AS (SELECT doc_id,
                       CAST(1 + doc_id % 47 AS BIGINT) AS width,
-                      CAST(1 + doc_id % 19 AS BIGINT) AS height
-                    FROM documents WHERE doc_id % 4 = 0),
-      dims AS (SELECT doc_id, width, height,
+                      CAST(1 + doc_id % 19 AS BIGINT) AS height,
+                      'ppm' AS kind
+                    FROM documents WHERE doc_id % 4 = 0
+                    UNION ALL
+                    SELECT doc_id,
+                      CAST(1 + doc_id % 53 AS BIGINT),
+                      CAST(1 + doc_id % 29 AS BIGINT),
+                      'png'
+                    FROM documents WHERE doc_id % 4 = 2),
+      dims AS (SELECT doc_id, kind, width, height,
                  greatest(width, height) AS long_side,
                  CAST(greatest(1, (width * 32) // greatest(width, height)) AS BIGINT)  AS out_w,
                  CAST(greatest(1, (height * 32) // greatest(width, height)) AS BIGINT) AS out_h
                FROM meta)
       SELECT doc_id, width, height, out_w, out_h,
              long_side > 32 AS downscaled,
-             md5(array_to_string(list_transform(range(0, out_w*out_h*3),
-               i -> printf('%02X', 32 + (doc_id +
-                 ((((i//3) // out_w) * height // out_h) * width +
-                  (((i//3) % out_w) * width // out_w)) * 3 + i % 3) % 64)), '')) AS out_hash
+             CASE WHEN kind = 'ppm' THEN
+               md5(array_to_string(list_transform(range(0, out_w*out_h*3),
+                 i -> printf('%02X', 32 + (doc_id +
+                   ((((i//3) // out_w) * height // out_h) * width +
+                    (((i//3) % out_w) * width // out_w)) * 3 + i % 3) % 64)), ''))
+             ELSE
+               md5(array_to_string(list_transform(range(0, out_w*out_h*3),
+                 i -> printf('%02X', (doc_id*11 +
+                   ((((i//3) // out_w) * height // out_h) * (1+3*width) + 1 +
+                    (((i//3) % out_w) * width // out_w) * 3 + i % 3) * 17) % 256)), ''))
+             END AS out_hash
       FROM dims
       ORDER BY doc_id"""))
 
@@ -613,13 +759,23 @@ object Multimodal {
       bb.array()
     }
 
-    /** Minimal structurally-valid PNG: signature, 13-byte IHDR (8-bit
-      * truecolour), an id-derived IDAT payload, IEND — every chunk
-      * carrying its REAL CRC-32 (java.util.zip; the oracle recomputes
-      * the same polynomial as a SQL fold, so even the checksums are
-      * engine-portable). The IDAT bytes are not a zlib stream — the
-      * fixture exercises header parsing and byte fidelity, not
-      * inflation, exactly the q60 header-probe contract.
+    /** Structurally-valid PNG with a REAL raster: signature, 13-byte
+      * IHDR (8-bit truecolour), an IDAT holding a genuine zlib stream
+      * (STORED-mode deflate block + Adler-32) wrapping the filtered
+      * raster (one `0` filter byte per scanline + id-derived RGB
+      * bytes), IEND — every chunk carrying its REAL CRC-32
+      * (java.util.zip; the oracle recomputes the same polynomial as a
+      * SQL fold, and the Adler as an index-weighted sum, so even the
+      * checksums are engine-portable). Stored-mode deflate keeps the
+      * stream bytes arithmetically derivable (the oracle has no
+      * compressor) while [[RealDecoders]] inflates it with the real
+      * `java.util.zip.Inflater` — so PNG joins the frame-sample (q61)
+      * and executed-resize (q62) pixel tiers.
+      *
+      * The uncompressed stream byte at index k is 0 at filter
+      * positions (k ≡ 0 mod 1+3w) and `(id·11 + k·17) mod 256`
+      * elsewhere. w·h·3 ≤ 53·29·3 keeps the stream inside one
+      * stored block (< 64 KiB).
       */
     def png(id: Long): Array[Byte] = {
       val w = (1 + id % 53).toInt
@@ -636,8 +792,20 @@ object Multimodal {
         .putInt(w).putInt(h)
         .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
         .array()
-      val idat = Array.tabulate((16 + id % 32).toInt)(j =>
-        (((id * 11 + j * 17) % 256) & 0xff).toByte)
+      val stride = 1 + 3 * w
+      val u = Array.tabulate(h * stride)(k =>
+        if (k % stride == 0) 0.toByte
+        else (((id * 11 + k.toLong * 17) % 256) & 0xff).toByte)
+      val adler = { val a = new java.util.zip.Adler32(); a.update(u); a.getValue }
+      val len = u.length
+      val idat = java.nio.ByteBuffer.allocate(2 + 5 + len + 4)
+        .put(0x78.toByte).put(0x01.toByte)                   // zlib header
+        .put(0x01.toByte)                                    // BFINAL=1, stored
+        .put((len & 0xff).toByte).put(((len >> 8) & 0xff).toByte)
+        .put((~len & 0xff).toByte).put(((~len >> 8) & 0xff).toByte)
+        .put(u)
+        .putInt(adler.toInt)                                 // Adler-32, BE
+        .array()
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
         chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
         chunk("IEND", Array.empty[Byte])
@@ -737,18 +905,30 @@ object Multimodal {
                 CAST(c AS BIGINT) AS width, CAST(rate AS BIGINT) AS height,
                 CAST(frames AS BIGINT) AS n_frames
               FROM w1),
-      g0 AS (SELECT doc_id, 1 + doc_id % 53 AS w, 1 + doc_id % 29 AS h,
-               16 + doc_id % 32 AS ilen
+      g0 AS (SELECT doc_id, 1 + doc_id % 53 AS w, 1 + doc_id % 29 AS h
              FROM documents WHERE doc_id % 4 = 2),
-      g1 AS (SELECT doc_id, w, h, ilen,
+      gz AS (SELECT doc_id, w, h, h*(1+3*w) AS ulen,
+               list_transform(range(0, h*(1+3*w)), k ->
+                 CASE WHEN k % (1+3*w) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE (doc_id*11 + k*17) % 256 END) AS u
+             FROM g0),
+      ga AS (SELECT doc_id, w, h, ulen, u,
+               CAST((1 + list_sum(u)) % 65521 AS BIGINT) AS ad_a,
+               CAST((ulen + list_sum(list_transform(range(0, ulen),
+                  k -> (ulen - k) * u[k+1]))) % 65521 AS BIGINT) AS ad_b
+             FROM gz),
+      g1 AS (SELECT doc_id, w, h, ulen + 11 AS ilen,
                list_concat([CAST(73 AS BIGINT), 72, 68, 82,
                  (w//16777216)%256, (w//65536)%256, (w//256)%256, w%256,
                  (h//16777216)%256, (h//65536)%256, (h//256)%256, h%256,
                  8, 2, 0, 0, 0], []) AS ihdr_td,
-               list_concat([CAST(73 AS BIGINT), 68, 65, 84],
-                 list_transform(range(0, ilen),
-                   j -> (doc_id*11 + j*17) % 256)) AS idat_td
-             FROM g0),
+               list_concat(list_concat(
+                 [CAST(73 AS BIGINT), 68, 65, 84,
+                  120, 1, 1, ulen%256, ulen//256,
+                  255 - ulen%256, 255 - ulen//256],
+                 u),
+                 [ad_b//256, ad_b%256, ad_a//256, ad_a%256]) AS idat_td
+             FROM ga),
       png AS (SELECT doc_id, 'png' AS kind,
                 '89504E470D0A1A0A' || '0000000D' ||
                 ${bytesHex("ihdr_td")} || ${crcHex("ihdr_td")} ||

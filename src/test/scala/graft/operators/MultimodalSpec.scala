@@ -129,6 +129,10 @@ class MultimodalSpec extends AnyFunSuite {
           crc.update(rec.blob, 12, 4 + 13)  // IHDR type+data
           val stored = java.nio.ByteBuffer.wrap(rec.blob, 29, 4).getInt
           assert(stored == crc.getValue.toInt, "IHDR CRC mismatch")
+          // the raster is REAL now: one decodable frame of w·h·3 bytes
+          val frames = RealDecoders.sampledFrames(rec).toSeq
+          assert(frames.map(f => (f._1, f._2)) == Seq((1L, 0L)))
+          assert(frames.head._3.length == m.width.toInt * m.height.toInt * 3)
         case _ =>
           val m = RealDecoders.decodeJpeg(rec)
             .getOrElse(fail(s"JPEG fixture $id rejected by the JPEG parser"))
@@ -220,6 +224,130 @@ class MultimodalSpec extends AnyFunSuite {
     def fpOf(b: Array[Byte]) =
       RealDecoders.sampledFrames(MediaRecord(pid, b)).next()._3
     assert(hexMd5(fpOf(pClean)) != hexMd5(fpOf(pCorrupt)))
+  }
+
+  test("pngRaster decodes the fixture: real inflation, defilter, formula bytes") {
+    import Multimodal.{MediaFixtures, RealDecoders}
+    for (id <- Seq(2L, 6L, 106L)) {
+      val b = MediaFixtures.png(id)
+      val (w, h) = ((1 + id % 53).toInt, (1 + id % 29).toInt)
+      val Some((dw, dh, px)) = RealDecoders.pngRaster(b)
+      assert(dw == w && dh == h)
+      assert(px.length == w * h * 3)
+      // de-filtered pixels must equal the fixture formula at the
+      // non-filter stream positions
+      val stride = 1 + 3 * w
+      for (y <- 0 until h; x <- 0 until 3 * w) {
+        val k = y * stride + 1 + x
+        assert((px(y * 3 * w + x) & 0xff) == ((id * 11 + k.toLong * 17) % 256).toInt,
+          s"id=$id y=$y x=$x")
+      }
+    }
+  }
+
+  test("corrupted IDAT: raster decode refuses, header probe still answers") {
+    import Multimodal.{MediaFixtures, MediaRecord, RealDecoders}
+    val good = MediaFixtures.png(10L)
+    def flip(b: Array[Byte], at: Int): Array[Byte] = {
+      val c = b.clone(); c(at) = (c(at) ^ 0x5a).toByte; c
+    }
+    // IDAT chunk data starts after 8 (sig) + 25 (IHDR chunk) + 8
+    // (IDAT len+type) = 41; flip bytes inside the zlib payload, the
+    // stored-block LEN field, and the Adler tail
+    val zlibStart = 41
+    val corrupted = Seq(
+      flip(good, zlibStart),          // zlib header
+      flip(good, zlibStart + 3),      // stored-block LEN
+      flip(good, zlibStart + 10),     // payload byte (breaks Adler)
+      // Adler-32 tail: last 4 zlib bytes, sitting before the IDAT CRC
+      // (4) and IEND (12) at the blob's end
+      flip(good, good.length - 17),
+      good.take(zlibStart + 20))      // truncated mid-IDAT (no IEND)
+    corrupted.foreach { b =>
+      assert(RealDecoders.pngRaster(b).isEmpty, "corrupt stream must not decode")
+      assert(RealDecoders.sampledFrames(MediaRecord(10L, b)).isEmpty,
+        "corrupt stream must emit no frames")
+    }
+    // header-only probing still works on in-chunk corruption (not the
+    // truncated blob, whose IHDR is intact too)
+    corrupted.take(4).foreach { b =>
+      assert(RealDecoders.decodePng(MediaRecord(10L, b)).nonEmpty,
+        "header probe must still answer on payload corruption")
+    }
+    // and a payload byte flip CHANGES the q61 story vs the original:
+    // the original decodes one frame
+    assert(RealDecoders.sampledFrames(MediaRecord(10L, good)).size == 1)
+  }
+
+  test("defilter reverses all five PNG filter types") {
+    import Multimodal.RealDecoders
+    // reference image 3x3 RGB, bytes 0..26 scaled to exercise wrap
+    val w = 3; val h = 3; val bpp = 3; val stride = w * bpp
+    val img = Array.tabulate(h * stride)(i => ((i * 37 + 11) % 256).toByte)
+    def px(y: Int, x: Int): Int =
+      if (y < 0 || x < 0) 0 else img(y * stride + x) & 0xff
+    def paethRef(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    // encode each scanline with filter type = its row index (0,1,2)
+    // then re-encode the whole image per filter type for 3 and 4
+    def encode(filterOf: Int => Int): Array[Byte] = {
+      val out = new Array[Byte](h * (1 + stride))
+      for (y <- 0 until h) {
+        val ft = filterOf(y)
+        out(y * (1 + stride)) = ft.toByte
+        for (x <- 0 until stride) {
+          val raw = px(y, x)
+          val left = if (x >= bpp) px(y, x - bpp) else 0
+          val up = px(y - 1, x)
+          val ul = if (x >= bpp) px(y - 1, x - bpp) else 0
+          val f = ft match {
+            case 0 => raw
+            case 1 => raw - left
+            case 2 => raw - up
+            case 3 => raw - (left + up) / 2
+            case 4 => raw - paethRef(left, up, ul)
+          }
+          out(y * (1 + stride) + 1 + x) = (f & 0xff).toByte
+        }
+      }
+      out
+    }
+    for (ft <- 0 to 4) {
+      val dec = RealDecoders.defilter(encode(_ => ft), w, h, bpp)
+        .getOrElse(fail(s"filter $ft rejected"))
+      assert(dec.toSeq == img.toSeq, s"filter $ft round-trip")
+    }
+    // mixed filters per scanline
+    val mixed = RealDecoders.defilter(encode(y => y + 1), w, h, bpp)
+      .getOrElse(fail("mixed filters rejected"))
+    assert(mixed.toSeq == img.toSeq)
+    // undefined filter type and size mismatch refuse
+    val bad = encode(_ => 0); bad(0) = 5.toByte
+    assert(RealDecoders.defilter(bad, w, h, bpp).isEmpty)
+    assert(RealDecoders.defilter(bad.drop(1), w, h, bpp).isEmpty)
+  }
+
+  test("inflate handles REAL compressed streams, not just stored blocks") {
+    import Multimodal.RealDecoders
+    val data = Array.tabulate(5000)(i => ((i * i * 31 + i) % 251).toByte)
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](10000)
+    val n = d.deflate(buf); d.end()
+    val z = buf.take(n)
+    assert(RealDecoders.inflate(z, data.length).map(_.toSeq).contains(data.toSeq))
+    // wrong expected size, a corrupt Adler tail, and truncation refuse
+    // (a mid-stream bit flip may land on an unused Huffman-table entry
+    // and change nothing — the checksum tail and the length ARE the
+    // deterministic integrity signals)
+    assert(RealDecoders.inflate(z, data.length - 1).isEmpty)
+    assert(RealDecoders.inflate(z, data.length + 1).isEmpty)
+    val zc = z.clone(); zc(z.length - 1) = (zc(z.length - 1) ^ 0x7f).toByte
+    assert(RealDecoders.inflate(zc, data.length).isEmpty)
+    assert(RealDecoders.inflate(z.take(z.length - 6), data.length).isEmpty)
   }
 
   test("resizeNearest picks the exact NN source pixels (handcrafted 4x2 -> 2x1)") {
