@@ -35,7 +35,9 @@ object ScaleProbe {
     "q72_dedup_index_serve",
     "q67_ivf_pq_index_build",
     "q68_vector_store_serve",
-    "q58_sequence_packing")
+    "q58_sequence_packing",
+    // r12: the heaviest dedup-family operator gets its m1000 cell
+    "q86_substring_runs")
 
   /** `--wide`: the ENTIRE LLM tier (every registered query whose only
     * inputs are the documents/embeddings tables or the media lake

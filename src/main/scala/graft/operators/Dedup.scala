@@ -288,10 +288,14 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     * is one bucket groupBy over the stored bands plus a
     * candidate-bounded text pass, no full-corpus recompute anywhere.
     */
-  private def minhashVerified(s: SparkSession, d: String): DataFrame = {
+  /** The LSH candidate stage as a plan: bucketed (capped) distinct
+    * `a_id < b_id` pairs off the STORED band table — uncached; the
+    * verify spine caches it, the probe hook just counts it.
+    */
+  private def candPairs(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       ensureSigIndex(s, d)
-      val cand = s.read.parquet(s"${sigPath(d)}/bands")
+      s.read.parquet(s"${sigPath(d)}/bands")
         .groupBy($"band_key")
         .agg(sort_array(collect_set($"doc_id")).as("ds"))
         .filter(size($"ds") > 1 && size($"ds") <= bCap)
@@ -301,6 +305,18 @@ final class Dedup(val tuning: Tuning) extends Serializable {
                  y -> named_struct('a_id', x, 'b_id', y))))""")).as("p"))
         .select($"p.a_id".as("a_id"), $"p.b_id".as("b_id"))
         .distinct()
+  }
+
+  /** Candidate-pair COUNT of the LSH stage — the scale-probe hook for
+    * the strip/cap cells: how much exact-verify work would q32/q38 do
+    * on this corpus at this knob set, without doing it.
+    */
+  def candidateCount(s: SparkSession, d: String): Long =
+    candPairs(s, d).count()
+
+  private def minhashVerified(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val cand = candPairs(s, d)
         .cache()  // read by the verify spine and the candidate-id set
       // The candidate-pair BUDGET (Tuning.verifyPairBudget): the count
       // materializes the cache every downstream pass reuses, and pair
