@@ -596,8 +596,10 @@ object TextOps {
                            + length(CAST(1 + doc_id % 19 AS VARCHAR))
                            + (1 + doc_id % 47) * (1 + doc_id % 19) * 3
                     WHEN 1 THEN 44 + (10 + doc_id % 50) * (1 + doc_id % 3) * 2
-                    -- PNG: 8 sig + 25 IHDR + (12 + idat payload) + 12 IEND
-                    WHEN 2 THEN 57 + 16 + doc_id % 32
+                    -- PNG: 8 sig + 25 IHDR + (12 + zlib payload) + 12
+                    -- IEND, where the zlib stream wraps the filtered
+                    -- raster h·(1+3w) in one stored block (+11 framing)
+                    WHEN 2 THEN 57 + 11 + (1 + doc_id % 29) * (1 + 3 * (1 + doc_id % 53))
                     -- JPEG: SOI + JFIF APP0 + 3-component SOF0 + EOI
                     ELSE 41
                END AS media_bytes,
