@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
 object StripProbe {
 
   def main(args: Array[String]): Unit = {
-    val mult = if (args.length > 0) args(0).toInt else 1000
-    val cap = if (args.length > 1) args(1).toInt else 16
+    val capOnly = args.contains("--cap-only")
+    val pos = args.filterNot(_.startsWith("--"))
+    val mult = if (pos.length > 0) pos(0).toInt else 1000
+    val cap = if (pos.length > 1) pos(1).toInt else 16
     sys.props("graft.index.dir") =
       s"${sys.props("java.io.tmpdir")}/graft-strip-index"
 
@@ -68,31 +70,36 @@ object StripProbe {
       dedup.candidateCount(spark, dir))
     spark.catalog.clearCache()
 
-    // cell 2: STRIPPED corpus — materialize stripRuns as a documents
-    // table (all original columns, n_chars recomputed), then re-count
-    // and run the full q38 over it
+    // cell 2 (skipped under --cap-only): STRIPPED corpus — materialize
+    // stripRuns as a documents table (all original columns, n_chars
+    // recomputed), then re-count and run the full q38 over it
     val stripDir = s"${graft.operators.SyntheticCorpus.defaultRoot}/stripped-v1-d$docs"
-    val (_, stripS) = timed("strip + materialize") {
-      graft.operators.SyntheticCorpus.ensureDir(stripDir) { staging =>
-        val stripped = new graft.operators.Search(t).stripRuns(spark, dir)
-        graft.Tables.t(spark, dir, "documents")
-          .drop("text", "n_chars")
-          .join(stripped, Seq("doc_id"))
-          .withColumn("n_chars", length(col("text")).cast("long"))
-          .select("doc_id", "text", "lang", "source", "n_chars")
-          .write.mode("overwrite")
-          .parquet(s"${staging.getAbsolutePath}/documents.parquet")
+    val (stripS, strippedCand, strippedCandS, strippedQ38S) =
+      if (capOnly) (Double.NaN, -1L, Double.NaN, Double.NaN)
+      else {
+        val (_, sS) = timed("strip + materialize") {
+          graft.operators.SyntheticCorpus.ensureDir(stripDir) { staging =>
+            val stripped = new graft.operators.Search(t).stripRuns(spark, dir)
+            graft.Tables.t(spark, dir, "documents")
+              .drop("text", "n_chars")
+              .join(stripped, Seq("doc_id"))
+              .withColumn("n_chars", length(col("text")).cast("long"))
+              .select("doc_id", "text", "lang", "source", "n_chars")
+              .write.mode("overwrite")
+              .parquet(s"${staging.getAbsolutePath}/documents.parquet")
+          }
+        }
+        spark.catalog.clearCache()
+        val (sc, scS) = timed("stripped candidateCount")(
+          dedup.candidateCount(spark, stripDir))
+        spark.catalog.clearCache()
+        val (_, sqS) = timed("stripped q38") {
+          new QRegistry(t).queries("q38_dedup_components")(spark, stripDir)
+            .write.mode("overwrite").format("noop").save()
+        }
+        spark.catalog.clearCache()
+        (sS, sc, scS, sqS)
       }
-    }
-    spark.catalog.clearCache()
-    val (strippedCand, strippedCandS) = timed("stripped candidateCount")(
-      dedup.candidateCount(spark, stripDir))
-    spark.catalog.clearCache()
-    val (_, strippedQ38S) = timed("stripped q38") {
-      new QRegistry(t).queries("q38_dedup_components")(spark, stripDir)
-        .write.mode("overwrite").format("noop").save()
-    }
-    spark.catalog.clearCache()
 
     // cell 3: CAPPED raw corpus — same band lake, tighter pairing gate
     val capped = new graft.operators.Dedup(t.copy(bandBucketCap = cap))
@@ -109,15 +116,18 @@ object StripProbe {
 
     val budget = t.verifyPairBudget
     def passes(c: Long): Long = math.max(1L, (c + budget - 1) / budget)
+    def jn(v: Double): String = if (v.isNaN) "null" else num(v)
+    def jc(c: Long): String = if (c < 0) "null" else c.toString
+    def jp(c: Long): String = if (c < 0) "null" else passes(c).toString
     println(
       s"""{"metric":"strip_probe","mult":$mult,"docs":$docs,""" +
         s""""verify_pair_budget":$budget,"band_bucket_cap":$cap,""" +
         s""""raw_candidates":$rawCand,"raw_cand_s":${num(rawCandS)},""" +
         s""""raw_verify_passes":${passes(rawCand)},""" +
-        s""""strip_materialize_s":${num(stripS)},""" +
-        s""""stripped_candidates":$strippedCand,"stripped_cand_s":${num(strippedCandS)},""" +
-        s""""stripped_verify_passes":${passes(strippedCand)},""" +
-        s""""stripped_q38_s":${num(strippedQ38S)},""" +
+        s""""strip_materialize_s":${jn(stripS)},""" +
+        s""""stripped_candidates":${jc(strippedCand)},"stripped_cand_s":${jn(strippedCandS)},""" +
+        s""""stripped_verify_passes":${jp(strippedCand)},""" +
+        s""""stripped_q38_s":${jn(strippedQ38S)},""" +
         s""""capped_candidates":$cappedCand,"capped_cand_s":${num(cappedCandS)},""" +
         s""""capped_verify_passes":${passes(cappedCand)},""" +
         s""""capped_q38_s":${num(cappedQ38S)}}""")
