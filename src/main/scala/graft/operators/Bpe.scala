@@ -234,9 +234,16 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     * whole corpus at the default 1); application surfaces (q83/q84)
     * always read the full view — trained merges meet every word.
     */
-  private def vocab(s: SparkSession, d: String, sampled: Boolean): DataFrame = {
+  private def vocab(s: SparkSession, d: String, sampled: Boolean): DataFrame =
+    vocabOf(s, spread(t(s, d, "documents")), sampled)
+
+  /** The vocabulary collapse over an arbitrary `(doc_id, text)` view —
+    * q82-q84/q87 pass the corpus, q89 the curated (boilerplate-
+    * stripped) corpus.
+    */
+  private def vocabOf(s: SparkSession, docs: DataFrame,
+      sampled: Boolean): DataFrame = {
     import s.implicits._
-    val docs = spread(t(s, d, "documents"))
     val in = if (sampled && sampleMod > 1)
       docs.filter($"doc_id" % sampleMod === 0) else docs
     in.select(explode(expr(toksExpr)).as("w"))
@@ -250,9 +257,29 @@ final class Bpe(val tuning: Tuning) extends Serializable {
 
   /** The training loop — see the module doc for the per-round shape. */
   private def train(s: SparkSession, d: String): Seq[Merge] = synchronized {
-    memo.getOrElseUpdate(memoKey(s, d), {
+    memo.getOrElseUpdate(memoKey(s, d),
+      mergeRounds(s, vocab(s, d, sampled = true)))
+  }
+
+  /** The curated twin of [[train]]: the merge rounds over the
+    * boilerplate-STRIPPED corpus (`cur` = [[Search.stripRuns]] output,
+    * passed in so one q89 invocation materializes the strip once).
+    * Memoized separately — the curated vocabulary differs wherever a
+    * shared run was cut.
+    */
+  private def trainCurated(s: SparkSession, d: String,
+      cur: DataFrame): Seq[Merge] = synchronized {
+    memo.getOrElseUpdate(memoKey(s, d) + ":curated",
+      mergeRounds(s, vocabOf(s, cur, sampled = true)))
+  }
+
+  /** The distributed merge-round loop over an initial vocabulary
+    * segmentation — one pair aggregation + one collected argmax row
+    * per round (see the module doc).
+    */
+  private def mergeRounds(s: SparkSession, vocab0: DataFrame): Seq[Merge] = {
       import s.implicits._
-      var seg = vocab(s, d, sampled = true).localCheckpoint(true)
+      var seg = vocab0.localCheckpoint(true)
       val out = Vector.newBuilder[Merge]
       var r = 0
       var done = false
@@ -286,21 +313,22 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       }
       seg.unpersist()
       out.result()
-    })
   }
 
   /** The vocabulary with its FINAL segmentation — the trained merges
     * replayed as one chained projection (≤ bpeMerges nested compiled
     * replaces), not a re-run of the loop.
     */
-  private def finalSeg(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val merges = train(s, d)
-    val segCol = merges.foldLeft(col("seg")) { case (c, (_, l, r, m, _)) =>
+  private def finalSeg(s: SparkSession, d: String): DataFrame =
+    vocab(s, d, sampled = false).withColumn("seg", segChain(train(s, d)))
+
+  /** The trained merges as one chained projection over `seg` —
+    * ≤ bpeMerges nested compiled replaces.
+    */
+  private def segChain(merges: Seq[Merge]): Column =
+    merges.foldLeft(col("seg")) { case (c, (_, l, r, m, _)) =>
       call_function("replace", c, lit(s"($l)($r)"), lit(s"($m)"))
     }
-    vocab(s, d, sampled = false).withColumn("seg", segCol)
-  }
 
   /** The driver-local trainer over this registry's sampled vocabulary
     * — ONE Spark job (the vocabulary collapse + collect), then
@@ -321,13 +349,15 @@ final class Bpe(val tuning: Tuning) extends Serializable {
   // Oracle SQL: the unrolled MATERIALIZED-CTE replay of the rounds.
   // ------------------------------------------------------------------
 
-  private def trainCtes: String = {
+  private def trainCtes(rel: String): String = {
     // the training vocabulary: sampled when bpeSampleMod > 1 (the
-    // default 1 keeps the original unfiltered scan)
+    // default 1 keeps the original unfiltered scan). `rel` is the
+    // corpus relation — `documents` for q82-q87, the curated `sdocs`
+    // CTE for q89.
     val docScan =
       if (sampleMod > 1)
-        s"SELECT unnest($toksSqlDuck) AS w FROM documents WHERE doc_id % $sampleMod = 0"
-      else s"SELECT unnest($toksSqlDuck) AS w FROM documents"
+        s"SELECT unnest($toksSqlDuck) AS w FROM $rel WHERE doc_id % $sampleMod = 0"
+      else s"SELECT unnest($toksSqlDuck) AS w FROM $rel"
     val head = Seq(
       s"""w AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
             $docScan)
@@ -353,7 +383,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
                                 '(' || b.m || ')') END AS seg
               FROM s$p LEFT JOIN b$i b ON TRUE)""")
     }
-    (head ++ rounds ++ applyCtes).mkString(",\n      ")
+    (head ++ rounds ++ applyCtes(rel)).mkString(",\n      ")
   }
 
   /** Application-side segmentation chain: when training is SAMPLED the
@@ -363,12 +393,12 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     * chain's s$nRounds IS the full-vocabulary segmentation and no
     * extra CTEs are emitted.
     */
-  private def applyCtes: Seq[String] =
+  private def applyCtes(rel: String): Seq[String] =
     if (sampleMod == 1) Seq.empty
     else {
       val head = Seq(
         s"""wf AS MATERIALIZED (SELECT w FROM (
-              SELECT unnest($toksSqlDuck) AS w FROM documents)
+              SELECT unnest($toksSqlDuck) AS w FROM $rel)
             WHERE w NOT LIKE '%(%' AND w NOT LIKE '%)%' GROUP BY w)""",
         """f0 AS MATERIALIZED (SELECT w,
              regexp_replace(w, '(.)', '(\1)', 'g') AS seg FROM wf)""")
@@ -407,7 +437,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
         s"SELECT CAST($i AS BIGINT) AS rank, l, r, m AS merged, cnt AS pair_count FROM b$i"
       }.mkString("\n        UNION ALL ")
       s"""
-      WITH $trainCtes
+      WITH ${trainCtes("documents")}
       SELECT * FROM (
         $union) ORDER BY rank"""
     })
@@ -435,7 +465,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
         .orderBy($"doc_id")
     },
     Some(s"""
-      WITH $trainCtes,
+      WITH ${trainCtes("documents")},
       wt AS (SELECT w, CAST(len(regexp_extract_all(seg, '\\(([^()]*)\\)', 1)) AS BIGINT) AS nt
              FROM $applySegCte),
       dw AS (SELECT doc_id, unnest($toksSqlDuck) AS w FROM documents)
@@ -465,10 +495,19 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     * identical bins.
     */
   private def binnedDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    binnedDocsOf(s, t(s, d, "documents"),
+      finalSeg(s, d).select($"w", size(segToks($"seg")).cast("long").as("nt")))
+  }
+
+  /** [[binnedDocs]] over an arbitrary `(doc_id, text)` view and
+    * token-count map `wt(w, nt)` — q84/q87 pass the corpus and the
+    * corpus-trained segmentation, q89 the curated pair.
+    */
+  private def binnedDocsOf(s: SparkSession, docs: DataFrame,
+      wt: DataFrame): DataFrame = {
       import s.implicits._
-      val wt = finalSeg(s, d)
-        .select($"w", size(segToks($"seg")).cast("long").as("nt"))
-      val perDoc = t(s, d, "documents")
+      val perDoc = docs
         .select($"doc_id", explode_outer(expr(toksExpr)).as("w"))
         .join(wt, Seq("w"), "left")
         .groupBy($"doc_id")
@@ -512,8 +551,8 @@ final class Bpe(val tuning: Tuning) extends Serializable {
         .orderBy($"bin")
     },
     Some(s"""
-      WITH $trainCtes,
-      $binCtes
+      WITH ${trainCtes("documents")},
+      ${binCtes("documents")}
       SELECT bin, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM b
@@ -525,13 +564,13 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     * `b(doc_id, n, bin)`. Shared by q84 (bin manifest) and q87 (shard
     * dump).
     */
-  private def binCtes: String = s"""wt AS (SELECT w, CAST(len(regexp_extract_all(seg, '\\(([^()]*)\\)', 1)) AS BIGINT) AS nt
+  private def binCtes(rel: String): String = s"""wt AS (SELECT w, CAST(len(regexp_extract_all(seg, '\\(([^()]*)\\)', 1)) AS BIGINT) AS nt
              FROM $applySegCte),
-      dw AS (SELECT doc_id, unnest($toksSqlDuck) AS w FROM documents),
+      dw AS (SELECT doc_id, unnest($toksSqlDuck) AS w FROM $rel),
       dn AS (SELECT dw.doc_id, CAST(coalesce(sum(wt.nt), 0) AS BIGINT) AS n
              FROM dw LEFT JOIN wt USING (w) GROUP BY dw.doc_id),
       c AS (SELECT d.doc_id, CAST(coalesce(dn.n, 0) AS BIGINT) AS n
-            FROM documents d LEFT JOIN dn USING (doc_id)),
+            FROM $rel d LEFT JOIN dn USING (doc_id)),
       pw AS (SELECT doc_id, n,
               coalesce(sum(n) OVER (ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
@@ -662,7 +701,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
         .orderBy($"bin", $"doc_id")
     },
     Some(s"""
-      WITH $trainCtes,
+      WITH ${trainCtes("documents")},
       fsegtk AS (SELECT w, regexp_extract_all(seg, '\\(([^()]*)\\)', 1) AS tk
                  FROM $applySegCte),
       tok AS (SELECT DISTINCT unnest(tk) AS tok FROM fsegtk),
@@ -677,7 +716,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
               FROM (SELECT doc_id, $toksSqlDuck AS toks FROM documents)),
       dseq AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
                FROM dwo JOIN wids USING (w) GROUP BY doc_id),
-      $binCtes
+      ${binCtes("documents")}
       SELECT b.bin, b.doc_id, b.n AS n_tokens,
              md5(array_to_string(
                list_transform(coalesce(dseq.ids, []), x -> CAST(x AS VARCHAR)),
@@ -685,5 +724,60 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       FROM b LEFT JOIN dseq USING (doc_id)
       ORDER BY bin, doc_id"""))
 
-  val all: Seq[Q] = Seq(q82, q83, q84, q87)
+  /** The strip half of the Lee et al. pipeline, shared with q89 —
+    * instantiated with THIS registry's tuning so the curated corpus
+    * and its oracle interpolate the same knobs.
+    */
+  // @transient: Bpe rides into task closures (binnedDocsOf's TwoPass
+  // lambda captures `this`) and Search is driver-only plan-building
+  // state — lazy re-derives it from `tuning` if ever touched after
+  // deserialization.
+  @transient private lazy val searchOps = new Search(tuning)
+
+  /** q89: the CURATED packing — the Lee et al. (2021) training-data
+    * pipeline composed end-to-end as one oracle-checked operator:
+    * boilerplate strip (q88's `stripRuns`) → BPE training over the
+    * CURATED text (its own vocabulary — shared runs no longer inflate
+    * pair counts) → token counting → context-window packing (q84's
+    * prefix-sum bins). The output is q84's bin-manifest shape computed
+    * over the corpus a training run should actually consume; the
+    * oracle replays the whole trajectory — island detection, strip,
+    * every merge round, the packing — from the raw `documents` table
+    * in SQL, so a disagreement anywhere in the composed pipeline
+    * cascades into a hash mismatch.
+    *
+    * Scale shape: each stage keeps its own audited plan (q88's
+    * df-capped island spine, q82's vocabulary-sized rounds, q84's
+    * no-Window two-pass prefix sum); the strip output is
+    * localCheckpoint-materialized ONCE and feeds training, token
+    * counting, and packing without recomputing the island join.
+    */
+  private val q89 = Q(
+    "q89_curated_packing",
+    (s, d) => {
+      import s.implicits._
+      val cur = searchOps.stripRuns(s, d).localCheckpoint(true)
+      val merges = trainCurated(s, d, cur)
+      val wt = vocabOf(s, cur, sampled = false)
+        .withColumn("seg", segChain(merges))
+        .select($"w", size(segToks($"seg")).cast("long").as("nt"))
+      binnedDocsOf(s, cur, wt).groupBy($"bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n").cast("long").as("n_tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy($"bin")
+    },
+    Some(s"""
+      WITH ${searchOps.strippedDocsCtes},
+      ${trainCtes("sdocs")},
+      ${binCtes("sdocs")}
+      SELECT bin, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM b
+      GROUP BY bin
+      ORDER BY bin"""))
+
+  val all: Seq[Q] = Seq(q82, q83, q84, q87, q89)
 }

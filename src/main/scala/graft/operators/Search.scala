@@ -445,7 +445,26 @@ final class Search(tuning: Tuning) {
         .orderBy($"doc_id")
     },
     Some(s"""
-      WITH $islandCtes,
+      WITH $stripCtes,
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM tp GROUP BY doc_id),
+      rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+              FROM cov GROUP BY doc_id),
+      sh AS (SELECT doc_id,
+               md5(array_to_string(list(tok ORDER BY pos), ' ')) AS stripped_hash
+             FROM kept GROUP BY doc_id)
+      SELECT r.doc_id, t.n_tokens, r.n_removed,
+             coalesce(sh.stripped_hash, md5('')) AS stripped_hash
+      FROM rem r JOIN tot t USING (doc_id) LEFT JOIN sh USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** [[islandCtes]] extended through the strip replay — ends with
+    * `cov(doc_id, pos)` (positions covered by a qualifying run),
+    * `tp(doc_id, pos, tok)` (every token position) and
+    * `kept(doc_id, pos, tok)` (tokens surviving the strip). The shared
+    * spine of q88's report oracle and q89's curated-corpus oracle.
+    */
+  private def stripCtes: String = s"""$islandCtes,
       big AS (SELECT * FROM runs WHERE len + ${W - 1} >= ${tuning.runMinTokens}),
       cov0 AS (SELECT doc_a AS doc_id,
                  unnest(range(start_a, start_a + len + ${W - 1})) AS pos FROM big
@@ -457,20 +476,28 @@ final class Search(tuning: Tuning) {
       tp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
              FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
                    FROM tk)),
-      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
-              FROM tp GROUP BY doc_id),
-      rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
-              FROM cov GROUP BY doc_id),
       kept AS (SELECT tp.doc_id, tp.pos, tp.tok
                FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
-               WHERE cov.doc_id IS NULL),
-      sh AS (SELECT doc_id,
-               md5(array_to_string(list(tok ORDER BY pos), ' ')) AS stripped_hash
-             FROM kept GROUP BY doc_id)
-      SELECT r.doc_id, t.n_tokens, r.n_removed,
-             coalesce(sh.stripped_hash, md5('')) AS stripped_hash
-      FROM rem r JOIN tot t USING (doc_id) LEFT JOIN sh USING (doc_id)
-      ORDER BY doc_id"""))
+               WHERE cov.doc_id IS NULL)"""
+
+  /** The oracle-side CURATED corpus, ending in `sdocs(doc_id, text)` —
+    * the exact SQL twin of [[stripRuns]]: affected documents carry
+    * their kept tokens re-joined with single spaces (the empty string
+    * when fully covered), untouched documents their original text
+    * verbatim. q89 trains and packs `FROM sdocs` where q82-q87 read
+    * `FROM documents`.
+    */
+  private[operators] def strippedDocsCtes: String = s"""$stripCtes,
+      aff AS (SELECT DISTINCT doc_id FROM cov),
+      stx AS (SELECT doc_id,
+                array_to_string(list(tok ORDER BY pos), ' ') AS stext
+              FROM kept GROUP BY doc_id),
+      sdocs AS (SELECT d.doc_id,
+                  CASE WHEN a.doc_id IS NULL THEN d.text
+                       ELSE coalesce(stx.stext, '') END AS text
+                FROM documents d
+                LEFT JOIN aff a ON d.doc_id = a.doc_id
+                LEFT JOIN stx ON d.doc_id = stx.doc_id)"""
 
   val all: Seq[Q] = Seq(q85, q86, q88)
 }
