@@ -610,8 +610,18 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     sys.props.getOrElse("graft.index.dir",
       s"${sys.props("java.io.tmpdir")}/graft-index")
 
-  private[operators] def shardsPath(d: String): String = {
-    val knobs = s"$nRounds:$sampleMod:$ctx"
+  private[operators] def shardsPath(d: String): String =
+    shardsPathOf(d, s"$nRounds:$sampleMod:$ctx")
+
+  /** The curated artifact keys on the STRIP-shaping knobs too —
+    * runMinTokens and dfCap change which spans are cut, hence the
+    * curated text, vocabulary, and every downstream byte.
+    */
+  private[operators] def curatedShardsPath(d: String): String =
+    shardsPathOf(d,
+      s"$nRounds:$sampleMod:$ctx:cur:${tuning.runMinTokens}:${tuning.dfCap}")
+
+  private def shardsPathOf(d: String, knobs: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((new java.io.File(d).getCanonicalPath + ":" + knobs + ":" +
         shardsVersion).getBytes("UTF-8"))
@@ -622,19 +632,45 @@ final class Bpe(val tuning: Tuning) extends Serializable {
 
   private val shardsReady = scala.collection.mutable.HashSet[String]()
 
-  /** Install-or-reuse the packed training shards. Deterministic build
-    * (trained merges + UTF-8 id ranks + doc_id orders), so losing an
-    * install race is success; [[Bpe.shardBuilds]] is the spec hook.
+  /** Install-or-reuse the packed training shards over the RAW corpus.
+    * Deterministic build (trained merges + UTF-8 id ranks + doc_id
+    * orders), so losing an install race is success;
+    * [[Bpe.shardBuilds]] is the spec hook.
     */
   def ensureShards(s: SparkSession, d: String): String = synchronized {
+    installShards(s, shardsPath(d),
+      () => (t(s, d, "documents"), train(s, d)))
+  }
+
+  /** The curated twin: shards over the boilerplate-STRIPPED corpus
+    * with the CURATED-trained merges — the artifact a training run
+    * should actually read. The strip (the expensive island join) runs
+    * only inside a build; replays resolve the installed artifact.
+    */
+  def ensureCuratedShards(s: SparkSession, d: String): String =
+    synchronized {
+      installShards(s, curatedShardsPath(d), { () =>
+        val cur = searchOps.stripRuns(s, d).localCheckpoint(true)
+        (cur, trainCurated(s, d, cur))
+      })
+    }
+
+  /** The shared shard builder over an arbitrary `(doc_id, text)` view
+    * and its trained merges (`mk` runs only when the artifact is
+    * missing — the curated corpus materializes nothing on a replay).
+    */
+  private def installShards(s: SparkSession, p: String,
+      mk: () => (DataFrame, Seq[Merge])): String = {
     import s.implicits._
-    val p = shardsPath(d)
     if (shardsReady.contains(p)) return p
     val built = ArtifactLake.ensure(new java.io.File(p)) { staging =>
       val root = staging.getAbsolutePath
-      val wtoks = finalSeg(s, d).select($"w", segToks($"seg").as("tk"))
-        .localCheckpoint(true) // two consumers (tid + wids): cut the
-                               // shared train-replay lineage once
+      val (docs, merges) = mk()
+      val wtoks = vocabOf(s, spread(docs), sampled = false)
+        .withColumn("seg", segChain(merges))
+        .select($"w", segToks($"seg").as("tk"))
+        .localCheckpoint(true) // three consumers (tid + wids + wt):
+                               // cut the shared train-replay lineage once
       // token-id table: distinct final tokens ranked in UTF-8 order —
       // a vocabulary-sized global sort, never the corpus
       val tid = wtoks.select(explode($"tk").as("tok")).distinct()
@@ -652,14 +688,15 @@ final class Bpe(val tuning: Tuning) extends Serializable {
           .as("ids"))
       // per-doc flattened sequences: words in text order, each word's
       // subword ids in segmentation order
-      val dseq = spread(t(s, d, "documents"))
+      val dseq = spread(docs)
         .select($"doc_id", posexplode(expr(toksExpr)).as(Seq("wpos", "w")))
         .join(wids, Seq("w"))
         .groupBy($"doc_id")
         .agg(expr(
           "flatten(transform(sort_array(collect_list(struct(wpos, ids))), x -> x.ids))")
           .as("token_ids"))
-      val binned = binnedDocs(s, d)
+      val binned = binnedDocsOf(s, docs,
+        wtoks.select($"w", size($"tk").cast("long").as("nt")))
       binned.groupBy($"bin")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -701,7 +738,15 @@ final class Bpe(val tuning: Tuning) extends Serializable {
         .orderBy($"bin", $"doc_id")
     },
     Some(s"""
-      WITH ${trainCtes("documents")},
+      WITH ${shardCtesAndSelect("documents")}"""))
+
+  /** The shard-dump oracle body over a corpus relation `rel` — trained
+    * merges → full-vocabulary segmentation → UTF-8-ranked token ids →
+    * per-doc flattened sequences → prefix-sum bins → the hashed dump.
+    * q87 replays it `FROM documents`, q90 `FROM sdocs` (the curated
+    * CTE chain prepended by the caller).
+    */
+  private def shardCtesAndSelect(rel: String): String = s"""${trainCtes(rel)},
       fsegtk AS (SELECT w, regexp_extract_all(seg, '\\(([^()]*)\\)', 1) AS tk
                  FROM $applySegCte),
       tok AS (SELECT DISTINCT unnest(tk) AS tok FROM fsegtk),
@@ -713,16 +758,20 @@ final class Bpe(val tuning: Tuning) extends Serializable {
                FROM wtok JOIN tid USING (tok) GROUP BY w),
       dwo AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS wpos,
                      unnest(toks) AS w
-              FROM (SELECT doc_id, $toksSqlDuck AS toks FROM documents)),
+              FROM (SELECT doc_id, $toksSqlDuck AS toks FROM $rel)),
       dseq AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
                FROM dwo JOIN wids USING (w) GROUP BY doc_id),
-      ${binCtes("documents")}
+      ${binCtes(rel)}
       SELECT b.bin, b.doc_id, b.n AS n_tokens,
-             md5(array_to_string(
+             md5(coalesce(array_to_string(
                list_transform(coalesce(dseq.ids, []), x -> CAST(x AS VARCHAR)),
-               ',')) AS ids_hash
+               ','), '')) AS ids_hash
       FROM b LEFT JOIN dseq USING (doc_id)
-      ORDER BY bin, doc_id"""))
+      ORDER BY bin, doc_id"""
+      // outer coalesce: DuckDB's array_to_string is a zero-row
+      // string_agg — NULL on an empty sequence (a fully-stripped
+      // document), where Spark's concat_ws yields '' and the stored
+      // hash is md5('')
 
   /** The strip half of the Lee et al. pipeline, shared with q89 —
     * instantiated with THIS registry's tuning so the curated corpus
@@ -779,5 +828,31 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       GROUP BY bin
       ORDER BY bin"""))
 
-  val all: Seq[Q] = Seq(q82, q83, q84, q87, q89)
+  /** q90: the CURATED shard dump — q87's materialized artifact built
+    * over q89's corpus: strip → curated-trained merges → curated
+    * token-id sequences → curated bins, shipped as the stored shard
+    * lake (vocab / manifest / data, ArtifactLake recipe). This is the
+    * tier's terminal artifact: the bytes a training run reads, over
+    * the corpus it should actually consume. The query reads the
+    * STORED parquet; the oracle re-derives every byte from the raw
+    * `documents` table — island detection, strip, every merge round,
+    * id ranks, sequence order, prefix-sum bins — so one wrong stored
+    * byte anywhere in the composed pipeline hash-mismatches.
+    */
+  private val q90 = Q(
+    "q90_curated_shards",
+    (s, d) => {
+      import s.implicits._
+      val p = ensureCuratedShards(s, d)
+      s.read.parquet(s"$p/data")
+        .select($"bin", $"doc_id", $"n_tokens",
+          md5(concat_ws(",",
+            expr("transform(token_ids, x -> cast(x as string))"))).as("ids_hash"))
+        .orderBy($"bin", $"doc_id")
+    },
+    Some(s"""
+      WITH ${searchOps.strippedDocsCtes},
+      ${shardCtesAndSelect("sdocs")}"""))
+
+  val all: Seq[Q] = Seq(q82, q83, q84, q87, q89, q90)
 }

@@ -24,5 +24,11 @@ object Prewarm {
     new Similarity(tuning).ensureIndex(s, d)
     new Dedup(tuning).ensureSigIndex(s, d)
     Multimodal.MediaLake.ensure(s, d)
+    // the packed training shards (q87 raw, q90 curated) — the
+    // heaviest install of the BPE tier; q90's build also carries the
+    // one-time boilerplate strip
+    val bpe = new Bpe(tuning)
+    bpe.ensureShards(s, d)
+    bpe.ensureCuratedShards(s, d)
   }
 }
