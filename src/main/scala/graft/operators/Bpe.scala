@@ -600,8 +600,11 @@ final class Bpe(val tuning: Tuning) extends Serializable {
   // corpus.
   // ------------------------------------------------------------------
 
-  /** Bump when the shard derivation changes. */
-  private val shardsVersion = 1
+  /** Bump when the shard derivation changes. v2: the artifact carries
+    * `merges/` so a fresh session can SERVE the tokenizer without
+    * retraining.
+    */
+  private val shardsVersion = 2
 
   /** Bins bundled per shard dir. */
   private val binsPerShard = 64L
@@ -666,6 +669,11 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     val built = ArtifactLake.ensure(new java.io.File(p)) { staging =>
       val root = staging.getAbsolutePath
       val (docs, merges) = mk()
+      // the trained merge table (≤ bpeMerges rows): the tokenizer
+      // itself — a fresh session SERVES from this instead of
+      // retraining
+      merges.toDF("rank", "l", "r", "merged", "pair_count")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/merges")
       val wtoks = vocabOf(s, spread(docs), sampled = false)
         .withColumn("seg", segChain(merges))
         .select($"w", segToks($"seg").as("tk"))
@@ -853,6 +861,59 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     Some(s"""
       WITH ${searchOps.strippedDocsCtes},
       ${shardCtesAndSelect("sdocs")}"""))
+
+  /** SERVE: tokenize an ad-hoc `(id BIGINT, text STRING)` batch with
+    * the STORED tokenizer — the frozen merge table and token-id table
+    * from the shard artifact (`curated = true` serves the
+    * boilerplate-stripped pipeline's tokenizer, q90's artifact). The
+    * vector store's `add()` pattern applied to the tokenizer: new text
+    * is ENCODED against the trained artifact, never retrained, and a
+    * fresh session serves without rebuilding anything. Returns
+    * `(id, token_ids ARRAY<INT>, n_tokens)` — subword tokens the
+    * corpus never produced map to id -1 (UNK); paren-carrying words
+    * are outside the vocabulary and drop from the sequence, exactly
+    * as the stored shards drop them.
+    *
+    * Scale shape: the merge chain is ≤ bpeMerges compiled `replace`s
+    * over the BATCH's distinct words (batch-vocabulary-sized, not
+    * corpus-sized); the stored id table rides one join
+    * (AQE-broadcast while it fits — it is bounded by alphabet +
+    * bpeMerges); per-doc assembly is one groupBy over the batch.
+    */
+  def serveTokenize(s: SparkSession, d: String, texts: DataFrame,
+      curated: Boolean = false): DataFrame = {
+    import s.implicits._
+    val p = if (curated) ensureCuratedShards(s, d) else ensureShards(s, d)
+    val merges = s.read.parquet(s"$p/merges").orderBy($"rank")
+      .select($"rank", $"l", $"r", $"merged", $"pair_count")
+      .as[Merge].collect().toSeq
+    val tid = s.read.parquet(s"$p/vocab")
+    val words = texts
+      .select($"id", posexplode_outer(expr(toksExpr)).as(Seq("wpos", "w")))
+    val wids = words.select($"w")
+      .where($"w".isNotNull && $"w" =!= "" &&
+        !$"w".contains("(") && !$"w".contains(")"))
+      .distinct()
+      .withColumn("seg", regexp_replace($"w", "(.)", "($1)"))
+      .withColumn("seg", segChain(merges))
+      .select($"w", posexplode(segToks($"seg")).as(Seq("tpos", "tok")))
+      .join(tid, Seq("tok"), "left")
+      .groupBy($"w")
+      .agg(expr(
+        """transform(sort_array(collect_list(struct(tpos, tid))),
+             x -> coalesce(x.tid, -1))""").as("ids"))
+    texts.select($"id")
+      .join(
+        words.join(wids, Seq("w"))
+          .groupBy($"id")
+          .agg(expr(
+            """flatten(transform(sort_array(collect_list(struct(wpos, ids))),
+                 x -> x.ids))""").as("token_ids")),
+        Seq("id"), "left")
+      .select($"id",
+        coalesce($"token_ids", lit(Array.empty[Int])).as("token_ids"))
+      .withColumn("n_tokens", size($"token_ids").cast("long"))
+  }
 
   val all: Seq[Q] = Seq(q82, q83, q84, q87, q89, q90)
 }
