@@ -38,8 +38,10 @@ run a q40,q41,q43,q44,q45,q47,q48,q49,q67,q68 \
 # over 3 docs are dropped before pairing, a results-changing cut the
 # oracle must mirror in q32/q38/q72/q81; bpeSampleMod=2 trains the
 # tokenizer on the half-corpus sample while q83/q84 still apply it to
-# every document — the oracle's separate apply chain must mirror both)
-run b q29,q31,q32,q33,q35,q38,q39,q59,q69,q72,q73,q77,q78,q79,q81,q82,q83,q84,q86,q87,q88,q89,q90 \
+# every document — the oracle's separate apply chain must mirror both;
+# q91 serves the stored tokenizer, so its probe-side merge replay must
+# mirror the sampled training chain too)
+run b q29,q31,q32,q33,q35,q38,q39,q59,q69,q72,q73,q77,q78,q79,q81,q82,q83,q84,q86,q87,q88,q89,q90,q91 \
   GRAFT_TUNING_CC_EDGE_JACCARD=0.3 GRAFT_TUNING_MINHASH_BANDS=4 \
   GRAFT_TUNING_MINHASH_ROWS=4 GRAFT_TUNING_DF_CAP=50 \
   GRAFT_TUNING_SOURCE_QUOTA=7 GRAFT_TUNING_KMV_K=128 \

@@ -99,6 +99,97 @@ object Bpe {
     out.result()
   }
 
+  /** A trained merge table compiled for per-word ENCODING at real
+    * vocabulary depth — the deep-serving twin of the `segChain`
+    * replace chain. Semantics are EXACTLY the fold of [[applyMerge]]
+    * over every rule in rank order (what segChain compiles and the
+    * stored shards were built with — TokenizeWithSpec pins the
+    * equality), but cost is O(rules that actually fire on the word),
+    * not O(#rules): rules are visited through a min-heap of ranks,
+    * seeded with the word's initial adjacent pairs and fed with the
+    * pairs each applied merge creates. Heap pops are monotonically
+    * non-decreasing in rank, which is what makes this equal to the
+    * sequential replay — a pair re-created AFTER its rule's turn has
+    * passed is never re-fired (ranks ≤ the firing rule are not
+    * pushed), and a pair destroyed before its turn no-ops through the
+    * presence check, exactly as a replace() on an absent pattern
+    * would. A 32k-rule production tokenizer therefore encodes a word
+    * at the cost of the handful of rules that touch it, where the
+    * nested-replace chain is a 32k-deep Catalyst expression.
+    */
+  final class MergeTable(merges: Seq[Merge]) extends Serializable {
+    private val ruleOf: Map[Int, (String, String, String)] =
+      merges.iterator.map(m => m._1.toInt -> ((m._2, m._3, m._4))).toMap
+    private val ranksOf: Map[(String, String), Array[Int]] =
+      // a pair CAN be learned at two ranks (destroyed then re-created
+      // between them by a rule whose merged token equals l or r); the
+      // sequential replay fires each occurrence at its own turn, so
+      // every rank is kept, ascending — push takes the first one
+      // beyond the firing rule
+      merges.groupBy(m => (m._2, m._3))
+        .map { case (p, ms) => p -> ms.map(_._1.toInt).sorted.toArray }
+
+    /** The word as its initial tokens: one per CODE POINT — the same
+      * split as the training side's `regexp_replace(w, '(.)', '($1)')`
+      * (Java regex `.` matches a code point, not a UTF-16 unit).
+      */
+    def split(word: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val n = Character.charCount(word.codePointAt(i))
+        out += word.substring(i, i + n)
+        i += n
+      }
+      out.result()
+    }
+
+    def encode(word: String): Array[String] = encodeTokens(split(word))
+
+    def encodeTokens(chars: Array[String]): Array[String] = {
+      var w = chars
+      if (w.length < 2) return w
+      val pq = new java.util.PriorityQueue[Integer]()
+      val seen = new java.util.HashSet[Integer]()
+      def push(l: String, r: String, after: Int): Unit =
+        ranksOf.get((l, r)) match {
+          case Some(rks) =>
+            // first trained rank strictly beyond the firing rule
+            var i = 0
+            while (i < rks.length && rks(i) <= after) i += 1
+            if (i < rks.length) {
+              val boxed = Integer.valueOf(rks(i))
+              if (seen.add(boxed)) pq.add(boxed)
+            }
+          case _ => ()
+        }
+      var j = 0
+      while (j + 1 < w.length) { push(w(j), w(j + 1), 0); j += 1 }
+      while (!pq.isEmpty) {
+        val rk = pq.poll().intValue()
+        val (l, r, m) = ruleOf(rk)
+        var has = false
+        j = 0
+        while (!has && j + 1 < w.length) {
+          if (w(j) == l && w(j + 1) == r) has = true
+          j += 1
+        }
+        if (has) {
+          w = applyMerge(w, l, r, m)
+          j = 0
+          while (j < w.length) {
+            if (w(j) == m) {
+              if (j > 0) push(w(j - 1), w(j), rk)
+              if (j + 1 < w.length) push(w(j), w(j + 1), rk)
+            }
+            j += 1
+          }
+        }
+      }
+      w
+    }
+  }
+
   /** The DRIVER-LOCAL merge loop over a collected `(word, freq)`
     * vocabulary — bit-identical rounds to the distributed trainer on
     * the same input (BpeLocalSpec pins this), at job-free per-round
@@ -915,5 +1006,137 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       .withColumn("n_tokens", size($"token_ids").cast("long"))
   }
 
-  val all: Seq[Q] = Seq(q82, q83, q84, q87, q89, q90)
+  /** DEEP serving: tokenize an ad-hoc `(id BIGINT, text STRING)` batch
+    * with an ARBITRARY trained merge table — the real-vocabulary path.
+    * [[serveTokenize]] replays the stored artifact's merge chain as
+    * nested compiled replaces, which is the right plan at gate-scale
+    * vocabularies but a 32k-deep Catalyst expression at the merge
+    * counts [[trainLocalMerges]] reaches; here the chain is a
+    * JVM-compiled [[Bpe.MergeTable]] encoder (rank-heap, fires only
+    * the rules that touch the word) run per DISTINCT word inside
+    * `mapPartitions`, with the table broadcast once. Word filtering
+    * (paren words drop, empty/null drop) and per-doc assembly match
+    * [[serveTokenize]] exactly; output is subword STRINGS —
+    * `(id, tokens ARRAY<STRING>, n_tokens)` — because a deep-trained
+    * tokenizer has no stored id table; id assignment stays the
+    * caller's (rank the distinct tokens, or join a stored vocab).
+    * TokenizeWithSpec pins encoder ≡ rank-order replay and
+    * tokenizeWith ≡ the stored shard sequences on the artifact's own
+    * merges.
+    *
+    * Scale shape: one explode + one distinct over the batch, the
+    * encode map-side over the batch vocabulary (shuffle-free), one
+    * batch-keyed join + groupBy — nothing corpus- or vocabulary-sized
+    * on the driver beyond the broadcast merge table itself (bounded
+    * by the requested merge count).
+    */
+  def tokenizeWith(s: SparkSession, texts: DataFrame,
+      merges: Seq[Merge]): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(new Bpe.MergeTable(merges))
+    val words = texts
+      .select($"id", posexplode_outer(expr(toksExpr)).as(Seq("wpos", "w")))
+    val wtoks = words.select($"w")
+      .where($"w".isNotNull && $"w" =!= "" &&
+        !$"w".contains("(") && !$"w".contains(")"))
+      .distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val mt = bc.value
+        it.map(w => (w, mt.encode(w)))
+      }
+      .toDF("w", "toks")
+    texts.select($"id")
+      .join(
+        words.join(wtoks, Seq("w"))
+          .groupBy($"id")
+          .agg(expr(
+            """flatten(transform(sort_array(collect_list(struct(wpos, toks))),
+                 x -> x.toks))""").as("tokens")),
+        Seq("id"), "left")
+      .select($"id",
+        coalesce($"tokens", expr("array()").cast("array<string>")).as("tokens"))
+      .withColumn("n_tokens", size($"tokens").cast("long"))
+  }
+
+  /** q91: the served tokenizer under the gate — a pinned probe batch
+    * (a deterministic corpus slice plus synthetic out-of-corpus texts)
+    * encoded through [[serveTokenize]], i.e. through the STORED
+    * artifact's frozen merges and id table. The oracle re-derives the
+    * tokenizer from scratch in SQL (every training round, the UTF-8 id
+    * ranks) and then encodes the SAME probes — per-word merge-chain
+    * replay over the probe vocabulary, UNK (-1) for subwords the
+    * corpus never produced, paren words dropped — so the hash pins
+    * both the stored tokenizer bytes AND the serving semantics: a
+    * wrong stored merge, a mis-ranked id, or a serve-side ordering
+    * slip all cascade into a mismatch.
+    */
+  private val q91 = Q(
+    "q91_serve_tokenize",
+    (s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents")
+        .filter($"doc_id" % 100 === 7)
+        .select($"doc_id".as("id"), $"text")
+      val synth = Seq(
+        (900000001L, "The quick brown fox jumps over the lazy dog"),
+        (900000002L, "wrap(par)ens drop but § is unknown"),
+        (900000003L, "")).toDF("id", "text")
+      serveTokenize(s, d, corpus.unionByName(synth))
+        .select($"id", $"n_tokens",
+          md5(concat_ws(",",
+            expr("transform(token_ids, x -> cast(x as string))")))
+            .as("ids_hash"))
+        .orderBy($"id")
+    },
+    Some {
+      // the probe vocabulary's merge-chain replay: char-split, then
+      // every trained round's argmax row applied in rank order —
+      // exactly serveTokenize's segChain over the batch vocabulary
+      val probeChain = (1 to nRounds).map { i =>
+        val p = i - 1
+        s"""g$i AS (SELECT w, CASE WHEN b.l IS NULL THEN seg
+                 ELSE replace(seg, '(' || b.l || ')(' || b.r || ')',
+                              '(' || b.m || ')') END AS seg
+               FROM g$p LEFT JOIN b$i b ON TRUE),"""
+      }.mkString("\n      ")
+      s"""
+      WITH ${trainCtes("documents")},
+      fsegtk AS (SELECT w, regexp_extract_all(seg, '\\(([^()]*)\\)', 1) AS tk
+                 FROM $applySegCte),
+      tok AS (SELECT DISTINCT unnest(tk) AS tok FROM fsegtk),
+      tid AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS INT) AS tid
+              FROM tok),
+      probes AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 100 = 7
+                 UNION ALL
+                 SELECT * FROM (VALUES
+                   (CAST(900000001 AS BIGINT),
+                    'The quick brown fox jumps over the lazy dog'),
+                   (CAST(900000002 AS BIGINT),
+                    'wrap(par)ens drop but § is unknown'),
+                   (CAST(900000003 AS BIGINT), '')) v(id, text)),
+      pdw AS (SELECT id, unnest(range(1, len(toks) + 1)) AS wpos,
+                     unnest(toks) AS w
+              FROM (SELECT id, $toksSqlDuck AS toks FROM probes)),
+      g0 AS (SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS seg
+             FROM (SELECT DISTINCT w FROM pdw
+                   WHERE w <> '' AND w NOT LIKE '%(%' AND w NOT LIKE '%)%')),
+      $probeChain
+      pwtok AS (SELECT w, unnest(range(1, len(tk) + 1)) AS tpos,
+                       unnest(tk) AS tok
+                FROM (SELECT w, regexp_extract_all(seg, '\\(([^()]*)\\)', 1) AS tk
+                      FROM g$nRounds)),
+      pwids AS (SELECT w, list(coalesce(tid, -1) ORDER BY tpos) AS ids
+                FROM pwtok LEFT JOIN tid USING (tok) GROUP BY w),
+      pseq AS (SELECT id, flatten(list(ids ORDER BY wpos)) AS ids
+               FROM pdw JOIN pwids USING (w) GROUP BY id)
+      SELECT p.id, CAST(coalesce(len(pseq.ids), 0) AS BIGINT) AS n_tokens,
+             md5(coalesce(array_to_string(
+               list_transform(coalesce(pseq.ids, []), x -> CAST(x AS VARCHAR)),
+               ','), '')) AS ids_hash
+      FROM probes p LEFT JOIN pseq USING (id)
+      ORDER BY id"""
+    })
+
+  val all: Seq[Q] = Seq(q82, q83, q84, q87, q89, q90, q91)
 }
