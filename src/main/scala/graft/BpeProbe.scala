@@ -74,6 +74,22 @@ object BpeProbe {
     System.err.println(s"[bpe-probe] trained ${trained.size}/$merges merges in ${num(trainS)} s " +
       s"(${num(trained.size / trainS)} merges/s)")
 
+    // ENCODE the whole corpus with the deep table — the other half of
+    // the real-vocabulary story: tokenizeWith's rank-heap encoder
+    // applied distributed (the nested-replace chain cannot express
+    // this depth). Aggregated to force full evaluation.
+    val e0 = System.nanoTime()
+    val enc = bpe.tokenizeWith(spark,
+        graft.Tables.t(spark, dir, "documents")
+          .selectExpr("doc_id AS id", "text"), trained)
+      .selectExpr("count(*) AS docs", "sum(n_tokens) AS toks")
+      .collect()(0)
+    val encS = (System.nanoTime() - e0) / 1e9
+    val (encDocs, encToks) = (enc.getLong(0), enc.getLong(1))
+    System.err.println(s"[bpe-probe] encoded $encDocs docs / $encToks tokens " +
+      s"with the ${trained.size}-merge table in ${num(encS)} s " +
+      s"(${num(encDocs / encS)} docs/s)")
+
     try spark.stop() catch { case _: Exception => }
 
     println(
@@ -81,7 +97,10 @@ object BpeProbe {
         s""""vocab_word_types":$vocabRows,"merges_requested":$merges,""" +
         s""""merges_trained":${trained.size},"corpus_ensure_s":${num(genS)},""" +
         s""""vocab_collapse_s":${num(vocabS)},"train_total_s":${num(trainS)},""" +
-        s""""merges_per_s":${num(trained.size / math.max(trainS, 1e-9))}}""")
+        s""""merges_per_s":${num(trained.size / math.max(trainS, 1e-9))},""" +
+        s""""encode_docs":$encDocs,"encode_tokens":$encToks,""" +
+        s""""encode_s":${num(encS)},""" +
+        s""""encode_docs_per_s":${num(encDocs / math.max(encS, 1e-9))}}""")
     System.out.flush()
   }
 }
