@@ -965,11 +965,14 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     * are outside the vocabulary and drop from the sequence, exactly
     * as the stored shards drop them.
     *
-    * Scale shape: the merge chain is ≤ bpeMerges compiled `replace`s
-    * over the BATCH's distinct words (batch-vocabulary-sized, not
-    * corpus-sized); the stored id table rides one join
-    * (AQE-broadcast while it fits — it is bounded by alphabet +
-    * bpeMerges); per-doc assembly is one groupBy over the batch.
+    * Scale shape: encoding runs the [[Bpe.MergeTable]] rank-heap
+    * encoder over the BATCH's distinct words (batch-vocabulary-sized,
+    * not corpus-sized; broadcast once, `mapPartitions`, cost flat in
+    * merge depth — the same JVM path [[tokenizeWith]] uses, pinned ≡
+    * the sequential chain by TokenizeWithSpec); the stored id table
+    * rides one join (AQE-broadcast while it fits — it is bounded by
+    * alphabet + bpeMerges); per-doc assembly is one groupBy over the
+    * batch.
     */
   def serveTokenize(s: SparkSession, d: String, texts: DataFrame,
       curated: Boolean = false): DataFrame = {
@@ -978,6 +981,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     val merges = s.read.parquet(s"$p/merges").orderBy($"rank")
       .select($"rank", $"l", $"r", $"merged", $"pair_count")
       .as[Merge].collect().toSeq
+    val bc = s.sparkContext.broadcast(new Bpe.MergeTable(merges))
     val tid = s.read.parquet(s"$p/vocab")
     val words = texts
       .select($"id", posexplode_outer(expr(toksExpr)).as(Seq("wpos", "w")))
@@ -985,9 +989,13 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       .where($"w".isNotNull && $"w" =!= "" &&
         !$"w".contains("(") && !$"w".contains(")"))
       .distinct()
-      .withColumn("seg", regexp_replace($"w", "(.)", "($1)"))
-      .withColumn("seg", segChain(merges))
-      .select($"w", posexplode(segToks($"seg")).as(Seq("tpos", "tok")))
+      .as[String]
+      .mapPartitions { it =>
+        val mt = bc.value
+        it.map(w => (w, mt.encode(w)))
+      }
+      .toDF("w", "tk")
+      .select($"w", posexplode($"tk").as(Seq("tpos", "tok")))
       .join(tid, Seq("tok"), "left")
       .groupBy($"w")
       .agg(expr(
