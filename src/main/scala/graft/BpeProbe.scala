@@ -90,6 +90,16 @@ object BpeProbe {
       s"with the ${trained.size}-merge table in ${num(encS)} s " +
       s"(${num(encDocs / encS)} docs/s)")
 
+    // SHIP the deep tokenizer's shards — the terminal artifact at real
+    // vocabulary depth (vocab/manifest/data lake through ArtifactLake)
+    val s0 = System.nanoTime()
+    val shardPath = bpe.ensureShardsFor(spark, dir, trained)
+    val shardS = (System.nanoTime() - s0) / 1e9
+    val shardToks = spark.read.parquet(s"$shardPath/manifest")
+      .selectExpr("sum(n_tokens)").collect()(0).getLong(0)
+    System.err.println(s"[bpe-probe] deep shard lake built in ${num(shardS)} s " +
+      s"($shardToks tokens at $shardPath)")
+
     try spark.stop() catch { case _: Exception => }
 
     println(
@@ -100,7 +110,8 @@ object BpeProbe {
         s""""merges_per_s":${num(trained.size / math.max(trainS, 1e-9))},""" +
         s""""encode_docs":$encDocs,"encode_tokens":$encToks,""" +
         s""""encode_s":${num(encS)},""" +
-        s""""encode_docs_per_s":${num(encDocs / math.max(encS, 1e-9))}}""")
+        s""""encode_docs_per_s":${num(encDocs / math.max(encS, 1e-9))},""" +
+        s""""shard_build_s":${num(shardS)},"shard_tokens":$shardToks}""")
     System.out.flush()
   }
 }

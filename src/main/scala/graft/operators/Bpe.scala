@@ -60,6 +60,18 @@ object Bpe {
   /** One trained merge: (rank, left, right, merged, weighted count). */
   type Merge = (Long, String, String, String, Long)
 
+  /** Content fingerprint of a merge table — the artifact key for
+    * [[Bpe!.ensureShardsFor]]: two different trained vocabularies get
+    * different shard lakes, identical tables reuse one.
+    */
+  private[operators] def mergesFp(merges: Seq[Merge]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    merges.sortBy(_._1).foreach { case (rk, l, r, m, c) =>
+      md.update(s"$rk\u0001$l\u0001$r\u0001$m\u0001$c\u0002".getBytes("UTF-8"))
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
   /** Shard-artifact observability counter (the
     * [[Similarity.indexBuilds]] pattern): incremented only when THIS
     * process performs the build — the spec hook proving replay is a
@@ -693,9 +705,11 @@ final class Bpe(val tuning: Tuning) extends Serializable {
 
   /** Bump when the shard derivation changes. v2: the artifact carries
     * `merges/` so a fresh session can SERVE the tokenizer without
-    * retraining.
+    * retraining. v3: the builder encodes through [[Bpe.MergeTable]]
+    * (bit-identical bytes — the bump only forces fresh installs
+    * through the new path).
     */
-  private val shardsVersion = 2
+  private val shardsVersion = 3
 
   /** Bins bundled per shard dir. */
   private val binsPerShard = 64L
@@ -749,6 +763,21 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       })
     }
 
+  /** Install-or-reuse a shard lake built with a SUPPLIED merge table —
+    * the DEEP-vocabulary artifact path: [[trainLocalMerges]] reaches
+    * 32k merges, [[Bpe.MergeTable]] encodes flat in depth, and this
+    * ships the result as the same vocab/manifest/data lake
+    * [[ensureShards]] builds (identical layout, identical bytes when
+    * given the artifact's own merges — DeepShardsSpec pins it). Keyed
+    * on a content fingerprint of the merge table, so two different
+    * trained vocabularies coexist and replays are no-ops.
+    */
+  def ensureShardsFor(s: SparkSession, d: String,
+      merges: Seq[Merge]): String = synchronized {
+    installShards(s, shardsPathOf(d, s"$ctx:for:${Bpe.mergesFp(merges)}"),
+      () => (t(s, d, "documents"), merges))
+  }
+
   /** The shared shard builder over an arbitrary `(doc_id, text)` view
     * and its trained merges (`mk` runs only when the artifact is
     * missing — the curated corpus materializes nothing on a replay).
@@ -765,11 +794,20 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       // retraining
       merges.toDF("rank", "l", "r", "merged", "pair_count")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/merges")
+      // the corpus vocabulary encoded through the rank-heap MergeTable
+      // — bit-identical to the nested-replace chain (TokenizeWithSpec)
+      // but flat in merge depth, so the builder also hosts the DEEP
+      // tables [[ensureShardsFor]] supplies
+      val bcMt = s.sparkContext.broadcast(new Bpe.MergeTable(merges))
       val wtoks = vocabOf(s, spread(docs), sampled = false)
-        .withColumn("seg", segChain(merges))
-        .select($"w", segToks($"seg").as("tk"))
+        .select($"w").as[String]
+        .mapPartitions { it =>
+          val mt = bcMt.value
+          it.map(w => (w, mt.encode(w)))
+        }
+        .toDF("w", "tk")
         .localCheckpoint(true) // three consumers (tid + wids + wt):
-                               // cut the shared train-replay lineage once
+                               // cut the shared encode lineage once
       // token-id table: distinct final tokens ranked in UTF-8 order —
       // a vocabulary-sized global sort, never the corpus
       val tid = wtoks.select(explode($"tk").as("tok")).distinct()
