@@ -73,7 +73,11 @@ object StripProbe {
     // cell 2 (skipped under --cap-only): STRIPPED corpus — materialize
     // stripRuns as a documents table (all original columns, n_chars
     // recomputed), then re-count and run the full q38 over it
-    val stripDir = s"${graft.operators.SyntheticCorpus.defaultRoot}/stripped-v1-d$docs"
+    // keyed on the strip-SHAPING knobs too (runMinTokens/dfCap change
+    // which spans are cut — a re-run under different tuning must not
+    // reuse a stale stripped corpus; the Bpe.curatedShardsPath rule)
+    val stripDir = s"${graft.operators.SyntheticCorpus.defaultRoot}/" +
+      s"stripped-v1-d$docs-r${t.runMinTokens}-c${t.dfCap}"
     val (stripS, strippedCand, strippedCandS, strippedQ38S) =
       if (capOnly) (Double.NaN, -1L, Double.NaN, Double.NaN)
       else {

@@ -204,14 +204,14 @@ object Tables {
     * (non-parquet layout, odd filesystem). Collapsing those last two
     * into 0 would make a present-but-unreadable layer silently
     * undercount `live_rows` — a stats surface must degrade to slower,
-    * never to wrong. If even the counting scan throws (an empty or
-    * partially-written layer dir with no readable parquet), the layer
-    * reports 0 after a loud stderr note instead of propagating the
-    * exception: storeStats is documented as "pollable at any corpus
-    * size, never a build trigger", and a monitoring poll that crashes
-    * on a transient half-written layer is worse than one that briefly
-    * under-reports a layer mid-install (the _SUCCESS protocol means a
-    * readable layer is never half-counted).
+    * never to wrong. If even the counting scan throws, the layer's
+    * `_SUCCESS` marker decides: absent (an empty or half-written dir —
+    * a layer mid-install) reports 0 after a stderr note, because a
+    * monitoring poll that crashes on that transient is worse than one
+    * that briefly under-reports; present (the layer claims
+    * completeness yet can't be scanned — corruption) propagates the
+    * exception, because a permanent silent 0 there would be exactly
+    * the "degrade to wrong" this contract forbids.
     */
   def layerCount(spark: SparkSession, path: String): Long =
     footerCount(spark, path).getOrElse {
@@ -224,11 +224,18 @@ object Tables {
             " — falling back to a counting scan")
         try spark.read.parquet(path).count()
         catch {
-          case e: Exception =>
+          // only a MID-INSTALL layer (no _SUCCESS yet: empty or
+          // half-written dir) degrades to a logged 0 — that is the
+          // transient the pollable contract protects. A layer that
+          // CLAIMS completeness (_SUCCESS present) but still can't be
+          // scanned is corruption; reporting 0 there would be a
+          // silent permanent undercount, so the error propagates.
+          case e: Exception
+              if !fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) =>
             System.err.println(
-              s"[graft] layerCount: counting scan also failed for $path" +
-                s" (${e.getMessage}) — reporting 0 to keep the stats" +
-                " surface pollable")
+              s"[graft] layerCount: counting scan failed for $path with" +
+                s" no _SUCCESS marker (${e.getMessage}) — mid-install," +
+                " reporting 0 to keep the stats surface pollable")
             0L
         }
       }

@@ -72,6 +72,24 @@ object Bpe {
     md.digest().take(8).map("%02x".format(_)).mkString
   }
 
+  /** A word as its initial tokens: one per CODE POINT — the same split
+    * as the engines' `regexp_replace(w, '(.)', '($1)')` (Java regex and
+    * DuckDB RE2 `.` both match a code point, not a UTF-16 unit).
+    * `toCharArray` would shear supplementary characters into lone
+    * surrogates and diverge from the distributed trainer on non-BMP
+    * text — every JVM-side splitter must go through here.
+    */
+  private[operators] def splitCodePoints(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   /** Shard-artifact observability counter (the
     * [[Similarity.indexBuilds]] pattern): incremented only when THIS
     * process performs the build — the spec hook proving replay is a
@@ -141,20 +159,8 @@ object Bpe {
       merges.groupBy(m => (m._2, m._3))
         .map { case (p, ms) => p -> ms.map(_._1.toInt).sorted.toArray }
 
-    /** The word as its initial tokens: one per CODE POINT — the same
-      * split as the training side's `regexp_replace(w, '(.)', '($1)')`
-      * (Java regex `.` matches a code point, not a UTF-16 unit).
-      */
-    def split(word: String): Array[String] = {
-      val out = Array.newBuilder[String]
-      var i = 0
-      while (i < word.length) {
-        val n = Character.charCount(word.codePointAt(i))
-        out += word.substring(i, i + n)
-        i += n
-      }
-      out.result()
-    }
+    /** The word as its initial tokens — see [[Bpe.splitCodePoints]]. */
+    def split(word: String): Array[String] = splitCodePoints(word)
 
     def encode(word: String): Array[String] = encodeTokens(split(word))
 
@@ -224,7 +230,9 @@ object Bpe {
     */
   def localMergeLoop(vocab: Seq[(String, Long)], rounds: Int): Seq[Merge] = {
     val words = vocab.iterator.map { case (w, _) =>
-      w.toCharArray.map(_.toString)
+      splitCodePoints(w) // NOT toCharArray: lone surrogates would
+                         // diverge from the distributed trainer's
+                         // code-point regex on non-BMP text
     }.toArray
     val freqs = vocab.iterator.map(_._2).toArray
     val counts = new java.util.HashMap[(String, String), Long]()
@@ -1019,11 +1027,39 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     val merges = s.read.parquet(s"$p/merges").orderBy($"rank")
       .select($"rank", $"l", $"r", $"merged", $"pair_count")
       .as[Merge].collect().toSeq
-    val bc = s.sparkContext.broadcast(new Bpe.MergeTable(merges))
     val tid = s.read.parquet(s"$p/vocab")
+    encodeBatch(s, texts, merges, "token_ids", "int") { wtoks =>
+      wtoks
+        .select($"w", posexplode($"tk").as(Seq("tpos", "tok")))
+        .join(tid, Seq("tok"), "left")
+        .groupBy($"w")
+        .agg(expr(
+          """transform(sort_array(collect_list(struct(tpos, tid))),
+               x -> coalesce(x.tid, -1))""").as("vals"))
+    }
+  }
+
+  /** The shared serve-side batch pipeline: explode the `(id, text)`
+    * batch ONCE (localCheckpoint-materialized — the word list has two
+    * consumers, the distinct-word encode and the per-doc assembly, and
+    * a serve batch is bounded), encode its distinct words through the
+    * broadcast [[Bpe.MergeTable]] (word filtering: null/empty and
+    * paren-carrying words drop, exactly as the shard builder drops
+    * them), map each word's subword tokens to the output domain with
+    * `perWord` (`(w, tk ARRAY<STRING>) → (w, vals ARRAY<elemType>)`),
+    * and reassemble per id in text order. One definition serves both
+    * [[serveTokenize]] (ids) and [[tokenizeWith]] (strings) — the two
+    * faces cannot drift.
+    */
+  private def encodeBatch(s: SparkSession, texts: DataFrame,
+      merges: Seq[Merge], outCol: String, elemType: String)(
+      perWord: DataFrame => DataFrame): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(new Bpe.MergeTable(merges))
     val words = texts
       .select($"id", posexplode_outer(expr(toksExpr)).as(Seq("wpos", "w")))
-    val wids = words.select($"w")
+      .localCheckpoint(true) // two consumers: tokenize the batch once
+    val wtoks = words.select($"w")
       .where($"w".isNotNull && $"w" =!= "" &&
         !$"w".contains("(") && !$"w".contains(")"))
       .distinct()
@@ -1033,42 +1069,31 @@ final class Bpe(val tuning: Tuning) extends Serializable {
         it.map(w => (w, mt.encode(w)))
       }
       .toDF("w", "tk")
-      .select($"w", posexplode($"tk").as(Seq("tpos", "tok")))
-      .join(tid, Seq("tok"), "left")
-      .groupBy($"w")
-      .agg(expr(
-        """transform(sort_array(collect_list(struct(tpos, tid))),
-             x -> coalesce(x.tid, -1))""").as("ids"))
     texts.select($"id")
       .join(
-        words.join(wids, Seq("w"))
+        words.join(perWord(wtoks), Seq("w"))
           .groupBy($"id")
           .agg(expr(
-            """flatten(transform(sort_array(collect_list(struct(wpos, ids))),
-                 x -> x.ids))""").as("token_ids")),
+            """flatten(transform(sort_array(collect_list(struct(wpos, vals))),
+                 x -> x.vals))""").as(outCol)),
         Seq("id"), "left")
       .select($"id",
-        coalesce($"token_ids", lit(Array.empty[Int])).as("token_ids"))
-      .withColumn("n_tokens", size($"token_ids").cast("long"))
+        coalesce(col(outCol), expr("array()").cast(s"array<$elemType>"))
+          .as(outCol))
+      .withColumn("n_tokens", size(col(outCol)).cast("long"))
   }
 
   /** DEEP serving: tokenize an ad-hoc `(id BIGINT, text STRING)` batch
-    * with an ARBITRARY trained merge table — the real-vocabulary path.
-    * [[serveTokenize]] replays the stored artifact's merge chain as
-    * nested compiled replaces, which is the right plan at gate-scale
-    * vocabularies but a 32k-deep Catalyst expression at the merge
-    * counts [[trainLocalMerges]] reaches; here the chain is a
-    * JVM-compiled [[Bpe.MergeTable]] encoder (rank-heap, fires only
-    * the rules that touch the word) run per DISTINCT word inside
-    * `mapPartitions`, with the table broadcast once. Word filtering
-    * (paren words drop, empty/null drop) and per-doc assembly match
-    * [[serveTokenize]] exactly; output is subword STRINGS —
-    * `(id, tokens ARRAY<STRING>, n_tokens)` — because a deep-trained
-    * tokenizer has no stored id table; id assignment stays the
-    * caller's (rank the distinct tokens, or join a stored vocab).
-    * TokenizeWithSpec pins encoder ≡ rank-order replay and
-    * tokenizeWith ≡ the stored shard sequences on the artifact's own
-    * merges.
+    * with an ARBITRARY trained merge table — the real-vocabulary path
+    * for tables that have no stored artifact (e.g. straight out of
+    * [[trainLocalMerges]] at 32k merges). Same [[encodeBatch]] pipeline
+    * as [[serveTokenize]]; output is subword STRINGS —
+    * `(id, tokens ARRAY<STRING>, n_tokens)` — because a freshly
+    * trained table has no stored id table; id assignment stays the
+    * caller's (rank the distinct tokens, join a stored vocab, or ship
+    * the lake via [[ensureShardsFor]]). TokenizeWithSpec pins encoder
+    * ≡ rank-order replay and tokenizeWith ≡ the stored shard
+    * sequences on the artifact's own merges.
     *
     * Scale shape: one explode + one distinct over the batch, the
     * encode map-side over the batch vocabulary (shuffle-free), one
@@ -1079,30 +1104,8 @@ final class Bpe(val tuning: Tuning) extends Serializable {
   def tokenizeWith(s: SparkSession, texts: DataFrame,
       merges: Seq[Merge]): DataFrame = {
     import s.implicits._
-    val bc = s.sparkContext.broadcast(new Bpe.MergeTable(merges))
-    val words = texts
-      .select($"id", posexplode_outer(expr(toksExpr)).as(Seq("wpos", "w")))
-    val wtoks = words.select($"w")
-      .where($"w".isNotNull && $"w" =!= "" &&
-        !$"w".contains("(") && !$"w".contains(")"))
-      .distinct()
-      .as[String]
-      .mapPartitions { it =>
-        val mt = bc.value
-        it.map(w => (w, mt.encode(w)))
-      }
-      .toDF("w", "toks")
-    texts.select($"id")
-      .join(
-        words.join(wtoks, Seq("w"))
-          .groupBy($"id")
-          .agg(expr(
-            """flatten(transform(sort_array(collect_list(struct(wpos, toks))),
-                 x -> x.toks))""").as("tokens")),
-        Seq("id"), "left")
-      .select($"id",
-        coalesce($"tokens", expr("array()").cast("array<string>")).as("tokens"))
-      .withColumn("n_tokens", size($"tokens").cast("long"))
+    encodeBatch(s, texts, merges, "tokens", "string")(
+      _.select($"w", $"tk".as("vals")))
   }
 
   /** q91: the served tokenizer under the gate — a pinned probe batch
@@ -1137,8 +1140,9 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     },
     Some {
       // the probe vocabulary's merge-chain replay: char-split, then
-      // every trained round's argmax row applied in rank order —
-      // exactly serveTokenize's segChain over the batch vocabulary
+      // every trained round's argmax row applied in rank order — the
+      // sequential semantics serveTokenize's rank-heap encoder
+      // implements (TokenizeWithSpec pins the equality)
       val probeChain = (1 to nRounds).map { i =>
         val p = i - 1
         s"""g$i AS (SELECT w, CASE WHEN b.l IS NULL THEN seg

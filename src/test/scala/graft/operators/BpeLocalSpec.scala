@@ -52,4 +52,17 @@ class BpeLocalSpec extends SparkTestBase {
     assert(Bpe.localMergeLoop(Seq(("ab", 1L), ("cd", 1L)), 5).isEmpty)
     assert(Bpe.localMergeLoop(Seq.empty, 5).isEmpty)
   }
+
+  test("non-BMP words split by code point, not UTF-16 unit") {
+    // U+1F600 is a surrogate pair in UTF-16; the distributed trainer's
+    // regex '(.)' matches the code point, so the local loop must learn
+    // the (emoji, emoji) pair — toCharArray would shear it into four
+    // lone surrogates and learn surrogate pairs instead
+    val e = new String(Character.toChars(0x1F600))
+    val m = Bpe.localMergeLoop(Seq((e + e, 2L)), 1)
+    assert(m == Seq((1L, e, e, e + e, 2L)))
+    // and the encoder agrees end-to-end on the same table
+    val mt = new Bpe.MergeTable(m)
+    assert(mt.encode(e + e + e).toSeq == Seq(e + e, e))
+  }
 }
