@@ -72,6 +72,22 @@ object Bpe {
     md.digest().take(8).map("%02x".format(_)).mkString
   }
 
+  /** Minimal JSON string escaping for the vocab export: quote,
+    * backslash, and control characters (which CAN reach a token — the
+    * `\s+` word split removes whitespace, not all of C0) escape;
+    * everything else ships as raw UTF-8, which JSON permits.
+    */
+  private[operators] def jsonEscape(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
   /** A word as its initial tokens: one per CODE POINT — the same split
     * as the engines' `regexp_replace(w, '(.)', '($1)')` (Java regex and
     * DuckDB RE2 `.` both match a code point, not a UTF-16 unit).
@@ -1106,6 +1122,70 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     import s.implicits._
     encodeBatch(s, texts, merges, "tokens", "string")(
       _.select($"w", $"tk".as("vals")))
+  }
+
+  /** Export a stored tokenizer in the GPT-2-style BPE interchange
+    * layout — `merges.txt` (a version header, then one `l r` rule per
+    * line in rank order) and `vocab.json` (token → id) — so a trained
+    * tokenizer can be handed to a training or inference stack that
+    * speaks the standard files, without this library on the path.
+    * Tokens never contain a space (the corpus word split guarantees
+    * it), so the `l r` line format is unambiguous; JSON-hostile
+    * characters escape per [[Bpe.jsonEscape]]. Installed through the
+    * same staged-rename recipe as every artifact (idempotent replay,
+    * losing an install race is success); `curated = true` exports
+    * q90's tokenizer, [[exportTokenizerFor]] a deep supplied table's.
+    */
+  def exportTokenizer(s: SparkSession, d: String,
+      curated: Boolean = false): String =
+    exportOf(s,
+      if (curated) ensureCuratedShards(s, d) else ensureShards(s, d))
+
+  /** The deep twin: export a SUPPLIED merge table's tokenizer (its
+    * shard lake builds on demand via [[ensureShardsFor]], so the id
+    * table exists and the export matches what [[serveTokenize]]-style
+    * serving over that lake would produce).
+    */
+  def exportTokenizerFor(s: SparkSession, d: String,
+      merges: Seq[Merge]): String =
+    exportOf(s, ensureShardsFor(s, d, merges))
+
+  private def exportOf(s: SparkSession, p: String): String = {
+    import s.implicits._
+    val out = s"$p-export"
+    ArtifactLake.ensure(new java.io.File(out)) { staging =>
+      // parquet-writing builders get the staging dir from Spark;
+      // plain-file exports must create it themselves
+      if (!staging.mkdirs() && !staging.isDirectory)
+        throw new java.io.IOException(s"staging dir create failed: $staging")
+      val merges = s.read.parquet(s"$p/merges").orderBy($"rank")
+        .select($"l", $"r").as[(String, String)].collect()
+      val vocab = s.read.parquet(s"$p/vocab")
+        .orderBy($"tid").select($"tok", $"tid").as[(String, Int)].collect()
+      def write(name: String)(body: java.io.Writer => Unit): Unit = {
+        val w = new java.io.OutputStreamWriter(
+          new java.io.FileOutputStream(new java.io.File(staging, name)),
+          "UTF-8")
+        try body(w) finally w.close()
+      }
+      write("merges.txt") { w =>
+        w.write("#version: 0.2\n")
+        merges.foreach { case (l, r) =>
+          w.write(l); w.write(' '); w.write(r); w.write('\n')
+        }
+      }
+      write("vocab.json") { w =>
+        w.write("{")
+        var first = true
+        vocab.foreach { case (tok, tid) =>
+          if (!first) w.write(",")
+          first = false
+          w.write("\"" + Bpe.jsonEscape(tok) + "\":" + tid)
+        }
+        w.write("}")
+      }
+    }
+    out
   }
 
   /** q91: the served tokenizer under the gate — a pinned probe batch
