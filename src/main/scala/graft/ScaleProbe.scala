@@ -50,9 +50,10 @@ object ScaleProbe {
       val num = n.drop(1).takeWhile(_.isDigit).toInt
       (num >= 30 && num <= 69) ||
         // serve paths + r10 tier adds + the r11 BPE/search tiers +
-        // the r12 shard/strip/curated-pack/served-tokenizer additions
+        // the r12 shard/strip/curated-pack/served-tokenizer/NFC
+        // additions
         Set(72, 73, 77, 78, 79, 80, 81, 82, 83, 84, 85, 86, 87, 88, 89,
-          90, 91).contains(num)
+          90, 91, 92).contains(num)
     }.toSeq.sorted
     val builds = Seq("q69_minhash_index_build", "q67_ivf_pq_index_build")
     builds ++ tier.filterNot(builds.contains)

@@ -14,6 +14,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    API (and Spark's regexp_extract convention).
   *  - `k_min_values(col, k)` — the bounded k-min aggregate behind the
   *    KMV sketch (q29) and quota sampling (q59).
+  *  - `nfc_normalize(value)` — Unicode NFC (UAX #15) with real
+  *    codegen, name-matched to DuckDB's `nfc_normalize` (q92).
   *
   * Two registration paths, same builders: [[register]] for a live
   * session, [[graft.GraftExtensions]] for
@@ -41,6 +43,11 @@ object GraftFunctions {
           KMinValues(child, k)
         case _ =>
           fail("k_min_values", "(col BIGINT, k INT LITERAL)")
+      }: Seq[Expression] => Expression),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      { case Seq(child) => NfcNormalize(child)
+        case _ => fail("nfc_normalize", "(value STRING)")
       }: Seq[Expression] => Expression))
 
   /** Register everything on an already-running session. */

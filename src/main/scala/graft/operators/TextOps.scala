@@ -613,5 +613,66 @@ object TextOps {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q65, q66)
+  /** q92: Unicode NFC normalization (UAX #15) — the standard
+    * pre-tokenization stage: visually identical strings with different
+    * code-point sequences must fingerprint/dedup/tokenize identically,
+    * so a pipeline normalizes BEFORE q30/q53's hashing and the BPE
+    * surfaces. Spark side is the engine's native codegen'd
+    * [[graft.functions.NfcNormalize]] expression; the oracle is
+    * DuckDB's `nfc_normalize` — two independent UAX #15
+    * implementations hash-compared byte for byte. The probe batch
+    * carries the denormalized cases the (ASCII) corpus can't: combining
+    * accents, a combining ring, decomposed Hangul jamo, and composed
+    * fixed points; `n_in`/`n_out` pin the code-point contraction and
+    * `unchanged` the fixed-point behavior.
+    */
+  private val q92 = Q(
+    "q92_nfc_normalize",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.GraftShims
+      val norm = GraftShims.toColumn(
+        graft.functions.NfcNormalize(GraftShims.toExpression($"text")))
+      val corpus = t(s, d, "documents")
+        .filter($"doc_id" % 100 === 3)
+        .select($"doc_id".as("id"), $"text")
+      // explicit escapes: the denormalized probes MUST stay the
+      // DECOMPOSED sequences (an editor re-composing the source
+      // literal would silently hollow out the test)
+      val probes = Seq(
+        (900000001L, "e\u0301le\u0301phant"), // e + COMBINING ACUTE x2
+        (900000002L, "A\u030A ring"), // A + COMBINING RING ABOVE
+        (900000003L, "\u1100\u1161\u11A8"), // decomposed Hangul jamo
+        (900000004L, "composed \u00E9\u00C5 stays"), // NFC fixed point
+        (900000005L, "plain ascii"),
+        (900000006L, "")).toDF("id", "text")
+      corpus.unionByName(probes)
+        .select($"id",
+          md5(norm).as("norm_hash"),
+          length($"text").cast("long").as("n_in"),
+          length(norm).cast("long").as("n_out"),
+          ($"text" === norm).as("unchanged"))
+        .orderBy($"id")
+    },
+    Some(s"""
+      WITH probes AS (
+        SELECT doc_id AS id, text FROM documents WHERE doc_id % 100 = 3
+        UNION ALL
+        SELECT * FROM (VALUES
+          (CAST(900000001 AS BIGINT),
+           'e' || chr(769) || 'le' || chr(769) || 'phant'),
+          (CAST(900000002 AS BIGINT), 'A' || chr(778) || ' ring'),
+          (CAST(900000003 AS BIGINT), chr(4352) || chr(4449) || chr(4520)),
+          (CAST(900000004 AS BIGINT),
+           'composed ' || chr(233) || chr(197) || ' stays'),
+          (CAST(900000005 AS BIGINT), 'plain ascii'),
+          (CAST(900000006 AS BIGINT), '')) v(id, text))
+      SELECT id, md5(nfc_normalize(text)) AS norm_hash,
+             CAST(length(text) AS BIGINT) AS n_in,
+             CAST(length(nfc_normalize(text)) AS BIGINT) AS n_out,
+             (text = nfc_normalize(text)) AS unchanged
+      FROM probes
+      ORDER BY id"""))
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q65, q66, q92)
 }
