@@ -76,8 +76,12 @@ object StripProbe {
     // keyed on the strip-SHAPING knobs too (runMinTokens/dfCap change
     // which spans are cut — a re-run under different tuning must not
     // reuse a stale stripped corpus; the Bpe.curatedShardsPath rule)
+    // AND on the source generator's version (a SyntheticCorpus bump
+    // regenerates the raw corpus, so the stripped twin must re-key
+    // with it rather than serve a stale strip of the old bytes)
     val stripDir = s"${graft.operators.SyntheticCorpus.defaultRoot}/" +
-      s"stripped-v1-d$docs-r${t.runMinTokens}-c${t.dfCap}"
+      s"stripped-v1-g${graft.operators.SyntheticCorpus.version}" +
+      s"-d$docs-r${t.runMinTokens}-c${t.dfCap}"
     val (stripS, strippedCand, strippedCandS, strippedQ38S) =
       if (capOnly) (Double.NaN, -1L, Double.NaN, Double.NaN)
       else {

@@ -211,7 +211,13 @@ object Tables {
     * that briefly under-reports; present (the layer claims
     * completeness yet can't be scanned — corruption) propagates the
     * exception, because a permanent silent 0 there would be exactly
-    * the "degrade to wrong" this contract forbids.
+    * the "degrade to wrong" this contract forbids. "Mid-install" is
+    * decided by CONTENT, not only the marker: parquet dirs written by
+    * non-Spark writers (or committers configured without marker files)
+    * never carry `_SUCCESS`, so an unreadable dir that holds VISIBLE
+    * data entries propagates even without the marker — only an empty
+    * dir or one containing nothing but staging/temporary entries
+    * (`_temporary`, dot-dirs) is the transient this clause protects.
     */
   def layerCount(spark: SparkSession, path: String): Long =
     footerCount(spark, path).getOrElse {
@@ -222,20 +228,31 @@ object Tables {
         System.err.println(
           s"[graft] layerCount: footer read failed for existing path $path" +
             " — falling back to a counting scan")
+        // true iff the dir holds no visible (non-staging) entries — a
+        // writer mid-flight, not a completed dir some reader expects
+        def stagingOnly: Boolean = try {
+          fs.listStatus(p).forall { st =>
+            val n = st.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+        } catch { case _: Exception => false }
         try spark.read.parquet(path).count()
         catch {
-          // only a MID-INSTALL layer (no _SUCCESS yet: empty or
-          // half-written dir) degrades to a logged 0 — that is the
-          // transient the pollable contract protects. A layer that
-          // CLAIMS completeness (_SUCCESS present) but still can't be
-          // scanned is corruption; reporting 0 there would be a
-          // silent permanent undercount, so the error propagates.
+          // only a MID-INSTALL layer degrades to a logged 0 — that is
+          // the transient the pollable contract protects. Mid-install
+          // = no _SUCCESS yet AND no visible data entries (empty or
+          // staging-only dir). A layer with visible data that still
+          // can't be scanned is corruption REGARDLESS of the marker
+          // (non-Spark writers never write one); reporting 0 there
+          // would be a silent permanent undercount, so it propagates.
           case e: Exception
-              if !fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) =>
+              if !fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) &&
+                stagingOnly =>
             System.err.println(
               s"[graft] layerCount: counting scan failed for $path with" +
-                s" no _SUCCESS marker (${e.getMessage}) — mid-install," +
-                " reporting 0 to keep the stats surface pollable")
+                s" no _SUCCESS marker and no visible entries" +
+                s" (${e.getMessage}) — mid-install, reporting 0 to keep" +
+                " the stats surface pollable")
             0L
         }
       }

@@ -42,7 +42,8 @@ object SyntheticCorpus {
     * includes it, so stale corpora can never collide with new probe
     * expectations.
     */
-  val version = 1
+  val version = 2 // v2: synthWord gained the '0' rank separator —
+                  // lexicon ranks can no longer alias to one word
 
   private val vocab: Array[String] = Array(
     "a", "agg", "batch", "big", "column", "customer", "data", "dup",
@@ -157,7 +158,9 @@ object SyntheticCorpus {
   // trainer). This variant draws each word from a `vocabWords`-sized
   // synthetic lexicon with a Zipf-ish rank bias (u² inverse draw —
   // low ranks dominate, the long tail thins out), word strings unique
-  // by construction (rank encoded in base-26) with 3–7 hash-derived
+  // by construction (a-z prefix + '0' separator + base-26 rank — the
+  // non-letter separator makes the prefix/suffix parse unambiguous,
+  // so distinct ranks can never collide) with 3–7 hash-derived
   // prefix letters for realistic lengths. Same purity contract: every
   // row generates independently from its id on executors.
   // ------------------------------------------------------------------
@@ -169,14 +172,19 @@ object SyntheticCorpus {
     sb.result()
   }
 
-  /** The word string for a lexicon rank — unique per rank (base-26
-    * suffix) with a deterministic 3–7 letter prefix.
+  /** The word string for a lexicon rank — unique per rank: a
+    * deterministic 3–7 letter a-z prefix, a `'0'` separator, then the
+    * rank in base-26. The separator is what makes uniqueness REAL: a
+    * bare prefix+suffix concatenation is ambiguous across ranks
+    * (prefix "wxyz"+"a" = prefix "wxy"+"za"), silently shrinking the
+    * effective lexicon; with the non-letter separator the suffix
+    * parses unambiguously, so distinct ranks are distinct words.
     */
   private[operators] def synthWord(rank: Long): String = {
     val pLen = 3 + floorMod(draw(rank ^ 0x778F00DL, 7), 5)
     val prefix = Array.tabulate(pLen)(k =>
       ('a' + floorMod(draw(rank ^ 0x778F00DL, k + 11), 26)).toChar).mkString
-    prefix + base26(rank)
+    prefix + "0" + base26(rank)
   }
 
   /** doc_id → text over the rich lexicon: 30–120 words, ranks drawn

@@ -74,6 +74,15 @@ class SyntheticCorpusSpec extends SparkTestBase {
     }
   }
 
+  test("synthWord is injective — distinct lexicon ranks are distinct words") {
+    // the '0' separator contract: no prefix/suffix parse ambiguity can
+    // alias two ranks (the pre-v2 bug collapsed part of the lexicon)
+    val words = (0L until 200000L).map(SyntheticCorpus.synthWord)
+    assert(words.distinct.length == words.length)
+    // every word parses back unambiguously: letters, one '0', letters
+    assert(words.forall(_.matches("[a-z]{3,7}0[a-z]+")))
+  }
+
   test("embeddings are unit-norm, 64-dim, 10-label clustered, with near-dup pairs") {
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
     assert(embs.count() == 250)
