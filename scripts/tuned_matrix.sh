@@ -40,7 +40,9 @@ run a q40,q41,q43,q44,q45,q47,q48,q49,q67,q68 \
 # tokenizer on the half-corpus sample while q83/q84 still apply it to
 # every document — the oracle's separate apply chain must mirror both;
 # q91 serves the stored tokenizer, so its probe-side merge replay must
-# mirror the sampled training chain too)
+# mirror the sampled training chain too; bpeMinFreq=2 + bpeVocabCap=40
+# bound the TRAINING vocabulary — frequency floor as a HAVING, top-K as
+# an ORDER BY/LIMIT — while the apply chain still segments every word)
 run b q29,q31,q32,q33,q35,q38,q39,q59,q69,q72,q73,q77,q78,q79,q81,q82,q83,q84,q86,q87,q88,q89,q90,q91 \
   GRAFT_TUNING_CC_EDGE_JACCARD=0.3 GRAFT_TUNING_MINHASH_BANDS=4 \
   GRAFT_TUNING_MINHASH_ROWS=4 GRAFT_TUNING_DF_CAP=50 \
@@ -48,7 +50,8 @@ run b q29,q31,q32,q33,q35,q38,q39,q59,q69,q72,q73,q77,q78,q79,q81,q82,q83,q84,q8
   GRAFT_TUNING_BLOOM_BITS=1024 GRAFT_TUNING_OUTLIER_K=3 \
   GRAFT_TUNING_VERIFY_PAIR_BUDGET=5 GRAFT_TUNING_BPE_MERGES=12 \
   GRAFT_TUNING_RUN_MIN_TOKENS=9 GRAFT_TUNING_BAND_BUCKET_CAP=3 \
-  GRAFT_TUNING_BPE_SAMPLE_MOD=2
+  GRAFT_TUNING_BPE_SAMPLE_MOD=2 GRAFT_TUNING_BPE_MIN_FREQ=2 \
+  GRAFT_TUNING_BPE_VOCAB_CAP=40
 # C: partial PQ coverage (2 subspaces of 8 — the uncovered-dims bound)
 run c q40,q47,q48,q49,q67,q68 \
   GRAFT_TUNING_PQ_SUBSPACES=2 GRAFT_TUNING_ANN_QUERIES=3
@@ -65,5 +68,5 @@ run d "" \
   GRAFT_TUNING_PQ_CENTROIDS=1 GRAFT_TUNING_REFINE_FACTOR=1 \
   GRAFT_TUNING_BLOOM_BITS=8 GRAFT_TUNING_OUTLIER_K=1 \
   GRAFT_TUNING_VERIFY_PAIR_BUDGET=1 GRAFT_TUNING_BPE_MERGES=1 \
-  GRAFT_TUNING_RUN_MIN_TOKENS=8
+  GRAFT_TUNING_RUN_MIN_TOKENS=8 GRAFT_TUNING_BPE_VOCAB_CAP=1
 echo "=== tuned matrix complete ==="

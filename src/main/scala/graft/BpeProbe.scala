@@ -74,6 +74,53 @@ object BpeProbe {
     System.err.println(s"[bpe-probe] trained ${trained.size}/$merges merges in ${num(trainS)} s " +
       s"(${num(trained.size / trainS)} merges/s)")
 
+    // BOUNDED-VOCAB cells: the driver-memory contract measured.
+    //  - FLOOR cell (bpeMinFreq=2): the production bound — drops the
+    //    hapax tail, which on this lexicon is most of the word types.
+    //  - CAP cell (bpeVocabCap=cap): the HARD bound — the collect is
+    //    ≤ cap rows whatever the corpus holds.
+    // What is claimed vs measured: the bound on the COLLECT is exact
+    // (asserted by BpeSpec, measured here). Trajectory identity with
+    // the unbounded run is NOT claimed — greedy BPE's argmax gaps on a
+    // random-letter lexicon are smaller than the aggregate pair-count
+    // mass even a pure hapax tail carries, so the merge SEQUENCE
+    // shifts (production trainers' min_frequency has the same
+    // property; HuggingFace makes no identity promise either). The
+    // metric that matters for a tokenizer — and what IS measured — is
+    // encoded quality: the corpus token mass produced by the bounded
+    // tables vs the unbounded one (inflation ≈ 0 ⇒ the bound cost
+    // nothing a training run can see), plus the merge-SET overlap.
+    val cap = if (args.length > 3) args(3).toInt
+              else math.max(1, vocabWords / 10)
+    def boundedCell(label: String, t: graft.config.Tuning)
+        : (Long, Double, Int, Int, Int, Long) = {
+      val b = new graft.operators.Bpe(t)
+      val v0 = System.nanoTime()
+      val rows = b.trainingVocab(spark, dir).count()
+      val t0 = System.nanoTime()
+      val tr = b.trainLocalMerges(spark, dir, merges)
+      val s = (System.nanoTime() - t0) / 1e9
+      val pfx = trained.zip(tr).takeWhile { case (a, b) => a == b }.size
+      val ruleSet = trained.map(m => (m._2, m._3, m._4)).toSet
+      val overlap = tr.count(m => ruleSet((m._2, m._3, m._4)))
+      val toks = b.tokenizeWith(spark,
+          graft.Tables.t(spark, dir, "documents")
+            .selectExpr("doc_id AS id", "text"), tr)
+        .selectExpr("sum(n_tokens)").collect()(0).getLong(0)
+      System.err.println(s"[bpe-probe] $label: collect $rows rows (vs " +
+        s"$vocabRows unbounded), trained ${tr.size} merges in ${num(s)} s, " +
+        s"prefix/set overlap with unbounded: $pfx/$overlap of " +
+        s"${trained.size}, corpus encodes to $toks tokens" +
+        s" (vocab ${num((System.nanoTime() - v0) / 1e9 - s)} s)")
+      (rows, s, tr.size, pfx, overlap, toks)
+    }
+    val base = graft.config.Tuning.current
+    val (flRows, flTrainS, flMerges, flPfx, flOv, flToks) =
+      boundedCell("floored(minFreq=2)", base.copy(bpeMinFreq = 2))
+    val (cpRows, cpTrainS, cpMerges, cpPfx, cpOv, cpToks) =
+      boundedCell(s"capped(minFreq=2, cap=$cap)",
+        base.copy(bpeMinFreq = 2, bpeVocabCap = cap))
+
     // ENCODE the whole corpus with the deep table — the other half of
     // the real-vocabulary story: tokenizeWith's rank-heap encoder
     // applied distributed (the nested-replace chain cannot express
@@ -111,7 +158,14 @@ object BpeProbe {
         s""""encode_docs":$encDocs,"encode_tokens":$encToks,""" +
         s""""encode_s":${num(encS)},""" +
         s""""encode_docs_per_s":${num(encDocs / math.max(encS, 1e-9))},""" +
-        s""""shard_build_s":${num(shardS)},"shard_tokens":$shardToks}""")
+        s""""shard_build_s":${num(shardS)},"shard_tokens":$shardToks,""" +
+        s""""floored_vocab_rows":$flRows,"floored_train_s":${num(flTrainS)},""" +
+        s""""floored_merges":$flMerges,"floored_prefix_match":$flPfx,""" +
+        s""""floored_merge_set_overlap":$flOv,"floored_encode_tokens":$flToks,""" +
+        s""""capped_cap":$cap,"capped_vocab_rows":$cpRows,""" +
+        s""""capped_train_s":${num(cpTrainS)},""" +
+        s""""capped_merges":$cpMerges,"capped_prefix_match":$cpPfx,""" +
+        s""""capped_merge_set_overlap":$cpOv,"capped_encode_tokens":$cpToks}""")
     System.out.flush()
   }
 }

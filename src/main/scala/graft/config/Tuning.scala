@@ -124,6 +124,29 @@ final case class Tuning(
       * SQL (a sampled run stays hash-checkable), matrix-tested like
       * dfCap because it changes results. */
     bpeSampleMod: Int = 1,
+    /** q82-q91: BPE training-vocabulary FREQUENCY FLOOR — words seen
+      * fewer than this many times in the (sampled) training corpus are
+      * dropped from the training vocabulary (1 = off, the shipped
+      * default). This is the standard production bound on trainer
+      * memory (HuggingFace `min_frequency`): a real web corpus's word
+      * types are mostly hapax tail (typos, URLs, numerics) that
+      * contribute ~nothing to the first 32k merges, and without a
+      * floor the [[graft.operators.Bpe!.trainLocalMerges]] driver
+      * collect is corpus-vocabulary-sized. Application surfaces
+      * (q83/q84 token counts, serving) still segment EVERY word with
+      * the trained merges — the floor bounds what trains, not what
+      * tokenizes. Mirrored in the oracle's vocabulary CTE;
+      * matrix-tested like dfCap because it changes results. */
+    bpeMinFreq: Int = 1,
+    /** q82-q91: BPE training-vocabulary TOP-K CAP — after the
+      * frequency floor, keep only the `bpeVocabCap` most frequent
+      * words (ties broken by word ascending, the engines' shared
+      * binary collation; 0 = off, the shipped default). The hard
+      * driver-memory bound for [[graft.operators.Bpe!.trainLocalMerges]]:
+      * whatever the corpus, the collected vocabulary is ≤ this many
+      * rows. Same train-only scope and oracle mirroring as
+      * [[bpeMinFreq]]. */
+    bpeVocabCap: Int = 0,
     /** q32/q38/q72/q81 (defense in depth under [[verifyPairBudget]]):
       * optional band-bucket ceiling BELOW [[minhashBucketCap]] — a band
       * bucket holding more than this many documents is dropped before
@@ -161,7 +184,9 @@ final case class Tuning(
     pos(refineFactor, "refineFactor"); pos(storeMaxSegments, "storeMaxSegments")
     pos(bloomBits, "bloomBits"); pos(outlierK, "outlierK")
     pos(verifyPairBudget, "verifyPairBudget"); pos(bpeMerges, "bpeMerges")
-    pos(bpeSampleMod, "bpeSampleMod")
+    pos(bpeSampleMod, "bpeSampleMod"); pos(bpeMinFreq, "bpeMinFreq")
+    if (bpeVocabCap < 0) throw ConfigurationError(
+      s"graft.tuning.bpeVocabCap must be >= 0 (0 disables the cap), got $bpeVocabCap")
     if (bandBucketCap < 0) throw ConfigurationError(
       s"graft.tuning.bandBucketCap must be >= 0 (0 disables the cap), got $bandBucketCap")
     if (runMinTokens < 8) throw ConfigurationError(
@@ -242,6 +267,8 @@ object Tuning {
       verifyPairBudget = knob("verifyPairBudget", d.verifyPairBudget),
       bpeMerges = knob("bpeMerges", d.bpeMerges),
       bpeSampleMod = knob("bpeSampleMod", d.bpeSampleMod),
+      bpeMinFreq = knob("bpeMinFreq", d.bpeMinFreq),
+      bpeVocabCap = knob("bpeVocabCap", d.bpeVocabCap),
       bandBucketCap = knob("bandBucketCap", d.bandBucketCap),
       runMinTokens = knob("runMinTokens", d.runMinTokens))
     t.validate()

@@ -328,6 +328,16 @@ final class Bpe(val tuning: Tuning) extends Serializable {
 
   private val nRounds = tuning.bpeMerges
   private val sampleMod = tuning.bpeSampleMod
+  private val minFreq = tuning.bpeMinFreq
+  private val vocabCap = tuning.bpeVocabCap
+
+  /** True when the TRAINING vocabulary differs from the full one —
+    * doc-sampled, frequency-floored, or top-K-capped. The oracle then
+    * replays the trained merges over a separate full-vocabulary apply
+    * chain (the `f` CTEs) for q83/q84's application surfaces.
+    */
+  private def trainViewBounded: Boolean =
+    sampleMod > 1 || minFreq > 1 || vocabCap > 0
 
   /** Trained merges per (corpus dir canonical path + content
     * fingerprint + rounds) — training is deterministic, so a second
@@ -352,7 +362,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     new java.io.File(d).getCanonicalPath + ":" +
       ArtifactLake.fingerprint(new java.io.File(s"$d/documents.parquet")) +
       ":" + Tables.footerCount(s, s"$d/documents.parquet").getOrElse(-1L) +
-      ":" + nRounds + ":" + sampleMod
+      ":" + nRounds + ":" + sampleMod + ":" + minFreq + ":" + vocabCap
 
   /** `(w, freq, seg)` — the vocabulary with each word's initial
     * character segmentation. The corpus collapses here; everything
@@ -366,18 +376,38 @@ final class Bpe(val tuning: Tuning) extends Serializable {
 
   /** The vocabulary collapse over an arbitrary `(doc_id, text)` view —
     * q82-q84/q87 pass the corpus, q89 the curated (boilerplate-
-    * stripped) corpus.
+    * stripped) corpus. The TRAINING view (`sampled = true`) is bounded
+    * three ways, all mirrored in the oracle and all train-only (the
+    * application surfaces always segment the FULL vocabulary):
+    * document sampling ([[graft.config.Tuning.bpeSampleMod]]), the
+    * frequency floor ([[graft.config.Tuning.bpeMinFreq]] — drops the
+    * hapax tail, which on a real web corpus is MOST of the word
+    * types), and the top-K cap ([[graft.config.Tuning.bpeVocabCap]] —
+    * freq desc, word asc in the engines' shared binary collation; the
+    * hard row bound on what [[trainLocalMerges]] collects).
     */
   private def vocabOf(s: SparkSession, docs: DataFrame,
       sampled: Boolean): DataFrame = {
     import s.implicits._
     val in = if (sampled && sampleMod > 1)
       docs.filter($"doc_id" % sampleMod === 0) else docs
-    in.select(explode(expr(toksExpr)).as("w"))
+    val counted = in.select(explode(expr(toksExpr)).as("w"))
       .filter(!$"w".contains("(") && !$"w".contains(")"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
-      .withColumn("seg", regexp_replace($"w", "(.)", "($1)"))
+    val floored = if (sampled && minFreq > 1)
+      counted.filter($"freq" >= minFreq) else counted
+    val capped = if (sampled && vocabCap > 0)
+      floored.orderBy($"freq".desc, $"w").limit(vocabCap) else floored
+    capped.withColumn("seg", regexp_replace($"w", "(.)", "($1)"))
   }
+
+  /** The bounded TRAINING vocabulary — the spec/probe hook for the
+    * driver-memory contract (BpeSpec asserts row count ≤ the cap and
+    * min freq ≥ the floor on exactly what [[trainLocalMerges]]
+    * collects; BpeProbe measures the cap biting on a real lexicon).
+    */
+  private[graft] def trainingVocab(s: SparkSession, d: String): DataFrame =
+    vocab(s, d, sampled = true)
 
   private def segToks(seg: Column): Column =
     regexp_extract_all(seg, lit("""\(([^()]*)\)"""), lit(1))
@@ -464,6 +494,30 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     * vocabulary sizes: `rounds` is a parameter, not the registry knob,
     * because the caller asking for 32k merges is a training-prep run,
     * not an oracle-gated query.
+    *
+    * DRIVER-MEMORY CONTRACT: the collect here is the tier's one
+    * vocabulary-sized driver touchpoint, and it is bounded by the
+    * registry's knobs, not by an assumption about the corpus —
+    *  - [[graft.config.Tuning.bpeVocabCap]] > 0 is the HARD bound: the
+    *    collect is ≤ bpeVocabCap rows regardless of corpus content
+    *    (the top-K by frequency, the vocabulary a trainer actually
+    *    learns from);
+    *  - [[graft.config.Tuning.bpeMinFreq]] > 1 is the SOFT bound that
+    *    does most of the cutting on real text: web-corpus word types
+    *    are predominantly hapax tail (typos, URLs, numerics) that can
+    *    never win a merge argmax against repeated pairs, so a floor of
+    *    even 2 removes the bulk of the vocabulary without touching the
+    *    trained prefix in practice;
+    *  - [[graft.config.Tuning.bpeSampleMod]] bounds the corpus the
+    *    vocabulary is drawn from (documents, hence only indirectly and
+    *    slowly the vocabulary — use it for COST, not for memory).
+    * At the shipped defaults (floor 1, cap 0, mod 1) the collect is
+    * corpus-vocabulary-sized — Heaps'-law-bounded (~√corpus) on
+    * natural text, which holds for the probe corpora but is optimistic
+    * for raw web text; production runs at real scale should set
+    * bpeVocabCap (32k–1M) and/or bpeMinFreq ≥ 2. The merge loop's
+    * working set is O(collected vocabulary + distinct adjacent pairs),
+    * both bounded by the same knobs.
     */
   def trainLocalMerges(s: SparkSession, d: String, rounds: Int): Seq[Merge] = {
     import s.implicits._
@@ -485,10 +539,19 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       if (sampleMod > 1)
         s"SELECT unnest($toksSqlDuck) AS w FROM $rel WHERE doc_id % $sampleMod = 0"
       else s"SELECT unnest($toksSqlDuck) AS w FROM $rel"
-    val head = Seq(
-      s"""w AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    // the training-vocabulary bounds, mirrored: frequency floor as a
+    // HAVING, top-K cap as ORDER BY freq DESC, w LIMIT k (binary
+    // string collation on both engines, so ties break identically)
+    val floorSql = if (minFreq > 1) s" HAVING count(*) >= $minFreq" else ""
+    val wBody =
+      s"""SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
             $docScan)
-          WHERE w NOT LIKE '%(%' AND w NOT LIKE '%)%' GROUP BY w)""",
+          WHERE w NOT LIKE '%(%' AND w NOT LIKE '%)%' GROUP BY w$floorSql"""
+    val head = Seq(
+      if (vocabCap > 0)
+        s"""w AS MATERIALIZED (SELECT w, freq FROM ($wBody)
+            ORDER BY freq DESC, w LIMIT $vocabCap)"""
+      else s"""w AS MATERIALIZED ($wBody)""",
       """s0 AS MATERIALIZED (SELECT w, freq,
            regexp_replace(w, '(.)', '(\1)', 'g') AS seg FROM w)""")
     val rounds = (1 to nRounds).flatMap { i =>
@@ -513,15 +576,16 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     (head ++ rounds ++ applyCtes(rel)).mkString(",\n      ")
   }
 
-  /** Application-side segmentation chain: when training is SAMPLED the
+  /** Application-side segmentation chain: when the TRAINING vocabulary
+    * is bounded (doc-sampled, frequency-floored, or top-K-capped) the
     * apply surfaces (q83/q84) still segment the FULL vocabulary, so
     * the oracle replays the trained merges (the b$i argmax rows) over
-    * an unsampled `f` chain. At the default (no sampling) the training
-    * chain's s$nRounds IS the full-vocabulary segmentation and no
-    * extra CTEs are emitted.
+    * an unbounded `f` chain. At the defaults the training chain's
+    * s$nRounds IS the full-vocabulary segmentation and no extra CTEs
+    * are emitted.
     */
   private def applyCtes(rel: String): Seq[String] =
-    if (sampleMod == 1) Seq.empty
+    if (!trainViewBounded) Seq.empty
     else {
       val head = Seq(
         s"""wf AS MATERIALIZED (SELECT w FROM (
@@ -543,7 +607,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     * surfaces read.
     */
   private def applySegCte: String =
-    if (sampleMod == 1) s"s$nRounds" else s"f$nRounds"
+    if (!trainViewBounded) s"s$nRounds" else s"f$nRounds"
 
   /** q82: the trained merge table — rank-ordered (left, right, merged,
     * weighted pair count). The gate hash-checks every round's argmax
@@ -743,7 +807,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       s"${sys.props("java.io.tmpdir")}/graft-index")
 
   private[operators] def shardsPath(d: String): String =
-    shardsPathOf(d, s"$nRounds:$sampleMod:$ctx")
+    shardsPathOf(d, s"$nRounds:$sampleMod:$minFreq:$vocabCap:$ctx")
 
   /** The curated artifact keys on the STRIP-shaping knobs too —
     * runMinTokens and dfCap change which spans are cut, hence the
@@ -751,7 +815,8 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     */
   private[operators] def curatedShardsPath(d: String): String =
     shardsPathOf(d,
-      s"$nRounds:$sampleMod:$ctx:cur:${tuning.runMinTokens}:${tuning.dfCap}")
+      s"$nRounds:$sampleMod:$minFreq:$vocabCap:$ctx:cur:" +
+        s"${tuning.runMinTokens}:${tuning.dfCap}")
 
   private def shardsPathOf(d: String, knobs: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")

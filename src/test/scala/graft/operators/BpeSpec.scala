@@ -64,4 +64,36 @@ class BpeSpec extends SparkTestBase {
     assert(short == full.take(7),
       "the greedy trajectory must not depend on the round cap")
   }
+
+  test("bpeMinFreq/bpeVocabCap bound the training vocabulary exactly") {
+    import spark.implicits._
+    val unbounded = new Bpe(Tuning()).trainingVocab(spark, sf)
+      .select($"w", $"freq").as[(String, Long)].collect()
+    val bounded = new Bpe(Tuning(bpeMinFreq = 3, bpeVocabCap = 10))
+      .trainingVocab(spark, sf)
+      .select($"w", $"freq").as[(String, Long)].collect()
+    // the hard row bound trainLocalMerges' collect inherits
+    assert(bounded.length <= 10)
+    assert(bounded.forall(_._2 >= 3), "frequency floor violated")
+    // the cap is exactly top-K by (freq desc, w asc) over the floored set
+    val want = unbounded.filter(_._2 >= 3)
+      .sortBy { case (w, f) => (-f, w) }.take(10).toSet
+    assert(bounded.toSet == want)
+  }
+
+  test("bounded training still yields a coherent oracle-shaped trajectory") {
+    // the floor+cap registry trains fewer/different merges but the
+    // same structural invariants hold, and the distributed trainer
+    // stays bit-identical to the local loop on the SAME bounded vocab
+    val t = Tuning(bpeMerges = 8, bpeMinFreq = 2, bpeVocabCap = 12)
+    val rows = q(t, "q82_bpe_train").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
+    import spark.implicits._
+    val vb = new Bpe(t).trainingVocab(spark, sf)
+      .select($"w", $"freq").as[(String, Long)].collect().toSeq
+    val local = Bpe.localMergeLoop(vb, 8)
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq == local)
+  }
 }
