@@ -37,7 +37,12 @@ object ScaleProbe {
     "q68_vector_store_serve",
     "q58_sequence_packing",
     // r12: the heaviest dedup-family operator gets its m1000 cell
-    "q86_substring_runs")
+    "q86_substring_runs",
+    // r13: the shard lake and its served tokenizer join the deep
+    // ladder — q87's pass 1 IS the shard build (train + encode +
+    // pack + write), so q91 after it measures pure serving
+    "q87_pack_shards",
+    "q91_serve_tokenize")
 
   /** `--wide`: the ENTIRE LLM tier (every registered query whose only
     * inputs are the documents/embeddings tables or the media lake
@@ -52,8 +57,9 @@ object ScaleProbe {
         // serve paths + r10 tier adds + the r11 BPE/search tiers +
         // the r12 shard/strip/curated-pack/served-tokenizer/NFC
         // additions
+        // + the r13 escape-mode gates (93/94) and served runs (95)
         Set(72, 73, 77, 78, 79, 80, 81, 82, 83, 84, 85, 86, 87, 88, 89,
-          90, 91, 92).contains(num)
+          90, 91, 92, 93, 94, 95).contains(num)
     }.toSeq.sorted
     val builds = Seq("q69_minhash_index_build", "q67_ivf_pq_index_build")
     builds ++ tier.filterNot(builds.contains)

@@ -147,6 +147,33 @@ final case class Tuning(
       * rows. Same train-only scope and oracle mirroring as
       * [[bpeMinFreq]]. */
     bpeVocabCap: Int = 0,
+    /** ALL text operators: Unicode-NFC-normalize `text` (q92's
+      * expression, UAX #15) BEFORE lowercasing/tokenizing, so
+      * visually-identical code-point variants ("é" composed vs
+      * "e"+U+0301) tokenize, fingerprint (q30/q53), shingle, and
+      * BPE-segment identically. 0 = off (the shipped default — raw
+      * bytes keep their historical hashes), 1 = on. Mirrored verbatim
+      * in every oracle (DuckDB's `nfc_normalize` is the same UAX #15
+      * NFC — q92 pins byte agreement), matrix-tested like dfCap
+      * because it changes results on denormalized input. */
+    normalizeNfc: Int = 0,
+    /** q82-q91 + the escape-mode gate twins (q93/q94): lift the BPE
+      * charset contract with a DELIMITER ESCAPE in the segmentation
+      * encoding. The seg string's `(`/`)` delimiters force today's
+      * contract (words containing either are excluded from the
+      * vocabulary); with this knob on, token content is escaped
+      * per-character (`\` → `\\`, `(` → `\p`, `)` → `\q` — a
+      * concatenation-homomorphic injection whose image avoids raw
+      * parens) so EVERY word joins the vocabulary: `f(x)`, citations,
+      * emoticons, and the exported GPT-2-style interchange files
+      * become faithful to full-coverage consumers. Merge-pair
+      * tie-breaks order by the ESCAPED byte form on both engines (the
+      * seg domain both actually sort in); outputs (merge table, vocab,
+      * token ids) unescape back to real text. 0 = off (the shipped
+      * default — historical hashes keep the drop-paren contract),
+      * 1 = on. Mirrored in every BPE oracle CTE; matrix-tested like
+      * dfCap because it changes results on paren-bearing input. */
+    bpeEscape: Int = 0,
     /** q32/q38/q72/q81 (defense in depth under [[verifyPairBudget]]):
       * optional band-bucket ceiling BELOW [[minhashBucketCap]] — a band
       * bucket holding more than this many documents is dropped before
@@ -187,6 +214,10 @@ final case class Tuning(
     pos(bpeSampleMod, "bpeSampleMod"); pos(bpeMinFreq, "bpeMinFreq")
     if (bpeVocabCap < 0) throw ConfigurationError(
       s"graft.tuning.bpeVocabCap must be >= 0 (0 disables the cap), got $bpeVocabCap")
+    if (normalizeNfc != 0 && normalizeNfc != 1) throw ConfigurationError(
+      s"graft.tuning.normalizeNfc must be 0 (off) or 1 (on), got $normalizeNfc")
+    if (bpeEscape != 0 && bpeEscape != 1) throw ConfigurationError(
+      s"graft.tuning.bpeEscape must be 0 (off) or 1 (on), got $bpeEscape")
     if (bandBucketCap < 0) throw ConfigurationError(
       s"graft.tuning.bandBucketCap must be >= 0 (0 disables the cap), got $bandBucketCap")
     if (runMinTokens < 8) throw ConfigurationError(
@@ -269,6 +300,8 @@ object Tuning {
       bpeSampleMod = knob("bpeSampleMod", d.bpeSampleMod),
       bpeMinFreq = knob("bpeMinFreq", d.bpeMinFreq),
       bpeVocabCap = knob("bpeVocabCap", d.bpeVocabCap),
+      normalizeNfc = knob("normalizeNfc", d.normalizeNfc),
+      bpeEscape = knob("bpeEscape", d.bpeEscape),
       bandBucketCap = knob("bandBucketCap", d.bandBucketCap),
       runMinTokens = knob("runMinTokens", d.runMinTokens))
     t.validate()

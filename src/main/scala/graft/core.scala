@@ -34,7 +34,7 @@ final class QRegistry(val tuning: graft.config.Tuning) {
     graft.operators.Stats.all ++
     new graft.operators.Dedup(tuning).all ++
     new graft.operators.Similarity(tuning).all ++
-    graft.operators.TextOps.all ++
+    new graft.operators.TextOps(tuning).all ++
     new graft.operators.Bpe(tuning).all ++
     new graft.operators.Search(tuning).all ++
     graft.operators.Multimodal.all ++
@@ -55,6 +55,10 @@ object QRegistry {
 
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every operator surface funnels through here at plan-build time —
+    // the one place that guarantees the engine's SQL functions resolve
+    // in whatever session the caller brought (idempotent, weak-keyed)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     if (name == "events") {
       // events.ts has shipped in two parquet vintages: TIMESTAMP(NANOS)
       // (rejected by Spark's vectorized reader — read nanos as long and

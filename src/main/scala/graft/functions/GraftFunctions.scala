@@ -55,4 +55,22 @@ object GraftFunctions {
     descriptions.foreach { case (id, info, builder) =>
       GraftShims.registerFunction(spark, id.funcName, info, builder)
     }
+
+  // weak keys: a registered-set entry must not pin a stopped session
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotent [[register]] — the hook the operator surfaces call at
+    * plan-build time ([[graft.Tables.t]], the ad-hoc serve faces), so
+    * a SQL fragment interpolating an engine function (`nfc_normalize`
+    * under [[graft.config.Tuning.normalizeNfc]]) resolves in ANY
+    * session without the caller wiring `spark.sql.extensions`.
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!registered.contains(spark)) synchronized {
+      if (!registered.contains(spark)) {
+        register(spark)
+        registered.add(spark)
+      }
+    }
 }

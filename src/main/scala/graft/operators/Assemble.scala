@@ -22,6 +22,14 @@ import org.apache.spark.sql.graft.PlanBridge
   */
 final class Assemble(val tuning: graft.config.Tuning) extends Serializable {
 
+  /** NFC-aware tokenization (the [[Dedup]] pattern) — contamination
+    * shingles and packing token counts must key text exactly as the
+    * dedup tier does under the same knobs.
+    */
+  private val nfcOn = tuning.normalizeNfc == 1
+  private val toksExpr = Dedup.toksExprOf(nfcOn)
+  private val toksSqlDuck = Dedup.toksSqlDuckOf(nfcOn)
+
   /** Deterministic hash split: md5-derived 60-bit hash of the doc id,
     * mod 100 → 80/10/10. Hash-based (not random) so the split is stable
     * under re-runs, insertions, and re-partitioning — the property a
@@ -81,7 +89,7 @@ final class Assemble(val tuning: graft.config.Tuning) extends Serializable {
     */
   private def contamination(s: SparkSession, d: String, bloom: Boolean): DataFrame = {
     import s.implicits._
-    val ex = Dedup.shinglePostings(s, d, n = 8)
+    val ex = Dedup.shinglePostings(s, d, n = 8, nfc = nfcOn)
       .select($"doc_id", $"nsh", md5Long($"t").as("h"))
       .withColumn("b", splitBucket($"doc_id"))
       .cache()  // feeds BOTH join sides — uncached, the corpus would
@@ -152,7 +160,7 @@ final class Assemble(val tuning: graft.config.Tuning) extends Serializable {
   }
 
   private val contaminationOracle = s"""
-      WITH toks AS (SELECT doc_id, ${Dedup.toksSqlDuck} AS toks FROM documents),
+      WITH toks AS (SELECT doc_id, $toksSqlDuck AS toks FROM documents),
       sh AS (SELECT doc_id,
                list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
                  i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS sh
@@ -209,7 +217,7 @@ final class Assemble(val tuning: graft.config.Tuning) extends Serializable {
         t(s, d, "documents")
           .select($"doc_id",
             when($"text".isNull, 0L)
-              .otherwise(size(expr(Dedup.toksExpr)).cast("long")).as("n"))
+              .otherwise(size(expr(toksExpr)).cast("long")).as("n"))
           .as[(Long, Long)],
         $"doc_id")
       // pass 1: per-partition token totals — P scalars to the driver
@@ -247,7 +255,7 @@ final class Assemble(val tuning: graft.config.Tuning) extends Serializable {
     Some(s"""
       WITH c AS (SELECT doc_id,
                    CASE WHEN text IS NULL THEN 0
-                        ELSE CAST(len(${Dedup.toksSqlDuck}) AS BIGINT) END AS n
+                        ELSE CAST(len($toksSqlDuck) AS BIGINT) END AS n
                  FROM documents),
       w AS (SELECT doc_id, n,
               coalesce(sum(n) OVER (ORDER BY doc_id

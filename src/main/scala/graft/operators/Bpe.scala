@@ -106,12 +106,71 @@ object Bpe {
     out.result()
   }
 
+  /** The delimiter-escape injection behind
+    * [[graft.config.Tuning.bpeEscape]]: per-character `\` → `\\`,
+    * `(` → `\p`, `)` → `\q`. Properties the encoding leans on:
+    *  - IMAGE AVOIDS RAW PARENS, so escaped token content sits inside
+    *    `(...)` atoms unambiguously and the historical extraction
+    *    regex `\(([^()]*)\)` still tokenizes a seg string;
+    *  - CONCATENATION-HOMOMORPHIC (per-character map), so a merged
+    *    token's escaped form is exactly the concatenation of its
+    *    parts' — `replace(seg, '(l̂)(r̂)', '(l̂r̂)')` keeps every atom
+    *    a valid escaped token;
+    *  - PREFIX-FREE decoding (on `\`, consume one more char), so
+    *    [[unesc]] is total and exact on any escaped string.
+    * The whole escaped system is therefore isomorphic to classic BPE
+    * over the escaped alphabet; only the merge tie-break ORDER lives
+    * in the escaped domain (it is what both engines' `ORDER BY l, r`
+    * on seg-derived pairs actually compares).
+    */
+  private[operators] def esc(x: String): String =
+    if (x.indexOf('\\') < 0 && x.indexOf('(') < 0 && x.indexOf(')') < 0) x
+    else {
+      val b = new StringBuilder(x.length + 4)
+      x.foreach {
+        case '\\' => b.append("\\\\")
+        case '(' => b.append("\\p")
+        case ')' => b.append("\\q")
+        case c => b.append(c)
+      }
+      b.toString
+    }
+
+  /** Exact inverse of [[esc]] on escaped strings (left-to-right,
+    * prefix-free — a sequential `replace` chain would mis-decode
+    * `\\p`, which is `\` + `p`, as `\` + `(`).
+    */
+  private[operators] def unesc(x: String): String = {
+    if (x.indexOf('\\') < 0) return x
+    val b = new StringBuilder(x.length)
+    var i = 0
+    while (i < x.length) {
+      val c = x.charAt(i)
+      if (c == '\\' && i + 1 < x.length) {
+        x.charAt(i + 1) match {
+          case 'p' => b.append('(')
+          case 'q' => b.append(')')
+          case '\\' => b.append('\\')
+          case o => b.append(c).append(o) // not produced by esc
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   /** Shard-artifact observability counter (the
     * [[Similarity.indexBuilds]] pattern): incremented only when THIS
     * process performs the build — the spec hook proving replay is a
     * no-op.
     */
   private[operators] val shardBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** DML-install twin of [[shardBuilds]]: incremented only when
+    * [[Bpe!.addShardDocs]] actually installs a delta segment — the
+    * spec hook proving a content-keyed replay is a no-op.
+    */
+  private[operators] val shardAdds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Spark/DuckDB-compatible string order: unsigned lexicographic over
     * UTF-8 bytes (both engines compare binary) — Java's `compareTo`
@@ -244,7 +303,14 @@ object Bpe {
     * Early-stops when no pair repeats (count < 2), like the
     * distributed loop.
     */
-  def localMergeLoop(vocab: Seq[(String, Long)], rounds: Int): Seq[Merge] = {
+  def localMergeLoop(vocab: Seq[(String, Long)], rounds: Int,
+      escape: Boolean = false): Seq[Merge] = {
+    // under the delimiter escape the engines' argmax tie-break orders
+    // the ESCAPED byte form (the seg-domain strings their ORDER BY
+    // actually sees) — identity when the mode is off or the token is
+    // escape-free, so the historical order is untouched
+    def ordLt(a: String, b: String): Boolean =
+      if (escape) utf8Lt(esc(a), esc(b)) else utf8Lt(a, b)
     val words = vocab.iterator.map { case (w, _) =>
       splitCodePoints(w) // NOT toCharArray: lone surrogates would
                          // diverge from the distributed trainer's
@@ -283,8 +349,8 @@ object Bpe {
         val e = it.next()
         val c = e.getValue
         if (c >= 2 && (c > bc || (c == bc && (bl == null ||
-            utf8Lt(e.getKey._1, bl) ||
-            (e.getKey._1 == bl && utf8Lt(e.getKey._2, br)))))) {
+            ordLt(e.getKey._1, bl) ||
+            (e.getKey._1 == bl && ordLt(e.getKey._2, br)))))) {
           bl = e.getKey._1; br = e.getKey._2; bc = c
         }
       }
@@ -323,13 +389,80 @@ object Bpe {
 }
 
 final class Bpe(val tuning: Tuning) extends Serializable {
-  import Dedup.{toksExpr, toksSqlDuck}
   import Bpe.Merge
+
+  private val nfcOn = tuning.normalizeNfc == 1
+  private val toksExpr = Dedup.toksExprOf(nfcOn)
+  private val toksSqlDuck = Dedup.toksSqlDuckOf(nfcOn)
 
   private val nRounds = tuning.bpeMerges
   private val sampleMod = tuning.bpeSampleMod
   private val minFreq = tuning.bpeMinFreq
   private val vocabCap = tuning.bpeVocabCap
+
+  // ------------------------------------------------------------------
+  // The delimiter escape (Tuning.bpeEscape — see Bpe.esc for the
+  // encoding's properties). When ON, paren-bearing words join the
+  // vocabulary: seg strings hold ESCAPED token content, merge rounds
+  // run entirely in the escaped domain (pair extraction, argmax order,
+  // replace patterns), and only the OUTPUT boundaries unescape (the
+  // merge table's l/r/merged, the token-id vocabulary) — token COUNTS
+  // never need to. Every helper below is the identity when off, so
+  // the historical bytes are untouched.
+  // ------------------------------------------------------------------
+  private val escapeOn = tuning.bpeEscape == 1
+
+  private def escStr(x: String): String = if (escapeOn) Bpe.esc(x) else x
+  private def unescStr(x: String): String = if (escapeOn) Bpe.unesc(x) else x
+
+  /** A word's initial seg string, Spark side: escape (when on), then
+    * wrap each atom — an escape pair or a single code point, leftmost
+    * alternative first in both engines' regex dialects.
+    */
+  private def segInit(w: Column): Column =
+    if (!escapeOn) regexp_replace(w, "(.)", "($1)")
+    else regexp_replace(
+      call_function("replace",
+        call_function("replace",
+          call_function("replace", w, lit("\\"), lit("\\\\")),
+          lit("("), lit("\\p")),
+        lit(")"), lit("\\q")),
+      "(\\\\.|.)", "($1)")
+
+  /** [[segInit]]'s DuckDB twin over a column expression `x`. */
+  private def segInitSql(x: String): String =
+    if (!escapeOn) raw"""regexp_replace($x, '(.)', '(\1)', 'g')"""
+    else raw"""regexp_replace(replace(replace(replace($x, '\', '\\'), '(', '\p'), ')', '\q'), '(\\.|.)', '(\1)', 'g')"""
+
+  /** Unescape a DuckDB string expression `x` back to real text —
+    * tokenized left-to-right into prefix-free atoms (a `replace`
+    * chain would mis-decode `\\p`), each atom mapped back.
+    */
+  private def unescSqlOf(x: String): String =
+    if (!escapeOn) x
+    else raw"""array_to_string(list_transform(regexp_extract_all($x, '\\.|.'), a -> CASE a WHEN '\p' THEN '(' WHEN '\q' THEN ')' WHEN '\\' THEN '\' ELSE a END), '')"""
+
+  /** The historical seg-string token extraction (escaped domain). */
+  private val segToksSqlRaw = raw"""regexp_extract_all(seg, '\(([^()]*)\)', 1)"""
+
+  /** [[segToksSqlRaw]] decoded to REAL tokens — the form for token
+    * VALUES (id ranks, vocab dumps); counts read the raw form.
+    */
+  private def segToksSqlReal: String =
+    if (!escapeOn) segToksSqlRaw
+    else s"list_transform($segToksSqlRaw, t -> ${unescSqlOf("t")})"
+
+  /** The vocabulary charset filter: the drop-paren contract when the
+    * escape is off, no-op when on (every word is representable).
+    */
+  private def vocabFilterSql: String =
+    if (escapeOn) "" else " WHERE w NOT LIKE '%(%' AND w NOT LIKE '%)%'"
+
+  /** The same contract as an AND-composable predicate (q91's serve
+    * probes, which already filter empties).
+    */
+  private def probeCharsetFilterSql: String =
+    if (escapeOn) "" else " AND w NOT LIKE '%(%' AND w NOT LIKE '%)%'"
 
   /** True when the TRAINING vocabulary differs from the full one —
     * doc-sampled, frequency-floored, or top-K-capped. The oracle then
@@ -362,7 +495,8 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     new java.io.File(d).getCanonicalPath + ":" +
       ArtifactLake.fingerprint(new java.io.File(s"$d/documents.parquet")) +
       ":" + Tables.footerCount(s, s"$d/documents.parquet").getOrElse(-1L) +
-      ":" + nRounds + ":" + sampleMod + ":" + minFreq + ":" + vocabCap
+      ":" + nRounds + ":" + sampleMod + ":" + minFreq + ":" + vocabCap +
+      (if (nfcOn) ":nfc" else "") + (if (escapeOn) ":esc" else "")
 
   /** `(w, freq, seg)` — the vocabulary with each word's initial
     * character segmentation. The corpus collapses here; everything
@@ -391,14 +525,17 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     import s.implicits._
     val in = if (sampled && sampleMod > 1)
       docs.filter($"doc_id" % sampleMod === 0) else docs
-    val counted = in.select(explode(expr(toksExpr)).as("w"))
-      .filter(!$"w".contains("(") && !$"w".contains(")"))
-      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    val exploded = in.select(explode(expr(toksExpr)).as("w"))
+    // the charset contract: drop paren words unless the delimiter
+    // escape (Tuning.bpeEscape) makes every word representable
+    val admitted = if (escapeOn) exploded
+      else exploded.filter(!$"w".contains("(") && !$"w".contains(")"))
+    val counted = admitted.groupBy($"w").agg(count(lit(1)).as("freq"))
     val floored = if (sampled && minFreq > 1)
       counted.filter($"freq" >= minFreq) else counted
     val capped = if (sampled && vocabCap > 0)
       floored.orderBy($"freq".desc, $"w").limit(vocabCap) else floored
-    capped.withColumn("seg", regexp_replace($"w", "(.)", "($1)"))
+    capped.withColumn("seg", segInit($"w"))
   }
 
   /** The bounded TRAINING vocabulary — the spec/probe hook for the
@@ -413,10 +550,8 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     regexp_extract_all(seg, lit("""\(([^()]*)\)"""), lit(1))
 
   /** The training loop — see the module doc for the per-round shape. */
-  private def train(s: SparkSession, d: String): Seq[Merge] = synchronized {
-    memo.getOrElseUpdate(memoKey(s, d),
-      mergeRounds(s, vocab(s, d, sampled = true)))
-  }
+  private def train(s: SparkSession, d: String): Seq[Merge] =
+    trainOver(s, memoKey(s, d), vocab(s, d, sampled = true))
 
   /** The curated twin of [[train]]: the merge rounds over the
     * boilerplate-STRIPPED corpus (`cur` = [[Search.stripRuns]] output,
@@ -425,9 +560,17 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     * shared run was cut.
     */
   private def trainCurated(s: SparkSession, d: String,
-      cur: DataFrame): Seq[Merge] = synchronized {
-    memo.getOrElseUpdate(memoKey(s, d) + ":curated",
-      mergeRounds(s, vocabOf(s, cur, sampled = true)))
+      cur: DataFrame): Seq[Merge] =
+    trainOver(s, memoKey(s, d) + ":curated", vocabOf(s, cur, sampled = true))
+
+  /** Memoized merge rounds over an arbitrary initial vocabulary view —
+    * the shared trunk of [[train]] / [[trainCurated]] / the escape
+    * fixture's trainer (`vocab0` is by-name: a memo hit builds no
+    * plan).
+    */
+  private def trainOver(s: SparkSession, key: String,
+      vocab0: => DataFrame): Seq[Merge] = synchronized {
+    memo.getOrElseUpdate(key, mergeRounds(s, vocab0))
   }
 
   /** The distributed merge-round loop over an initial vocabulary
@@ -456,13 +599,17 @@ final class Bpe(val tuning: Tuning) extends Serializable {
           .collect()
         if (best.isEmpty) done = true
         else {
-          val (l, rr, cnt) = (best(0).getString(0), best(0).getString(1),
+          // the argmax row lives in the SEG domain (escaped under the
+          // delimiter escape): the replace pattern uses it as-is, the
+          // output merge tuple decodes to real text
+          val (lE, rE, cnt) = (best(0).getString(0), best(0).getString(1),
             best(0).getLong(2))
+          val (l, rr) = (unescStr(lE), unescStr(rE))
           val m = l + rr
           out += ((r + 1L, l, rr, m, cnt))
           val old = seg
           seg = seg.withColumn("seg", call_function("replace",
-              $"seg", lit(s"($l)($rr)"), lit(s"($m)")))
+              $"seg", lit(s"($lE)($rE)"), lit(s"($lE$rE)")))
             .localCheckpoint(true)
           old.unpersist()
         }
@@ -483,8 +630,12 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     * ≤ bpeMerges nested compiled replaces.
     */
   private def segChain(merges: Seq[Merge]): Column =
+    // merge tuples hold REAL tokens; patterns live in the seg domain
+    // (escStr is the identity when the escape is off, and homomorphic
+    // when on — escStr(m) == escStr(l) + escStr(r))
     merges.foldLeft(col("seg")) { case (c, (_, l, r, m, _)) =>
-      call_function("replace", c, lit(s"($l)($r)"), lit(s"($m)"))
+      call_function("replace", c,
+        lit(s"(${escStr(l)})(${escStr(r)})"), lit(s"(${escStr(m)})"))
     }
 
   /** The driver-local trainer over this registry's sampled vocabulary
@@ -523,7 +674,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     import s.implicits._
     val vb = vocab(s, d, sampled = true)
       .select($"w", $"freq").as[(String, Long)].collect().toSeq
-    Bpe.localMergeLoop(vb, rounds)
+    Bpe.localMergeLoop(vb, rounds, escapeOn)
   }
 
   // ------------------------------------------------------------------
@@ -546,14 +697,14 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     val wBody =
       s"""SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
             $docScan)
-          WHERE w NOT LIKE '%(%' AND w NOT LIKE '%)%' GROUP BY w$floorSql"""
+         $vocabFilterSql GROUP BY w$floorSql"""
     val head = Seq(
       if (vocabCap > 0)
         s"""w AS MATERIALIZED (SELECT w, freq FROM ($wBody)
             ORDER BY freq DESC, w LIMIT $vocabCap)"""
       else s"""w AS MATERIALIZED ($wBody)""",
-      """s0 AS MATERIALIZED (SELECT w, freq,
-           regexp_replace(w, '(.)', '(\1)', 'g') AS seg FROM w)""")
+      s"""s0 AS MATERIALIZED (SELECT w, freq,
+           ${segInitSql("w")} AS seg FROM w)""")
     val rounds = (1 to nRounds).flatMap { i =>
       val p = i - 1
       Seq(
@@ -590,9 +741,9 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       val head = Seq(
         s"""wf AS MATERIALIZED (SELECT w FROM (
               SELECT unnest($toksSqlDuck) AS w FROM $rel)
-            WHERE w NOT LIKE '%(%' AND w NOT LIKE '%)%' GROUP BY w)""",
-        """f0 AS MATERIALIZED (SELECT w,
-             regexp_replace(w, '(.)', '(\1)', 'g') AS seg FROM wf)""")
+            $vocabFilterSql GROUP BY w)""",
+        s"""f0 AS MATERIALIZED (SELECT w,
+             ${segInitSql("w")} AS seg FROM wf)""")
       head ++ (1 to nRounds).map { i =>
         val p = i - 1
         s"""f$i AS MATERIALIZED (SELECT w,
@@ -623,15 +774,24 @@ final class Bpe(val tuning: Tuning) extends Serializable {
         .toDF("rank", "l", "r", "merged", "pair_count")
         .orderBy($"rank")
     },
-    Some {
-      val union = (1 to nRounds).map { i =>
-        s"SELECT CAST($i AS BIGINT) AS rank, l, r, m AS merged, cnt AS pair_count FROM b$i"
-      }.mkString("\n        UNION ALL ")
-      s"""
-      WITH ${trainCtes("documents")}
+    Some(trainDumpSql("", "documents")))
+
+  /** The merge-table dump oracle over a corpus relation `rel` — the
+    * b$i argmax rows in rank order, decoded to real text under the
+    * delimiter escape (they live in the seg domain). q82 replays it
+    * `FROM documents`, q93 from the paren fixture.
+    */
+  private def trainDumpSql(prefixCtes: String, rel: String): String = {
+    val union = (1 to nRounds).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, ${unescSqlOf("l")} AS l," +
+        s" ${unescSqlOf("r")} AS r, ${unescSqlOf("m")} AS merged," +
+        s" cnt AS pair_count FROM b$i"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH $prefixCtes${trainCtes(rel)}
       SELECT * FROM (
         $union) ORDER BY rank"""
-    })
+  }
 
   /** q83: apply the trained vocabulary — per-document REAL token
     * counts (words, BPE tokens, tokens-per-word). Train and apply run
@@ -642,29 +802,43 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     */
   private val q83 = Q(
     "q83_bpe_tokenize",
-    (s, d) => {
-      import s.implicits._
-      val wt = finalSeg(s, d)
-        .select($"w", size(segToks($"seg")).cast("long").as("nt"))
-      t(s, d, "documents")
-        .select($"doc_id", explode(expr(toksExpr)).as("w"))
-        .join(wt, "w")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_words"), sum($"nt").as("n_tokens"))
-        .select($"doc_id", $"n_words", $"n_tokens",
-          r4($"n_tokens" / $"n_words").as("tokens_per_word"))
-        .orderBy($"doc_id")
-    },
-    Some(s"""
-      WITH ${trainCtes("documents")},
-      wt AS (SELECT w, CAST(len(regexp_extract_all(seg, '\\(([^()]*)\\)', 1)) AS BIGINT) AS nt
+    (s, d) => tokenizeCounts(s, t(s, d, "documents"), train(s, d)),
+    Some(tokenizeDumpSql("", "documents")))
+
+  /** q83's body over an arbitrary `(doc_id, text)` view and trained
+    * merges — per-document REAL token counts via the full-vocabulary
+    * segmentation join. q83 passes the corpus and its trained table,
+    * q94 the paren fixture and the escape-mode table.
+    */
+  private def tokenizeCounts(s: SparkSession, docs: DataFrame,
+      merges: Seq[Merge]): DataFrame = {
+    import s.implicits._
+    val wt = vocabOf(s, spread(docs), sampled = false)
+      .withColumn("seg", segChain(merges))
+      .select($"w", size(segToks($"seg")).cast("long").as("nt"))
+    docs
+      .select($"doc_id", explode(expr(toksExpr)).as("w"))
+      .join(wt, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"nt").as("n_tokens"))
+      .select($"doc_id", $"n_words", $"n_tokens",
+        r4($"n_tokens" / $"n_words").as("tokens_per_word"))
+      .orderBy($"doc_id")
+  }
+
+  /** [[tokenizeCounts]]' oracle over `rel` (token counts never need
+    * the unescape — a seg atom is one token either way).
+    */
+  private def tokenizeDumpSql(prefixCtes: String, rel: String): String = s"""
+      WITH $prefixCtes${trainCtes(rel)},
+      wt AS (SELECT w, CAST(len($segToksSqlRaw) AS BIGINT) AS nt
              FROM $applySegCte),
-      dw AS (SELECT doc_id, unnest($toksSqlDuck) AS w FROM documents)
+      dw AS (SELECT doc_id, unnest($toksSqlDuck) AS w FROM $rel)
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
              CAST(sum(nt) AS BIGINT) AS n_tokens,
              round(CAST(sum(nt) AS DOUBLE) / count(*), 4) AS tokens_per_word
       FROM dw JOIN wt USING (w)
-      GROUP BY doc_id ORDER BY doc_id"""))
+      GROUP BY doc_id ORDER BY doc_id"""
 
   /** q84: sequence packing into 512-token context windows by REAL BPE
     * token counts — q58's range-partitioned two-pass prefix sum (no
@@ -755,7 +929,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     * `b(doc_id, n, bin)`. Shared by q84 (bin manifest) and q87 (shard
     * dump).
     */
-  private def binCtes(rel: String): String = s"""wt AS (SELECT w, CAST(len(regexp_extract_all(seg, '\\(([^()]*)\\)', 1)) AS BIGINT) AS nt
+  private def binCtes(rel: String): String = s"""wt AS (SELECT w, CAST(len($segToksSqlRaw) AS BIGINT) AS nt
              FROM $applySegCte),
       dw AS (SELECT doc_id, unnest($toksSqlDuck) AS w FROM $rel),
       dn AS (SELECT dw.doc_id, CAST(coalesce(sum(wt.nt), 0) AS BIGINT) AS n
@@ -807,7 +981,8 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       s"${sys.props("java.io.tmpdir")}/graft-index")
 
   private[operators] def shardsPath(d: String): String =
-    shardsPathOf(d, s"$nRounds:$sampleMod:$minFreq:$vocabCap:$ctx")
+    shardsPathOf(d, s"$nRounds:$sampleMod:$minFreq:$vocabCap:$ctx" +
+      (if (nfcOn) ":nfc" else "") + (if (escapeOn) ":esc" else ""))
 
   /** The curated artifact keys on the STRIP-shaping knobs too —
     * runMinTokens and dfCap change which spans are cut, hence the
@@ -816,7 +991,8 @@ final class Bpe(val tuning: Tuning) extends Serializable {
   private[operators] def curatedShardsPath(d: String): String =
     shardsPathOf(d,
       s"$nRounds:$sampleMod:$minFreq:$vocabCap:$ctx:cur:" +
-        s"${tuning.runMinTokens}:${tuning.dfCap}")
+        s"${tuning.runMinTokens}:${tuning.dfCap}" +
+        (if (nfcOn) ":nfc" else "") + (if (escapeOn) ":esc" else ""))
 
   private def shardsPathOf(d: String, knobs: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
@@ -863,7 +1039,8 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     */
   def ensureShardsFor(s: SparkSession, d: String,
       merges: Seq[Merge]): String = synchronized {
-    installShards(s, shardsPathOf(d, s"$ctx:for:${Bpe.mergesFp(merges)}"),
+    installShards(s, shardsPathOf(d, s"$ctx:for:${Bpe.mergesFp(merges)}" +
+        (if (nfcOn) ":nfc" else "") + (if (escapeOn) ":esc" else "")),
       () => (t(s, d, "documents"), merges))
   }
 
@@ -944,6 +1121,154 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     p
   }
 
+  // ------------------------------------------------------------------
+  // SHARD-LAKE DML: the vector store's segment recipe applied to the
+  // training-shard lake, so a daily-growing corpus appends instead of
+  // re-paying the full pack. New documents are encoded with the
+  // FROZEN tokenizer (the stored merges + id table — never retrained)
+  // and installed as a content-keyed `deltas/add-<key>` segment; the
+  // read faces below serve base ∪ segments. The REGISTERED queries
+  // (q87/q90) read `data/` only — base-only by design (the q43
+  // pattern), so the oracle-pinned bytes never move under DML.
+  // ------------------------------------------------------------------
+
+  /** Append a batch of NEW documents (`doc_id` castable to LONG,
+    * `text` STRING) to the installed shard lake as one delta segment.
+    * Returns true iff THIS call installed it.
+    *
+    * Contract (the [[Similarity.addVectors]] recipe):
+    *  - CONTENT KEY: one aggregate pass derives an order-independent
+    *    128-bit key over (doc_id, text); a replay of the same batch —
+    *    Structured Streaming's at-least-once re-run, a retried job —
+    *    finds the installed segment and no-ops. At-least-once replay ×
+    *    idempotent install = effectively-once ingest.
+    *  - ID GUARD: a DIFFERENT batch claiming doc_ids already in the
+    *    lake (base or any segment) fails loudly; the [lo, hi] batch
+    *    envelope makes the conflict scan parquet-stats-prunable.
+    *  - FROZEN ENCODE: sequences come from [[serveTokenize]] — subword
+    *    tokens the corpus never produced map to UNK (-1), exactly as
+    *    ad-hoc serving does, so stored segment bytes ≡ a from-scratch
+    *    encode of the same docs through the same artifact.
+    * Driver memory held: one stats row and at most eight conflicting
+    * ids — the batch itself never leaves the executors.
+    */
+  def addShardDocs(s: SparkSession, d: String, docs: DataFrame,
+      curated: Boolean = false): Boolean = synchronized {
+    import s.implicits._
+    val p = if (curated) ensureCuratedShards(s, d) else ensureShards(s, d)
+    val norm = docs.selectExpr(
+        "cast(doc_id as bigint) as doc_id", "cast(text as string) as text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // NULL text hashes as a sentinel distinct from any real text
+      // (xxhash64 would otherwise drop the column and collide a NULL
+      // with an absent one)
+      val st = norm.selectExpr(
+        "count(1) as cnt", "count(distinct doc_id) as dcnt",
+        "min(doc_id) as lo", "max(doc_id) as hi",
+        "bit_xor(xxhash64(doc_id, coalesce(text, chr(0)))) as h1",
+        "bit_xor(xxhash64(coalesce(text, chr(0)), doc_id)) as h2").head()
+      val cnt = st.getAs[Long]("cnt")
+      if (cnt == 0L) return false
+      require(st.getAs[Long]("dcnt") == cnt,
+        "addShardDocs: duplicate doc_id within the batch")
+      val key = f"${st.getAs[Long]("h1")}%016x${st.getAs[Long]("h2")}%016x"
+      val target = new java.io.File(s"$p/deltas/add-$key")
+      // the retry no-op precedes the id guard: a re-sent batch carries
+      // already-indexed ids by definition
+      if (new java.io.File(target, "_SUCCESS").isFile) return false
+      val (lo, hi) = (st.getAs[Long]("lo"), st.getAs[Long]("hi"))
+      val taken = shardDocSeqs(s, d, curated)
+        .select($"doc_id").filter($"doc_id".between(lo, hi))
+      val idsDf = norm.select($"doc_id")
+      val probe = if (cnt <= 1000000L) broadcast(idsDf) else idsDf
+      val dup = taken.join(probe, "doc_id").select($"doc_id").distinct()
+        .orderBy($"doc_id").limit(8).as[Long].collect()
+      require(dup.isEmpty,
+        s"addShardDocs: doc ids already in the lake: ${dup.mkString(", ")}")
+      val enc = serveTokenize(s, d,
+        norm.select($"doc_id".as("id"), $"text"), curated)
+      val nFiles = math.min(64L, math.max(1L, (cnt + 65535L) / 65536L)).toInt
+      val installed = ArtifactLake.ensure(target) { staging =>
+        enc.select($"id".as("doc_id"), $"n_tokens", $"token_ids")
+          .repartition(nFiles)
+          .write.mode("overwrite").parquet(s"${staging.getAbsolutePath}/data")
+      }
+      if (installed) Bpe.shardAdds.incrementAndGet()
+      installed
+    } finally norm.unpersist()
+  }
+
+  /** Continuous document ingest — [[addShardDocs]] attached to any
+    * streaming frame with `doc_id`/`text` columns, one delta segment
+    * per non-empty micro-batch. Same effectively-once story as the
+    * vector store's [[Similarity.ingestStream]]: a replayed
+    * micro-batch reproduces its content key and no-ops; upstream owns
+    * id-uniqueness ACROSS batches.
+    */
+  def ingestShardStream(d: String, stream: DataFrame, checkpoint: String,
+      curated: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        addShardDocs(batch.sparkSession, d,
+          batch.select(col("doc_id"), col("text")), curated)
+        ()
+      }
+      .start()
+
+  /** The lake's sequence read face: `(doc_id, n_tokens, token_ids)`
+    * over base ∪ installed delta segments — what a training run (or
+    * [[decodeTokens]]) consumes after DML. Base-only when no DML has
+    * run, so it degrades to exactly the registered queries' view.
+    */
+  def shardDocSeqs(s: SparkSession, d: String,
+      curated: Boolean = false): DataFrame = {
+    import s.implicits._
+    val p = if (curated) ensureCuratedShards(s, d) else ensureShards(s, d)
+    val base = s.read.parquet(s"$p/data")
+      .select($"doc_id", $"n_tokens", $"token_ids")
+    segmentDirs(p).foldLeft(base)((acc, f) =>
+      acc.unionByName(s.read.parquet(s"${f.getAbsolutePath}/data")
+        .select($"doc_id", $"n_tokens", $"token_ids")))
+  }
+
+  /** Installed (marker-complete) delta segments, name-ordered. */
+  private def segmentDirs(p: String): Seq[java.io.File] = {
+    val dir = new java.io.File(s"$p/deltas")
+    if (!dir.isDirectory) Seq.empty
+    else dir.listFiles().toSeq
+      .filter(f => f.getName.startsWith("add-") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .sortBy(_.getName)
+  }
+
+  /** Decode `(doc_id, token_ids)` sequences back to subword tokens
+    * through the STORED id table — the read twin of [[serveTokenize]].
+    * Ids the table doesn't carry (UNK −1 included) decode to NULL in
+    * place, so positions are preserved; empty sequences decode to
+    * empty arrays.
+    */
+  def decodeTokens(s: SparkSession, d: String, seqs: DataFrame,
+      curated: Boolean = false): DataFrame = {
+    import s.implicits._
+    val p = if (curated) ensureCuratedShards(s, d) else ensureShards(s, d)
+    val tid = s.read.parquet(s"$p/vocab")
+    val toks = seqs
+      .select($"doc_id", posexplode($"token_ids").as(Seq("tpos", "tid")))
+      .join(tid, Seq("tid"), "left")
+      .groupBy($"doc_id")
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(tpos, tok))), x -> x.tok)")
+        .as("tokens"))
+    seqs.select($"doc_id").join(toks, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"tokens", expr("array()").cast("array<string>"))
+          .as("tokens"))
+  }
+
   /** q87: the shard dump, hash-pinned the q67 way — the query reads
     * the STORED artifact (doc→bin assignment and the stored token-id
     * sequence, hashed), while the oracle re-derives everything from
@@ -973,7 +1298,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     * CTE chain prepended by the caller).
     */
   private def shardCtesAndSelect(rel: String): String = s"""${trainCtes(rel)},
-      fsegtk AS (SELECT w, regexp_extract_all(seg, '\\(([^()]*)\\)', 1) AS tk
+      fsegtk AS (SELECT w, $segToksSqlReal AS tk
                  FROM $applySegCte),
       tok AS (SELECT DISTINCT unnest(tk) AS tok FROM fsegtk),
       tid AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS INT) AS tid
@@ -1136,13 +1461,16 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       merges: Seq[Merge], outCol: String, elemType: String)(
       perWord: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
+    // the one surface whose input never passes Tables.t — the engine
+    // functions (nfc_normalize under the knob) must resolve here too
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val bc = s.sparkContext.broadcast(new Bpe.MergeTable(merges))
     val words = texts
       .select($"id", posexplode_outer(expr(toksExpr)).as(Seq("wpos", "w")))
       .localCheckpoint(true) // two consumers: tokenize the batch once
     val wtoks = words.select($"w")
-      .where($"w".isNotNull && $"w" =!= "" &&
-        !$"w".contains("(") && !$"w".contains(")"))
+      .where($"w".isNotNull && $"w" =!= "" && (if (escapeOn) lit(true)
+        else !$"w".contains("(") && !$"w".contains(")")))
       .distinct()
       .as[String]
       .mapPartitions { it =>
@@ -1297,7 +1625,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       }.mkString("\n      ")
       s"""
       WITH ${trainCtes("documents")},
-      fsegtk AS (SELECT w, regexp_extract_all(seg, '\\(([^()]*)\\)', 1) AS tk
+      fsegtk AS (SELECT w, $segToksSqlReal AS tk
                  FROM $applySegCte),
       tok AS (SELECT DISTINCT unnest(tk) AS tok FROM fsegtk),
       tid AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS INT) AS tid
@@ -1313,13 +1641,13 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       pdw AS (SELECT id, unnest(range(1, len(toks) + 1)) AS wpos,
                      unnest(toks) AS w
               FROM (SELECT id, $toksSqlDuck AS toks FROM probes)),
-      g0 AS (SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS seg
+      g0 AS (SELECT w, ${segInitSql("w")} AS seg
              FROM (SELECT DISTINCT w FROM pdw
-                   WHERE w <> '' AND w NOT LIKE '%(%' AND w NOT LIKE '%)%')),
+                   WHERE w <> ''$probeCharsetFilterSql)),
       $probeChain
       pwtok AS (SELECT w, unnest(range(1, len(tk) + 1)) AS tpos,
                        unnest(tk) AS tok
-                FROM (SELECT w, regexp_extract_all(seg, '\\(([^()]*)\\)', 1) AS tk
+                FROM (SELECT w, $segToksSqlReal AS tk
                       FROM g$nRounds)),
       pwids AS (SELECT w, list(coalesce(tid, -1) ORDER BY tpos) AS ids
                 FROM pwtok LEFT JOIN tid USING (tok) GROUP BY w),
@@ -1333,5 +1661,78 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       ORDER BY id"""
     })
 
-  val all: Seq[Q] = Seq(q82, q83, q84, q87, q89, q90, q91)
+  // ------------------------------------------------------------------
+  // ESCAPE-MODE GATE (q93/q94): the delimiter escape exercised under
+  // the oracle on a corpus where it matters — a deterministically
+  // DERIVED view of `documents` whose vocabulary is full of
+  // paren-bearing words, a non-BMP word with parens, a literal
+  // backslash word, and a literal "\q" that collides with the escape
+  // code itself. Both engines derive the identical fixture with plain
+  // (regex-free) string ops, so the queries stay hash-checkable at
+  // every knob combination.
+  // ------------------------------------------------------------------
+
+  /** The registry instance the escape-mode gate queries run through:
+    * THIS one when the ambient knob is already on (tuned-matrix combos
+    * then compose escape with NFC and the vocabulary bounds), else a
+    * twin copied with `bpeEscape = 1`. The twin's own `escTwin` is
+    * itself, so construction terminates.
+    */
+  private val escTwin: Bpe =
+    if (escapeOn) this else new Bpe(tuning.copy(bpeEscape = 1))
+
+  /** The paren fixture, Spark side — every `e` wrapped in parens plus
+    * the adversarial suffix words. NULL text stays NULL on both
+    * engines (`concat`/`||` propagate it).
+    */
+  private def parenFixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents")
+      .filter($"doc_id" % 50 === 3)
+      .select($"doc_id",
+        concat(
+          call_function("replace", $"text", lit("e"), lit("(e)")),
+          lit(" 𝕏(😀)x a\\b \\q(z)")).as("text"))
+  }
+
+  /** [[parenFixture]]'s DuckDB twin (the non-BMP word is 𝕏(😀)x —
+    * U+1D54F and U+1F600 inside parens).
+    */
+  private val parenFixtureSql: String =
+    "pfix AS MATERIALIZED (SELECT doc_id," +
+      raw""" replace(text, 'e', '(e)') || ' 𝕏(😀)x a\b \q(z)' AS text""" +
+      " FROM documents WHERE doc_id % 50 = 3)"
+
+  private def trainFixture(s: SparkSession, d: String): Seq[Merge] =
+    trainOver(s, memoKey(s, d) + ":pfix",
+      vocabOf(s, spread(parenFixture(s, d)), sampled = true))
+
+  /** q93: the escape-mode merge table over the paren fixture — every
+    * training round's argmax (computed in the escaped seg domain on
+    * both engines, tie-broken by escaped byte order) decoded back to
+    * real text and hash-checked. One wrong escape byte, mis-decoded
+    * output, or order slip in any round cascades.
+    */
+  private val q93 = Q(
+    "q93_bpe_escape_train",
+    (s, d) => {
+      import s.implicits._
+      escTwin.trainFixture(s, d)
+        .toDF("rank", "l", "r", "merged", "pair_count")
+        .orderBy($"rank")
+    },
+    Some(escTwin.trainDumpSql(escTwin.parenFixtureSql + ",\n      ", "pfix")))
+
+  /** q94: the escape-mode tokenize face — q83's per-document token
+    * counts over the paren fixture, where EVERY word (paren-bearing
+    * included) joins the vocabulary and is segmented by the trained
+    * merges. Pins the full-vocabulary apply chain under the escape.
+    */
+  private val q94 = Q(
+    "q94_bpe_escape_tokenize",
+    (s, d) => escTwin.tokenizeCounts(s, escTwin.parenFixture(s, d),
+      escTwin.trainFixture(s, d)),
+    Some(escTwin.tokenizeDumpSql(escTwin.parenFixtureSql + ",\n      ", "pfix")))
+
+  val all: Seq[Q] = Seq(q82, q83, q84, q87, q89, q90, q91, q93, q94)
 }

@@ -23,11 +23,42 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Tokenization shared by all text operators (Spark-side SQL fragment).
-    * DuckDB twin: list_filter(string_split_regex(lower(text),'\s+'), ...).
+  /** The `text` input expression, parameterized on the
+    * [[graft.config.Tuning.normalizeNfc]] knob: when on, text is
+    * Unicode-NFC-normalized (q92's [[graft.functions.NfcNormalize]] on
+    * the Spark side, DuckDB's byte-identical `nfc_normalize` on the
+    * oracle side — the SQL name matches deliberately) BEFORE any
+    * lowercasing/splitting, so visually-identical code-point variants
+    * tokenize, fingerprint, shingle, and BPE-segment identically.
     */
-  val toksExpr = """filter(split(lower(text), '\\s+'), x -> x != '')"""
-  val toksSqlDuck = """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+  def textExprOf(nfc: Boolean): String =
+    if (nfc) "nfc_normalize(text)" else "text"
+
+  /** Tokenization shared by all text operators (Spark-side SQL
+    * fragment), parameterized on the NFC knob; [[toksSqlDuckOf]] is
+    * the DuckDB twin. The knob-free vals below are the raw (off)
+    * variants for surfaces without a [[graft.config.Tuning]] instance.
+    */
+  // NOTE: unlike plain triple-quoted literals, the s-interpolator DOES
+  // process backslash escapes — hence the doubled counts here vs the
+  // raw vals these produce
+  def toksExprOf(nfc: Boolean): String =
+    s"""filter(split(lower(${textExprOf(nfc)}), '\\\\s+'), x -> x != '')"""
+  def toksSqlDuckOf(nfc: Boolean): String =
+    s"""list_filter(string_split_regex(lower(${textExprOf(nfc)}), '\\s+'), x -> x <> '')"""
+
+  val toksExpr = toksExprOf(false)
+  val toksSqlDuck = toksSqlDuckOf(false)
+
+  /** JVM twin of the expression-side NFC stage — the compiled
+    * tokenizers ([[shinglePostingsOf]]) must normalize exactly where
+    * the declarative ones do. Same quick-check fast path as
+    * [[graft.functions.NfcNormalize]].
+    */
+  private[graft] def nfcJvm(s: String): String =
+    if (s == null ||
+      java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
 
   /** Distinct 3-word shingles from a `toks` list (DuckDB oracle side;
     * the Spark side computes the identical set in [[shinglePostings]]).
@@ -47,12 +78,12 @@ object Dedup {
     * `string_split_regex(lower(text),'\s+')` + 3-gram + list_distinct.
     */
   private[operators] def shinglePostings(s: SparkSession, d: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, nfc: Boolean = false): DataFrame = {
     import s.implicits._
     shinglePostingsOf(
       spread(t(s, d, "documents"))
         .select($"doc_id", $"text")
-        .as[(Long, String)], n)
+        .as[(Long, String)], n, nfc)
   }
 
   /** [[shinglePostings]] over an arbitrary `(doc_id, text)` dataset —
@@ -62,16 +93,19 @@ object Dedup {
     * like a built one.
     */
   private[operators] def shinglePostingsOf(
-      ds: org.apache.spark.sql.Dataset[(Long, String)], n: Int = 3): DataFrame = {
+      ds: org.apache.spark.sql.Dataset[(Long, String)], n: Int = 3,
+      nfc: Boolean = false): DataFrame = {
     val s = ds.sparkSession
     import s.implicits._
     ds.mapPartitions { it =>
         it.flatMap { case (id, text) =>
           // NULL text ⇒ zero shingles, matching the oracle's
-          // lower(NULL)→NULL→unnest(NULL) and the HOF path it replaced
+          // lower(NULL)→NULL→unnest(NULL) and the HOF path it replaced;
+          // the NFC stage runs FIRST, exactly where toksExprOf puts it
           val toks =
             if (text == null) Array.empty[String]
-            else text.toLowerCase(java.util.Locale.ROOT)
+            else (if (nfc) nfcJvm(text) else text)
+              .toLowerCase(java.util.Locale.ROOT)
               .split("\\s+").filter(_.nonEmpty)
           val set = new scala.collection.mutable.LinkedHashSet[String]
           var i = 0
@@ -108,25 +142,41 @@ object Dedup {
   * interpolates THIS instance's `tuning` (see [[graft.QRegistry]]).
   */
 final class Dedup(val tuning: Tuning) extends Serializable {
-  import Dedup.{toksExpr, toksSqlDuck, shinglesSqlDuck, shinglePostings,
-    shinglePostingsOf}
+  import Dedup.shinglesSqlDuck
+
+  /** The NFC knob, threaded through every tokenizing surface of this
+    * instance — the declarative fragments below AND the compiled
+    * shingler (both sides of the oracle interpolate the same flag).
+    */
+  private val nfcOn = tuning.normalizeNfc == 1
+  private val textExpr = Dedup.textExprOf(nfcOn)
+  private val toksExpr = Dedup.toksExprOf(nfcOn)
+  private val toksSqlDuck = Dedup.toksSqlDuckOf(nfcOn)
+  private def shinglePostings(s: SparkSession, d: String, n: Int = 3) =
+    Dedup.shinglePostings(s, d, n, nfcOn)
+  private def shinglePostingsOf(
+      ds: org.apache.spark.sql.Dataset[(Long, String)], n: Int = 3) =
+    Dedup.shinglePostingsOf(ds, n, nfcOn)
 
   /** Exact dedup: hash-groupBy on the normalized text. One shuffle on the
     * 128-bit fingerprint; at 100 TB this is the classic first pass
     * (map-side partial count keeps the shuffle at one row per distinct).
+    * Under [[graft.config.Tuning.normalizeNfc]] the fingerprint input
+    * is NFC-normalized first — two visually identical documents with
+    * different code-point sequences then share one fingerprint.
     */
   private val q30 = Q(
     "q30_dedup_exact",
     (s, d) => {
       import s.implicits._
       t(s, d, "documents")
-        .groupBy(md5(lower(trim($"text"))).as("fp"))
+        .groupBy(md5(lower(trim(expr(textExpr)))).as("fp"))
         .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
         .select($"keeper", $"fp", $"n_copies")
         .orderBy($"keeper")
     },
-    Some("""
-      SELECT min(doc_id) AS keeper, md5(lower(trim(text))) AS fp, count(*) AS n_copies
+    Some(s"""
+      SELECT min(doc_id) AS keeper, md5(lower(trim($textExpr))) AS fp, count(*) AS n_copies
       FROM documents
       GROUP BY 2
       ORDER BY keeper"""))
@@ -427,7 +477,8 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     * content fingerprint + the derivation version.
     */
   private[operators] def sigPath(d: String): String = {
-    val knobs = s"$mBands:$mRows"
+    // :nfc only when on, so default-knob artifact keys are unchanged
+    val knobs = s"$mBands:$mRows" + (if (nfcOn) ":nfc" else "")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((new java.io.File(d).getCanonicalPath + ":" + knobs + ":" +
         sigVersion).getBytes("UTF-8"))

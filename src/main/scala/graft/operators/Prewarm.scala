@@ -30,5 +30,7 @@ object Prewarm {
     val bpe = new Bpe(tuning)
     bpe.ensureShards(s, d)
     bpe.ensureCuratedShards(s, d)
+    // the BM25 postings' exact-substring sibling — q95 serves from it
+    new Search(tuning).ensureRunsIndex(s, d)
   }
 }

@@ -29,10 +29,17 @@ object Search {
     * session reuses the artifact instead of rebuilding.
     */
   private[operators] val bm25Builds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Stored-runs-postings twin of [[bm25Builds]] — the spec hook
+    * proving [[Search!.serveRuns]]' artifact builds once and replays.
+    */
+  private[operators] val runsBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
 final class Search(tuning: Tuning) {
-  import Dedup.{toksExpr, toksSqlDuck}
+  private val nfcOn = tuning.normalizeNfc == 1
+  private val toksExpr = Dedup.toksExprOf(nfcOn)
+  private val toksSqlDuck = Dedup.toksSqlDuckOf(nfcOn)
 
   /** BM25 query terms — a fixed audit probe set drawn from the corpus
     * domain vocabulary. A production deployment parameterizes these per
@@ -138,8 +145,11 @@ final class Search(tuning: Tuning) {
       s"${sys.props("java.io.tmpdir")}/graft-index")
 
   private def bm25Path(d: String): String = {
+    // :nfc only when on — the stored postings tokenize differently
+    // under the knob, so the key must split; default keys unchanged
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((new java.io.File(d).getCanonicalPath + ":" + bm25Version)
+      .digest((new java.io.File(d).getCanonicalPath + ":" + bm25Version +
+        (if (nfcOn) ":nfc" else ""))
         .getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val fp = ArtifactLake.fingerprint(new java.io.File(s"$d/documents.parquet"))
     s"$bm25Root/bm25-$key-$fp-v$bm25Version"
@@ -458,6 +468,214 @@ final class Search(tuning: Tuning) {
       FROM rem r JOIN tot t USING (doc_id) LEFT JOIN sh USING (doc_id)
       ORDER BY doc_id"""))
 
+  // ------------------------------------------------------------------
+  // THE SERVED EXACT-SUBSTRING FACE: a stored positional window-hash
+  // postings artifact + `serveRuns`, so a curation pipeline can ask
+  // "does this incoming batch share ≥N-token literal spans with the
+  // corpus" WITHOUT re-running the corpus-wide self-join (the last
+  // tier that had no ad-hoc serving half). The artifact holds
+  //   postings(doc_id, pos, h, hb) — every corpus document's
+  //   positional W-token window hashes, boilerplate-capped at build
+  //   (windows in more than dfCap documents drop, q86's cap; df = 1
+  //   windows STAY — a probe matching a rare corpus span is exactly
+  //   the signal), PARTITIONED on hb = pmod(h, 64) so a probe batch
+  //   prunes the scan to its buckets with literal predicates.
+  // Serving derives the batch's window hashes the same way, joins the
+  // pruned postings slice, and runs q86's gaps-and-islands per
+  // (probe doc, corpus doc, diagonal) — the window partition stays
+  // bounded by ONE document's length. On a corpus-replay batch the
+  // report IS q86's (ServeRunsSpec pins it; q95 oracle-checks the
+  // whole path from the stored bytes).
+  // ------------------------------------------------------------------
+
+  /** Bump when the postings derivation changes. */
+  private val runsVersion = 1
+
+  /** Window-hash partition count (the [[bm25Buckets]] rationale). */
+  private val runsBuckets = 64
+
+  private def runsPath(d: String): String = {
+    // keyed on the build-shaping knobs: dfCap bounds which windows are
+    // stored; :nfc splits tokenization vintages (default keys stable)
+    val knobs = s"$W:${tuning.dfCap}" + (if (nfcOn) ":nfc" else "")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((new java.io.File(d).getCanonicalPath + ":" + knobs + ":" +
+        runsVersion).getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val fp = ArtifactLake.fingerprint(new java.io.File(s"$d/documents.parquet"))
+    s"$bm25Root/runs-$key-$fp-v$runsVersion"
+  }
+
+  private val runsReady = scala.collection.mutable.HashSet[String]()
+
+  /** The positional window-hash table `(doc_id, pos, h)` over a
+    * `(doc_id/id, text)` view — ONE derivation for the corpus build
+    * and the probe side, so the two can never hash differently.
+    */
+  private def windowHashes(docs: DataFrame, idCol: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col(idCol).cast("long").as(idCol),
+        col("text").cast("string").as("text"))
+      .withColumn("toks", expr(toksExpr))
+      .where($"toks".isNotNull && size($"toks") >= W)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $W), i -> concat_ws(' ', slice(toks, i + 1, $W)))"))
+        .as(Seq("pos", "win")))
+      .select(col(idCol), $"pos".cast("long").as("pos"),
+        md5Long($"win").as("h"))
+  }
+
+  private[operators] def ensureRunsIndex(s: SparkSession, d: String): Unit = synchronized {
+    import s.implicits._
+    val p = runsPath(d)
+    if (runsReady.contains(p)) return
+    val built = ArtifactLake.ensure(new java.io.File(p)) { staging =>
+      val pos = windowHashes(spread(t(s, d, "documents")), "doc_id")
+      val keep = pos.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("df"))
+        .where($"df" <= tuning.dfCap)
+        .select($"h")
+      pos.join(keep, Seq("h"))
+        .withColumn("hb", pmod($"h", lit(runsBuckets)).cast("int"))
+        .write.mode("overwrite").partitionBy("hb")
+        .parquet(s"${staging.getAbsolutePath}/postings")
+    }
+    if (built) Search.runsBuilds.incrementAndGet()
+    runsReady += p
+  }
+
+  /** Probe batches up to this many DISTINCT window hashes push literal
+    * h-predicates into the postings scan; larger batches keep the
+    * (always collectible — ≤ 64 values) bucket prune and a semi-join.
+    */
+  private val runsCollectCap = 4096
+
+  def serveRuns(s: SparkSession, d: String, docs: DataFrame): DataFrame =
+    serveRuns(s, d, docs, tuning.runMinTokens)
+
+  /** Report every corpus document sharing a literal run of ≥
+    * `minTokens` tokens with a probe document — `(probe_id, doc_id,
+    * max_run_tokens, n_aligned)`, q86's per-pair shape with the probe
+    * side directional. `docs` needs `id` (castable to LONG) and `text`
+    * STRING; a probe whose id equals a corpus doc_id skips that
+    * self-pair (the corpus-replay case — q86 never pairs a doc with
+    * itself).
+    *
+    * Scale shape: the batch's window hashes derive in one explode
+    * (batch-sized); the stored postings scan prunes to the probe's
+    * hash buckets (literal partition predicates — at most 64 of them)
+    * and, for ≤ [[runsCollectCap]]-hash probes, to the literal hashes
+    * themselves; the islands window partitions by (probe, corpus doc,
+    * diagonal), bounded by one document's length. Nothing corpus-sized
+    * is rebuilt, shuffled, or collected.
+    */
+  def serveRuns(s: SparkSession, d: String, docs: DataFrame,
+      minTokens: Int): DataFrame = {
+    import s.implicits._
+    require(minTokens >= W,
+      s"serveRuns: minTokens must be >= $W (the window width — shorter runs are unobservable), got $minTokens")
+    // ad-hoc batches never pass Tables.t — the engine functions
+    // (nfc_normalize under the knob) must resolve here too
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    ensureRunsIndex(s, d)
+    val p = runsPath(d)
+    val probe = windowHashes(docs, "id")
+      .withColumnRenamed("pos", "pa") // the postings side keeps `pos`
+      .localCheckpoint(true) // two consumers: the prune collect + join
+    val posts0 = s.read.parquet(s"$p/postings")
+    val hset = {
+      val c = probe.select($"h").distinct()
+        .limit(runsCollectCap + 1).collect().map(_.getLong(0))
+      if (c.length <= runsCollectCap) Some(c.toSeq) else None
+    }
+    val posts = hset match {
+      case Some(hs) =>
+        val buckets = hs.map(h => (((h % runsBuckets) + runsBuckets)
+          % runsBuckets).toInt).distinct.map(Int.box)
+        posts0.where($"hb".isin(buckets: _*) &&
+          $"h".isin(hs.map(Long.box): _*))
+      case None =>
+        val buckets = probe
+          .select(pmod($"h", lit(runsBuckets)).cast("int").as("hb"))
+          .distinct().as[Int].collect().toSeq.map(Int.box)
+        posts0.where($"hb".isin(buckets: _*))
+          .join(probe.select($"h").distinct(), Seq("h"), "left_semi")
+    }
+    val pairs = probe
+      .join(posts.select($"doc_id", $"pos", $"h"), Seq("h"))
+      .where($"id" =!= $"doc_id")
+      .select($"id", $"doc_id", $"pa", ($"pa" - $"pos").as("diag"))
+    pairs
+      .withColumn("grp", $"pa" - row_number().over(
+        Window.partitionBy($"id", $"doc_id", $"diag").orderBy($"pa")))
+      .groupBy($"id", $"doc_id", $"diag", $"grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"id", $"doc_id")
+      .agg(
+        (max($"len") + lit(W - 1).cast("long")).as("max_run_tokens"),
+        sum($"len").as("n_aligned"))
+      .where($"max_run_tokens" >= minTokens)
+      .select($"id".as("probe_id"), $"doc_id",
+        $"max_run_tokens", $"n_aligned")
+      .orderBy($"probe_id", $"doc_id")
+  }
+
+  /** q95: the served exact-substring face under the gate — a pinned
+    * probe batch (a deterministic corpus slice under shifted ids)
+    * reported against the STORED postings artifact, while the oracle
+    * re-derives every byte from the raw `documents` table: corpus
+    * window hashes, the build-side df cap, the probe join, the
+    * per-(probe, doc, diagonal) islands, the threshold. A wrong stored
+    * posting, a prune that drops a live bucket, or an island slip all
+    * hash-mismatch.
+    */
+  private val q95 = Q(
+    "q95_serve_runs",
+    (s, d) => {
+      import s.implicits._
+      val probes = t(s, d, "documents")
+        .filter($"doc_id" % 100 === 7)
+        .select(($"doc_id" + 900000000L).as("id"), $"text")
+      serveRuns(s, d, probes)
+    },
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSqlDuck AS toks FROM documents),
+      ix AS (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - ${W - 2}, 1))) AS i
+             FROM tk WHERE len(toks) >= $W),
+      ph AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               ${md5LongSql(s"array_to_string(list_slice(toks, i, i + ${W - 1}), ' ')")} AS h
+             FROM ix),
+      keep AS (SELECT h FROM ph GROUP BY h
+               HAVING count(DISTINCT doc_id) <= ${tuning.dfCap}),
+      cp AS (SELECT ph.* FROM ph JOIN keep USING (h)),
+      probes AS (SELECT doc_id + 900000000 AS id, text FROM documents
+                 WHERE doc_id % 100 = 7),
+      ptk AS (SELECT id, $toksSqlDuck AS toks FROM probes),
+      pix AS (SELECT id, toks,
+                unnest(range(1, greatest(len(toks) - ${W - 2}, 1))) AS i
+              FROM ptk WHERE len(toks) >= $W),
+      pph AS (SELECT id, CAST(i - 1 AS BIGINT) AS pa,
+                ${md5LongSql(s"array_to_string(list_slice(toks, i, i + ${W - 1}), ' ')")} AS h
+              FROM pix),
+      pr AS (SELECT p.id, c.doc_id, p.pa, p.pa - c.pos AS diag
+             FROM pph p JOIN cp c USING (h)
+             WHERE p.id <> c.doc_id),
+      g AS (SELECT id, doc_id, diag, pa,
+              pa - row_number() OVER (PARTITION BY id, doc_id, diag ORDER BY pa) AS grp
+            FROM pr),
+      runs AS (SELECT id, doc_id, diag, grp, CAST(count(*) AS BIGINT) AS len
+               FROM g GROUP BY id, doc_id, diag, grp)
+      SELECT id AS probe_id, doc_id,
+             CAST(max(len) + ${W - 1} AS BIGINT) AS max_run_tokens,
+             CAST(sum(len) AS BIGINT) AS n_aligned
+      FROM runs
+      GROUP BY id, doc_id
+      HAVING max(len) + ${W - 1} >= ${tuning.runMinTokens}
+      ORDER BY probe_id, doc_id"""))
+
   /** [[islandCtes]] extended through the strip replay — ends with
     * `cov(doc_id, pos)` (positions covered by a qualifying run),
     * `tp(doc_id, pos, tok)` (every token position) and
@@ -499,5 +717,5 @@ final class Search(tuning: Tuning) {
                 LEFT JOIN aff a ON d.doc_id = a.doc_id
                 LEFT JOIN stx ON d.doc_id = stx.doc_id)"""
 
-  val all: Seq[Q] = Seq(q85, q86, q88)
+  val all: Seq[Q] = Seq(q85, q86, q88, q95)
 }

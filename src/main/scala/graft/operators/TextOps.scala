@@ -14,10 +14,17 @@ import org.apache.spark.sql.functions._
   * All row-local — no shuffle except the final small aggregation, so
   * these scale linearly with corpus size (the 100 TB case is exactly
   * this shape: per-document scoring in one codegen'd pass).
+  *
+  * Tuned (one instance per knob set, the [[Dedup]] pattern) because
+  * tokenization interpolates [[graft.config.Tuning.normalizeNfc]] —
+  * under the knob, q53's fingerprints and every token-derived score
+  * hash NFC-normalized text on both engines.
   */
-object TextOps {
+final class TextOps(tuning: graft.config.Tuning) {
 
-  import Dedup.{toksExpr, toksSqlDuck}
+  private val nfcOn = tuning.normalizeNfc == 1
+  private val toksExpr = Dedup.toksExprOf(nfcOn)
+  private val toksSqlDuck = Dedup.toksSqlDuckOf(nfcOn)
 
   /** The q65 curation funnel's ROW-LOCAL gates as one reusable compiled
     * projection — the streaming-ingest face of the funnel: language-ID
@@ -37,6 +44,9 @@ object TextOps {
     * rep_ratio/n_pii/kept and keeps `text` for the downstream DML.
     */
   def curateStream(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // external-DataFrame face: inputs never pass Tables.t, so the
+    // engine functions (nfc_normalize under the knob) register here
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     docs
       .withColumn("toks", expr(toksExpr))
       .withColumn("s_en", expr(
@@ -351,7 +361,7 @@ object TextOps {
     (s, d) => {
       import s.implicits._
       val counts = spread(t(s, d, "documents"))
-        .select(explode(expr(Dedup.toksExpr)).as("token"))
+        .select(explode(expr(toksExpr)).as("token"))
         .groupBy($"token").agg(count(lit(1)).as("n"))
         .cache()  // read by the total aggregate and the top-k collect
       // coalesce: an empty corpus sums to NULL, which must yield an
@@ -366,7 +376,7 @@ object TextOps {
         .orderBy($"rank")
     },
     Some(s"""
-      WITH toks AS (SELECT ${Dedup.toksSqlDuck} AS toks FROM documents),
+      WITH toks AS (SELECT $toksSqlDuck AS toks FROM documents),
       tok AS (SELECT unnest(toks) AS token FROM toks),
       c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
       tot AS (SELECT sum(n) AS total FROM c),
@@ -675,4 +685,22 @@ object TextOps {
       ORDER BY id"""))
 
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q65, q66, q92)
+}
+
+object TextOps {
+  /** The process-default instance (the [[graft.QRegistry.default]]
+    * rationale) backing the static serving face.
+    */
+  lazy val default = new TextOps(graft.config.Tuning.current)
+
+  /** Static face of the streaming curation gates — session-default
+    * knobs; tuned pipelines call the instance method.
+    */
+  def curateStream(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    default.curateStream(docs)
+
+  /** Knob-free default registry slice, for callers composing `all`
+    * without a tuning instance.
+    */
+  lazy val all: Seq[Q] = default.all
 }
