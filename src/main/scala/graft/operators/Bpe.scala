@@ -172,6 +172,11 @@ object Bpe {
     */
   private[operators] val shardAdds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Compaction twin — incremented only when [[Bpe!.compactShards]]
+    * actually installs a new generation.
+    */
+  private[operators] val shardCompactions = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Spark/DuckDB-compatible string order: unsigned lexicographic over
     * UTF-8 bytes (both engines compare binary) — Java's `compareTo`
     * orders by UTF-16 code unit and diverges above the BMP.
@@ -1175,7 +1180,10 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       val key = f"${st.getAs[Long]("h1")}%016x${st.getAs[Long]("h2")}%016x"
       val target = new java.io.File(s"$p/deltas/add-$key")
       // the retry no-op precedes the id guard: a re-sent batch carries
-      // already-indexed ids by definition
+      // already-indexed ids by definition. Consumed names are checked
+      // FIRST — a vacuumed segment's bytes live on in its generation,
+      // so its replay must still no-op after the dir is gone
+      if (shardView(p).consumed.contains(s"add-$key")) return false
       if (new java.io.File(target, "_SUCCESS").isFile) return false
       val (lo, hi) = (st.getAs[Long]("lo"), st.getAs[Long]("hi"))
       val taken = shardDocSeqs(s, d, curated)
@@ -1194,7 +1202,10 @@ final class Bpe(val tuning: Tuning) extends Serializable {
           .repartition(nFiles)
           .write.mode("overwrite").parquet(s"${staging.getAbsolutePath}/data")
       }
-      if (installed) Bpe.shardAdds.incrementAndGet()
+      if (installed) {
+        Bpe.shardAdds.incrementAndGet()
+        maybeCompactShards(s, d, curated)
+      }
       installed
     } finally norm.unpersist()
   }
@@ -1220,29 +1231,123 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       .start()
 
   /** The lake's sequence read face: `(doc_id, n_tokens, token_ids)`
-    * over base ∪ installed delta segments — what a training run (or
-    * [[decodeTokens]]) consumes after DML. Base-only when no DML has
-    * run, so it degrades to exactly the registered queries' view.
+    * over base ∪ latest generation ∪ unconsumed delta segments — what
+    * a training run (or [[decodeTokens]]) consumes after DML.
+    * Base-only when no DML has run, so it degrades to exactly the
+    * registered queries' view.
     */
   def shardDocSeqs(s: SparkSession, d: String,
       curated: Boolean = false): DataFrame = {
     import s.implicits._
     val p = if (curated) ensureCuratedShards(s, d) else ensureShards(s, d)
+    val v = shardView(p)
     val base = s.read.parquet(s"$p/data")
       .select($"doc_id", $"n_tokens", $"token_ids")
-    segmentDirs(p).foldLeft(base)((acc, f) =>
+    (v.gen.toSeq ++ v.adds).foldLeft(base)((acc, f) =>
       acc.unionByName(s.read.parquet(s"${f.getAbsolutePath}/data")
         .select($"doc_id", $"n_tokens", $"token_ids")))
   }
 
-  /** Installed (marker-complete) delta segments, name-ordered. */
-  private def segmentDirs(p: String): Seq[java.io.File] = {
-    val dir = new java.io.File(s"$p/deltas")
-    if (!dir.isDirectory) Seq.empty
-    else dir.listFiles().toSeq
-      .filter(f => f.getName.startsWith("add-") &&
-        new java.io.File(f, "_SUCCESS").isFile)
-      .sortBy(_.getName)
+  /** One composition snapshot of the DML'd lake: the newest complete
+    * generation (if any), the segment names it subsumes, and the
+    * installed delta segments NOT yet folded — the serve-side union
+    * list, bounded by [[maybeCompactShards]].
+    */
+  private final case class ShardViewState(gen: Option[java.io.File],
+    consumed: Set[String], adds: Seq[java.io.File])
+
+  private def shardView(p: String): ShardViewState = {
+    def complete(dir: java.io.File, prefix: String): Seq[java.io.File] =
+      if (!dir.isDirectory) Seq.empty
+      else dir.listFiles().toSeq
+        .filter(f => f.getName.startsWith(prefix) &&
+          new java.io.File(f, "_SUCCESS").isFile)
+        .sortBy(_.getName)
+    val gen = complete(new java.io.File(s"$p/gens"), "gen-").lastOption
+    val consumed: Set[String] = gen.map { g =>
+      val src = scala.io.Source.fromFile(
+        new java.io.File(g, "consumed.txt"), "UTF-8")
+      try src.getLines().filter(_.nonEmpty).toSet finally src.close()
+    }.getOrElse(Set.empty)
+    val adds = complete(new java.io.File(s"$p/deltas"), "add-")
+      .filterNot(f => consumed.contains(f.getName))
+    ShardViewState(gen, consumed, adds)
+  }
+
+  /** The WAL's bounded-segment pattern ([[Similarity]]'s
+    * `maybeCompact`) applied to the shard lake: after every DML
+    * install, fold once the unconsumed segment count exceeds
+    * [[graft.config.Tuning.storeMaxSegments]], so a daily-growing
+    * corpus's per-serve union list stays bounded without operator
+    * intervention.
+    */
+  private def maybeCompactShards(s: SparkSession, d: String,
+      curated: Boolean): Unit = {
+    val p = if (curated) ensureCuratedShards(s, d) else ensureShards(s, d)
+    if (shardView(p).adds.length > tuning.storeMaxSegments) {
+      compactShards(s, d, curated)
+      ()
+    }
+  }
+
+  /** Fold the previous generation and every unconsumed delta segment
+    * into ONE new `gens/gen-NNNNN-<key>` generation — sized to the
+    * DML'd docs, never the corpus (the oracle-pinned base `data/` is
+    * immutable and never re-read by a fold). `consumed.txt` records
+    * the cumulative segment names subsumed; serving unions base ∪
+    * newest gen ∪ unconsumed only. Nothing is deleted (a reader
+    * racing the fold serves either view, identical by construction);
+    * [[vacuumShards]] is the explicit maintenance-window deletion.
+    * Returns true iff THIS call installed a generation.
+    */
+  def compactShards(s: SparkSession, d: String,
+      curated: Boolean = false): Boolean = synchronized {
+    import s.implicits._
+    val p = if (curated) ensureCuratedShards(s, d) else ensureShards(s, d)
+    val v = shardView(p)
+    if (v.adds.isEmpty) return false
+    val consumed = (v.consumed ++ v.adds.map(_.getName)).toSeq.sorted
+    val seq = v.gen.map(_.getName.drop(4).takeWhile(_ != '-').toInt)
+      .getOrElse(0) + 1
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(consumed.mkString("|").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val target = new java.io.File(f"$p/gens/gen-$seq%05d-$key")
+    if (new java.io.File(target, "_SUCCESS").isFile) return false
+    val parts = (v.gen.toSeq ++ v.adds).map(f => s"${f.getAbsolutePath}/data")
+    val folded = s.read.parquet(parts: _*)
+      .select($"doc_id", $"n_tokens", $"token_ids")
+    val installed = ArtifactLake.ensure(target) { staging =>
+      folded.write.mode("overwrite")
+        .parquet(s"${staging.getAbsolutePath}/data")
+      val w = new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(
+          new java.io.File(staging, "consumed.txt")), "UTF-8")
+      try consumed.foreach(n => { w.write(n); w.write('\n') })
+      finally w.close()
+    }
+    if (installed) Bpe.shardCompactions.incrementAndGet()
+    installed
+  }
+
+  /** Delete delta segments a generation has subsumed — explicit
+    * maintenance-window space reclamation (folding itself deletes
+    * nothing). A vacuumed batch's at-least-once replay still no-ops:
+    * its name lives in `consumed.txt`, which [[addShardDocs]] checks
+    * before the on-disk marker. Returns the number of segments
+    * removed.
+    */
+  def vacuumShards(s: SparkSession, d: String,
+      curated: Boolean = false): Int = synchronized {
+    val p = if (curated) ensureCuratedShards(s, d) else ensureShards(s, d)
+    val v = shardView(p)
+    val deltas = new java.io.File(s"$p/deltas")
+    val dead =
+      if (!deltas.isDirectory) Seq.empty[java.io.File]
+      else deltas.listFiles().toSeq
+        .filter(f => v.consumed.contains(f.getName))
+    dead.foreach(ArtifactLake.deleteTree)
+    dead.length
   }
 
   /** Decode `(doc_id, token_ids)` sequences back to subword tokens

@@ -130,6 +130,52 @@ class ShardDmlSpec extends SparkTestBase {
     }
   }
 
+  test("segments auto-fold into a generation; replay and vacuum honor consumed names") {
+    withTempRoot {
+      import spark.implicits._
+      // storeMaxSegments=2: the THIRD install exceeds the bound and
+      // auto-folds everything into generation 1
+      val bpe = new Bpe(Tuning(bpeMerges = 8, storeMaxSegments = 2))
+      bpe.ensureShards(spark, sf)
+      val b1 = Seq((940001L, "first appended document")).toDF("doc_id", "text")
+      val b2 = Seq((940002L, "second appended document")).toDF("doc_id", "text")
+      val b3 = Seq((940003L, "third appended document")).toDF("doc_id", "text")
+      val comps0 = Bpe.shardCompactions.get()
+      assert(bpe.addShardDocs(spark, sf, b1))
+      assert(bpe.addShardDocs(spark, sf, b2))
+      assert(Bpe.shardCompactions.get() == comps0, "under the bound: no fold")
+      val before = bpe.shardDocSeqs(spark, sf)
+        .filter($"doc_id" >= 940001L).orderBy($"doc_id")
+        .collect().map(_.toSeq).toSeq
+      assert(bpe.addShardDocs(spark, sf, b3))
+      assert(Bpe.shardCompactions.get() == comps0 + 1,
+        "the third install exceeds storeMaxSegments=2 and folds")
+      // the folded view serves the identical rows (plus batch 3)
+      val after = bpe.shardDocSeqs(spark, sf)
+        .filter($"doc_id" >= 940001L && $"doc_id" <= 940002L)
+        .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+      assert(after == before)
+      assert(bpe.shardDocSeqs(spark, sf)
+        .filter($"doc_id" >= 940001L).count() == 3L)
+      // a replay of FOLDED content no-ops (the consumed-name check)
+      assert(!bpe.addShardDocs(spark, sf, b1))
+      // explicit compact with nothing unconsumed is a no-op
+      assert(!bpe.compactShards(spark, sf))
+      // vacuum reclaims the three folded segment dirs…
+      assert(bpe.vacuumShards(spark, sf) == 3)
+      // …and the vacuumed batch's replay STILL no-ops, while the
+      // served view is byte-unchanged
+      assert(!bpe.addShardDocs(spark, sf, b2))
+      assert(bpe.shardDocSeqs(spark, sf)
+        .filter($"doc_id" >= 940001L).count() == 3L)
+      // a fresh batch lands as a new unconsumed segment on top
+      assert(bpe.addShardDocs(spark, sf,
+        Seq((940004L, "fourth appended document")).toDF("doc_id", "text")))
+      assert(bpe.shardDocSeqs(spark, sf)
+        .filter($"doc_id" >= 940001L).count() == 4L)
+    }
+  }
+
   test("streamed micro-batches land as segments through ingestShardStream") {
     withTempRoot {
       import spark.implicits._
