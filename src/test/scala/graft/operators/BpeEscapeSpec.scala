@@ -126,6 +126,51 @@ class BpeEscapeSpec extends SparkTestBase {
     }
   }
 
+  test("the interchange export round-trips paren-bearing tokens") {
+    // the escape mode is what makes the GPT-2-style files honest:
+    // a full-coverage consumer expects every input representable, so
+    // the exported merges/vocab must carry the REAL (unescaped) paren
+    // tokens and parse back exactly
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft-esc-export")
+    val prev = sys.props.get("graft.index.dir")
+    sys.props("graft.index.dir") = root.toString
+    try {
+      import spark.implicits._
+      val t = Tuning(bpeMerges = 10, bpeEscape = 1)
+      val bpe = new Bpe(t)
+      val trained = merges(t)
+      val out = bpe.exportTokenizerFor(spark, dir, trained)
+      val lines = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "merges.txt")), "UTF-8").split("\n")
+      assert(lines.head == "#version: 0.2")
+      val rules = lines.tail.map { ln =>
+        val i = ln.indexOf(' '); (ln.substring(0, i), ln.substring(i + 1))
+      }.toSeq
+      assert(rules == trained.map(m => (m._2, m._3)))
+      assert(rules.exists { case (l, r) =>
+        (l + r).exists(c => c == '(' || c == ')') },
+        "a paren-bearing rule must ship in real domain")
+      val vocab = new ObjectMapper().readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "vocab.json"))).fields().asScala
+        .map(e => e.getKey -> e.getValue.asInt()).toMap
+      val p = bpe.ensureShardsFor(spark, dir, trained)
+      val stored = spark.read.parquet(s"$p/vocab")
+        .select($"tok", $"tid").as[(String, Int)].collect().toMap
+      assert(vocab == stored)
+      // (a leak of ESCAPED forms would break this equality — stored
+      // vocab is real-domain by construction; and note the fixture's
+      // literal \q word means real tokens MAY legitimately contain
+      // the escape-code bytes, so string inspection can't test leaks)
+      assert(vocab.keys.exists(tok => tok.contains("(") || tok.contains(")")),
+        "paren tokens reach the exported vocabulary")
+    } finally prev match {
+      case Some(v) => sys.props("graft.index.dir") = v
+      case None => sys.props -= "graft.index.dir"
+    }
+  }
+
   test("the escape-mode gate queries run green end-to-end on testdata") {
     // q93/q94 register under DEFAULT tuning (their escTwin flips the
     // knob): rows exist and decode cleanly on the real sf0.001 corpus
