@@ -98,6 +98,8 @@ object BpeProbe {
       val v0 = System.nanoTime()
       val rows = b.trainingVocab(spark, dir).count()
       val t0 = System.nanoTime()
+      val vocabS = (t0 - v0) / 1e9 // vocab pass only — captured BEFORE
+                                   // train/encode so neither leaks in
       val tr = b.trainLocalMerges(spark, dir, merges)
       val s = (System.nanoTime() - t0) / 1e9
       val pfx = trained.zip(tr).takeWhile { case (a, b) => a == b }.size
@@ -111,7 +113,7 @@ object BpeProbe {
         s"$vocabRows unbounded), trained ${tr.size} merges in ${num(s)} s, " +
         s"prefix/set overlap with unbounded: $pfx/$overlap of " +
         s"${trained.size}, corpus encodes to $toks tokens" +
-        s" (vocab ${num((System.nanoTime() - v0) / 1e9 - s)} s)")
+        s" (vocab ${num(vocabS)} s)")
       (rows, s, tr.size, pfx, overlap, toks)
     }
     val base = graft.config.Tuning.current

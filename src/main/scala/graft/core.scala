@@ -240,7 +240,23 @@ object Tables {
             n.startsWith("_") || n.startsWith(".")
           }
         } catch { case _: Exception => false }
-        try spark.read.parquet(path).count()
+        // one retry absorbs the transient a v2/direct committer can
+        // expose mid-job (a file renamed between the scan's listing
+        // and its read → FileNotFoundException on a dir that is fine
+        // a moment later); a second consecutive failure is real
+        def scanOnce(): Long = spark.read.parquet(path).count()
+        def isVanishedFile(e: Throwable): Boolean =
+          e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
+            isVanishedFile(e.getCause))
+        try {
+          try scanOnce()
+          catch { case e: Exception if isVanishedFile(e) =>
+            System.err.println(
+              s"[graft] layerCount: counting scan hit a vanished file" +
+                s" under $path (${e.getMessage}) — retrying once")
+            scanOnce()
+          }
+        }
         catch {
           // only a MID-INSTALL layer degrades to a logged 0 — that is
           // the transient the pollable contract protects. Mid-install

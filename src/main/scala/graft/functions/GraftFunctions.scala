@@ -65,12 +65,17 @@ object GraftFunctions {
     * a SQL fragment interpolating an engine function (`nfc_normalize`
     * under [[graft.config.Tuning.normalizeNfc]]) resolves in ANY
     * session without the caller wiring `spark.sql.extensions`.
+    *
+    * Fully synchronized, no fast path: WeakHashMap READS mutate
+    * internal state (expungeStaleEntries), so an unsynchronized
+    * `contains` racing the writer can corrupt the map. Registration is
+    * cheap and idempotent — plain mutual exclusion is the correct
+    * shape, not double-checked locking.
     */
-  def ensureRegistered(spark: SparkSession): Unit =
-    if (!registered.contains(spark)) synchronized {
-      if (!registered.contains(spark)) {
-        register(spark)
-        registered.add(spark)
-      }
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    if (!registered.contains(spark)) {
+      register(spark)
+      registered.add(spark)
     }
+  }
 }

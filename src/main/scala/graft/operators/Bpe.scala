@@ -1165,14 +1165,14 @@ final class Bpe(val tuning: Tuning) extends Serializable {
         "cast(doc_id as bigint) as doc_id", "cast(text as string) as text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // NULL text hashes as a sentinel distinct from any real text
-      // (xxhash64 would otherwise drop the column and collide a NULL
-      // with an absent one)
+      // NULL text hashes through an explicit is-null flag (a bare
+      // coalesce sentinel would collide a NULL with a real text equal
+      // to the sentinel string)
       val st = norm.selectExpr(
         "count(1) as cnt", "count(distinct doc_id) as dcnt",
         "min(doc_id) as lo", "max(doc_id) as hi",
-        "bit_xor(xxhash64(doc_id, coalesce(text, chr(0)))) as h1",
-        "bit_xor(xxhash64(coalesce(text, chr(0)), doc_id)) as h2").head()
+        "bit_xor(xxhash64(doc_id, isnull(text), coalesce(text, ''))) as h1",
+        "bit_xor(xxhash64(coalesce(text, ''), isnull(text), doc_id)) as h2").head()
       val cnt = st.getAs[Long]("cnt")
       if (cnt == 0L) return false
       require(st.getAs[Long]("dcnt") == cnt,
@@ -1330,22 +1330,34 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     installed
   }
 
-  /** Delete delta segments a generation has subsumed — explicit
+  /** Delete delta segments a generation has subsumed, AND every
+    * generation older than the newest complete one — explicit
     * maintenance-window space reclamation (folding itself deletes
     * nothing). A vacuumed batch's at-least-once replay still no-ops:
     * its name lives in `consumed.txt`, which [[addShardDocs]] checks
-    * before the on-disk marker. Returns the number of segments
-    * removed.
+    * before the on-disk marker. Superseded generations are safe to
+    * drop under the same guarantee: each fold's `consumed.txt` is
+    * CUMULATIVE and its data subsumes the previous generation's, so
+    * the newest complete generation carries everything an older one
+    * did. Returns the number of dirs removed.
     */
   def vacuumShards(s: SparkSession, d: String,
       curated: Boolean = false): Int = synchronized {
     val p = if (curated) ensureCuratedShards(s, d) else ensureShards(s, d)
     val v = shardView(p)
     val deltas = new java.io.File(s"$p/deltas")
-    val dead =
+    val deadSegs =
       if (!deltas.isDirectory) Seq.empty[java.io.File]
       else deltas.listFiles().toSeq
         .filter(f => v.consumed.contains(f.getName))
+    val deadGens = v.gen match {
+      case None => Seq.empty[java.io.File]
+      case Some(g) =>
+        Option(new java.io.File(s"$p/gens").listFiles()).toSeq.flatten
+          .filter(f => f.getName.startsWith("gen-") &&
+            f.getName < g.getName)
+    }
+    val dead = deadSegs ++ deadGens
     dead.foreach(ArtifactLake.deleteTree)
     dead.length
   }

@@ -173,6 +173,24 @@ class ShardDmlSpec extends SparkTestBase {
         Seq((940004L, "fourth appended document")).toDF("doc_id", "text")))
       assert(bpe.shardDocSeqs(spark, sf)
         .filter($"doc_id" >= 940001L).count() == 4L)
+      // drive a SECOND fold: two more batches exceed the bound again
+      assert(bpe.addShardDocs(spark, sf,
+        Seq((940005L, "fifth appended document")).toDF("doc_id", "text")))
+      assert(bpe.addShardDocs(spark, sf,
+        Seq((940006L, "sixth appended document")).toDF("doc_id", "text")))
+      assert(Bpe.shardCompactions.get() == comps0 + 2)
+      // vacuum reclaims the consumed segments AND the superseded
+      // generation (its rows live on in gen 2's cumulative fold) —
+      // only the newest generation survives
+      assert(bpe.vacuumShards(spark, sf) == 4)
+      val gens = new java.io.File(s"${bpe.shardsPath(sf)}/gens").listFiles()
+        .filter(_.getName.startsWith("gen-")).map(_.getName).toSeq
+      assert(gens.length == 1 && gens.head.startsWith("gen-00002"),
+        s"expected only gen-00002, got $gens")
+      // the served view is intact and folded replays still no-op
+      assert(bpe.shardDocSeqs(spark, sf)
+        .filter($"doc_id" >= 940001L).count() == 6L)
+      assert(!bpe.addShardDocs(spark, sf, b1))
     }
   }
 
