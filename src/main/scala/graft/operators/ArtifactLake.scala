@@ -175,6 +175,60 @@ private[operators] object ArtifactLake {
       t.isDirectory && Option(t.listFiles()).exists(_.exists(f =>
         f.getName.endsWith(".parquet"))))
 
+  /** [[tableIfPresent]] for PARTITIONED layer tables: true iff any
+    * parquet file exists anywhere under `dir` (a `partitionBy` write of
+    * zero rows leaves only a `_SUCCESS`, and reading it would fail
+    * schema inference — callers substitute an empty frame instead).
+    */
+  def hasParquet(dir: java.io.File): Boolean =
+    (dir.isFile && dir.getName.endsWith(".parquet")) ||
+      (dir.isDirectory && Option(dir.listFiles()).toSeq.flatten
+        .filterNot(_.getName.startsWith("_")).exists(hasParquet))
+
+  /** One composition snapshot of a gen+adds delta store (the shard
+    * lake's view shape, shared by the search-artifact stores): the
+    * newest complete generation, the cumulative segment names it
+    * subsumes, and the installed add segments NOT yet folded.
+    */
+  final case class DeltaView(gen: Option[java.io.File],
+      consumed: Set[String], adds: Seq[java.io.File]) {
+    /** True when serving composes exactly the immutable base — the
+      * bit-stability fast path for oracle-pinned readers. */
+    def baseOnly: Boolean = gen.isEmpty && adds.isEmpty
+    /** Layer roots newest-last: generation (if any) then unconsumed
+      * adds — the dirs a serve unions on top of the base tables. */
+    def overlays: Seq[java.io.File] = gen.toSeq ++ adds
+  }
+
+  def deltaView(indexPath: String): DeltaView = {
+    val gen = currentGen(indexPath)
+    val consumed = consumedNames(gen)
+    DeltaView(gen, consumed,
+      segmentDirs(indexPath, "add-").filterNot(f => consumed.contains(f.getName)))
+  }
+
+  /** Maintenance-window reclamation for a gen+adds store: delete the
+    * delta segments the newest generation has consumed AND every
+    * superseded (older) generation — safe because each fold's
+    * `consumed.txt` is cumulative and its data subsumes the previous
+    * generation's (a vacuumed batch's replay still no-ops off the
+    * surviving `consumed.txt`). Returns dirs removed.
+    */
+  def vacuumStore(indexPath: String): Int = {
+    val v = deltaView(indexPath)
+    val deadSegs = segmentDirs(indexPath, "add-")
+      .filter(f => v.consumed.contains(f.getName))
+    val deadGens = v.gen match {
+      case None => Seq.empty[java.io.File]
+      case Some(g) =>
+        Option(new java.io.File(s"$indexPath/gens").listFiles()).toSeq.flatten
+          .filter(f => f.getName.startsWith("gen-") && f.getName < g.getName)
+    }
+    val dead = deadSegs ++ deadGens
+    dead.foreach(deleteTree)
+    dead.length
+  }
+
   def writeLines(f: java.io.File, lines: Seq[String]): Unit = {
     val w = new java.io.PrintWriter(f, "UTF-8")
     try lines.foreach(w.println) finally w.close()

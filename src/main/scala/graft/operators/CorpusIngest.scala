@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.Tuning
+
+/** The COMPOSED corpus-ingest face: one streaming attachment point
+  * that drives each micro-batch through the curation gates
+  * ([[TextOps.curateStream]]) and fans the kept documents into every
+  * store a production pipeline maintains —
+  *
+  *   - the dedup signature lake ([[Dedup.addDocs]] → `serveNearDups`)
+  *   - the BPE training-shard lake ([[Bpe.addShardDocs]] →
+  *     `shardDocSeqs`/`serveTokenize`)
+  *   - the BM25 inverted index ([[Search.addBm25Docs]] → `serveBm25`)
+  *   - the runs postings ([[Search.addRunsDocs]] → `serveRuns`)
+  *
+  * so "a crawl batch arrived" is ONE call, not four store-specific
+  * wires that can drift apart.
+  *
+  * Delivery composes because every store is independently
+  * effectively-once: each derives its own content key from the SAME
+  * kept rows and installs idempotently, so a mid-pipeline crash — some
+  * stores updated, some not — heals on the replay Structured Streaming
+  * guarantees: already-updated stores no-op off their keys/consumed
+  * names, the rest install, and the batch converges with every store
+  * holding it exactly once (CorpusIngestSpec kills the pipeline
+  * between stores and replays). The curation gate runs BEFORE the fan-
+  * out, so a rejected document reaches no store at all, and all four
+  * stores agree on doc ids and bytes by construction (one kept frame,
+  * persisted once, feeds all four adds).
+  */
+final class CorpusIngest(tuning: Tuning) extends Serializable {
+  @transient private lazy val textOps = new TextOps(tuning)
+  @transient private lazy val dedup = new Dedup(tuning)
+  @transient private lazy val bpe = new Bpe(tuning)
+  @transient private lazy val search = new Search(tuning)
+
+  /** Install flags for one batch — which stores THIS call updated
+    * (false = empty kept set or an idempotent replay no-op).
+    */
+  final case class BatchResult(kept: Long, dedupInstalled: Boolean,
+    shardsInstalled: Boolean, bm25Installed: Boolean,
+    runsInstalled: Boolean)
+
+  /** Curate one batch and fan the kept docs into all four stores.
+    * `batch` needs `doc_id` (castable to LONG) and `text` (STRING).
+    * Idempotent per store — safe to re-run on replay.
+    */
+  def ingestBatch(s: SparkSession, d: String, batch: DataFrame): BatchResult = {
+    val kept = textOps.curateStream(
+        batch.select(col("doc_id"), col("text")))
+      .where(col("kept"))
+      .select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = kept.count()
+      if (n == 0L) BatchResult(0L, false, false, false, false)
+      else BatchResult(n,
+        dedup.addDocs(s, d, kept),
+        bpe.addShardDocs(s, d, kept),
+        search.addBm25Docs(s, d, kept),
+        search.addRunsDocs(s, d, kept))
+    } finally { kept.unpersist(); () }
+  }
+
+  /** Continuous composed ingest — [[ingestBatch]] per micro-batch
+    * under ONE checkpoint, so the four stores share a single replay
+    * domain. Upstream owns id-uniqueness across batches (the per-store
+    * contracts); a cross-batch duplicate id fails the query loudly in
+    * whichever store sees it first.
+    */
+  def ingestAll(d: String, stream: DataFrame, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch.sparkSession, d,
+          batch.select(col("doc_id"), col("text")))
+        ()
+      }
+      .start()
+}

@@ -34,6 +34,15 @@ object Search {
     * proving [[Search!.serveRuns]]' artifact builds once and replays.
     */
   private[operators] val runsBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** DML observability ([[graft.operators.Bpe.shardAdds]] pattern):
+    * segments installed / generations folded per store, incremented
+    * only when THIS process performed the install.
+    */
+  private[operators] val bm25Adds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[operators] val bm25Compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[operators] val runsAdds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[operators] val runsCompactions = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
 final class Search(tuning: Tuning) {
@@ -115,9 +124,14 @@ final class Search(tuning: Tuning) {
   // build-once/serve-many pattern) + `serveBm25` overloads, so search
   // joins the other tiers' ad-hoc serving surfaces instead of staying
   // pinned to the registry's constant probe set. The artifact holds
-  //   stats(n_docs, avgdl)      — 1 row, the corpus-wide aggregate
+  //   stats(n_docs, avgdl, n_dl, sum_dl) — 1 row, the corpus-wide
+  //                               aggregate + recomposition partials
+  //   docs(doc_id, dl)          — every id (the DML id guard's view)
   //   termdf(tk, df, tkb)       — per-term document frequency
   //   postings(doc_id, dl, tf, tk, tkb) — the full inverted index
+  // one such layout per LAYER — base, delta segment, generation: the
+  // index takes addBm25Docs/ingestBm25Stream DML (writeBm25Layer has
+  // the partials story)
   // with both term tables PARTITIONED on tkb = md5Long(tk) % 64: a
   // probe set prunes to its terms' partitions at the SCAN (literal
   // partition predicates), so a served query reads the posting slices
@@ -128,8 +142,13 @@ final class Search(tuning: Tuning) {
   // audit that is strictly cheaper than materializing the index.
   // ------------------------------------------------------------------
 
-  /** Bump when the index derivation changes. */
-  private val bm25Version = 1
+  /** Bump when the index derivation changes. v2: the artifact is a
+    * DML-able delta store — `stats` carries the recomposition partials
+    * (`n_dl`, `sum_dl`) and a `docs(doc_id, dl)` table backs the
+    * [[addBm25Docs]] id guard (postings alone can't see a zero-token
+    * document).
+    */
+  private val bm25Version = 2
 
   /** Term-partition count. 64 dirs: enough that one partition of a
     * 100 TB postings table is ~1.6 TB (splittable further by parquet),
@@ -169,33 +188,261 @@ final class Search(tuning: Tuning) {
       .mod(java.math.BigInteger.valueOf(bm25Buckets))).intValue
   }
 
-  private[operators] def ensureBm25Index(s: SparkSession, d: String): Unit = synchronized {
+  /** The `(doc_id, dl, toks)` view over a `(doc_id, text)` frame — ONE
+    * derivation for the corpus build and the DML batch side
+    * ([[windowHashes]]' rationale), so layers can never tokenize
+    * differently.
+    */
+  private def bm25DocView(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("text").cast("string").as("text"))
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        col("toks"))
+
+  /** Write one BM25 layer — the base artifact and every delta segment
+    * share this exact derivation, differing only in input rows:
+    *   stats(n_docs, avgdl, n_dl, sum_dl)  — 1 row; n_dl/sum_dl are the
+    *     recomposition partials (integral doubles — layer sums are
+    *     exact, so [[serveBm25]]'s recomposed corpus stats are
+    *     bit-equal to a from-scratch build's)
+    *   docs(doc_id, dl)                    — every id (the DML guard's
+    *     view; a zero-token doc has no postings row)
+    *   postings(doc_id, dl, tf, tk, tkb)   — the inverted index,
+    *     PARTITIONED on tkb
+    *   termdf(tk, df, tkb)                 — per-term doc counts (a
+    *     PARTIAL in a segment — layers are id-disjoint so df adds)
+    * `nFiles` bounds a batch-sized segment's file count (None = the
+    * corpus build keeps the scan's parallelism).
+    */
+  private def writeBm25Layer(root: String, docsIn: DataFrame,
+      nFiles: Option[Int]): Unit = {
+    val s = docsIn.sparkSession
     import s.implicits._
+    def sized(df: DataFrame): DataFrame =
+      nFiles.map(df.repartition(_)).getOrElse(df)
+    val docs = docsIn
+    docs.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg($"dl").as("avgdl"),
+        count($"dl").cast("double").as("n_dl"),
+        sum($"dl").as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
+    sized(docs.select($"doc_id", $"dl"))
+      .write.mode("overwrite").parquet(s"$root/docs")
+    val tf = docs
+      .select($"doc_id", $"dl", explode($"toks").as("tk"))
+      .groupBy($"doc_id", $"dl", $"tk")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("tkb", pmod(md5Long($"tk"), lit(bm25Buckets)).cast("int"))
+    sized(tf)
+      .write.mode("overwrite").partitionBy("tkb").parquet(s"$root/postings")
+    // (doc_id, tk) is unique after the groupBy, so df = plain count
+    sized(tf.groupBy($"tk")
+        .agg(count(lit(1)).cast("double").as("df"))
+        .withColumn("tkb", pmod(md5Long($"tk"), lit(bm25Buckets)).cast("int")))
+      .write.mode("overwrite").partitionBy("tkb").parquet(s"$root/termdf")
+  }
+
+  private[operators] def ensureBm25Index(s: SparkSession, d: String): Unit = synchronized {
     val p = bm25Path(d)
     if (bm25Ready.contains(p)) return
     val built = ArtifactLake.ensure(new java.io.File(p)) { staging =>
-      val root = staging.getAbsolutePath
-      val docs = spread(t(s, d, "documents"))
-        .withColumn("toks", expr(toksExpr))
-        .select($"doc_id", size($"toks").cast("double").as("dl"), $"toks")
-      docs.agg(
-          count(lit(1)).cast("double").as("n_docs"),
-          avg($"dl").as("avgdl"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
-      val tf = docs
-        .select($"doc_id", $"dl", explode($"toks").as("tk"))
-        .groupBy($"doc_id", $"dl", $"tk")
-        .agg(count(lit(1)).cast("double").as("tf"))
-        .withColumn("tkb", pmod(md5Long($"tk"), lit(bm25Buckets)).cast("int"))
-      tf.write.mode("overwrite").partitionBy("tkb").parquet(s"$root/postings")
-      // (doc_id, tk) is unique after the groupBy, so df = plain count
-      tf.groupBy($"tk")
-        .agg(count(lit(1)).cast("double").as("df"))
-        .withColumn("tkb", pmod(md5Long($"tk"), lit(bm25Buckets)).cast("int"))
-        .write.mode("overwrite").partitionBy("tkb").parquet(s"$root/termdf")
+      writeBm25Layer(staging.getAbsolutePath,
+        bm25DocView(spread(t(s, d, "documents"))), nFiles = None)
     }
     if (built) Search.bm25Builds.incrementAndGet()
     bm25Ready += p
+  }
+
+  /** Content key + envelope of a normalized `(doc_id, text)` batch —
+    * the [[Bpe!.addShardDocs]] recipe shared by both search stores'
+    * DML: ONE aggregate pass derives an order-independent 128-bit key
+    * (NULL text hashed through an explicit is-null flag), the id
+    * envelope for the prunable conflict scan, and the batch size.
+    * None for an empty batch; duplicate in-batch ids fail loudly.
+    */
+  private def batchKey(norm: DataFrame, op: String)
+      : Option[(String, Long, Long, Long)] = {
+    val st = norm.selectExpr(
+      "count(1) as cnt", "count(distinct doc_id) as dcnt",
+      "min(doc_id) as lo", "max(doc_id) as hi",
+      "bit_xor(xxhash64(doc_id, isnull(text), coalesce(text, ''))) as h1",
+      "bit_xor(xxhash64(coalesce(text, ''), isnull(text), doc_id)) as h2").head()
+    val cnt = st.getAs[Long]("cnt")
+    if (cnt == 0L) None
+    else {
+      require(st.getAs[Long]("dcnt") == cnt,
+        s"$op: duplicate doc_id within the batch")
+      Some((f"${st.getAs[Long]("h1")}%016x${st.getAs[Long]("h2")}%016x",
+        st.getAs[Long]("lo"), st.getAs[Long]("hi"), cnt))
+    }
+  }
+
+  /** Union of one table across layer roots, skipping layers where the
+    * table is absent-or-empty (a `partitionBy` write of zero rows
+    * leaves no readable files). None iff no layer holds it.
+    */
+  private def layerUnion(s: SparkSession, roots: Seq[String],
+      table: String): Option[DataFrame] = {
+    val dirs = roots.map(r => new java.io.File(r, table))
+      .filter(ArtifactLake.hasParquet)
+    if (dirs.isEmpty) None
+    else Some(dirs.map(f => s.read.parquet(f.getAbsolutePath))
+      .reduce(_ unionByName _))
+  }
+
+  /** The fold skeleton shared by both stores' compaction: name the new
+    * generation from the cumulative consumed set, install it via the
+    * staged-rename [[ArtifactLake.ensure]], let `fold` write the folded
+    * tables from the overlay roots, and record `consumed.txt`. Returns
+    * true iff THIS call installed a generation.
+    */
+  private def compactStore(p: String)(
+      fold: (Seq[String], String) => Unit): Boolean = {
+    val v = ArtifactLake.deltaView(p)
+    if (v.adds.isEmpty) return false
+    val consumed = (v.consumed ++ v.adds.map(_.getName)).toSeq.sorted
+    val seq = v.gen.map(_.getName.drop(4).takeWhile(_ != '-').toInt)
+      .getOrElse(0) + 1
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(consumed.mkString("|").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val target = new java.io.File(f"$p/gens/gen-$seq%05d-$key")
+    if (new java.io.File(target, "_SUCCESS").isFile) return false
+    ArtifactLake.ensure(target) { staging =>
+      fold(v.overlays.map(_.getAbsolutePath), staging.getAbsolutePath)
+      staging.mkdirs()
+      ArtifactLake.writeLines(new java.io.File(staging, "consumed.txt"), consumed)
+    }
+  }
+
+  /** The id-conflict guard shared by both stores' DML: ids the lake
+    * already holds (base ∪ generation ∪ unconsumed segments, each
+    * layer's `docs` table) intersected with the batch, pruned to the
+    * batch's [lo, hi] envelope so the scan is parquet-stats-prunable.
+    * Fails loudly on conflict; driver memory held is ≤ 8 ids.
+    */
+  private def guardIds(s: SparkSession, p: String, norm: DataFrame,
+      lo: Long, hi: Long, cnt: Long, op: String): Unit = {
+    import s.implicits._
+    val v = ArtifactLake.deltaView(p)
+    val taken = layerUnion(s, p +: v.overlays.map(_.getAbsolutePath), "docs")
+      .get // the base always writes docs (cnt ≥ 0 rows is still a table)
+      .select($"doc_id").filter($"doc_id".between(lo, hi))
+    val idsDf = norm.select($"doc_id")
+    val probe = if (cnt <= 1000000L) broadcast(idsDf) else idsDf
+    val dup = taken.join(probe, "doc_id").select($"doc_id").distinct()
+      .orderBy($"doc_id").limit(8).as[Long].collect()
+    require(dup.isEmpty,
+      s"$op: doc ids already indexed: ${dup.mkString(", ")}")
+  }
+
+  // ------------------------------------------------------------------
+  // BM25 DML: the shard lake's segment recipe ([[Bpe.addShardDocs]])
+  // applied to the LAST rebuild-whole search artifact. A new batch's
+  // postings/termdf/stats land as one content-keyed delta segment with
+  // layer-PARTIAL statistics; serving recomposes exact corpus stats
+  // (layers are id-disjoint, so df, n_docs, and Σdl all ADD — integral
+  // doubles, exact sums), so a served score after DML is bit-equal to
+  // a from-scratch rebuild over corpus ∪ batches. The registered q85
+  // never reads the artifact at all (its one-shot plan is cheaper) —
+  // oracle bytes can't move under DML by construction.
+  // ------------------------------------------------------------------
+
+  /** Append a batch of NEW documents (`doc_id` castable to LONG,
+    * `text` STRING) to the stored BM25 index as one delta segment.
+    * Returns true iff THIS call installed it. Replays no-op via the
+    * content key (consumed names checked first — a vacuumed segment's
+    * bytes live on in its generation); a different batch claiming
+    * indexed ids fails loudly.
+    */
+  def addBm25Docs(s: SparkSession, d: String, docs: DataFrame): Boolean = synchronized {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    ensureBm25Index(s, d)
+    val p = bm25Path(d)
+    val norm = docs.selectExpr(
+        "cast(doc_id as bigint) as doc_id", "cast(text as string) as text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      batchKey(norm, "addBm25Docs") match {
+        case None => false
+        case Some((key, lo, hi, cnt)) =>
+          if (ArtifactLake.deltaView(p).consumed.contains(s"add-$key"))
+            return false
+          val target = new java.io.File(s"$p/deltas/add-$key")
+          if (new java.io.File(target, "_SUCCESS").isFile) return false
+          guardIds(s, p, norm, lo, hi, cnt, "addBm25Docs")
+          val nFiles = math.min(64L, math.max(1L, (cnt + 65535L) / 65536L)).toInt
+          val installed = ArtifactLake.ensure(target) { staging =>
+            writeBm25Layer(staging.getAbsolutePath, bm25DocView(norm),
+              Some(nFiles))
+          }
+          if (installed) {
+            Search.bm25Adds.incrementAndGet()
+            if (ArtifactLake.deltaView(p).adds.length > tuning.storeMaxSegments) {
+              compactBm25Index(s, d); ()
+            }
+          }
+          installed
+      }
+    } finally norm.unpersist()
+  }
+
+  /** Continuous document ingest into the BM25 index — [[addBm25Docs]]
+    * attached to any streaming frame with `doc_id`/`text` columns, one
+    * delta segment per non-empty micro-batch. Effectively-once: a
+    * replayed micro-batch reproduces its content key and no-ops.
+    */
+  def ingestBm25Stream(d: String, stream: DataFrame, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        addBm25Docs(batch.sparkSession, d,
+          batch.select(col("doc_id"), col("text")))
+        ()
+      }
+      .start()
+
+  /** Fold the previous generation and every unconsumed BM25 segment
+    * into ONE new generation — postings unioned, per-term df partials
+    * summed, stats partials summed — sized to the DML'd docs, never
+    * the corpus (the base is immutable and never re-read by a fold).
+    */
+  def compactBm25Index(s: SparkSession, d: String): Boolean = synchronized {
+    import s.implicits._
+    ensureBm25Index(s, d)
+    val installed = compactStore(bm25Path(d)) { (roots, out) =>
+      layerUnion(s, roots, "postings").foreach(
+        _.write.mode("overwrite").partitionBy("tkb").parquet(s"$out/postings"))
+      layerUnion(s, roots, "termdf").foreach(
+        _.groupBy($"tk").agg(sum($"df").as("df"))
+          .withColumn("tkb", pmod(md5Long($"tk"), lit(bm25Buckets)).cast("int"))
+          .write.mode("overwrite").partitionBy("tkb").parquet(s"$out/termdf"))
+      layerUnion(s, roots, "stats").foreach(
+        _.agg(
+            sum($"n_docs").as("n_docs"),
+            (sum($"sum_dl") / sum($"n_dl")).as("avgdl"),
+            sum($"n_dl").as("n_dl"),
+            sum($"sum_dl").as("sum_dl"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/stats"))
+      layerUnion(s, roots, "docs").foreach(
+        _.write.mode("overwrite").parquet(s"$out/docs"))
+    }
+    if (installed) Search.bm25Compactions.incrementAndGet()
+    installed
+  }
+
+  /** Maintenance-window reclamation for the BM25 store: consumed
+    * segments + superseded generations ([[ArtifactLake.vacuumStore]]'s
+    * cumulative-fold guarantee). Returns dirs removed.
+    */
+  def vacuumBm25Index(s: SparkSession, d: String): Int = synchronized {
+    ensureBm25Index(s, d)
+    ArtifactLake.vacuumStore(bm25Path(d))
   }
 
   /** Probe sets up to this size collect to the driver for partition
@@ -225,31 +472,56 @@ final class Search(tuning: Tuning) {
     serveBm25(s, d, terms.toDF("tk"), k)
   }
 
-  /** DataFrame overload — `termsDf` must carry a string column `tk`. */
+  /** DataFrame overload — `termsDf` must carry a string column `tk`.
+    *
+    * DML composition: with no installed segments the plan is exactly
+    * the base-only one (the oracle-parity fast path); after
+    * [[addBm25Docs]] the postings union base ∪ generation ∪ unconsumed
+    * segments (each layer pruned identically at its scan), per-term df
+    * partials SUM (layers are id-disjoint), and corpus stats recompose
+    * from the layers' (n_docs, n_dl, Σdl) partials — integral doubles,
+    * so the recomposed score is bit-equal to a from-scratch rebuild
+    * over corpus ∪ batches (Bm25DmlSpec pins it).
+    */
   def serveBm25(s: SparkSession, d: String, termsDf: DataFrame,
       k: Int = 20): DataFrame = {
     import s.implicits._
     require(k > 0, s"serveBm25: k must be positive, got $k")
     ensureBm25Index(s, d)
     val p = bm25Path(d)
+    val v = ArtifactLake.deltaView(p)
     val probe = termsDf.select(lower(col("tk")).as("tk"))
       .where($"tk".isNotNull && $"tk" =!= "").distinct()
-    val stats = s.read.parquet(s"$p/stats")
-    val postings = s.read.parquet(s"$p/postings")
-    val termdf = s.read.parquet(s"$p/termdf")
     val collected = {
       val c = probe.limit(bm25CollectCap + 1).collect().map(_.getString(0))
       if (c.length <= bm25CollectCap) Some(c.toSeq) else None
     }
-    val (posts, dfT) = collected match {
+    // one prune, applied at EVERY layer's scan (the literal predicates
+    // push through the union to each parquet source)
+    def pruned(df: DataFrame): DataFrame = collected match {
       case Some(ts) =>
         val buckets = ts.map(bucketOf).distinct.map(Int.box)
-        (postings.where($"tkb".isin(buckets: _*) && $"tk".isin(ts: _*)),
-          termdf.where($"tkb".isin(buckets: _*) && $"tk".isin(ts: _*)))
-      case None =>
-        (postings.join(probe, Seq("tk"), "left_semi"),
-          termdf.join(probe, Seq("tk"), "left_semi"))
+        df.where($"tkb".isin(buckets: _*) && $"tk".isin(ts: _*))
+      case None => df.join(probe, Seq("tk"), "left_semi")
     }
+    val overlayRoots = v.overlays.map(_.getAbsolutePath)
+    val posts = pruned((s.read.parquet(s"$p/postings") +:
+        layerUnion(s, overlayRoots, "postings").toSeq)
+      .reduce(_ unionByName _))
+    val (dfT, stats) =
+      if (v.baseOnly)
+        (pruned(s.read.parquet(s"$p/termdf")).select($"tk", $"df"),
+          s.read.parquet(s"$p/stats").select($"n_docs", $"avgdl"))
+      else {
+        val df = pruned((s.read.parquet(s"$p/termdf") +:
+            layerUnion(s, overlayRoots, "termdf").toSeq)
+          .reduce(_ unionByName _))
+          .groupBy($"tk").agg(sum($"df").as("df"))
+        val st = layerUnion(s, p +: overlayRoots, "stats").get
+          .agg(sum($"n_docs").as("n_docs"),
+            (sum($"sum_dl") / sum($"n_dl")).as("avgdl"))
+        (df, st)
+      }
     posts.join(broadcast(dfT.select($"tk", $"df")), Seq("tk"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -485,11 +757,21 @@ final class Search(tuning: Tuning) {
   // (probe doc, corpus doc, diagonal) — the window partition stays
   // bounded by ONE document's length. On a corpus-replay batch the
   // report IS q86's (ServeRunsSpec pins it; q95 oracle-checks the
-  // whole path from the stored bytes).
+  // whole path from the stored bytes). The store takes addRunsDocs /
+  // ingestRunsStream DML — one layer layout per base/segment/
+  // generation plus a full df table (writeRunsLayer has the
+  // effective-cap story).
   // ------------------------------------------------------------------
 
-  /** Bump when the postings derivation changes. */
-  private val runsVersion = 1
+  /** Bump when the postings derivation changes. v2: the artifact is a
+    * DML-able delta store — a `df(h, df, hb)` table stores FULL
+    * per-hash doc counts (over-cap hashes included) so serving can
+    * recompose the effective df cap after adds, and a `docs(doc_id)`
+    * table backs the [[addRunsDocs]] id guard (a short document has no
+    * windows). The base `postings` stay cap-filtered — today's q95
+    * bytes exactly.
+    */
+  private val runsVersion = 2
 
   /** Window-hash partition count (the [[bm25Buckets]] rationale). */
   private val runsBuckets = 64
@@ -527,23 +809,144 @@ final class Search(tuning: Tuning) {
         md5Long($"win").as("h"))
   }
 
-  private[operators] def ensureRunsIndex(s: SparkSession, d: String): Unit = synchronized {
+  /** Write one runs layer — base artifact and delta segments share
+    * this derivation:
+    *   docs(doc_id)          — every id (the DML guard's view)
+    *   df(h, df, hb)         — FULL per-hash distinct-doc counts,
+    *     over-cap hashes included: cap membership is a corpus-GLOBAL
+    *     property later adds can change, so serving must be able to
+    *     recompose the effective df (layers are id-disjoint — counts
+    *     add) and re-apply the cap
+    *   postings(doc_id, pos, h, hb) — positional window hashes;
+    *     cap-filtered for the base (`capped` — the dominant storage
+    *     win, and a base hash over cap stays over cap forever), RAW
+    *     for segments (a segment hash's fate depends on the total df)
+    */
+  private def writeRunsLayer(root: String, docs: DataFrame,
+      capped: Boolean, nFiles: Option[Int]): Unit = {
+    val s = docs.sparkSession
     import s.implicits._
+    def sized(df: DataFrame): DataFrame =
+      nFiles.map(df.repartition(_)).getOrElse(df)
+    sized(docs.select(col("doc_id").cast("long").as("doc_id")))
+      .write.mode("overwrite").parquet(s"$root/docs")
+    val pos = windowHashes(docs, "doc_id")
+    val dfAll = pos.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("df"))
+    sized(dfAll.withColumn("hb", pmod($"h", lit(runsBuckets)).cast("int")))
+      .write.mode("overwrite").partitionBy("hb").parquet(s"$root/df")
+    val kept =
+      if (capped)
+        pos.join(dfAll.where($"df" <= tuning.dfCap).select($"h"), Seq("h"))
+      else pos
+    sized(kept.withColumn("hb", pmod($"h", lit(runsBuckets)).cast("int")))
+      .write.mode("overwrite").partitionBy("hb").parquet(s"$root/postings")
+  }
+
+  private[operators] def ensureRunsIndex(s: SparkSession, d: String): Unit = synchronized {
     val p = runsPath(d)
     if (runsReady.contains(p)) return
     val built = ArtifactLake.ensure(new java.io.File(p)) { staging =>
-      val pos = windowHashes(spread(t(s, d, "documents")), "doc_id")
-      val keep = pos.groupBy($"h")
-        .agg(countDistinct($"doc_id").as("df"))
-        .where($"df" <= tuning.dfCap)
-        .select($"h")
-      pos.join(keep, Seq("h"))
-        .withColumn("hb", pmod($"h", lit(runsBuckets)).cast("int"))
-        .write.mode("overwrite").partitionBy("hb")
-        .parquet(s"${staging.getAbsolutePath}/postings")
+      writeRunsLayer(staging.getAbsolutePath,
+        spread(t(s, d, "documents")).select(col("doc_id"), col("text")),
+        capped = true, nFiles = None)
     }
     if (built) Search.runsBuilds.incrementAndGet()
     runsReady += p
+  }
+
+  // ------------------------------------------------------------------
+  // RUNS DML: content-keyed delta segments for the positional postings
+  // store — the last rebuild-whole artifact gains the shard lake's
+  // lifecycle. The subtlety the BM25 store doesn't have: the build-side
+  // df cap is corpus-GLOBAL (a window crossing dfCap docs drops from
+  // EVERY layer, including base rows written when it was still rare),
+  // so segments store raw postings plus df partials and serving
+  // re-derives the effective cap on the probe's pruned hash slice —
+  // never corpus-wide. Base-only serving keeps the exact pre-DML plan
+  // (q95's oracle-pinned bytes).
+  // ------------------------------------------------------------------
+
+  /** Append a batch of NEW documents (`doc_id` castable to LONG,
+    * `text` STRING) to the stored runs postings as one delta segment.
+    * Same contract as [[addBm25Docs]]: content-keyed replay no-op,
+    * loud id-conflict failure, true iff THIS call installed.
+    */
+  def addRunsDocs(s: SparkSession, d: String, docs: DataFrame): Boolean = synchronized {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    ensureRunsIndex(s, d)
+    val p = runsPath(d)
+    val norm = docs.selectExpr(
+        "cast(doc_id as bigint) as doc_id", "cast(text as string) as text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      batchKey(norm, "addRunsDocs") match {
+        case None => false
+        case Some((key, lo, hi, cnt)) =>
+          if (ArtifactLake.deltaView(p).consumed.contains(s"add-$key"))
+            return false
+          val target = new java.io.File(s"$p/deltas/add-$key")
+          if (new java.io.File(target, "_SUCCESS").isFile) return false
+          guardIds(s, p, norm, lo, hi, cnt, "addRunsDocs")
+          val nFiles = math.min(64L, math.max(1L, (cnt + 65535L) / 65536L)).toInt
+          val installed = ArtifactLake.ensure(target) { staging =>
+            writeRunsLayer(staging.getAbsolutePath, norm,
+              capped = false, Some(nFiles))
+          }
+          if (installed) {
+            Search.runsAdds.incrementAndGet()
+            if (ArtifactLake.deltaView(p).adds.length > tuning.storeMaxSegments) {
+              compactRunsIndex(s, d); ()
+            }
+          }
+          installed
+      }
+    } finally norm.unpersist()
+  }
+
+  /** Continuous document ingest into the runs postings —
+    * [[addRunsDocs]] per non-empty micro-batch, effectively-once via
+    * the content key.
+    */
+  def ingestRunsStream(d: String, stream: DataFrame, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        addRunsDocs(batch.sparkSession, d,
+          batch.select(col("doc_id"), col("text")))
+        ()
+      }
+      .start()
+
+  /** Fold generation + unconsumed runs segments into one new
+    * generation: postings unioned raw, df partials summed per hash,
+    * docs unioned — sized to the DML'd docs, never the corpus.
+    */
+  def compactRunsIndex(s: SparkSession, d: String): Boolean = synchronized {
+    import s.implicits._
+    ensureRunsIndex(s, d)
+    val installed = compactStore(runsPath(d)) { (roots, out) =>
+      layerUnion(s, roots, "postings").foreach(
+        _.write.mode("overwrite").partitionBy("hb").parquet(s"$out/postings"))
+      layerUnion(s, roots, "df").foreach(
+        _.groupBy($"h").agg(sum($"df").as("df"))
+          .withColumn("hb", pmod($"h", lit(runsBuckets)).cast("int"))
+          .write.mode("overwrite").partitionBy("hb").parquet(s"$out/df"))
+      layerUnion(s, roots, "docs").foreach(
+        _.write.mode("overwrite").parquet(s"$out/docs"))
+    }
+    if (installed) Search.runsCompactions.incrementAndGet()
+    installed
+  }
+
+  /** Maintenance-window reclamation for the runs store ([[
+    * ArtifactLake.vacuumStore]]). Returns dirs removed.
+    */
+  def vacuumRunsIndex(s: SparkSession, d: String): Int = synchronized {
+    ensureRunsIndex(s, d)
+    ArtifactLake.vacuumStore(runsPath(d))
   }
 
   /** Probe batches up to this many DISTINCT window hashes push literal
@@ -581,28 +984,56 @@ final class Search(tuning: Tuning) {
     graft.functions.GraftFunctions.ensureRegistered(s)
     ensureRunsIndex(s, d)
     val p = runsPath(d)
+    val v = ArtifactLake.deltaView(p)
     val probe = windowHashes(docs, "id")
       .withColumnRenamed("pos", "pa") // the postings side keeps `pos`
       .localCheckpoint(true) // two consumers: the prune collect + join
-    val posts0 = s.read.parquet(s"$p/postings")
     val hset = {
       val c = probe.select($"h").distinct()
         .limit(runsCollectCap + 1).collect().map(_.getLong(0))
       if (c.length <= runsCollectCap) Some(c.toSeq) else None
     }
-    val posts = hset match {
+    // the bucket prune is computed ONCE and applied at every layer's
+    // scan; ≤ 4096-hash probes add literal h predicates, larger ones a
+    // distributed semi-join
+    val hbuckets: Seq[Integer] = hset match {
       case Some(hs) =>
-        val buckets = hs.map(h => (((h % runsBuckets) + runsBuckets)
-          % runsBuckets).toInt).distinct.map(Int.box)
-        posts0.where($"hb".isin(buckets: _*) &&
-          $"h".isin(hs.map(Long.box): _*))
+        hs.map(h => (((h % runsBuckets) + runsBuckets) % runsBuckets).toInt)
+          .distinct.map(Int.box)
       case None =>
-        val buckets = probe
-          .select(pmod($"h", lit(runsBuckets)).cast("int").as("hb"))
+        probe.select(pmod($"h", lit(runsBuckets)).cast("int").as("hb"))
           .distinct().as[Int].collect().toSeq.map(Int.box)
-        posts0.where($"hb".isin(buckets: _*))
+    }
+    def prunedH(df: DataFrame): DataFrame = hset match {
+      case Some(hs) =>
+        df.where($"hb".isin(hbuckets: _*) && $"h".isin(hs.map(Long.box): _*))
+      case None =>
+        df.where($"hb".isin(hbuckets: _*))
           .join(probe.select($"h").distinct(), Seq("h"), "left_semi")
     }
+    val basePosts = prunedH(s.read.parquet(s"$p/postings"))
+    val posts =
+      if (v.baseOnly) basePosts // the exact pre-DML plan — q95's bytes
+      else {
+        val overlayRoots = v.overlays.map(_.getAbsolutePath)
+        val allPosts = (basePosts +:
+            layerUnion(s, overlayRoots, "postings")
+              .map(o => prunedH(o)).toSeq)
+          .map(_.select($"doc_id", $"pos", $"h"))
+          .reduce(_ unionByName _)
+        // effective df over the probe's pruned slice only: layers are
+        // id-disjoint so per-hash counts ADD; a hash the combined
+        // corpus pushed past dfCap drops from EVERY layer's rows here
+        // exactly as a from-scratch rebuild drops it at build
+        val alive = (prunedH(s.read.parquet(s"$p/df")) +:
+            layerUnion(s, overlayRoots, "df").map(o => prunedH(o)).toSeq)
+          .map(_.select($"h", $"df"))
+          .reduce(_ unionByName _)
+          .groupBy($"h").agg(sum($"df").as("df"))
+          .where($"df" <= tuning.dfCap)
+          .select($"h")
+        allPosts.join(alive, Seq("h"), "left_semi")
+      }
     val pairs = probe
       .join(posts.select($"doc_id", $"pos", $"h"), Seq("h"))
       .where($"id" =!= $"doc_id")

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.config.Tuning
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The composed cross-store ingest ([[CorpusIngest]]): one batch
+  * through curation fans into the dedup signature lake, the BPE shard
+  * lake, the BM25 index, and the runs postings — and the SAME document
+  * is then served by `serveNearDups`, `serveTokenize`/`shardDocSeqs`,
+  * `serveBm25`, and `serveRuns`. A mid-pipeline kill (some stores
+  * updated, some not) heals on replay: updated stores no-op off their
+  * content keys, the rest install. A curation-rejected document
+  * reaches NO store.
+  */
+class CorpusIngestSpec extends SparkTestBase {
+
+  private val knobs = Tuning(bpeMerges = 8)
+
+  private def withTempRoot[A](body: => A): A = {
+    val root = java.nio.file.Files.createTempDirectory("graft-corpusingest")
+    val prev = sys.props.get("graft.index.dir")
+    sys.props("graft.index.dir") = root.toString
+    try body
+    finally prev match {
+      case Some(v) => sys.props("graft.index.dir") = v
+      case None => sys.props -= "graft.index.dir"
+    }
+  }
+
+  // a 16-token span (the default runMinTokens) the runs probe replays
+  private val span16 = "every large corpus needs careful curation and " +
+    "the tooling of a modern data engine in production"
+  // long enough + stopword-balanced to clear the quality gate
+  private val text1 = s"$span16 because quality signals language " +
+    "detection repetition measures and stopword ratios decide which " +
+    "documents deserve training compute alongside deduplication " +
+    "fingerprints similarity indexes and tokenizer statistics gathered " +
+    "across enormous heterogeneous collections of webpages books and " +
+    "reference articles curated with distributed analytical engines"
+  // Spanish marker words dominate → pred = es → rejected by the gate
+  private val spanish = "el la de que y el gato la casa de que y un " +
+    "perro el dia la noche de que y siempre"
+
+  private val baseDocs = Seq(
+    (0L, "the quick brown fox jumps over a lazy dog and then rests in " +
+      "the shade of an old oak tree during a warm afternoon"),
+    (1L, "distributed query engines partition work across executors " +
+      "and shuffle the intermediate results of a large analytical plan"),
+    (2L, "an inverted index maps terms to the documents containing " +
+      "them and a postings list records positions for phrase search"),
+    (3L, "byte pair encoding merges frequent adjacent symbol pairs and " +
+      "the trained table segments unseen words into subword units"))
+
+  private def writeCorpus(): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-corpusingest-corpus").toString
+    baseDocs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("one batch fans into all four stores; a mid-pipeline kill heals on replay; rejections reach no store") {
+    withTempRoot {
+      import spark.implicits._
+      val dir = writeCorpus()
+      val ing = new CorpusIngest(knobs)
+      val dedup = new Dedup(knobs)
+      val bpe = new Bpe(knobs)
+      val search = new Search(knobs)
+
+      // fixture sanity: the gate admits doc 100 and rejects doc 101
+      val batch = Seq((100L, text1), (101L, spanish)).toDF("doc_id", "text")
+      val gate = new TextOps(knobs).curateStream(batch)
+        .select($"doc_id", $"kept").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(gate == Map(100L -> true, 101L -> false),
+        s"fixture must straddle the gate, got $gate")
+
+      // SIMULATED MID-PIPELINE KILL: the dedup lake took the kept
+      // rows, then the process died before the other three stores
+      assert(dedup.addDocs(spark, dir, Seq((100L, text1)).toDF("doc_id", "text")))
+
+      // the composed replay HEALS: dedup no-ops off its content key,
+      // the other three stores install
+      val r = ing.ingestBatch(spark, dir, batch)
+      assert(r.kept == 1L)
+      assert(!r.dedupInstalled, "the already-updated store must no-op")
+      assert(r.shardsInstalled && r.bm25Installed && r.runsInstalled)
+
+      // a FULL replay no-ops in every store
+      val r2 = ing.ingestBatch(spark, dir, batch)
+      assert(r2.kept == 1L && !r2.dedupInstalled && !r2.shardsInstalled &&
+        !r2.bm25Installed && !r2.runsInstalled)
+
+      // …and the SAME document is served by all four faces:
+      // (1) near-dup — an identical-text probe matches doc 100
+      val nd = dedup.serveNearDups(spark, dir, Seq((900L, text1)))
+        .collect().map(_.getAs[Long]("match_id"))
+      assert(nd.contains(100L))
+      // (2) shard lake — the stored sequence ≡ the frozen tokenizer's
+      val stored = bpe.shardDocSeqs(spark, dir).filter($"doc_id" === 100L)
+        .collect().map(_.getAs[scala.collection.Seq[Int]]("token_ids"))
+      assert(stored.length == 1)
+      val served = bpe.serveTokenize(spark, dir,
+          Seq((100L, text1)).toDF("id", "text"))
+        .collect().map(_.getAs[scala.collection.Seq[Int]]("token_ids"))
+      assert(stored.head == served.head)
+      // (3) BM25 — a term unique to doc 100 ranks it
+      val bm = search.serveBm25(spark, dir, Seq("curation"))
+        .collect().map(_.getAs[Long]("doc_id"))
+      assert(bm.toSeq == Seq(100L))
+      // (4) runs — a probe carrying the 16-token span reports doc 100
+      val rr = search.serveRuns(spark, dir,
+          Seq((901L, span16)).toDF("id", "text"))
+        .collect().map(_.getAs[Long]("doc_id"))
+      assert(rr.toSeq == Seq(100L))
+
+      // the REJECTED doc reached no store
+      assert(bpe.shardDocSeqs(spark, dir).filter($"doc_id" === 101L).count() == 0L)
+      assert(dedup.serveNearDups(spark, dir, Seq((902L, spanish)))
+        .collect().isEmpty)
+      assert(search.serveBm25(spark, dir, Seq("gato"))
+        .collect().isEmpty)
+      assert(search.serveRuns(spark, dir,
+        Seq((903L, spanish)).toDF("id", "text")).collect().isEmpty)
+      // …and its id is still FREE: adding it later with new text works
+      assert(ing.ingestBatch(spark, dir, Seq(
+        (101L, "the formerly rejected id returns with a clean and " +
+          "sufficiently long english document about analytical engines " +
+          "partitioning shuffles aggregation pipelines and the storage " +
+          "layouts of columnar formats in modern warehouses built for " +
+          "petabyte collections and curated training corpora"))
+        .toDF("doc_id", "text")).kept == 1L)
+      assert(bpe.shardDocSeqs(spark, dir).filter($"doc_id" === 101L).count() == 1L)
+    }
+  }
+
+  test("streamed batches fan out under one checkpoint; a cross-run replay no-ops everywhere") {
+    withTempRoot {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val dir = writeCorpus()
+      val ing = new CorpusIngest(knobs)
+      val bpe = new Bpe(knobs)
+      val search = new Search(knobs)
+
+      def run(data: Seq[(Long, String)]): Unit = {
+        val mem = MemoryStream[(Long, String)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-corpusingest-ckpt").toString
+        val q = ing.ingestAll(dir, mem.toDF().toDF("doc_id", "text"), ckpt)
+        try { mem.addData(data: _*); q.processAllAvailable() }
+        finally q.stop()
+      }
+
+      val counters = Seq(Bpe.shardAdds, Search.bm25Adds, Search.runsAdds)
+      val before = counters.map(_.get())
+      run(Seq(100L -> text1))
+      assert(counters.map(_.get()) == before.map(_ + 1),
+        "the streamed batch must land one segment per store")
+      // a NEW run replaying the same batch (fresh checkpoint — the
+      // at-least-once worst case) no-ops off the content keys
+      run(Seq(100L -> text1))
+      assert(counters.map(_.get()) == before.map(_ + 1),
+        "the cross-run replay must no-op in every store")
+      assert(bpe.shardDocSeqs(spark, dir).filter($"doc_id" === 100L).count() == 1L)
+      assert(search.serveBm25(spark, dir, Seq("curation"))
+        .collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(100L))
+    }
+  }
+}
