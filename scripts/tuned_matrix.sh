@@ -49,8 +49,12 @@ run a q40,q41,q43,q44,q45,q47,q48,q49,q67,q68 \
 # bpeEscape=1 lifts the BPE charset contract — paren words join the
 # vocabulary through the delimiter escape, composed with the sampled/
 # floored/capped training view and NFC so q82-q91 train and serve in
-# the escaped seg domain, and q93/q94 exercise it on the paren fixture)
-run b q29,q31,q32,q33,q35,q38,q39,q59,q69,q72,q73,q77,q78,q79,q81,q82,q83,q84,q86,q87,q88,q89,q90,q91,q93,q94,q95 \
+# the escaped seg domain, and q93/q94 exercise it on the paren fixture;
+# bpePretok=1 composes the THIRD text knob — GPT-2 regex
+# pretokenization on every BPE surface, exercised on the contraction
+# fixture by q96/q97 and composed here with NFC + escape + the bounded
+# training view)
+run b q29,q31,q32,q33,q35,q38,q39,q59,q69,q72,q73,q77,q78,q79,q81,q82,q83,q84,q86,q87,q88,q89,q90,q91,q93,q94,q95,q96,q97 \
   GRAFT_TUNING_CC_EDGE_JACCARD=0.3 GRAFT_TUNING_MINHASH_BANDS=4 \
   GRAFT_TUNING_MINHASH_ROWS=4 GRAFT_TUNING_DF_CAP=50 \
   GRAFT_TUNING_SOURCE_QUOTA=7 GRAFT_TUNING_KMV_K=128 \
@@ -59,7 +63,13 @@ run b q29,q31,q32,q33,q35,q38,q39,q59,q69,q72,q73,q77,q78,q79,q81,q82,q83,q84,q8
   GRAFT_TUNING_RUN_MIN_TOKENS=9 GRAFT_TUNING_BAND_BUCKET_CAP=3 \
   GRAFT_TUNING_BPE_SAMPLE_MOD=2 GRAFT_TUNING_BPE_MIN_FREQ=2 \
   GRAFT_TUNING_BPE_VOCAB_CAP=40 GRAFT_TUNING_NORMALIZE_NFC=1 \
-  GRAFT_TUNING_BPE_ESCAPE=1
+  GRAFT_TUNING_BPE_ESCAPE=1 GRAFT_TUNING_BPE_PRETOK=1
+# P: the PRODUCTION PROFILE (Tuning.production) as its own combo —
+# the one-decision knob set a real deployment runs (NFC + escape +
+# pretok + hapax floor + vocab cap + band-bucket ceiling), full
+# registry, so "the profile is hash-green end-to-end" is a standing
+# matrix fact rather than a README promise
+run p "" GRAFT_PROFILE=production
 # C: partial PQ coverage (2 subspaces of 8 — the uncovered-dims bound)
 run c q40,q47,q48,q49,q67,q68 \
   GRAFT_TUNING_PQ_SUBSPACES=2 GRAFT_TUNING_ANN_QUERIES=3

@@ -174,6 +174,23 @@ final case class Tuning(
       * 1 = on. Mirrored in every BPE oracle CTE; matrix-tested like
       * dfCap because it changes results on paren-bearing input. */
     bpeEscape: Int = 0,
+    /** q82-q91 + the pretok gate twins (q96/q97): GPT-2-style regex
+      * PRETOKENIZATION on the BPE surfaces. Whitespace words split
+      * further at contraction/punctuation boundaries with the GPT-2
+      * pattern (contractions `'s 't 're 've 'm 'll 'd` first, then
+      * letter runs, digit runs, and other-symbol runs — leftmost-first
+      * alternation, identical in both engines' regex dialects), so
+      * `don't` segments as `don` + `'t` and `word.` shares the `word`
+      * vocabulary entry instead of bloating merges on punctuation-glued
+      * variants — the behavior a GPT-2-style consumer of the exported
+      * `merges.txt`/`vocab.json` expects. BPE-only: fingerprints,
+      * shingles, BM25, and runs keep the whitespace tokenization.
+      * Composes with [[normalizeNfc]] (applied first) and [[bpeEscape]]
+      * (the segmentation encoding). 0 = off (the shipped default —
+      * historical hashes keep whole-word vocabulary), 1 = on. Mirrored
+      * in every BPE oracle CTE; matrix-tested like dfCap because it
+      * changes results on punctuation-bearing input. */
+    bpePretok: Int = 0,
     /** q32/q38/q72/q81 (defense in depth under [[verifyPairBudget]]):
       * optional band-bucket ceiling BELOW [[minhashBucketCap]] — a band
       * bucket holding more than this many documents is dropped before
@@ -218,6 +235,8 @@ final case class Tuning(
       s"graft.tuning.normalizeNfc must be 0 (off) or 1 (on), got $normalizeNfc")
     if (bpeEscape != 0 && bpeEscape != 1) throw ConfigurationError(
       s"graft.tuning.bpeEscape must be 0 (off) or 1 (on), got $bpeEscape")
+    if (bpePretok != 0 && bpePretok != 1) throw ConfigurationError(
+      s"graft.tuning.bpePretok must be 0 (off) or 1 (on), got $bpePretok")
     if (bandBucketCap < 0) throw ConfigurationError(
       s"graft.tuning.bandBucketCap must be >= 0 (0 disables the cap), got $bandBucketCap")
     if (runMinTokens < 8) throw ConfigurationError(
@@ -241,6 +260,39 @@ final case class Tuning(
 }
 
 object Tuning {
+
+  /** The PRODUCTION profile — the correct-for-real-corpora knob set as
+    * ONE decision instead of five opt-ins (every one defaults off only
+    * to keep the historical oracle hashes byte-stable):
+    *  - `normalizeNfc = 1`: NFC-normalize before tokenizing — a real
+    *    multilingual web corpus carries composed/decomposed variants
+    *    of the same visible text;
+    *  - `bpeEscape = 1`: the delimiter escape — every word (parens,
+    *    code, citations, emoticons) joins the BPE vocabulary, and the
+    *    exported GPT-2 interchange files are full-coverage;
+    *  - `bpePretok = 1`: GPT-2 regex pretokenization — punctuation
+    *    doesn't bloat the vocabulary and the exported files behave as
+    *    a GPT-2 consumer expects on contractions;
+    *  - `bpeMinFreq = 2`: drop the hapax tail from the TRAINING
+    *    vocabulary (most of a web corpus's word types; measured
+    *    ~40% of a hapax-heavy vocabulary for +0.0006% encode tokens);
+    *  - `bpeVocabCap = 100000`: the HARD driver-memory bound on the
+    *    trainer's vocabulary collect, whatever the corpus;
+    *  - `bandBucketCap = 3`: drop non-discriminative LSH band buckets
+    *    before pairing — the measured defusal of the saturated-corpus
+    *    candidate blowup (4.3-4.9× on the synthetic fourth decade).
+    * Selected with `-Dgraft.profile=production` (or
+    * `GRAFT_PROFILE=production`); individual `graft.tuning.*`
+    * overrides still apply ON TOP of the profile's defaults. The
+    * tuned-matrix combo P keeps the profile hash-green end-to-end.
+    */
+  def production: Tuning = Tuning(
+    normalizeNfc = 1,
+    bpeEscape = 1,
+    bpePretok = 1,
+    bpeMinFreq = 2,
+    bpeVocabCap = 100000,
+    bandBucketCap = 3)
 
   private def raw(name: String): Option[String] = {
     val prop = s"graft.tuning.$name"
@@ -273,8 +325,15 @@ object Tuning {
     */
   val current: Tuning = {
     // the shipped defaults live ONLY on the case class — the loader
-    // derives them from an unconfigured instance so the two can't drift
-    val d = Tuning()
+    // derives them from an unconfigured instance so the two can't
+    // drift. A profile swaps the BASE the per-knob overrides land on.
+    val d = sys.props.get("graft.profile")
+      .orElse(sys.env.get("GRAFT_PROFILE")) match {
+      case Some("production") => production
+      case None | Some("default") => Tuning()
+      case Some(other) => throw ConfigurationError(
+        s"graft.profile must be 'default' or 'production', got '$other'")
+    }
     val t = Tuning(
       dfCap = knob("dfCap", d.dfCap),
       minhashBands = knob("minhashBands", d.minhashBands),
@@ -302,6 +361,7 @@ object Tuning {
       bpeVocabCap = knob("bpeVocabCap", d.bpeVocabCap),
       normalizeNfc = knob("normalizeNfc", d.normalizeNfc),
       bpeEscape = knob("bpeEscape", d.bpeEscape),
+      bpePretok = knob("bpePretok", d.bpePretok),
       bandBucketCap = knob("bandBucketCap", d.bandBucketCap),
       runMinTokens = knob("runMinTokens", d.runMinTokens))
     t.validate()

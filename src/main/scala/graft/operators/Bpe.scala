@@ -159,6 +159,27 @@ object Bpe {
     b.toString
   }
 
+  /** The GPT-2 pretokenization pattern over a WHITESPACE-FREE word
+    * ([[graft.config.Tuning.bpePretok]]): the published GPT-2 regex
+    * minus its space-handling branches (` ?…` prefixes and the
+    * `\s+(?!\S)` lookahead — the words here are already whitespace-
+    * split, and DuckDB's RE2 has no lookahead), which on whitespace-
+    * free input is an exact restriction. Contractions first, then
+    * letter runs, digit runs, other-symbol runs — leftmost-first
+    * alternation, which Java and DuckDB's RE2 share (the md5Long
+    * atomizer precedent). The apostrophe is spelled `\x27` so the
+    * pattern embeds in both engines' single-quoted SQL literals.
+    * Every character matches some branch, so pretokens partition the
+    * word — token counts only ever split, never drop.
+    * [[pretokSpark]] doubles the backslashes (Spark SQL literals
+    * process escapes), [[pretokDuck]] keeps them single (standard-SQL
+    * literals don't).
+    */
+  private[operators] val pretokSpark: String =
+    raw"\\x27s|\\x27t|\\x27re|\\x27ve|\\x27m|\\x27ll|\\x27d|\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"
+  private[operators] val pretokDuck: String =
+    raw"\x27s|\x27t|\x27re|\x27ve|\x27m|\x27ll|\x27d|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
   /** Shard-artifact observability counter (the
     * [[Similarity.indexBuilds]] pattern): incremented only when THIS
     * process performs the build — the spec hook proving replay is a
@@ -397,8 +418,24 @@ final class Bpe(val tuning: Tuning) extends Serializable {
   import Bpe.Merge
 
   private val nfcOn = tuning.normalizeNfc == 1
-  private val toksExpr = Dedup.toksExprOf(nfcOn)
-  private val toksSqlDuck = Dedup.toksSqlDuckOf(nfcOn)
+  private val pretokOn = tuning.bpePretok == 1
+
+  /** The BPE word list ([[graft.config.Tuning.bpePretok]]): whitespace
+    * tokens, optionally split further by the GPT-2
+    * contraction/punctuation pattern ([[Bpe.pretokSpark]]) — flatten
+    * preserves text order, so positional surfaces (doc sequences,
+    * packing) see the pretokens exactly where their words were. EVERY
+    * tokenizing surface in this class reads these two, so the knob
+    * cannot half-apply.
+    */
+  private val toksExpr =
+    if (!pretokOn) Dedup.toksExprOf(nfcOn)
+    else s"flatten(transform(${Dedup.toksExprOf(nfcOn)}, " +
+      s"w -> regexp_extract_all(w, '${Bpe.pretokSpark}', 0)))"
+  private val toksSqlDuck =
+    if (!pretokOn) Dedup.toksSqlDuckOf(nfcOn)
+    else s"flatten(list_transform(${Dedup.toksSqlDuckOf(nfcOn)}, " +
+      s"w -> regexp_extract_all(w, '${Bpe.pretokDuck}', 0)))"
 
   private val nRounds = tuning.bpeMerges
   private val sampleMod = tuning.bpeSampleMod
@@ -501,7 +538,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       ArtifactLake.fingerprint(new java.io.File(s"$d/documents.parquet")) +
       ":" + Tables.footerCount(s, s"$d/documents.parquet").getOrElse(-1L) +
       ":" + nRounds + ":" + sampleMod + ":" + minFreq + ":" + vocabCap +
-      (if (nfcOn) ":nfc" else "") + (if (escapeOn) ":esc" else "")
+      (if (nfcOn) ":nfc" else "") + (if (escapeOn) ":esc" else "") + (if (pretokOn) ":ptk" else "")
 
   /** `(w, freq, seg)` — the vocabulary with each word's initial
     * character segmentation. The corpus collapses here; everything
@@ -987,7 +1024,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
 
   private[operators] def shardsPath(d: String): String =
     shardsPathOf(d, s"$nRounds:$sampleMod:$minFreq:$vocabCap:$ctx" +
-      (if (nfcOn) ":nfc" else "") + (if (escapeOn) ":esc" else ""))
+      (if (nfcOn) ":nfc" else "") + (if (escapeOn) ":esc" else "") + (if (pretokOn) ":ptk" else ""))
 
   /** The curated artifact keys on the STRIP-shaping knobs too —
     * runMinTokens and dfCap change which spans are cut, hence the
@@ -997,7 +1034,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     shardsPathOf(d,
       s"$nRounds:$sampleMod:$minFreq:$vocabCap:$ctx:cur:" +
         s"${tuning.runMinTokens}:${tuning.dfCap}" +
-        (if (nfcOn) ":nfc" else "") + (if (escapeOn) ":esc" else ""))
+        (if (nfcOn) ":nfc" else "") + (if (escapeOn) ":esc" else "") + (if (pretokOn) ":ptk" else ""))
 
   private def shardsPathOf(d: String, knobs: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
@@ -1045,7 +1082,7 @@ final class Bpe(val tuning: Tuning) extends Serializable {
   def ensureShardsFor(s: SparkSession, d: String,
       merges: Seq[Merge]): String = synchronized {
     installShards(s, shardsPathOf(d, s"$ctx:for:${Bpe.mergesFp(merges)}" +
-        (if (nfcOn) ":nfc" else "") + (if (escapeOn) ":esc" else "")),
+        (if (nfcOn) ":nfc" else "") + (if (escapeOn) ":esc" else "") + (if (pretokOn) ":ptk" else "")),
       () => (t(s, d, "documents"), merges))
   }
 
@@ -1647,9 +1684,11 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     * q90's tokenizer, [[exportTokenizerFor]] a deep supplied table's.
     */
   def exportTokenizer(s: SparkSession, d: String,
-      curated: Boolean = false): String =
+      curated: Boolean = false, allowLossy: Boolean = false): String = {
+    guardExportCoverage(s, d, allowLossy)
     exportOf(s,
       if (curated) ensureCuratedShards(s, d) else ensureShards(s, d))
+  }
 
   /** The deep twin: export a SUPPLIED merge table's tokenizer (its
     * shard lake builds on demand via [[ensureShardsFor]], so the id
@@ -1657,8 +1696,44 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     * serving over that lake would produce).
     */
   def exportTokenizerFor(s: SparkSession, d: String,
-      merges: Seq[Merge]): String =
+      merges: Seq[Merge], allowLossy: Boolean = false): String = {
+    guardExportCoverage(s, d, allowLossy)
     exportOf(s, ensureShardsFor(s, d, merges))
+  }
+
+  /** COVERAGE GUARD for the GPT-2 interchange export: with the escape
+    * OFF, the charset contract silently drops every paren-bearing word
+    * from the vocabulary — an exported `merges.txt`/`vocab.json` over
+    * such a corpus would claim GPT-2 interchange while lacking `f(x)`,
+    * citations, and emoticons. Exporting such a vocabulary therefore
+    * REFUSES with the fix (train under `bpeEscape = 1` — q93/q94's
+    * contract — or the production profile) unless the caller opts into
+    * the loss explicitly (`allowLossy = true`, which downgrades to a
+    * stderr warning). A paren CHARACTER anywhere in the corpus text is
+    * exact for "some word would drop" — every paren sits inside some
+    * whitespace token (under the pretokenizer the paren pretoken
+    * itself drops, still a coverage loss). One filtered corpus scan,
+    * short-circuited at the first hit, paid only at export time.
+    * Conservative for the curated export (a paren word might sit
+    * entirely inside a stripped span) — acceptable: the refusal names
+    * the escape knob, and escape-mode exports never scan.
+    */
+  private def guardExportCoverage(s: SparkSession, d: String,
+      allowLossy: Boolean): Unit = {
+    if (escapeOn) return
+    val lossy = !t(s, d, "documents")
+      .filter(col("text").contains("(") || col("text").contains(")"))
+      .limit(1).isEmpty
+    if (!lossy) return
+    val msg = "exportTokenizer: the corpus contains paren-bearing words," +
+      " which the escape-off charset contract DROPS from the vocabulary —" +
+      " the exported merges.txt/vocab.json would silently lack them." +
+      " Train with graft.tuning.bpeEscape=1 (or -Dgraft.profile=production)" +
+      " for a full-coverage export, or pass allowLossy = true to export anyway"
+    if (allowLossy)
+      System.err.println(s"[graft] WARNING: $msg (allowLossy=true set)")
+    else throw new IllegalStateException(msg)
+  }
 
   private def exportOf(s: SparkSession, p: String): String = {
     import s.implicits._
@@ -1851,5 +1926,85 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       escTwin.trainFixture(s, d)),
     Some(escTwin.tokenizeDumpSql(escTwin.parenFixtureSql + ",\n      ", "pfix")))
 
-  val all: Seq[Q] = Seq(q82, q83, q84, q87, q89, q90, q91, q93, q94)
+  // ------------------------------------------------------------------
+  // PRETOK GATE (q96/q97): the GPT-2 pretokenizer exercised under the
+  // oracle on a corpus where it matters — a deterministically DERIVED
+  // view of `documents` where every word wears a glued comma and the
+  // suffix carries the contraction set, an o'clock-style apostrophe
+  // the contraction branches DON'T cover, a letter+digit+dot version
+  // string, and a terminal bang. Both engines derive the identical
+  // fixture with plain string ops, so the queries stay hash-checkable
+  // at every knob combination (the twin inherits the ambient NFC and
+  // escape knobs — the tuned matrix composes all three text knobs).
+  // ------------------------------------------------------------------
+
+  /** The registry instance the pretok gate queries run through: THIS
+    * one when the ambient knob is already on, else a twin copied with
+    * `bpePretok = 1` (the [[escTwin]] recipe — the twin's own twins
+    * are bounded, so construction terminates).
+    */
+  private val ptkTwin: Bpe =
+    if (pretokOn) this else new Bpe(tuning.copy(bpePretok = 1))
+
+  /** The contraction/punctuation fixture, Spark side: every space
+    * becomes ", " (a comma glued to every word — whole-word
+    * tokenization trains `word,` as a separate vocabulary entry; the
+    * pretokenizer reunifies `word` and isolates `,`), plus the suffix
+    * words described in the section comment. NULL text stays NULL on
+    * both engines.
+    */
+  private def pretokFixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents")
+      .filter($"doc_id" % 50 === 9)
+      .select($"doc_id",
+        concat(
+          call_function("replace", $"text", lit(" "), lit(", ")),
+          lit(" don't it's we're i'm you'll they'd o'clock v2.0 x42 end!"))
+          .as("text"))
+  }
+
+  /** [[pretokFixture]]'s DuckDB twin (apostrophes doubled for the SQL
+    * literal).
+    */
+  private val pretokFixtureSql: String =
+    "tfix AS MATERIALIZED (SELECT doc_id," +
+      " replace(text, ' ', ', ') ||" +
+      " ' don''t it''s we''re i''m you''ll they''d o''clock v2.0 x42 end!'" +
+      " AS text FROM documents WHERE doc_id % 50 = 9)"
+
+  private def trainPretokFixture(s: SparkSession, d: String): Seq[Merge] =
+    trainOver(s, memoKey(s, d) + ":tfix",
+      vocabOf(s, spread(pretokFixture(s, d)), sampled = true))
+
+  /** q96: the pretok-mode merge table over the contraction fixture —
+    * every training round's argmax over the PRETOKEN vocabulary,
+    * hash-checked against the oracle's independent replay (its `w`
+    * CTE splits with the same GPT-2 pattern in DuckDB's regex
+    * dialect). A pattern-semantics divergence between the engines —
+    * alternation order, `\p{L}` coverage, `\x27` handling — surfaces
+    * as a vocabulary diff and cascades through every round.
+    */
+  private val q96 = Q(
+    "q96_bpe_pretok_train",
+    (s, d) => {
+      import s.implicits._
+      ptkTwin.trainPretokFixture(s, d)
+        .toDF("rank", "l", "r", "merged", "pair_count")
+        .orderBy($"rank")
+    },
+    Some(ptkTwin.trainDumpSql(ptkTwin.pretokFixtureSql + ",\n      ", "tfix")))
+
+  /** q97: the pretok-mode tokenize face — q83's per-document counts
+    * over the fixture, where `n_words` counts PRETOKENS (`don't` is
+    * two) and the trained merges segment the pretoken vocabulary.
+    * Pins the full apply chain under the pretokenizer.
+    */
+  private val q97 = Q(
+    "q97_bpe_pretok_tokenize",
+    (s, d) => ptkTwin.tokenizeCounts(s, ptkTwin.pretokFixture(s, d),
+      ptkTwin.trainPretokFixture(s, d)),
+    Some(ptkTwin.tokenizeDumpSql(ptkTwin.pretokFixtureSql + ",\n      ", "tfix")))
+
+  val all: Seq[Q] = Seq(q82, q83, q84, q87, q89, q90, q91, q93, q94, q96, q97)
 }

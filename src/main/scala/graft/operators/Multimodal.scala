@@ -190,7 +190,13 @@ object Multimodal {
             // a PNG still's one frame is its DECODED pixel raster —
             // real inflation + de-filter; a corrupt IDAT emits nothing
             case Some((_, _, px)) => Iterator((1L, 0L, px))
-            case None => Iterator.empty
+            case None => jpegRaster(rec.blob) match {
+              // a JPEG still's one frame is its ENTROPY-DECODED gray
+              // raster (real Huffman + dequant + IDCT); a corrupt scan
+              // emits nothing
+              case Some((_, _, px)) => Iterator((1L, 0L, px))
+              case None => Iterator.empty
+            }
           }
         }
       }
@@ -355,6 +361,263 @@ object Multimodal {
         px <- defilter(u, w.toInt, h.toInt, 3)
       } yield (w, h, px)
 
+    // ----------------------------------------------------------------
+    // JPEG raster decode (baseline grayscale): a REAL entropy decoder —
+    // DQT/DHT/DRI/SOF0/SOS marker parse, canonical Huffman tables,
+    // bit-level scan read with 0xFF00 stuffing and restart-marker
+    // handling, DC DPCM + AC run-length, zigzag dequantization, full
+    // floating IDCT, level shift, clamp, block-grid crop. Constraint:
+    // single-component (grayscale) baseline only — the dominant-web-
+    // format pixel path the fixture exercises; color subsampling would
+    // add chroma upsampling without changing what the gate can pin
+    // (the oracle replays the arithmetic either way). Anything outside
+    // the profile — progressive, multi-component, corrupt anywhere —
+    // is None, never a throw.
+    // ----------------------------------------------------------------
+
+    /** Bit reader over entropy-coded data: MSB-first, un-stuffs
+      * 0xFF00, flags (rather than throws) on markers/truncation.
+      */
+    private final class BitReader(b: Array[Byte], var pos: Int) {
+      private var cur = 0
+      private var nbits = 0
+      var bad = false
+      /** Drop partial bits (restart-interval byte alignment). */
+      def align(): Unit = nbits = 0
+      def nextBit(): Int = {
+        if (nbits == 0) {
+          if (pos >= b.length) { bad = true; return 0 }
+          val v = b(pos) & 0xff
+          if (v == 0xff) {
+            if (pos + 1 >= b.length || (b(pos + 1) & 0xff) != 0x00) {
+              bad = true; return 0 // a marker mid-codeword is corruption
+            }
+            pos += 2 // stuffed 0xFF00 → data byte 0xFF
+          } else pos += 1
+          cur = v; nbits = 8
+        }
+        nbits -= 1
+        (cur >> nbits) & 1
+      }
+      def bits(n: Int): Int = {
+        var v = 0; var i = 0
+        while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+        v
+      }
+    }
+
+    /** Canonical Huffman decode table from a DHT segment's 16 length
+      * counts + symbols: (code length, code) → symbol.
+      */
+    private def huffTable(counts: Array[Int],
+        symbols: Array[Int]): Map[(Int, Int), Int] = {
+      val m = Map.newBuilder[(Int, Int), Int]
+      var code = 0; var si = 0
+      var len = 1
+      while (len <= 16) {
+        var i = 0
+        while (i < counts(len - 1)) {
+          m += ((len, code) -> symbols(si)); code += 1; si += 1; i += 1
+        }
+        code <<= 1
+        len += 1
+      }
+      m.result()
+    }
+
+    private def huffDecode(br: BitReader,
+        table: Map[(Int, Int), Int]): Int = {
+      var code = 0; var len = 0
+      while (len < 16 && !br.bad) {
+        code = (code << 1) | br.nextBit()
+        len += 1
+        table.get((len, code)) match {
+          case Some(sym) => return sym
+          case None =>
+        }
+      }
+      br.bad = true; -1
+    }
+
+    /** JPEG magnitude-category sign extension (spec F.2.2.1 EXTEND). */
+    private def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+    /** Zigzag scan order: zigzag index → natural (row-major) index. */
+    private val zigzag: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+    private val idctCos: Array[Double] =
+      Array.tabulate(8 * 8)(i => math.cos((2 * (i / 8) + 1) * (i % 8) * math.Pi / 16))
+
+    /** 8×8 floating IDCT (spec A.3.3) + level shift + clamp — exact on
+      * the DC-only fixture blocks (S00 a multiple of 8 → S00/8 integer)
+      * and correct to rounding on any baseline block.
+      */
+    private def idctBlock(coef: Array[Int]): Array[Int] = {
+      val out = new Array[Int](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              val f = coef(v * 8 + u)
+              if (f != 0) {
+                val cu = if (u == 0) 0.7071067811865476 else 1.0
+                val cv = if (v == 0) 0.7071067811865476 else 1.0
+                s += cu * cv * f * idctCos(x * 8 + u) * idctCos(y * 8 + v)
+              }
+              u += 1
+            }
+            v += 1
+          }
+          val p = math.round(s / 4.0).toInt + 128
+          out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Full baseline-grayscale JPEG decode: `(w, h, gray)` with `gray`
+      * the row-major `h·w` 8-bit raster, or None outside the profile or
+      * on any corruption (bad Huffman code, marker mid-scan, missing
+      * restart, truncation, lying segment length).
+      */
+    def jpegRaster(b: Array[Byte]): Option[(Long, Long, Array[Byte])] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      def u16(off: Int) = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+      val dqt = scala.collection.mutable.HashMap[Int, Array[Int]]()
+      val dht = scala.collection.mutable.HashMap[(Int, Int), Map[(Int, Int), Int]]()
+      var sof: Option[(Int, Int, Int, Int)] = None // (w, h, compId, tq)
+      var ri = 0
+      var scanAt = -1
+      var tdta = 0
+      var i = 2
+      while (scanAt < 0 && i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xd9) return None // EOI before SOS
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+        else {
+          val len = u16(i + 2)
+          if (len < 2 || i + 2 + len > b.length) return None
+          val p0 = i + 4
+          marker match {
+            case 0xdb => // DQT: (Pq<<4|Tq) + 64 entries, 8-bit only
+              var p = p0
+              while (p < i + 2 + len) {
+                val pqtq = b(p) & 0xff
+                if ((pqtq >> 4) != 0 || p + 65 > i + 2 + len) return None
+                dqt(pqtq & 0xf) =
+                  Array.tabulate(64)(j => b(p + 1 + j) & 0xff)
+                p += 65
+              }
+            case 0xc4 => // DHT: (Tc<<4|Th) + 16 counts + symbols
+              var p = p0
+              while (p < i + 2 + len) {
+                if (p + 17 > i + 2 + len) return None
+                val tcth = b(p) & 0xff
+                val counts = Array.tabulate(16)(j => b(p + 1 + j) & 0xff)
+                val n = counts.sum
+                if (p + 17 + n > i + 2 + len) return None
+                val syms = Array.tabulate(n)(j => b(p + 17 + j) & 0xff)
+                dht((tcth >> 4, tcth & 0xf)) = huffTable(counts, syms)
+                p += 17 + n
+              }
+            case 0xc0 => // SOF0 baseline; grayscale profile only
+              if (len < 8 || (b(p0) & 0xff) != 8) return None
+              val h = u16(p0 + 1); val w = u16(p0 + 3)
+              val nc = b(p0 + 5) & 0xff
+              if (nc != 1 || len != 8 + 3 * nc || w < 1 || h < 1 ||
+                w > (1 << 16) || h > (1 << 16)) return None
+              if ((b(p0 + 7) & 0xff) != 0x11) return None // no subsampling
+              sof = Some((w, h, b(p0 + 6) & 0xff, b(p0 + 8) & 0xff))
+            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+                 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+              return None // non-baseline frame types: outside the profile
+            case 0xdd => // DRI
+              if (len != 4) return None
+              ri = u16(p0)
+            case 0xda => // SOS: single component per the profile
+              if (len < 6 || (b(p0) & 0xff) != 1) return None
+              val cid = b(p0 + 1) & 0xff
+              if (!sof.exists(_._3 == cid)) return None
+              tdta = b(p0 + 2) & 0xff
+              scanAt = i + 2 + len
+            case _ => // APPn/COM/etc: skip
+          }
+          i += 2 + len
+        }
+      }
+      val (w, h, _, tq) = sof.getOrElse(return None)
+      if (scanAt < 0) return None
+      val q = dqt.getOrElse(tq, return None)
+      val dcTab = dht.getOrElse((0, tdta >> 4), return None)
+      val acTab = dht.getOrElse((1, tdta & 0xf), return None)
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      val nb = bw * bh
+      if (nb > (1 << 20)) return None // decode bound, the pngRaster rule
+      val blocks = new Array[Array[Int]](nb)
+      val br = new BitReader(b, scanAt)
+      var pred = 0
+      var k = 0
+      while (k < nb) {
+        if (ri > 0 && k > 0 && k % ri == 0) {
+          // restart: byte-align, consume RSTm (m cycles 0..7), reset DPCM
+          br.align()
+          val p = br.pos
+          if (p + 2 > b.length || (b(p) & 0xff) != 0xff ||
+            (b(p + 1) & 0xff) != (0xd0 + ((k / ri - 1) % 8))) return None
+          br.pos = p + 2
+          pred = 0
+        }
+        val coef = new Array[Int](64)
+        val t = huffDecode(br, dcTab)
+        if (br.bad || t < 0 || t > 11) return None
+        pred += extend(br.bits(t), t)
+        coef(0) = pred * q(0)
+        var zi = 1
+        var eob = false
+        while (zi < 64 && !eob) {
+          val sym = huffDecode(br, acTab)
+          if (br.bad || sym < 0) return None
+          if (sym == 0x00) eob = true
+          else if (sym == 0xf0) zi += 16
+          else {
+            val run = sym >> 4; val size = sym & 0xf
+            zi += run
+            if (zi > 63) return None
+            coef(zigzag(zi)) = extend(br.bits(size), size) * q(zi)
+            zi += 1
+          }
+        }
+        if (br.bad) return None
+        blocks(k) = idctBlock(coef)
+        k += 1
+      }
+      val gray = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val blk = blocks((y / 8) * bw + (x / 8))
+          gray(y * w + x) = blk((y % 8) * 8 + (x % 8)).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some((w.toLong, h.toLong, gray))
+    }
+
     /** PNG: header-only dimensions + real length/hash; one still frame. */
     def decodePng(rec: MediaRecord): Option[MediaMeta] =
       pngHeader(rec.blob).map { case (w, h) =>
@@ -383,15 +646,16 @@ object Multimodal {
       decodePpm(rec).orElse(decodeWav(rec)).orElse(decodePng(rec))
         .orElse(decodeJpeg(rec)).getOrElse(opaque(rec))
 
-    /** Nearest-neighbor resample of a P6 raster to (outW, outH): output
+    /** Nearest-neighbor resample of a raster to (outW, outH): output
       * pixel (oy, ox) copies source pixel (⌊oy·h/outH⌋, ⌊ox·w/outW⌋) —
       * the standard integer NN index map, exact in both engines. Runs
       * data-local beside the decoder in the same compiled pass; only
-      * the resized raster's hash leaves the partition.
+      * the resized raster's hash leaves the partition. `channels` = 3
+      * for the RGB rasters (PPM/PNG), 1 for JPEG grayscale.
       */
     def resizeNearest(b: Array[Byte], w: Long, h: Long, bps: Int,
-        off: Int, outW: Long, outH: Long): Array[Byte] = {
-      val px = 3 * bps
+        off: Int, outW: Long, outH: Long, channels: Int = 3): Array[Byte] = {
+      val px = channels * bps
       val out = new Array[Byte]((outW * outH).toInt * px)
       var p = 0
       var oy = 0L
@@ -430,7 +694,7 @@ object Multimodal {
       * arithmetic (stale-bytes hash mismatches misdiagnosed as decoder
       * bugs).
       */
-    private val fixtureVersion = 4
+    private val fixtureVersion = 5
 
     def path(d: String): String = {
       val root = sys.props.getOrElse("graft.media.dir",
@@ -562,12 +826,28 @@ object Multimodal {
                  md5(array_to_string(list_transform(range(0, w*h*3),
                    i -> printf('%02X', (doc_id*11 +
                      ((i // (3*w))*(1+3*w) + 1 + (i % (3*w)))*17) % 256)), '')) AS frame_fp
-               FROM gf)
+               FROM gf),
+      jf AS (SELECT doc_id, 1 + doc_id % 61 AS w, 1 + doc_id % 37 AS h
+             FROM documents WHERE doc_id % 4 = 3),
+      jpx AS (SELECT doc_id, w, h, unnest(range(0, w*h)) AS i FROM jf),
+      jpk AS (SELECT doc_id, w, h, i,
+                ((i // w) // 8) * ((w+7)//8) + (i % w) // 8 AS k
+              FROM jpx),
+      jpgf AS (SELECT doc_id, CAST(1 AS BIGINT) AS n_frames,
+                 CAST(0 AS BIGINT) AS frame_idx,
+                 md5(array_to_string(list(
+                   printf('%02X', CASE WHEN (doc_id + k) % 2 = 0
+                        THEN 192 + (doc_id*7 + k*13) % 64
+                        ELSE 64 - (doc_id*7 + k*13) % 64 END)
+                   ORDER BY i), '')) AS frame_fp
+               FROM jpk GROUP BY doc_id)
       SELECT doc_id, n_frames, frame_idx, frame_fp FROM ppmf
       UNION ALL
       SELECT doc_id, n_frames, frame_idx, frame_fp FROM wavf
       UNION ALL
       SELECT doc_id, n_frames, frame_idx, frame_fp FROM pngf
+      UNION ALL
+      SELECT doc_id, n_frames, frame_idx, frame_fp FROM jpgf
       ORDER BY doc_id, frame_idx"""))
 
   /** Resize EXECUTION (plan + pixels): integer aspect-preserving fit
@@ -591,19 +871,23 @@ object Multimodal {
         .select($"doc_id", $"blob")
         .as[MediaRecord]
         .mapPartitions(_.flatMap { rec =>
-          // an IMAGE decodes to (w, h, raster bytes, bps, offset):
-          // PPM rasters live in the blob at their header offset; PNG
-          // rasters come out of the real inflate+defilter decode
+          // an IMAGE decodes to (w, h, raster bytes, bps, offset,
+          // channels): PPM rasters live in the blob at their header
+          // offset; PNG rasters come out of the real inflate+defilter
+          // decode; JPEG grayscale rasters out of the real entropy
+          // decode (1 channel)
           val img = RealDecoders.ppmHeader(rec.blob)
-            .map { case (w, h, bps, off) => (w, h, rec.blob, bps, off) }
+            .map { case (w, h, bps, off) => (w, h, rec.blob, bps, off, 3) }
             .orElse(RealDecoders.pngRaster(rec.blob)
-              .map { case (w, h, px) => (w, h, px, 1, 0) })
-          img.map { case (w, h, raster, bps, off) =>
+              .map { case (w, h, px) => (w, h, px, 1, 0, 3) })
+            .orElse(RealDecoders.jpegRaster(rec.blob)
+              .map { case (w, h, px) => (w, h, px, 1, 0, 1) })
+          img.map { case (w, h, raster, bps, off, ch) =>
             val longSide = math.max(w, h)
             val outW = math.max(1L, w * 32 / longSide)
             val outH = math.max(1L, h * 32 / longSide)
             val resized = RealDecoders.resizeNearest(
-              raster, w, h, bps, off, outW, outH)
+              raster, w, h, bps, off, outW, outH, ch)
             (rec.doc_id, w, h, outW, outH, longSide > 32, hexMd5(resized))
           }
         })
@@ -622,27 +906,47 @@ object Multimodal {
                       CAST(1 + doc_id % 53 AS BIGINT),
                       CAST(1 + doc_id % 29 AS BIGINT),
                       'png'
-                    FROM documents WHERE doc_id % 4 = 2),
+                    FROM documents WHERE doc_id % 4 = 2
+                    UNION ALL
+                    SELECT doc_id,
+                      CAST(1 + doc_id % 61 AS BIGINT),
+                      CAST(1 + doc_id % 37 AS BIGINT),
+                      'jpeg'
+                    FROM documents WHERE doc_id % 4 = 3),
       dims AS (SELECT doc_id, kind, width, height,
                  greatest(width, height) AS long_side,
                  CAST(greatest(1, (width * 32) // greatest(width, height)) AS BIGINT)  AS out_w,
                  CAST(greatest(1, (height * 32) // greatest(width, height)) AS BIGINT) AS out_h
-               FROM meta)
-      SELECT doc_id, width, height, out_w, out_h,
-             long_side > 32 AS downscaled,
-             CASE WHEN kind = 'ppm' THEN
-               md5(array_to_string(list_transform(range(0, out_w*out_h*3),
-                 i -> printf('%02X', 32 + (doc_id +
-                   ((((i//3) // out_w) * height // out_h) * width +
-                    (((i//3) % out_w) * width // out_w)) * 3 + i % 3) % 64)), ''))
+               FROM meta),
+      jsrc AS (SELECT doc_id, width, height, out_w, out_h,
+                 unnest(range(0, out_w*out_h)) AS i
+               FROM dims WHERE kind = 'jpeg'),
+      jpixel AS (SELECT doc_id, i,
+                   (((i // out_w) * height // out_h) // 8) * ((width+7)//8) +
+                     ((i % out_w) * width // out_w) // 8 AS k
+                 FROM jsrc),
+      jhash AS (SELECT doc_id, md5(array_to_string(list(
+                   printf('%02X', CASE WHEN (doc_id + k) % 2 = 0
+                        THEN 192 + (doc_id*7 + k*13) % 64
+                        ELSE 64 - (doc_id*7 + k*13) % 64 END)
+                   ORDER BY i), '')) AS out_hash
+                FROM jpixel GROUP BY doc_id)
+      SELECT d.doc_id, d.width, d.height, d.out_w, d.out_h,
+             d.long_side > 32 AS downscaled,
+             CASE WHEN d.kind = 'ppm' THEN
+               md5(array_to_string(list_transform(range(0, d.out_w*d.out_h*3),
+                 i -> printf('%02X', 32 + (d.doc_id +
+                   ((((i//3) // d.out_w) * d.height // d.out_h) * d.width +
+                    (((i//3) % d.out_w) * d.width // d.out_w)) * 3 + i % 3) % 64)), ''))
+             WHEN d.kind = 'jpeg' THEN jhash.out_hash
              ELSE
-               md5(array_to_string(list_transform(range(0, out_w*out_h*3),
-                 i -> printf('%02X', (doc_id*11 +
-                   ((((i//3) // out_w) * height // out_h) * (1+3*width) + 1 +
-                    (((i//3) % out_w) * width // out_w) * 3 + i % 3) * 17) % 256)), ''))
+               md5(array_to_string(list_transform(range(0, d.out_w*d.out_h*3),
+                 i -> printf('%02X', (d.doc_id*11 +
+                   ((((i//3) // d.out_w) * d.height // d.out_h) * (1+3*d.width) + 1 +
+                    (((i//3) % d.out_w) * d.width // d.out_w) * 3 + i % 3) * 17) % 256)), ''))
              END AS out_hash
-      FROM dims
-      ORDER BY doc_id"""))
+      FROM dims d LEFT JOIN jhash ON d.doc_id = jhash.doc_id
+      ORDER BY d.doc_id"""))
 
   case class MediaFeatures(doc_id: Long, byte_len: Long,
       n_distinct_chars: Long, char_entropy: Double, printable_ratio: Double)
@@ -811,29 +1115,62 @@ object Multimodal {
         chunk("IEND", Array.empty[Byte])
     }
 
-    /** Minimal structurally-valid JPEG: SOI, the standard 16-byte JFIF
-      * APP0, a 3-component baseline SOF0 with id-derived dimensions,
-      * EOI. No entropy-coded data — header parsing plus byte fidelity,
-      * as above.
+    /** Complete baseline grayscale JPEG with a REAL entropy-coded scan
+      * — the PNG stored-mode trick applied to JPEG: constrain the
+      * encoding so the bytes stay arithmetically derivable (the oracle
+      * has no entropy coder) while [[RealDecoders.jpegRaster]] decodes
+      * them with a genuine Huffman + dequant + IDCT path. The
+      * constraints, each load-bearing:
+      *  - CUSTOM DHT with ONE DC code of length 1 mapping to category
+      *    7: every DC diff codes as 1 + 7 = 8 bits — the scan is
+      *    byte-aligned by construction;
+      *  - ONE AC code of length 8 ('00000000') mapping to EOB: every
+      *    block is DC-only and its AC section is a single 0x00 byte;
+      *  - DRI = 1 (every MCU its own restart interval): the DPCM
+      *    predictor resets per block, so each diff IS the block value
+      *    — id-derived in ±[64..127], exactly category 7;
+      *  - DC quant entry 8: the dequantized S00 is 8·value, whose
+      *    flat IDCT is exactly value + 128 — no rounding ambiguity;
+      *  - no entropy byte ever equals 0xFF (cat-7 bytes are ≤ 0x7F,
+      *    EOB is 0x00), so no stuffing arithmetic in the oracle.
+      * Block (by, bx) decodes to the flat value 192+m (even id+k) or
+      * 64−m (odd), m = (id·7 + k·13) % 64, k = by·bw + bx — the
+      * content-derived pixels q61 fingerprints and q62 resizes.
       */
     def jpeg(id: Long): Array[Byte] = {
       val w = (1 + id % 61).toInt
       val h = (1 + id % 37).toInt
-      val bb = java.nio.ByteBuffer.allocate(2 + 18 + 19 + 2)
-      bb.putShort(0xffd8.toShort)
-      bb.putShort(0xffe0.toShort).putShort(16)
-        .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
-        .put(1.toByte).put(1.toByte)              // version 1.1
-        .put(0.toByte)                            // units: none
-        .putShort(1).putShort(1)                  // pixel aspect 1:1
-        .put(0.toByte).put(0.toByte)              // no thumbnail
-      bb.putShort(0xffc0.toShort).putShort(17)
-        .put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
-        .put(1.toByte).put(0x22.toByte).put(0.toByte)
-        .put(2.toByte).put(0x11.toByte).put(1.toByte)
-        .put(3.toByte).put(0x11.toByte).put(1.toByte)
-      bb.putShort(0xffd9.toShort)
-      bb.array()
+      val bw = (w + 7) / 8
+      val nb = bw * ((h + 7) / 8)
+      val out = new java.io.ByteArrayOutputStream(256 + 4 * nb)
+      def bs(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+      bs(0xff, 0xd8)                                   // SOI
+      bs(0xff, 0xe0, 0x00, 0x10)                       // JFIF APP0
+      out.write("JFIF".getBytes("US-ASCII"), 0, 4)
+      bs(0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+      bs(0xff, 0xdb, 0x00, 0x43, 0x00)                 // DQT 0, 8-bit
+      var qi = 0; while (qi < 64) { out.write(8); qi += 1 }
+      bs(0xff, 0xc4, 0x00, 0x14, 0x00, 1)              // DHT DC 0
+      var zi = 0; while (zi < 15) { out.write(0); zi += 1 }
+      out.write(7)                                     // the cat-7 symbol
+      bs(0xff, 0xc4, 0x00, 0x14, 0x10)                 // DHT AC 0
+      zi = 0; while (zi < 7) { out.write(0); zi += 1 }
+      out.write(1)
+      zi = 0; while (zi < 8) { out.write(0); zi += 1 }
+      out.write(0)                                     // the EOB symbol
+      bs(0xff, 0xdd, 0x00, 0x04, 0x00, 0x01)           // DRI = 1
+      bs(0xff, 0xc0, 0x00, 0x0b, 8,                    // SOF0, grayscale
+        h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0)
+      bs(0xff, 0xda, 0x00, 0x08, 1, 1, 0x00, 0, 63, 0) // SOS
+      var k = 0
+      while (k < nb) {
+        if (k > 0) bs(0xff, 0xd0 + ((k - 1) % 8))      // RST(m)
+        val m = ((id * 7 + k * 13) % 64).toInt
+        bs(if ((id + k) % 2 == 0) 64 + m else 63 - m, 0x00)
+        k += 1
+      }
+      bs(0xff, 0xd9)                                   // EOI
+      out.toByteArray
     }
 
     def blobFor(id: Long): Array[Byte] = (id % 4) match {
@@ -940,15 +1277,28 @@ object Multimodal {
               FROM g1, crctab),
       j0 AS (SELECT doc_id, 1 + doc_id % 61 AS w, 1 + doc_id % 37 AS h
              FROM documents WHERE doc_id % 4 = 3),
+      j1 AS (SELECT doc_id, w, h,
+               ((w+7)//8) * ((h+7)//8) AS nb FROM j0),
       jpg AS (SELECT doc_id, 'jpeg' AS kind,
                 'FFD8' || 'FFE0' || '0010' || '4A46494600' || '0101' || '00' ||
                 '0001' || '0001' || '0000' ||
-                'FFC0' || '0011' || '08' || printf('%04X', h) ||
-                printf('%04X', w) || '03' || '012200' || '021101' || '031101' ||
+                'FFDB' || '0043' || '00' || repeat('08', 64) ||
+                'FFC4' || '0014' || '00' || '01' || repeat('00', 15) || '07' ||
+                'FFC4' || '0014' || '10' || repeat('00', 7) || '01' ||
+                repeat('00', 8) || '00' ||
+                'FFDD' || '0004' || '0001' ||
+                'FFC0' || '000B' || '08' || printf('%04X', h) ||
+                printf('%04X', w) || '01' || '011100' ||
+                'FFDA' || '0008' || '01' || '0100' || '003F00' ||
+                array_to_string(list_transform(range(0, nb), k ->
+                  (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) ||
+                  printf('%02X', CASE WHEN (doc_id + k) % 2 = 0
+                       THEN 64 + (doc_id*7 + k*13) % 64
+                       ELSE 63 - (doc_id*7 + k*13) % 64 END) || '00'), '') ||
                 'FFD9' AS hx,
                 CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
                 CAST(1 AS BIGINT) AS n_frames
-              FROM j0),
+              FROM j1),
       m AS (SELECT * FROM ppm UNION ALL SELECT * FROM wav
             UNION ALL SELECT * FROM png UNION ALL SELECT * FROM jpg)"""
 

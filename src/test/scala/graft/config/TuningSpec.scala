@@ -71,4 +71,14 @@ class TuningSpec extends AnyFunSuite {
       assert(Tuning.current == Tuning())
     }
   }
+
+  test("the production profile validates and flips exactly the documented knobs") {
+    val p = Tuning.production
+    p.validate()
+    assert(p.normalizeNfc == 1 && p.bpeEscape == 1 && p.bpePretok == 1 &&
+      p.bpeMinFreq == 2 && p.bpeVocabCap == 100000 && p.bandBucketCap == 3)
+    // …and nothing else: undoing the six flips recovers the defaults
+    assert(p.copy(normalizeNfc = 0, bpeEscape = 0, bpePretok = 0,
+      bpeMinFreq = 1, bpeVocabCap = 0, bandBucketCap = 0) == Tuning())
+  }
 }

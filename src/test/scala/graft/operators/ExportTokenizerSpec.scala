@@ -69,4 +69,44 @@ class ExportTokenizerSpec extends SparkTestBase {
       .select($"tok").as[String].collect().toSet
     assert(vocab == storedToks)
   }
+
+  test("escape-off export REFUSES on a paren-bearing corpus; allowLossy and escape mode export") {
+    import org.apache.spark.sql.functions.{length, lit}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-export-guard")
+    val prev = sys.props.get("graft.index.dir")
+    sys.props("graft.index.dir") = root.toString
+    try {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-export-guard-corpus").toString
+      Seq((0L, "call f(x) to compute the value"),
+          (1L, "a plain second document with ordinary words"))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.parquet(s"$dir/documents.parquet")
+      // escape off: f(x) silently dropped from the vocabulary → the
+      // GPT-2 interchange files would be lossy → REFUSE, naming the fix
+      val off = new Bpe(Tuning(bpeMerges = 6))
+      val ex = intercept[IllegalStateException](off.exportTokenizer(spark, dir))
+      assert(ex.getMessage.contains("bpeEscape"))
+      intercept[IllegalStateException](
+        off.exportTokenizerFor(spark, dir, off.trainLocalMerges(spark, dir, 6)))
+      // the explicit opt-in exports anyway (warned, lossy)
+      val lossy = off.exportTokenizer(spark, dir, allowLossy = true)
+      assert(new java.io.File(lossy, "merges.txt").isFile)
+      // escape mode needs no opt-in: every word is representable
+      val on = new Bpe(Tuning(bpeMerges = 6, bpeEscape = 1))
+      val full = on.exportTokenizer(spark, dir)
+      assert(new java.io.File(full, "vocab.json").isFile)
+      // …and the full export's vocab carries the paren characters
+      val vocab = new ObjectMapper()
+        .readTree(bytes(full, "vocab.json")).fields().asScala
+        .map(_.getKey).toSet
+      assert(vocab.contains("(") && vocab.contains(")"))
+    } finally prev match {
+      case Some(v) => sys.props("graft.index.dir") = v
+      case None => sys.props -= "graft.index.dir"
+    }
+  }
 }

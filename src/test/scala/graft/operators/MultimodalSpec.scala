@@ -138,10 +138,69 @@ class MultimodalSpec extends AnyFunSuite {
             .getOrElse(fail(s"JPEG fixture $id rejected by the JPEG parser"))
           assert(m.width == 1 + id % 61 && m.height == 1 + id % 37)
           assert(m.n_frames == 1)
-          // images without decodable rasters must emit NO q61 frames
-          assert(RealDecoders.sampledFrames(rec).isEmpty)
+          // the raster is REAL now: one entropy-decoded frame of w·h
+          // grayscale bytes
+          val frames = RealDecoders.sampledFrames(rec).toSeq
+          assert(frames.map(f => (f._1, f._2)) == Seq((1L, 0L)))
+          assert(frames.head._3.length == m.width.toInt * m.height.toInt)
       }
     }
+  }
+
+  test("jpegRaster decodes the fixture: real Huffman + dequant + IDCT, flat-block formula pixels") {
+    import Multimodal.{MediaFixtures, RealDecoders}
+    for (id <- Seq(3L, 7L, 111L)) {
+      val b = MediaFixtures.jpeg(id)
+      val (w, h) = ((1 + id % 61).toInt, (1 + id % 37).toInt)
+      val Some((dw, dh, px)) = RealDecoders.jpegRaster(b)
+      assert(dw == w && dh == h)
+      assert(px.length == w * h)
+      val bw = (w + 7) / 8
+      for (y <- 0 until h; x <- 0 until w) {
+        val k = (y / 8) * bw + (x / 8)
+        val m = ((id * 7 + k * 13) % 64).toInt
+        val want = if ((id + k) % 2 == 0) 192 + m else 64 - m
+        assert((px(y * w + x) & 0xff) == want, s"id=$id y=$y x=$x")
+      }
+    }
+  }
+
+  test("corrupted JPEG scan: raster decode refuses, header probe still answers") {
+    import Multimodal.{MediaFixtures, MediaRecord, RealDecoders}
+    val id = 11L
+    val good = MediaFixtures.jpeg(id)
+    assert(RealDecoders.jpegRaster(good).isDefined)
+    def flip(b: Array[Byte], at: Int, to: Int): Array[Byte] = {
+      val c = b.clone(); c(at) = to.toByte; c
+    }
+    // scan starts after SOI(2)+APP0(18)+DQT(69)+DHT(22)+DHT(22)+
+    // DRI(6)+SOF0(13)+SOS(10) = 162
+    val scanAt = 162
+    assert((good(scanAt + 1) & 0xff) == 0x00, "layout drifted: EOB expected")
+    val corrupted = Seq(
+      // a bare 0xFF mid-scan is a marker where a codeword must be
+      flip(good, scanAt, 0xff),
+      // a wrong restart marker value breaks the interval contract
+      flip(good, scanAt + 3, 0xd7),
+      // a non-baseline frame type is outside the decode profile
+      flip(good, 140, 0xc2), // the SOF0 marker byte (SOF segment at 139)
+      // truncation mid-scan
+      good.take(good.length - 6))
+    corrupted.foreach { bad =>
+      assert(RealDecoders.jpegRaster(bad).isEmpty, "corrupt scan must refuse")
+      assert(RealDecoders.sampledFrames(MediaRecord(id, bad)).isEmpty)
+    }
+    // …while the header probe still reads dims from the intact SOF
+    assert(RealDecoders.jpegHeader(corrupted.head)
+      .contains((1L + id % 61, 1L + id % 37)))
+    // a corrupted DC byte (still a VALID scan) changes the q61 fp —
+    // the fingerprint is content-derived pixels, not blob bytes
+    val altered = flip(good, scanAt, (good(scanAt) ^ 0x15) & 0x7f)
+    val fp0 = Multimodal.hexMd5(
+      RealDecoders.sampledFrames(MediaRecord(id, good)).next()._3)
+    val fp1 = Multimodal.hexMd5(
+      RealDecoders.sampledFrames(MediaRecord(id, altered)).next()._3)
+    assert(fp0 != fp1)
   }
 
   test("pngHeader rejects corrupted headers — wrong magic, bad IHDR, hostile dims") {
