@@ -180,7 +180,7 @@ object SyntheticCorpus {
     * effective lexicon; with the non-letter separator the suffix
     * parses unambiguously, so distinct ranks are distinct words.
     */
-  private[operators] def synthWord(rank: Long): String = {
+  private[graft] def synthWord(rank: Long): String = {
     val pLen = 3 + floorMod(draw(rank ^ 0x778F00DL, 7), 5)
     val prefix = Array.tabulate(pLen)(k =>
       ('a' + floorMod(draw(rank ^ 0x778F00DL, k + 11), 26)).toChar).mkString

@@ -610,8 +610,12 @@ final class TextOps(tuning: graft.config.Tuning) {
                     -- IEND, where the zlib stream wraps the filtered
                     -- raster h·(1+3w) in one stored block (+11 framing)
                     WHEN 2 THEN 57 + 11 + (1 + doc_id % 29) * (1 + 3 * (1 + doc_id % 53))
-                    -- JPEG: SOI + JFIF APP0 + 3-component SOF0 + EOI
-                    ELSE 41
+                    -- JPEG: 162 header bytes (SOI + JFIF APP0 + DQT +
+                    -- 2×DHT + DRI + grayscale SOF0 + SOS) + the
+                    -- entropy scan (2 bytes/block + 2-byte RST between
+                    -- blocks = 4·nb − 2) + EOI
+                    ELSE 162 + 4 * (((1 + doc_id % 61 + 7)//8)
+                                    * ((1 + doc_id % 37 + 7)//8))
                END AS media_bytes,
                CASE WHEN doc_id % 4 = 1 THEN 10 + doc_id % 50 ELSE 1 END AS n_frames
              FROM documents)
