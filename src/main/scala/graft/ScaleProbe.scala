@@ -42,7 +42,12 @@ object ScaleProbe {
     // ladder — q87's pass 1 IS the shard build (train + encode +
     // pack + write), so q91 after it measures pure serving
     "q87_pack_shards",
-    "q91_serve_tokenize")
+    "q91_serve_tokenize",
+    // r14: the served exact-substring face — pass 1 IS the runs
+    // postings build; the probe batch is a 1% corpus slice, so the
+    // serve cells grade batch-proportional serving (the FIXED-batch
+    // corpus-flat claim is ServeProbe's ladder)
+    "q95_serve_runs")
 
   /** `--wide`: the ENTIRE LLM tier (every registered query whose only
     * inputs are the documents/embeddings tables or the media lake

@@ -143,6 +143,31 @@ class Bm25DmlSpec extends SparkTestBase {
     }
   }
 
+  test("layered serve plan: every layer's scan partition-prunes to the probe's term buckets") {
+    withTempRoot {
+      import spark.implicits._
+      val dir = writeCorpus(baseDocs)
+      val search = new Search(Tuning())
+      assert(search.addBm25Docs(spark, dir, batch1.toDF("doc_id", "text")))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val p = search.serveBm25(spark, dir, terms, 20)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        // four pruned scans: postings and termdf, base AND segment —
+        // the probe's tkb bucket predicates reach every layer
+        val pruned = p.linesIterator
+          .count(l => l.contains("PartitionFilters") && l.contains("tkb"))
+        assert(pruned >= 4, s"expected >= 4 tkb-pruned layer scans, got $pruned\n$p")
+        // the literal term predicates push into the scans
+        assert(p.linesIterator.exists(l =>
+          l.contains("PushedFilters") && l.contains("In(tk")), p)
+        // top-k stays a TakeOrdered, never a full sort
+        assert(p.contains("TakeOrderedAndProject"), p)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("streamed micro-batches land as segments through ingestBm25Stream") {
     withTempRoot {
       import spark.implicits._

@@ -164,6 +164,34 @@ class RunsDmlSpec extends SparkTestBase {
     }
   }
 
+  test("layered serve plan: every layer's scan partition-prunes to the probe's hash buckets") {
+    withTempRoot {
+      import spark.implicits._
+      val dir = writeCorpus(baseDocs)
+      val search = new Search(knobs)
+      assert(search.addRunsDocs(spark, dir, batch1.toDF("doc_id", "text")))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val p = search
+          .serveRuns(spark, dir, Seq((500L, span10)).toDF("id", "text"))
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        // four pruned scans: postings and df, base AND segment — the
+        // probe's hb bucket predicates reach every layer's partition
+        // pruning (the filter pushes through the unions)
+        val pruned = p.linesIterator
+          .count(l => l.contains("PartitionFilters") && l.contains("hb"))
+        assert(pruned >= 4, s"expected >= 4 hb-pruned layer scans, got $pruned\n$p")
+        // …and the literal h-predicates push into the scans too
+        assert(p.linesIterator.exists(l =>
+          l.contains("PushedFilters") && l.contains("In(h")), p)
+        // no cartesian anywhere in the layered composition
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"), p)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("streamed micro-batches land as segments through ingestRunsStream") {
     withTempRoot {
       import spark.implicits._
