@@ -88,6 +88,135 @@ object Bpe {
     b.toString
   }
 
+  /** IMPORT face of the GPT-2 interchange: parse a directory in the
+    * layout [[Bpe!.exportTokenizer]] writes — `merges.txt` (`#`-header
+    * lines skipped, one `left right` rule per line in rank order;
+    * ranks are assigned 1..n, the trainer's convention) and
+    * `vocab.json` (token → id) — back into the engine's trained form,
+    * so a tokenizer shipped by this library OR by any other
+    * GPT-2-style stack drives [[Bpe!.tokenizeWithVocab]] without
+    * retraining. Tolerates CRLF line endings and arbitrary JSON
+    * whitespace; `pair_count` is not part of the interchange format,
+    * so imported merges carry 0 (encoding never reads it). Round-trip
+    * fidelity export → import → tokenize is gate-checked against the
+    * from-scratch SQL re-derivation (q98) and spec-pinned.
+    */
+  def importTokenizer(dir: String): (Seq[Merge], Seq[(String, Int)]) = {
+    val src = scala.io.Source.fromFile(
+      new java.io.File(dir, "merges.txt"), "UTF-8")
+    val merges =
+      try {
+        val rules = Vector.newBuilder[Merge]
+        var rank = 0L
+        src.getLines().zipWithIndex.foreach { case (raw, ln) =>
+          val line = if (raw.endsWith("\r")) raw.dropRight(1) else raw
+          if (line.nonEmpty && !line.startsWith("#")) {
+            val sp = line.indexOf(' ')
+            if (sp <= 0 || sp == line.length - 1 ||
+                line.indexOf(' ', sp + 1) >= 0)
+              throw new IllegalArgumentException(
+                s"merges.txt line ${ln + 1}: expected 'left right', got: $line")
+            rank += 1
+            val l = line.substring(0, sp)
+            val r = line.substring(sp + 1)
+            rules += ((rank, l, r, l + r, 0L))
+          }
+        }
+        rules.result()
+      } finally src.close()
+    val vocab = parseVocabJson(new String(
+      java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "vocab.json").toPath), "UTF-8"))
+    (merges, vocab)
+  }
+
+  /** Strict parser for the interchange `vocab.json` shape — ONE flat
+    * JSON object of string → integer (what [[jsonEscape]]-based
+    * exports and the published GPT-2 files both are). No JSON library
+    * ships with the engine and Spark's reader is row-oriented, so this
+    * is hand-rolled: standard escapes (including `\\uXXXX` pairs —
+    * appending the two decoded units reconstructs supplementary
+    * characters), arbitrary whitespace, loud errors on anything else —
+    * never a silent partial vocabulary.
+    */
+  private[operators] def parseVocabJson(s: String): Seq[(String, Int)] = {
+    var i = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"vocab.json offset $i: $msg")
+    def ws(): Unit =
+      while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    def chr(): Char = {
+      if (i >= s.length) fail("unexpected end of input")
+      s.charAt(i)
+    }
+    def expect(c: Char): Unit = {
+      ws(); if (chr() != c) fail(s"expected '$c', got '${chr()}'"); i += 1
+    }
+    def str(): String = {
+      expect('"')
+      val b = new StringBuilder
+      while (chr() != '"') {
+        val c = chr()
+        if (c == '\\') {
+          i += 1
+          chr() match {
+            case '"' => b.append('"'); i += 1
+            case '\\' => b.append('\\'); i += 1
+            case '/' => b.append('/'); i += 1
+            case 'b' => b.append('\b'); i += 1
+            case 'f' => b.append('\f'); i += 1
+            case 'n' => b.append('\n'); i += 1
+            case 'r' => b.append('\r'); i += 1
+            case 't' => b.append('\t'); i += 1
+            case 'u' =>
+              if (i + 4 >= s.length) fail("truncated \\u escape")
+              val hex = s.substring(i + 1, i + 5)
+              try b.append(Integer.parseInt(hex, 16).toChar)
+              catch {
+                case _: NumberFormatException => fail(s"bad \\u escape: $hex")
+              }
+              i += 5
+            case o => fail(s"bad escape \\$o")
+          }
+        } else { b.append(c); i += 1 }
+      }
+      i += 1
+      b.toString
+    }
+    def int(): Int = {
+      ws()
+      val st = i
+      if (chr() == '-') i += 1
+      while (i < s.length && Character.isDigit(s.charAt(i))) i += 1
+      if (i == st || (i == st + 1 && s.charAt(st) == '-'))
+        fail("expected an integer")
+      s.substring(st, i).toInt
+    }
+    val out = Vector.newBuilder[(String, Int)]
+    val seen = new java.util.HashSet[String]()
+    expect('{')
+    ws()
+    if (chr() == '}') i += 1
+    else {
+      var more = true
+      while (more) {
+        val k = str()
+        if (!seen.add(k)) fail(s"duplicate token: $k")
+        expect(':')
+        out += ((k, int()))
+        ws()
+        chr() match {
+          case ',' => i += 1; ws()
+          case '}' => i += 1; more = false
+          case o => fail(s"expected ',' or '}', got '$o'")
+        }
+      }
+    }
+    ws()
+    if (i != s.length) fail("trailing content after the vocabulary object")
+    out.result()
+  }
+
   /** A word as its initial tokens: one per CODE POINT — the same split
     * as the engines' `regexp_replace(w, '(.)', '($1)')` (Java regex and
     * DuckDB RE2 `.` both match a code point, not a UTF-16 unit).
@@ -1445,14 +1574,16 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     Some(s"""
       WITH ${shardCtesAndSelect("documents")}"""))
 
-  /** The shard-dump oracle body over a corpus relation `rel` — trained
-    * merges → full-vocabulary segmentation → UTF-8-ranked token ids →
-    * per-doc flattened sequences → prefix-sum bins → the hashed dump.
-    * q87 replays it `FROM documents`, q90 `FROM sdocs` (the curated
-    * CTE chain prepended by the caller).
+  /** The per-document id-sequence CTE chain over a corpus relation
+    * `rel`: its final full-vocabulary segmentation (`fsegtk`) →
+    * UTF-8-ranked token ids (`tid`) → per-word id arrays (`wids`) →
+    * per-doc flattened sequences (`dseq`). The shared trunk of the
+    * shard dump (q87/q90, bins appended) and the interchange
+    * round-trip gate (q98) — the stored lake and a re-imported
+    * tokenizer replay the SAME oracle arithmetic by construction.
     */
-  private def shardCtesAndSelect(rel: String): String = s"""${trainCtes(rel)},
-      fsegtk AS (SELECT w, $segToksSqlReal AS tk
+  private def docSeqCtes(rel: String): String =
+    s"""fsegtk AS (SELECT w, $segToksSqlReal AS tk
                  FROM $applySegCte),
       tok AS (SELECT DISTINCT unnest(tk) AS tok FROM fsegtk),
       tid AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS INT) AS tid
@@ -1465,7 +1596,16 @@ final class Bpe(val tuning: Tuning) extends Serializable {
                      unnest(toks) AS w
               FROM (SELECT doc_id, $toksSqlDuck AS toks FROM $rel)),
       dseq AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
-               FROM dwo JOIN wids USING (w) GROUP BY doc_id),
+               FROM dwo JOIN wids USING (w) GROUP BY doc_id)"""
+
+  /** The shard-dump oracle body over a corpus relation `rel` — trained
+    * merges → full-vocabulary segmentation → UTF-8-ranked token ids →
+    * per-doc flattened sequences → prefix-sum bins → the hashed dump.
+    * q87 replays it `FROM documents`, q90 `FROM sdocs` (the curated
+    * CTE chain prepended by the caller).
+    */
+  private def shardCtesAndSelect(rel: String): String = s"""${trainCtes(rel)},
+      ${docSeqCtes(rel)},
       ${binCtes(rel)}
       SELECT b.bin, b.doc_id, b.n AS n_tokens,
              md5(coalesce(array_to_string(
@@ -1669,6 +1809,35 @@ final class Bpe(val tuning: Tuning) extends Serializable {
     import s.implicits._
     encodeBatch(s, texts, merges, "tokens", "string")(
       _.select($"w", $"tk".as("vals")))
+  }
+
+  /** Tokenize an `(id BIGINT, text STRING)` batch with an ARBITRARY
+    * (merges, vocab) pair — the serving face of
+    * [[Bpe.importTokenizer]]: a `merges.txt`/`vocab.json` interchange
+    * directory (this library's export or any GPT-2-style stack's)
+    * drives the exact [[encodeBatch]] pipeline [[serveTokenize]] runs,
+    * with token → id resolved against the SUPPLIED vocabulary (UNK =
+    * -1, the stored-artifact serve contract). Output
+    * `(id, token_ids ARRAY<INT>, n_tokens)`.
+    *
+    * Scale shape: the vocabulary is a LocalRelation bounded by
+    * alphabet + merge count (the same bound the stored id table
+    * carries — NOT corpus-sized), broadcast under AQE; everything else
+    * is [[serveTokenize]]'s batch-vocabulary-sized plan.
+    */
+  def tokenizeWithVocab(s: SparkSession, texts: DataFrame,
+      merges: Seq[Merge], vocab: Seq[(String, Int)]): DataFrame = {
+    import s.implicits._
+    val tid = vocab.toDF("tok", "tid")
+    encodeBatch(s, texts, merges, "token_ids", "int") { wtoks =>
+      wtoks
+        .select($"w", posexplode($"tk").as(Seq("tpos", "tok")))
+        .join(tid, Seq("tok"), "left")
+        .groupBy($"w")
+        .agg(expr(
+          """transform(sort_array(collect_list(struct(tpos, tid))),
+               x -> coalesce(x.tid, -1))""").as("vals"))
+    }
   }
 
   /** Export a stored tokenizer in the GPT-2-style BPE interchange
@@ -1926,6 +2095,66 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       escTwin.trainFixture(s, d)),
     Some(escTwin.tokenizeDumpSql(escTwin.parenFixtureSql + ",\n      ", "pfix")))
 
+  /** The import gate's stored artifact: the escape-mode paren-fixture
+    * corpus sharded with ITS OWN trained merges (the q93/q94 memoized
+    * fixture trainer — fixture-sized, 2% of docs), keyed like every
+    * lake on corpus path + content fingerprint + knobs. Built through
+    * the standard [[installShards]] recipe, so the vocab parquet the
+    * export reads is the same artifact q87/q90's oracles pin.
+    */
+  private def ensureFixtureShards(s: SparkSession, d: String): String =
+    synchronized {
+      installShards(s,
+        shardsPathOf(d, s"$nRounds:$sampleMod:$minFreq:$vocabCap:$ctx:pfix" +
+          (if (nfcOn) ":nfc" else "") + (if (escapeOn) ":esc" else "") +
+          (if (pretokOn) ":ptk" else "")),
+        () => (parenFixture(s, d), trainFixture(s, d)))
+    }
+
+  /** q98: the GPT-2 interchange ROUND-TRIP — train (escape mode, so
+    * every word is representable and the export coverage guard never
+    * bites) over the paren fixture, ship the tokenizer through the
+    * interchange files ([[exportTokenizer]]'s `merges.txt` +
+    * `vocab.json`), parse them back with [[Bpe.importTokenizer]], and
+    * tokenize the fixture corpus with the IMPORTED merge table and
+    * vocabulary ([[tokenizeWithVocab]]). The oracle re-derives the
+    * expected id sequences FROM RAW `documents` in SQL — every
+    * training round, the full-vocabulary segmentation, the
+    * UTF-8-ranked ids, the per-doc sequence assembly — so the hash
+    * pins the whole file round trip: one mis-written or mis-parsed
+    * merge line, one JSON escape slip (the fixture's vocabulary
+    * carries backslash, paren, and non-BMP tokens), or one id off in
+    * vocab.json cascades into a mismatch. This is what makes the
+    * interchange claim testable both ways: q91 pins serve-from-store,
+    * q98 pins serve-from-files.
+    */
+  private val q98 = Q(
+    "q98_import_tokenize",
+    (s, d) => {
+      import s.implicits._
+      val tw = escTwin
+      val exp = tw.exportOf(s, tw.ensureFixtureShards(s, d))
+      val (m2, v2) = Bpe.importTokenizer(exp)
+      tw.tokenizeWithVocab(s,
+          tw.parenFixture(s, d).select($"doc_id".as("id"), $"text"),
+          m2, v2)
+        .select($"id".as("doc_id"), $"n_tokens",
+          md5(concat_ws(",",
+            expr("transform(token_ids, x -> cast(x as string))")))
+            .as("ids_hash"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH ${escTwin.parenFixtureSql},
+      ${escTwin.trainCtes("pfix")},
+      ${escTwin.docSeqCtes("pfix")}
+      SELECT f.doc_id, CAST(coalesce(len(dseq.ids), 0) AS BIGINT) AS n_tokens,
+             md5(coalesce(array_to_string(
+               list_transform(coalesce(dseq.ids, []), x -> CAST(x AS VARCHAR)),
+               ','), '')) AS ids_hash
+      FROM pfix f LEFT JOIN dseq USING (doc_id)
+      ORDER BY doc_id"""))
+
   // ------------------------------------------------------------------
   // PRETOK GATE (q96/q97): the GPT-2 pretokenizer exercised under the
   // oracle on a corpus where it matters — a deterministically DERIVED
@@ -2006,5 +2235,6 @@ final class Bpe(val tuning: Tuning) extends Serializable {
       ptkTwin.trainPretokFixture(s, d)),
     Some(ptkTwin.tokenizeDumpSql(ptkTwin.pretokFixtureSql + ",\n      ", "tfix")))
 
-  val all: Seq[Q] = Seq(q82, q83, q84, q87, q89, q90, q91, q93, q94, q96, q97)
+  val all: Seq[Q] = Seq(q82, q83, q84, q87, q89, q90, q91, q93, q94, q96,
+    q97, q98)
 }
