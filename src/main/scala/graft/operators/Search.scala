@@ -958,6 +958,15 @@ final class Search(tuning: Tuning) {
   def serveRuns(s: SparkSession, d: String, docs: DataFrame): DataFrame =
     serveRuns(s, d, docs, tuning.runMinTokens)
 
+  /** [[serveRuns]] without the deterministic result sort — for ad-hoc
+    * callers feeding a downstream join/filter, where the gate's
+    * (probe_id, doc_id) presentation order is a result-sized sort they
+    * would pay for nothing.
+    */
+  def serveRunsUnordered(s: SparkSession, d: String,
+      docs: DataFrame): DataFrame =
+    serveRunsOf(s, d, docs, tuning.runMinTokens, ordered = false)
+
   /** Report every corpus document sharing a literal run of ≥
     * `minTokens` tokens with a probe document — `(probe_id, doc_id,
     * max_run_tokens, n_aligned)`, q86's per-pair shape with the probe
@@ -975,7 +984,11 @@ final class Search(tuning: Tuning) {
     * is rebuilt, shuffled, or collected.
     */
   def serveRuns(s: SparkSession, d: String, docs: DataFrame,
-      minTokens: Int): DataFrame = {
+      minTokens: Int): DataFrame =
+    serveRunsOf(s, d, docs, minTokens, ordered = true)
+
+  private def serveRunsOf(s: SparkSession, d: String, docs: DataFrame,
+      minTokens: Int, ordered: Boolean): DataFrame = {
     import s.implicits._
     require(minTokens >= W,
       s"serveRuns: minTokens must be >= $W (the window width — shorter runs are unobservable), got $minTokens")
@@ -1038,7 +1051,7 @@ final class Search(tuning: Tuning) {
       .join(posts.select($"doc_id", $"pos", $"h"), Seq("h"))
       .where($"id" =!= $"doc_id")
       .select($"id", $"doc_id", $"pa", ($"pa" - $"pos").as("diag"))
-    pairs
+    val report = pairs
       .withColumn("grp", $"pa" - row_number().over(
         Window.partitionBy($"id", $"doc_id", $"diag").orderBy($"pa")))
       .groupBy($"id", $"doc_id", $"diag", $"grp")
@@ -1050,7 +1063,7 @@ final class Search(tuning: Tuning) {
       .where($"max_run_tokens" >= minTokens)
       .select($"id".as("probe_id"), $"doc_id",
         $"max_run_tokens", $"n_aligned")
-      .orderBy($"probe_id", $"doc_id")
+    if (ordered) report.orderBy($"probe_id", $"doc_id") else report
   }
 
   /** q95: the served exact-substring face under the gate — a pinned

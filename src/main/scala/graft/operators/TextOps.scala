@@ -388,6 +388,136 @@ final class TextOps(tuning: graft.config.Tuning) {
       FROM top WHERE rank <= 40
       ORDER BY rank"""))
 
+  // ------------------------------------------------------------------
+  // PII REDACTION (q99): q55 FINDS PII; this REMOVES it — the stage a
+  // training-data pipeline actually ships (scan reports tell you the
+  // corpus is dirty; redaction is what makes it shippable). Four
+  // pattern families, replaced in a fixed order (URLs first, so an
+  // email or address inside a URL is already gone before the narrower
+  // patterns run), each spelled to behave identically under Java regex
+  // (Spark) and RE2 (DuckDB): explicit dual-case classes instead of
+  // (?i) (RE2's (?i) does full Unicode folding — e.g. the Kelvin sign
+  // folds into [kK] — where Java's default is ASCII-only), no
+  // lookaround (RE2 has none), no alternation beyond an optional
+  // character. The same Scala string is the Spark pattern argument and
+  // the interpolated SQL literal — single-quoted standard SQL does not
+  // process backslashes, so the bytes match by construction.
+  // ------------------------------------------------------------------
+
+  private val urlPat = "[hH][tT][tT][pP][sS]?://[^\\s]+"
+  private val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val phonePat = "\\+[0-9][0-9() -]{7,}[0-9]"
+  private val ipPat =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact PII in place: `text_red` is `text` with URLs, emails,
+    * phone numbers, and IPv4 addresses replaced by `<URL>`/`<EMAIL>`/
+    * `<PHONE>`/`<IP>` markers, plus per-family counts (each counted on
+    * the text its stage actually saw, so counts ≡ replacements made)
+    * and their `n_pii` total. NULL text stays NULL with zero counts;
+    * all other input columns pass through.
+    *
+    * Scale shape: row-local — one codegen'd projection, no shuffle, no
+    * UDF; scales linearly and works identically on batch and streaming
+    * DataFrames (the [[curateStream]] contract — compose it upstream
+    * of the store fan-out to ship redacted text instead of dropping
+    * PII-bearing documents wholesale).
+    */
+  def redactPii(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def cnt(c: org.apache.spark.sql.Column, p: String) =
+      coalesce(size(regexp_extract_all(c, lit(p), lit(0))).cast("long"),
+        lit(0L))
+    docs
+      .withColumn("n_urls", cnt(col("text"), urlPat))
+      .withColumn("red_t1", regexp_replace(col("text"), urlPat, "<URL>"))
+      .withColumn("n_emails", cnt(col("red_t1"), emailPat))
+      .withColumn("red_t2",
+        regexp_replace(col("red_t1"), emailPat, "<EMAIL>"))
+      .withColumn("n_phones", cnt(col("red_t2"), phonePat))
+      .withColumn("red_t3",
+        regexp_replace(col("red_t2"), phonePat, "<PHONE>"))
+      .withColumn("n_ips", cnt(col("red_t3"), ipPat))
+      .withColumn("text_red", regexp_replace(col("red_t3"), ipPat, "<IP>"))
+      .withColumn("n_pii",
+        col("n_urls") + col("n_emails") + col("n_phones") + col("n_ips"))
+      .drop("red_t1", "red_t2", "red_t3")
+  }
+
+  /** The derived PII fixture both engines build with plain string ops
+    * (the paren/pretok fixture precedent — the raw corpus carries no
+    * PII, so the gate must inject its own): per doc_id % 10, a tail
+    * with mixed-case emails (one doc carries two), mixed-case URL
+    * schemes, two international phone spellings, IPv4s, one MULTI-kind
+    * tail (email + IP), and two untouched control classes. `cast`
+    * renders a BIGINT expression as the dialect's string type (STRING
+    * vs VARCHAR — the one name the dialects don't share).
+    */
+  private def piiTailSql(cast: String => String): String = {
+    def c(x: String) = cast(x)
+    s"""CASE doc_id % 10
+        WHEN 1 THEN ' Contact Ann' || ${c("doc_id % 50")} || '.Lee+x' || ${c("doc_id % 9")} || '@Mail' || ${c("doc_id % 7")} || '.ORG now'
+        WHEN 4 THEN ' mail bob' || ${c("doc_id")} || '@ex' || ${c("doc_id % 5")} || '.org and carol@sub.example.COM too'
+        WHEN 7 THEN ' u' || ${c("doc_id")} || '@h' || ${c("doc_id % 3")} || '.net ip 192.168.' || ${c("doc_id % 256")} || '.' || ${c("doc_id % 100")} || ' mixed'
+        WHEN 2 THEN ' see hTtPs://Host' || ${c("doc_id % 9")} || '.example/p/' || ${c("doc_id")} || '?x=1 ok'
+        WHEN 5 THEN ' fetch http://plain' || ${c("doc_id % 4")} || '.example/' || ${c("doc_id")}
+        WHEN 3 THEN ' call +1 (415) 555-' || lpad(${c("doc_id % 10000")}, 4, '0') || ' today'
+        WHEN 8 THEN ' tel +44 20 7946 ' || lpad(${c("doc_id % 10000")}, 4, '0') || ' office'
+        WHEN 6 THEN ' ip 10.' || ${c("doc_id % 256")} || '.0.' || ${c("doc_id % 100")} || ' end'
+        ELSE '' END"""
+  }
+
+  /** q99: PII redaction under the gate — the fixture corpus through
+    * [[redactPii]], reporting every touched document's per-family
+    * counts and the md5 of its REDACTED text. The oracle replays the
+    * same four replace stages in DuckDB over the same derived fixture,
+    * so the hash pins the exact output bytes: a pattern that matches
+    * one character more or less, a stage-order slip, or a marker typo
+    * all cascade. Counts are per stage (what each stage saw), so they
+    * double as replacement receipts.
+    */
+  private val q99 = Q(
+    "q99_pii_redact",
+    (s, d) => {
+      import s.implicits._
+      val fix = t(s, d, "documents").select($"doc_id",
+        concat($"text",
+          expr(piiTailSql(x => s"cast(($x) as string)"))).as("text"))
+      redactPii(spread(fix))
+        .filter($"n_pii" > 0)
+        .select($"doc_id", $"n_urls", $"n_emails", $"n_phones", $"n_ips",
+          md5($"text_red").as("red_hash"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH pdocs AS (SELECT doc_id,
+               text || ${piiTailSql(x => s"CAST(($x) AS VARCHAR)")} AS text
+             FROM documents),
+      r1 AS (SELECT doc_id,
+               coalesce(len(regexp_extract_all(text, '$urlPat')), 0) AS n_urls,
+               regexp_replace(text, '$urlPat', '<URL>', 'g') AS t
+             FROM pdocs),
+      r2 AS (SELECT doc_id, n_urls,
+               coalesce(len(regexp_extract_all(t, '$emailPat')), 0) AS n_emails,
+               regexp_replace(t, '$emailPat', '<EMAIL>', 'g') AS t
+             FROM r1),
+      r3 AS (SELECT doc_id, n_urls, n_emails,
+               coalesce(len(regexp_extract_all(t, '$phonePat')), 0) AS n_phones,
+               regexp_replace(t, '$phonePat', '<PHONE>', 'g') AS t
+             FROM r2),
+      r4 AS (SELECT doc_id, n_urls, n_emails, n_phones,
+               coalesce(len(regexp_extract_all(t, '$ipPat')), 0) AS n_ips,
+               regexp_replace(t, '$ipPat', '<IP>', 'g') AS t
+             FROM r3)
+      SELECT doc_id,
+             CAST(n_urls AS BIGINT) AS n_urls,
+             CAST(n_emails AS BIGINT) AS n_emails,
+             CAST(n_phones AS BIGINT) AS n_phones,
+             CAST(n_ips AS BIGINT) AS n_ips,
+             md5(t) AS red_hash
+      FROM r4
+      WHERE n_urls + n_emails + n_phones + n_ips > 0
+      ORDER BY doc_id"""))
+
   /** The curation FUNNEL — the composition a corpus-curation user
     * actually runs: every document flows through the five standard
     * gates in order (language-ID = 'en' → composite quality ≥ 0.5 →
@@ -688,7 +818,8 @@ final class TextOps(tuning: graft.config.Tuning) {
       FROM probes
       ORDER BY id"""))
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q65, q66, q92)
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q65, q66, q92,
+    q99)
 }
 
 object TextOps {

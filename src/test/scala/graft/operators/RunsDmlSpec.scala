@@ -73,6 +73,9 @@ class RunsDmlSpec extends SparkTestBase {
       assert(report(search.serveRuns(spark, dir, probeSpan)).map(_._2).sorted
         == Seq(0L, 1L))
       assert(report(search.serveRuns(spark, dir, probeNew)).isEmpty)
+      // the unordered face returns the same SET without the result sort
+      assert(report(search.serveRunsUnordered(spark, dir, probeSpan)).sorted
+        == report(search.serveRuns(spark, dir, probeSpan)).sorted)
 
       val adds0 = Search.runsAdds.get()
       assert(search.addRunsDocs(spark, dir, batch1.toDF("doc_id", "text")))
