@@ -47,10 +47,25 @@ final class CorpusIngest(tuning: Tuning) extends Serializable {
   /** Curate one batch and fan the kept docs into all four stores.
     * `batch` needs `doc_id` (castable to LONG) and `text` (STRING).
     * Idempotent per store — safe to re-run on replay.
+    *
+    * With `redact = true`, PII is REMOVED first
+    * ([[TextOps.redactPii]]) and curation plus every store sees the
+    * REDACTED bytes — the production alternative to dropping a
+    * PII-bearing but otherwise-good document wholesale (the curation
+    * PII gate then passes by construction: the typed markers carry no
+    * PII, so only the language/quality/repetition gates decide).
+    * Content keys derive from the redacted text, so replay idempotence
+    * is unchanged; the mode must stay FIXED per store lineage — the
+    * same raw batch ingested under both modes is two different
+    * contents (and ids collide, failing loudly in the id guards).
     */
-  def ingestBatch(s: SparkSession, d: String, batch: DataFrame): BatchResult = {
-    val kept = textOps.curateStream(
-        batch.select(col("doc_id"), col("text")))
+  def ingestBatch(s: SparkSession, d: String, batch: DataFrame,
+      redact: Boolean = false): BatchResult = {
+    val input0 = batch.select(col("doc_id"), col("text"))
+    val input = if (!redact) input0
+      else textOps.redactPii(input0)
+        .select(col("doc_id"), col("text_red").as("text"))
+    val kept = textOps.curateStream(input)
       .where(col("kept"))
       .select(col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -71,14 +86,15 @@ final class CorpusIngest(tuning: Tuning) extends Serializable {
     * contracts); a cross-batch duplicate id fails the query loudly in
     * whichever store sees it first.
     */
-  def ingestAll(d: String, stream: DataFrame, checkpoint: String)
+  def ingestAll(d: String, stream: DataFrame, checkpoint: String,
+      redact: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(batch.sparkSession, d,
-          batch.select(col("doc_id"), col("text")))
+          batch.select(col("doc_id"), col("text")), redact)
         ()
       }
       .start()

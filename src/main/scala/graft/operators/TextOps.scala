@@ -518,6 +518,76 @@ final class TextOps(tuning: graft.config.Tuning) {
       WHERE n_urls + n_emails + n_phones + n_ips > 0
       ORDER BY doc_id"""))
 
+  /** q100: unigram-LM surprisal scoring — the CCNet recipe's
+    * oracle-expressible core: train a unigram language model on the
+    * corpus itself (token probability = corpus frequency / total
+    * tokens), then score every document by its mean token surprisal
+    * −ln p(tok) in nats. Rare-word-dense documents (gibberish, wrong
+    * language, boilerplate codes) score HIGH; stopword-fluent prose
+    * scores LOW — the standing LM-based quality filter, degenerate to
+    * order 1 so DuckDB can replay it exactly (CCNet itself uses a
+    * 5-gram KenLM; the plan shape below is identical for any order —
+    * only the LM join key widens). Output: per-source document counts
+    * with mean/max document surprisal. Zero-token documents have no
+    * defined surprisal and are excluded (both engines, by the same
+    * inner join).
+    *
+    * Scale shape: one explode + one map-side-combinable vocabulary
+    * count (Heaps-law bounded, ~√corpus); the scoring join is
+    * token-instance × vocabulary — AQE broadcasts the LM while it
+    * fits, else it shuffles on `tok` exactly once; per-doc and
+    * per-source aggregations are ordinary partial aggs. The one
+    * collected scalar is the 1-row token total (the q56 precedent).
+    * Per-doc surprisal rounds at r6 BEFORE the per-source mean (r4) so
+    * both engines aggregate identical doc-level values.
+    */
+  /** Per-document unigram surprisal over an arbitrary `(doc_id, text)`
+    * frame — q100's scorer as a library face (train-on-self: the LM is
+    * the frame's own token distribution). Returns `(doc_id, nats)` for
+    * every document with ≥ 1 token; zero-token documents have no
+    * defined surprisal and drop. Per-doc values round at r6 so
+    * downstream aggregates see engine-identical inputs.
+    */
+  def surprisal(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    import docs.sparkSession.implicits._
+    val toks = docs.select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+    val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt")).cache()
+    val total = lm.agg(coalesce(sum(col("cnt")), lit(0L))).as[Long].head()
+    toks.join(lm, "tok")
+      .groupBy(col("doc_id"))
+      .agg(r6(avg(-log(col("cnt") / lit(total.toDouble)))).as("nats"))
+  }
+
+  private val q100 = Q(
+    "q100_unigram_surprisal",
+    (s, d) => {
+      import s.implicits._
+      val docs = spread(t(s, d, "documents"))
+      surprisal(docs.select($"doc_id", $"text"))
+        .join(docs.select($"doc_id", $"source"), "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          r4(avg($"nats")).as("avg_nats"),
+          r4(max($"nats")).as("max_nats"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, source, unnest($toksSqlDuck) AS tok
+                    FROM documents),
+      lm AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM lm),
+      sc AS (SELECT doc_id, source,
+               round(avg(-ln(cnt / (SELECT total FROM tot))), 6) AS nats
+             FROM toks JOIN lm USING (tok)
+             GROUP BY doc_id, source)
+      SELECT source, count(*) AS n_docs,
+             round(avg(nats), 4) AS avg_nats,
+             round(max(nats), 4) AS max_nats
+      FROM sc
+      GROUP BY source
+      ORDER BY source"""))
+
   /** The curation FUNNEL — the composition a corpus-curation user
     * actually runs: every document flows through the five standard
     * gates in order (language-ID = 'en' → composite quality ≥ 0.5 →
@@ -819,7 +889,7 @@ final class TextOps(tuning: graft.config.Tuning) {
       ORDER BY id"""))
 
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q65, q66, q92,
-    q99)
+    q99, q100)
 }
 
 object TextOps {

@@ -140,6 +140,50 @@ class CorpusIngestSpec extends SparkTestBase {
     }
   }
 
+  test("redact mode keeps a PII-bearing good document with REDACTED bytes in every store") {
+    withTempRoot {
+      import spark.implicits._
+      val dir = writeCorpus()
+      val ing = new CorpusIngest(knobs)
+      val bpe = new Bpe(knobs)
+      val search = new Search(knobs)
+
+      val dirty = s"$text1 contact mail bob@example.org for details"
+      val clean = s"$text1 contact mail <EMAIL> for details"
+      val batch = Seq((200L, dirty)).toDF("doc_id", "text")
+
+      // without redaction the PII gate drops it wholesale
+      assert(ing.ingestBatch(spark, dir, batch).kept == 0L)
+
+      // with redaction it is kept and every store holds REDACTED bytes
+      val r = ing.ingestBatch(spark, dir, batch, redact = true)
+      assert(r.kept == 1L && r.dedupInstalled && r.shardsInstalled &&
+        r.bm25Installed && r.runsInstalled)
+      // the shard sequence is the redacted text's, not the dirty one's
+      val stored = bpe.shardDocSeqs(spark, dir).filter($"doc_id" === 200L)
+        .collect().map(_.getAs[scala.collection.Seq[Int]]("token_ids"))
+      val servedClean = bpe.serveTokenize(spark, dir,
+          Seq((200L, clean)).toDF("id", "text"))
+        .collect().map(_.getAs[scala.collection.Seq[Int]]("token_ids"))
+      val servedDirty = bpe.serveTokenize(spark, dir,
+          Seq((200L, dirty)).toDF("id", "text"))
+        .collect().map(_.getAs[scala.collection.Seq[Int]]("token_ids"))
+      assert(stored.length == 1 && stored.head == servedClean.head)
+      assert(stored.head != servedDirty.head)
+      // BM25 finds the marker token, never the address
+      assert(search.serveBm25(spark, dir, Seq("<email>"))
+        .collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(200L))
+      assert(search.serveBm25(spark, dir, Seq("bob@example.org"))
+        .collect().isEmpty)
+
+      // replay of the redacted batch no-ops everywhere (content keys
+      // derive from the redacted bytes)
+      val r2 = ing.ingestBatch(spark, dir, batch, redact = true)
+      assert(r2.kept == 1L && !r2.dedupInstalled && !r2.shardsInstalled &&
+        !r2.bm25Installed && !r2.runsInstalled)
+    }
+  }
+
   test("streamed batches fan out under one checkpoint; a cross-run replay no-ops everywhere") {
     withTempRoot {
       import spark.implicits._
