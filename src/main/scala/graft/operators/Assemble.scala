@@ -368,5 +368,63 @@ final class Assemble(val tuning: graft.config.Tuning) extends Serializable {
                       AND h.h = kept.h
       ORDER BY h.source, h.doc_id"""))
 
-  val all: Seq[Q] = Seq(q37, q57, q58, q59, q39, q77)
+  /** q102: temperature-based mixture reweighting — the sampling-weight
+    * arithmetic behind multilingual/multi-source training mixes
+    * (PaLM/LLaMA style): per-source token shares p_i are flattened to
+    * w_i ∝ p_i^α (α = 0.7 — the published multilingual default; α = 1
+    * is proportional, α = 0 uniform), and each source's expected
+    * EPOCHS under a two-total-corpus-pass token budget is
+    * w_i · B / t_i with B = 2·Σt — the number a mixture designer
+    * actually reads (an epoch count ≫ 1 flags upsampling-driven
+    * memorization risk on small sources). All arithmetic happens on
+    * one source-count aggregate (20 rows here, O(sources) anywhere);
+    * the only corpus-sized work is the token count, one
+    * map-side-combinable aggregate. Engine parity: both engines
+    * compute pow on identical doubles derived from exact integer
+    * counts; only the FINAL columns round (r6/r4), the house float
+    * contract.
+    */
+  private val q102 = Q(
+    "q102_mixture_temperature",
+    (s, d) => {
+      import s.implicits._
+      val counts = t(s, d, "documents")
+        .select($"source", explode(expr(toksExpr)).as("tok"))
+        .groupBy($"source").agg(count(lit(1)).as("n_tokens"))
+        .cache() // the scalar totals and the final projection share it
+      val tot = counts.agg(coalesce(sum($"n_tokens"), lit(0L)))
+        .as[Long].head().toDouble
+      val zAgg = counts
+        .agg(sum(pow($"n_tokens" / lit(tot), 0.7))).as[Double].head()
+      counts
+        .withColumn("raw_share", $"n_tokens" / lit(tot))
+        .withColumn("weight", pow($"raw_share", 0.7) / lit(zAgg))
+        .select($"source", $"n_tokens",
+          r6($"raw_share").as("raw_share"),
+          r6($"weight").as("weight"),
+          r4($"weight" * lit(2.0 * tot) / $"n_tokens").as("epochs"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH c AS (SELECT source, count(*) AS n_tokens
+                 FROM (SELECT source, unnest($toksSqlDuck) AS tok
+                       FROM documents)
+                 GROUP BY source),
+      tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM c),
+      z AS (SELECT sum(pow(n_tokens / (SELECT t FROM tot), 0.7)) AS z
+            FROM c),
+      w AS (SELECT source, n_tokens,
+              n_tokens / (SELECT t FROM tot) AS raw_share,
+              pow(n_tokens / (SELECT t FROM tot), 0.7) / (SELECT z FROM z)
+                AS weight
+            FROM c)
+      SELECT source, n_tokens,
+             round(raw_share, 6) AS raw_share,
+             round(weight, 6) AS weight,
+             round(weight * 2.0 * (SELECT t FROM tot) / n_tokens, 4)
+               AS epochs
+      FROM w
+      ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(q37, q57, q58, q59, q39, q77, q102)
 }

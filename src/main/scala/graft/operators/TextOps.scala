@@ -588,6 +588,62 @@ final class TextOps(tuning: graft.config.Tuning) {
       GROUP BY source
       ORDER BY source"""))
 
+  /** q101: TF-IDF keyword extraction — the top-3 most characteristic
+    * terms per document (term frequency × inverse document frequency,
+    * the standing relevance weight BM25 smooths), for a deterministic
+    * document slice. Ranking happens on the ROUNDED score (r6) with
+    * the term as tie-break, so both engines rank identical values —
+    * raw-double ordering would let a ULP of `ln` flip two near-equal
+    * ranks.
+    *
+    * Scale shape: df is one corpus-wide map-side-combinable aggregate
+    * over distinct (doc, term) pairs; N is the 1-row scalar; tf is
+    * computed over the SLICE only (filter before the explode — the
+    * window ranks slice×terms, never the corpus); the df join
+    * broadcasts under AQE while the vocabulary fits.
+    */
+  private val q101 = Q(
+    "q101_tfidf_keywords",
+    (s, d) => {
+      import s.implicits._
+      val docs = spread(t(s, d, "documents"))
+      val toks = docs.select($"doc_id", explode(expr(toksExpr)).as("term"))
+      val df = toks.distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df")).cache()
+      val nDocs = toks.select($"doc_id").distinct().count()
+      val tf = toks.filter($"doc_id" % 25 === 0)
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(df, "term")
+        .withColumn("score",
+          r6($"tf" * log(lit(nDocs.toDouble) / $"df")))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"doc_id")
+            .orderBy($"score".desc, $"term")).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank", $"term", $"score")
+        .orderBy($"doc_id", $"rank")
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, unnest($toksSqlDuck) AS term
+                    FROM documents),
+      df AS (SELECT term, count(*) AS df
+             FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+      n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+            FROM toks),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE doc_id % 25 = 0 GROUP BY doc_id, term),
+      sc AS (SELECT doc_id, term,
+               round(tf * ln((SELECT n_docs FROM n) / df), 6) AS score
+             FROM tf JOIN df USING (term)),
+      rk AS (SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rank
+             FROM sc)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+      FROM rk WHERE rank <= 3
+      ORDER BY doc_id, rank"""))
+
   /** The curation FUNNEL — the composition a corpus-curation user
     * actually runs: every document flows through the five standard
     * gates in order (language-ID = 'en' → composite quality ≥ 0.5 →
@@ -889,7 +945,7 @@ final class TextOps(tuning: graft.config.Tuning) {
       ORDER BY id"""))
 
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q65, q66, q92,
-    q99, q100)
+    q99, q100, q101)
 }
 
 object TextOps {
