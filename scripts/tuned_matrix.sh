@@ -53,8 +53,11 @@ run a q40,q41,q43,q44,q45,q47,q48,q49,q67,q68 \
 # bpePretok=1 composes the THIRD text knob — GPT-2 regex
 # pretokenization on every BPE surface, exercised on the contraction
 # fixture by q96/q97 and composed here with NFC + escape + the bounded
-# training view)
-run b q29,q31,q32,q33,q35,q38,q39,q59,q69,q72,q73,q77,q78,q79,q81,q82,q83,q84,q86,q87,q88,q89,q90,q91,q93,q94,q95,q96,q97 \
+# training view; q98's interchange round trip re-exports/re-imports
+# under the full composed text-knob stack; q100/q101/q102/q103
+# interpolate NFC through the shared tokenizer — q99 is knob-free but
+# rides along as the text tier's newest gate)
+run b q29,q31,q32,q33,q35,q38,q39,q59,q69,q72,q73,q77,q78,q79,q81,q82,q83,q84,q86,q87,q88,q89,q90,q91,q93,q94,q95,q96,q97,q98,q99,q100,q101,q102,q103 \
   GRAFT_TUNING_CC_EDGE_JACCARD=0.3 GRAFT_TUNING_MINHASH_BANDS=4 \
   GRAFT_TUNING_MINHASH_ROWS=4 GRAFT_TUNING_DF_CAP=50 \
   GRAFT_TUNING_SOURCE_QUOTA=7 GRAFT_TUNING_KMV_K=128 \

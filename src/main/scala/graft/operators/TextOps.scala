@@ -588,6 +588,145 @@ final class TextOps(tuning: graft.config.Tuning) {
       GROUP BY source
       ORDER BY source"""))
 
+  // ------------------------------------------------------------------
+  // STORED corpus LM + served surprisal (q103): every tier's serve
+  // pattern applied to the quality scorer — the unigram counts become
+  // a stored artifact (built once, ArtifactLake staged-rename, keyed
+  // on corpus path + content fingerprint + the tokenization knob), and
+  // ad-hoc batches are scored against the FROZEN corpus distribution
+  // with Laplace (add-one) smoothing, so out-of-vocabulary tokens get
+  // a defined (maximal) surprisal instead of an infinity. This is the
+  // production shape: filter incoming crawl batches against the
+  // reference corpus's LM, not against their own (a batch of uniform
+  // gibberish is self-fluent under train-on-self).
+  // ------------------------------------------------------------------
+
+  @transient private lazy val lmRoot: String =
+    sys.props.getOrElse("graft.index.dir",
+      s"${sys.props("java.io.tmpdir")}/graft-index")
+
+  private[operators] def lmPath(d: String): String = {
+    val knobs = (if (nfcOn) "nfc" else "raw") + ":v1"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((new java.io.File(d).getCanonicalPath + ":" + knobs)
+        .getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val fp = ArtifactLake.fingerprint(
+      new java.io.File(s"$d/documents.parquet"))
+    s"$lmRoot/lm-$key-$fp-v1"
+  }
+
+  private val lmReady = scala.collection.mutable.HashSet[String]()
+
+  /** Install-or-reuse the corpus LM artifact: `counts` (token →
+    * corpus frequency — vocabulary-sized, Heaps-law bounded) and
+    * `totals` (one row: total token instances + vocabulary size, the
+    * Laplace denominator's ingredients). Deterministic build, so
+    * losing an install race is success; [[TextOps.lmBuilds]] is the
+    * spec hook proving replays are no-ops. Counts are ADDITIVE across
+    * id-disjoint corpora, so a delta-segment DML lifecycle (the BM25
+    * stats recipe) needs no new math if this store ever takes it.
+    */
+  def ensureLm(s: org.apache.spark.sql.SparkSession, d: String): String = synchronized {
+    val p = lmPath(d)
+    if (lmReady.contains(p)) return p
+    val built = ArtifactLake.ensure(new java.io.File(p)) { staging =>
+      val root = staging.getAbsolutePath
+      val toks = spread(t(s, d, "documents"))
+        .select(explode(expr(toksExpr)).as("tok"))
+      val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // two consumers: the dump + the totals
+      lm.coalesce(1).write.mode("overwrite").parquet(s"$root/counts")
+      lm.agg(coalesce(sum(col("cnt")), lit(0L)).as("total_tokens"),
+          count(lit(1)).as("vocab"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/totals")
+    }
+    if (built) TextOps.lmBuilds.incrementAndGet()
+    lmReady += p
+    p
+  }
+
+  /** Score an ad-hoc `(id BIGINT, text STRING)` batch against the
+    * STORED corpus LM: per document, the mean Laplace-smoothed token
+    * surprisal −ln((cnt + 1) / (T + V + 1)) in nats — out-of-corpus
+    * tokens (cnt = 0) score the maximal defined surprisal. Returns
+    * `(id, n_tokens, nats)`; zero-token documents keep a NULL score
+    * (no tokens, no mean). Serving never retrains: a fresh session
+    * reads the artifact.
+    *
+    * Scale shape: one explode over the batch, one left join against
+    * the vocabulary-sized stored counts (AQE-broadcast while it fits,
+    * else a single shuffle on `tok`), one per-id aggregate; the totals
+    * are a 1-row read.
+    */
+  def serveSurprisal(s: org.apache.spark.sql.SparkSession, d: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val p = ensureLm(s, d)
+    val lm = s.read.parquet(s"$p/counts")
+    val tv = s.read.parquet(s"$p/totals").head()
+    val denom = tv.getAs[Long]("total_tokens").toDouble +
+      tv.getAs[Long]("vocab").toDouble + 1.0
+    val sc = docs.select(col("id"), explode(expr(toksExpr)).as("tok"))
+      .join(lm, Seq("tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        r6(avg(-log((coalesce(col("cnt"), lit(0L)) + lit(1L)) /
+          lit(denom)))).as("nats"))
+    docs.select(col("id"))
+      .join(sc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("nats"))
+  }
+
+  /** q103: the served quality scorer under the gate — a pinned probe
+    * batch (a corpus slice plus synthetic texts: one out-of-corpus
+    * gibberish probe that must score near the OOV ceiling, one empty)
+    * scored through [[serveSurprisal]]'s STORED artifact, while the
+    * oracle re-derives the LM, the Laplace denominator, and every
+    * probe's mean surprisal from the raw `documents` table. A wrong
+    * stored count, a smoothing slip, or an OOV mishandled all
+    * hash-mismatch.
+    */
+  private val q103 = Q(
+    "q103_serve_surprisal",
+    (s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents")
+        .filter($"doc_id" % 100 === 7)
+        .select($"doc_id".as("id"), $"text")
+      val synth = Seq(
+        (900000001L, "the quick brown fox and a zzgibberish qqparade"),
+        (900000002L, "zzxqv wwyzk jjqrp"),
+        (900000003L, "")).toDF("id", "text")
+      serveSurprisal(s, d, corpus.unionByName(synth))
+        .orderBy($"id")
+    },
+    Some(s"""
+      WITH toks AS (SELECT unnest($toksSqlDuck) AS tok FROM documents),
+      lm AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      den AS (SELECT CAST(count(*) AS DOUBLE) +
+                     CAST(count(DISTINCT tok) AS DOUBLE) + 1.0 AS denom
+              FROM toks),
+      probes AS (SELECT doc_id AS id, text FROM documents
+                 WHERE doc_id % 100 = 7
+                 UNION ALL
+                 SELECT * FROM (VALUES
+                   (CAST(900000001 AS BIGINT),
+                    'the quick brown fox and a zzgibberish qqparade'),
+                   (CAST(900000002 AS BIGINT), 'zzxqv wwyzk jjqrp'),
+                   (CAST(900000003 AS BIGINT), '')) v(id, text)),
+      ptk AS (SELECT id, unnest($toksSqlDuck) AS tok FROM probes),
+      sc AS (SELECT id, count(*) AS n_tokens,
+               round(avg(-ln((coalesce(cnt, 0) + 1) /
+                 (SELECT denom FROM den))), 6) AS nats
+             FROM ptk LEFT JOIN lm USING (tok)
+             GROUP BY id)
+      SELECT p.id, CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+             sc.nats
+      FROM probes p LEFT JOIN sc USING (id)
+      ORDER BY id"""))
+
   /** q101: TF-IDF keyword extraction — the top-3 most characteristic
     * terms per document (term frequency × inverse document frequency,
     * the standing relevance weight BM25 smooths), for a deterministic
@@ -945,7 +1084,7 @@ final class TextOps(tuning: graft.config.Tuning) {
       ORDER BY id"""))
 
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q65, q66, q92,
-    q99, q100, q101)
+    q99, q100, q101, q103)
 }
 
 object TextOps {
@@ -953,6 +1092,13 @@ object TextOps {
     * rationale) backing the static serving face.
     */
   lazy val default = new TextOps(graft.config.Tuning.current)
+
+  /** LM-artifact observability counter (the [[Bpe.shardBuilds]]
+    * pattern): incremented only when THIS process performs the build —
+    * the spec hook proving replay is a no-op.
+    */
+  private[operators] val lmBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Static face of the streaming curation gates — session-default
     * knobs; tuned pipelines call the instance method.

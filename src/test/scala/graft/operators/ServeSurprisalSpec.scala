@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.config.Tuning
+import org.apache.spark.sql.functions._
+
+/** The stored corpus LM + served surprisal ([[TextOps.ensureLm]] /
+  * [[TextOps.serveSurprisal]]): Laplace values hand-computed against a
+  * tiny corpus, the OOV ceiling, zero-token NULLs, and build-once
+  * replay through the artifact counter.
+  */
+class ServeSurprisalSpec extends SparkTestBase {
+  private val ops = new TextOps(Tuning())
+
+  private def withTempRoot[A](body: => A): A = {
+    val root = java.nio.file.Files.createTempDirectory("graft-lm")
+    val prev = sys.props.get("graft.index.dir")
+    sys.props("graft.index.dir") = root.toString
+    try body
+    finally prev match {
+      case Some(v) => sys.props("graft.index.dir") = v
+      case None => sys.props -= "graft.index.dir"
+    }
+  }
+
+  private def writeCorpus(docs: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-lm-corpus").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Laplace-smoothed values are exact; OOV scores the ceiling; empty is NULL") {
+    withTempRoot {
+      import spark.implicits._
+      // corpus: a=3, b=1 → T=4, V=2, denom = 7
+      val dir = writeCorpus(Seq((0L, "a a a"), (1L, "b")))
+      // a fresh TextOps so the lmReady memo can't mask the store read
+      val out = new TextOps(Tuning()).serveSurprisal(spark, dir, Seq(
+          (10L, "a"), (11L, "zz"), (12L, "a zz"), (13L, ""))
+        .toDF("id", "text"))
+        .select($"id", $"n_tokens", $"nats")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .toMap
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val pa = -math.log(4.0 / 7.0)  // (3+1)/7
+      val poov = -math.log(1.0 / 7.0) // (0+1)/7 — the OOV ceiling
+      assert(out(10L) == (1L, Some(r6(pa))))
+      assert(out(11L) == (1L, Some(r6(poov))))
+      assert(out(12L) == (2L, Some(r6((pa + poov) / 2))))
+      assert(out(13L) == (0L, None))
+      // OOV is the MAXIMAL defined surprisal: above every seen token
+      assert(poov > pa)
+    }
+  }
+
+  test("the LM builds once; replays and fresh sessions reuse the artifact") {
+    withTempRoot {
+      import spark.implicits._
+      val dir = writeCorpus(Seq((0L, "x y z"), (1L, "x x")))
+      val before = TextOps.lmBuilds.get()
+      val probe = Seq((1L, "x")).toDF("id", "text")
+      val first = ops.serveSurprisal(spark, dir, probe).collect()
+      assert(TextOps.lmBuilds.get() == before + 1)
+      // same instance (memo) AND a fresh instance (disk marker): no-op
+      ops.serveSurprisal(spark, dir, probe).collect()
+      val again = new TextOps(Tuning()).serveSurprisal(spark, dir, probe)
+        .collect()
+      assert(TextOps.lmBuilds.get() == before + 1)
+      assert(first.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    }
+  }
+}
