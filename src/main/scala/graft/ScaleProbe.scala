@@ -67,7 +67,7 @@ object ScaleProbe {
         //   PII redaction (99), surprisal (100), tf-idf (101), and
         //   mixture temperature (102)
         Set(72, 73, 77, 78, 79, 80, 81, 82, 83, 84, 85, 86, 87, 88, 89,
-          90, 91, 92, 93, 94, 95, 96, 97, 98, 99, 100, 101, 102)
+          90, 91, 92, 93, 94, 95, 96, 97, 98, 99, 100, 101, 102, 103)
           .contains(num)
     }.toSeq.sorted
     val builds = Seq("q69_minhash_index_build", "q67_ivf_pq_index_build")
