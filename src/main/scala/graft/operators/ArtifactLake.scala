@@ -233,4 +233,97 @@ private[operators] object ArtifactLake {
     val w = new java.io.PrintWriter(f, "UTF-8")
     try lines.foreach(w.println) finally w.close()
   }
+
+  // ------------------------------------------------------------------
+  // The shared DML recipe pieces (hoisted from the search stores so
+  // every gen+adds lake — BM25, runs, and the corpus LM — composes the
+  // SAME segment arithmetic instead of re-deriving it per store).
+  // ------------------------------------------------------------------
+
+  /** Content key + envelope of a normalized `(doc_id, text)` batch —
+    * the [[Bpe!.addShardDocs]] recipe: ONE aggregate pass derives an
+    * order-independent 128-bit key (NULL text hashed through an
+    * explicit is-null flag), the id envelope for the prunable conflict
+    * scan, and the batch size. None for an empty batch; duplicate
+    * in-batch ids fail loudly.
+    */
+  private[operators] def batchKey(
+      norm: org.apache.spark.sql.DataFrame, op: String)
+      : Option[(String, Long, Long, Long)] = {
+    val st = norm.selectExpr(
+      "count(1) as cnt", "count(distinct doc_id) as dcnt",
+      "min(doc_id) as lo", "max(doc_id) as hi",
+      "bit_xor(xxhash64(doc_id, isnull(text), coalesce(text, ''))) as h1",
+      "bit_xor(xxhash64(coalesce(text, ''), isnull(text), doc_id)) as h2").head()
+    val cnt = st.getAs[Long]("cnt")
+    if (cnt == 0L) None
+    else {
+      require(st.getAs[Long]("dcnt") == cnt,
+        s"$op: duplicate doc_id within the batch")
+      Some((f"${st.getAs[Long]("h1")}%016x${st.getAs[Long]("h2")}%016x",
+        st.getAs[Long]("lo"), st.getAs[Long]("hi"), cnt))
+    }
+  }
+
+  /** Union of one table across layer roots, skipping layers where the
+    * table is absent-or-empty (a `partitionBy` write of zero rows
+    * leaves no readable files). None iff no layer holds it.
+    */
+  private[operators] def layerUnion(s: org.apache.spark.sql.SparkSession,
+      roots: Seq[String], table: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val dirs = roots.map(r => new java.io.File(r, table))
+      .filter(hasParquet)
+    if (dirs.isEmpty) None
+    else Some(dirs.map(f => s.read.parquet(f.getAbsolutePath))
+      .reduce(_ unionByName _))
+  }
+
+  /** The fold skeleton shared by every gen+adds store's compaction:
+    * name the new generation from the cumulative consumed set, install
+    * it via the staged-rename [[ensure]], let `fold` write the folded
+    * tables from the overlay roots, and record `consumed.txt`. Returns
+    * true iff THIS call installed a generation.
+    */
+  private[operators] def compactStore(p: String)(
+      fold: (Seq[String], String) => Unit): Boolean = {
+    val v = deltaView(p)
+    if (v.adds.isEmpty) return false
+    val consumed = (v.consumed ++ v.adds.map(_.getName)).toSeq.sorted
+    val seq = v.gen.map(_.getName.drop(4).takeWhile(_ != '-').toInt)
+      .getOrElse(0) + 1
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(consumed.mkString("|").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val target = new java.io.File(f"$p/gens/gen-$seq%05d-$key")
+    if (new java.io.File(target, "_SUCCESS").isFile) return false
+    ensure(target) { staging =>
+      fold(v.overlays.map(_.getAbsolutePath), staging.getAbsolutePath)
+      staging.mkdirs()
+      writeLines(new java.io.File(staging, "consumed.txt"), consumed)
+    }
+  }
+
+  /** The id-conflict guard shared by the stores' DML: ids the lake
+    * already holds (base ∪ generation ∪ unconsumed segments, each
+    * layer's `docs` table) intersected with the batch, pruned to the
+    * batch's [lo, hi] envelope so the scan is parquet-stats-prunable.
+    * Fails loudly on conflict; driver memory held is ≤ 8 ids.
+    */
+  private[operators] def guardIds(s: org.apache.spark.sql.SparkSession,
+      p: String, norm: org.apache.spark.sql.DataFrame,
+      lo: Long, hi: Long, cnt: Long, op: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val v = deltaView(p)
+    val taken = layerUnion(s, p +: v.overlays.map(_.getAbsolutePath), "docs")
+      .get // the base always writes docs (cnt ≥ 0 rows is still a table)
+      .select(col("doc_id")).filter(col("doc_id").between(lo, hi))
+    val idsDf = norm.select(col("doc_id"))
+    val probe = if (cnt <= 1000000L) broadcast(idsDf) else idsDf
+    import s.implicits._
+    val dup = taken.join(probe, "doc_id").select(col("doc_id")).distinct()
+      .orderBy(col("doc_id")).limit(8).as[Long].collect()
+    require(dup.isEmpty,
+      s"$op: doc ids already indexed: ${dup.mkString(", ")}")
+  }
 }

@@ -15,8 +15,9 @@ import graft.config.Tuning
   *     `shardDocSeqs`/`serveTokenize`)
   *   - the BM25 inverted index ([[Search.addBm25Docs]] → `serveBm25`)
   *   - the runs postings ([[Search.addRunsDocs]] → `serveRuns`)
+  *   - the corpus LM ([[TextOps.addLmDocs]] → `serveSurprisal`)
   *
-  * so "a crawl batch arrived" is ONE call, not four store-specific
+  * so "a crawl batch arrived" is ONE call, not five store-specific
   * wires that can drift apart.
   *
   * Delivery composes because every store is independently
@@ -27,9 +28,9 @@ import graft.config.Tuning
   * names, the rest install, and the batch converges with every store
   * holding it exactly once (CorpusIngestSpec kills the pipeline
   * between stores and replays). The curation gate runs BEFORE the fan-
-  * out, so a rejected document reaches no store at all, and all four
+  * out, so a rejected document reaches no store at all, and all five
   * stores agree on doc ids and bytes by construction (one kept frame,
-  * persisted once, feeds all four adds).
+  * persisted once, feeds all five adds).
   */
 final class CorpusIngest(tuning: Tuning) extends Serializable {
   @transient private lazy val textOps = new TextOps(tuning)
@@ -42,9 +43,9 @@ final class CorpusIngest(tuning: Tuning) extends Serializable {
     */
   final case class BatchResult(kept: Long, dedupInstalled: Boolean,
     shardsInstalled: Boolean, bm25Installed: Boolean,
-    runsInstalled: Boolean)
+    runsInstalled: Boolean, lmInstalled: Boolean)
 
-  /** Curate one batch and fan the kept docs into all four stores.
+  /** Curate one batch and fan the kept docs into all five stores.
     * `batch` needs `doc_id` (castable to LONG) and `text` (STRING).
     * Idempotent per store — safe to re-run on replay.
     *
@@ -71,17 +72,18 @@ final class CorpusIngest(tuning: Tuning) extends Serializable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = kept.count()
-      if (n == 0L) BatchResult(0L, false, false, false, false)
+      if (n == 0L) BatchResult(0L, false, false, false, false, false)
       else BatchResult(n,
         dedup.addDocs(s, d, kept),
         bpe.addShardDocs(s, d, kept),
         search.addBm25Docs(s, d, kept),
-        search.addRunsDocs(s, d, kept))
+        search.addRunsDocs(s, d, kept),
+        textOps.addLmDocs(s, d, kept))
     } finally { kept.unpersist(); () }
   }
 
   /** Continuous composed ingest — [[ingestBatch]] per micro-batch
-    * under ONE checkpoint, so the four stores share a single replay
+    * under ONE checkpoint, so the five stores share a single replay
     * domain. Upstream owns id-uniqueness across batches (the per-store
     * contracts); a cross-batch duplicate id fails the query loudly in
     * whichever store sees it first.

@@ -256,89 +256,6 @@ final class Search(tuning: Tuning) {
     bm25Ready += p
   }
 
-  /** Content key + envelope of a normalized `(doc_id, text)` batch —
-    * the [[Bpe!.addShardDocs]] recipe shared by both search stores'
-    * DML: ONE aggregate pass derives an order-independent 128-bit key
-    * (NULL text hashed through an explicit is-null flag), the id
-    * envelope for the prunable conflict scan, and the batch size.
-    * None for an empty batch; duplicate in-batch ids fail loudly.
-    */
-  private def batchKey(norm: DataFrame, op: String)
-      : Option[(String, Long, Long, Long)] = {
-    val st = norm.selectExpr(
-      "count(1) as cnt", "count(distinct doc_id) as dcnt",
-      "min(doc_id) as lo", "max(doc_id) as hi",
-      "bit_xor(xxhash64(doc_id, isnull(text), coalesce(text, ''))) as h1",
-      "bit_xor(xxhash64(coalesce(text, ''), isnull(text), doc_id)) as h2").head()
-    val cnt = st.getAs[Long]("cnt")
-    if (cnt == 0L) None
-    else {
-      require(st.getAs[Long]("dcnt") == cnt,
-        s"$op: duplicate doc_id within the batch")
-      Some((f"${st.getAs[Long]("h1")}%016x${st.getAs[Long]("h2")}%016x",
-        st.getAs[Long]("lo"), st.getAs[Long]("hi"), cnt))
-    }
-  }
-
-  /** Union of one table across layer roots, skipping layers where the
-    * table is absent-or-empty (a `partitionBy` write of zero rows
-    * leaves no readable files). None iff no layer holds it.
-    */
-  private def layerUnion(s: SparkSession, roots: Seq[String],
-      table: String): Option[DataFrame] = {
-    val dirs = roots.map(r => new java.io.File(r, table))
-      .filter(ArtifactLake.hasParquet)
-    if (dirs.isEmpty) None
-    else Some(dirs.map(f => s.read.parquet(f.getAbsolutePath))
-      .reduce(_ unionByName _))
-  }
-
-  /** The fold skeleton shared by both stores' compaction: name the new
-    * generation from the cumulative consumed set, install it via the
-    * staged-rename [[ArtifactLake.ensure]], let `fold` write the folded
-    * tables from the overlay roots, and record `consumed.txt`. Returns
-    * true iff THIS call installed a generation.
-    */
-  private def compactStore(p: String)(
-      fold: (Seq[String], String) => Unit): Boolean = {
-    val v = ArtifactLake.deltaView(p)
-    if (v.adds.isEmpty) return false
-    val consumed = (v.consumed ++ v.adds.map(_.getName)).toSeq.sorted
-    val seq = v.gen.map(_.getName.drop(4).takeWhile(_ != '-').toInt)
-      .getOrElse(0) + 1
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(consumed.mkString("|").getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    val target = new java.io.File(f"$p/gens/gen-$seq%05d-$key")
-    if (new java.io.File(target, "_SUCCESS").isFile) return false
-    ArtifactLake.ensure(target) { staging =>
-      fold(v.overlays.map(_.getAbsolutePath), staging.getAbsolutePath)
-      staging.mkdirs()
-      ArtifactLake.writeLines(new java.io.File(staging, "consumed.txt"), consumed)
-    }
-  }
-
-  /** The id-conflict guard shared by both stores' DML: ids the lake
-    * already holds (base ∪ generation ∪ unconsumed segments, each
-    * layer's `docs` table) intersected with the batch, pruned to the
-    * batch's [lo, hi] envelope so the scan is parquet-stats-prunable.
-    * Fails loudly on conflict; driver memory held is ≤ 8 ids.
-    */
-  private def guardIds(s: SparkSession, p: String, norm: DataFrame,
-      lo: Long, hi: Long, cnt: Long, op: String): Unit = {
-    import s.implicits._
-    val v = ArtifactLake.deltaView(p)
-    val taken = layerUnion(s, p +: v.overlays.map(_.getAbsolutePath), "docs")
-      .get // the base always writes docs (cnt ≥ 0 rows is still a table)
-      .select($"doc_id").filter($"doc_id".between(lo, hi))
-    val idsDf = norm.select($"doc_id")
-    val probe = if (cnt <= 1000000L) broadcast(idsDf) else idsDf
-    val dup = taken.join(probe, "doc_id").select($"doc_id").distinct()
-      .orderBy($"doc_id").limit(8).as[Long].collect()
-    require(dup.isEmpty,
-      s"$op: doc ids already indexed: ${dup.mkString(", ")}")
-  }
-
   // ------------------------------------------------------------------
   // BM25 DML: the shard lake's segment recipe ([[Bpe.addShardDocs]])
   // applied to the LAST rebuild-whole search artifact. A new batch's
@@ -366,14 +283,14 @@ final class Search(tuning: Tuning) {
         "cast(doc_id as bigint) as doc_id", "cast(text as string) as text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      batchKey(norm, "addBm25Docs") match {
+      ArtifactLake.batchKey(norm, "addBm25Docs") match {
         case None => false
         case Some((key, lo, hi, cnt)) =>
           if (ArtifactLake.deltaView(p).consumed.contains(s"add-$key"))
             return false
           val target = new java.io.File(s"$p/deltas/add-$key")
           if (new java.io.File(target, "_SUCCESS").isFile) return false
-          guardIds(s, p, norm, lo, hi, cnt, "addBm25Docs")
+          ArtifactLake.guardIds(s, p, norm, lo, hi, cnt, "addBm25Docs")
           val nFiles = math.min(64L, math.max(1L, (cnt + 65535L) / 65536L)).toInt
           val installed = ArtifactLake.ensure(target) { staging =>
             writeBm25Layer(staging.getAbsolutePath, bm25DocView(norm),
@@ -415,21 +332,21 @@ final class Search(tuning: Tuning) {
   def compactBm25Index(s: SparkSession, d: String): Boolean = synchronized {
     import s.implicits._
     ensureBm25Index(s, d)
-    val installed = compactStore(bm25Path(d)) { (roots, out) =>
-      layerUnion(s, roots, "postings").foreach(
+    val installed = ArtifactLake.compactStore(bm25Path(d)) { (roots, out) =>
+      ArtifactLake.layerUnion(s, roots, "postings").foreach(
         _.write.mode("overwrite").partitionBy("tkb").parquet(s"$out/postings"))
-      layerUnion(s, roots, "termdf").foreach(
+      ArtifactLake.layerUnion(s, roots, "termdf").foreach(
         _.groupBy($"tk").agg(sum($"df").as("df"))
           .withColumn("tkb", pmod(md5Long($"tk"), lit(bm25Buckets)).cast("int"))
           .write.mode("overwrite").partitionBy("tkb").parquet(s"$out/termdf"))
-      layerUnion(s, roots, "stats").foreach(
+      ArtifactLake.layerUnion(s, roots, "stats").foreach(
         _.agg(
             sum($"n_docs").as("n_docs"),
             (sum($"sum_dl") / sum($"n_dl")).as("avgdl"),
             sum($"n_dl").as("n_dl"),
             sum($"sum_dl").as("sum_dl"))
           .coalesce(1).write.mode("overwrite").parquet(s"$out/stats"))
-      layerUnion(s, roots, "docs").foreach(
+      ArtifactLake.layerUnion(s, roots, "docs").foreach(
         _.write.mode("overwrite").parquet(s"$out/docs"))
     }
     if (installed) Search.bm25Compactions.incrementAndGet()
@@ -506,7 +423,7 @@ final class Search(tuning: Tuning) {
     }
     val overlayRoots = v.overlays.map(_.getAbsolutePath)
     val posts = pruned((s.read.parquet(s"$p/postings") +:
-        layerUnion(s, overlayRoots, "postings").toSeq)
+        ArtifactLake.layerUnion(s, overlayRoots, "postings").toSeq)
       .reduce(_ unionByName _))
     val (dfT, stats) =
       if (v.baseOnly)
@@ -514,10 +431,10 @@ final class Search(tuning: Tuning) {
           s.read.parquet(s"$p/stats").select($"n_docs", $"avgdl"))
       else {
         val df = pruned((s.read.parquet(s"$p/termdf") +:
-            layerUnion(s, overlayRoots, "termdf").toSeq)
+            ArtifactLake.layerUnion(s, overlayRoots, "termdf").toSeq)
           .reduce(_ unionByName _))
           .groupBy($"tk").agg(sum($"df").as("df"))
-        val st = layerUnion(s, p +: overlayRoots, "stats").get
+        val st = ArtifactLake.layerUnion(s, p +: overlayRoots, "stats").get
           .agg(sum($"n_docs").as("n_docs"),
             (sum($"sum_dl") / sum($"n_dl")).as("avgdl"))
         (df, st)
@@ -880,14 +797,14 @@ final class Search(tuning: Tuning) {
         "cast(doc_id as bigint) as doc_id", "cast(text as string) as text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      batchKey(norm, "addRunsDocs") match {
+      ArtifactLake.batchKey(norm, "addRunsDocs") match {
         case None => false
         case Some((key, lo, hi, cnt)) =>
           if (ArtifactLake.deltaView(p).consumed.contains(s"add-$key"))
             return false
           val target = new java.io.File(s"$p/deltas/add-$key")
           if (new java.io.File(target, "_SUCCESS").isFile) return false
-          guardIds(s, p, norm, lo, hi, cnt, "addRunsDocs")
+          ArtifactLake.guardIds(s, p, norm, lo, hi, cnt, "addRunsDocs")
           val nFiles = math.min(64L, math.max(1L, (cnt + 65535L) / 65536L)).toInt
           val installed = ArtifactLake.ensure(target) { staging =>
             writeRunsLayer(staging.getAbsolutePath, norm,
@@ -927,14 +844,14 @@ final class Search(tuning: Tuning) {
   def compactRunsIndex(s: SparkSession, d: String): Boolean = synchronized {
     import s.implicits._
     ensureRunsIndex(s, d)
-    val installed = compactStore(runsPath(d)) { (roots, out) =>
-      layerUnion(s, roots, "postings").foreach(
+    val installed = ArtifactLake.compactStore(runsPath(d)) { (roots, out) =>
+      ArtifactLake.layerUnion(s, roots, "postings").foreach(
         _.write.mode("overwrite").partitionBy("hb").parquet(s"$out/postings"))
-      layerUnion(s, roots, "df").foreach(
+      ArtifactLake.layerUnion(s, roots, "df").foreach(
         _.groupBy($"h").agg(sum($"df").as("df"))
           .withColumn("hb", pmod($"h", lit(runsBuckets)).cast("int"))
           .write.mode("overwrite").partitionBy("hb").parquet(s"$out/df"))
-      layerUnion(s, roots, "docs").foreach(
+      ArtifactLake.layerUnion(s, roots, "docs").foreach(
         _.write.mode("overwrite").parquet(s"$out/docs"))
     }
     if (installed) Search.runsCompactions.incrementAndGet()
@@ -1030,7 +947,7 @@ final class Search(tuning: Tuning) {
       else {
         val overlayRoots = v.overlays.map(_.getAbsolutePath)
         val allPosts = (basePosts +:
-            layerUnion(s, overlayRoots, "postings")
+            ArtifactLake.layerUnion(s, overlayRoots, "postings")
               .map(o => prunedH(o)).toSeq)
           .map(_.select($"doc_id", $"pos", $"h"))
           .reduce(_ unionByName _)
@@ -1039,7 +956,7 @@ final class Search(tuning: Tuning) {
         // corpus pushed past dfCap drops from EVERY layer's rows here
         // exactly as a from-scratch rebuild drops it at build
         val alive = (prunedH(s.read.parquet(s"$p/df")) +:
-            layerUnion(s, overlayRoots, "df").map(o => prunedH(o)).toSeq)
+            ArtifactLake.layerUnion(s, overlayRoots, "df").map(o => prunedH(o)).toSeq)
           .map(_.select($"h", $"df"))
           .reduce(_ unionByName _)
           .groupBy($"h").agg(sum($"df").as("df"))

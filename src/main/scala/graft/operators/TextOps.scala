@@ -606,7 +606,9 @@ final class TextOps(tuning: graft.config.Tuning) {
       s"${sys.props("java.io.tmpdir")}/graft-index")
 
   private[operators] def lmPath(d: String): String = {
-    val knobs = (if (nfcOn) "nfc" else "raw") + ":v1"
+    // v2: the artifact is a DML-able delta store — a `docs(doc_id)`
+    // table backs the [[addLmDocs]] id guard
+    val knobs = (if (nfcOn) "nfc" else "raw") + ":v2"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((new java.io.File(d).getCanonicalPath + ":" + knobs)
         .getBytes("UTF-8"))
@@ -640,11 +642,125 @@ final class TextOps(tuning: graft.config.Tuning) {
       lm.agg(coalesce(sum(col("cnt")), lit(0L)).as("total_tokens"),
           count(lit(1)).as("vocab"))
         .coalesce(1).write.mode("overwrite").parquet(s"$root/totals")
+      spread(t(s, d, "documents")).select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$root/docs")
     }
     if (built) TextOps.lmBuilds.incrementAndGet()
     lmReady += p
     p
   }
+
+  /** Append a batch of NEW documents (`doc_id` castable to LONG,
+    * `text` STRING) to the stored corpus LM as one delta segment —
+    * the [[graft.operators.Search!.addBm25Docs]] recipe applied to the
+    * quality scorer's store: the batch's token counts, its
+    * total-tokens partial, and its doc ids land content-keyed under
+    * `deltas/add-<key>`; counts are ADDITIVE across id-disjoint
+    * layers, so a served score after DML equals a from-scratch LM
+    * over corpus ∪ batches (LmDmlSpec pins collect-equality). Returns
+    * true iff THIS call installed the segment; replays no-op via the
+    * content key (consumed names first — a vacuumed segment's bytes
+    * live on in its generation); a different batch claiming held ids
+    * fails loudly; auto-folds past
+    * [[graft.config.Tuning.storeMaxSegments]].
+    */
+  def addLmDocs(s: org.apache.spark.sql.SparkSession, d: String,
+      docs: org.apache.spark.sql.DataFrame): Boolean = synchronized {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val p = ensureLm(s, d)
+    val norm = docs.selectExpr(
+        "cast(doc_id as bigint) as doc_id", "cast(text as string) as text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ArtifactLake.batchKey(norm, "addLmDocs") match {
+        case None => false
+        case Some((key, lo, hi, cnt)) =>
+          if (ArtifactLake.deltaView(p).consumed.contains(s"add-$key"))
+            return false
+          val target = new java.io.File(s"$p/deltas/add-$key")
+          if (new java.io.File(target, "_SUCCESS").isFile) return false
+          ArtifactLake.guardIds(s, p, norm, lo, hi, cnt, "addLmDocs")
+          val nFiles =
+            math.min(64L, math.max(1L, (cnt + 65535L) / 65536L)).toInt
+          val installed = ArtifactLake.ensure(target) { staging =>
+            val root = staging.getAbsolutePath
+            val cnts = norm.select(explode(expr(toksExpr)).as("tok"))
+              .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+              .localCheckpoint(true) // two consumers: counts + totals
+            cnts.coalesce(1).write.mode("overwrite")
+              .parquet(s"$root/counts")
+            cnts.agg(coalesce(sum(col("cnt")), lit(0L)).as("total_tokens"),
+                count(lit(1)).as("vocab"))
+              .coalesce(1).write.mode("overwrite").parquet(s"$root/totals")
+            norm.select(col("doc_id")).repartition(nFiles)
+              .write.mode("overwrite").parquet(s"$root/docs")
+          }
+          if (installed) {
+            TextOps.lmAdds.incrementAndGet()
+            if (ArtifactLake.deltaView(p).adds.length >
+                tuning.storeMaxSegments) {
+              compactLm(s, d); ()
+            }
+          }
+          installed
+      }
+    } finally { norm.unpersist(); () }
+  }
+
+  /** Continuous document ingest into the LM store — [[addLmDocs]]
+    * attached to any streaming frame with `doc_id`/`text` columns, one
+    * delta segment per non-empty micro-batch. Effectively-once: a
+    * replayed micro-batch reproduces its content key and no-ops.
+    */
+  def ingestLmStream(d: String, stream: org.apache.spark.sql.DataFrame,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        addLmDocs(batch.sparkSession, d,
+          batch.select(col("doc_id"), col("text")))
+        ()
+      }
+      .start()
+
+  /** Fold the previous generation and every unconsumed LM segment into
+    * ONE new generation — counts summed by token, totals re-derived
+    * from the folded counts (vocabulary is NOT additive across layers:
+    * shared tokens collapse), docs unioned. Sized to the DML'd docs;
+    * the immutable base is never re-read.
+    */
+  def compactLm(s: org.apache.spark.sql.SparkSession, d: String): Boolean =
+    synchronized {
+      ensureLm(s, d)
+      val installed = ArtifactLake.compactStore(lmPath(d)) { (roots, out) =>
+        ArtifactLake.layerUnion(s, roots, "counts").foreach { u =>
+          val folded = u.groupBy(col("tok")).agg(sum(col("cnt")).as("cnt"))
+            .localCheckpoint(true)
+          folded.coalesce(1).write.mode("overwrite").parquet(s"$out/counts")
+          folded.agg(
+              coalesce(sum(col("cnt")), lit(0L)).as("total_tokens"),
+              count(lit(1)).as("vocab"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$out/totals")
+        }
+        ArtifactLake.layerUnion(s, roots, "docs").foreach(
+          _.write.mode("overwrite").parquet(s"$out/docs"))
+      }
+      if (installed) TextOps.lmCompactions.incrementAndGet()
+      installed
+    }
+
+  /** Maintenance-window reclamation for the LM store: consumed
+    * segments + superseded generations
+    * ([[ArtifactLake.vacuumStore]]'s cumulative-fold guarantee).
+    * Returns dirs removed.
+    */
+  def vacuumLm(s: org.apache.spark.sql.SparkSession, d: String): Int =
+    synchronized {
+      ensureLm(s, d)
+      ArtifactLake.vacuumStore(lmPath(d))
+    }
 
   /** Score an ad-hoc `(id BIGINT, text STRING)` batch against the
     * STORED corpus LM: per document, the mean Laplace-smoothed token
@@ -663,10 +779,30 @@ final class TextOps(tuning: graft.config.Tuning) {
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val p = ensureLm(s, d)
-    val lm = s.read.parquet(s"$p/counts")
-    val tv = s.read.parquet(s"$p/totals").head()
-    val denom = tv.getAs[Long]("total_tokens").toDouble +
-      tv.getAs[Long]("vocab").toDouble + 1.0
+    // layer recomposition: counts are additive across id-disjoint
+    // layers (base ∪ generation ∪ unconsumed segments); base-only
+    // serving keeps the stored-totals fast path (one 1-row read, no
+    // aggregate job) — the bit-stability path q103 pins
+    val v = ArtifactLake.deltaView(p)
+    val lm =
+      if (v.baseOnly) s.read.parquet(s"$p/counts")
+      else ArtifactLake.layerUnion(s,
+          p +: v.overlays.map(_.getAbsolutePath), "counts").get
+        .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt"))
+    val denom = {
+      val (total, vocab) =
+        if (v.baseOnly) {
+          val tv = s.read.parquet(s"$p/totals").head()
+          (tv.getAs[Long]("total_tokens"), tv.getAs[Long]("vocab"))
+        } else {
+          // T sums exactly; V must come from the RECOMPOSED counts
+          // (vocabulary is not additive — shared tokens collapse)
+          val tv = lm.agg(coalesce(sum(col("cnt")), lit(0L)).as("t"),
+            count(lit(1)).as("v")).head()
+          (tv.getAs[Long]("t"), tv.getAs[Long]("v"))
+        }
+      total.toDouble + vocab.toDouble + 1.0
+    }
     val sc = docs.select(col("id"), explode(expr(toksExpr)).as("tok"))
       .join(lm, Seq("tok"), "left")
       .groupBy(col("id"))
@@ -1098,6 +1234,15 @@ object TextOps {
     * the spec hook proving replay is a no-op.
     */
   private[operators] val lmBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** DML observability twins ([[Bpe.shardAdds]] pattern): segments
+    * installed / generations folded, incremented only when THIS
+    * process performed the install.
+    */
+  private[operators] val lmAdds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[operators] val lmCompactions =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Static face of the streaming curation gates — session-default

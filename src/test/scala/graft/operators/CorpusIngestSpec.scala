@@ -90,12 +90,13 @@ class CorpusIngestSpec extends SparkTestBase {
       val r = ing.ingestBatch(spark, dir, batch)
       assert(r.kept == 1L)
       assert(!r.dedupInstalled, "the already-updated store must no-op")
-      assert(r.shardsInstalled && r.bm25Installed && r.runsInstalled)
+      assert(r.shardsInstalled && r.bm25Installed && r.runsInstalled &&
+        r.lmInstalled)
 
       // a FULL replay no-ops in every store
       val r2 = ing.ingestBatch(spark, dir, batch)
       assert(r2.kept == 1L && !r2.dedupInstalled && !r2.shardsInstalled &&
-        !r2.bm25Installed && !r2.runsInstalled)
+        !r2.bm25Installed && !r2.runsInstalled && !r2.lmInstalled)
 
       // …and the SAME document is served by all four faces:
       // (1) near-dup — an identical-text probe matches doc 100
@@ -115,6 +116,14 @@ class CorpusIngestSpec extends SparkTestBase {
         .collect().map(_.getAs[Long]("doc_id"))
       assert(bm.toSeq == Seq(100L))
       // (4) runs — a probe carrying the 16-token span reports doc 100
+      // (5) corpus LM — the ingested doc's vocabulary lowers the served
+      // surprisal of its unique term below the OOV ceiling
+      val lmOut = new TextOps(knobs).serveSurprisal(spark, dir,
+          Seq((910L, "curation"), (911L, "zzneverseen")).toDF("id", "text"))
+        .collect().map(r0 => r0.getAs[Long]("id") ->
+          r0.getAs[Double]("nats")).toMap
+      assert(lmOut(910L) < lmOut(911L),
+        "the ingested term must be in-vocabulary for the served LM")
       val rr = search.serveRuns(spark, dir,
           Seq((901L, span16)).toDF("id", "text"))
         .collect().map(_.getAs[Long]("doc_id"))
@@ -158,7 +167,7 @@ class CorpusIngestSpec extends SparkTestBase {
       // with redaction it is kept and every store holds REDACTED bytes
       val r = ing.ingestBatch(spark, dir, batch, redact = true)
       assert(r.kept == 1L && r.dedupInstalled && r.shardsInstalled &&
-        r.bm25Installed && r.runsInstalled)
+        r.bm25Installed && r.runsInstalled && r.lmInstalled)
       // the shard sequence is the redacted text's, not the dirty one's
       val stored = bpe.shardDocSeqs(spark, dir).filter($"doc_id" === 200L)
         .collect().map(_.getAs[scala.collection.Seq[Int]]("token_ids"))
@@ -180,7 +189,7 @@ class CorpusIngestSpec extends SparkTestBase {
       // derive from the redacted bytes)
       val r2 = ing.ingestBatch(spark, dir, batch, redact = true)
       assert(r2.kept == 1L && !r2.dedupInstalled && !r2.shardsInstalled &&
-        !r2.bm25Installed && !r2.runsInstalled)
+        !r2.bm25Installed && !r2.runsInstalled && !r2.lmInstalled)
     }
   }
 
@@ -202,7 +211,8 @@ class CorpusIngestSpec extends SparkTestBase {
         finally q.stop()
       }
 
-      val counters = Seq(Bpe.shardAdds, Search.bm25Adds, Search.runsAdds)
+      val counters = Seq(Bpe.shardAdds, Search.bm25Adds, Search.runsAdds,
+        TextOps.lmAdds)
       val before = counters.map(_.get())
       run(Seq(100L -> text1))
       assert(counters.map(_.get()) == before.map(_ + 1),
