@@ -304,6 +304,51 @@ private[operators] object ArtifactLake {
     }
   }
 
+  /** The complete add-segment orchestration shared by the gen+adds
+    * stores' DML faces: normalize + persist the batch, derive its
+    * content key, no-op on consumed/installed replays, run the id
+    * guard, install the layer via the staged rename (the layer writer
+    * receives the normalized batch, the staging root, and a
+    * batch-proportional file count), bump the store's observability
+    * counter, and auto-fold past `maxSegments`. ONE definition for all
+    * three stores (BM25, runs, corpus LM), so a lifecycle fix cannot
+    * land in one store and drift in the others.
+    */
+  private[operators] def dmlAdd(s: org.apache.spark.sql.SparkSession,
+      p: String, docs: org.apache.spark.sql.DataFrame, op: String,
+      maxSegments: Int,
+      counter: java.util.concurrent.atomic.AtomicInteger)(
+      writeLayer: (org.apache.spark.sql.DataFrame, String, Int) => Unit)(
+      compact: () => Unit): Boolean = {
+    val norm = docs.selectExpr(
+        "cast(doc_id as bigint) as doc_id", "cast(text as string) as text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      batchKey(norm, op) match {
+        case None => false
+        case Some((key, lo, hi, cnt)) =>
+          // the retry no-op precedes the id guard: a re-sent batch
+          // carries already-indexed ids by definition. Consumed names
+          // first — a vacuumed segment's bytes live on in its
+          // generation, so its replay must still no-op
+          if (deltaView(p).consumed.contains(s"add-$key")) return false
+          val target = new java.io.File(s"$p/deltas/add-$key")
+          if (new java.io.File(target, "_SUCCESS").isFile) return false
+          guardIds(s, p, norm, lo, hi, cnt, op)
+          val nFiles =
+            math.min(64L, math.max(1L, (cnt + 65535L) / 65536L)).toInt
+          val installed = ensure(target) { staging =>
+            writeLayer(norm, staging.getAbsolutePath, nFiles)
+          }
+          if (installed) {
+            counter.incrementAndGet()
+            if (deltaView(p).adds.length > maxSegments) compact()
+          }
+          installed
+      }
+    } finally { norm.unpersist(); () }
+  }
+
   /** The id-conflict guard shared by the stores' DML: ids the lake
     * already holds (base ∪ generation ∪ unconsumed segments, each
     * layer's `docs` table) intersected with the batch, pruned to the

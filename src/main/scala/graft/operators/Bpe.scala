@@ -110,7 +110,12 @@ object Bpe {
         var rank = 0L
         src.getLines().zipWithIndex.foreach { case (raw, ln) =>
           val line = if (raw.endsWith("\r")) raw.dropRight(1) else raw
-          if (line.nonEmpty && !line.startsWith("#")) {
+          // only the FIRST line can be the `#version` header — a later
+          // line starting with '#' is a real merge rule whose left
+          // token begins with '#' (the published GPT-2 merges.txt has
+          // them), and silently dropping it would corrupt every
+          // segmentation that rule participates in
+          if (line.nonEmpty && !(ln == 0 && line.startsWith("#"))) {
             val sp = line.indexOf(' ')
             if (sp <= 0 || sp == line.length - 1 ||
                 line.indexOf(' ', sp + 1) >= 0)

@@ -238,7 +238,8 @@ object Multimodal {
       var i = 2
       while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
         val marker = b(i + 1) & 0xff
-        if (marker == 0xd9 || marker == 0xda) return None  // EOI/SOS: no SOF seen
+        if (marker == 0xff) i += 1 // B.1.1.2 fill byte before a marker
+        else if (marker == 0xd9 || marker == 0xda) return None  // EOI/SOS: no SOF seen
         else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
         else {
           val len = u16(i + 2)
@@ -505,7 +506,8 @@ object Multimodal {
       var i = 2
       while (scanAt < 0 && i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
         val marker = b(i + 1) & 0xff
-        if (marker == 0xd9) return None // EOI before SOS
+        if (marker == 0xff) i += 1 // B.1.1.2 fill byte before a marker
+        else if (marker == 0xd9) return None // EOI before SOS
         else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
         else {
           val len = u16(i + 2)
@@ -636,11 +638,13 @@ object Multimodal {
 
     /** Format-sniffing decode: real parsers first, [[opaque]] as the
       * last resort — the production dispatch shape (one instance per
-      * partition via `mapPartitions`). JPEG is header-only (dimensions
-      * + hash — entropy decoding needs a codec): its stills don't join
-      * the q61 frame sample or the q62 resize. PNG decodes fully
-      * ([[pngRaster]]: real zlib inflation + de-filter) and joins
-      * both pixel tiers.
+      * partition via `mapPartitions`). PNG decodes fully
+      * ([[pngRaster]]: real zlib inflation + de-filter) and JPEG
+      * decodes through the baseline-grayscale entropy path
+      * ([[jpegRaster]]: canonical Huffman + DPCM + zigzag dequant +
+      * IDCT) — both join the q61 frame sample and the q62 resize;
+      * anything outside a decoder's profile degrades to the opaque
+      * record, never a throw.
       */
     def decode(rec: MediaRecord): MediaMeta =
       decodePpm(rec).orElse(decodeWav(rec)).orElse(decodePng(rec))

@@ -216,13 +216,12 @@ final class Search(tuning: Tuning) {
     * `nFiles` bounds a batch-sized segment's file count (None = the
     * corpus build keeps the scan's parallelism).
     */
-  private def writeBm25Layer(root: String, docsIn: DataFrame,
+  private def writeBm25Layer(root: String, docs: DataFrame,
       nFiles: Option[Int]): Unit = {
-    val s = docsIn.sparkSession
+    val s = docs.sparkSession
     import s.implicits._
     def sized(df: DataFrame): DataFrame =
       nFiles.map(df.repartition(_)).getOrElse(df)
-    val docs = docsIn
     docs.agg(
         count(lit(1)).cast("double").as("n_docs"),
         avg($"dl").as("avgdl"),
@@ -278,33 +277,11 @@ final class Search(tuning: Tuning) {
   def addBm25Docs(s: SparkSession, d: String, docs: DataFrame): Boolean = synchronized {
     graft.functions.GraftFunctions.ensureRegistered(s)
     ensureBm25Index(s, d)
-    val p = bm25Path(d)
-    val norm = docs.selectExpr(
-        "cast(doc_id as bigint) as doc_id", "cast(text as string) as text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      ArtifactLake.batchKey(norm, "addBm25Docs") match {
-        case None => false
-        case Some((key, lo, hi, cnt)) =>
-          if (ArtifactLake.deltaView(p).consumed.contains(s"add-$key"))
-            return false
-          val target = new java.io.File(s"$p/deltas/add-$key")
-          if (new java.io.File(target, "_SUCCESS").isFile) return false
-          ArtifactLake.guardIds(s, p, norm, lo, hi, cnt, "addBm25Docs")
-          val nFiles = math.min(64L, math.max(1L, (cnt + 65535L) / 65536L)).toInt
-          val installed = ArtifactLake.ensure(target) { staging =>
-            writeBm25Layer(staging.getAbsolutePath, bm25DocView(norm),
-              Some(nFiles))
-          }
-          if (installed) {
-            Search.bm25Adds.incrementAndGet()
-            if (ArtifactLake.deltaView(p).adds.length > tuning.storeMaxSegments) {
-              compactBm25Index(s, d); ()
-            }
-          }
-          installed
-      }
-    } finally norm.unpersist()
+    ArtifactLake.dmlAdd(s, bm25Path(d), docs, "addBm25Docs",
+      tuning.storeMaxSegments, Search.bm25Adds)(
+      (norm, root, nFiles) =>
+        writeBm25Layer(root, bm25DocView(norm), Some(nFiles)))(
+      () => { compactBm25Index(s, d); () })
   }
 
   /** Continuous document ingest into the BM25 index — [[addBm25Docs]]
@@ -792,33 +769,11 @@ final class Search(tuning: Tuning) {
   def addRunsDocs(s: SparkSession, d: String, docs: DataFrame): Boolean = synchronized {
     graft.functions.GraftFunctions.ensureRegistered(s)
     ensureRunsIndex(s, d)
-    val p = runsPath(d)
-    val norm = docs.selectExpr(
-        "cast(doc_id as bigint) as doc_id", "cast(text as string) as text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      ArtifactLake.batchKey(norm, "addRunsDocs") match {
-        case None => false
-        case Some((key, lo, hi, cnt)) =>
-          if (ArtifactLake.deltaView(p).consumed.contains(s"add-$key"))
-            return false
-          val target = new java.io.File(s"$p/deltas/add-$key")
-          if (new java.io.File(target, "_SUCCESS").isFile) return false
-          ArtifactLake.guardIds(s, p, norm, lo, hi, cnt, "addRunsDocs")
-          val nFiles = math.min(64L, math.max(1L, (cnt + 65535L) / 65536L)).toInt
-          val installed = ArtifactLake.ensure(target) { staging =>
-            writeRunsLayer(staging.getAbsolutePath, norm,
-              capped = false, Some(nFiles))
-          }
-          if (installed) {
-            Search.runsAdds.incrementAndGet()
-            if (ArtifactLake.deltaView(p).adds.length > tuning.storeMaxSegments) {
-              compactRunsIndex(s, d); ()
-            }
-          }
-          installed
-      }
-    } finally norm.unpersist()
+    ArtifactLake.dmlAdd(s, runsPath(d), docs, "addRunsDocs",
+      tuning.storeMaxSegments, Search.runsAdds)(
+      (norm, root, nFiles) =>
+        writeRunsLayer(root, norm, capped = false, Some(nFiles)))(
+      () => { compactRunsIndex(s, d); () })
   }
 
   /** Continuous document ingest into the runs postings —

@@ -424,9 +424,13 @@ final class TextOps(tuning: graft.config.Tuning) {
     * PII-bearing documents wholesale).
     */
   def redactPii(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // the NULL guard is explicit, not via coalesce over size(NULL):
+    // under spark.sql.legacy.sizeOfNull (non-ANSI sessions a library
+    // caller may bring) size(NULL) is -1, not NULL, and the counts
+    // would read -1 per family instead of the documented 0
     def cnt(c: org.apache.spark.sql.Column, p: String) =
-      coalesce(size(regexp_extract_all(c, lit(p), lit(0))).cast("long"),
-        lit(0L))
+      when(c.isNull, lit(0L))
+        .otherwise(size(regexp_extract_all(c, lit(p), lit(0))).cast("long"))
     docs
       .withColumn("n_urls", cnt(col("text"), urlPat))
       .withColumn("red_t1", regexp_replace(col("text"), urlPat, "<URL>"))
@@ -552,7 +556,11 @@ final class TextOps(tuning: graft.config.Tuning) {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     import docs.sparkSession.implicits._
     val toks = docs.select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
-    val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt")).cache()
+    // localCheckpoint, not cache(): this is a repeatedly-callable
+    // library face, and CacheManager entries would accumulate one LM
+    // per call for the session lifetime (the ensureLm pattern)
+    val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // two consumers: the total + the join
     val total = lm.agg(coalesce(sum(col("cnt")), lit(0L))).as[Long].head()
     toks.join(lm, "tok")
       .groupBy(col("doc_id"))
@@ -668,43 +676,20 @@ final class TextOps(tuning: graft.config.Tuning) {
       docs: org.apache.spark.sql.DataFrame): Boolean = synchronized {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val p = ensureLm(s, d)
-    val norm = docs.selectExpr(
-        "cast(doc_id as bigint) as doc_id", "cast(text as string) as text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      ArtifactLake.batchKey(norm, "addLmDocs") match {
-        case None => false
-        case Some((key, lo, hi, cnt)) =>
-          if (ArtifactLake.deltaView(p).consumed.contains(s"add-$key"))
-            return false
-          val target = new java.io.File(s"$p/deltas/add-$key")
-          if (new java.io.File(target, "_SUCCESS").isFile) return false
-          ArtifactLake.guardIds(s, p, norm, lo, hi, cnt, "addLmDocs")
-          val nFiles =
-            math.min(64L, math.max(1L, (cnt + 65535L) / 65536L)).toInt
-          val installed = ArtifactLake.ensure(target) { staging =>
-            val root = staging.getAbsolutePath
-            val cnts = norm.select(explode(expr(toksExpr)).as("tok"))
-              .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-              .localCheckpoint(true) // two consumers: counts + totals
-            cnts.coalesce(1).write.mode("overwrite")
-              .parquet(s"$root/counts")
-            cnts.agg(coalesce(sum(col("cnt")), lit(0L)).as("total_tokens"),
-                count(lit(1)).as("vocab"))
-              .coalesce(1).write.mode("overwrite").parquet(s"$root/totals")
-            norm.select(col("doc_id")).repartition(nFiles)
-              .write.mode("overwrite").parquet(s"$root/docs")
-          }
-          if (installed) {
-            TextOps.lmAdds.incrementAndGet()
-            if (ArtifactLake.deltaView(p).adds.length >
-                tuning.storeMaxSegments) {
-              compactLm(s, d); ()
-            }
-          }
-          installed
-      }
-    } finally { norm.unpersist(); () }
+    ArtifactLake.dmlAdd(s, p, docs, "addLmDocs",
+      tuning.storeMaxSegments, TextOps.lmAdds)(
+      { (norm, root, nFiles) =>
+        val cnts = norm.select(explode(expr(toksExpr)).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true) // two consumers: counts + totals
+        cnts.coalesce(1).write.mode("overwrite").parquet(s"$root/counts")
+        cnts.agg(coalesce(sum(col("cnt")), lit(0L)).as("total_tokens"),
+            count(lit(1)).as("vocab"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/totals")
+        norm.select(col("doc_id")).repartition(nFiles)
+          .write.mode("overwrite").parquet(s"$root/docs")
+      })(
+      () => { compactLm(s, d); () })
   }
 
   /** Continuous document ingest into the LM store — [[addLmDocs]]
@@ -789,6 +774,9 @@ final class TextOps(tuning: graft.config.Tuning) {
       else ArtifactLake.layerUnion(s,
           p +: v.overlays.map(_.getAbsolutePath), "counts").get
         .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt"))
+        // two consumers below (the denominator aggregate + the scoring
+        // join) — materialize the multi-layer recomposition once
+        .localCheckpoint(true)
     val denom = {
       val (total, vocab) =
         if (v.baseOnly) {

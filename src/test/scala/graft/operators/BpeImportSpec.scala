@@ -61,6 +61,20 @@ class BpeImportSpec extends SparkTestBase {
     assert(v == Seq("t" -> 0, "h" -> 1, "e" -> 2, "th" -> 3, "the" -> 4))
   }
 
+  test("only the FIRST line is a header: a rule whose left token starts with '#' parses") {
+    // the published GPT-2 merges.txt contains rules like '# #'; only
+    // line 1 may be the #version header
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-import-hash").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "merges.txt"),
+      "#version: 0.2\n# #\n## x\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "vocab.json"), "{}")
+    val (m, _) = Bpe.importTokenizer(dir)
+    assert(m == Seq((1L, "#", "#", "##", 0L), (2L, "##", "x", "##x", 0L)))
+  }
+
   test("importTokenizer rejects a malformed merges line, naming it") {
     val dir =
       java.nio.file.Files.createTempDirectory("graft-import-bad").toString

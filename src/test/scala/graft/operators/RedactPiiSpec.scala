@@ -63,6 +63,22 @@ class RedactPiiSpec extends SparkTestBase {
     assert(out(3L) == (Some(""), 0L))
   }
 
+  test("NULL counts stay 0 even under legacy sizeOfNull (non-ANSI sessions)") {
+    import spark.implicits._
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    try {
+      val out = ops.redactPii(
+        Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+        .select($"n_pii").head.getLong(0)
+      assert(out == 0L, "legacy size(NULL) = -1 must not leak into counts")
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+      spark.conf.unset("spark.sql.legacy.sizeOfNull")
+    }
+  }
+
   test("unrelated columns pass through; the plan builds on a streaming source") {
     import spark.implicits._
     val batch = ops.redactPii(
