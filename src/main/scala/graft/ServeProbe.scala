@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   *    cost is their df, which grows with the corpus: the honest
   *    stopword bound, expected α ≈ 1 but far below a corpus re-scan);
   *  - `bmtail`: 8 TAIL-rank terms (sparse lists — the prune claim:
-  *    the scan reads the touched slices, never the corpus).
+  *    the scan reads the touched slices, never the corpus);
+  *  - `surprisal`: the same pinned batch against the stored corpus
+  *    LM ([[graft.operators.TextOps!.serveSurprisal]] — the corpus-LM
+  *    quality scorer joins the ladder with the other serve faces).
   *
   * α = log10(t_big/t_small) per 10× step, per pass. Usage:
   * `scripts/run.sh graft.ServeProbe [mult ...]` (default 1 10 100
@@ -57,6 +60,7 @@ object ServeProbe {
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
 
     val search = new operators.Search(config.Tuning.current)
+    val textOps = new operators.TextOps(config.Tuning.current)
 
     def probeBatch(dir: String) = spark.read
       .parquet(s"$dir/documents.parquet")
@@ -66,7 +70,11 @@ object ServeProbe {
     def cells(dir: String): Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "runs" -> (() => search.serveRuns(spark, dir, probeBatch(dir))),
       "bmhead" -> (() => search.serveBm25(spark, dir, headTerms, 20)),
-      "bmtail" -> (() => search.serveBm25(spark, dir, tailTerms, 20)))
+      "bmtail" -> (() => search.serveBm25(spark, dir, tailTerms, 20)),
+      // r14 second half: the served LM scorer — pass 1 of the first
+      // cell carries the cold corpus-LM build (one token count), the
+      // steady passes a batch-sized probe against the broadcast counts
+      "surprisal" -> (() => textOps.serveSurprisal(spark, dir, probeBatch(dir))))
 
     // JIT warmup on a throwaway corpus (keyed by size — no collision)
     val warm = operators.SyntheticCorpus.ensureText(spark, 500, lexicon)
@@ -112,7 +120,7 @@ object ServeProbe {
 
     def jnum(v: Double): String = if (v.isNaN) "null" else num(v, 2)
     val sorted = mults.sorted
-    val names = Seq("runs", "bmhead", "bmtail")
+    val names = Seq("runs", "bmhead", "bmtail", "surprisal")
     val qJson = names.map { q =>
       val per = sorted.map { m =>
         val p = results(m)(q)
