@@ -402,7 +402,11 @@ final class Assemble(val tuning: graft.config.Tuning) extends Serializable {
         .select($"source", $"n_tokens",
           r6($"raw_share").as("raw_share"),
           r6($"weight").as("weight"),
-          r4($"weight" * lit(2.0 * tot) / $"n_tokens").as("epochs"))
+          // left-to-right as the oracle spells it (weight * 2.0 * t /
+          // n_tokens): pre-multiplying 2.0·tot on the driver associates
+          // the floats differently — a 1-ULP parity hazard under the
+          // exact-hash gate
+          r4($"weight" * lit(2.0) * lit(tot) / $"n_tokens").as("epochs"))
         .orderBy($"source")
     },
     Some(s"""

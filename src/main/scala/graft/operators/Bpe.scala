@@ -110,12 +110,13 @@ object Bpe {
         var rank = 0L
         src.getLines().zipWithIndex.foreach { case (raw, ln) =>
           val line = if (raw.endsWith("\r")) raw.dropRight(1) else raw
-          // only the FIRST line can be the `#version` header — a later
-          // line starting with '#' is a real merge rule whose left
-          // token begins with '#' (the published GPT-2 merges.txt has
-          // them), and silently dropping it would corrupt every
-          // segmentation that rule participates in
-          if (line.nonEmpty && !(ln == 0 && line.startsWith("#"))) {
+          // only a FIRST line spelled `#version…` (the published
+          // convention) is a header — any other '#'-leading line, first
+          // or later, is a real merge rule whose left token begins with
+          // '#' (the published GPT-2 merges.txt has them; a headerless
+          // file can open with one), and silently dropping it would
+          // corrupt every segmentation that rule participates in
+          if (line.nonEmpty && !(ln == 0 && line.startsWith("#version"))) {
             val sp = line.indexOf(' ')
             if (sp <= 0 || sp == line.length - 1 ||
                 line.indexOf(' ', sp + 1) >= 0)

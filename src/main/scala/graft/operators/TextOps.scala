@@ -406,7 +406,16 @@ final class TextOps(tuning: graft.config.Tuning) {
 
   private val urlPat = "[hH][tT][tT][pP][sS]?://[^\\s]+"
   private val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-  private val phonePat = "\\+[0-9][0-9() -]{7,}[0-9]"
+  // each digit is preceded by at most one optional space, one optional
+  // paren/dash, and one optional space (' (4', ') 5', '-0', ' 2' all
+  // parse; '  1' — two spaces — does not), and the match ends ON a
+  // digit, so a multi-space run can never splice two unrelated digit
+  // groups into one phone. A SINGLE space before a trailing digit
+  // group remains inherently ambiguous without lookahead
+  // ('+1 415 555 0100 10…' — ' 10' is shaped exactly like a phone
+  // group); engine-consistent either way, both sides interpolate this
+  // same string (no lookaround, RE2-safe).
+  private val phonePat = "\\+[0-9](?: ?[()-] ?[0-9]| ?[0-9]){7,}"
   private val ipPat =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 

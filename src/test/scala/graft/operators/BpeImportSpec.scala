@@ -75,6 +75,20 @@ class BpeImportSpec extends SparkTestBase {
     assert(m == Seq((1L, "#", "#", "##", 0L), (2L, "##", "x", "##x", 0L)))
   }
 
+  test("a HEADERLESS file whose first rule's left token starts with '#' keeps it") {
+    // only a first line spelled '#version…' is a header; a headerless
+    // GPT-2-style file can legitimately open with a '# #' rule, and
+    // dropping it would corrupt every segmentation it feeds
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-import-nohdr").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "merges.txt"), "# #\n## x\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "vocab.json"), "{}")
+    val (m, _) = Bpe.importTokenizer(dir)
+    assert(m == Seq((1L, "#", "#", "##", 0L), (2L, "##", "x", "##x", 0L)))
+  }
+
   test("importTokenizer rejects a malformed merges line, naming it") {
     val dir =
       java.nio.file.Files.createTempDirectory("graft-import-bad").toString

@@ -63,6 +63,19 @@ class RedactPiiSpec extends SparkTestBase {
     assert(out(3L) == (Some(""), 0L))
   }
 
+  test("a multi-space run never splices two digit groups into one phone") {
+    val out = redact(Seq(
+      // double space after the phone: the separator cap (≤ 2 between
+      // digits, match ends ON a digit) stops the match at '0100', so
+      // the following IP survives intact for the IP stage
+      (1L, "call +1 (415) 555-0100  10.1.2.3 up"),
+      // ≥3 separators inside are not a phone at all
+      (2L, "not a phone +1 (  415) 555-0100 x")))
+    assert(out(1L)._2 == "call <PHONE>  <IP> up")
+    assert(out(1L)._5 == 1 && out(1L)._6 == 1)
+    assert(out(2L)._5 == 0)
+  }
+
   test("NULL counts stay 0 even under legacy sizeOfNull (non-ANSI sessions)") {
     import spark.implicits._
     val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
