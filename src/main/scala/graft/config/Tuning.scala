@@ -203,6 +203,26 @@ final case class Tuning(
       * When enabled the effective ceiling is min(this,
       * minhashBucketCap), mirrored in the oracle SQL. */
     bandBucketCap: Int = 0,
+    /** q104-q106: maximum Hamming distance (over the 64-bit dHash) for
+      * two images to count as perceptual near-duplicates. The 4×16-bit
+      * band index catches EVERY pair at distance ≤ 3 (pigeonhole: ≤ 3
+      * flipped bits leave at least one band untouched); above 3 the
+      * verify still applies this threshold but candidate recall is
+      * probabilistic (standard LSH semantics — a pair must share one
+      * exact band to be considered). */
+    dhashMaxHamming: Int = 3,
+    /** q105/q106: max images per dHash band bucket before the bucket is
+      * dropped as non-discriminative (flat/degenerate rasters mass-
+      * collide at hash 0 — the q34 lshBucketCap rule applied to the
+      * perceptual index). */
+    dhashBandCap: Int = 64,
+    /** q107/serveSurprisal(order=2): interpolation weight λ of the
+      * bigram term in λ·P(w|prev) + (1−λ)·P₁(w) — the standard
+      * Jelinek-Mercer mix; the unigram floor keeps every token's
+      * probability positive even when the bigram is unseen. Parsed per
+      * mille (an Int knob like the rest): 700 = 0.7, the shipped
+      * default. */
+    lmLambdaPerMille: Int = 700,
     /** q86: minimum shared-run length IN TOKENS for a doc pair to be
       * reported as an exact-substring overlap. Runs shorter than the
       * 8-token window can't be observed at all, so this must be ≥ 8;
@@ -214,6 +234,9 @@ final case class Tuning(
   /** Minhash signature length — bands × rows, every row one affine
     * permutation over the 2³¹−1 prime field. */
   def sigK: Int = minhashBands * minhashRows
+
+  /** [[lmLambdaPerMille]] as the double the scorers interpolate with. */
+  def lmLambda: Double = lmLambdaPerMille / 1000.0
 
   private[graft] def validate(): Unit = {
     def pos(v: Int, name: String): Unit =
@@ -239,6 +262,11 @@ final case class Tuning(
       s"graft.tuning.bpePretok must be 0 (off) or 1 (on), got $bpePretok")
     if (bandBucketCap < 0) throw ConfigurationError(
       s"graft.tuning.bandBucketCap must be >= 0 (0 disables the cap), got $bandBucketCap")
+    if (dhashMaxHamming < 0 || dhashMaxHamming > 64) throw ConfigurationError(
+      s"graft.tuning.dhashMaxHamming must be in [0, 64], got $dhashMaxHamming")
+    pos(dhashBandCap, "dhashBandCap")
+    if (lmLambdaPerMille < 0 || lmLambdaPerMille > 1000) throw ConfigurationError(
+      s"graft.tuning.lmLambdaPerMille must be in [0, 1000], got $lmLambdaPerMille")
     if (runMinTokens < 8) throw ConfigurationError(
       s"graft.tuning.runMinTokens must be >= 8 (the shingle window width" +
         s" — shorter runs are unobservable), got $runMinTokens")
@@ -363,6 +391,9 @@ object Tuning {
       bpeEscape = knob("bpeEscape", d.bpeEscape),
       bpePretok = knob("bpePretok", d.bpePretok),
       bandBucketCap = knob("bandBucketCap", d.bandBucketCap),
+      dhashMaxHamming = knob("dhashMaxHamming", d.dhashMaxHamming),
+      dhashBandCap = knob("dhashBandCap", d.dhashBandCap),
+      lmLambdaPerMille = knob("lmLambdaPerMille", d.lmLambdaPerMille),
       runMinTokens = knob("runMinTokens", d.runMinTokens))
     t.validate()
     t

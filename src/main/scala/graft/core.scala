@@ -38,6 +38,7 @@ final class QRegistry(val tuning: graft.config.Tuning) {
     new graft.operators.Bpe(tuning).all ++
     new graft.operators.Search(tuning).all ++
     graft.operators.Multimodal.all ++
+    new graft.operators.MediaDedup(tuning).all ++
     new graft.operators.Assemble(tuning).all ++
     graft.operators.ParseOps.all
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =

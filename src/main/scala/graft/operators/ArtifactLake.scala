@@ -240,21 +240,25 @@ private[operators] object ArtifactLake {
   // SAME segment arithmetic instead of re-deriving it per store).
   // ------------------------------------------------------------------
 
-  /** Content key + envelope of a normalized `(doc_id, text)` batch —
-    * the [[Bpe!.addShardDocs]] recipe: ONE aggregate pass derives an
-    * order-independent 128-bit key (NULL text hashed through an
-    * explicit is-null flag), the id envelope for the prunable conflict
-    * scan, and the batch size. None for an empty batch; duplicate
-    * in-batch ids fail loudly.
+  /** Content key + envelope of a normalized `(doc_id, <payload>)`
+    * batch — the [[Bpe!.addShardDocs]] recipe: ONE aggregate pass
+    * derives an order-independent 128-bit key (a NULL payload hashed
+    * through an explicit is-null flag), the id envelope for the
+    * prunable conflict scan, and the batch size. None for an empty
+    * batch; duplicate in-batch ids fail loudly. `payload`/`empty`
+    * parameterize the column name and its typed empty literal (the
+    * text stores pass the defaults; the media lake hashes `blob` with
+    * a binary empty).
     */
   private[operators] def batchKey(
-      norm: org.apache.spark.sql.DataFrame, op: String)
+      norm: org.apache.spark.sql.DataFrame, op: String,
+      payload: String = "text", empty: String = "''")
       : Option[(String, Long, Long, Long)] = {
     val st = norm.selectExpr(
       "count(1) as cnt", "count(distinct doc_id) as dcnt",
       "min(doc_id) as lo", "max(doc_id) as hi",
-      "bit_xor(xxhash64(doc_id, isnull(text), coalesce(text, ''))) as h1",
-      "bit_xor(xxhash64(coalesce(text, ''), isnull(text), doc_id)) as h2").head()
+      s"bit_xor(xxhash64(doc_id, isnull($payload), coalesce($payload, $empty))) as h1",
+      s"bit_xor(xxhash64(coalesce($payload, $empty), isnull($payload), doc_id)) as h2").head()
     val cnt = st.getAs[Long]("cnt")
     if (cnt == 0L) None
     else {
@@ -317,14 +321,17 @@ private[operators] object ArtifactLake {
   private[operators] def dmlAdd(s: org.apache.spark.sql.SparkSession,
       p: String, docs: org.apache.spark.sql.DataFrame, op: String,
       maxSegments: Int,
-      counter: java.util.concurrent.atomic.AtomicInteger)(
+      counter: java.util.concurrent.atomic.AtomicInteger,
+      payloadCol: String = "text", payloadType: String = "string")(
       writeLayer: (org.apache.spark.sql.DataFrame, String, Int) => Unit)(
       compact: () => Unit): Boolean = {
+    val empty = if (payloadType == "binary") "cast('' as binary)" else "''"
     val norm = docs.selectExpr(
-        "cast(doc_id as bigint) as doc_id", "cast(text as string) as text")
+        "cast(doc_id as bigint) as doc_id",
+        s"cast($payloadCol as $payloadType) as $payloadCol")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      batchKey(norm, op) match {
+      batchKey(norm, op, payloadCol, empty) match {
         case None => false
         case Some((key, lo, hi, cnt)) =>
           // the retry no-op precedes the id guard: a re-sent batch

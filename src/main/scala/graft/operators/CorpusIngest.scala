@@ -16,8 +16,10 @@ import graft.config.Tuning
   *   - the BM25 inverted index ([[Search.addBm25Docs]] → `serveBm25`)
   *   - the runs postings ([[Search.addRunsDocs]] → `serveRuns`)
   *   - the corpus LM ([[TextOps.addLmDocs]] → `serveSurprisal`)
+  *   - the IVF-PQ vector store ([[Similarity!.addVectors]] →
+  *     `search`), when the batch carries an `embedding` column
   *
-  * so "a crawl batch arrived" is ONE call, not five store-specific
+  * so "a crawl batch arrived" is ONE call, not six store-specific
   * wires that can drift apart.
   *
   * Delivery composes because every store is independently
@@ -27,26 +29,35 @@ import graft.config.Tuning
   * guarantees: already-updated stores no-op off their keys/consumed
   * names, the rest install, and the batch converges with every store
   * holding it exactly once (CorpusIngestSpec kills the pipeline
-  * between stores and replays). The curation gate runs BEFORE the fan-
-  * out, so a rejected document reaches no store at all, and all five
-  * stores agree on doc ids and bytes by construction (one kept frame,
-  * persisted once, feeds all five adds).
+  * between stores — including between the text stores and the vector
+  * store — and replays). The curation gate runs BEFORE the fan-out,
+  * so a rejected document reaches no store at all, and every store
+  * agrees on doc ids and bytes by construction (one kept frame,
+  * persisted once, feeds every add; vec_id = doc_id).
   */
 final class CorpusIngest(tuning: Tuning) extends Serializable {
   @transient private lazy val textOps = new TextOps(tuning)
   @transient private lazy val dedup = new Dedup(tuning)
   @transient private lazy val bpe = new Bpe(tuning)
   @transient private lazy val search = new Search(tuning)
+  @transient private lazy val similarity = new Similarity(tuning)
 
   /** Install flags for one batch — which stores THIS call updated
-    * (false = empty kept set or an idempotent replay no-op).
+    * (false = empty kept set, an idempotent replay no-op, or — for
+    * the vector store — a batch that carried no `embedding` column).
     */
   final case class BatchResult(kept: Long, dedupInstalled: Boolean,
     shardsInstalled: Boolean, bm25Installed: Boolean,
-    runsInstalled: Boolean, lmInstalled: Boolean)
+    runsInstalled: Boolean, lmInstalled: Boolean,
+    vectorsInstalled: Boolean = false)
 
-  /** Curate one batch and fan the kept docs into all five stores.
-    * `batch` needs `doc_id` (castable to LONG) and `text` (STRING).
+  /** Curate one batch and fan the kept docs into every store.
+    * `batch` needs `doc_id` (castable to LONG) and `text` (STRING);
+    * when it ALSO carries `embedding` (castable to ARRAY&lt;FLOAT&gt;),
+    * the kept documents' vectors land in the IVF-PQ vector store as
+    * the sixth fan-out ([[Similarity!.addVectors]], vec_id = doc_id —
+    * one id domain across all six stores), under the same curation
+    * gate: a rejected document contributes neither text nor vector.
     * Idempotent per store — safe to re-run on replay.
     *
     * With `redact = true`, PII is REMOVED first
@@ -62,6 +73,7 @@ final class CorpusIngest(tuning: Tuning) extends Serializable {
     */
   def ingestBatch(s: SparkSession, d: String, batch: DataFrame,
       redact: Boolean = false): BatchResult = {
+    val hasEmb = batch.columns.contains("embedding")
     val input0 = batch.select(col("doc_id"), col("text"))
     val input = if (!redact) input0
       else textOps.redactPii(input0)
@@ -78,26 +90,37 @@ final class CorpusIngest(tuning: Tuning) extends Serializable {
         bpe.addShardDocs(s, d, kept),
         search.addBm25Docs(s, d, kept),
         search.addRunsDocs(s, d, kept),
-        textOps.addLmDocs(s, d, kept))
+        textOps.addLmDocs(s, d, kept),
+        // the curation gate decides for the vector too: only KEPT
+        // docs' embeddings enter the index (semi-join on the one
+        // persisted kept frame — batch-sized, never the corpus)
+        hasEmb && similarity.addVectors(s, d,
+          batch.select(col("doc_id"), col("embedding"))
+            .join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .select(col("doc_id").as("vec_id"), col("embedding"))))
     } finally { kept.unpersist(); () }
   }
 
   /** Continuous composed ingest — [[ingestBatch]] per micro-batch
-    * under ONE checkpoint, so the five stores share a single replay
-    * domain. Upstream owns id-uniqueness across batches (the per-store
-    * contracts); a cross-batch duplicate id fails the query loudly in
-    * whichever store sees it first.
+    * under ONE checkpoint, so ALL stores (the vector store included,
+    * when the stream carries `embedding`) share a single replay
+    * domain. Upstream owns id-uniqueness across batches (the
+    * per-store contracts); a cross-batch duplicate id fails the query
+    * loudly in whichever store sees it first.
     */
   def ingestAll(d: String, stream: DataFrame, checkpoint: String,
       redact: Boolean = false)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cols = Seq(col("doc_id"), col("text")) ++
+      (if (stream.columns.contains("embedding")) Seq(col("embedding"))
+       else Nil)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch.sparkSession, d,
-          batch.select(col("doc_id"), col("text")), redact)
+        ingestBatch(batch.sparkSession, d, batch.select(cols: _*), redact)
         ()
       }
       .start()
+  }
 }

@@ -1,0 +1,479 @@
+package graft.operators
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image deduplication — the dHash signature lake.
+  *
+  * Web-scale multimodal curation dedups images by PERCEPTUAL hash, not
+  * byte hash: re-encoded, resized, or one-quant-step-off copies of the
+  * same picture must collide while distinct pictures must not. The
+  * standard cheap signature is dHash (difference hash): NN-downscale
+  * the decoded raster to a 9×8 grayscale grid, compare horizontally
+  * adjacent pixels → 64 bits. It is invariant to uniform luma shifts
+  * and to any resize that preserves the gradient structure — exactly
+  * the robustness the injected near-dup fixture pairs
+  * ([[Multimodal.MediaFixtures.jpegEff]]) exercise.
+  *
+  * Storage is the engine's standard signature-lake recipe (the simhash
+  * lake's shape): a `sig(doc_id, b0..b3)` table — the 64-bit hash kept
+  * as four 16-bit bands so no sign-bit arithmetic leaks into either
+  * engine — plus a `bands(doc_id, band_key)` index (band_key =
+  * band_idx·2¹⁶ + band_value) and a `docs(doc_id)` id-guard table, all
+  * installed via [[ArtifactLake]] staged renames and DML'd as
+  * content-keyed delta segments (add / streaming ingest / compact /
+  * vacuum — the corpus-LM lifecycle).
+  *
+  * Candidate generation is multi-index banding: two images at Hamming
+  * distance ≤ 3 share at least one untouched 16-bit band (pigeonhole
+  * over 4 bands), so the default `dhashMaxHamming = 3` is EXACT; a
+  * larger threshold keeps the verify but candidate recall becomes the
+  * standard probabilistic LSH contract. Degenerate flat rasters
+  * mass-collide at hash 0 — `dhashBandCap` drops such
+  * non-discriminative buckets whole (the q34 `lshBucketCap` rule),
+  * mirrored in the oracle.
+  *
+  * At 100 TB: signatures compute data-locally beside the decoder (one
+  * compiled `mapPartitions` pass — pixels never shuffle, 4 longs per
+  * image do); the band join is an equi-join on a 16-bit-keyed index
+  * whose per-bucket fan-out the cap bounds; verify touches candidate
+  * pairs only, integer xor/popcount per pair.
+  */
+object MediaDedup {
+
+  /** Spec/observability hooks: builds/adds/compactions that actually
+    * installed an artifact (losing a race or replaying no-ops don't
+    * count).
+    */
+  val builds = new java.util.concurrent.atomic.AtomicInteger
+  val adds = new java.util.concurrent.atomic.AtomicInteger
+  val compactions = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Unified decoded raster for any blob an IMAGE decoder claims:
+    * `(w, h, channels, bytes)` — PPM sliced at its header offset, PNG
+    * through the real inflate+defilter, JPEG through the real entropy
+    * decode (RGB for color, gray for 1-component). None for audio,
+    * opaque, or out-of-profile payloads (16-bit PPM: the dHash profile
+    * is 8-bit rasters, the crawl norm).
+    */
+  def imageRaster(blob: Array[Byte]): Option[(Long, Long, Int, Array[Byte])] =
+    Multimodal.RealDecoders.ppmHeader(blob) match {
+      case Some((w, h, bps, off)) =>
+        if (bps != 1) None
+        else Some((w, h, 3, java.util.Arrays.copyOfRange(
+          blob, off, off + (w * h * 3).toInt)))
+      case None =>
+        Multimodal.RealDecoders.pngRaster(blob)
+          .map { case (w, h, px) => (w, h, 3, px) }
+          .orElse(Multimodal.RealDecoders.jpegRaster(blob))
+    }
+
+  /** 64-bit dHash of a raster as four 16-bit bands: NN-downscale to a
+    * 9-wide × 8-tall grid (source pixel (oy·h/8, ox·w/9) — the q62
+    * index map), integer luma (299r + 587g + 114b)/1000, then bit
+    * i = y·8+x set iff grid(y,x) < grid(y,x+1). Band b holds bits
+    * [16b, 16b+16) — rows 2b and 2b+1 — so a perturbation localized in
+    * image rows stays localized in bands. All-integer arithmetic: the
+    * oracle replays it exactly.
+    */
+  def dhashBands(w: Long, h: Long, ch: Int, px: Array[Byte]): Array[Int] = {
+    val g = new Array[Int](8 * 9)
+    var oy = 0
+    while (oy < 8) {
+      val sy = oy * h / 8
+      var ox = 0
+      while (ox < 9) {
+        val sx = ox * w / 9
+        val p = ((sy * w + sx) * ch).toInt
+        g(oy * 9 + ox) =
+          if (ch == 1) px(p) & 0xff
+          else (299 * (px(p) & 0xff) + 587 * (px(p + 1) & 0xff) +
+            114 * (px(p + 2) & 0xff)) / 1000
+        ox += 1
+      }
+      oy += 1
+    }
+    val bands = new Array[Int](4)
+    var bi = 0
+    while (bi < 64) {
+      val y = bi / 8; val x = bi % 8
+      if (g(y * 9 + x) < g(y * 9 + x + 1))
+        bands(bi / 16) |= 1 << (bi % 16)
+      bi += 1
+    }
+    bands
+  }
+
+  /** dHash signatures of an arbitrary `(doc_id, blob)` frame — the ONE
+    * signature implementation the lake build, the DML segments, and
+    * the ad-hoc serving batches all share. Non-image blobs emit no
+    * row. Compiled per-partition pass: pixels never leave it.
+    */
+  private[operators] def sigOf(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("blob"))
+      .as[Multimodal.MediaRecord]
+      .mapPartitions(_.flatMap { rec =>
+        imageRaster(rec.blob).map { case (w, h, ch, px) =>
+          val b = dhashBands(w, h, ch, px)
+          (rec.doc_id, b(0).toLong, b(1).toLong, b(2).toLong, b(3).toLong)
+        }
+      })
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** The banding index of a sig frame: 4 rows per image, band_key =
+    * band_idx·2¹⁶ + band_value (one BIGINT equi-join key).
+    */
+  private[operators] def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+      col("b0"),
+      col("b1") + lit(65536L),
+      col("b2") + lit(131072L),
+      col("b3") + lit(196608L))).as("band_key"))
+
+  private val ready = scala.collection.mutable.HashSet[String]()
+
+  /** The lake's keyed install path — keyed on the media fixture's path
+    * (which itself keys the sf dir + fixture version) AND its file
+    * fingerprint, so a regenerated media table can never be served a
+    * stale signature lake. Ensures the media fixture first (the
+    * fingerprint needs its files).
+    */
+  private[operators] def dhashPath(s: SparkSession, d: String): String = {
+    Multimodal.MediaLake.ensure(s, d)
+    val root = sys.props.getOrElse("graft.index.dir",
+      s"${sys.props("java.io.tmpdir")}/graft-index")
+    val mp = Multimodal.MediaLake.path(d)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(mp.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val fp = ArtifactLake.fingerprint(new java.io.File(mp))
+    s"$root/dhash-$key-$fp-v1"
+  }
+
+  /** Install-or-reuse the dHash lake over the stored media table:
+    * `sig` + `bands` + `docs` (ALL media ids, image or not — the DML
+    * id-guard domain: re-adding an audio doc's id is still a
+    * conflict). Deterministic build — losing an install race is
+    * success.
+    */
+  def ensureDhash(s: SparkSession, d: String): String = synchronized {
+    val p = dhashPath(s, d)
+    if (ready.contains(p)) return p
+    val built = ArtifactLake.ensure(new java.io.File(p)) { staging =>
+      val root = staging.getAbsolutePath
+      val media = Multimodal.MediaLake.table(s, d)
+      // two consumers (sig dump + band derivation): materialize once
+      val sig = sigOf(media).localCheckpoint(true)
+      sig.write.mode("overwrite").parquet(s"$root/sig")
+      bandsOf(sig).write.mode("overwrite").parquet(s"$root/bands")
+      media.select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$root/docs")
+    }
+    if (built) builds.incrementAndGet()
+    ready += p
+    p
+  }
+
+  /** Append a batch of NEW media documents (`doc_id` castable to LONG,
+    * `blob` BINARY) as one content-keyed delta segment — the corpus-LM
+    * DML recipe with a binary payload: replays no-op off the content
+    * key, held ids fail loudly, auto-folds past
+    * [[graft.config.Tuning.storeMaxSegments]]. Non-image blobs join
+    * `docs` (their ids are held) but emit no signature.
+    */
+  def addMedia(s: SparkSession, d: String, media: DataFrame,
+      maxSegments: Int = graft.config.Tuning.current.storeMaxSegments)
+      : Boolean = synchronized {
+    val p = ensureDhash(s, d)
+    ArtifactLake.dmlAdd(s, p, media, "addMedia", maxSegments, adds,
+      payloadCol = "blob", payloadType = "binary")(
+      { (norm, root, nFiles) =>
+        val sig = sigOf(norm).localCheckpoint(true)
+        sig.write.mode("overwrite").parquet(s"$root/sig")
+        bandsOf(sig).write.mode("overwrite").parquet(s"$root/bands")
+        norm.select(col("doc_id")).repartition(nFiles)
+          .write.mode("overwrite").parquet(s"$root/docs")
+      })(
+      () => { compactDhash(s, d); () })
+  }
+
+  /** Continuous media ingest — [[addMedia]] attached to any streaming
+    * frame with `doc_id`/`blob` columns, one delta segment per
+    * non-empty micro-batch; replayed micro-batches reproduce their
+    * content key and no-op (effectively-once).
+    */
+  def ingestMediaStream(d: String, stream: DataFrame, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        addMedia(batch.sparkSession, d,
+          batch.select(col("doc_id"), col("blob")))
+        ()
+      }
+      .start()
+
+  /** Fold the previous generation and every unconsumed segment into
+    * ONE new generation — rows are id-disjoint across layers, so the
+    * fold is a plain union per table.
+    */
+  def compactDhash(s: SparkSession, d: String): Boolean = synchronized {
+    ensureDhash(s, d)
+    val installed = ArtifactLake.compactStore(dhashPath(s, d)) { (roots, out) =>
+      Seq("sig", "bands", "docs").foreach { t =>
+        ArtifactLake.layerUnion(s, roots, t).foreach(
+          _.write.mode("overwrite").parquet(s"$out/$t"))
+      }
+    }
+    if (installed) compactions.incrementAndGet()
+    installed
+  }
+
+  /** Maintenance-window reclamation: consumed segments + superseded
+    * generations. Returns dirs removed.
+    */
+  def vacuumDhash(s: SparkSession, d: String): Int = synchronized {
+    ensureDhash(s, d)
+    ArtifactLake.vacuumStore(dhashPath(s, d))
+  }
+
+  /** One table recomposed across base ∪ generation ∪ unconsumed
+    * segments.
+    */
+  private[operators] def liveTable(s: SparkSession, d: String,
+      table: String): DataFrame = {
+    val p = ensureDhash(s, d)
+    val v = ArtifactLake.deltaView(p)
+    ArtifactLake.layerUnion(s, p +: v.overlays.map(_.getAbsolutePath), table).get
+  }
+}
+
+/** The oracle-gated query surface + serving face of the dHash lake —
+  * knob-bearing, so each [[graft.QRegistry]] builds its own.
+  */
+final class MediaDedup(tuning: graft.config.Tuning) {
+  import MediaDedup._
+
+  private def bCap = tuning.dhashBandCap
+  private def maxHam = tuning.dhashMaxHamming
+
+  /** Score an ad-hoc `(doc_id, blob)` batch against the STORED lake:
+    * fresh signatures (decode → dHash, the same compiled pass the
+    * build ran) probe the live band index — capped buckets generate no
+    * candidates — and candidates verify by exact Hamming distance
+    * against the live sig table. Returns `(probe_id, match_id,
+    * hamming)` with self-hits (same id) excluded. Serving never
+    * re-decodes the corpus: a fresh session reads the artifact.
+    */
+  def serveDhashMatches(s: SparkSession, d: String,
+      media: DataFrame): DataFrame = {
+    import s.implicits._
+    ensureDhash(s, d)
+    // two consumers (band probe + hamming verify): materialize the
+    // probe signatures once — the batch side, never the corpus
+    val probeSig = sigOf(media.select(col("doc_id"), col("blob")))
+      .localCheckpoint(true)
+    val storedBands = liveTable(s, d, "bands")
+    val over = storedBands.groupBy($"band_key")
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" > bCap).select($"band_key")
+    val ok = storedBands.join(broadcast(over), Seq("band_key"), "left_anti")
+    val cand = bandsOf(probeSig)
+      .select($"doc_id".as("probe_id"), $"band_key")
+      .join(ok.select($"doc_id".as("match_id"), $"band_key"), "band_key")
+      .filter($"probe_id" =!= $"match_id")
+      .select($"probe_id", $"match_id").distinct()
+    val pa = probeSig.select($"doc_id".as("probe_id"),
+      $"b0".as("a0"), $"b1".as("a1"), $"b2".as("a2"), $"b3".as("a3"))
+    val sb = liveTable(s, d, "sig").select($"doc_id".as("match_id"),
+      $"b0".as("c0"), $"b1".as("c1"), $"b2".as("c2"), $"b3".as("c3"))
+    cand.join(pa, "probe_id").join(sb, "match_id")
+      .withColumn("hamming", expr(
+        """CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1)
+               + bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"""))
+      .filter($"hamming" <= maxHam)
+      .select($"probe_id", $"match_id", $"hamming")
+  }
+
+  // ------------------------------------------------------------------
+  // Oracle SQL: re-derive every image's pixels arithmetically from the
+  // id (the same per-family formulas the q60-q64 oracles pin), apply
+  // the identical NN-grid / luma / bit arithmetic, and replay banding
+  // + Hamming verify in SQL. A decoder slip, a wrong NN index, or a
+  // luma rounding difference all hash-mismatch.
+  // ------------------------------------------------------------------
+
+  /** CTE chain ending in `dsig(doc_id, b0..b3)` — one row per stored
+    * IMAGE (wav/opaque excluded, as the Spark flatMap does).
+    */
+  private def dhashSigSql: String = s"""
+      dimg AS (
+        SELECT doc_id, CAST(1 + doc_id % 47 AS BIGINT) AS w,
+               CAST(1 + doc_id % 19 AS BIGINT) AS h,
+               'ppm' AS kind, doc_id AS eff, false AS nd
+        FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id, CAST(1 + doc_id % 53 AS BIGINT),
+               CAST(1 + doc_id % 29 AS BIGINT), 'png', doc_id, false
+        FROM documents WHERE doc_id % 4 = 2
+        UNION ALL
+        SELECT doc_id, CAST(1 + (${Multimodal.jpegEffSql}) % 61 AS BIGINT),
+               CAST(1 + (${Multimodal.jpegEffSql}) % 37 AS BIGINT), 'jpeg',
+               ${Multimodal.jpegEffSql}, ${Multimodal.jpegNdSql}
+        FROM documents WHERE doc_id % 4 = 3),
+      dcell AS (SELECT doc_id, kind, eff, nd, w, h,
+                  unnest(range(0, 72)) AS gi
+                FROM dimg),
+      dsrc AS (SELECT doc_id, kind, eff, nd, w, gi,
+                 ((gi // 9) * h) // 8 AS sy, ((gi % 9) * w) // 9 AS sx
+               FROM dcell),
+      dpl AS (SELECT doc_id, gi,
+                (299 * (32 + (doc_id + (sy*w + sx)*3) % 64)
+               + 587 * (32 + (doc_id + (sy*w + sx)*3 + 1) % 64)
+               + 114 * (32 + (doc_id + (sy*w + sx)*3 + 2) % 64)) // 1000 AS luma
+              FROM dsrc WHERE kind = 'ppm'),
+      dgl AS (SELECT doc_id, gi,
+                (299 * ((doc_id*11 + (sy*(1 + 3*w) + 1 + sx*3)*17) % 256)
+               + 587 * ((doc_id*11 + (sy*(1 + 3*w) + 1 + sx*3 + 1)*17) % 256)
+               + 114 * ((doc_id*11 + (sy*(1 + 3*w) + 1 + sx*3 + 2)*17) % 256)) // 1000 AS luma
+              FROM dsrc WHERE kind = 'png'),
+      djk AS (SELECT doc_id, eff, nd, gi,
+                (sy // 8) * ((w + 7) // 8) + sx // 8 AS k
+              FROM dsrc WHERE kind = 'jpeg'),
+      djv AS (SELECT doc_id, gi,
+                ${Multimodal.jpegYPixSql("eff", "nd", "k")} AS yv,
+                ${Multimodal.jpegCbPixSql("eff", "k")} AS cbv,
+                ${Multimodal.jpegCrPixSql("eff", "k")} AS crv
+              FROM djk),
+      djl AS (SELECT doc_id, gi,
+                (299 * ${Multimodal.rgbRSql("yv", "crv")}
+               + 587 * ${Multimodal.rgbGSql("yv", "cbv", "crv")}
+               + 114 * ${Multimodal.rgbBSql("yv", "cbv")}) // 1000 AS luma
+              FROM djv),
+      dlum AS (SELECT * FROM dpl UNION ALL SELECT * FROM dgl
+               UNION ALL SELECT * FROM djl),
+      dbit AS (SELECT l.doc_id, b.bi,
+                 CASE WHEN l.luma < r.luma THEN 1 ELSE 0 END AS v
+               FROM (SELECT unnest(range(0, 64)) AS bi) b
+               JOIN dlum l ON l.gi = (b.bi // 8) * 9 + (b.bi % 8)
+               JOIN dlum r ON r.doc_id = l.doc_id
+                          AND r.gi = (b.bi // 8) * 9 + (b.bi % 8) + 1),
+      dsig AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN bi // 16 = 0 THEN v * (1::BIGINT << (bi % 16)) ELSE 0 END) AS BIGINT) AS b0,
+                 CAST(sum(CASE WHEN bi // 16 = 1 THEN v * (1::BIGINT << (bi % 16)) ELSE 0 END) AS BIGINT) AS b1,
+                 CAST(sum(CASE WHEN bi // 16 = 2 THEN v * (1::BIGINT << (bi % 16)) ELSE 0 END) AS BIGINT) AS b2,
+                 CAST(sum(CASE WHEN bi // 16 = 3 THEN v * (1::BIGINT << (bi % 16)) ELSE 0 END) AS BIGINT) AS b3
+               FROM dbit GROUP BY doc_id)"""
+
+  /** The banding + cap CTEs over `dsig`: `dband` (4 rows per image)
+    * and `dok` (uncapped band keys).
+    */
+  private def dhashBandsSql: String = s"""
+      dband AS (
+        SELECT doc_id, b0 AS band_key FROM dsig
+        UNION ALL SELECT doc_id, 65536 + b1 FROM dsig
+        UNION ALL SELECT doc_id, 131072 + b2 FROM dsig
+        UNION ALL SELECT doc_id, 196608 + b3 FROM dsig),
+      dok AS (SELECT band_key FROM dband GROUP BY band_key
+              HAVING count(*) <= $bCap)"""
+
+  private def hammingSql(a: String, b: String): String =
+    s"""CAST(bit_count(xor($a.b0, $b.b0)) + bit_count(xor($a.b1, $b.b1))
+           + bit_count(xor($a.b2, $b.b2)) + bit_count(xor($a.b3, $b.b3)) AS BIGINT)"""
+
+  /** q104: the lake build under the gate — dump the STORED sig table
+    * (thereby hash-pinning the artifact every other dHash surface
+    * consumes) while the oracle re-derives every image's signature
+    * from raw `documents` arithmetic.
+    */
+  private val q104 = Q(
+    "q104_media_dhash_build",
+    (s, d) => {
+      import s.implicits._
+      val p = ensureDhash(s, d)
+      s.read.parquet(s"$p/sig").orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH $dhashSigSql
+      SELECT doc_id, b0, b1, b2, b3 FROM dsig ORDER BY doc_id"""))
+
+  /** q105: perceptual near-dup pairs from the STORED lake — banded
+    * candidate generation (cap applied) + exact Hamming verify. The
+    * injected fixture pairs (ids ≡ 19 mod 20 exact, ≡ 15 mod 20 one
+    * quant step off) surface here at hamming 0 — dHash's luma-shift
+    * invariance, gate-checked.
+    */
+  private val q105 = Q(
+    "q105_media_dhash_neardup",
+    (s, d) => {
+      import s.implicits._
+      val p = ensureDhash(s, d)
+      val sig = s.read.parquet(s"$p/sig")
+      val bands = s.read.parquet(s"$p/bands")
+      val over = bands.groupBy($"band_key").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" > bCap).select($"band_key")
+      val ok = bands.join(broadcast(over), Seq("band_key"), "left_anti")
+      val cand = ok.select($"doc_id".as("a_id"), $"band_key")
+        .join(ok.select($"doc_id".as("b_id"), $"band_key"), "band_key")
+        .filter($"a_id" < $"b_id")
+        .select($"a_id", $"b_id").distinct()
+      cand
+        .join(sig.select($"doc_id".as("a_id"), $"b0".as("a0"),
+          $"b1".as("a1"), $"b2".as("a2"), $"b3".as("a3")), "a_id")
+        .join(sig.select($"doc_id".as("b_id"), $"b0".as("c0"),
+          $"b1".as("c1"), $"b2".as("c2"), $"b3".as("c3")), "b_id")
+        .withColumn("hamming", expr(
+          """CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1)
+                 + bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"""))
+        .filter($"hamming" <= maxHam)
+        .select($"a_id", $"b_id", $"hamming")
+        .orderBy($"a_id", $"b_id")
+    },
+    Some(s"""
+      WITH $dhashSigSql,
+      $dhashBandsSql,
+      dcand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                FROM dband x JOIN dband y
+                  ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+                WHERE x.band_key IN (SELECT band_key FROM dok))
+      SELECT a_id, b_id, ${hammingSql("sa", "sb")} AS hamming
+      FROM dcand JOIN dsig sa ON a_id = sa.doc_id
+                 JOIN dsig sb ON b_id = sb.doc_id
+      WHERE ${hammingSql("sa", "sb")} <= $maxHam
+      ORDER BY a_id, b_id"""))
+
+  /** q106: the SERVING path under the gate (the q72/q73 replay
+    * recipe) — every 10th media document replayed as an incoming
+    * batch through [[serveDhashMatches]]: fresh decode + dHash
+    * probing the STORED band index, exact Hamming verify against the
+    * stored sigs, self-hits excluded — while the oracle replays the
+    * identical derivation, cap, and verify in SQL.
+    */
+  private val q106 = Q(
+    "q106_media_dhash_serve",
+    (s, d) => {
+      import s.implicits._
+      serveDhashMatches(s, d,
+        Multimodal.MediaLake.table(s, d).filter(expr("doc_id % 10 = 3")))
+        .orderBy($"probe_id", $"match_id")
+    },
+    Some(s"""
+      WITH $dhashSigSql,
+      $dhashBandsSql,
+      dcand AS (SELECT DISTINCT x.doc_id AS probe_id, y.doc_id AS match_id
+                FROM dband x JOIN dband y
+                  ON x.band_key = y.band_key AND x.doc_id <> y.doc_id
+                WHERE x.doc_id % 10 = 3
+                  AND x.band_key IN (SELECT band_key FROM dok))
+      SELECT probe_id, match_id, ${hammingSql("sa", "sb")} AS hamming
+      FROM dcand JOIN dsig sa ON probe_id = sa.doc_id
+                 JOIN dsig sb ON match_id = sb.doc_id
+      WHERE ${hammingSql("sa", "sb")} <= $maxHam
+      ORDER BY probe_id, match_id"""))
+
+  val all: Seq[Q] = Seq(q104, q105, q106)
+}

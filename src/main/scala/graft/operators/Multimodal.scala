@@ -191,10 +191,10 @@ object Multimodal {
             // real inflation + de-filter; a corrupt IDAT emits nothing
             case Some((_, _, px)) => Iterator((1L, 0L, px))
             case None => jpegRaster(rec.blob) match {
-              // a JPEG still's one frame is its ENTROPY-DECODED gray
-              // raster (real Huffman + dequant + IDCT); a corrupt scan
-              // emits nothing
-              case Some((_, _, px)) => Iterator((1L, 0L, px))
+              // a JPEG still's one frame is its ENTROPY-DECODED raster
+              // (real Huffman + dequant + IDCT + YCbCr→RGB for color);
+              // a corrupt scan emits nothing
+              case Some((_, _, _, px)) => Iterator((1L, 0L, px))
               case None => Iterator.empty
             }
           }
@@ -363,17 +363,18 @@ object Multimodal {
       } yield (w, h, px)
 
     // ----------------------------------------------------------------
-    // JPEG raster decode (baseline grayscale): a REAL entropy decoder —
-    // DQT/DHT/DRI/SOF0/SOS marker parse, canonical Huffman tables,
-    // bit-level scan read with 0xFF00 stuffing and restart-marker
-    // handling, DC DPCM + AC run-length, zigzag dequantization, full
-    // floating IDCT, level shift, clamp, block-grid crop. Constraint:
-    // single-component (grayscale) baseline only — the dominant-web-
-    // format pixel path the fixture exercises; color subsampling would
-    // add chroma upsampling without changing what the gate can pin
-    // (the oracle replays the arithmetic either way). Anything outside
-    // the profile — progressive, multi-component, corrupt anywhere —
-    // is None, never a throw.
+    // JPEG raster decode (baseline, grayscale OR YCbCr 4:4:4 color): a
+    // REAL entropy decoder — DQT/DHT/DRI/SOF0/SOS marker parse,
+    // canonical Huffman tables, bit-level scan read with 0xFF00
+    // stuffing and restart-marker handling, per-component DC DPCM + AC
+    // run-length with per-component quant/Huffman table selection,
+    // MCU-interleaved block order, zigzag dequantization, full floating
+    // IDCT, level shift, clamp, block-grid crop, and (for 3-component
+    // frames) the JFIF YCbCr→RGB conversion. Constraint: baseline with
+    // 1 or 3 components, every component sampled 0x11 (4:4:4 — no
+    // chroma subsampling arithmetic; the oracle replays the pixel math
+    // either way). Anything outside the profile — progressive,
+    // subsampled, corrupt anywhere — is None, never a throw.
     // ----------------------------------------------------------------
 
     /** Bit reader over entropy-coded data: MSB-first, un-stuffs
@@ -488,21 +489,33 @@ object Multimodal {
       out
     }
 
-    /** Full baseline-grayscale JPEG decode: `(w, h, gray)` with `gray`
-      * the row-major `h·w` 8-bit raster, or None outside the profile or
-      * on any corruption (bad Huffman code, marker mid-scan, missing
-      * restart, truncation, lying segment length).
+    /** Clamp-after-floor for the JFIF YCbCr→RGB conversion — spelled
+      * `floor(x + 0.5)` so the DuckDB oracle's identical expression
+      * computes the identical integer (IEEE doubles, same op order).
       */
-    def jpegRaster(b: Array[Byte]): Option[(Long, Long, Array[Byte])] = {
+    private def clamp255(v: Double): Int = {
+      val f = math.floor(v).toInt
+      if (f < 0) 0 else if (f > 255) 255 else f
+    }
+
+    /** Full baseline JPEG decode: `(w, h, channels, pixels)` — row-major
+      * `h·w` 8-bit gray for 1-component frames, interleaved `h·w·3` RGB
+      * (JFIF YCbCr→RGB, floor(x+0.5) rounding, clamped) for 3-component
+      * 4:4:4 frames — or None outside the profile or on any corruption
+      * (bad Huffman code, marker mid-scan, missing restart, truncation,
+      * lying segment length, subsampled or progressive frames).
+      */
+    def jpegRaster(b: Array[Byte]): Option[(Long, Long, Int, Array[Byte])] = {
       if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
         return None
       def u16(off: Int) = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
       val dqt = scala.collection.mutable.HashMap[Int, Array[Int]]()
       val dht = scala.collection.mutable.HashMap[(Int, Int), Map[(Int, Int), Int]]()
-      var sof: Option[(Int, Int, Int, Int)] = None // (w, h, compId, tq)
+      var sofW = -1; var sofH = -1
+      var comps: Array[(Int, Int)] = null // (compId, tq), SOF order
+      var scanTdta: Array[Int] = null     // TdTa per component, SOS order
       var ri = 0
       var scanAt = -1
-      var tdta = 0
       var i = 2
       while (scanAt < 0 && i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
         val marker = b(i + 1) & 0xff
@@ -535,89 +548,132 @@ object Multimodal {
                 dht((tcth >> 4, tcth & 0xf)) = huffTable(counts, syms)
                 p += 17 + n
               }
-            case 0xc0 => // SOF0 baseline; grayscale profile only
+            case 0xc0 => // SOF0 baseline; 1 (gray) or 3 (YCbCr 4:4:4)
               if (len < 8 || (b(p0) & 0xff) != 8) return None
               val h = u16(p0 + 1); val w = u16(p0 + 3)
               val nc = b(p0 + 5) & 0xff
-              if (nc != 1 || len != 8 + 3 * nc || w < 1 || h < 1 ||
-                w > (1 << 16) || h > (1 << 16)) return None
-              if ((b(p0 + 7) & 0xff) != 0x11) return None // no subsampling
-              sof = Some((w, h, b(p0 + 6) & 0xff, b(p0 + 8) & 0xff))
+              if ((nc != 1 && nc != 3) || len != 8 + 3 * nc || w < 1 ||
+                h < 1 || w > (1 << 16) || h > (1 << 16)) return None
+              val cs = new Array[(Int, Int)](nc)
+              var c = 0
+              while (c < nc) {
+                val o = p0 + 6 + 3 * c
+                // every component 0x11: 4:4:4, no subsampling arithmetic
+                if ((b(o + 1) & 0xff) != 0x11) return None
+                cs(c) = ((b(o) & 0xff, b(o + 2) & 0xff))
+                c += 1
+              }
+              sofW = w; sofH = h; comps = cs
             case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                  0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
               return None // non-baseline frame types: outside the profile
             case 0xdd => // DRI
               if (len != 4) return None
               ri = u16(p0)
-            case 0xda => // SOS: single component per the profile
-              if (len < 6 || (b(p0) & 0xff) != 1) return None
-              val cid = b(p0 + 1) & 0xff
-              if (!sof.exists(_._3 == cid)) return None
-              tdta = b(p0 + 2) & 0xff
+            case 0xda => // SOS: all components, SOF order (the profile)
+              if (comps == null) return None
+              val ns = b(p0) & 0xff
+              if (ns != comps.length || len != 6 + 2 * ns) return None
+              val td = new Array[Int](ns)
+              var c = 0
+              while (c < ns) {
+                if ((b(p0 + 1 + 2 * c) & 0xff) != comps(c)._1) return None
+                td(c) = b(p0 + 2 + 2 * c) & 0xff
+                c += 1
+              }
+              scanTdta = td
               scanAt = i + 2 + len
             case _ => // APPn/COM/etc: skip
           }
           i += 2 + len
         }
       }
-      val (w, h, _, tq) = sof.getOrElse(return None)
-      if (scanAt < 0) return None
-      val q = dqt.getOrElse(tq, return None)
-      val dcTab = dht.getOrElse((0, tdta >> 4), return None)
-      val acTab = dht.getOrElse((1, tdta & 0xf), return None)
+      if (comps == null || scanAt < 0) return None
+      val w = sofW; val h = sofH; val nc = comps.length
+      val qs = comps.map { case (_, tq) => dqt.getOrElse(tq, return None) }
+      val dcTabs = scanTdta.map(t => dht.getOrElse((0, t >> 4), return None))
+      val acTabs = scanTdta.map(t => dht.getOrElse((1, t & 0xf), return None))
       val bw = (w + 7) / 8; val bh = (h + 7) / 8
-      val nb = bw * bh
-      if (nb > (1 << 20)) return None // decode bound, the pngRaster rule
-      val blocks = new Array[Array[Int]](nb)
+      val nmcu = bw * bh // 4:4:4: one block per component per MCU
+      if (nmcu.toLong * nc > (1 << 20)) return None // decode bound
+      val blocks = Array.ofDim[Array[Int]](nc, nmcu)
       val br = new BitReader(b, scanAt)
-      var pred = 0
+      val pred = new Array[Int](nc)
       var k = 0
-      while (k < nb) {
+      while (k < nmcu) {
         if (ri > 0 && k > 0 && k % ri == 0) {
-          // restart: byte-align, consume RSTm (m cycles 0..7), reset DPCM
+          // restart: byte-align, consume RSTm (m cycles 0..7), reset
+          // every component's DPCM predictor
           br.align()
           val p = br.pos
           if (p + 2 > b.length || (b(p) & 0xff) != 0xff ||
             (b(p + 1) & 0xff) != (0xd0 + ((k / ri - 1) % 8))) return None
           br.pos = p + 2
-          pred = 0
+          java.util.Arrays.fill(pred, 0)
         }
-        val coef = new Array[Int](64)
-        val t = huffDecode(br, dcTab)
-        if (br.bad || t < 0 || t > 11) return None
-        pred += extend(br.bits(t), t)
-        coef(0) = pred * q(0)
-        var zi = 1
-        var eob = false
-        while (zi < 64 && !eob) {
-          val sym = huffDecode(br, acTab)
-          if (br.bad || sym < 0) return None
-          if (sym == 0x00) eob = true
-          else if (sym == 0xf0) zi += 16
-          else {
-            val run = sym >> 4; val size = sym & 0xf
-            zi += run
-            if (zi > 63) return None
-            coef(zigzag(zi)) = extend(br.bits(size), size) * q(zi)
-            zi += 1
+        var c = 0
+        while (c < nc) {
+          val coef = new Array[Int](64)
+          val t = huffDecode(br, dcTabs(c))
+          if (br.bad || t < 0 || t > 11) return None
+          pred(c) += extend(br.bits(t), t)
+          coef(0) = pred(c) * qs(c)(0)
+          var zi = 1
+          var eob = false
+          while (zi < 64 && !eob) {
+            val sym = huffDecode(br, acTabs(c))
+            if (br.bad || sym < 0) return None
+            if (sym == 0x00) eob = true
+            else if (sym == 0xf0) zi += 16
+            else {
+              val run = sym >> 4; val size = sym & 0xf
+              zi += run
+              if (zi > 63) return None
+              coef(zigzag(zi)) = extend(br.bits(size), size) * qs(c)(zi)
+              zi += 1
+            }
           }
+          if (br.bad) return None
+          blocks(c)(k) = idctBlock(coef)
+          c += 1
         }
-        if (br.bad) return None
-        blocks(k) = idctBlock(coef)
         k += 1
       }
-      val gray = new Array[Byte](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val blk = blocks((y / 8) * bw + (x / 8))
-          gray(y * w + x) = blk((y % 8) * 8 + (x % 8)).toByte
-          x += 1
+      if (nc == 1) {
+        val gray = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val blk = blocks(0)((y / 8) * bw + (x / 8))
+            gray(y * w + x) = blk((y % 8) * 8 + (x % 8)).toByte
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        Some((w.toLong, h.toLong, 1, gray))
+      } else {
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bi = (y / 8) * bw + (x / 8)
+            val pi = (y % 8) * 8 + (x % 8)
+            val yy = blocks(0)(bi)(pi)
+            val cb = blocks(1)(bi)(pi)
+            val cr = blocks(2)(bi)(pi)
+            val o = (y * w + x) * 3
+            rgb(o) = clamp255(yy + 1.402 * (cr - 128) + 0.5).toByte
+            rgb(o + 1) = clamp255(
+              yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toByte
+            rgb(o + 2) = clamp255(yy + 1.772 * (cb - 128) + 0.5).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some((w.toLong, h.toLong, 3, rgb))
       }
-      Some((w.toLong, h.toLong, gray))
     }
 
     /** PNG: header-only dimensions + real length/hash; one still frame. */
@@ -698,7 +754,8 @@ object Multimodal {
       * arithmetic (stale-bytes hash mismatches misdiagnosed as decoder
       * bugs).
       */
-    private val fixtureVersion = 5
+    private val fixtureVersion = 6 // v6: color (YCbCr 4:4:4) JPEG tier
+                                   // + injected near-dup image pairs
 
     def path(d: String): String = {
       val root = sys.props.getOrElse("graft.media.dir",
@@ -805,7 +862,7 @@ object Multimodal {
         .toDF("doc_id", "n_frames", "frame_idx", "frame_fp")
         .orderBy($"doc_id", $"frame_idx")
     },
-    Some("""
+    Some(s"""
       WITH pf AS (SELECT doc_id, 1 + doc_id % 47 AS w, 1 + doc_id % 19 AS h
                   FROM documents WHERE doc_id % 4 = 0),
       ppmf AS (SELECT doc_id, CAST(1 AS BIGINT) AS n_frames,
@@ -831,20 +888,28 @@ object Multimodal {
                    i -> printf('%02X', (doc_id*11 +
                      ((i // (3*w))*(1+3*w) + 1 + (i % (3*w)))*17) % 256)), '')) AS frame_fp
                FROM gf),
-      jf AS (SELECT doc_id, 1 + doc_id % 61 AS w, 1 + doc_id % 37 AS h
+      jf AS (SELECT doc_id, $jpegEffSql AS eff, $jpegNdSql AS nd
              FROM documents WHERE doc_id % 4 = 3),
-      jpx AS (SELECT doc_id, w, h, unnest(range(0, w*h)) AS i FROM jf),
-      jpk AS (SELECT doc_id, w, h, i,
+      jd AS (SELECT doc_id, eff, nd, 1 + eff % 61 AS w, 1 + eff % 37 AS h
+             FROM jf),
+      jpx AS (SELECT doc_id, eff, nd, w, unnest(range(0, w*h)) AS i
+              FROM jd),
+      jpk AS (SELECT doc_id, eff, nd, i,
                 ((i // w) // 8) * ((w+7)//8) + (i % w) // 8 AS k
               FROM jpx),
+      jv AS (SELECT doc_id, i,
+               ${jpegYPixSql("eff", "nd", "k")} AS yv,
+               ${jpegCbPixSql("eff", "k")} AS cbv,
+               ${jpegCrPixSql("eff", "k")} AS crv
+             FROM jpk),
       jpgf AS (SELECT doc_id, CAST(1 AS BIGINT) AS n_frames,
                  CAST(0 AS BIGINT) AS frame_idx,
-                 md5(array_to_string(list(
-                   printf('%02X', CASE WHEN (doc_id + k) % 2 = 0
-                        THEN 192 + (doc_id*7 + k*13) % 64
-                        ELSE 64 - (doc_id*7 + k*13) % 64 END)
+                 md5(array_to_string(list(printf('%02X%02X%02X',
+                   ${rgbRSql("yv", "crv")},
+                   ${rgbGSql("yv", "cbv", "crv")},
+                   ${rgbBSql("yv", "cbv")})
                    ORDER BY i), '')) AS frame_fp
-               FROM jpk GROUP BY doc_id)
+               FROM jv GROUP BY doc_id)
       SELECT doc_id, n_frames, frame_idx, frame_fp FROM ppmf
       UNION ALL
       SELECT doc_id, n_frames, frame_idx, frame_fp FROM wavf
@@ -878,14 +943,14 @@ object Multimodal {
           // an IMAGE decodes to (w, h, raster bytes, bps, offset,
           // channels): PPM rasters live in the blob at their header
           // offset; PNG rasters come out of the real inflate+defilter
-          // decode; JPEG grayscale rasters out of the real entropy
-          // decode (1 channel)
+          // decode; JPEG rasters out of the real entropy decode
+          // (RGB for the color profile, gray for 1-component frames)
           val img = RealDecoders.ppmHeader(rec.blob)
             .map { case (w, h, bps, off) => (w, h, rec.blob, bps, off, 3) }
             .orElse(RealDecoders.pngRaster(rec.blob)
               .map { case (w, h, px) => (w, h, px, 1, 0, 3) })
             .orElse(RealDecoders.jpegRaster(rec.blob)
-              .map { case (w, h, px) => (w, h, px, 1, 0, 1) })
+              .map { case (w, h, ch, px) => (w, h, px, 1, 0, ch) })
           img.map { case (w, h, raster, bps, off, ch) =>
             val longSide = math.max(w, h)
             val outW = math.max(1L, w * 32 / longSide)
@@ -899,7 +964,7 @@ object Multimodal {
           "out_hash")
         .orderBy($"doc_id")
     },
-    Some("""
+    Some(s"""
       WITH meta AS (SELECT doc_id,
                       CAST(1 + doc_id % 47 AS BIGINT) AS width,
                       CAST(1 + doc_id % 19 AS BIGINT) AS height,
@@ -913,8 +978,8 @@ object Multimodal {
                     FROM documents WHERE doc_id % 4 = 2
                     UNION ALL
                     SELECT doc_id,
-                      CAST(1 + doc_id % 61 AS BIGINT),
-                      CAST(1 + doc_id % 37 AS BIGINT),
+                      CAST(1 + ($jpegEffSql) % 61 AS BIGINT),
+                      CAST(1 + ($jpegEffSql) % 37 AS BIGINT),
                       'jpeg'
                     FROM documents WHERE doc_id % 4 = 3),
       dims AS (SELECT doc_id, kind, width, height,
@@ -922,19 +987,26 @@ object Multimodal {
                  CAST(greatest(1, (width * 32) // greatest(width, height)) AS BIGINT)  AS out_w,
                  CAST(greatest(1, (height * 32) // greatest(width, height)) AS BIGINT) AS out_h
                FROM meta),
-      jsrc AS (SELECT doc_id, width, height, out_w, out_h,
+      jsrc AS (SELECT doc_id, $jpegEffSql AS eff, $jpegNdSql AS nd,
+                 width, height, out_w, out_h,
                  unnest(range(0, out_w*out_h)) AS i
                FROM dims WHERE kind = 'jpeg'),
-      jpixel AS (SELECT doc_id, i,
+      jpixel AS (SELECT doc_id, eff, nd, i,
                    (((i // out_w) * height // out_h) // 8) * ((width+7)//8) +
                      ((i % out_w) * width // out_w) // 8 AS k
                  FROM jsrc),
+      jpv AS (SELECT doc_id, i,
+                ${jpegYPixSql("eff", "nd", "k")} AS yv,
+                ${jpegCbPixSql("eff", "k")} AS cbv,
+                ${jpegCrPixSql("eff", "k")} AS crv
+              FROM jpixel),
       jhash AS (SELECT doc_id, md5(array_to_string(list(
-                   printf('%02X', CASE WHEN (doc_id + k) % 2 = 0
-                        THEN 192 + (doc_id*7 + k*13) % 64
-                        ELSE 64 - (doc_id*7 + k*13) % 64 END)
+                   printf('%02X%02X%02X',
+                     ${rgbRSql("yv", "crv")},
+                     ${rgbGSql("yv", "cbv", "crv")},
+                     ${rgbBSql("yv", "cbv")})
                    ORDER BY i), '')) AS out_hash
-                FROM jpixel GROUP BY doc_id)
+                FROM jpv GROUP BY doc_id)
       SELECT d.doc_id, d.width, d.height, d.out_w, d.out_h,
              d.long_side > 32 AS downscaled,
              CASE WHEN d.kind = 'ppm' THEN
@@ -1119,34 +1191,76 @@ object Multimodal {
         chunk("IEND", Array.empty[Byte])
     }
 
-    /** Complete baseline grayscale JPEG with a REAL entropy-coded scan
-      * — the PNG stored-mode trick applied to JPEG: constrain the
-      * encoding so the bytes stay arithmetically derivable (the oracle
-      * has no entropy coder) while [[RealDecoders.jpegRaster]] decodes
-      * them with a genuine Huffman + dequant + IDCT path. The
-      * constraints, each load-bearing:
+    /** The jpeg tier's EFFECTIVE source id — the near-dup injection
+      * rule (the SyntheticCorpus dup-pair precedent): ids ≡ 19 (mod
+      * 20) replay id−8's image byte-for-byte (an exact duplicate);
+      * ids ≡ 15 (mod 20) replay id−8's image with ONE luma value
+      * bumped by a quant step (a perceptually-invisible near-dup the
+      * dHash tier must still match). Both source classes (11 and 7
+      * mod 20) are themselves uninjected jpeg ids, so rules never
+      * chain. Everything downstream — dims, block values, scan bytes
+      * — derives from (eff, nd), so the oracle replays both rules
+      * arithmetically.
+      */
+    def jpegEff(id: Long): (Long, Boolean) =
+      if (id % 20 == 19) (id - 8, false)
+      else if (id % 20 == 15) (id - 8, true)
+      else (id, false)
+
+    /** Per-block coded DC values of the jpeg tier, as (yByte, cbByte,
+      * crByte) scan bytes — shared by the builder and the specs. The
+      * near-dup perturbation touches ONLY block 0's luma: m → min(m+1,
+      * 63) (one quant step, +1 in pixel space), staying inside DC
+      * category 7.
+      */
+    def jpegBlockBytes(eff: Long, nd: Boolean, k: Int): (Int, Int, Int) = {
+      val m0 = ((eff * 7 + k * 13) % 64).toInt
+      val m = if (nd && k == 0) math.min(m0 + 1, 63) else m0
+      val yb = if ((eff + k) % 2 == 0) 64 + m else 63 - m
+      val cbv = ((eff * 5 + k * 11) % 64).toInt
+      val cb = if ((eff + k) % 3 == 0) 63 - cbv else 64 + cbv
+      val crv = ((eff * 3 + k * 17) % 64).toInt
+      val cr = if ((eff + k) % 5 == 0) 63 - crv else 64 + crv
+      (yb, cb, cr)
+    }
+
+    /** Complete baseline COLOR JPEG (YCbCr 4:4:4) with a REAL
+      * entropy-coded scan — the PNG stored-mode trick applied to JPEG:
+      * constrain the encoding so the bytes stay arithmetically
+      * derivable (the oracle has no entropy coder) while
+      * [[RealDecoders.jpegRaster]] decodes them with a genuine Huffman
+      * + dequant + IDCT + YCbCr→RGB path. The constraints, each
+      * load-bearing:
       *  - CUSTOM DHT with ONE DC code of length 1 mapping to category
       *    7: every DC diff codes as 1 + 7 = 8 bits — the scan is
       *    byte-aligned by construction;
       *  - ONE AC code of length 8 ('00000000') mapping to EOB: every
       *    block is DC-only and its AC section is a single 0x00 byte;
-      *  - DRI = 1 (every MCU its own restart interval): the DPCM
-      *    predictor resets per block, so each diff IS the block value
-      *    — id-derived in ±[64..127], exactly category 7;
+      *  - all three components share DQT 0 / DC table 0 / AC table 0,
+      *    and an MCU (4:4:4) is one Y, one Cb, one Cr block — 6 scan
+      *    bytes per MCU;
+      *  - DRI = 1 (every MCU its own restart interval): every DPCM
+      *    predictor resets per MCU, so each diff IS the block value —
+      *    id-derived in ±[64..127], exactly category 7;
       *  - DC quant entry 8: the dequantized S00 is 8·value, whose
       *    flat IDCT is exactly value + 128 — no rounding ambiguity;
       *  - no entropy byte ever equals 0xFF (cat-7 bytes are ≤ 0x7F,
       *    EOB is 0x00), so no stuffing arithmetic in the oracle.
-      * Block (by, bx) decodes to the flat value 192+m (even id+k) or
-      * 64−m (odd), m = (id·7 + k·13) % 64, k = by·bw + bx — the
-      * content-derived pixels q61 fingerprints and q62 resizes.
+      * Block (by, bx) decodes to flat planes: Y = 192+m (even eff+k)
+      * or 64−m, m = (eff·7 + k·13) % 64 (+1-bumped at k=0 on near-dup
+      * rows); Cb = 64−cbv when (eff+k)%3=0 else 192+cbv, cbv =
+      * (eff·5 + k·11) % 64; Cr = 64−crv when (eff+k)%5=0 else
+      * 192+crv, crv = (eff·3 + k·17) % 64; k = by·bw + bx. The
+      * content-derived RGB pixels (JFIF conversion, floor(x+0.5),
+      * clamped) are what q61 fingerprints and q62 resizes.
       */
     def jpeg(id: Long): Array[Byte] = {
-      val w = (1 + id % 61).toInt
-      val h = (1 + id % 37).toInt
+      val (eff, nd) = jpegEff(id)
+      val w = (1 + eff % 61).toInt
+      val h = (1 + eff % 37).toInt
       val bw = (w + 7) / 8
       val nb = bw * ((h + 7) / 8)
-      val out = new java.io.ByteArrayOutputStream(256 + 4 * nb)
+      val out = new java.io.ByteArrayOutputStream(256 + 8 * nb)
       def bs(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
       bs(0xff, 0xd8)                                   // SOI
       bs(0xff, 0xe0, 0x00, 0x10)                       // JFIF APP0
@@ -1163,17 +1277,60 @@ object Multimodal {
       zi = 0; while (zi < 8) { out.write(0); zi += 1 }
       out.write(0)                                     // the EOB symbol
       bs(0xff, 0xdd, 0x00, 0x04, 0x00, 0x01)           // DRI = 1
-      bs(0xff, 0xc0, 0x00, 0x0b, 8,                    // SOF0, grayscale
-        h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0)
-      bs(0xff, 0xda, 0x00, 0x08, 1, 1, 0x00, 0, 63, 0) // SOS
+      bs(0xff, 0xc0, 0x00, 0x11, 8,                    // SOF0, 3 comps
+        h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+        1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)            // all 4:4:4, DQT 0
+      bs(0xff, 0xda, 0x00, 0x0c, 3,                    // SOS, 3 comps
+        1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)
       var k = 0
       while (k < nb) {
         if (k > 0) bs(0xff, 0xd0 + ((k - 1) % 8))      // RST(m)
+        val (yb, cb, cr) = jpegBlockBytes(eff, nd, k)
+        bs(yb, 0x00, cb, 0x00, cr, 0x00)
+        k += 1
+      }
+      bs(0xff, 0xd9)                                   // EOI
+      out.toByteArray
+    }
+
+    /** The v5 grayscale builder, kept as a SPEC fixture: it pins the
+      * decoder's 1-component path (the profile the color tier no
+      * longer exercises) and feeds the dHash serve specs handcrafted
+      * probes. Not part of [[blobFor]] since fixture v6.
+      */
+    def jpegGray(id: Long): Array[Byte] = {
+      val w = (1 + id % 61).toInt
+      val h = (1 + id % 37).toInt
+      val bw = (w + 7) / 8
+      val nb = bw * ((h + 7) / 8)
+      val out = new java.io.ByteArrayOutputStream(256 + 4 * nb)
+      def bs(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+      bs(0xff, 0xd8)
+      bs(0xff, 0xe0, 0x00, 0x10)
+      out.write("JFIF".getBytes("US-ASCII"), 0, 4)
+      bs(0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+      bs(0xff, 0xdb, 0x00, 0x43, 0x00)
+      var qi = 0; while (qi < 64) { out.write(8); qi += 1 }
+      bs(0xff, 0xc4, 0x00, 0x14, 0x00, 1)
+      var zi = 0; while (zi < 15) { out.write(0); zi += 1 }
+      out.write(7)
+      bs(0xff, 0xc4, 0x00, 0x14, 0x10)
+      zi = 0; while (zi < 7) { out.write(0); zi += 1 }
+      out.write(1)
+      zi = 0; while (zi < 8) { out.write(0); zi += 1 }
+      out.write(0)
+      bs(0xff, 0xdd, 0x00, 0x04, 0x00, 0x01)
+      bs(0xff, 0xc0, 0x00, 0x0b, 8,
+        h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0)
+      bs(0xff, 0xda, 0x00, 0x08, 1, 1, 0x00, 0, 63, 0)
+      var k = 0
+      while (k < nb) {
+        if (k > 0) bs(0xff, 0xd0 + ((k - 1) % 8))
         val m = ((id * 7 + k * 13) % 64).toInt
         bs(if ((id + k) % 2 == 0) 64 + m else 63 - m, 0x00)
         k += 1
       }
-      bs(0xff, 0xd9)                                   // EOI
+      bs(0xff, 0xd9)
       out.toByteArray
     }
 
@@ -1184,6 +1341,61 @@ object Multimodal {
       case _ => jpeg(id)
     }
   }
+
+  // ------------------------------------------------------------------
+  // The jpeg tier's shared oracle arithmetic (private[operators]: the
+  // dHash media-dedup oracle re-derives the same pixels). Every
+  // snippet is a SQL expression fragment over the named columns; all
+  // integer inputs are non-negative so % is floor-mod in both engines.
+  // ------------------------------------------------------------------
+
+  /** Effective source id under the near-dup injection rule
+    * ([[MediaFixtures.jpegEff]]). A def, not a val: q60/q61/q62 are
+    * object-initialized ABOVE this declaration and interpolate it
+    * through their oracle strings at init time.
+    */
+  private[operators] def jpegEffSql =
+    "CASE WHEN doc_id % 20 IN (15, 19) THEN doc_id - 8 ELSE doc_id END"
+  /** True on the perturbed (near-dup) rows. */
+  private[operators] def jpegNdSql = "(doc_id % 20 = 15)"
+
+  /** Block-`k` luma magnitude m, +1-bumped (capped at 63) on block 0
+    * of near-dup rows. */
+  private[operators] def jpegMSql(eff: String, nd: String, k: String) =
+    s"""(CASE WHEN $nd AND $k = 0
+          THEN least(($eff*7 + $k*13) % 64 + 1, 63)
+          ELSE ($eff*7 + $k*13) % 64 END)"""
+
+  private[operators] def jpegYPixSql(eff: String, nd: String, k: String) =
+    s"""(CASE WHEN ($eff + $k) % 2 = 0 THEN 192 + ${jpegMSql(eff, nd, k)}
+          ELSE 64 - ${jpegMSql(eff, nd, k)} END)"""
+  private[operators] def jpegCbPixSql(eff: String, k: String) =
+    s"""(CASE WHEN ($eff + $k) % 3 = 0 THEN 64 - ($eff*5 + $k*11) % 64
+          ELSE 192 + ($eff*5 + $k*11) % 64 END)"""
+  private[operators] def jpegCrPixSql(eff: String, k: String) =
+    s"""(CASE WHEN ($eff + $k) % 5 = 0 THEN 64 - ($eff*3 + $k*17) % 64
+          ELSE 192 + ($eff*3 + $k*17) % 64 END)"""
+
+  /** The coded scan bytes ([[MediaFixtures.jpegBlockBytes]]). */
+  private[operators] def jpegYByteSql(eff: String, nd: String, k: String) =
+    s"""(CASE WHEN ($eff + $k) % 2 = 0 THEN 64 + ${jpegMSql(eff, nd, k)}
+          ELSE 63 - ${jpegMSql(eff, nd, k)} END)"""
+  private[operators] def jpegCbByteSql(eff: String, k: String) =
+    s"""(CASE WHEN ($eff + $k) % 3 = 0 THEN 63 - ($eff*5 + $k*11) % 64
+          ELSE 64 + ($eff*5 + $k*11) % 64 END)"""
+  private[operators] def jpegCrByteSql(eff: String, k: String) =
+    s"""(CASE WHEN ($eff + $k) % 5 = 0 THEN 63 - ($eff*3 + $k*17) % 64
+          ELSE 64 + ($eff*3 + $k*17) % 64 END)"""
+
+  /** JFIF YCbCr→RGB, floor(x+0.5) rounding, clamped — the identical
+    * IEEE-double arithmetic [[RealDecoders.jpegRaster]] computes, in
+    * the identical operation order. */
+  private[operators] def rgbRSql(y: String, cr: String) =
+    s"greatest(0, least(255, CAST(floor($y + 1.402 * ($cr - 128) + 0.5) AS BIGINT)))"
+  private[operators] def rgbGSql(y: String, cb: String, cr: String) =
+    s"greatest(0, least(255, CAST(floor($y - 0.344136 * ($cb - 128) - 0.714136 * ($cr - 128) + 0.5) AS BIGINT)))"
+  private[operators] def rgbBSql(y: String, cb: String) =
+    s"greatest(0, least(255, CAST(floor($y + 1.772 * ($cb - 128) + 0.5) AS BIGINT)))"
 
   /** The little-endian hex fragments of the oracle's WAV header —
     * DuckDB has no to-LE-bytes primitive, so each field renders as a
@@ -1279,10 +1491,11 @@ object Multimodal {
                 CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
                 CAST(1 AS BIGINT) AS n_frames
               FROM g1, crctab),
-      j0 AS (SELECT doc_id, 1 + doc_id % 61 AS w, 1 + doc_id % 37 AS h
+      j0 AS (SELECT doc_id, $jpegEffSql AS eff, $jpegNdSql AS nd
              FROM documents WHERE doc_id % 4 = 3),
-      j1 AS (SELECT doc_id, w, h,
-               ((w+7)//8) * ((h+7)//8) AS nb FROM j0),
+      j1 AS (SELECT doc_id, eff, nd, 1 + eff % 61 AS w, 1 + eff % 37 AS h,
+               ((1 + eff % 61 + 7)//8) * ((1 + eff % 37 + 7)//8) AS nb
+             FROM j0),
       jpg AS (SELECT doc_id, 'jpeg' AS kind,
                 'FFD8' || 'FFE0' || '0010' || '4A46494600' || '0101' || '00' ||
                 '0001' || '0001' || '0000' ||
@@ -1291,14 +1504,16 @@ object Multimodal {
                 'FFC4' || '0014' || '10' || repeat('00', 7) || '01' ||
                 repeat('00', 8) || '00' ||
                 'FFDD' || '0004' || '0001' ||
-                'FFC0' || '000B' || '08' || printf('%04X', h) ||
-                printf('%04X', w) || '01' || '011100' ||
-                'FFDA' || '0008' || '01' || '0100' || '003F00' ||
+                'FFC0' || '0011' || '08' || printf('%04X', h) ||
+                printf('%04X', w) || '03' || '011100' || '021100' || '031100' ||
+                'FFDA' || '000C' || '03' || '0100' || '0200' || '0300' ||
+                '003F00' ||
                 array_to_string(list_transform(range(0, nb), k ->
                   (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) ||
-                  printf('%02X', CASE WHEN (doc_id + k) % 2 = 0
-                       THEN 64 + (doc_id*7 + k*13) % 64
-                       ELSE 63 - (doc_id*7 + k*13) % 64 END) || '00'), '') ||
+                  printf('%02X00%02X00%02X00',
+                    ${jpegYByteSql("eff", "nd", "k")},
+                    ${jpegCbByteSql("eff", "k")},
+                    ${jpegCrByteSql("eff", "k")})), '') ||
                 'FFD9' AS hx,
                 CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
                 CAST(1 AS BIGINT) AS n_frames

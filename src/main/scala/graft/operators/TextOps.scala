@@ -625,7 +625,9 @@ final class TextOps(tuning: graft.config.Tuning) {
   private[operators] def lmPath(d: String): String = {
     // v2: the artifact is a DML-able delta store — a `docs(doc_id)`
     // table backs the [[addLmDocs]] id guard
-    val knobs = (if (nfcOn) "nfc" else "raw") + ":v2"
+    // v3: + the `bigrams(prev, tok, cnt)` table behind the
+    // order-2 scoring mode (additive across layers like the unigrams)
+    val knobs = (if (nfcOn) "nfc" else "raw") + ":v3"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((new java.io.File(d).getCanonicalPath + ":" + knobs)
         .getBytes("UTF-8"))
@@ -636,6 +638,29 @@ final class TextOps(tuning: graft.config.Tuning) {
   }
 
   private val lmReady = scala.collection.mutable.HashSet[String]()
+
+  /** Adjacent-pair structs over a bound `toks` array column — the
+    * bigram domain of the order-2 LM. Spelled as one transform so the
+    * pair never re-tokenizes; the size guard keeps sequence() off
+    * illegal bounds (the q61 frameIdxExpr rule).
+    */
+  private val bigramsOfToks = """
+    CASE WHEN size(toks) < 2 THEN array()
+    ELSE transform(sequence(0, size(toks) - 2),
+         i -> struct(toks[i] AS prev, toks[i + 1] AS tok)) END"""
+
+  /** Corpus bigram counts of a `(…, text)` frame — one explode + one
+    * map-side-combinable aggregate, the unigram LM's shape one key
+    * wider. Unlike the vocabulary-sized unigram table this scales with
+    * corpus content (distinct adjacent pairs), so it is written at
+    * default parallelism, never coalesced.
+    */
+  private def bigramCounts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.withColumn("toks", expr(toksExpr))
+      .select(explode(expr(bigramsOfToks)).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.tok").as("tok"))
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cnt"))
 
   /** Install-or-reuse the corpus LM artifact: `counts` (token →
     * corpus frequency — vocabulary-sized, Heaps-law bounded) and
@@ -659,6 +684,8 @@ final class TextOps(tuning: graft.config.Tuning) {
       lm.agg(coalesce(sum(col("cnt")), lit(0L)).as("total_tokens"),
           count(lit(1)).as("vocab"))
         .coalesce(1).write.mode("overwrite").parquet(s"$root/totals")
+      bigramCounts(spread(t(s, d, "documents")).select(col("text")))
+        .write.mode("overwrite").parquet(s"$root/bigrams")
       spread(t(s, d, "documents")).select(col("doc_id"))
         .write.mode("overwrite").parquet(s"$root/docs")
     }
@@ -695,6 +722,8 @@ final class TextOps(tuning: graft.config.Tuning) {
         cnts.agg(coalesce(sum(col("cnt")), lit(0L)).as("total_tokens"),
             count(lit(1)).as("vocab"))
           .coalesce(1).write.mode("overwrite").parquet(s"$root/totals")
+        bigramCounts(norm.select(col("text")))
+          .write.mode("overwrite").parquet(s"$root/bigrams")
         norm.select(col("doc_id")).repartition(nFiles)
           .write.mode("overwrite").parquet(s"$root/docs")
       })(
@@ -738,6 +767,9 @@ final class TextOps(tuning: graft.config.Tuning) {
               count(lit(1)).as("vocab"))
             .coalesce(1).write.mode("overwrite").parquet(s"$out/totals")
         }
+        ArtifactLake.layerUnion(s, roots, "bigrams").foreach(
+          _.groupBy(col("prev"), col("tok")).agg(sum(col("cnt")).as("cnt"))
+            .write.mode("overwrite").parquet(s"$out/bigrams"))
         ArtifactLake.layerUnion(s, roots, "docs").foreach(
           _.write.mode("overwrite").parquet(s"$out/docs"))
       }
@@ -770,7 +802,34 @@ final class TextOps(tuning: graft.config.Tuning) {
     * are a 1-row read.
     */
   def serveSurprisal(s: org.apache.spark.sql.SparkSession, d: String,
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    serveSurprisal(s, d, docs, order = 1)
+
+  /** [[serveSurprisal]] with a model-order switch. `order = 1` is the
+    * historical unigram scorer, bit-identical to the 3-arg overload
+    * (q103's pinned hashes). `order = 2` scores token i > 0 with the
+    * Jelinek-Mercer interpolation λ·P(w|prev) + (1−λ)·P₁(w) — λ from
+    * [[graft.config.Tuning.lmLambda]], P(w|prev) = bigram count /
+    * prev's unigram count from the STORED corpus LM (0 when prev is
+    * out-of-corpus), P₁ the Laplace-smoothed unigram — and the first
+    * token with P₁ alone. This is what unigram scoring is blind to:
+    * scrambled fluent words score like prose at order 1 but pay the
+    * improbable-transition penalty at order 2 (the CCNet-style n-gram
+    * quality filter, degenerate to the largest order the oracle can
+    * replay exactly).
+    *
+    * Scale shape: order 2 adds one explode with positions and two
+    * joins — prev's unigram count against the vocabulary-sized counts,
+    * and (prev, tok) against the corpus-sized bigram table, each a
+    * single shuffle (AQE broadcasts whichever side fits). Counts stay
+    * additive across DML layers; the bigram recomposition mirrors the
+    * unigram one.
+    */
+  def serveSurprisal(s: org.apache.spark.sql.SparkSession, d: String,
+      docs: org.apache.spark.sql.DataFrame, order: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(order == 1 || order == 2,
+      s"serveSurprisal: order must be 1 or 2, got $order")
     graft.functions.GraftFunctions.ensureRegistered(s)
     val p = ensureLm(s, d)
     // layer recomposition: counts are additive across id-disjoint
@@ -800,12 +859,45 @@ final class TextOps(tuning: graft.config.Tuning) {
         }
       total.toDouble + vocab.toDouble + 1.0
     }
-    val sc = docs.select(col("id"), explode(expr(toksExpr)).as("tok"))
-      .join(lm, Seq("tok"), "left")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        r6(avg(-log((coalesce(col("cnt"), lit(0L)) + lit(1L)) /
-          lit(denom)))).as("nats"))
+    val sc =
+      if (order == 1)
+        docs.select(col("id"), explode(expr(toksExpr)).as("tok"))
+          .join(lm, Seq("tok"), "left")
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            r6(avg(-log((coalesce(col("cnt"), lit(0L)) + lit(1L)) /
+              lit(denom)))).as("nats"))
+      else {
+        val lam = tuning.lmLambda
+        val bg =
+          if (v.baseOnly)
+            s.read.parquet(s"$p/bigrams").withColumnRenamed("cnt", "bcnt")
+          else ArtifactLake.layerUnion(s,
+              p +: v.overlays.map(_.getAbsolutePath), "bigrams").get
+            .groupBy(col("prev"), col("tok")).agg(sum(col("cnt")).as("bcnt"))
+        val ptk = docs.withColumn("toks", expr(toksExpr))
+          .select(col("id"), col("toks"), posexplode(col("toks")))
+          .withColumnRenamed("col", "tok")
+          .withColumn("prev", expr("CASE WHEN pos > 0 THEN toks[pos - 1] END"))
+          .drop("toks")
+        ptk
+          .join(lm, Seq("tok"), "left")
+          .join(lm.select(col("tok").as("prev"), col("cnt").as("pcnt")),
+            Seq("prev"), "left")
+          .join(bg, Seq("prev", "tok"), "left")
+          // op order mirrors the oracle EXACTLY (the exact-hash float
+          // contract): p1 = (cnt+1)/denom; bterm = bcnt/pcnt (0 for an
+          // out-of-corpus prev); p = λ·bterm + (1−λ)·p1, first token p1
+          .withColumn("p1",
+            (coalesce(col("cnt"), lit(0L)) + lit(1L)) / lit(denom))
+          .withColumn("bterm", when(col("pcnt").isNull, lit(0.0))
+            .otherwise(coalesce(col("bcnt"), lit(0L)) / col("pcnt")))
+          .withColumn("p", when(col("pos") === 0, col("p1"))
+            .otherwise(lit(lam) * col("bterm") + lit(1.0 - lam) * col("p1")))
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            r6(avg(-log(col("p")))).as("nats"))
+      }
     docs.select(col("id"))
       .join(sc, Seq("id"), "left")
       .select(col("id"),
@@ -1138,12 +1230,13 @@ final class TextOps(tuning: graft.config.Tuning) {
                     -- IEND, where the zlib stream wraps the filtered
                     -- raster h·(1+3w) in one stored block (+11 framing)
                     WHEN 2 THEN 57 + 11 + (1 + doc_id % 29) * (1 + 3 * (1 + doc_id % 53))
-                    -- JPEG: 162 header bytes (SOI + JFIF APP0 + DQT +
-                    -- 2×DHT + DRI + grayscale SOF0 + SOS) + the
-                    -- entropy scan (2 bytes/block + 2-byte RST between
-                    -- blocks = 4·nb − 2) + EOI
-                    ELSE 162 + 4 * (((1 + doc_id % 61 + 7)//8)
-                                    * ((1 + doc_id % 37 + 7)//8))
+                    -- JPEG: 172 header bytes (SOI + JFIF APP0 + DQT +
+                    -- 2×DHT + DRI + 3-component SOF0 + SOS) + the
+                    -- entropy scan (6 bytes/MCU + 2-byte RST between
+                    -- MCUs = 8·nb − 2) + EOI; dims from the EFFECTIVE
+                    -- id (near-dup injection)
+                    ELSE 172 + 8 * (((1 + (${Multimodal.jpegEffSql}) % 61 + 7)//8)
+                                    * ((1 + (${Multimodal.jpegEffSql}) % 37 + 7)//8))
                END AS media_bytes,
                CASE WHEN doc_id % 4 = 1 THEN 10 + doc_id % 50 ELSE 1 END AS n_frames
              FROM documents)
@@ -1216,8 +1309,78 @@ final class TextOps(tuning: graft.config.Tuning) {
       FROM probes
       ORDER BY id"""))
 
+  /** q107: the order-2 (bigram) served scorer under the gate — q103's
+    * pinned probe recipe through `serveSurprisal(order = 2)`: a corpus
+    * slice, the OOV/empty probes, plus a SCRAMBLED-stopword probe
+    * (fluent unigrams, improbable transitions — what order 1 cannot
+    * see), while the oracle re-derives the unigram LM, the bigram
+    * counts, the Laplace denominator, and the Jelinek-Mercer
+    * interpolation per token position from raw `documents`. A wrong
+    * stored bigram count, a λ slip, or a first-token/OOV-prev route
+    * mishandled all hash-mismatch.
+    */
+  private val q107 = Q(
+    "q107_serve_bigram_surprisal",
+    (s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents")
+        .filter($"doc_id" % 100 === 7)
+        .select($"doc_id".as("id"), $"text")
+      val synth = Seq(
+        (900000001L, "the quick brown fox and a zzgibberish qqparade"),
+        (900000002L, "zzxqv wwyzk jjqrp"),
+        (900000003L, ""),
+        (900000004L, "and the of a in the and of the a")).toDF("id", "text")
+      serveSurprisal(s, d, corpus.unionByName(synth), order = 2)
+        .orderBy($"id")
+    },
+    Some(s"""
+      WITH toks AS (SELECT $toksSqlDuck AS toks FROM documents),
+      ut AS (SELECT unnest(toks) AS tok FROM toks),
+      lm AS (SELECT tok, count(*) AS cnt FROM ut GROUP BY tok),
+      den AS (SELECT CAST(count(*) AS DOUBLE) +
+                     CAST(count(DISTINCT tok) AS DOUBLE) + 1.0 AS denom
+              FROM ut),
+      bx AS (SELECT unnest(range(1, len(toks))) AS i, toks
+             FROM toks WHERE len(toks) >= 2),
+      bg AS (SELECT toks[i] AS prev, toks[i + 1] AS tok, count(*) AS bcnt
+             FROM bx GROUP BY 1, 2),
+      probes AS (SELECT doc_id AS id, text FROM documents
+                 WHERE doc_id % 100 = 7
+                 UNION ALL
+                 SELECT * FROM (VALUES
+                   (CAST(900000001 AS BIGINT),
+                    'the quick brown fox and a zzgibberish qqparade'),
+                   (CAST(900000002 AS BIGINT), 'zzxqv wwyzk jjqrp'),
+                   (CAST(900000003 AS BIGINT), ''),
+                   (CAST(900000004 AS BIGINT),
+                    'and the of a in the and of the a')) v(id, text)),
+      ptk0 AS (SELECT id, $toksSqlDuck AS toks FROM probes),
+      pe AS (SELECT id, unnest(range(1, len(toks) + 1)) AS pos, toks
+             FROM ptk0),
+      pe2 AS (SELECT id, pos, toks[pos] AS tok,
+                CASE WHEN pos > 1 THEN toks[pos - 1] END AS prev
+              FROM pe),
+      psc AS (SELECT id, pos,
+                (coalesce(l.cnt, 0) + 1) / (SELECT denom FROM den) AS p1,
+                CASE WHEN pl.cnt IS NULL THEN 0.0
+                     ELSE coalesce(bg.bcnt, 0) / pl.cnt END AS bterm
+              FROM pe2 LEFT JOIN lm l ON pe2.tok = l.tok
+                       LEFT JOIN lm pl ON pe2.prev = pl.tok
+                       LEFT JOIN bg ON pe2.prev = bg.prev
+                                   AND pe2.tok = bg.tok),
+      sc AS (SELECT id, count(*) AS n_tokens,
+               round(avg(-ln(CASE WHEN pos = 1 THEN p1
+                 ELSE ${tuning.lmLambda} * bterm +
+                      (1.0 - ${tuning.lmLambda}) * p1 END)), 6) AS nats
+             FROM psc GROUP BY id)
+      SELECT p.id, CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+             sc.nats
+      FROM probes p LEFT JOIN sc USING (id)
+      ORDER BY id"""))
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q65, q66, q92,
-    q99, q100, q101, q103)
+    q99, q100, q101, q103, q107)
 }
 
 object TextOps {

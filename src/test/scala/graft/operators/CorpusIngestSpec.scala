@@ -149,6 +149,63 @@ class CorpusIngestSpec extends SparkTestBase {
     }
   }
 
+  test("a batch carrying embeddings lands in the vector store too; the kill between store 5 and 6 heals") {
+    withTempRoot {
+      import spark.implicits._
+      val dir = writeCorpus()
+      // a small embeddings table so the IVF-PQ index can train
+      def vec(seed: Int): Array[Float] = {
+        val raw = Array.tabulate(8)(i =>
+          math.sin(seed * 13.7 + i * 2.3).toFloat + (if (i == seed % 8) 2f else 0f))
+        val n = math.sqrt(raw.map(x => x * x.toDouble).sum).toFloat
+        raw.map(_ / n)
+      }
+      (0 until 40).map(i => (i.toLong, vec(i), i % 4))
+        .toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+
+      val vknobs = Tuning(bpeMerges = 8, annQueries = 3, lloydIters = 1,
+        nprobe = 2, pqCentroids = 8, pqSubspaces = 2, pqSubDim = 4)
+      val ing = new CorpusIngest(vknobs)
+      val sim = new Similarity(vknobs)
+      val emb100 = vec(77)
+
+      // SIMULATED KILL between store 5 and 6: the five TEXT stores
+      // took the batch (no embedding column), then the process died
+      val r1 = ing.ingestBatch(spark, dir,
+        Seq((100L, text1)).toDF("doc_id", "text"))
+      assert(r1.kept == 1L && r1.dedupInstalled && r1.lmInstalled &&
+        !r1.vectorsInstalled)
+
+      // the replay WITH the embedding column heals: the five text
+      // stores no-op off their content keys (same doc bytes), the
+      // vector store installs
+      val r2 = ing.ingestBatch(spark, dir,
+        Seq((100L, text1, emb100)).toDF("doc_id", "text", "embedding"))
+      assert(r2.kept == 1L && !r2.dedupInstalled && !r2.shardsInstalled &&
+        !r2.bm25Installed && !r2.runsInstalled && !r2.lmInstalled)
+      assert(r2.vectorsInstalled, "the vector store must install on replay")
+
+      // doc and vector ids agree: an identity query serves doc 100's id
+      val top = sim.search(spark, dir, Seq(42L -> emb100), k = 1).collect()
+      assert(top.length == 1 && top.head.getAs[Long]("n_id") == 100L,
+        s"vec_id must equal doc_id: ${top.mkString(", ")}")
+
+      // a FULL replay no-ops in all six stores
+      val r3 = ing.ingestBatch(spark, dir,
+        Seq((100L, text1, emb100)).toDF("doc_id", "text", "embedding"))
+      assert(!r3.vectorsInstalled && !r3.dedupInstalled && !r3.lmInstalled)
+
+      // a curation-REJECTED doc contributes neither text nor vector
+      val rj = ing.ingestBatch(spark, dir,
+        Seq((101L, spanish, vec(78))).toDF("doc_id", "text", "embedding"))
+      assert(rj.kept == 0L && !rj.vectorsInstalled)
+      val miss = sim.search(spark, dir, Seq(43L -> vec(78)), k = 1).collect()
+      assert(miss.forall(_.getAs[Long]("n_id") != 101L),
+        "a rejected doc's vector must not be searchable")
+    }
+  }
+
   test("redact mode keeps a PII-bearing good document with REDACTED bytes in every store") {
     withTempRoot {
       import spark.implicits._

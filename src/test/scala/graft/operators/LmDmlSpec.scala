@@ -46,10 +46,10 @@ class LmDmlSpec extends SparkTestBase {
     (900L, "alpha"), (901L, "beta epsilon"), (902L, "zz unseen eta"),
     (903L, ""))
 
-  private def serveMap(ops: TextOps, dir: String)
+  private def serveMap(ops: TextOps, dir: String, order: Int = 1)
       : Map[Long, (Long, Option[Double])] = {
     import spark.implicits._
-    ops.serveSurprisal(spark, dir, probes.toDF("id", "text"))
+    ops.serveSurprisal(spark, dir, probes.toDF("id", "text"), order)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))))
       .toMap
@@ -75,9 +75,13 @@ class LmDmlSpec extends SparkTestBase {
           .toDF("doc_id", "text")))
       assert(ex.getMessage.contains("10"))
 
-      // DML'd store ≡ a from-scratch base over corpus ∪ batches
+      // DML'd store ≡ a from-scratch base over corpus ∪ batches —
+      // at BOTH orders: the bigram layer recomposes additively like
+      // the unigram counts
       val scratch = writeCorpus(base ++ batch1 ++ batch2)
       assert(serveMap(ops, dir) == serveMap(new TextOps(Tuning()), scratch))
+      assert(serveMap(ops, dir, order = 2) ==
+        serveMap(new TextOps(Tuning()), scratch, order = 2))
     }
   }
 
@@ -115,9 +119,12 @@ class LmDmlSpec extends SparkTestBase {
       val adds0 = TextOps.lmAdds.get()
       assert(!ops.addLmDocs(spark, dir, batch1.toDF("doc_id", "text")))
       assert(TextOps.lmAdds.get() == adds0)
-      // and serving over the folded generation matches scratch
+      // and serving over the folded generation matches scratch at
+      // both orders (the fold re-sums bigram counts by (prev, tok))
       val scratch = writeCorpus(base ++ batch1 ++ batch2)
       assert(serveMap(ops, dir) == serveMap(new TextOps(Tuning()), scratch))
+      assert(serveMap(ops, dir, order = 2) ==
+        serveMap(new TextOps(Tuning()), scratch, order = 2))
     }
   }
 }

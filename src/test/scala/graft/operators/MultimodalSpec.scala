@@ -136,24 +136,94 @@ class MultimodalSpec extends AnyFunSuite {
         case _ =>
           val m = RealDecoders.decodeJpeg(rec)
             .getOrElse(fail(s"JPEG fixture $id rejected by the JPEG parser"))
-          assert(m.width == 1 + id % 61 && m.height == 1 + id % 37)
+          // dims derive from the EFFECTIVE id (near-dup injection)
+          val (eff, _) = MediaFixtures.jpegEff(id)
+          assert(m.width == 1 + eff % 61 && m.height == 1 + eff % 37)
           assert(m.n_frames == 1)
-          // the raster is REAL now: one entropy-decoded frame of w·h
-          // grayscale bytes
+          // the raster is REAL color now: one entropy-decoded frame of
+          // w·h·3 RGB bytes (YCbCr 4:4:4 → RGB)
           val frames = RealDecoders.sampledFrames(rec).toSeq
           assert(frames.map(f => (f._1, f._2)) == Seq((1L, 0L)))
-          assert(frames.head._3.length == m.width.toInt * m.height.toInt)
+          assert(frames.head._3.length == m.width.toInt * m.height.toInt * 3)
       }
     }
   }
 
-  test("jpegRaster decodes the fixture: real Huffman + dequant + IDCT, flat-block formula pixels") {
+  test("near-dup injection: exact replicas are byte-identical, near-dups one byte off") {
+    import Multimodal.MediaFixtures
+    // id ≡ 19 (mod 20): byte-for-byte replay of id−8
+    assert(java.util.Arrays.equals(MediaFixtures.jpeg(19L), MediaFixtures.jpeg(11L)))
+    assert(java.util.Arrays.equals(MediaFixtures.jpeg(119L), MediaFixtures.jpeg(111L)))
+    // id ≡ 15 (mod 20): same dims, exactly ONE scan byte differs
+    // (block 0's luma, one quant step) unless m was already 63
+    val a = MediaFixtures.jpeg(7L); val b = MediaFixtures.jpeg(15L)
+    assert(a.length == b.length)
+    val diffs = a.indices.filter(i => a(i) != b(i))
+    val m0 = ((7L * 7) % 64).toInt // block 0 of eff=7
+    assert(diffs.size == (if (m0 == 63) 0 else 1), s"diffs at $diffs")
+    // and the decoded rasters differ only inside block 0
+    import Multimodal.RealDecoders
+    val Some((w, h, 3, pa)) = RealDecoders.jpegRaster(a)
+    val Some((w2, h2, 3, pb)) = RealDecoders.jpegRaster(b)
+    assert(w == w2 && h == h2)
+    val changed = (0 until pa.length / 3).filter { p =>
+      (0 until 3).exists(c => pa(p * 3 + c) != pb(p * 3 + c))
+    }
+    assert(changed.nonEmpty)
+    assert(changed.forall { p =>
+      val (y, x) = (p / w.toInt, p % w.toInt); y < 8 && x < 8
+    }, "perturbation leaked outside block 0")
+  }
+
+  /** The flat-plane pixel formulas the color fixture encodes — the
+    * spec-side reference for block (eff, nd, k): (Y, Cb, Cr).
+    */
+  private def ycbcrOf(eff: Long, nd: Boolean, k: Int): (Int, Int, Int) = {
+    val m0 = ((eff * 7 + k * 13) % 64).toInt
+    val m = if (nd && k == 0) math.min(m0 + 1, 63) else m0
+    val y = if ((eff + k) % 2 == 0) 192 + m else 64 - m
+    val cbv = ((eff * 5 + k * 11) % 64).toInt
+    val cb = if ((eff + k) % 3 == 0) 64 - cbv else 192 + cbv
+    val crv = ((eff * 3 + k * 17) % 64).toInt
+    val cr = if ((eff + k) % 5 == 0) 64 - crv else 192 + crv
+    (y, cb, cr)
+  }
+
+  private def rgbOf(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def cl(v: Double) = math.max(0, math.min(255, math.floor(v).toInt))
+    (cl(y + 1.402 * (cr - 128) + 0.5),
+      cl(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5),
+      cl(y + 1.772 * (cb - 128) + 0.5))
+  }
+
+  test("jpegRaster decodes the color fixture: real Huffman + dequant + IDCT + YCbCr→RGB") {
     import Multimodal.{MediaFixtures, RealDecoders}
-    for (id <- Seq(3L, 7L, 111L)) {
+    for (id <- Seq(3L, 7L, 111L, 15L, 19L)) {
       val b = MediaFixtures.jpeg(id)
+      val (eff, nd) = MediaFixtures.jpegEff(id)
+      val (w, h) = ((1 + eff % 61).toInt, (1 + eff % 37).toInt)
+      val Some((dw, dh, ch, px)) = RealDecoders.jpegRaster(b)
+      assert(dw == w && dh == h && ch == 3)
+      assert(px.length == w * h * 3)
+      val bw = (w + 7) / 8
+      for (y <- 0 until h; x <- 0 until w) {
+        val k = (y / 8) * bw + (x / 8)
+        val (yy, cb, cr) = ycbcrOf(eff, nd, k)
+        val (r, g, bb) = rgbOf(yy, cb, cr)
+        val o = (y * w + x) * 3
+        assert((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff) == ((r, g, bb)),
+          s"id=$id y=$y x=$x")
+      }
+    }
+  }
+
+  test("jpegRaster still decodes the 1-component (grayscale) profile") {
+    import Multimodal.{MediaFixtures, RealDecoders}
+    for (id <- Seq(3L, 111L)) {
+      val b = MediaFixtures.jpegGray(id)
       val (w, h) = ((1 + id % 61).toInt, (1 + id % 37).toInt)
-      val Some((dw, dh, px)) = RealDecoders.jpegRaster(b)
-      assert(dw == w && dh == h)
+      val Some((dw, dh, ch, px)) = RealDecoders.jpegRaster(b)
+      assert(dw == w && dh == h && ch == 1)
       assert(px.length == w * h)
       val bw = (w + 7) / 8
       for (y <- 0 until h; x <- 0 until w) {
@@ -174,18 +244,30 @@ class MultimodalSpec extends AnyFunSuite {
       val c = b.clone(); c(at) = to.toByte; c
     }
     // scan starts after SOI(2)+APP0(18)+DQT(69)+DHT(22)+DHT(22)+
-    // DRI(6)+SOF0(13)+SOS(10) = 162
-    val scanAt = 162
+    // DRI(6)+SOF0(19)+SOS(14) = 172; an MCU is 6 bytes (Y 00 Cb 00 Cr
+    // 00), first RST at scanAt+6
+    val scanAt = 172
     assert((good(scanAt + 1) & 0xff) == 0x00, "layout drifted: EOB expected")
+    assert((good(scanAt + 6) & 0xff) == 0xff &&
+      (good(scanAt + 7) & 0xff) == 0xd0, "layout drifted: RST0 expected")
     val corrupted = Seq(
       // a bare 0xFF mid-scan is a marker where a codeword must be
       flip(good, scanAt, 0xff),
+      // …also when it lands on a CHROMA component's codeword
+      flip(good, scanAt + 2, 0xff),
       // a wrong restart marker value breaks the interval contract
-      flip(good, scanAt + 3, 0xd7),
+      flip(good, scanAt + 7, 0xd7),
       // a non-baseline frame type is outside the decode profile
       flip(good, 140, 0xc2), // the SOF0 marker byte (SOF segment at 139)
+      // a subsampled chroma component (Cb sampling 0x22) is outside
+      // the 4:4:4 profile
+      flip(good, 153, 0x22),
+      // an SOS claiming 2 of the 3 frame components mismatches
+      flip(good, 162, 2),
       // truncation mid-scan
-      good.take(good.length - 6))
+      good.take(good.length - 6),
+      // truncation mid-MCU: Y and Cb decoded, Cr missing
+      good.take(scanAt + 4))
     corrupted.foreach { bad =>
       assert(RealDecoders.jpegRaster(bad).isEmpty, "corrupt scan must refuse")
       assert(RealDecoders.sampledFrames(MediaRecord(id, bad)).isEmpty)

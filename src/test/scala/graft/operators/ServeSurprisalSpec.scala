@@ -59,6 +59,43 @@ class ServeSurprisalSpec extends SparkTestBase {
     }
   }
 
+  test("order 2: hand-computed interpolation; scrambled text pays the transition penalty") {
+    withTempRoot {
+      import spark.implicits._
+      // corpus: "a b" ×3 → unigrams a=3, b=3 (T=6, V=2, denom=9);
+      // bigrams: (a,b)=3 — cnt(a)=3 so P(b|a)=1; (b,a) unseen
+      val dir = writeCorpus(Seq((0L, "a b"), (1L, "a b"), (2L, "a b")))
+      val ops2 = new TextOps(Tuning()) // λ = 0.7
+      val out = ops2.serveSurprisal(spark, dir, Seq(
+          (10L, "a b"),   // natural order
+          (11L, "b a"),   // scrambled: same unigrams, unseen transition
+          (12L, "zz a"))  // OOV prev → pure unigram floor on 'a'
+        .toDF("id", "text"), order = 2)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .toMap
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val lam = 0.7
+      val p1a = 4.0 / 9.0; val p1b = 4.0 / 9.0; val p1oov = 1.0 / 9.0
+      // "a b": pos0 = P1(a); pos1 = λ·(3/3) + (1−λ)·P1(b)
+      val natAB = (-math.log(p1a) + -math.log(lam * 1.0 + (1.0 - lam) * p1b)) / 2
+      // "b a": pos0 = P1(b); pos1 = λ·0 + (1−λ)·P1(a)
+      val natBA = (-math.log(p1b) + -math.log(lam * 0.0 + (1.0 - lam) * p1a)) / 2
+      // "zz a": pos0 = P1(zz); pos1: prev OOV → bterm 0
+      val natZA = (-math.log(p1oov) + -math.log(lam * 0.0 + (1.0 - lam) * p1a)) / 2
+      assert(out(10L) == (2L, Some(r6(natAB))))
+      assert(out(11L) == (2L, Some(r6(natBA))))
+      assert(out(12L) == (2L, Some(r6(natZA))))
+      // the word-order signal order 1 cannot see: scrambled > natural
+      assert(natBA > natAB)
+      // and order 1 scores both orders IDENTICALLY (the blindness)
+      val o1 = ops2.serveSurprisal(spark, dir,
+        Seq((10L, "a b"), (11L, "b a")).toDF("id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(o1(10L) == o1(11L))
+    }
+  }
+
   test("the LM builds once; replays and fresh sessions reuse the artifact") {
     withTempRoot {
       import spark.implicits._
