@@ -66,11 +66,15 @@ object ScaleProbe {
         // + the r14 pretok gates (96/97), interchange round trip (98),
         //   PII redaction (99), surprisal (100), tf-idf (101), and
         //   mixture temperature (102)
+        // + the r15 dHash lake (104-106), bigram LM serve (107), and
+        //   SP unigram tokenizer (108/109)
         Set(72, 73, 77, 78, 79, 80, 81, 82, 83, 84, 85, 86, 87, 88, 89,
-          90, 91, 92, 93, 94, 95, 96, 97, 98, 99, 100, 101, 102, 103)
+          90, 91, 92, 93, 94, 95, 96, 97, 98, 99, 100, 101, 102, 103,
+          104, 105, 106, 107, 108, 109)
           .contains(num)
     }.toSeq.sorted
-    val builds = Seq("q69_minhash_index_build", "q67_ivf_pq_index_build")
+    val builds = Seq("q69_minhash_index_build", "q67_ivf_pq_index_build",
+      "q104_media_dhash_build", "q108_sp_unigram_train")
     builds ++ tier.filterNot(builds.contains)
   }
 

@@ -25,7 +25,19 @@ import org.apache.spark.sql.functions._
   *    the scan reads the touched slices, never the corpus);
   *  - `surprisal`: the same pinned batch against the stored corpus
   *    LM ([[graft.operators.TextOps!.serveSurprisal]] — the corpus-LM
-  *    quality scorer joins the ladder with the other serve faces).
+  *    quality scorer joins the ladder with the other serve faces;
+  *    pass 1 of the first cell carries the cold LM build, which since
+  *    r15 includes the corpus bigram table);
+  *  - `surprisal2`: the same batch at order 2 — the bigram
+  *    interpolation adds the (prev, tok) join against the
+  *    corpus-sized bigram counts, the cell that would expose a
+  *    corpus-proportional serve term if the join stopped pruning;
+  *  - `dhash`: 32 media documents replayed (shifted ids) against the
+  *    stored perceptual-hash band index
+  *    ([[graft.operators.MediaDedup!.serveDhashMatches]]) — pass 1 of
+  *    the first cell carries the media-fixture generation AND the
+  *    cold decode→dHash lake build; steady serve is the probe-side
+  *    decode + the capped band join.
   *
   * α = log10(t_big/t_small) per 10× step, per pass. Usage:
   * `scripts/run.sh graft.ServeProbe [mult ...]` (default 1 10 100
@@ -61,20 +73,32 @@ object ServeProbe {
 
     val search = new operators.Search(config.Tuning.current)
     val textOps = new operators.TextOps(config.Tuning.current)
+    val mediaDedup = new operators.MediaDedup(config.Tuning.current)
 
     def probeBatch(dir: String) = spark.read
       .parquet(s"$dir/documents.parquet")
       .where(col("doc_id") < 32)
       .select((col("doc_id") + 900000000L).as("id"), col("text"))
 
+    def mediaProbe(dir: String) = operators.Multimodal.MediaLake
+      .table(spark, dir)
+      .where(col("doc_id") < 32)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("blob"))
+
     def cells(dir: String): Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "runs" -> (() => search.serveRuns(spark, dir, probeBatch(dir))),
       "bmhead" -> (() => search.serveBm25(spark, dir, headTerms, 20)),
       "bmtail" -> (() => search.serveBm25(spark, dir, tailTerms, 20)),
-      // r14 second half: the served LM scorer — pass 1 of the first
-      // cell carries the cold corpus-LM build (one token count), the
-      // steady passes a batch-sized probe against the broadcast counts
-      "surprisal" -> (() => textOps.serveSurprisal(spark, dir, probeBatch(dir))))
+      // the served LM scorer — pass 1 of the first cell carries the
+      // cold corpus-LM build (token count + bigram count), the steady
+      // passes a batch-sized probe against the broadcast counts
+      "surprisal" -> (() => textOps.serveSurprisal(spark, dir, probeBatch(dir))),
+      // r15: the bigram mode — adds the (prev, tok) join against the
+      // corpus-sized bigram table (store already built by `surprisal`)
+      "surprisal2" -> (() => textOps.serveSurprisal(spark, dir, probeBatch(dir), order = 2)),
+      // r15: the perceptual-dedup serve — pass 1 of the first cell
+      // carries media-fixture generation + the decode→dHash lake build
+      "dhash" -> (() => mediaDedup.serveDhashMatches(spark, dir, mediaProbe(dir))))
 
     // JIT warmup on a throwaway corpus (keyed by size — no collision)
     val warm = operators.SyntheticCorpus.ensureText(spark, 500, lexicon)
@@ -120,7 +144,8 @@ object ServeProbe {
 
     def jnum(v: Double): String = if (v.isNaN) "null" else num(v, 2)
     val sorted = mults.sorted
-    val names = Seq("runs", "bmhead", "bmtail", "surprisal")
+    val names = Seq("runs", "bmhead", "bmtail", "surprisal",
+      "surprisal2", "dhash")
     val qJson = names.map { q =>
       val per = sorted.map { m =>
         val p = results(m)(q)

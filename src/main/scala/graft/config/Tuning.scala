@@ -223,6 +223,21 @@ final case class Tuning(
       * mille (an Int knob like the rest): 700 = 0.7, the shipped
       * default. */
     lmLambdaPerMille: Int = 700,
+    /** q108/q109: target piece-vocabulary size of the SentencePiece-
+      * style unigram-LM tokenizer (single characters are always kept
+      * on top of the multi-character budget — the SentencePiece
+      * required-chars rule, so coverage never breaks). */
+    spVocab: Int = 120,
+    /** q108/q109: maximum piece length in code points — bounds the
+      * seed-substring table (words × len × this) and the Viterbi DP
+      * fan-in. */
+    spPieceLen: Int = 4,
+    /** q108/q109: Viterbi-EM refinement rounds (hard EM — each round
+      * re-segments the training vocabulary under the current piece
+      * probabilities, recounts, and re-prunes). 0 = serve the seed
+      * model. Capped at 4: the oracle unrolls one Viterbi chain per
+      * round. */
+    spIters: Int = 2,
     /** q86: minimum shared-run length IN TOKENS for a doc pair to be
       * reported as an exact-substring overlap. Runs shorter than the
       * 8-token window can't be observed at all, so this must be ≥ 8;
@@ -267,6 +282,12 @@ final case class Tuning(
     pos(dhashBandCap, "dhashBandCap")
     if (lmLambdaPerMille < 0 || lmLambdaPerMille > 1000) throw ConfigurationError(
       s"graft.tuning.lmLambdaPerMille must be in [0, 1000], got $lmLambdaPerMille")
+    pos(spVocab, "spVocab")
+    if (spPieceLen < 1 || spPieceLen > 8) throw ConfigurationError(
+      s"graft.tuning.spPieceLen must be in [1, 8], got $spPieceLen")
+    if (spIters < 0 || spIters > 4) throw ConfigurationError(
+      s"graft.tuning.spIters must be in [0, 4] (the oracle unrolls one" +
+        s" Viterbi chain per round), got $spIters")
     if (runMinTokens < 8) throw ConfigurationError(
       s"graft.tuning.runMinTokens must be >= 8 (the shingle window width" +
         s" — shorter runs are unobservable), got $runMinTokens")
@@ -394,6 +415,9 @@ object Tuning {
       dhashMaxHamming = knob("dhashMaxHamming", d.dhashMaxHamming),
       dhashBandCap = knob("dhashBandCap", d.dhashBandCap),
       lmLambdaPerMille = knob("lmLambdaPerMille", d.lmLambdaPerMille),
+      spVocab = knob("spVocab", d.spVocab),
+      spPieceLen = knob("spPieceLen", d.spPieceLen),
+      spIters = knob("spIters", d.spIters),
       runMinTokens = knob("runMinTokens", d.runMinTokens))
     t.validate()
     t

@@ -36,6 +36,7 @@ final class QRegistry(val tuning: graft.config.Tuning) {
     new graft.operators.Similarity(tuning).all ++
     new graft.operators.TextOps(tuning).all ++
     new graft.operators.Bpe(tuning).all ++
+    new graft.operators.Sp(tuning).all ++
     new graft.operators.Search(tuning).all ++
     graft.operators.Multimodal.all ++
     new graft.operators.MediaDedup(tuning).all ++

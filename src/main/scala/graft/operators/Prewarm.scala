@@ -32,5 +32,13 @@ object Prewarm {
     bpe.ensureCuratedShards(s, d)
     // the BM25 postings' exact-substring sibling — q95 serves from it
     new Search(tuning).ensureRunsIndex(s, d)
+    // r15: the perceptual-hash lake (q104-q106) and the SP unigram
+    // model (q108/q109); the corpus LM (q103/q107) is built by
+    // TextOps.ensureLm on first serve — cheap, but attribute it here
+    // too so pass 1 of q103 times serving
+    MediaDedup.ensureDhash(s, d)
+    new Sp(tuning).ensureSp(s, d)
+    new TextOps(tuning).ensureLm(s, d)
+    ()
   }
 }

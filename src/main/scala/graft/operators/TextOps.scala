@@ -627,7 +627,8 @@ final class TextOps(tuning: graft.config.Tuning) {
     // table backs the [[addLmDocs]] id guard
     // v3: + the `bigrams(prev, tok, cnt)` table behind the
     // order-2 scoring mode (additive across layers like the unigrams)
-    val knobs = (if (nfcOn) "nfc" else "raw") + ":v3"
+    // v4: bigrams bucket-partitioned (`pb`) for the serve scan prune
+    val knobs = (if (nfcOn) "nfc" else "raw") + ":v4"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((new java.io.File(d).getCanonicalPath + ":" + knobs)
         .getBytes("UTF-8"))
@@ -652,8 +653,9 @@ final class TextOps(tuning: graft.config.Tuning) {
   /** Corpus bigram counts of a `(…, text)` frame — one explode + one
     * map-side-combinable aggregate, the unigram LM's shape one key
     * wider. Unlike the vocabulary-sized unigram table this scales with
-    * corpus content (distinct adjacent pairs), so it is written at
-    * default parallelism, never coalesced.
+    * corpus content (distinct adjacent pairs), so it is never
+    * coalesced and every write goes through [[writeBigrams]]'
+    * bucket-partitioned layout for the serve-side scan prune.
     */
   private def bigramCounts(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
@@ -661,6 +663,39 @@ final class TextOps(tuning: graft.config.Tuning) {
       .select(explode(expr(bigramsOfToks)).as("bg"))
       .select(col("bg.prev").as("prev"), col("bg.tok").as("tok"))
       .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cnt"))
+
+  /** The bigram table's scan-prune geometry — the BM25/runs recipe
+    * applied to the ONLY corpus-sized table on the order-2 serve
+    * path: rows land in `pmod(md5(prev), 64)` directory partitions,
+    * and a batch-sized probe prunes every layer's scan to its
+    * buckets + literal `prev` predicates (parquet partition pruning +
+    * row-group/dictionary filtering), so serving stays
+    * batch-proportional instead of re-scanning the corpus bigrams.
+    */
+  private val bgBuckets = 64
+  private val bgCollectCap = 4096
+
+  /** Driver-side twin of the write-side `pmod(md5-long(prev), 64)`
+    * (the [[Search]] bucketOf recipe) — the pruning path must compute
+    * the same bucket for a collected probe `prev` that the build
+    * computed for the stored one.
+    */
+  private def bgBucketOf(prev: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(prev.getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.take(15)
+    (new java.math.BigInteger(hex, 16)
+      .mod(java.math.BigInteger.valueOf(bgBuckets.toLong))).intValue
+  }
+
+  private def writeBigrams(df: org.apache.spark.sql.DataFrame,
+      path: String): Unit =
+    df.withColumn("pb", expr(
+        s"cast(pmod(cast(conv(substring(md5(prev), 1, 15), 16, 10) as bigint), $bgBuckets) as int)"))
+      // one task per bucket → exactly bgBuckets files, no small-file
+      // explosion at build parallelism
+      .repartition(bgBuckets, col("pb"))
+      .write.mode("overwrite").partitionBy("pb").parquet(path)
 
   /** Install-or-reuse the corpus LM artifact: `counts` (token →
     * corpus frequency — vocabulary-sized, Heaps-law bounded) and
@@ -684,8 +719,9 @@ final class TextOps(tuning: graft.config.Tuning) {
       lm.agg(coalesce(sum(col("cnt")), lit(0L)).as("total_tokens"),
           count(lit(1)).as("vocab"))
         .coalesce(1).write.mode("overwrite").parquet(s"$root/totals")
-      bigramCounts(spread(t(s, d, "documents")).select(col("text")))
-        .write.mode("overwrite").parquet(s"$root/bigrams")
+      writeBigrams(
+        bigramCounts(spread(t(s, d, "documents")).select(col("text"))),
+        s"$root/bigrams")
       spread(t(s, d, "documents")).select(col("doc_id"))
         .write.mode("overwrite").parquet(s"$root/docs")
     }
@@ -722,8 +758,8 @@ final class TextOps(tuning: graft.config.Tuning) {
         cnts.agg(coalesce(sum(col("cnt")), lit(0L)).as("total_tokens"),
             count(lit(1)).as("vocab"))
           .coalesce(1).write.mode("overwrite").parquet(s"$root/totals")
-        bigramCounts(norm.select(col("text")))
-          .write.mode("overwrite").parquet(s"$root/bigrams")
+        writeBigrams(bigramCounts(norm.select(col("text"))),
+          s"$root/bigrams")
         norm.select(col("doc_id")).repartition(nFiles)
           .write.mode("overwrite").parquet(s"$root/docs")
       })(
@@ -767,9 +803,10 @@ final class TextOps(tuning: graft.config.Tuning) {
               count(lit(1)).as("vocab"))
             .coalesce(1).write.mode("overwrite").parquet(s"$out/totals")
         }
-        ArtifactLake.layerUnion(s, roots, "bigrams").foreach(
-          _.groupBy(col("prev"), col("tok")).agg(sum(col("cnt")).as("cnt"))
-            .write.mode("overwrite").parquet(s"$out/bigrams"))
+        ArtifactLake.layerUnion(s, roots, "bigrams").foreach(u =>
+          writeBigrams(
+            u.groupBy(col("prev"), col("tok")).agg(sum(col("cnt")).as("cnt")),
+            s"$out/bigrams"))
         ArtifactLake.layerUnion(s, roots, "docs").foreach(
           _.write.mode("overwrite").parquet(s"$out/docs"))
       }
@@ -869,17 +906,38 @@ final class TextOps(tuning: graft.config.Tuning) {
               lit(denom)))).as("nats"))
       else {
         val lam = tuning.lmLambda
-        val bg =
-          if (v.baseOnly)
-            s.read.parquet(s"$p/bigrams").withColumnRenamed("cnt", "bcnt")
-          else ArtifactLake.layerUnion(s,
-              p +: v.overlays.map(_.getAbsolutePath), "bigrams").get
-            .groupBy(col("prev"), col("tok")).agg(sum(col("cnt")).as("bcnt"))
         val ptk = docs.withColumn("toks", expr(toksExpr))
           .select(col("id"), col("toks"), posexplode(col("toks")))
           .withColumnRenamed("col", "tok")
           .withColumn("prev", expr("CASE WHEN pos > 0 THEN toks[pos - 1] END"))
           .drop("toks")
+          // two consumers: the prune collect below + the scoring join
+          .localCheckpoint(true)
+        // the bigram table is the ONLY corpus-sized input on this
+        // path — prune every layer's scan to the probe's `prev` set
+        // (bucket partition pruning + literal predicates for
+        // batch-sized probes; a distributed semi-join past the cap)
+        val probePrevs = {
+          val c = ptk.select(col("prev")).where(col("prev").isNotNull)
+            .distinct().limit(bgCollectCap + 1).collect()
+            .map(_.getString(0))
+          if (c.length <= bgCollectCap) Some(c.toSeq) else None
+        }
+        def prunedBg(df: org.apache.spark.sql.DataFrame) = probePrevs match {
+          case Some(ps) =>
+            val buckets = ps.map(bgBucketOf).distinct.map(Int.box)
+            df.where(col("pb").isin(buckets: _*) && col("prev").isin(ps: _*))
+          case None =>
+            df.join(ptk.select(col("prev")).where(col("prev").isNotNull)
+              .distinct(), Seq("prev"), "left_semi")
+        }
+        val bg =
+          if (v.baseOnly)
+            prunedBg(s.read.parquet(s"$p/bigrams"))
+              .withColumnRenamed("cnt", "bcnt").drop("pb")
+          else prunedBg(ArtifactLake.layerUnion(s,
+              p +: v.overlays.map(_.getAbsolutePath), "bigrams").get)
+            .groupBy(col("prev"), col("tok")).agg(sum(col("cnt")).as("bcnt"))
         ptk
           .join(lm, Seq("tok"), "left")
           .join(lm.select(col("tok").as("prev"), col("cnt").as("pcnt")),
