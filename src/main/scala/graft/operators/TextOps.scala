@@ -693,8 +693,13 @@ final class TextOps(tuning: graft.config.Tuning) {
     df.withColumn("pb", expr(
         s"cast(pmod(cast(conv(substring(md5(prev), 1, 15), 16, 10) as bigint), $bgBuckets) as int)"))
       // one task per bucket → exactly bgBuckets files, no small-file
-      // explosion at build parallelism
+      // explosion at build parallelism; prev-SORTED within each file
+      // so the serve-side literal predicates prune at row-group
+      // granularity too (min/max stats are useless over random order —
+      // measured: unsorted buckets left the m1000 steady serve growing
+      // at α ≈ 0.32/decade because every touched bucket read whole)
       .repartition(bgBuckets, col("pb"))
+      .sortWithinPartitions(col("pb"), col("prev"), col("tok"))
       .write.mode("overwrite").partitionBy("pb").parquet(path)
 
   /** Install-or-reuse the corpus LM artifact: `counts` (token →
