@@ -697,7 +697,14 @@ final class TextOps(tuning: graft.config.Tuning) {
       // so the serve-side literal predicates prune at row-group
       // granularity too (min/max stats are useless over random order —
       // measured: unsorted buckets left the m1000 steady serve growing
-      // at α ≈ 0.32/decade because every touched bucket read whole)
+      // at α ≈ 0.32/decade because every touched bucket read whole).
+      // Row-group-size tuning was MEASURED AND REJECTED: bounding
+      // parquet.block.size at 4 MiB changed nothing (2.25 vs 2.30 s at
+      // the m100 cell) because a corpus-replay probe carries more
+      // distinct prevs (~2k) than the table has row groups — every
+      // group is touched whichever way it is cut. The sort still buys
+      // skipped I/O for SMALL probes (tens of prevs), the
+      // hot-term-lookup shape.
       .repartition(bgBuckets, col("pb"))
       .sortWithinPartitions(col("pb"), col("prev"), col("tok"))
       .write.mode("overwrite").partitionBy("pb").parquet(path)
