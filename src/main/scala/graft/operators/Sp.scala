@@ -317,7 +317,14 @@ final class Sp(val tuning: Tuning) extends Serializable {
     graft.functions.GraftFunctions.ensureRegistered(s)
     import s.implicits._
     val bc = s.sparkContext.broadcast(model.toMap)
-    val maxLen = L
+    // the Viterbi candidate length must cover the GIVEN model, not just
+    // the training knob: an imported foreign sp.vocab may carry pieces
+    // longer than spPieceLen, and capping at L would silently never
+    // match them. For the stored model every piece is ≤ L code points
+    // by construction, so this is exactly L there (q109 unchanged).
+    val maxLen = model.iterator
+      .map(m => Bpe.splitCodePoints(m._1).length)
+      .foldLeft(L)(math.max)
     docs.select(col("id").cast("long").as("id"),
         expr(toksExpr).as("toks"))
       .as[(Long, Seq[String])]

@@ -943,13 +943,26 @@ final class TextOps(tuning: graft.config.Tuning) {
             df.join(ptk.select(col("prev")).where(col("prev").isNotNull)
               .distinct(), Seq("prev"), "left_semi")
         }
+        // a layer with no 2-token document writes a bigrams dir holding
+        // only _SUCCESS (partitionBy of zero rows) — the hasParquet
+        // convention: substitute an empty (prev, tok, bcnt) frame when
+        // NO layer has bigram rows instead of failing schema inference
+        val emptyBg = {
+          import s.implicits._
+          s.emptyDataset[(String, String, Long)].toDF("prev", "tok", "bcnt")
+        }
         val bg =
-          if (v.baseOnly)
-            prunedBg(s.read.parquet(s"$p/bigrams"))
-              .withColumnRenamed("cnt", "bcnt").drop("pb")
-          else prunedBg(ArtifactLake.layerUnion(s,
-              p +: v.overlays.map(_.getAbsolutePath), "bigrams").get)
-            .groupBy(col("prev"), col("tok")).agg(sum(col("cnt")).as("bcnt"))
+          if (v.baseOnly) {
+            if (ArtifactLake.hasParquet(new java.io.File(p, "bigrams")))
+              prunedBg(s.read.parquet(s"$p/bigrams"))
+                .withColumnRenamed("cnt", "bcnt").drop("pb")
+            else emptyBg
+          } else ArtifactLake.layerUnion(s,
+              p +: v.overlays.map(_.getAbsolutePath), "bigrams") match {
+            case Some(u) => prunedBg(u)
+              .groupBy(col("prev"), col("tok")).agg(sum(col("cnt")).as("bcnt"))
+            case None => emptyBg
+          }
         ptk
           .join(lm, Seq("tok"), "left")
           .join(lm.select(col("tok").as("prev"), col("cnt").as("pcnt")),
@@ -1441,8 +1454,8 @@ final class TextOps(tuning: graft.config.Tuning) {
                                    AND pe2.tok = bg.tok),
       sc AS (SELECT id, count(*) AS n_tokens,
                round(avg(-ln(CASE WHEN pos = 1 THEN p1
-                 ELSE ${tuning.lmLambda} * bterm +
-                      (1.0 - ${tuning.lmLambda}) * p1 END)), 6) AS nats
+                 ELSE CAST(${tuning.lmLambda} AS DOUBLE) * bterm +
+                      CAST(${1.0 - tuning.lmLambda} AS DOUBLE) * p1 END)), 6) AS nats
              FROM psc GROUP BY id)
       SELECT p.id, CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
              sc.nats

@@ -96,6 +96,30 @@ class ServeSurprisalSpec extends SparkTestBase {
     }
   }
 
+  test("order 2 over a corpus with NO bigrams (all 1-token docs) serves, not throws") {
+    withTempRoot {
+      import spark.implicits._
+      // every doc is a single token → the bigrams layer is written with
+      // ZERO rows (a partitionBy dir holding only _SUCCESS); order-2
+      // serving must substitute the empty frame, not fail schema
+      // inference. Unigrams: a=2, b=1 → T=3, V=2, denom=6.
+      val dir = writeCorpus(Seq((0L, "a"), (1L, "b"), (2L, "a")))
+      val out = new TextOps(Tuning()).serveSurprisal(spark, dir, Seq(
+          (10L, "a b"), (11L, "")).toDF("id", "text"), order = 2)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .toMap
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val lam = 0.7
+      val p1a = 3.0 / 6.0; val p1b = 2.0 / 6.0
+      // pos0 = P1(a); pos1: prev 'a' is in-vocab but (a,b) unseen →
+      // bterm = 0 → p = (1−λ)·P1(b)
+      val expected = (-math.log(p1a) + -math.log(lam * 0.0 + (1.0 - lam) * p1b)) / 2
+      assert(out(10L) == (2L, Some(r6(expected))))
+      assert(out(11L) == (0L, None))
+    }
+  }
+
   test("the LM builds once; replays and fresh sessions reuse the artifact") {
     withTempRoot {
       import spark.implicits._

@@ -100,6 +100,24 @@ class SpSpec extends SparkTestBase {
     }
   }
 
+  test("imported pieces LONGER than spPieceLen still match (foreign-model face)") {
+    import spark.implicits._
+    val sp = new Sp(Tuning()) // spPieceLen = 4
+    // a foreign model whose best piece is 8 code points — legal in a
+    // real sp.vocab; the Viterbi candidate window must stretch to it
+    val dir = java.nio.file.Files.createTempDirectory("graft-sp-foreign")
+    java.nio.file.Files.writeString(dir.resolve("sp.vocab"),
+      "pipeline\t-0.5\npipe\t-2.0\nline\t-2.0\np\t-9.0\ni\t-9.0\n" +
+        "e\t-9.0\nl\t-9.0\nn\t-9.0\n")
+    val model = Sp.importSpModel(dir.toString)
+    val out = sp.tokenizeWithSpModel(
+        Seq((1L, "pipeline")).toDF("id", "text"), model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2).toList).toMap
+    // the 8-cp piece wins over pipe+line (-0.5 > -4.0); under the old
+    // L-capped window it could never even be a candidate
+    assert(out(1L) == List("pipeline"))
+  }
+
   test("the model builds once; fresh instances reuse the artifact") {
     withTempRoot {
       import spark.implicits._
