@@ -456,9 +456,12 @@ final class Dedup(val tuning: Tuning) extends Serializable {
 
   /** Bump when the signature derivation changes: stale artifacts keyed
     * by older versions can never be served against new oracle
-    * arithmetic. v2: added the simhash half (`sig` table).
+    * arithmetic. v2: added the simhash half (`sig` table). v3: added
+    * the per-layer `band_stats` bucket-size ledger (the serve-side
+    * over-cap decision reads it instead of aggregating the corpus
+    * bands per call).
     */
-  private val sigVersion = 2
+  private val sigVersion = 3
 
   /** Snapshot the root once per instance ([[Similarity]]'s rationale):
     * ensure and the subsequent reads must resolve the SAME path even
@@ -501,10 +504,18 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     val p = sigPath(d)
     if (sigReady.contains(p)) return
     val built = ArtifactLake.ensure(new java.io.File(p)) { staging =>
+      val root = staging.getAbsolutePath
       bandedKeys(shinglePostings(s, d))
-        .write.mode("overwrite").parquet(s"${staging.getAbsolutePath}/bands")
+        .write.mode("overwrite").parquet(s"$root/bands")
+      // the bucket-size ledger, derived from the JUST-WRITTEN bands (a
+      // narrow re-scan — never a second shingling pass), cnt-DESC
+      // sorted so the serve-side `cnt > cap` filter prunes row groups
+      s.read.parquet(s"$root/bands")
+        .groupBy(col("band_key")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc)
+        .write.mode("overwrite").parquet(s"$root/band_stats")
       simhashSig(s, d)
-        .write.mode("overwrite").parquet(s"${staging.getAbsolutePath}/sig")
+        .write.mode("overwrite").parquet(s"$root/sig")
     }
     if (built) Dedup.sigBuilds.incrementAndGet()
     sigReady += p
@@ -842,6 +853,61 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       all.join(broadcast(ts), Seq("doc_id"), "left_anti"))
   }
 
+  /** The LIVE bucket-size ledger, summed across layers — the serve
+    * paths' over-cap input, NEVER a bands aggregate: the bottom layer
+    * (rebase base REPLACES the root ledger), the generation's fold,
+    * unconsumed ADD partials (positive), and unconsumed DEL partials
+    * (negative, measured at write time against the then-live view).
+    * Base-only composition skips the sum entirely — one pushdown-
+    * filtered scan of a pre-aggregated table. Σ(layers) equals a
+    * recount over [[liveBands]] by the writers' invariants (pinned by
+    * DedupLakeSpec's ledger test).
+    */
+  private def liveBandStats(s: SparkSession, d: String,
+      v: SigView): Option[DataFrame] = {
+    val p = sigPath(d)
+    def read(f: java.io.File): Option[DataFrame] =
+      if (ArtifactLake.hasParquet(f)) Some(s.read.parquet(f.getAbsolutePath))
+      else None
+    val bottom = v.base match {
+      case Some(b) => read(new java.io.File(b, "band_stats"))
+      case None => read(new java.io.File(s"$p/band_stats"))
+    }
+    val segs = (sigDeltaDirs(d, v) ++
+        ArtifactLake.segmentDirs(p, "del-")
+          .filterNot(f => v.consumed.contains(f.getName)))
+      .flatMap(dir => read(new java.io.File(dir, "band_stats")))
+    val layers = bottom.toSeq ++
+      ArtifactLake.tableIfPresent(v.gen, "band_stats")
+        .map(g => s.read.parquet(g.getAbsolutePath)).toSeq ++ segs
+    layers match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case all => Some(all.reduce(_ unionByName _)
+        .groupBy(col("band_key")).agg(sum(col("cnt")).as("cnt")))
+    }
+  }
+
+  /** Test hook (DedupLakeSpec's ledger-invariant pin): the summed
+    * stored ledger beside a from-scratch recount of the live bands —
+    * the two must agree after ANY DML interleaving, or the serve-side
+    * over-cap decision has drifted from the data.
+    */
+  private[operators] def ledgerAndRecount(s: SparkSession, d: String)
+      : (Map[String, Long], Map[String, Long]) = {
+    import s.implicits._
+    ensureSigIndex(s, d)
+    val v = sigView(d)
+    val ledger = liveBandStats(s, d, v)
+      .map(_.filter(col("cnt") =!= 0L).select(col("band_key"), col("cnt"))
+        .as[(String, Long)].collect().toMap)
+      .getOrElse(Map.empty[String, Long])
+    val recount = liveBands(s, d, v).groupBy(col("band_key"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    (ledger, recount)
+  }
+
   /** The LIVE simhash table: (base or root) ∪ gen ∪ add segments,
     * minus tombstones. */
   private def liveSigs(s: SparkSession, d: String, v: SigView): DataFrame = {
@@ -871,10 +937,11 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     * the candidates only. Returns `(probe_id, match_id, jaccard)`,
     * jaccard r4-rounded, ordered.
     *
-    * Cost shape: the batch side is O(batch); the corpus side is one
-    * bucket-size aggregate over the stored bands (no shingling, no
-    * signature pass) plus a candidate-bounded text fetch for verify —
-    * the difference between "a dedup query" and "a dedup service".
+    * Cost shape: the batch side is O(batch); the corpus side is the
+    * STORED bucket-size ledger ([[liveBandStats]] — pre-aggregated at
+    * write time, never a per-call bands aggregate) plus the band
+    * equi-join and a candidate-bounded text fetch for verify — the
+    * difference between "a dedup query" and "a dedup service".
     * The bucket cap drops band buckets with more than
     * [[Tuning.minhashBucketCap]] LIVE members as non-discriminative
     * (the q32 rule); a batch document matching itself (serving a
@@ -938,11 +1005,16 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     val bposts = shinglePostingsOf(batch).cache()
     val bbands = bandedKeys(bposts)
     val corpus = liveBands(s, d, v)
-    val ok = corpus.groupBy($"band_key")
-      .agg(count(lit(1)).as("cnt"))
-      .filter($"cnt" <= bCap).select($"band_key")
+    // the over-cap bucket list comes from the STORED per-layer ledgers
+    // ([[liveBandStats]]) — a lake property materialized at write time,
+    // so the serve pays no bands-table aggregate. Equivalent to the
+    // old `cnt <= cap` semi-join: a key absent from the bands has no
+    // match rows, so only the `> cap` exclusions can change the join.
+    val over = liveBandStats(s, d, v).map(
+        _.filter($"cnt" > bCap).select($"band_key"))
+      .getOrElse(s.emptyDataset[String].toDF("band_key"))
     val cand = bbands.select($"doc_id".as("probe_id"), $"band_key")
-      .join(ok, Seq("band_key"), "left_semi")
+      .join(broadcast(over), Seq("band_key"), "left_anti")
       .join(corpus.select($"doc_id".as("match_id"), $"band_key"), "band_key")
       .filter($"probe_id" =!= $"match_id")
       .select($"probe_id", $"match_id")
@@ -1240,6 +1312,11 @@ final class Dedup(val tuning: Tuning) extends Serializable {
         val ds = norm.repartition(nFiles).as[(Long, String)]
         bandedKeys(shinglePostingsOf(ds))
           .write.mode("overwrite").parquet(s"$out/bands")
+        // the segment's (positive) bucket-ledger partial, off the
+        // just-written bands — additive across id-disjoint layers
+        s.read.parquet(s"$out/bands")
+          .groupBy($"band_key").agg(count(lit(1)).as("cnt"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/band_stats")
         ds.toDF("doc_id", "text")
           .write.mode("overwrite").parquet(s"$out/docs")
         simhashSigOf(ds.toDF("doc_id", "text"))
@@ -1294,10 +1371,12 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     try {
       val st = norm.selectExpr(
         "count(1) as cnt",
+        "min(doc_id) as lo", "max(doc_id) as hi",
         "bit_xor(xxhash64(doc_id)) as h1",
         "bit_xor(xxhash64(doc_id, doc_id)) as h2").head()
       val cnt = st.getAs[Long]("cnt")
       if (cnt == 0L) return false
+      val (lo, hi) = (st.getAs[Long]("lo"), st.getAs[Long]("hi"))
       val key = f"${st.getAs[Long]("h1")}%016x${st.getAs[Long]("h2")}%016x"
       // epoch-salt when a generation consumed this tombstone: an id
       // re-added after its compact must be removable again
@@ -1312,6 +1391,19 @@ final class Dedup(val tuning: Tuning) extends Serializable {
         norm.repartition(nFiles)
           .write.mode("overwrite")
           .parquet(s"${staging.getAbsolutePath}/ids")
+        // the NEGATIVE bucket-ledger partial: how many band rows this
+        // tombstone batch kills, measured against the LIVE view at
+        // write time (which already excludes earlier tombstones — an
+        // id can never be subtracted twice). Envelope-pruned band scan
+        // + batch-sized semi-join: a WRITE-path cost, so every serve
+        // keeps reading only the pre-aggregated ledgers.
+        liveBands(s, d, v)
+          .filter(col("doc_id").between(lo, hi))
+          .join(broadcast(norm), Seq("doc_id"), "left_semi")
+          .groupBy(col("band_key"))
+          .agg((count(lit(1)) * lit(-1L)).as("cnt"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${staging.getAbsolutePath}/band_stats")
       }
       if (installed) {
         Dedup.sigRemoves.incrementAndGet()
@@ -1392,6 +1484,22 @@ final class Dedup(val tuning: Tuning) extends Serializable {
         foldOf("sig").map(minusTs).foreach(
           _.repartition(nFiles).write.mode("overwrite").parquet(s"$out/sig"))
       }
+      // bucket-ledger fold: ADDITIVE over the consumed layers' partials
+      // (gen + add segments + del segments — the dels contribute their
+      // negative rows), NOT a recount: Σ(all live ledgers) is invariant
+      // across the fold by construction. Written even when nLive = 0 —
+      // an all-tombstoned fold still carries the negative entries that
+      // cancel the base ledger's rows.
+      val statsParts =
+        ArtifactLake.tableIfPresent(v.gen, "band_stats")
+          .map(g => s.read.parquet(g.getAbsolutePath)).toSeq ++
+        (adds ++ dels).map(dir => new java.io.File(dir, "band_stats"))
+          .filter(ArtifactLake.hasParquet)
+          .map(f => s.read.parquet(f.getAbsolutePath))
+      statsParts.reduceOption(_ unionByName _).foreach(
+        _.groupBy($"band_key").agg(sum($"cnt").as("cnt"))
+          .filter($"cnt" =!= 0L)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/band_stats"))
       carried.foreach { cd =>
         if (cd.limit(1).count() > 0)
           cd.repartition(1).write.mode("overwrite").parquet(s"$out/tombstones")
@@ -1465,6 +1573,14 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       if (nLive > 0) {
         bands.repartition(nFiles).write.mode("overwrite").parquet(s"$out/bands")
         sigs.repartition(nFiles).write.mode("overwrite").parquet(s"$out/sig")
+        // a rebase RESETS the bucket ledger to ground truth: a recount
+        // over the physically-folded bands (tombstones applied), so a
+        // long-lived store's ledger can never accumulate drift. An
+        // empty fold writes no ledger — absent = all-zero.
+        s.read.parquet(s"$out/bands")
+          .groupBy($"band_key").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc)
+          .write.mode("overwrite").parquet(s"$out/band_stats")
       }
       docsFold.foreach { df =>
         if (df.limit(1).count() > 0)

@@ -134,6 +134,16 @@ object MediaDedup {
       col("b2") + lit(131072L),
       col("b3") + lit(196608L))).as("band_key"))
 
+  /** Per-layer bucket-size ledger `band_stats(band_key, cnt)` — the
+    * over-cap decision's input, MATERIALIZED at write time so no serve
+    * call pays a corpus-proportional aggregate (the r15 finding: the
+    * over-cap list is a property of the LAKE, not the probe). Counts
+    * are additive across id-disjoint layers; the key space is bounded
+    * at 4·2¹⁶ rows per layer whatever the corpus size.
+    */
+  private[operators] def bandStatsOf(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band_key")).agg(count(lit(1)).as("cnt"))
+
   private val ready = scala.collection.mutable.HashSet[String]()
 
   /** The lake's keyed install path — keyed on the media fixture's path
@@ -150,7 +160,9 @@ object MediaDedup {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(mp.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val fp = ArtifactLake.fingerprint(new java.io.File(mp))
-    s"$root/dhash-$key-$fp-v1"
+    // v2: + the per-layer `band_stats` ledger (serve-side over-cap
+    // decision without a corpus aggregate)
+    s"$root/dhash-$key-$fp-v2"
   }
 
   /** Install-or-reuse the dHash lake over the stored media table:
@@ -169,6 +181,8 @@ object MediaDedup {
       val sig = sigOf(media).localCheckpoint(true)
       sig.write.mode("overwrite").parquet(s"$root/sig")
       bandsOf(sig).write.mode("overwrite").parquet(s"$root/bands")
+      bandStatsOf(bandsOf(sig)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/band_stats")
       media.select(col("doc_id"))
         .write.mode("overwrite").parquet(s"$root/docs")
     }
@@ -194,6 +208,8 @@ object MediaDedup {
         val sig = sigOf(norm).localCheckpoint(true)
         sig.write.mode("overwrite").parquet(s"$root/sig")
         bandsOf(sig).write.mode("overwrite").parquet(s"$root/bands")
+        bandStatsOf(bandsOf(sig)).coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/band_stats")
         norm.select(col("doc_id")).repartition(nFiles)
           .write.mode("overwrite").parquet(s"$root/docs")
       })(
@@ -228,6 +244,11 @@ object MediaDedup {
         ArtifactLake.layerUnion(s, roots, t).foreach(
           _.write.mode("overwrite").parquet(s"$out/$t"))
       }
+      // the bucket ledger folds ADDITIVELY (id-disjoint layers), the
+      // same recomposition the serve-side sum performs
+      ArtifactLake.layerUnion(s, roots, "band_stats").foreach(
+        _.groupBy(col("band_key")).agg(sum(col("cnt")).as("cnt"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/band_stats"))
     }
     if (installed) compactions.incrementAndGet()
     installed
@@ -249,6 +270,24 @@ object MediaDedup {
     val p = ensureDhash(s, d)
     val v = ArtifactLake.deltaView(p)
     ArtifactLake.layerUnion(s, p +: v.overlays.map(_.getAbsolutePath), table).get
+  }
+
+  /** The OVER-CAP band-key set, from the stored per-layer ledgers —
+    * never from a bands aggregate: base-only serving is a pushdown
+    * filter over one ≤ 4·2¹⁶-row table; DML'd lakes sum the layers'
+    * ledgers (additive by id-disjointness) before filtering. Every
+    * serve call's only "corpus-wide" input is this bounded table.
+    */
+  private[operators] def liveOverBands(s: SparkSession, d: String,
+      cap: Int): DataFrame = {
+    val p = ensureDhash(s, d)
+    val v = ArtifactLake.deltaView(p)
+    val stats = ArtifactLake.layerUnion(
+      s, p +: v.overlays.map(_.getAbsolutePath), "band_stats").get
+    val total =
+      if (v.baseOnly) stats
+      else stats.groupBy(col("band_key")).agg(sum(col("cnt")).as("cnt"))
+    total.filter(col("cnt") > cap).select(col("band_key"))
   }
 }
 
@@ -278,9 +317,10 @@ final class MediaDedup(tuning: graft.config.Tuning) {
     val probeSig = sigOf(media.select(col("doc_id"), col("blob")))
       .localCheckpoint(true)
     val storedBands = liveTable(s, d, "bands")
-    val over = storedBands.groupBy($"band_key")
-      .agg(count(lit(1)).as("cnt"))
-      .filter($"cnt" > bCap).select($"band_key")
+    // the over-cap list comes from the stored ledger (a lake property,
+    // materialized at build/add/compact time) — serving pays no
+    // bands-table aggregate
+    val over = liveOverBands(s, d, bCap)
     val ok = storedBands.join(broadcast(over), Seq("band_key"), "left_anti")
     val cand = bandsOf(probeSig)
       .select($"doc_id".as("probe_id"), $"band_key")
@@ -414,7 +454,9 @@ final class MediaDedup(tuning: graft.config.Tuning) {
       val p = ensureDhash(s, d)
       val sig = s.read.parquet(s"$p/sig")
       val bands = s.read.parquet(s"$p/bands")
-      val over = bands.groupBy($"band_key").agg(count(lit(1)).as("cnt"))
+      // the stored ledger already holds the bucket sizes (q104 pins the
+      // sig table it derives from); over-cap is a pushdown filter
+      val over = s.read.parquet(s"$p/band_stats")
         .filter($"cnt" > bCap).select($"band_key")
       val ok = bands.join(broadcast(over), Seq("band_key"), "left_anti")
       val cand = ok.select($"doc_id".as("a_id"), $"band_key")

@@ -125,6 +125,44 @@ class DedupLakeSpec extends SparkTestBase {
     }
   }
 
+  test("the bucket ledger equals a live-bands recount across every DML step") {
+    withTempRoot {
+      val d1 = new Dedup(knobs)
+      val texts = docText
+      val ids = texts.keys.toSeq.sorted
+      def check(step: String): Unit = {
+        val (ledger, recount) = d1.ledgerAndRecount(spark, sf)
+        assert(ledger == recount,
+          s"$step: ledger drifted from the recount (" +
+            s"${(ledger.toSet diff recount.toSet).take(3)} vs " +
+            s"${(recount.toSet diff ledger.toSet).take(3)})")
+      }
+      check("fresh build")
+      // heavy buckets: five copies of one corpus text under new ids
+      val dupes = (0 until 5).map(i => (910000L + i, texts(ids.head)))
+      assert(d1.addDocs(spark, sf, dupes))
+      check("after add (duplicate-heavy)")
+      assert(d1.addDocs(spark, sf, Seq((920000L, texts(ids(1))))))
+      check("after second add")
+      // remove a CORPUS id (negative entries against the base ledger)
+      // plus two added ids (against a segment's partial)
+      assert(d1.removeDocs(spark, sf, Seq(ids.head, 910000L, 910001L)))
+      check("after remove")
+      assert(d1.compact(spark, sf))
+      check("after compact")
+      assert(d1.removeDocs(spark, sf, Seq(920000L)))
+      check("after post-compact remove")
+      assert(d1.rebase(spark, sf))
+      check("after rebase")
+      // and the serve face still agrees with itself end to end: the
+      // removed corpus id is gone, a surviving dupe still matches
+      val probe = d1.serveNearDups(spark, sf, Seq(777000L -> texts(ids.head)))
+        .collect().map(_.getLong(1)).toSet
+      assert(!probe(ids.head) && !probe(910000L) && probe(910002L),
+        s"serve after DML chain disagrees: $probe")
+    }
+  }
+
   test("simhash serving a corpus replay equals q33's collision pairs for the batch") {
     withTempRoot {
       val d1 = new Dedup(knobs)

@@ -110,6 +110,36 @@ class DhashLakeSpec extends SparkTestBase {
     }
   }
 
+  test("the stored band ledger equals a live-bands recount across build/add/compact") {
+    withTempRoot {
+      import spark.implicits._
+      val dir = writeCorpus(baseIds)
+      def check(step: String): Unit = {
+        val ledger = MediaDedup.liveOverBands(spark, dir, cap = 0)
+          .collect().map(_.getLong(0)).toSet  // cap 0: EVERY live key
+        val recount = MediaDedup.liveTable(spark, dir, "bands")
+          .select($"band_key").distinct().as[Long].collect().toSet
+        assert(ledger == recount, s"$step: ledger keys drifted")
+        // and the summed counts agree, not just the key set
+        val lc = MediaDedup.liveTable(spark, dir, "band_stats")
+          .groupBy($"band_key").agg(sum($"cnt").as("cnt"))
+          .as[(Long, Long)].collect().toMap
+        val rc = MediaDedup.liveTable(spark, dir, "bands")
+          .groupBy($"band_key").agg(count(lit(1)).as("cnt"))
+          .as[(Long, Long)].collect().toMap
+        assert(lc == rc, s"$step: ledger counts drifted")
+      }
+      MediaDedup.ensureDhash(spark, dir)
+      check("fresh build")
+      assert(MediaDedup.addMedia(spark, dir,
+        Seq((200L, MediaFixtures.jpeg(11L)), (201L, MediaFixtures.jpeg(11L)))
+          .toDF("doc_id", "blob")))
+      check("after duplicate-heavy add")
+      assert(MediaDedup.compactDhash(spark, dir))
+      check("after compact")
+    }
+  }
+
   test("folds trigger past maxSegments; vacuum reclaims; vacuumed replays no-op") {
     withTempRoot {
       import spark.implicits._
