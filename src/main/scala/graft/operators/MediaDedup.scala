@@ -352,29 +352,32 @@ final class MediaDedup(tuning: graft.config.Tuning) {
     */
   private def dhashSigSql: String = s"""
       dimg AS (
-        SELECT doc_id, CAST(1 + doc_id % 47 AS BIGINT) AS w,
-               CAST(1 + doc_id % 19 AS BIGINT) AS h,
-               'ppm' AS kind, doc_id AS eff, false AS nd
+        SELECT doc_id,
+               CAST((${Multimodal.ppmScaleSql}) * (1 + (${Multimodal.ppmEffSql}) % 47) AS BIGINT) AS w,
+               CAST((${Multimodal.ppmScaleSql}) * (1 + (${Multimodal.ppmEffSql}) % 19) AS BIGINT) AS h,
+               'ppm' AS kind, ${Multimodal.ppmEffSql} AS eff, false AS nd,
+               CAST(${Multimodal.ppmScaleSql} AS BIGINT) AS scale,
+               1 + (${Multimodal.ppmEffSql}) % 47 AS w0
         FROM documents WHERE doc_id % 4 = 0
         UNION ALL
         SELECT doc_id, CAST(1 + doc_id % 53 AS BIGINT),
-               CAST(1 + doc_id % 29 AS BIGINT), 'png', doc_id, false
+               CAST(1 + doc_id % 29 AS BIGINT), 'png', doc_id, false, 1, 0
         FROM documents WHERE doc_id % 4 = 2
         UNION ALL
         SELECT doc_id, CAST(1 + (${Multimodal.jpegEffSql}) % 61 AS BIGINT),
                CAST(1 + (${Multimodal.jpegEffSql}) % 37 AS BIGINT), 'jpeg',
-               ${Multimodal.jpegEffSql}, ${Multimodal.jpegNdSql}
+               ${Multimodal.jpegEffSql}, ${Multimodal.jpegNdSql}, 1, 0
         FROM documents WHERE doc_id % 4 = 3),
-      dcell AS (SELECT doc_id, kind, eff, nd, w, h,
+      dcell AS (SELECT doc_id, kind, eff, nd, w, h, scale, w0,
                   unnest(range(0, 72)) AS gi
                 FROM dimg),
-      dsrc AS (SELECT doc_id, kind, eff, nd, w, gi,
+      dsrc AS (SELECT doc_id, kind, eff, nd, w, scale, w0, gi,
                  ((gi // 9) * h) // 8 AS sy, ((gi % 9) * w) // 9 AS sx
                FROM dcell),
       dpl AS (SELECT doc_id, gi,
-                (299 * (32 + (doc_id + (sy*w + sx)*3) % 64)
-               + 587 * (32 + (doc_id + (sy*w + sx)*3 + 1) % 64)
-               + 114 * (32 + (doc_id + (sy*w + sx)*3 + 2) % 64)) // 1000 AS luma
+                (299 * ${Multimodal.ppmPixSql("eff", "scale", "w0", "sx", "sy", "0")}
+               + 587 * ${Multimodal.ppmPixSql("eff", "scale", "w0", "sx", "sy", "1")}
+               + 114 * ${Multimodal.ppmPixSql("eff", "scale", "w0", "sx", "sy", "2")}) // 1000 AS luma
               FROM dsrc WHERE kind = 'ppm'),
       dgl AS (SELECT doc_id, gi,
                 (299 * ((doc_id*11 + (sy*(1 + 3*w) + 1 + sx*3)*17) % 256)

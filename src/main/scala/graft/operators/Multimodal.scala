@@ -754,8 +754,9 @@ object Multimodal {
       * arithmetic (stale-bytes hash mismatches misdiagnosed as decoder
       * bugs).
       */
-    private val fixtureVersion = 6 // v6: color (YCbCr 4:4:4) JPEG tier
-                                   // + injected near-dup image pairs
+    private val fixtureVersion = 7 // v7: resized (2× NN) ppm near-dup
+                                   // pairs — dHash resize invariance
+                                   // under the gate
 
     def path(d: String): String = {
       val root = sys.props.getOrElse("graft.media.dir",
@@ -863,13 +864,17 @@ object Multimodal {
         .orderBy($"doc_id", $"frame_idx")
     },
     Some(s"""
-      WITH pf AS (SELECT doc_id, 1 + doc_id % 47 AS w, 1 + doc_id % 19 AS h
+      WITH pf AS (SELECT doc_id, $ppmEffSql AS eff, $ppmScaleSql AS scale
                   FROM documents WHERE doc_id % 4 = 0),
+      pfd AS (SELECT doc_id, eff, scale, 1 + eff % 47 AS w0,
+                scale * (1 + eff % 47) AS w, scale * (1 + eff % 19) AS h
+              FROM pf),
       ppmf AS (SELECT doc_id, CAST(1 AS BIGINT) AS n_frames,
                  CAST(0 AS BIGINT) AS frame_idx,
                  md5(array_to_string(list_transform(range(0, w*h*3),
-                   i -> printf('%02X', 32 + (doc_id + i) % 64)), '')) AS frame_fp
-               FROM pf),
+                   i -> printf('%02X', ${ppmPixSql("eff", "scale", "w0",
+                     "(i//3) % w", "(i//3) // w", "i % 3")})), '')) AS frame_fp
+               FROM pfd),
       wf AS (SELECT doc_id, (1 + doc_id % 3) * 2 AS ba,
                10 + doc_id % 50 AS nf
              FROM documents WHERE doc_id % 4 = 1),
@@ -966,23 +971,25 @@ object Multimodal {
     },
     Some(s"""
       WITH meta AS (SELECT doc_id,
-                      CAST(1 + doc_id % 47 AS BIGINT) AS width,
-                      CAST(1 + doc_id % 19 AS BIGINT) AS height,
-                      'ppm' AS kind
+                      CAST(($ppmScaleSql) * (1 + ($ppmEffSql) % 47) AS BIGINT) AS width,
+                      CAST(($ppmScaleSql) * (1 + ($ppmEffSql) % 19) AS BIGINT) AS height,
+                      'ppm' AS kind, $ppmEffSql AS eff,
+                      CAST($ppmScaleSql AS BIGINT) AS scale,
+                      1 + ($ppmEffSql) % 47 AS w0
                     FROM documents WHERE doc_id % 4 = 0
                     UNION ALL
                     SELECT doc_id,
                       CAST(1 + doc_id % 53 AS BIGINT),
                       CAST(1 + doc_id % 29 AS BIGINT),
-                      'png'
+                      'png', doc_id, 1, 0
                     FROM documents WHERE doc_id % 4 = 2
                     UNION ALL
                     SELECT doc_id,
                       CAST(1 + ($jpegEffSql) % 61 AS BIGINT),
                       CAST(1 + ($jpegEffSql) % 37 AS BIGINT),
-                      'jpeg'
+                      'jpeg', doc_id, 1, 0
                     FROM documents WHERE doc_id % 4 = 3),
-      dims AS (SELECT doc_id, kind, width, height,
+      dims AS (SELECT doc_id, kind, width, height, eff, scale, w0,
                  greatest(width, height) AS long_side,
                  CAST(greatest(1, (width * 32) // greatest(width, height)) AS BIGINT)  AS out_w,
                  CAST(greatest(1, (height * 32) // greatest(width, height)) AS BIGINT) AS out_h
@@ -1011,9 +1018,9 @@ object Multimodal {
              d.long_side > 32 AS downscaled,
              CASE WHEN d.kind = 'ppm' THEN
                md5(array_to_string(list_transform(range(0, d.out_w*d.out_h*3),
-                 i -> printf('%02X', 32 + (d.doc_id +
-                   ((((i//3) // d.out_w) * d.height // d.out_h) * d.width +
-                    (((i//3) % d.out_w) * d.width // d.out_w)) * 3 + i % 3) % 64)), ''))
+                 i -> printf('%02X', ${ppmPixSql("d.eff", "d.scale", "d.w0",
+                   "((i//3) % d.out_w) * d.width // d.out_w",
+                   "((i//3) // d.out_w) * d.height // d.out_h", "i % 3")})), ''))
              WHEN d.kind = 'jpeg' THEN jhash.out_hash
              ELSE
                md5(array_to_string(list_transform(range(0, d.out_w*d.out_h*3),
@@ -1112,11 +1119,33 @@ object Multimodal {
     * side" to an oracle-checked end-to-end path (q64).
     */
   object MediaFixtures {
+    /** The ppm tier's RESIZE injection — the invariance dHash actually
+      * claims (catching RESIZED copies), gate-exercised: ids ≡ 12
+      * (mod 20) re-encode id−8's image at 2× the dimensions by NN
+      * pixel replication. Integer upscaling commutes with the dHash
+      * 9×8 NN downscale (⌊⌊oy·2h/8⌋/2⌋ = ⌊oy·h/8⌋), so the pair is
+      * hamming 0 — q105 must surface it. Source ids ≡ 4 (mod 20) are
+      * themselves uninjected, so rules never chain.
+      */
+    def ppmEff(id: Long): (Long, Int) =
+      if (id % 20 == 12) (id - 8, 2) else (id, 1)
+
     def ppm(id: Long): Array[Byte] = {
-      val w = (1 + id % 47).toInt
-      val h = (1 + id % 19).toInt
+      val (eff, scale) = ppmEff(id)
+      val w0 = (1 + eff % 47).toInt
+      val h0 = (1 + eff % 19).toInt
+      val w = w0 * scale
+      val h = h0 * scale
       val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
-      val raster = Array.tabulate(w * h * 3)(i => (32 + ((id + i) % 64)).toByte)
+      // stored pixel (y, x, channel c) replicates source pixel
+      // (y/scale, x/scale): value = 32 + (eff + srcRasterIndex) % 64 —
+      // scale 1 reduces to the historical 32 + (id + i) % 64
+      val raster = Array.tabulate(w * h * 3) { i =>
+        val c = i % 3
+        val pos = i / 3
+        val src = ((pos / w / scale) * w0 + (pos % w / scale)) * 3 + c
+        (32 + ((eff + src) % 64)).toByte
+      }
       header ++ raster
     }
 
@@ -1359,6 +1388,24 @@ object Multimodal {
   /** True on the perturbed (near-dup) rows. */
   private[operators] def jpegNdSql = "(doc_id % 20 = 15)"
 
+  /** The ppm tier's effective source id / NN-upscale factor under the
+    * resize-injection rule ([[MediaFixtures.ppmEff]]).
+    */
+  private[operators] def ppmEffSql =
+    "CASE WHEN doc_id % 20 = 12 THEN doc_id - 8 ELSE doc_id END"
+  private[operators] def ppmScaleSql =
+    "CASE WHEN doc_id % 20 = 12 THEN 2 ELSE 1 END"
+
+  /** Channel value of the STORED ppm raster at pixel (x, y), channel
+    * c — the one pixel formula every ppm oracle branch derives from
+    * (all inputs non-negative, % is floor-mod in both engines). `w0`
+    * is the SOURCE width 1 + eff % 47; scale-1 rows reduce to the
+    * historical 32 + (doc_id + i) % 64.
+    */
+  private[operators] def ppmPixSql(eff: String, scale: String,
+      w0: String, x: String, y: String, c: String) =
+    s"(32 + (($eff) + ((($y) // ($scale)) * ($w0) + ($x) // ($scale)) * 3 + ($c)) % 64)"
+
   /** Block-`k` luma magnitude m, +1-bumped (capped at 63) on block 0
     * of near-dup rows. */
   private[operators] def jpegMSql(eff: String, nd: String, k: String) =
@@ -1435,15 +1482,19 @@ object Multimodal {
     s"array_to_string(list_transform($bytesExpr, b -> printf('%02X', b)), '')"
 
   private def mediaOracleCtes: String = s"""$crcTabCte,
-      p AS (SELECT doc_id, 1 + doc_id % 47 AS w, 1 + doc_id % 19 AS h
-                 FROM documents WHERE doc_id % 4 = 0),
+      p AS (SELECT doc_id, $ppmEffSql AS eff, $ppmScaleSql AS scale
+            FROM documents WHERE doc_id % 4 = 0),
+      p2 AS (SELECT doc_id, eff, scale, 1 + eff % 47 AS w0,
+               scale * (1 + eff % 47) AS w, scale * (1 + eff % 19) AS h
+             FROM p),
       ppm AS (SELECT doc_id, 'ppm' AS kind,
                 hex('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)) ||
                 array_to_string(list_transform(range(0, w*h*3),
-                  i -> printf('%02X', 32 + (doc_id + i) % 64)), '') AS hx,
+                  i -> printf('%02X', ${ppmPixSql("eff", "scale", "w0",
+                    "(i//3) % w", "(i//3) // w", "i % 3")})), '') AS hx,
                 CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
                 CAST(1 AS BIGINT) AS n_frames
-              FROM p),
+              FROM p2),
       w0 AS (SELECT doc_id, 1 + doc_id % 3 AS c, 8000 + (doc_id % 5) * 1000 AS rate,
                10 + doc_id % 50 AS frames
              FROM documents WHERE doc_id % 4 = 1),

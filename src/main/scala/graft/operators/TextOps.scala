@@ -1305,9 +1305,12 @@ final class TextOps(tuning: graft.config.Tuning) {
                CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
                                WHEN 2 THEN 'png' ELSE 'jpeg' END AS kind,
                CASE doc_id % 4
-                    WHEN 0 THEN 9 + length(CAST(1 + doc_id % 47 AS VARCHAR))
-                           + length(CAST(1 + doc_id % 19 AS VARCHAR))
-                           + (1 + doc_id % 47) * (1 + doc_id % 19) * 3
+                    -- ppm dims scale under the resize-injection rule
+                    -- (ids ≡ 12 mod 20 are 2× upscales of id−8)
+                    WHEN 0 THEN 9 + length(CAST((${Multimodal.ppmScaleSql}) * (1 + (${Multimodal.ppmEffSql}) % 47) AS VARCHAR))
+                           + length(CAST((${Multimodal.ppmScaleSql}) * (1 + (${Multimodal.ppmEffSql}) % 19) AS VARCHAR))
+                           + (${Multimodal.ppmScaleSql}) * (${Multimodal.ppmScaleSql})
+                             * (1 + (${Multimodal.ppmEffSql}) % 47) * (1 + (${Multimodal.ppmEffSql}) % 19) * 3
                     WHEN 1 THEN 44 + (10 + doc_id % 50) * (1 + doc_id % 3) * 2
                     -- PNG: 8 sig + 25 IHDR + (12 + zlib payload) + 12
                     -- IEND, where the zlib stream wraps the filtered

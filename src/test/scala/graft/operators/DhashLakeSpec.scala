@@ -66,6 +66,15 @@ class DhashLakeSpec extends SparkTestBase {
       val nd = serve(dir, Seq((9003L, MediaFixtures.jpeg(15L))))
       assert(nd.exists { case (p, m, h) => p == 9003L && m == 7L && h <= 3L },
         s"near-dup probe missed its source: $nd")
+      // the RESIZED pair (ppm 12 = 2× NN upscale of ppm 4): dHash's
+      // headline claim — resize invariance — gate-exercised. A probe
+      // carrying the upscaled bytes matches BOTH the stored copy and
+      // its differently-sized source at hamming 0 (integer NN
+      // upscaling commutes with the 9×8 NN downscale exactly)
+      val rz = serve(dir, Seq((9004L, MediaFixtures.ppm(12L))))
+      assert(rz.contains((9004L, 12L, 0L)), s"resized copy missed: $rz")
+      assert(rz.contains((9004L, 4L, 0L)),
+        s"resize SOURCE missed at hamming 0: $rz")
       // audio probes decode no raster and emit nothing
       assert(serve(dir, Seq((9002L, MediaFixtures.wav(1L)))).isEmpty)
       // a replayed corpus member never reports itself

@@ -108,7 +108,9 @@ class MultimodalSpec extends AnyFunSuite {
         case 0 =>
           val m = RealDecoders.decodePpm(rec)
             .getOrElse(fail(s"PPM fixture $id rejected by the PPM parser"))
-          assert(m.width == 1 + id % 47 && m.height == 1 + id % 19)
+          val (eff, scale) = MediaFixtures.ppmEff(id)
+          assert(m.width == scale * (1 + eff % 47) &&
+            m.height == scale * (1 + eff % 19))
           assert(m.n_frames == 1)
           assert(m.byte_len == rec.blob.length.toLong)
         case 1 =>
