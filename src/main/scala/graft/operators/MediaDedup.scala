@@ -384,13 +384,12 @@ final class MediaDedup(tuning: graft.config.Tuning) {
                + 587 * ((doc_id*11 + (sy*(1 + 3*w) + 1 + sx*3 + 1)*17) % 256)
                + 114 * ((doc_id*11 + (sy*(1 + 3*w) + 1 + sx*3 + 2)*17) % 256)) // 1000 AS luma
               FROM dsrc WHERE kind = 'png'),
-      djk AS (SELECT doc_id, eff, nd, gi,
-                (sy // 8) * ((w + 7) // 8) + sx // 8 AS k
+      djk AS (SELECT doc_id, eff, nd, w, gi, sy, sx
               FROM dsrc WHERE kind = 'jpeg'),
       djv AS (SELECT doc_id, gi,
-                ${Multimodal.jpegYPixSql("eff", "nd", "k")} AS yv,
-                ${Multimodal.jpegCbPixSql("eff", "k")} AS cbv,
-                ${Multimodal.jpegCrPixSql("eff", "k")} AS crv
+                ${Multimodal.jpegYPixXYSql("eff", "nd", "sx", "sy", "w")} AS yv,
+                ${Multimodal.jpegCbPixXYSql("eff", "sx", "sy", "w")} AS cbv,
+                ${Multimodal.jpegCrPixXYSql("eff", "sx", "sy", "w")} AS crv
               FROM djk),
       djl AS (SELECT doc_id, gi,
                 (299 * ${Multimodal.rgbRSql("yv", "crv")}

@@ -363,18 +363,21 @@ object Multimodal {
       } yield (w, h, px)
 
     // ----------------------------------------------------------------
-    // JPEG raster decode (baseline, grayscale OR YCbCr 4:4:4 color): a
-    // REAL entropy decoder — DQT/DHT/DRI/SOF0/SOS marker parse,
-    // canonical Huffman tables, bit-level scan read with 0xFF00
-    // stuffing and restart-marker handling, per-component DC DPCM + AC
-    // run-length with per-component quant/Huffman table selection,
-    // MCU-interleaved block order, zigzag dequantization, full floating
-    // IDCT, level shift, clamp, block-grid crop, and (for 3-component
-    // frames) the JFIF YCbCr→RGB conversion. Constraint: baseline with
-    // 1 or 3 components, every component sampled 0x11 (4:4:4 — no
-    // chroma subsampling arithmetic; the oracle replays the pixel math
-    // either way). Anything outside the profile — progressive,
-    // subsampled, corrupt anywhere — is None, never a throw.
+    // JPEG raster decode (baseline, grayscale, YCbCr 4:4:4, OR YCbCr
+    // 4:2:0 color): a REAL entropy decoder — DQT/DHT/DRI/SOF0/SOS
+    // marker parse, canonical Huffman tables, bit-level scan read with
+    // 0xFF00 stuffing and restart-marker handling, per-component DC
+    // DPCM + AC run-length with per-component quant/Huffman table
+    // selection, MCU-interleaved block order (h_i × v_i blocks per
+    // component per MCU), zigzag dequantization, full floating IDCT,
+    // level shift, clamp, block-grid crop, chroma upsampling by
+    // nearest neighbor (cx = x·h_i/Hmax — the JFIF box upsample), and
+    // (for 3-component frames) the JFIF YCbCr→RGB conversion.
+    // Constraint: baseline with 1 or 3 components, sampled either
+    // all-0x11 (4:4:4 / gray) or luma 0x22 + chromas 0x11 (4:2:0 —
+    // the web norm). Anything outside the profile — progressive,
+    // other sampling shapes, corrupt anywhere — is None, never a
+    // throw.
     // ----------------------------------------------------------------
 
     /** Bit reader over entropy-coded data: MSB-first, un-stuffs
@@ -513,6 +516,7 @@ object Multimodal {
       val dht = scala.collection.mutable.HashMap[(Int, Int), Map[(Int, Int), Int]]()
       var sofW = -1; var sofH = -1
       var comps: Array[(Int, Int)] = null // (compId, tq), SOF order
+      var sampling: Array[(Int, Int)] = null // (h_i, v_i), SOF order
       var scanTdta: Array[Int] = null     // TdTa per component, SOS order
       var ri = 0
       var scanAt = -1
@@ -548,22 +552,29 @@ object Multimodal {
                 dht((tcth >> 4, tcth & 0xf)) = huffTable(counts, syms)
                 p += 17 + n
               }
-            case 0xc0 => // SOF0 baseline; 1 (gray) or 3 (YCbCr 4:4:4)
+            case 0xc0 => // SOF0 baseline; gray, YCbCr 4:4:4, or 4:2:0
               if (len < 8 || (b(p0) & 0xff) != 8) return None
               val h = u16(p0 + 1); val w = u16(p0 + 3)
               val nc = b(p0 + 5) & 0xff
               if ((nc != 1 && nc != 3) || len != 8 + 3 * nc || w < 1 ||
                 h < 1 || w > (1 << 16) || h > (1 << 16)) return None
               val cs = new Array[(Int, Int)](nc)
+              val hv = new Array[(Int, Int)](nc)
               var c = 0
               while (c < nc) {
                 val o = p0 + 6 + 3 * c
-                // every component 0x11: 4:4:4, no subsampling arithmetic
-                if ((b(o + 1) & 0xff) != 0x11) return None
+                val sf = b(o + 1) & 0xff
+                hv(c) = ((sf >> 4, sf & 0xf))
                 cs(c) = ((b(o) & 0xff, b(o + 2) & 0xff))
                 c += 1
               }
-              sofW = w; sofH = h; comps = cs
+              // profile: all-0x11 (4:4:4 / gray) or the 4:2:0 shape
+              // (luma 2×2, both chromas 1×1); other samplings refuse
+              val all11 = hv.forall(_ == ((1, 1)))
+              val is420 = nc == 3 && hv(0) == ((2, 2)) &&
+                hv(1) == ((1, 1)) && hv(2) == ((1, 1))
+              if (!all11 && !is420) return None
+              sofW = w; sofH = h; comps = cs; sampling = hv
             case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                  0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
               return None // non-baseline frame types: outside the profile
@@ -593,12 +604,47 @@ object Multimodal {
       val qs = comps.map { case (_, tq) => dqt.getOrElse(tq, return None) }
       val dcTabs = scanTdta.map(t => dht.getOrElse((0, t >> 4), return None))
       val acTabs = scanTdta.map(t => dht.getOrElse((1, t & 0xf), return None))
-      val bw = (w + 7) / 8; val bh = (h + 7) / 8
-      val nmcu = bw * bh // 4:4:4: one block per component per MCU
-      if (nmcu.toLong * nc > (1 << 20)) return None // decode bound
-      val blocks = Array.ofDim[Array[Int]](nc, nmcu)
+      // MCU geometry: an MCU covers 8·Hmax × 8·Vmax pixels and holds
+      // h_i × v_i blocks of component i (4:4:4 → 1 each; 4:2:0 → 4 Y,
+      // 1 Cb, 1 Cr). Component i's block grid is MCU-padded: edge
+      // blocks beyond ⌈dim/8⌉ are decoded (they are in the scan) and
+      // ignored by the crop.
+      val hMax = sampling.map(_._1).max
+      val vMax = sampling.map(_._2).max
+      val nmcuX = (w + 8 * hMax - 1) / (8 * hMax)
+      val nmcuY = (h + 8 * vMax - 1) / (8 * vMax)
+      val nmcu = nmcuX * nmcuY
+      val blocksPerMcu = sampling.map { case (hi, vi) => hi * vi }.sum
+      if (nmcu.toLong * blocksPerMcu > (1 << 20)) return None // decode bound
+      val cbw = sampling.map { case (hi, _) => nmcuX * hi }
+      val blocks = Array.tabulate(nc)(c =>
+        new Array[Array[Int]](cbw(c) * nmcuY * sampling(c)._2))
       val br = new BitReader(b, scanAt)
       val pred = new Array[Int](nc)
+      // one entropy-coded block of component c, or null on corruption
+      def decodeBlock(c: Int): Array[Int] = {
+        val coef = new Array[Int](64)
+        val t = huffDecode(br, dcTabs(c))
+        if (br.bad || t < 0 || t > 11) return null
+        pred(c) += extend(br.bits(t), t)
+        coef(0) = pred(c) * qs(c)(0)
+        var zi = 1
+        var eob = false
+        while (zi < 64 && !eob) {
+          val sym = huffDecode(br, acTabs(c))
+          if (br.bad || sym < 0) return null
+          if (sym == 0x00) eob = true
+          else if (sym == 0xf0) zi += 16
+          else {
+            val run = sym >> 4; val size = sym & 0xf
+            zi += run
+            if (zi > 63) return null
+            coef(zigzag(zi)) = extend(br.bits(size), size) * qs(c)(zi)
+            zi += 1
+          }
+        }
+        if (br.bad) null else coef
+      }
       var k = 0
       while (k < nmcu) {
         if (ri > 0 && k > 0 && k % ri == 0) {
@@ -611,33 +657,32 @@ object Multimodal {
           br.pos = p + 2
           java.util.Arrays.fill(pred, 0)
         }
+        val mx = k % nmcuX; val my = k / nmcuX
         var c = 0
         while (c < nc) {
-          val coef = new Array[Int](64)
-          val t = huffDecode(br, dcTabs(c))
-          if (br.bad || t < 0 || t > 11) return None
-          pred(c) += extend(br.bits(t), t)
-          coef(0) = pred(c) * qs(c)(0)
-          var zi = 1
-          var eob = false
-          while (zi < 64 && !eob) {
-            val sym = huffDecode(br, acTabs(c))
-            if (br.bad || sym < 0) return None
-            if (sym == 0x00) eob = true
-            else if (sym == 0xf0) zi += 16
-            else {
-              val run = sym >> 4; val size = sym & 0xf
-              zi += run
-              if (zi > 63) return None
-              coef(zigzag(zi)) = extend(br.bits(size), size) * qs(c)(zi)
-              zi += 1
+          val (hi, vi) = sampling(c)
+          var by = 0
+          while (by < vi) {
+            var bx = 0
+            while (bx < hi) {
+              val coef = decodeBlock(c)
+              if (coef == null) return None
+              blocks(c)((my * vi + by) * cbw(c) + mx * hi + bx) =
+                idctBlock(coef)
+              bx += 1
             }
+            by += 1
           }
-          if (br.bad) return None
-          blocks(c)(k) = idctBlock(coef)
           c += 1
         }
         k += 1
+      }
+      // component sample at image pixel (x, y): nearest-neighbor
+      // upsample cx = x·h_i/Hmax (identity at full resolution)
+      def sample(c: Int, x: Int, y: Int): Int = {
+        val (hi, vi) = sampling(c)
+        val cx = x * hi / hMax; val cy = y * vi / vMax
+        blocks(c)((cy / 8) * cbw(c) + cx / 8)((cy % 8) * 8 + (cx % 8))
       }
       if (nc == 1) {
         val gray = new Array[Byte](w * h)
@@ -645,8 +690,7 @@ object Multimodal {
         while (y < h) {
           var x = 0
           while (x < w) {
-            val blk = blocks(0)((y / 8) * bw + (x / 8))
-            gray(y * w + x) = blk((y % 8) * 8 + (x % 8)).toByte
+            gray(y * w + x) = sample(0, x, y).toByte
             x += 1
           }
           y += 1
@@ -658,11 +702,9 @@ object Multimodal {
         while (y < h) {
           var x = 0
           while (x < w) {
-            val bi = (y / 8) * bw + (x / 8)
-            val pi = (y % 8) * 8 + (x % 8)
-            val yy = blocks(0)(bi)(pi)
-            val cb = blocks(1)(bi)(pi)
-            val cr = blocks(2)(bi)(pi)
+            val yy = sample(0, x, y)
+            val cb = sample(1, x, y)
+            val cr = sample(2, x, y)
             val o = (y * w + x) * 3
             rgb(o) = clamp255(yy + 1.402 * (cr - 128) + 0.5).toByte
             rgb(o + 1) = clamp255(
@@ -754,9 +796,9 @@ object Multimodal {
       * arithmetic (stale-bytes hash mismatches misdiagnosed as decoder
       * bugs).
       */
-    private val fixtureVersion = 7 // v7: resized (2× NN) ppm near-dup
-                                   // pairs — dHash resize invariance
-                                   // under the gate
+    private val fixtureVersion = 8 // v7: resized (2× NN) ppm near-dup
+                                   // pairs; v8: 4:2:0 chroma-subsampled
+                                   // jpeg sub-tier (eff % 3 = 1)
 
     def path(d: String): String = {
       val root = sys.props.getOrElse("graft.media.dir",
@@ -899,13 +941,13 @@ object Multimodal {
              FROM jf),
       jpx AS (SELECT doc_id, eff, nd, w, unnest(range(0, w*h)) AS i
               FROM jd),
-      jpk AS (SELECT doc_id, eff, nd, i,
-                ((i // w) // 8) * ((w+7)//8) + (i % w) // 8 AS k
+      jpk AS (SELECT doc_id, eff, nd, w, i,
+                i % w AS px, i // w AS py
               FROM jpx),
       jv AS (SELECT doc_id, i,
-               ${jpegYPixSql("eff", "nd", "k")} AS yv,
-               ${jpegCbPixSql("eff", "k")} AS cbv,
-               ${jpegCrPixSql("eff", "k")} AS crv
+               ${jpegYPixXYSql("eff", "nd", "px", "py", "w")} AS yv,
+               ${jpegCbPixXYSql("eff", "px", "py", "w")} AS cbv,
+               ${jpegCrPixXYSql("eff", "px", "py", "w")} AS crv
              FROM jpk),
       jpgf AS (SELECT doc_id, CAST(1 AS BIGINT) AS n_frames,
                  CAST(0 AS BIGINT) AS frame_idx,
@@ -998,14 +1040,14 @@ object Multimodal {
                  width, height, out_w, out_h,
                  unnest(range(0, out_w*out_h)) AS i
                FROM dims WHERE kind = 'jpeg'),
-      jpixel AS (SELECT doc_id, eff, nd, i,
-                   (((i // out_w) * height // out_h) // 8) * ((width+7)//8) +
-                     ((i % out_w) * width // out_w) // 8 AS k
+      jpixel AS (SELECT doc_id, eff, nd, width, i,
+                   (i % out_w) * width // out_w AS px,
+                   (i // out_w) * height // out_h AS py
                  FROM jsrc),
       jpv AS (SELECT doc_id, i,
-                ${jpegYPixSql("eff", "nd", "k")} AS yv,
-                ${jpegCbPixSql("eff", "k")} AS cbv,
-                ${jpegCrPixSql("eff", "k")} AS crv
+                ${jpegYPixXYSql("eff", "nd", "px", "py", "width")} AS yv,
+                ${jpegCbPixXYSql("eff", "px", "py", "width")} AS cbv,
+                ${jpegCrPixXYSql("eff", "px", "py", "width")} AS crv
               FROM jpixel),
       jhash AS (SELECT doc_id, md5(array_to_string(list(
                    printf('%02X%02X%02X',
@@ -1236,6 +1278,48 @@ object Multimodal {
       else if (id % 20 == 15) (id - 8, true)
       else (id, false)
 
+    /** True for the chroma-SUBSAMPLED (4:2:0) sub-tier of the jpeg
+      * family — keyed on the EFFECTIVE id, so an injected dup pair
+      * always lands whole in one sub-tier.
+      */
+    def jpegSub(eff: Long): Boolean = eff % 3 == 1
+
+    /** Y DPCM-diff magnitude of 4:2:0 sub-block j (row-major 2×2) in
+      * MCU k — bounded to [0, 31] so every partial sum of the four
+      * alternating-sign category-7 diffs stays inside [−128, 127]
+      * (flat planes never clamp). The near-dup perturbation bumps
+      * m(0, 3) — the LAST diff, so exactly one 8×8 block's luma moves
+      * by −1 (a cumsum-contaminating earlier bump would shift the
+      * whole MCU).
+      */
+    def jpegSubM(eff: Long, nd: Boolean, k: Int, j: Int): Int = {
+      val m0 = ((eff * 7 + k * 13 + j * 29) % 32).toInt
+      if (nd && k == 0 && j == 3) math.min(m0 + 1, 31) else m0
+    }
+
+    /** The coded Y scan byte of sub-block j: diff +(64+m) codes as
+      * byte 64+m, −(64+m) as 63−m (category 7 both ways, ≤ 0x7F — no
+      * stuffing).
+      */
+    def jpegSubYByte(eff: Long, nd: Boolean, k: Int, j: Int): Int = {
+      val m = jpegSubM(eff, nd, k, j)
+      if (j % 2 == 0) 64 + m else 63 - m
+    }
+
+    /** Decoded flat Y plane (pixel space) of sub-block j: 128 + the
+      * cumulative signed diff — the arithmetic the oracle unrolls.
+      */
+    def jpegSubYPix(eff: Long, nd: Boolean, k: Int, j: Int): Int = {
+      var v = 0
+      var jj = 0
+      while (jj <= j) {
+        val d = 64 + jpegSubM(eff, nd, k, jj)
+        v += (if (jj % 2 == 0) d else -d)
+        jj += 1
+      }
+      128 + v
+    }
+
     /** Per-block coded DC values of the jpeg tier, as (yByte, cbByte,
       * crByte) scan bytes — shared by the builder and the specs. The
       * near-dup perturbation touches ONLY block 0's luma: m → min(m+1,
@@ -1283,13 +1367,26 @@ object Multimodal {
       * content-derived RGB pixels (JFIF conversion, floor(x+0.5),
       * clamped) are what q61 fingerprints and q62 resizes.
       */
+    /** Complete baseline COLOR JPEG: the 4:4:4 tier as before, and —
+      * for effective ids with [[jpegSub]] — a genuine 4:2:0
+      * chroma-subsampled frame (luma 2×2, chromas 1×1; an MCU = 4 Y
+      * blocks under one sequential DPCM chain + 1 Cb + 1 Cr, covering
+      * 16×16 pixels). The stored-mode constraints carry over: every
+      * diff is category 7 (byte-aligned), every block DC-only, DRI=1
+      * resets predictors per MCU — but WITHIN an MCU the four Y
+      * diffs chain, so their magnitudes are bounded to [0,31] with
+      * alternating signs, keeping every partial sum (= the decoded
+      * flat plane − 128) inside [−62, 126].
+      */
     def jpeg(id: Long): Array[Byte] = {
       val (eff, nd) = jpegEff(id)
       val w = (1 + eff % 61).toInt
       val h = (1 + eff % 37).toInt
-      val bw = (w + 7) / 8
-      val nb = bw * ((h + 7) / 8)
-      val out = new java.io.ByteArrayOutputStream(256 + 8 * nb)
+      val sub = jpegSub(eff)
+      val nUnits =
+        if (sub) ((w + 15) / 16) * ((h + 15) / 16)     // MCUs (16×16)
+        else ((w + 7) / 8) * ((h + 7) / 8)             // MCUs (8×8)
+      val out = new java.io.ByteArrayOutputStream(256 + 14 * nUnits)
       def bs(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
       bs(0xff, 0xd8)                                   // SOI
       bs(0xff, 0xe0, 0x00, 0x10)                       // JFIF APP0
@@ -1308,14 +1405,22 @@ object Multimodal {
       bs(0xff, 0xdd, 0x00, 0x04, 0x00, 0x01)           // DRI = 1
       bs(0xff, 0xc0, 0x00, 0x11, 8,                    // SOF0, 3 comps
         h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
-        1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)            // all 4:4:4, DQT 0
+        1, if (sub) 0x22 else 0x11, 0,                 // luma sampling
+        2, 0x11, 0, 3, 0x11, 0)                        // chromas, DQT 0
       bs(0xff, 0xda, 0x00, 0x0c, 3,                    // SOS, 3 comps
         1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)
       var k = 0
-      while (k < nb) {
+      while (k < nUnits) {
         if (k > 0) bs(0xff, 0xd0 + ((k - 1) % 8))      // RST(m)
-        val (yb, cb, cr) = jpegBlockBytes(eff, nd, k)
-        bs(yb, 0x00, cb, 0x00, cr, 0x00)
+        if (sub) {
+          var j = 0
+          while (j < 4) { bs(jpegSubYByte(eff, nd, k, j), 0x00); j += 1 }
+          val (_, cb, cr) = jpegBlockBytes(eff, nd = false, k)
+          bs(cb, 0x00, cr, 0x00)
+        } else {
+          val (yb, cb, cr) = jpegBlockBytes(eff, nd, k)
+          bs(yb, 0x00, cb, 0x00, cr, 0x00)
+        }
         k += 1
       }
       bs(0xff, 0xd9)                                   // EOI
@@ -1422,6 +1527,66 @@ object Multimodal {
   private[operators] def jpegCrPixSql(eff: String, k: String) =
     s"""(CASE WHEN ($eff + $k) % 5 = 0 THEN 64 - ($eff*3 + $k*17) % 64
           ELSE 192 + ($eff*3 + $k*17) % 64 END)"""
+
+  /** True for the 4:2:0 sub-tier ([[MediaFixtures.jpegSub]]). */
+  private[operators] def jpegIsSubSql(eff: String) = s"(($eff) % 3 = 1)"
+
+  /** 4:4:4 block / 4:2:0 MCU / 4:2:0 Y sub-block indices of image
+    * pixel (x, y) — all-integer, non-negative.
+    */
+  private def jpegK444Sql(x: String, y: String, w: String) =
+    s"((($y) // 8) * ((($w) + 7) // 8) + ($x) // 8)"
+  private def jpegK420Sql(x: String, y: String, w: String) =
+    s"((($y) // 16) * ((($w) + 15) // 16) + ($x) // 16)"
+  private def jpegJ420Sql(x: String, y: String) =
+    s"(((($y) // 8) % 2) * 2 + (($x) // 8) % 2)"
+
+  /** 4:2:0 Y diff magnitude of (MCU k, sub-block j) — the nd bump
+    * lands on m(0, 3) ([[MediaFixtures.jpegSubM]]).
+    */
+  private def jpegSubMSql(eff: String, nd: String, k: String, j: String) =
+    s"""(CASE WHEN $nd AND $k = 0 AND ($j) = 3
+          THEN least(($eff*7 + ($k)*13 + ($j)*29) % 32 + 1, 31)
+          ELSE ($eff*7 + ($k)*13 + ($j)*29) % 32 END)"""
+
+  /** 4:2:0 Y scan byte of sub-block j ([[MediaFixtures.jpegSubYByte]]):
+    * even j codes +(64+m) as 64+m, odd j −(64+m) as 63−m.
+    */
+  private[operators] def jpegSubYByteSql(eff: String, nd: String,
+      k: String, j: String) =
+    s"""(CASE WHEN ($j) % 2 = 0 THEN 64 + ${jpegSubMSql(eff, nd, k, j)}
+          ELSE 63 - ${jpegSubMSql(eff, nd, k, j)} END)"""
+
+  /** 4:2:0 decoded flat Y plane of sub-block j: 128 + the cumulative
+    * signed diff ([[MediaFixtures.jpegSubYPix]]).
+    */
+  private def jpegSubYPixSql(eff: String, nd: String, k: String, j: String) =
+    s"""(128 + (64 + ${jpegSubMSql(eff, nd, k, "0")})
+         + (CASE WHEN ($j) >= 1 THEN -(64 + ${jpegSubMSql(eff, nd, k, "1")}) ELSE 0 END)
+         + (CASE WHEN ($j) >= 2 THEN  (64 + ${jpegSubMSql(eff, nd, k, "2")}) ELSE 0 END)
+         + (CASE WHEN ($j) >= 3 THEN -(64 + ${jpegSubMSql(eff, nd, k, "3")}) ELSE 0 END))"""
+
+  /** Decoded Y / Cb / Cr value at IMAGE pixel (x, y) — the one set of
+    * formulas every jpeg-pixel oracle derives from, branching on the
+    * sub-tier: 4:4:4 indexes the 8×8 block grid; 4:2:0 indexes the
+    * MCU grid (chroma NN-upsampled — a flat 8×8 chroma block covers
+    * 16×16 pixels; the Y value comes from sub-block j's cumsum).
+    */
+  private[operators] def jpegYPixXYSql(eff: String, nd: String,
+      x: String, y: String, w: String) =
+    s"""(CASE WHEN ${jpegIsSubSql(eff)}
+          THEN ${jpegSubYPixSql(eff, nd, jpegK420Sql(x, y, w), jpegJ420Sql(x, y))}
+          ELSE ${jpegYPixSql(eff, nd, jpegK444Sql(x, y, w))} END)"""
+  private[operators] def jpegCbPixXYSql(eff: String,
+      x: String, y: String, w: String) =
+    s"""(CASE WHEN ${jpegIsSubSql(eff)}
+          THEN ${jpegCbPixSql(eff, jpegK420Sql(x, y, w))}
+          ELSE ${jpegCbPixSql(eff, jpegK444Sql(x, y, w))} END)"""
+  private[operators] def jpegCrPixXYSql(eff: String,
+      x: String, y: String, w: String) =
+    s"""(CASE WHEN ${jpegIsSubSql(eff)}
+          THEN ${jpegCrPixSql(eff, jpegK420Sql(x, y, w))}
+          ELSE ${jpegCrPixSql(eff, jpegK444Sql(x, y, w))} END)"""
 
   /** The coded scan bytes ([[MediaFixtures.jpegBlockBytes]]). */
   private[operators] def jpegYByteSql(eff: String, nd: String, k: String) =
@@ -1544,8 +1709,12 @@ object Multimodal {
               FROM g1, crctab),
       j0 AS (SELECT doc_id, $jpegEffSql AS eff, $jpegNdSql AS nd
              FROM documents WHERE doc_id % 4 = 3),
-      j1 AS (SELECT doc_id, eff, nd, 1 + eff % 61 AS w, 1 + eff % 37 AS h,
-               ((1 + eff % 61 + 7)//8) * ((1 + eff % 37 + 7)//8) AS nb
+      j1 AS (SELECT doc_id, eff, nd, ${jpegIsSubSql("eff")} AS sub,
+               1 + eff % 61 AS w, 1 + eff % 37 AS h,
+               CASE WHEN ${jpegIsSubSql("eff")}
+                    THEN ((1 + eff % 61 + 15)//16) * ((1 + eff % 37 + 15)//16)
+                    ELSE ((1 + eff % 61 + 7)//8) * ((1 + eff % 37 + 7)//8)
+               END AS nu
              FROM j0),
       jpg AS (SELECT doc_id, 'jpeg' AS kind,
                 'FFD8' || 'FFE0' || '0010' || '4A46494600' || '0101' || '00' ||
@@ -1556,15 +1725,27 @@ object Multimodal {
                 repeat('00', 8) || '00' ||
                 'FFDD' || '0004' || '0001' ||
                 'FFC0' || '0011' || '08' || printf('%04X', h) ||
-                printf('%04X', w) || '03' || '011100' || '021100' || '031100' ||
+                printf('%04X', w) || '03' ||
+                (CASE WHEN sub THEN '012200' ELSE '011100' END) ||
+                '021100' || '031100' ||
                 'FFDA' || '000C' || '03' || '0100' || '0200' || '0300' ||
                 '003F00' ||
-                array_to_string(list_transform(range(0, nb), k ->
+                array_to_string(list_transform(range(0, nu), k ->
                   (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) ||
-                  printf('%02X00%02X00%02X00',
-                    ${jpegYByteSql("eff", "nd", "k")},
-                    ${jpegCbByteSql("eff", "k")},
-                    ${jpegCrByteSql("eff", "k")})), '') ||
+                  (CASE WHEN sub THEN
+                    printf('%02X00%02X00%02X00%02X00%02X00%02X00',
+                      ${jpegSubYByteSql("eff", "nd", "k", "0")},
+                      ${jpegSubYByteSql("eff", "nd", "k", "1")},
+                      ${jpegSubYByteSql("eff", "nd", "k", "2")},
+                      ${jpegSubYByteSql("eff", "nd", "k", "3")},
+                      ${jpegCbByteSql("eff", "k")},
+                      ${jpegCrByteSql("eff", "k")})
+                  ELSE
+                    printf('%02X00%02X00%02X00',
+                      ${jpegYByteSql("eff", "nd", "k")},
+                      ${jpegCbByteSql("eff", "k")},
+                      ${jpegCrByteSql("eff", "k")})
+                  END)), '') ||
                 'FFD9' AS hx,
                 CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
                 CAST(1 AS BIGINT) AS n_frames

@@ -1316,13 +1316,18 @@ final class TextOps(tuning: graft.config.Tuning) {
                     -- IEND, where the zlib stream wraps the filtered
                     -- raster h·(1+3w) in one stored block (+11 framing)
                     WHEN 2 THEN 57 + 11 + (1 + doc_id % 29) * (1 + 3 * (1 + doc_id % 53))
-                    -- JPEG: 172 header bytes (SOI + JFIF APP0 + DQT +
-                    -- 2×DHT + DRI + 3-component SOF0 + SOS) + the
-                    -- entropy scan (6 bytes/MCU + 2-byte RST between
-                    -- MCUs = 8·nb − 2) + EOI; dims from the EFFECTIVE
-                    -- id (near-dup injection)
-                    ELSE 172 + 8 * (((1 + (${Multimodal.jpegEffSql}) % 61 + 7)//8)
-                                    * ((1 + (${Multimodal.jpegEffSql}) % 37 + 7)//8))
+                    -- JPEG: 174 fixed bytes (SOI + JFIF APP0 + DQT +
+                    -- 2×DHT + DRI + 3-component SOF0 + SOS + EOI) +
+                    -- the entropy scan: 4:4:4 = 6 bytes/MCU + 2-byte
+                    -- RST between MCUs (8·nb − 2); the 4:2:0 sub-tier
+                    -- (eff % 3 = 1) = 12 bytes/MCU + RSTs (14·nmcu −
+                    -- 2); dims from the EFFECTIVE id (dup injection)
+                    ELSE CASE WHEN (${Multimodal.jpegEffSql}) % 3 = 1
+                      THEN 172 + 14 * (((1 + (${Multimodal.jpegEffSql}) % 61 + 15)//16)
+                                       * ((1 + (${Multimodal.jpegEffSql}) % 37 + 15)//16))
+                      ELSE 172 + 8 * (((1 + (${Multimodal.jpegEffSql}) % 61 + 7)//8)
+                                      * ((1 + (${Multimodal.jpegEffSql}) % 37 + 7)//8))
+                    END
                END AS media_bytes,
                CASE WHEN doc_id % 4 = 1 THEN 10 + doc_id % 50 ELSE 1 END AS n_frames
              FROM documents)

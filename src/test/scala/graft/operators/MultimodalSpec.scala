@@ -156,14 +156,19 @@ class MultimodalSpec extends AnyFunSuite {
     // id ≡ 19 (mod 20): byte-for-byte replay of id−8
     assert(java.util.Arrays.equals(MediaFixtures.jpeg(19L), MediaFixtures.jpeg(11L)))
     assert(java.util.Arrays.equals(MediaFixtures.jpeg(119L), MediaFixtures.jpeg(111L)))
-    // id ≡ 15 (mod 20): same dims, exactly ONE scan byte differs
-    // (block 0's luma, one quant step) unless m was already 63
+    // id ≡ 15 (mod 20): same dims, exactly ONE scan byte differs.
+    // eff = 7 lands in the 4:2:0 SUB-tier, where the bump hits the
+    // LAST Y diff of MCU 0 — sub-block j=3, pixels y,x ∈ [8,16) —
+    // unless m(0,3) was already 31
     val a = MediaFixtures.jpeg(7L); val b = MediaFixtures.jpeg(15L)
+    assert(MediaFixtures.jpegSub(7L))
     assert(a.length == b.length)
     val diffs = a.indices.filter(i => a(i) != b(i))
-    val m0 = ((7L * 7) % 64).toInt // block 0 of eff=7
-    assert(diffs.size == (if (m0 == 63) 0 else 1), s"diffs at $diffs")
-    // and the decoded rasters differ only inside block 0
+    val m03 = MediaFixtures.jpegSubM(7L, nd = false, 0, 3)
+    assert(diffs.size == (if (m03 == 31) 0 else 1), s"diffs at $diffs")
+    // decoded rasters differ only inside Y sub-block j=3's region —
+    // here EMPTY: the image is 8×8, so the perturbed block is MCU
+    // padding (byte-level near-dup, pixel-identical — hamming 0)
     import Multimodal.RealDecoders
     val Some((w, h, 3, pa)) = RealDecoders.jpegRaster(a)
     val Some((w2, h2, 3, pb)) = RealDecoders.jpegRaster(b)
@@ -171,10 +176,23 @@ class MultimodalSpec extends AnyFunSuite {
     val changed = (0 until pa.length / 3).filter { p =>
       (0 until 3).exists(c => pa(p * 3 + c) != pb(p * 3 + c))
     }
-    assert(changed.nonEmpty)
     assert(changed.forall { p =>
-      val (y, x) = (p / w.toInt, p % w.toInt); y < 8 && x < 8
-    }, "perturbation leaked outside block 0")
+      val (y, x) = (p / w.toInt, p % w.toInt)
+      y >= 8 && y < 16 && x >= 8 && x < 16
+    }, "perturbation leaked outside MCU 0's j=3 sub-block")
+    // a 4:4:4-tier near-dup pair (id 35 → eff 27, 27 % 3 = 0) still
+    // perturbs exactly block 0 in pixel space
+    val a4 = MediaFixtures.jpeg(27L); val b4 = MediaFixtures.jpeg(35L)
+    assert(!MediaFixtures.jpegSub(27L))
+    val Some((w4, _, 3, pa4)) = RealDecoders.jpegRaster(a4)
+    val Some((_, _, 3, pb4)) = RealDecoders.jpegRaster(b4)
+    val changed4 = (0 until pa4.length / 3).filter { p =>
+      (0 until 3).exists(c => pa4(p * 3 + c) != pb4(p * 3 + c))
+    }
+    assert(changed4.nonEmpty)
+    assert(changed4.forall { p =>
+      val (y, x) = (p / w4.toInt, p % w4.toInt); y < 8 && x < 8
+    }, "444 perturbation leaked outside block 0")
   }
 
   /** The flat-plane pixel formulas the color fixture encodes — the
@@ -200,9 +218,11 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("jpegRaster decodes the color fixture: real Huffman + dequant + IDCT + YCbCr→RGB") {
     import Multimodal.{MediaFixtures, RealDecoders}
-    for (id <- Seq(3L, 7L, 111L, 15L, 19L)) {
+    // 4:4:4 ids only (eff % 3 ≠ 1); the sub-tier has its own spec
+    for (id <- Seq(3L, 111L, 19L)) {
       val b = MediaFixtures.jpeg(id)
       val (eff, nd) = MediaFixtures.jpegEff(id)
+      assert(!MediaFixtures.jpegSub(eff))
       val (w, h) = ((1 + eff % 61).toInt, (1 + eff % 37).toInt)
       val Some((dw, dh, ch, px)) = RealDecoders.jpegRaster(b)
       assert(dw == w && dh == h && ch == 3)
@@ -217,6 +237,55 @@ class MultimodalSpec extends AnyFunSuite {
           s"id=$id y=$y x=$x")
       }
     }
+  }
+
+  test("jpegRaster decodes the 4:2:0 sub-tier: chained Y DPCM, NN chroma upsample") {
+    import Multimodal.{MediaFixtures, RealDecoders}
+    // eff % 3 = 1 throughout; 15 exercises the near-dup bump at m(0,3)
+    for (id <- Seq(7L, 15L, 43L, 103L)) {
+      val b = MediaFixtures.jpeg(id)
+      val (eff, nd) = MediaFixtures.jpegEff(id)
+      assert(MediaFixtures.jpegSub(eff))
+      val (w, h) = ((1 + eff % 61).toInt, (1 + eff % 37).toInt)
+      val Some((dw, dh, ch, px)) = RealDecoders.jpegRaster(b)
+      assert(dw == w && dh == h && ch == 3)
+      assert(px.length == w * h * 3)
+      val nmcuX = (w + 15) / 16
+      for (y <- 0 until h; x <- 0 until w) {
+        val k = (y / 16) * nmcuX + (x / 16)
+        val j = ((y / 8) % 2) * 2 + (x / 8) % 2
+        val yy = MediaFixtures.jpegSubYPix(eff, nd, k, j)
+        // chroma: one flat 8×8 block per MCU, NN-upsampled over 16×16
+        val (_, cb, cr) = ycbcrOf(eff, nd = false, k)
+        val (r, g, bb) = rgbOf(yy, cb, cr)
+        val o = (y * w + x) * 3
+        assert((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff) == ((r, g, bb)),
+          s"id=$id y=$y x=$x")
+      }
+    }
+    // the near-dup pair (15 over 7) moves EXACTLY one 8×8 block's luma
+    // by −1 (the LAST diff in MCU 0's chain) — visible only where that
+    // sub-block has pixels (eff 7 is 8×8, so here it is MCU padding:
+    // byte-level near-dup, pixel-identical)
+    val Some((_, _, _, p7)) = RealDecoders.jpegRaster(MediaFixtures.jpeg(7L))
+    val Some((_, _, _, p15)) = RealDecoders.jpegRaster(MediaFixtures.jpeg(15L))
+    val diffs = p7.indices.count(i => p7(i) != p15(i))
+    assert(diffs <= 8 * 8 * 3,
+      s"near-dup perturbation out of bounds: $diffs bytes differ")
+
+    // 4:2:0-specific corruption refuses cleanly (never throws)
+    val good = MediaFixtures.jpeg(7L)
+    def flip(at: Int, to: Int): Array[Byte] = {
+      val c = good.clone(); c(at) = to.toByte; c
+    }
+    // luma sampling 0x21 is outside both accepted shapes (SOF comp 1
+    // sampling byte sits at SOF segment offset +10 = 139 + 11)
+    assert((good(150) & 0xff) == 0x22, "layout drifted: luma sampling")
+    assert(RealDecoders.jpegRaster(flip(150, 0x21)).isEmpty)
+    // truncation mid-MCU (after two of the four Y entries)
+    assert(RealDecoders.jpegRaster(good.take(172 + 4)).isEmpty)
+    // a bare 0xFF on the third Y codeword
+    assert(RealDecoders.jpegRaster(flip(172 + 4, 0xff)).isEmpty)
   }
 
   test("jpegRaster still decodes the 1-component (grayscale) profile") {
