@@ -223,6 +223,13 @@ final case class Tuning(
       * mille (an Int knob like the rest): 700 = 0.7, the shipped
       * default. */
     lmLambdaPerMille: Int = 700,
+    /** q110/serveSurprisal(order=3): the STUPID-BACKOFF discount α —
+      * a token whose trigram is unseen scores α·(bigram ratio), and
+      * α²·(Laplace unigram) when the bigram is unseen too (Brants et
+      * al. 2007's heuristic: score mass shrinks per backoff level, no
+      * normalization). Per mille: 400 = 0.4, the published default.
+      */
+    lmAlphaPerMille: Int = 400,
     /** q108/q109: target piece-vocabulary size of the SentencePiece-
       * style unigram-LM tokenizer (single characters are always kept
       * on top of the multi-character budget — the SentencePiece
@@ -253,6 +260,10 @@ final case class Tuning(
   /** [[lmLambdaPerMille]] as the double the scorers interpolate with. */
   def lmLambda: Double = lmLambdaPerMille / 1000.0
 
+  /** [[lmAlphaPerMille]] as the double the backoff scorer multiplies
+    * with. */
+  def lmAlpha: Double = lmAlphaPerMille / 1000.0
+
   private[graft] def validate(): Unit = {
     def pos(v: Int, name: String): Unit =
       if (v < 1) throw ConfigurationError(
@@ -282,6 +293,8 @@ final case class Tuning(
     pos(dhashBandCap, "dhashBandCap")
     if (lmLambdaPerMille < 0 || lmLambdaPerMille > 1000) throw ConfigurationError(
       s"graft.tuning.lmLambdaPerMille must be in [0, 1000], got $lmLambdaPerMille")
+    if (lmAlphaPerMille < 0 || lmAlphaPerMille > 1000) throw ConfigurationError(
+      s"graft.tuning.lmAlphaPerMille must be in [0, 1000], got $lmAlphaPerMille")
     pos(spVocab, "spVocab")
     if (spPieceLen < 1 || spPieceLen > 8) throw ConfigurationError(
       s"graft.tuning.spPieceLen must be in [1, 8], got $spPieceLen")
@@ -415,6 +428,7 @@ object Tuning {
       dhashMaxHamming = knob("dhashMaxHamming", d.dhashMaxHamming),
       dhashBandCap = knob("dhashBandCap", d.dhashBandCap),
       lmLambdaPerMille = knob("lmLambdaPerMille", d.lmLambdaPerMille),
+      lmAlphaPerMille = knob("lmAlphaPerMille", d.lmAlphaPerMille),
       spVocab = knob("spVocab", d.spVocab),
       spPieceLen = knob("spPieceLen", d.spPieceLen),
       spIters = knob("spIters", d.spIters),

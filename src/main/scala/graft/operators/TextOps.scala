@@ -628,7 +628,10 @@ final class TextOps(tuning: graft.config.Tuning) {
     // v3: + the `bigrams(prev, tok, cnt)` table behind the
     // order-2 scoring mode (additive across layers like the unigrams)
     // v4: bigrams bucket-partitioned (`pb`) for the serve scan prune
-    val knobs = (if (nfcOn) "nfc" else "raw") + ":v4"
+    // v5: + the `trigrams(p2, prev, tok, cnt)` table behind the
+    // order-3 stupid-backoff mode (same additive-layer DML, bucketed
+    // on p2 so the serve prune reuses the bigram recipe)
+    val knobs = (if (nfcOn) "nfc" else "raw") + ":v5"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((new java.io.File(d).getCanonicalPath + ":" + knobs)
         .getBytes("UTF-8"))
@@ -663,6 +666,28 @@ final class TextOps(tuning: graft.config.Tuning) {
       .select(explode(expr(bigramsOfToks)).as("bg"))
       .select(col("bg.prev").as("prev"), col("bg.tok").as("tok"))
       .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent-triple structs over a bound `toks` array — the trigram
+    * domain of the order-3 LM (the bigram transform one key wider).
+    */
+  private val trigramsOfToks = """
+    CASE WHEN size(toks) < 3 THEN array()
+    ELSE transform(sequence(0, size(toks) - 3),
+         i -> struct(toks[i] AS p2, toks[i + 1] AS prev,
+                     toks[i + 2] AS tok)) END"""
+
+  /** Corpus trigram counts — one explode + one map-side-combinable
+    * aggregate; corpus-content-sized like the bigrams, so every write
+    * goes through [[writeTrigrams]]' bucketed layout.
+    */
+  private def trigramCounts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.withColumn("toks", expr(toksExpr))
+      .select(explode(expr(trigramsOfToks)).as("tg"))
+      .select(col("tg.p2").as("p2"), col("tg.prev").as("prev"),
+        col("tg.tok").as("tok"))
+      .groupBy(col("p2"), col("prev"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
 
   /** The bigram table's scan-prune geometry — the BM25/runs recipe
     * applied to the ONLY corpus-sized table on the order-2 serve
@@ -709,6 +734,18 @@ final class TextOps(tuning: graft.config.Tuning) {
       .sortWithinPartitions(col("pb"), col("prev"), col("tok"))
       .write.mode("overwrite").partitionBy("pb").parquet(path)
 
+  /** [[writeBigrams]]' layout applied to the trigram table, bucketed
+    * on the OUTER context token p2 (the probe's p2 set is a subset of
+    * its prev set, so one collected prune list covers both tables).
+    */
+  private def writeTrigrams(df: org.apache.spark.sql.DataFrame,
+      path: String): Unit =
+    df.withColumn("pb", expr(
+        s"cast(pmod(cast(conv(substring(md5(p2), 1, 15), 16, 10) as bigint), $bgBuckets) as int)"))
+      .repartition(bgBuckets, col("pb"))
+      .sortWithinPartitions(col("pb"), col("p2"), col("prev"), col("tok"))
+      .write.mode("overwrite").partitionBy("pb").parquet(path)
+
   /** Install-or-reuse the corpus LM artifact: `counts` (token →
     * corpus frequency — vocabulary-sized, Heaps-law bounded) and
     * `totals` (one row: total token instances + vocabulary size, the
@@ -734,6 +771,9 @@ final class TextOps(tuning: graft.config.Tuning) {
       writeBigrams(
         bigramCounts(spread(t(s, d, "documents")).select(col("text"))),
         s"$root/bigrams")
+      writeTrigrams(
+        trigramCounts(spread(t(s, d, "documents")).select(col("text"))),
+        s"$root/trigrams")
       spread(t(s, d, "documents")).select(col("doc_id"))
         .write.mode("overwrite").parquet(s"$root/docs")
     }
@@ -772,6 +812,8 @@ final class TextOps(tuning: graft.config.Tuning) {
           .coalesce(1).write.mode("overwrite").parquet(s"$root/totals")
         writeBigrams(bigramCounts(norm.select(col("text"))),
           s"$root/bigrams")
+        writeTrigrams(trigramCounts(norm.select(col("text"))),
+          s"$root/trigrams")
         norm.select(col("doc_id")).repartition(nFiles)
           .write.mode("overwrite").parquet(s"$root/docs")
       })(
@@ -819,6 +861,11 @@ final class TextOps(tuning: graft.config.Tuning) {
           writeBigrams(
             u.groupBy(col("prev"), col("tok")).agg(sum(col("cnt")).as("cnt")),
             s"$out/bigrams"))
+        ArtifactLake.layerUnion(s, roots, "trigrams").foreach(u =>
+          writeTrigrams(
+            u.groupBy(col("p2"), col("prev"), col("tok"))
+              .agg(sum(col("cnt")).as("cnt")),
+            s"$out/trigrams"))
         ArtifactLake.layerUnion(s, roots, "docs").foreach(
           _.write.mode("overwrite").parquet(s"$out/docs"))
       }
@@ -877,8 +924,8 @@ final class TextOps(tuning: graft.config.Tuning) {
   def serveSurprisal(s: org.apache.spark.sql.SparkSession, d: String,
       docs: org.apache.spark.sql.DataFrame, order: Int)
       : org.apache.spark.sql.DataFrame = {
-    require(order == 1 || order == 2,
-      s"serveSurprisal: order must be 1 or 2, got $order")
+    require(order >= 1 && order <= 3,
+      s"serveSurprisal: order must be 1, 2, or 3, got $order")
     graft.functions.GraftFunctions.ensureRegistered(s)
     val p = ensureLm(s, d)
     // layer recomposition: counts are additive across id-disjoint
@@ -922,6 +969,9 @@ final class TextOps(tuning: graft.config.Tuning) {
           .select(col("id"), col("toks"), posexplode(col("toks")))
           .withColumnRenamed("col", "tok")
           .withColumn("prev", expr("CASE WHEN pos > 0 THEN toks[pos - 1] END"))
+          .withColumn("p2", expr(
+            if (order == 3) "CASE WHEN pos > 1 THEN toks[pos - 2] END"
+            else "CAST(NULL AS STRING)"))
           .drop("toks")
           // two consumers: the prune collect below + the scoring join
           .localCheckpoint(true)
@@ -963,7 +1013,7 @@ final class TextOps(tuning: graft.config.Tuning) {
               .groupBy(col("prev"), col("tok")).agg(sum(col("cnt")).as("bcnt"))
             case None => emptyBg
           }
-        ptk
+        val base2 = ptk
           .join(lm, Seq("tok"), "left")
           .join(lm.select(col("tok").as("prev"), col("cnt").as("pcnt")),
             Seq("prev"), "left")
@@ -975,8 +1025,62 @@ final class TextOps(tuning: graft.config.Tuning) {
             (coalesce(col("cnt"), lit(0L)) + lit(1L)) / lit(denom))
           .withColumn("bterm", when(col("pcnt").isNull, lit(0.0))
             .otherwise(coalesce(col("bcnt"), lit(0L)) / col("pcnt")))
-          .withColumn("p", when(col("pos") === 0, col("p1"))
-            .otherwise(lit(lam) * col("bterm") + lit(1.0 - lam) * col("p1")))
+        val scored =
+          if (order == 2)
+            base2.withColumn("p", when(col("pos") === 0, col("p1"))
+              .otherwise(lit(lam) * col("bterm") + lit(1.0 - lam) * col("p1")))
+          else {
+            // ORDER 3, stupid backoff (Brants et al. 2007): token i ≥ 2
+            // scores t(p2,prev,tok)/b(p2,prev) when the trigram is
+            // stored (its prefix bigram then necessarily is too —
+            // every trigram occurrence contains it), else α·(bigram
+            // ratio) when the bigram is stored, else α²·P₁. The
+            // trigram table prunes on the SAME collected prev set (a
+            // probe's p2 values are a subset of its prev values), and
+            // the backoff CONTEXT count b(p2,prev) is the already-
+            // pruned bigram frame re-keyed — no extra corpus input.
+            val alpha = tuning.lmAlpha
+            def prunedTg(df: org.apache.spark.sql.DataFrame) = probePrevs match {
+              case Some(ps) =>
+                val buckets = ps.map(bgBucketOf).distinct.map(Int.box)
+                df.where(col("pb").isin(buckets: _*) && col("p2").isin(ps: _*))
+              case None =>
+                df.join(ptk.select(col("p2")).where(col("p2").isNotNull)
+                  .distinct(), Seq("p2"), "left_semi")
+            }
+            val emptyTg = {
+              import s.implicits._
+              s.emptyDataset[(String, String, String, Long)]
+                .toDF("p2", "prev", "tok", "tcnt")
+            }
+            val tg =
+              if (v.baseOnly) {
+                if (ArtifactLake.hasParquet(new java.io.File(p, "trigrams")))
+                  prunedTg(s.read.parquet(s"$p/trigrams"))
+                    .withColumnRenamed("cnt", "tcnt").drop("pb")
+                else emptyTg
+              } else ArtifactLake.layerUnion(s,
+                  p +: v.overlays.map(_.getAbsolutePath), "trigrams") match {
+                case Some(u) => prunedTg(u)
+                  .groupBy(col("p2"), col("prev"), col("tok"))
+                  .agg(sum(col("cnt")).as("tcnt"))
+                case None => emptyTg
+              }
+            val ctx = bg.select(col("prev").as("p2"), col("tok").as("prev"),
+              col("bcnt").as("ctxcnt"))
+            base2
+              .join(tg, Seq("p2", "prev", "tok"), "left")
+              .join(ctx, Seq("p2", "prev"), "left")
+              .withColumn("p", when(col("pos") === 0, col("p1"))
+                .when(col("pos") === 1,
+                  lit(lam) * col("bterm") + lit(1.0 - lam) * col("p1"))
+                .otherwise(
+                  when(col("tcnt").isNotNull, col("tcnt") / col("ctxcnt"))
+                    .when(col("bcnt").isNotNull,
+                      lit(alpha) * (col("bcnt") / col("pcnt")))
+                    .otherwise(lit(alpha * alpha) * col("p1"))))
+          }
+        scored
           .groupBy(col("id"))
           .agg(count(lit(1)).as("n_tokens"),
             r6(avg(-log(col("p")))).as("nats"))
@@ -1470,8 +1574,100 @@ final class TextOps(tuning: graft.config.Tuning) {
       FROM probes p LEFT JOIN sc USING (id)
       ORDER BY id"""))
 
+  /** q110: the order-3 (trigram, stupid-backoff) served scorer under
+    * the gate — q107's probe recipe through `serveSurprisal(order =
+    * 3)` plus a TRIGRAM-scramble probe (every adjacent pair corpus-
+    * frequent, the triples improbable — what order 2 cannot see),
+    * while the oracle re-derives unigrams, bigrams, trigrams, the
+    * Laplace denominator, and the full backoff chain per token
+    * position from raw `documents`. A wrong stored trigram count, an
+    * α slip, or a backoff route mishandled all hash-mismatch.
+    */
+  private val q110 = Q(
+    "q110_serve_trigram_surprisal",
+    (s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents")
+        .filter($"doc_id" % 100 === 7)
+        .select($"doc_id".as("id"), $"text")
+      val synth = Seq(
+        (900000001L, "the quick brown fox and a zzgibberish qqparade"),
+        (900000002L, "zzxqv wwyzk jjqrp"),
+        (900000003L, ""),
+        (900000004L, "and the of a in the and of the a"),
+        (900000005L, "of the of the of the of")).toDF("id", "text")
+      serveSurprisal(s, d, corpus.unionByName(synth), order = 3)
+        .orderBy($"id")
+    },
+    Some(s"""
+      WITH toks AS (SELECT $toksSqlDuck AS toks FROM documents),
+      ut AS (SELECT unnest(toks) AS tok FROM toks),
+      lm AS (SELECT tok, count(*) AS cnt FROM ut GROUP BY tok),
+      den AS (SELECT CAST(count(*) AS DOUBLE) +
+                     CAST(count(DISTINCT tok) AS DOUBLE) + 1.0 AS denom
+              FROM ut),
+      bx AS (SELECT unnest(range(1, len(toks))) AS i, toks
+             FROM toks WHERE len(toks) >= 2),
+      bg AS (SELECT toks[i] AS prev, toks[i + 1] AS tok, count(*) AS bcnt
+             FROM bx GROUP BY 1, 2),
+      tx AS (SELECT unnest(range(1, len(toks) - 1)) AS i, toks
+             FROM toks WHERE len(toks) >= 3),
+      tg AS (SELECT toks[i] AS p2, toks[i + 1] AS prev,
+               toks[i + 2] AS tok, count(*) AS tcnt
+             FROM tx GROUP BY 1, 2, 3),
+      probes AS (SELECT doc_id AS id, text FROM documents
+                 WHERE doc_id % 100 = 7
+                 UNION ALL
+                 SELECT * FROM (VALUES
+                   (CAST(900000001 AS BIGINT),
+                    'the quick brown fox and a zzgibberish qqparade'),
+                   (CAST(900000002 AS BIGINT), 'zzxqv wwyzk jjqrp'),
+                   (CAST(900000003 AS BIGINT), ''),
+                   (CAST(900000004 AS BIGINT),
+                    'and the of a in the and of the a'),
+                   (CAST(900000005 AS BIGINT),
+                    'of the of the of the of')) v(id, text)),
+      ptk0 AS (SELECT id, $toksSqlDuck AS toks FROM probes),
+      pe AS (SELECT id, unnest(range(1, len(toks) + 1)) AS pos, toks
+             FROM ptk0),
+      pe2 AS (SELECT id, pos, toks[pos] AS tok,
+                CASE WHEN pos > 1 THEN toks[pos - 1] END AS prev,
+                CASE WHEN pos > 2 THEN toks[pos - 2] END AS p2
+              FROM pe),
+      psc AS (SELECT id, pos,
+                (coalesce(l.cnt, 0) + 1) / (SELECT denom FROM den) AS p1,
+                CASE WHEN pl.cnt IS NULL THEN 0.0
+                     ELSE coalesce(bg.bcnt, 0) / pl.cnt END AS bterm,
+                pl.cnt AS pcnt, bg.bcnt AS bcnt,
+                tg.tcnt AS tcnt, cx.bcnt AS ctxcnt
+              FROM pe2 LEFT JOIN lm l ON pe2.tok = l.tok
+                       LEFT JOIN lm pl ON pe2.prev = pl.tok
+                       LEFT JOIN bg ON pe2.prev = bg.prev
+                                   AND pe2.tok = bg.tok
+                       LEFT JOIN tg ON pe2.p2 = tg.p2
+                                   AND pe2.prev = tg.prev
+                                   AND pe2.tok = tg.tok
+                       LEFT JOIN bg cx ON pe2.p2 = cx.prev
+                                      AND pe2.prev = cx.tok),
+      sc AS (SELECT id, count(*) AS n_tokens,
+               round(avg(-ln(CASE WHEN pos = 1 THEN p1
+                 WHEN pos = 2 THEN
+                   CAST(${tuning.lmLambda} AS DOUBLE) * bterm +
+                   CAST(${1.0 - tuning.lmLambda} AS DOUBLE) * p1
+                 ELSE CASE
+                   WHEN tcnt IS NOT NULL THEN tcnt / ctxcnt
+                   WHEN bcnt IS NOT NULL THEN
+                     CAST(${tuning.lmAlpha} AS DOUBLE) * (bcnt / pcnt)
+                   ELSE CAST(${tuning.lmAlpha * tuning.lmAlpha} AS DOUBLE) * p1
+                 END END)), 6) AS nats
+             FROM psc GROUP BY id)
+      SELECT p.id, CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+             sc.nats
+      FROM probes p LEFT JOIN sc USING (id)
+      ORDER BY id"""))
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q65, q66, q92,
-    q99, q100, q101, q103, q107)
+    q99, q100, q101, q103, q107, q110)
 }
 
 object TextOps {

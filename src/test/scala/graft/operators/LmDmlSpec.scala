@@ -82,6 +82,9 @@ class LmDmlSpec extends SparkTestBase {
       assert(serveMap(ops, dir) == serveMap(new TextOps(Tuning()), scratch))
       assert(serveMap(ops, dir, order = 2) ==
         serveMap(new TextOps(Tuning()), scratch, order = 2))
+      // …and at order 3: the trigram layer recomposes additively too
+      assert(serveMap(ops, dir, order = 3) ==
+        serveMap(new TextOps(Tuning()), scratch, order = 3))
     }
   }
 
@@ -120,11 +123,13 @@ class LmDmlSpec extends SparkTestBase {
       assert(!ops.addLmDocs(spark, dir, batch1.toDF("doc_id", "text")))
       assert(TextOps.lmAdds.get() == adds0)
       // and serving over the folded generation matches scratch at
-      // both orders (the fold re-sums bigram counts by (prev, tok))
+      // every order (the fold re-sums bigram AND trigram counts)
       val scratch = writeCorpus(base ++ batch1 ++ batch2)
       assert(serveMap(ops, dir) == serveMap(new TextOps(Tuning()), scratch))
       assert(serveMap(ops, dir, order = 2) ==
         serveMap(new TextOps(Tuning()), scratch, order = 2))
+      assert(serveMap(ops, dir, order = 3) ==
+        serveMap(new TextOps(Tuning()), scratch, order = 3))
     }
   }
 }

@@ -96,6 +96,42 @@ class ServeSurprisalSpec extends SparkTestBase {
     }
   }
 
+  test("order 3: hand-computed stupid backoff hits all three routes") {
+    withTempRoot {
+      import spark.implicits._
+      // corpus: "a b c" ×2, "a b d" → unigrams a=3,b=3,c=2,d=1
+      // (T=9, V=4, denom=14); bigrams (a,b)=3,(b,c)=2,(b,d)=1;
+      // trigrams (a,b,c)=2,(a,b,d)=1
+      val dir = writeCorpus(Seq((0L, "a b c"), (1L, "a b c"), (2L, "a b d")))
+      val out = new TextOps(Tuning()).serveSurprisal(spark, dir, Seq(
+          (10L, "a b c"),  // pos2: trigram route — t(a,b,c)/b(a,b)
+          (11L, "c b d"),  // pos2: bigram backoff — α·(b(b,d)/c(b))
+          (12L, "a b b"),  // pos2: unigram floor — α²·P1(b)
+          (13L, "")).toDF("id", "text"), order = 3)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .toMap
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val lam = 0.7; val alpha = 0.4
+      val p1a = 4.0 / 14.0; val p1b = 4.0 / 14.0; val p1c = 3.0 / 14.0
+      // shared pos-0/pos-1 prefix of all three probes' scoring
+      def pos1(bterm: Double, p1: Double) = lam * bterm + (1.0 - lam) * p1
+      val n10 = (-math.log(p1a) + -math.log(pos1(3.0 / 3.0, p1b)) +
+        -math.log(2.0 / 3.0)) / 3
+      val n11 = (-math.log(p1c) + -math.log(pos1(0.0, p1b)) +
+        -math.log(alpha * (1.0 / 3.0))) / 3
+      val n12 = (-math.log(p1a) + -math.log(pos1(3.0 / 3.0, p1b)) +
+        -math.log(alpha * alpha * p1b)) / 3
+      assert(out(10L) == (3L, Some(r6(n10))))
+      assert(out(11L) == (3L, Some(r6(n11))))
+      assert(out(12L) == (3L, Some(r6(n12))))
+      assert(out(13L) == (0L, None))
+      // the order the backoff exists for: an unseen TRIPLE of seen
+      // pairs costs more than the attested triple
+      assert(n12 > n10)
+    }
+  }
+
   test("order 2 over a corpus with NO bigrams (all 1-token docs) serves, not throws") {
     withTempRoot {
       import spark.implicits._
