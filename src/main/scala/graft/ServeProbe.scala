@@ -88,6 +88,10 @@ object ServeProbe {
     def cells(dir: String): Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "runs" -> (() => search.serveRuns(spark, dir, probeBatch(dir))),
       "bmhead" -> (() => search.serveBm25(spark, dir, headTerms, 20)),
+      // r16: the single-term hot path — the head-term top-K cache
+      // answers a base-only 1-term probe from ≤ headK stored rows
+      // (expected corpus-FLAT, vs bmhead's documented df-bound)
+      "bmhot" -> (() => search.serveBm25(spark, dir, Seq(headTerms.head), 20)),
       "bmtail" -> (() => search.serveBm25(spark, dir, tailTerms, 20)),
       // the served LM scorer — pass 1 of the first cell carries the
       // cold corpus-LM build (token count + bigram count), the steady
@@ -96,6 +100,10 @@ object ServeProbe {
       // r15: the bigram mode — adds the (prev, tok) join against the
       // corpus-sized bigram table (store already built by `surprisal`)
       "surprisal2" -> (() => textOps.serveSurprisal(spark, dir, probeBatch(dir), order = 2)),
+      // r16: the trigram stupid-backoff mode — adds the (p2, prev,
+      // tok) join against the bucketed trigram table, pruned by the
+      // same collected prev set as the bigram scan
+      "surprisal3" -> (() => textOps.serveSurprisal(spark, dir, probeBatch(dir), order = 3)),
       // r15: the perceptual-dedup serve — pass 1 of the first cell
       // carries media-fixture generation + the decode→dHash lake build
       "dhash" -> (() => mediaDedup.serveDhashMatches(spark, dir, mediaProbe(dir))))
@@ -144,8 +152,8 @@ object ServeProbe {
 
     def jnum(v: Double): String = if (v.isNaN) "null" else num(v, 2)
     val sorted = mults.sorted
-    val names = Seq("runs", "bmhead", "bmtail", "surprisal",
-      "surprisal2", "dhash")
+    val names = Seq("runs", "bmhead", "bmhot", "bmtail", "surprisal",
+      "surprisal2", "surprisal3", "dhash")
     val qJson = names.map { q =>
       val per = sorted.map { m =>
         val p = results(m)(q)

@@ -146,9 +146,20 @@ final class Search(tuning: Tuning) {
     * DML-able delta store — `stats` carries the recomposition partials
     * (`n_dl`, `sum_dl`) and a `docs(doc_id, dl)` table backs the
     * [[addBm25Docs]] id guard (postings alone can't see a zero-token
-    * document).
+    * document). v3: + the `headk` head-term top-K cache (the
+    * single-term hot-lookup face).
     */
-  private val bm25Version = 2
+  private val bm25Version = 3
+
+  /** Head-term cache geometry. A term is HEAD when its posting list
+    * exceeds n_docs/[[headDfDivisor]] documents — by pigeonhole at
+    * most divisor × avg-distinct-terms-per-doc terms qualify WHATEVER
+    * the corpus size, so the cache is bounded at that × [[headK]]
+    * rows. [[headK]] caps the k a cache hit can serve; larger asks
+    * fall back to the ranked scan.
+    */
+  private val headDfDivisor = 64L
+  private val headK = 256
 
   /** Term-partition count. 64 dirs: enough that one partition of a
     * 100 TB postings table is ~1.6 TB (splittable further by parquet),
@@ -244,12 +255,64 @@ final class Search(tuning: Tuning) {
       .write.mode("overwrite").partitionBy("tkb").parquet(s"$root/termdf")
   }
 
+  /** The head-term top-K answer cache: for every term whose posting
+    * list exceeds n_docs/[[headDfDivisor]] docs, the top-[[headK]]
+    * `(rank, doc_id, bm25)` rows under the EXACT serve arithmetic and
+    * the serve's (bm25 desc, doc_id) total order — materialized at
+    * build time from the just-written base tables, so a base-only
+    * single-term probe answers from ≤ [[headK]] rows instead of
+    * ranking a corpus-proportional posting list (the measured bmhead
+    * bound). Valid ONLY against base stats: any DML layer changes
+    * avgdl/df, and the serve falls back to the ranked scan.
+    *
+    * Per-term ranking is a repartition-by-term + streamed sorted scan
+    * (a bounded emit per term), NEVER a corpus-partition Window — a
+    * head term's list is exactly the thing too big to window over.
+    */
+  private def writeHeadCache(s: SparkSession, root: String): Unit = {
+    import s.implicits._
+    val st = s.read.parquet(s"$root/stats").head()
+    val nDocs = st.getAs[Double]("n_docs")
+    val avgdl = st.getAs[Double]("avgdl")
+    val cutoff = (nDocs / headDfDivisor.toDouble).toLong
+    val heads = s.read.parquet(s"$root/termdf")
+      .where($"df" > cutoff.toDouble).select($"tk", $"df")
+    val kMax = headK
+    val scored = s.read.parquet(s"$root/postings")
+      .join(broadcast(heads), Seq("tk"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs) - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("s",
+        $"idf" * $"tf" * lit(2.2) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / lit(avgdl))))
+      // a single-term serve aggregates ONE row per doc: its rounded
+      // sum is r4 of this s — cached bm25 is bit-equal by construction
+      .select($"tk", $"tkb", $"doc_id", r4($"s").as("bm25"))
+    scored.as[(String, Int, Long, Double)]
+      .repartition($"tk")
+      .sortWithinPartitions($"tk", $"bm25".desc, $"doc_id")
+      .mapPartitions { rows =>
+        var cur: String = null
+        var n = 0
+        rows.flatMap { case (tk, tkb, docId, bm25) =>
+          if (tk != cur) { cur = tk; n = 0 }
+          n += 1
+          if (n <= kMax) Iterator.single((tk, tkb, n.toLong, docId, bm25))
+          else Iterator.empty
+        }
+      }
+      .toDF("tk", "tkb", "rank", "doc_id", "bm25")
+      .sortWithinPartitions($"tkb", $"tk", $"rank")
+      .write.mode("overwrite").partitionBy("tkb").parquet(s"$root/headk")
+  }
+
   private[operators] def ensureBm25Index(s: SparkSession, d: String): Unit = synchronized {
     val p = bm25Path(d)
     if (bm25Ready.contains(p)) return
     val built = ArtifactLake.ensure(new java.io.File(p)) { staging =>
       writeBm25Layer(staging.getAbsolutePath,
         bm25DocView(spread(t(s, d, "documents"))), nFiles = None)
+      writeHeadCache(s, staging.getAbsolutePath)
     }
     if (built) Search.bm25Builds.incrementAndGet()
     bm25Ready += p
@@ -389,6 +452,23 @@ final class Search(tuning: Tuning) {
     val collected = {
       val c = probe.limit(bm25CollectCap + 1).collect().map(_.getString(0))
       if (c.length <= bm25CollectCap) Some(c.toSeq) else None
+    }
+    // the single-term HOT path: a base-only probe for ONE term with
+    // k ≤ headK answers from the stored head cache — ≤ headK rows read
+    // from one partition dir, corpus-FLAT — when the term is head
+    // (cache rows exist); tail terms fall through to the pruned scan,
+    // which their short posting lists already serve cheaply. Cached
+    // rank order IS the serve's (bm25 desc, doc_id) total order, and
+    // the cached score the serve's exact arithmetic (ServeBm25Spec
+    // pins bit-equality against the ranked path).
+    collected match {
+      case Some(Seq(term)) if v.baseOnly && k <= headK =>
+        val hk = s.read.parquet(s"$p/headk")
+          .where($"tkb" === lit(bucketOf(term)) && $"tk" === lit(term))
+        if (hk.limit(1).count() > 0)
+          return hk.where($"rank" <= k).orderBy($"rank")
+            .select($"doc_id", $"bm25", lit(1L).as("n_terms"))
+      case _ =>
     }
     // one prune, applied at EVERY layer's scan (the literal predicates
     // push through the union to each parquet source)

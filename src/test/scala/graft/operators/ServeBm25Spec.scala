@@ -44,6 +44,24 @@ class ServeBm25Spec extends SparkTestBase {
     assert(after1 - before <= 1)
   }
 
+  test("single-term head probes answer from the cache, bit-equal to the ranked path") {
+    // the ranked path is forced by appending a matches-nothing filler
+    // term: the pruned scan runs, and the real term's scores, order,
+    // and n_terms are unchanged by a term with no postings
+    for (term <- Seq("spark", "data", "the")) {
+      val hot = search.serveBm25(spark, sf, Seq(term), k = 20)
+      val ranked = search.serveBm25(spark, sf, Seq(term, "zz_no_such_term"), k = 20)
+      assert(rows(hot) == rows(ranked), s"cache diverged for '$term'")
+      assert(rows(hot).nonEmpty)
+    }
+    // an unknown term misses the cache and falls through cleanly
+    assert(rows(search.serveBm25(spark, sf, Seq("zzqqx_unknown"), k = 5)).isEmpty)
+    // k beyond the cache depth takes the ranked path
+    val bigK = search.serveBm25(spark, sf, Seq("spark"), k = 300)
+    val bigK2 = search.serveBm25(spark, sf, Seq("spark", "zz_no_such_term"), k = 300)
+    assert(rows(bigK) == rows(bigK2))
+  }
+
   test("an over-cap probe set takes the distributed path and agrees with the pruned path") {
     import spark.implicits._
     // force the fallback by exceeding the collect cap with filler terms
