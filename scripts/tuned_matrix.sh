@@ -64,10 +64,12 @@ run a q40,q41,q43,q44,q45,q47,q48,q49,q67,q68 \
 # (q104-q106 ride with dhashMaxHamming=2 + dhashBandCap=8 — a tighter
 # verify threshold and a band-bucket ceiling low enough to drop the
 # flat-raster buckets at sf0.01, both results-changing cuts the oracle
-# mirrors; q107 re-interpolates the bigram mix at λ=0.4)
-run b q29,q31,q32,q33,q35,q38,q39,q59,q69,q72,q73,q77,q78,q79,q81,q82,q83,q84,q86,q87,q88,q89,q90,q91,q93,q94,q95,q96,q97,q98,q99,q100,q101,q102,q103,q104,q105,q106,q107,q108,q109 \
+# mirrors; q107 re-interpolates the bigram mix at λ=0.4; q110
+# re-interpolates the stupid-backoff discount at α=0.7)
+run b q29,q31,q32,q33,q35,q38,q39,q59,q69,q72,q73,q77,q78,q79,q81,q82,q83,q84,q86,q87,q88,q89,q90,q91,q93,q94,q95,q96,q97,q98,q99,q100,q101,q102,q103,q104,q105,q106,q107,q108,q109,q110 \
   GRAFT_TUNING_SP_VOCAB=30 GRAFT_TUNING_SP_PIECE_LEN=3 \
   GRAFT_TUNING_SP_ITERS=1 GRAFT_TUNING_LM_LAMBDA_PER_MILLE=400 \
+  GRAFT_TUNING_LM_ALPHA_PER_MILLE=700 \
   GRAFT_TUNING_DHASH_MAX_HAMMING=2 GRAFT_TUNING_DHASH_BAND_CAP=8 \
   GRAFT_TUNING_CC_EDGE_JACCARD=0.3 GRAFT_TUNING_MINHASH_BANDS=4 \
   GRAFT_TUNING_MINHASH_ROWS=4 GRAFT_TUNING_DF_CAP=50 \
@@ -103,5 +105,6 @@ run d "" \
   GRAFT_TUNING_RUN_MIN_TOKENS=8 GRAFT_TUNING_BPE_VOCAB_CAP=1 \
   GRAFT_TUNING_SP_VOCAB=1 GRAFT_TUNING_SP_PIECE_LEN=1 \
   GRAFT_TUNING_SP_ITERS=0 GRAFT_TUNING_DHASH_MAX_HAMMING=0 \
-  GRAFT_TUNING_DHASH_BAND_CAP=1 GRAFT_TUNING_LM_LAMBDA_PER_MILLE=0
+  GRAFT_TUNING_DHASH_BAND_CAP=1 GRAFT_TUNING_LM_LAMBDA_PER_MILLE=0 \
+  GRAFT_TUNING_LM_ALPHA_PER_MILLE=1000
 echo "=== tuned matrix complete ==="

@@ -68,9 +68,10 @@ object ScaleProbe {
         //   mixture temperature (102)
         // + the r15 dHash lake (104-106), bigram LM serve (107), and
         //   SP unigram tokenizer (108/109)
+        // + the r16 trigram stupid-backoff serve (110)
         Set(72, 73, 77, 78, 79, 80, 81, 82, 83, 84, 85, 86, 87, 88, 89,
           90, 91, 92, 93, 94, 95, 96, 97, 98, 99, 100, 101, 102, 103,
-          104, 105, 106, 107, 108, 109)
+          104, 105, 106, 107, 108, 109, 110)
           .contains(num)
     }.toSeq.sorted
     val builds = Seq("q69_minhash_index_build", "q67_ivf_pq_index_build",

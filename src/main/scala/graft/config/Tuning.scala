@@ -293,8 +293,11 @@ final case class Tuning(
     pos(dhashBandCap, "dhashBandCap")
     if (lmLambdaPerMille < 0 || lmLambdaPerMille > 1000) throw ConfigurationError(
       s"graft.tuning.lmLambdaPerMille must be in [0, 1000], got $lmLambdaPerMille")
-    if (lmAlphaPerMille < 0 || lmAlphaPerMille > 1000) throw ConfigurationError(
-      s"graft.tuning.lmAlphaPerMille must be in [0, 1000], got $lmAlphaPerMille")
+    // floor 1, not 0: a zero discount assigns probability 0 to every
+    // backed-off token — undefined surprisal (ln 0), and the oracle's
+    // ln() rejects it outright
+    if (lmAlphaPerMille < 1 || lmAlphaPerMille > 1000) throw ConfigurationError(
+      s"graft.tuning.lmAlphaPerMille must be in [1, 1000], got $lmAlphaPerMille")
     pos(spVocab, "spVocab")
     if (spPieceLen < 1 || spPieceLen > 8) throw ConfigurationError(
       s"graft.tuning.spPieceLen must be in [1, 8], got $spPieceLen")
