@@ -520,13 +520,138 @@ object Multimodal {
       var scanTdta: Array[Int] = null     // TdTa per component, SOS order
       var ri = 0
       var scanAt = -1
+      // progressive (SOF2) state: coefficient planes accumulated
+      // ACROSS scans (a progressive image is one coefficient array
+      // filled in by several scans), per-component DC-coverage flags,
+      // and the EOI sentinel that ends the stream
+      var progressive = false
+      var progCoefs: Array[Array[Array[Int]]] = null
+      var progDcSeen: Array[Boolean] = null
+      var progEoi = false
+
+      // one PROGRESSIVE scan under the spectral-selection-only profile
+      // (Ah = Al = 0 — a wild file using successive approximation
+      // would decode wrong without its refinement scans, so the first
+      // sight of either half refuses): a DC scan (Ss = Se = 0,
+      // interleaved over the scan's components; all-0x11 ⇒ one block
+      // each per MCU) accumulates the per-component DPCM chains; an
+      // AC scan (single component, band [Ss, Se]) decodes run-length
+      // + EOB-run coefficients into the persistent planes. Returns
+      // the byte position just after the scan's entropy data.
+      def progScan(p0: Int, len: Int): Option[Int] = {
+        if (comps == null || sofW < 1) return None
+        val ncP = comps.length
+        val nb = ((sofW + 7) / 8) * ((sofH + 7) / 8)
+        if (nb.toLong * ncP > (1 << 20)) return None // decode bound
+        if (progCoefs == null) {
+          progCoefs = Array.fill(ncP, nb)(new Array[Int](64))
+          progDcSeen = new Array[Boolean](ncP)
+        }
+        val ns = b(p0) & 0xff
+        if (ns < 1 || ns > ncP || len != 6 + 2 * ns) return None
+        val sc = new Array[Int](ns) // SOF component index per scan slot
+        val td = new Array[Int](ns)
+        var ci = 0
+        while (ci < ns) {
+          val cid = b(p0 + 1 + 2 * ci) & 0xff
+          val c = comps.indexWhere(_._1 == cid)
+          if (c < 0) return None
+          sc(ci) = c
+          td(ci) = b(p0 + 2 + 2 * ci) & 0xff
+          ci += 1
+        }
+        val ss = b(p0 + 1 + 2 * ns) & 0xff
+        val se = b(p0 + 2 + 2 * ns) & 0xff
+        if ((b(p0 + 3 + 2 * ns) & 0xff) != 0) return None // Ah/Al ≠ 0
+        val qsP = comps.map { case (_, tq) => dqt.getOrElse(tq, return None) }
+        val br = new BitReader(b, p0 + 2 + 2 * ns + 2)
+        def restart(k: Int, onReset: () => Unit): Boolean = {
+          if (ri > 0 && k > 0 && k % ri == 0) {
+            br.align()
+            val p = br.pos
+            if (p + 2 > b.length || (b(p) & 0xff) != 0xff ||
+              (b(p + 1) & 0xff) != (0xd0 + ((k / ri - 1) % 8))) return false
+            br.pos = p + 2
+            onReset()
+          }
+          true
+        }
+        if (ss == 0) {
+          if (se != 0) return None // progressive DC scans carry DC only
+          val dcT = td.map(t => dht.getOrElse((0, t >> 4), return None))
+          val pred = new Array[Int](ns)
+          var k = 0
+          while (k < nb) {
+            if (!restart(k, () => java.util.Arrays.fill(pred, 0))) return None
+            var j = 0
+            while (j < ns) {
+              val t = huffDecode(br, dcT(j))
+              if (br.bad || t < 0 || t > 11) return None
+              pred(j) += extend(br.bits(t), t)
+              progCoefs(sc(j))(k)(0) = pred(j) * qsP(sc(j))(0)
+              j += 1
+            }
+            k += 1
+          }
+          var j = 0
+          while (j < ns) { progDcSeen(sc(j)) = true; j += 1 }
+        } else {
+          if (ns != 1 || se < ss || se > 63) return None
+          val c = sc(0)
+          val acT = dht.getOrElse((1, td(0) & 0xf), return None)
+          var eobrun = 0
+          var k = 0
+          while (k < nb) {
+            if (!restart(k, () => eobrun = 0)) return None
+            if (eobrun > 0) eobrun -= 1
+            else {
+              val blk = progCoefs(c)(k)
+              var zi = ss
+              var done = false
+              while (zi <= se && !done) {
+                val sym = huffDecode(br, acT)
+                if (br.bad || sym < 0) return None
+                val r = sym >> 4; val sz = sym & 0xf
+                if (sz == 0) {
+                  if (r == 15) zi += 16 // ZRL: sixteen zeros
+                  else {
+                    // EOBn: ends this block and 2^r − 1 + extra more
+                    eobrun = (1 << r) - 1 + (if (r > 0) br.bits(r) else 0)
+                    done = true
+                  }
+                } else {
+                  zi += r
+                  if (zi > se) return None
+                  blk(zigzag(zi)) = extend(br.bits(sz), sz) * qsP(c)(zi)
+                  zi += 1
+                }
+              }
+              if (br.bad) return None
+            }
+            k += 1
+          }
+        }
+        if (br.bad) None
+        else { br.align(); Some(br.pos) }
+      }
+
       var i = 2
-      while (scanAt < 0 && i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
+      var iNext = -1
+      // i + 2 (not + 4): a progressive stream's EOI is its LAST two
+      // bytes and must still be reachable; length-bearing segments
+      // re-check their own bound below
+      while (scanAt < 0 && !progEoi && i + 2 <= b.length && (b(i) & 0xff) == 0xff) {
         val marker = b(i + 1) & 0xff
         if (marker == 0xff) i += 1 // B.1.1.2 fill byte before a marker
-        else if (marker == 0xd9) return None // EOI before SOS
+        else if (marker == 0xd9) {
+          // EOI: the legitimate end of a progressive stream (at least
+          // one scan decoded); before any scan it is corruption
+          if (progressive && progCoefs != null) progEoi = true
+          else return None
+        }
         else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
         else {
+          if (i + 4 > b.length) return None
           val len = u16(i + 2)
           if (len < 2 || i + 2 + len > b.length) return None
           val p0 = i + 4
@@ -552,7 +677,7 @@ object Multimodal {
                 dht((tcth >> 4, tcth & 0xf)) = huffTable(counts, syms)
                 p += 17 + n
               }
-            case 0xc0 => // SOF0 baseline; gray, YCbCr 4:4:4, or 4:2:0
+            case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
               if (len < 8 || (b(p0) & 0xff) != 8) return None
               val h = u16(p0 + 1); val w = u16(p0 + 3)
               val nc = b(p0 + 5) & 0xff
@@ -569,19 +694,33 @@ object Multimodal {
                 c += 1
               }
               // profile: all-0x11 (4:4:4 / gray) or the 4:2:0 shape
-              // (luma 2×2, both chromas 1×1); other samplings refuse
+              // (luma 2×2, both chromas 1×1); other samplings refuse.
+              // Progressive composes with all-0x11 ONLY: its AC scans
+              // are non-interleaved over the component's OWN block
+              // grid, which under subsampling differs from the
+              // MCU-padded one — outside the profile
               val all11 = hv.forall(_ == ((1, 1)))
               val is420 = nc == 3 && hv(0) == ((2, 2)) &&
                 hv(1) == ((1, 1)) && hv(2) == ((1, 1))
               if (!all11 && !is420) return None
+              progressive = marker == 0xc2
+              if (progressive && !all11) return None
               sofW = w; sofH = h; comps = cs; sampling = hv
-            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+            case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                  0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-              return None // non-baseline frame types: outside the profile
+              return None // other frame types: outside the profile
             case 0xdd => // DRI
               if (len != 4) return None
               ri = u16(p0)
-            case 0xda => // SOS: all components, SOF order (the profile)
+            case 0xda if progressive =>
+              // progressive scans decode IMMEDIATELY (their count and
+              // shape aren't known up front); the walk resumes at the
+              // end of the scan's entropy data
+              progScan(p0, len) match {
+                case Some(end) => iNext = end
+                case None => return None
+              }
+            case 0xda => // baseline SOS: all components, SOF order
               if (comps == null) return None
               val ns = b(p0) & 0xff
               if (ns != comps.length || len != 6 + 2 * ns) return None
@@ -596,11 +735,65 @@ object Multimodal {
               scanAt = i + 2 + len
             case _ => // APPn/COM/etc: skip
           }
-          i += 2 + len
+          if (iNext >= 0) { i = iNext; iNext = -1 } else i += 2 + len
         }
       }
-      if (comps == null || scanAt < 0) return None
+      if (comps == null) return None
       val w = sofW; val h = sofH; val nc = comps.length
+      // pixel assembly from per-component block grids — shared by the
+      // baseline and progressive tails. Component sample at (x, y)
+      // NN-upsamples by the sampling ratio (identity at 1×1).
+      def assemble(blocks: Array[Array[Array[Int]]], cbwA: Array[Int],
+          hMaxA: Int, vMaxA: Int): Option[(Long, Long, Int, Array[Byte])] = {
+        def sample(c: Int, x: Int, y: Int): Int = {
+          val (hi, vi) = sampling(c)
+          val cx = x * hi / hMaxA; val cy = y * vi / vMaxA
+          blocks(c)((cy / 8) * cbwA(c) + cx / 8)((cy % 8) * 8 + (cx % 8))
+        }
+        if (nc == 1) {
+          val gray = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              gray(y * w + x) = sample(0, x, y).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some((w.toLong, h.toLong, 1, gray))
+        } else {
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val yy = sample(0, x, y)
+              val cb = sample(1, x, y)
+              val cr = sample(2, x, y)
+              val o = (y * w + x) * 3
+              rgb(o) = clamp255(yy + 1.402 * (cr - 128) + 0.5).toByte
+              rgb(o + 1) = clamp255(
+                yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toByte
+              rgb(o + 2) = clamp255(yy + 1.772 * (cb - 128) + 0.5).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some((w.toLong, h.toLong, 3, rgb))
+        }
+      }
+      if (progressive) {
+        // a complete progressive stream: EOI seen and every
+        // component's DC scan landed. Absent AC bands stay zero — the
+        // spec-legal truncated-render, deterministic in both engines
+        if (!progEoi || progCoefs == null || !progDcSeen.forall(identity))
+          return None
+        val bw = (w + 7) / 8
+        return assemble(progCoefs.map(_.map(idctBlock)),
+          Array.fill(nc)(bw), 1, 1)
+      }
+      if (scanAt < 0) return None
       val qs = comps.map { case (_, tq) => dqt.getOrElse(tq, return None) }
       val dcTabs = scanTdta.map(t => dht.getOrElse((0, t >> 4), return None))
       val acTabs = scanTdta.map(t => dht.getOrElse((1, t & 0xf), return None))
@@ -677,45 +870,7 @@ object Multimodal {
         }
         k += 1
       }
-      // component sample at image pixel (x, y): nearest-neighbor
-      // upsample cx = x·h_i/Hmax (identity at full resolution)
-      def sample(c: Int, x: Int, y: Int): Int = {
-        val (hi, vi) = sampling(c)
-        val cx = x * hi / hMax; val cy = y * vi / vMax
-        blocks(c)((cy / 8) * cbw(c) + cx / 8)((cy % 8) * 8 + (cx % 8))
-      }
-      if (nc == 1) {
-        val gray = new Array[Byte](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            gray(y * w + x) = sample(0, x, y).toByte
-            x += 1
-          }
-          y += 1
-        }
-        Some((w.toLong, h.toLong, 1, gray))
-      } else {
-        val rgb = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val yy = sample(0, x, y)
-            val cb = sample(1, x, y)
-            val cr = sample(2, x, y)
-            val o = (y * w + x) * 3
-            rgb(o) = clamp255(yy + 1.402 * (cr - 128) + 0.5).toByte
-            rgb(o + 1) = clamp255(
-              yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toByte
-            rgb(o + 2) = clamp255(yy + 1.772 * (cb - 128) + 0.5).toByte
-            x += 1
-          }
-          y += 1
-        }
-        Some((w.toLong, h.toLong, 3, rgb))
-      }
+      assemble(blocks, cbw, hMax, vMax)
     }
 
     /** PNG: header-only dimensions + real length/hash; one still frame. */
@@ -796,9 +951,11 @@ object Multimodal {
       * arithmetic (stale-bytes hash mismatches misdiagnosed as decoder
       * bugs).
       */
-    private val fixtureVersion = 8 // v7: resized (2× NN) ppm near-dup
+    private val fixtureVersion = 9 // v7: resized (2× NN) ppm near-dup
                                    // pairs; v8: 4:2:0 chroma-subsampled
-                                   // jpeg sub-tier (eff % 3 = 1)
+                                   // jpeg sub-tier (eff % 3 = 1);
+                                   // v9: progressive (SOF2) jpeg
+                                   // sub-tier (eff % 3 = 2)
 
     def path(d: String): String = {
       val root = sys.props.getOrElse("graft.media.dir",
@@ -1284,6 +1441,15 @@ object Multimodal {
       */
     def jpegSub(eff: Long): Boolean = eff % 3 == 1
 
+    /** True for the PROGRESSIVE (SOF2) sub-tier — the other web-norm
+      * encoding: same 4:4:4 flat-plane pixel CONTENT as the baseline
+      * tier (the pixel oracles don't branch), different byte STREAM
+      * (one interleaved DC scan + three per-component all-EOB AC
+      * scans). Keyed on eff like [[jpegSub]]; the two sub-tiers are
+      * disjoint (eff % 3 = 1 vs 2).
+      */
+    def jpegProg(eff: Long): Boolean = eff % 3 == 2
+
     /** Y DPCM-diff magnitude of 4:2:0 sub-block j (row-major 2×2) in
       * MCU k — bounded to [0, 31] so every partial sum of the four
       * alternating-sign category-7 diffs stays inside [−128, 127]
@@ -1383,6 +1549,7 @@ object Multimodal {
       val w = (1 + eff % 61).toInt
       val h = (1 + eff % 37).toInt
       val sub = jpegSub(eff)
+      val prog = jpegProg(eff)
       val nUnits =
         if (sub) ((w + 15) / 16) * ((h + 15) / 16)     // MCUs (16×16)
         else ((w + 7) / 8) * ((h + 7) / 8)             // MCUs (8×8)
@@ -1403,25 +1570,54 @@ object Multimodal {
       zi = 0; while (zi < 8) { out.write(0); zi += 1 }
       out.write(0)                                     // the EOB symbol
       bs(0xff, 0xdd, 0x00, 0x04, 0x00, 0x01)           // DRI = 1
-      bs(0xff, 0xc0, 0x00, 0x11, 8,                    // SOF0, 3 comps
+      bs(0xff, if (prog) 0xc2 else 0xc0, 0x00, 0x11, 8, // SOF0 / SOF2
         h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
         1, if (sub) 0x22 else 0x11, 0,                 // luma sampling
         2, 0x11, 0, 3, 0x11, 0)                        // chromas, DQT 0
-      bs(0xff, 0xda, 0x00, 0x0c, 3,                    // SOS, 3 comps
-        1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)
-      var k = 0
-      while (k < nUnits) {
-        if (k > 0) bs(0xff, 0xd0 + ((k - 1) % 8))      // RST(m)
-        if (sub) {
-          var j = 0
-          while (j < 4) { bs(jpegSubYByte(eff, nd, k, j), 0x00); j += 1 }
-          val (_, cb, cr) = jpegBlockBytes(eff, nd = false, k)
-          bs(cb, 0x00, cr, 0x00)
-        } else {
+      if (prog) {
+        // scan 1: interleaved DC (Ss=0, Se=0, AhAl=0) — 3 DC bytes per
+        // MCU, no AC sections, RST between MCUs
+        bs(0xff, 0xda, 0x00, 0x0c, 3,
+          1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0)
+        var k = 0
+        while (k < nUnits) {
+          if (k > 0) bs(0xff, 0xd0 + ((k - 1) % 8))
           val (yb, cb, cr) = jpegBlockBytes(eff, nd, k)
-          bs(yb, 0x00, cb, 0x00, cr, 0x00)
+          bs(yb, cb, cr)
+          k += 1
         }
-        k += 1
+        // scans 2-4: one AC band scan per component (Ss=1, Se=63,
+        // AhAl=0) — every block is DC-only, so each is one EOB1
+        // symbol (the 8-bit '00000000' code = byte 0x00); DRI=1 puts
+        // an RST between every block, resetting the (unused) EOB run
+        var c = 1
+        while (c <= 3) {
+          bs(0xff, 0xda, 0x00, 0x08, 1, c, 0x00, 1, 63, 0)
+          var k2 = 0
+          while (k2 < nUnits) {
+            if (k2 > 0) bs(0xff, 0xd0 + ((k2 - 1) % 8))
+            bs(0x00)
+            k2 += 1
+          }
+          c += 1
+        }
+      } else {
+        bs(0xff, 0xda, 0x00, 0x0c, 3,                  // SOS, 3 comps
+          1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)
+        var k = 0
+        while (k < nUnits) {
+          if (k > 0) bs(0xff, 0xd0 + ((k - 1) % 8))    // RST(m)
+          if (sub) {
+            var j = 0
+            while (j < 4) { bs(jpegSubYByte(eff, nd, k, j), 0x00); j += 1 }
+            val (_, cb, cr) = jpegBlockBytes(eff, nd = false, k)
+            bs(cb, 0x00, cr, 0x00)
+          } else {
+            val (yb, cb, cr) = jpegBlockBytes(eff, nd, k)
+            bs(yb, 0x00, cb, 0x00, cr, 0x00)
+          }
+          k += 1
+        }
       }
       bs(0xff, 0xd9)                                   // EOI
       out.toByteArray
@@ -1530,6 +1726,12 @@ object Multimodal {
 
   /** True for the 4:2:0 sub-tier ([[MediaFixtures.jpegSub]]). */
   private[operators] def jpegIsSubSql(eff: String) = s"(($eff) % 3 = 1)"
+
+  /** True for the progressive sub-tier ([[MediaFixtures.jpegProg]]) —
+    * byte-stream-only: the pixel oracles never branch on it (the
+    * progressive tier re-encodes the baseline 4:4:4 content).
+    */
+  private[operators] def jpegIsProgSql(eff: String) = s"(($eff) % 3 = 2)"
 
   /** 4:4:4 block / 4:2:0 MCU / 4:2:0 Y sub-block indices of image
     * pixel (x, y) — all-integer, non-negative.
@@ -1710,6 +1912,7 @@ object Multimodal {
       j0 AS (SELECT doc_id, $jpegEffSql AS eff, $jpegNdSql AS nd
              FROM documents WHERE doc_id % 4 = 3),
       j1 AS (SELECT doc_id, eff, nd, ${jpegIsSubSql("eff")} AS sub,
+               ${jpegIsProgSql("eff")} AS prog,
                1 + eff % 61 AS w, 1 + eff % 37 AS h,
                CASE WHEN ${jpegIsSubSql("eff")}
                     THEN ((1 + eff % 61 + 15)//16) * ((1 + eff % 37 + 15)//16)
@@ -1724,28 +1927,52 @@ object Multimodal {
                 'FFC4' || '0014' || '10' || repeat('00', 7) || '01' ||
                 repeat('00', 8) || '00' ||
                 'FFDD' || '0004' || '0001' ||
-                'FFC0' || '0011' || '08' || printf('%04X', h) ||
+                (CASE WHEN prog THEN 'FFC2' ELSE 'FFC0' END) ||
+                '0011' || '08' || printf('%04X', h) ||
                 printf('%04X', w) || '03' ||
                 (CASE WHEN sub THEN '012200' ELSE '011100' END) ||
                 '021100' || '031100' ||
-                'FFDA' || '000C' || '03' || '0100' || '0200' || '0300' ||
-                '003F00' ||
-                array_to_string(list_transform(range(0, nu), k ->
-                  (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) ||
-                  (CASE WHEN sub THEN
-                    printf('%02X00%02X00%02X00%02X00%02X00%02X00',
-                      ${jpegSubYByteSql("eff", "nd", "k", "0")},
-                      ${jpegSubYByteSql("eff", "nd", "k", "1")},
-                      ${jpegSubYByteSql("eff", "nd", "k", "2")},
-                      ${jpegSubYByteSql("eff", "nd", "k", "3")},
-                      ${jpegCbByteSql("eff", "k")},
-                      ${jpegCrByteSql("eff", "k")})
-                  ELSE
-                    printf('%02X00%02X00%02X00',
+                (CASE WHEN prog THEN
+                  -- interleaved DC scan (Ss=0 Se=0 AhAl=0): 3 DC bytes
+                  -- per MCU, then one all-EOB AC band scan per
+                  -- component (1 byte per block), RSTs between units
+                  'FFDA' || '000C' || '03' || '0100' || '0200' || '0300' ||
+                  '000000' ||
+                  array_to_string(list_transform(range(0, nu), k ->
+                    (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) ||
+                    printf('%02X%02X%02X',
                       ${jpegYByteSql("eff", "nd", "k")},
                       ${jpegCbByteSql("eff", "k")},
-                      ${jpegCrByteSql("eff", "k")})
-                  END)), '') ||
+                      ${jpegCrByteSql("eff", "k")})), '') ||
+                  'FFDA' || '0008' || '01' || '0100' || '013F00' ||
+                  array_to_string(list_transform(range(0, nu), k ->
+                    (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) || '00'), '') ||
+                  'FFDA' || '0008' || '01' || '0200' || '013F00' ||
+                  array_to_string(list_transform(range(0, nu), k ->
+                    (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) || '00'), '') ||
+                  'FFDA' || '0008' || '01' || '0300' || '013F00' ||
+                  array_to_string(list_transform(range(0, nu), k ->
+                    (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) || '00'), '')
+                ELSE
+                  'FFDA' || '000C' || '03' || '0100' || '0200' || '0300' ||
+                  '003F00' ||
+                  array_to_string(list_transform(range(0, nu), k ->
+                    (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) ||
+                    (CASE WHEN sub THEN
+                      printf('%02X00%02X00%02X00%02X00%02X00%02X00',
+                        ${jpegSubYByteSql("eff", "nd", "k", "0")},
+                        ${jpegSubYByteSql("eff", "nd", "k", "1")},
+                        ${jpegSubYByteSql("eff", "nd", "k", "2")},
+                        ${jpegSubYByteSql("eff", "nd", "k", "3")},
+                        ${jpegCbByteSql("eff", "k")},
+                        ${jpegCrByteSql("eff", "k")})
+                    ELSE
+                      printf('%02X00%02X00%02X00',
+                        ${jpegYByteSql("eff", "nd", "k")},
+                        ${jpegCbByteSql("eff", "k")},
+                        ${jpegCrByteSql("eff", "k")})
+                    END)), '')
+                END) ||
                 'FFD9' AS hx,
                 CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
                 CAST(1 AS BIGINT) AS n_frames

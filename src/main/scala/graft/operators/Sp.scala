@@ -47,6 +47,23 @@ import graft.config.Tuning
   * [[Sp!.exportSpModel]] / [[Sp.importSpModel]] /
   * [[Sp!.tokenizeWithSpModel]]).
   *
+  * INTERCHANGE CONTRACT, known deltas vs real SentencePiece (Kudo
+  * 2018), stated rather than hidden: (1) training here is HARD EM
+  * (Viterbi-EM) where SentencePiece runs soft EM (forward-backward
+  * expected counts) — an imported real-world `.vocab` therefore
+  * reproduces this engine's segmentations only under VITERBI
+  * decoding (which is also what `spm_encode` does by default, so
+  * encode-side behavior matches); scores trained here differ from
+  * what soft EM would produce on the same corpus. (2) No
+  * byte-fallback: characters absent from the supplied model segment
+  * deterministically off the shared finite unknown floor
+  * ([[Sp.UnknownLp]]) instead of decomposing to byte pieces — a
+  * model carrying `<0xNN>` byte pieces still imports, but unknown
+  * characters map to single-char unknowns, not byte sequences. The
+  * Viterbi window stretches to the given model's longest piece, so
+  * foreign pieces beyond [[graft.config.Tuning.spPieceLen]] match
+  * faithfully (SpSpec pins it).
+  *
   * At 100 TB: training cost is one bounded vocabulary aggregate + a
   * driver EM over ≤ vocabCap words (the BPE precedent); tokenization
   * is row-local — a broadcast piece table and one compiled

@@ -1421,14 +1421,20 @@ final class TextOps(tuning: graft.config.Tuning) {
                     -- raster h·(1+3w) in one stored block (+11 framing)
                     WHEN 2 THEN 57 + 11 + (1 + doc_id % 29) * (1 + 3 * (1 + doc_id % 53))
                     -- JPEG: 174 fixed bytes (SOI + JFIF APP0 + DQT +
-                    -- 2×DHT + DRI + 3-component SOF0 + SOS + EOI) +
+                    -- 2×DHT + DRI + 3-component SOF + SOS + EOI) +
                     -- the entropy scan: 4:4:4 = 6 bytes/MCU + 2-byte
                     -- RST between MCUs (8·nb − 2); the 4:2:0 sub-tier
                     -- (eff % 3 = 1) = 12 bytes/MCU + RSTs (14·nmcu −
-                    -- 2); dims from the EFFECTIVE id (dup injection)
+                    -- 2); the PROGRESSIVE sub-tier (eff % 3 = 2) adds
+                    -- three 10-byte AC SOS headers and swaps the scan
+                    -- layout (DC 5·nb − 2, each AC band 3·nb − 2) →
+                    -- 196 + 14·nb; dims from the EFFECTIVE id
                     ELSE CASE WHEN (${Multimodal.jpegEffSql}) % 3 = 1
                       THEN 172 + 14 * (((1 + (${Multimodal.jpegEffSql}) % 61 + 15)//16)
                                        * ((1 + (${Multimodal.jpegEffSql}) % 37 + 15)//16))
+                      WHEN (${Multimodal.jpegEffSql}) % 3 = 2
+                      THEN 196 + 14 * (((1 + (${Multimodal.jpegEffSql}) % 61 + 7)//8)
+                                      * ((1 + (${Multimodal.jpegEffSql}) % 37 + 7)//8))
                       ELSE 172 + 8 * (((1 + (${Multimodal.jpegEffSql}) % 61 + 7)//8)
                                       * ((1 + (${Multimodal.jpegEffSql}) % 37 + 7)//8))
                     END

@@ -218,11 +218,12 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("jpegRaster decodes the color fixture: real Huffman + dequant + IDCT + YCbCr→RGB") {
     import Multimodal.{MediaFixtures, RealDecoders}
-    // 4:4:4 ids only (eff % 3 ≠ 1); the sub-tier has its own spec
-    for (id <- Seq(3L, 111L, 19L)) {
+    // BASELINE 4:4:4 ids only (eff % 3 = 0); the 4:2:0 and progressive
+    // sub-tiers have their own specs
+    for (id <- Seq(3L, 111L, 59L)) {
       val b = MediaFixtures.jpeg(id)
       val (eff, nd) = MediaFixtures.jpegEff(id)
-      assert(!MediaFixtures.jpegSub(eff))
+      assert(!MediaFixtures.jpegSub(eff) && !MediaFixtures.jpegProg(eff))
       val (w, h) = ((1 + eff % 61).toInt, (1 + eff % 37).toInt)
       val Some((dw, dh, ch, px)) = RealDecoders.jpegRaster(b)
       assert(dw == w && dh == h && ch == 3)
@@ -288,6 +289,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(RealDecoders.jpegRaster(flip(172 + 4, 0xff)).isEmpty)
   }
 
+  test("jpegRaster decodes the PROGRESSIVE sub-tier: multi-scan, EOB-run AC bands") {
+    import Multimodal.{MediaFixtures, RealDecoders}
+    // eff % 3 = 2 throughout: 23 generic, 11 an exact-dup source, 19
+    // its byte-replay, 55 the near-dup consumer (eff 47)
+    for (id <- Seq(23L, 11L, 19L, 55L)) {
+      val b = MediaFixtures.jpeg(id)
+      val (eff, nd) = MediaFixtures.jpegEff(id)
+      assert(MediaFixtures.jpegProg(eff))
+      assert((b(139) & 0xff) == 0xff && (b(140) & 0xff) == 0xc2,
+        "layout drifted: SOF2 expected")
+      val (w, h) = ((1 + eff % 61).toInt, (1 + eff % 37).toInt)
+      val Some((dw, dh, ch, px)) = RealDecoders.jpegRaster(b)
+      assert(dw == w && dh == h && ch == 3)
+      // the pixel CONTENT is the baseline 4:4:4 tier's — a progressive
+      // re-encoding of the same image must decode to the same bytes
+      val bw = (w + 7) / 8
+      for (y <- 0 until h; x <- 0 until w) {
+        val k = (y / 8) * bw + (x / 8)
+        val (yy, cb, cr) = ycbcrOf(eff, nd, k)
+        val (r, g, bb) = rgbOf(yy, cb, cr)
+        val o = (y * w + x) * 3
+        assert((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff) == ((r, g, bb)),
+          s"id=$id y=$y x=$x")
+      }
+    }
+    // a DC-only truncation (drop the three AC scans, keep EOI) is the
+    // spec-legal truncated render — and for DC-only content the SAME
+    // image; decode must succeed, not refuse
+    val good = MediaFixtures.jpeg(23L)
+    val (w23, h23) = (1 + 23 % 61, 1 + 23 % 37)
+    val nb23 = ((w23 + 7) / 8) * ((h23 + 7) / 8)
+    val dcEnd = 158 + 14 + (5 * nb23 - 2) // header + SOS1 + DC scan
+    assert((good(dcEnd) & 0xff) == 0xff && (good(dcEnd + 1) & 0xff) == 0xda,
+      "layout drifted: AC SOS expected after the DC scan")
+    // the q66 byte-count formula for the progressive tier
+    assert(good.length == 196 + 14 * nb23, s"byte count ${good.length}")
+    val dcOnly = good.take(dcEnd) ++ Array(0xff.toByte, 0xd9.toByte)
+    val Some((_, _, _, pxT)) = RealDecoders.jpegRaster(dcOnly)
+    val Some((_, _, _, pxF)) = RealDecoders.jpegRaster(good)
+    assert(java.util.Arrays.equals(pxT, pxF))
+
+    // progressive-specific corruption refuses cleanly
+    def flip(at: Int, to: Int): Array[Byte] = {
+      val c = good.clone(); c(at) = to.toByte; c
+    }
+    // successive approximation (AhAl ≠ 0) is outside the profile —
+    // the DC SOS's AhAl byte is its last (offset 158+13)
+    assert(RealDecoders.jpegRaster(flip(158 + 13, 0x10)).isEmpty)
+    assert(RealDecoders.jpegRaster(flip(158 + 13, 0x01)).isEmpty)
+    // truncation MID-scan (no EOI) refuses
+    assert(RealDecoders.jpegRaster(good.take(dcEnd - 2)).isEmpty)
+    // a marker where a DC codeword must be
+    assert(RealDecoders.jpegRaster(flip(172, 0xff)).isEmpty)
+    // EOI with NO scan at all refuses
+    val noScan = good.take(158) ++ Array(0xff.toByte, 0xd9.toByte)
+    assert(RealDecoders.jpegRaster(noScan).isEmpty)
+  }
+
   test("jpegRaster still decodes the 1-component (grayscale) profile") {
     import Multimodal.{MediaFixtures, RealDecoders}
     for (id <- Seq(3L, 111L)) {
@@ -308,7 +367,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("corrupted JPEG scan: raster decode refuses, header probe still answers") {
     import Multimodal.{MediaFixtures, MediaRecord, RealDecoders}
-    val id = 11L
+    val id = 9L // baseline 4:4:4 (eff % 3 = 0), multi-block (10×10)
     val good = MediaFixtures.jpeg(id)
     assert(RealDecoders.jpegRaster(good).isDefined)
     def flip(b: Array[Byte], at: Int, to: Int): Array[Byte] = {
