@@ -1010,11 +1010,15 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     // so the serve pays no bands-table aggregate. Equivalent to the
     // old `cnt <= cap` semi-join: a key absent from the bands has no
     // match rows, so only the `> cap` exclusions can change the join.
+    // No forced broadcast: unlike the dHash ledger's 4·2¹⁶-bounded key
+    // space, minhash band keys are corpus-scale, and on a dup-heavy
+    // corpus with a low bucket cap the over-cap set is itself
+    // corpus-proportional — AQE picks broadcast only when it fits.
     val over = liveBandStats(s, d, v).map(
         _.filter($"cnt" > bCap).select($"band_key"))
       .getOrElse(s.emptyDataset[String].toDF("band_key"))
     val cand = bbands.select($"doc_id".as("probe_id"), $"band_key")
-      .join(broadcast(over), Seq("band_key"), "left_anti")
+      .join(over, Seq("band_key"), "left_anti")
       .join(corpus.select($"doc_id".as("match_id"), $"band_key"), "band_key")
       .filter($"probe_id" =!= $"match_id")
       .select($"probe_id", $"match_id")

@@ -613,8 +613,13 @@ object Multimodal {
                 if (br.bad || sym < 0) return None
                 val r = sym >> 4; val sz = sym & 0xf
                 if (sz == 0) {
-                  if (r == 15) zi += 16 // ZRL: sixteen zeros
-                  else {
+                  if (r == 15) {
+                    zi += 16 // ZRL: sixteen zeros
+                    // a ZRL that runs past the band is corruption —
+                    // refuse instead of exiting the loop without an
+                    // EOB (the bit reader would be misaligned)
+                    if (zi > se + 1) return None
+                  } else {
                     // EOBn: ends this block and 2^r − 1 + extra more
                     eobrun = (1 << r) - 1 + (if (r > 0) br.bits(r) else 0)
                     done = true
@@ -827,8 +832,12 @@ object Multimodal {
           val sym = huffDecode(br, acTabs(c))
           if (br.bad || sym < 0) return null
           if (sym == 0x00) eob = true
-          else if (sym == 0xf0) zi += 16
-          else {
+          else if (sym == 0xf0) {
+            // ZRL past the block end: refuse rather than silently
+            // ending the loop with the bit reader mid-block
+            zi += 16
+            if (zi > 64) return null
+          } else {
             val run = sym >> 4; val size = sym & 0xf
             zi += run
             if (zi > 63) return null
