@@ -259,26 +259,47 @@ final class Search(tuning: Tuning) {
     * list exceeds n_docs/[[headDfDivisor]] docs, the top-[[headK]]
     * `(rank, doc_id, bm25)` rows under the EXACT serve arithmetic and
     * the serve's (bm25 desc, doc_id) total order — materialized at
-    * build time from the just-written base tables, so a base-only
-    * single-term probe answers from ≤ [[headK]] rows instead of
-    * ranking a corpus-proportional posting list (the measured bmhead
-    * bound). Valid ONLY against base stats: any DML layer changes
-    * avgdl/df, and the serve falls back to the ranked scan.
+    * build time from the base tables and RE-materialized at compact
+    * time against the folded layer set (`layerRoots` = base + the new
+    * generation), so a no-unconsumed-adds single-term probe answers
+    * from ≤ [[headK]] rows instead of ranking a corpus-proportional
+    * posting list (the measured bmhot bound). Validity is positional:
+    * the cache lives in the dir of the topmost layer it was computed
+    * against (base root, or the generation dir), so the serve can
+    * never read a cache whose stats a newer layer has invalidated.
     *
-    * Per-term ranking is a repartition-by-term + streamed sorted scan
-    * (a bounded emit per term), NEVER a corpus-partition Window — a
-    * head term's list is exactly the thing too big to window over.
+    * Per-term ranking is a bounded mergeable top-K aggregate
+    * ([[graft.functions.TopKScored]], the KMinValues pattern): each
+    * map task reduces its slice of a term's postings to ≤ [[headK]]
+    * entries before the shuffle — never a per-term global sort (a
+    * head term's posting list is exactly the thing too big to funnel
+    * through one task) and never a corpus-partition Window.
     */
-  private def writeHeadCache(s: SparkSession, root: String): Unit = {
+  private def writeHeadCache(s: SparkSession, layerRoots: Seq[String],
+      out: String): Unit = {
     import s.implicits._
-    val st = s.read.parquet(s"$root/stats").head()
-    val nDocs = st.getAs[Double]("n_docs")
-    val avgdl = st.getAs[Double]("avgdl")
+    // corpus stats, EXACTLY as the serve computes them: one layer
+    // reads the stored (n_docs, avgdl) doubles (the base-only fast
+    // path); multiple layers recompose from the additive partials
+    // (sums over ≤ 2 layer rows — order-independent doubles)
+    val (nDocs, avgdl) =
+      if (layerRoots.lengthCompare(1) == 0) {
+        val st = s.read.parquet(s"${layerRoots.head}/stats").head()
+        (st.getAs[Double]("n_docs"), st.getAs[Double]("avgdl"))
+      } else {
+        val st = ArtifactLake.layerUnion(s, layerRoots, "stats").get
+          .agg(sum($"n_docs").as("n_docs"),
+            (sum($"sum_dl") / sum($"n_dl")).as("avgdl")).head()
+        (st.getAs[Double]("n_docs"), st.getAs[Double]("avgdl"))
+      }
     val cutoff = (nDocs / headDfDivisor.toDouble).toLong
-    val heads = s.read.parquet(s"$root/termdf")
-      .where($"df" > cutoff.toDouble).select($"tk", $"df")
-    val kMax = headK
-    val scored = s.read.parquet(s"$root/postings")
+    val termdf = {
+      val u = ArtifactLake.layerUnion(s, layerRoots, "termdf").get
+      if (layerRoots.lengthCompare(1) == 0) u
+      else u.groupBy($"tk").agg(sum($"df").as("df"))
+    }
+    val heads = termdf.where($"df" > cutoff.toDouble).select($"tk", $"df")
+    val scored = ArtifactLake.layerUnion(s, layerRoots, "postings").get
       .join(broadcast(heads), Seq("tk"))
       .withColumn("idf",
         log(lit(1.0) + (lit(nDocs) - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
@@ -288,22 +309,15 @@ final class Search(tuning: Tuning) {
       // a single-term serve aggregates ONE row per doc: its rounded
       // sum is r4 of this s — cached bm25 is bit-equal by construction
       .select($"tk", $"tkb", $"doc_id", r4($"s").as("bm25"))
-    scored.as[(String, Int, Long, Double)]
-      .repartition($"tk")
-      .sortWithinPartitions($"tk", $"bm25".desc, $"doc_id")
-      .mapPartitions { rows =>
-        var cur: String = null
-        var n = 0
-        rows.flatMap { case (tk, tkb, docId, bm25) =>
-          if (tk != cur) { cur = tk; n = 0 }
-          n += 1
-          if (n <= kMax) Iterator.single((tk, tkb, n.toLong, docId, bm25))
-          else Iterator.empty
-        }
-      }
-      .toDF("tk", "tkb", "rank", "doc_id", "bm25")
+    scored
+      .groupBy($"tk", $"tkb")
+      .agg(graft.functions.TopKScored
+        .topKScored($"bm25", $"doc_id", headK).as("top"))
+      .select($"tk", $"tkb", posexplode($"top"))
+      .select($"tk", $"tkb", ($"pos" + 1).cast("long").as("rank"),
+        $"col.doc_id".as("doc_id"), $"col.bm25".as("bm25"))
       .sortWithinPartitions($"tkb", $"tk", $"rank")
-      .write.mode("overwrite").partitionBy("tkb").parquet(s"$root/headk")
+      .write.mode("overwrite").partitionBy("tkb").parquet(s"$out/headk")
   }
 
   private[operators] def ensureBm25Index(s: SparkSession, d: String): Unit = synchronized {
@@ -312,7 +326,8 @@ final class Search(tuning: Tuning) {
     val built = ArtifactLake.ensure(new java.io.File(p)) { staging =>
       writeBm25Layer(staging.getAbsolutePath,
         bm25DocView(spread(t(s, d, "documents"))), nFiles = None)
-      writeHeadCache(s, staging.getAbsolutePath)
+      writeHeadCache(s, Seq(staging.getAbsolutePath),
+        staging.getAbsolutePath)
     }
     if (built) Search.bm25Builds.incrementAndGet()
     bm25Ready += p
@@ -367,12 +382,20 @@ final class Search(tuning: Tuning) {
   /** Fold the previous generation and every unconsumed BM25 segment
     * into ONE new generation — postings unioned, per-term df partials
     * summed, stats partials summed — sized to the DML'd docs, never
-    * the corpus (the base is immutable and never re-read by a fold).
+    * the corpus (the base is immutable and never re-read by a fold)...
+    * EXCEPT the head cache, which is re-materialized here against the
+    * FULL folded layer set (base + this generation): exact stats are
+    * already in hand at a fold, and rebuilding restores the hot
+    * single-term path that the first add segment invalidated. The
+    * cache lives INSIDE the generation dir, so its validity is
+    * positional — a serve reads it only while this generation is the
+    * topmost layer.
     */
   def compactBm25Index(s: SparkSession, d: String): Boolean = synchronized {
     import s.implicits._
     ensureBm25Index(s, d)
-    val installed = ArtifactLake.compactStore(bm25Path(d)) { (roots, out) =>
+    val p = bm25Path(d)
+    val installed = ArtifactLake.compactStore(p) { (roots, out) =>
       ArtifactLake.layerUnion(s, roots, "postings").foreach(
         _.write.mode("overwrite").partitionBy("tkb").parquet(s"$out/postings"))
       ArtifactLake.layerUnion(s, roots, "termdf").foreach(
@@ -388,6 +411,7 @@ final class Search(tuning: Tuning) {
           .coalesce(1).write.mode("overwrite").parquet(s"$out/stats"))
       ArtifactLake.layerUnion(s, roots, "docs").foreach(
         _.write.mode("overwrite").parquet(s"$out/docs"))
+      writeHeadCache(s, Seq(p, out), out)
     }
     if (installed) Search.bm25Compactions.incrementAndGet()
     installed
@@ -426,7 +450,18 @@ final class Search(tuning: Tuning) {
   def serveBm25(s: SparkSession, d: String, terms: Seq[String],
       k: Int): DataFrame = {
     import s.implicits._
-    serveBm25(s, d, terms.toDF("tk"), k)
+    require(k > 0, s"serveBm25: k must be positive, got $k")
+    // driver-side normalization mirroring the DataFrame overload's
+    // lower()/non-empty/distinct (UTF8String lowercases non-ASCII via
+    // String.toLowerCase — same JVM, same bytes): a query-sized Seq
+    // probe launches ZERO normalization jobs, so a cache-hit
+    // single-term serve is exactly one job (the pruned headk collect).
+    // A probe past the collect cap degrades to the DataFrame path.
+    val norm = terms.iterator.filter(_ != null).map(_.toLowerCase)
+      .filter(_.nonEmpty).toSeq.distinct
+    if (norm.lengthCompare(bm25CollectCap) <= 0)
+      serveBm25From(s, d, Some(norm), norm.toDF("tk"), k)
+    else serveBm25(s, d, terms.toDF("tk"), k)
   }
 
   /** DataFrame overload — `termsDf` must carry a string column `tk`.
@@ -444,30 +479,65 @@ final class Search(tuning: Tuning) {
       k: Int = 20): DataFrame = {
     import s.implicits._
     require(k > 0, s"serveBm25: k must be positive, got $k")
-    ensureBm25Index(s, d)
-    val p = bm25Path(d)
-    val v = ArtifactLake.deltaView(p)
     val probe = termsDf.select(lower(col("tk")).as("tk"))
       .where($"tk".isNotNull && $"tk" =!= "").distinct()
     val collected = {
       val c = probe.limit(bm25CollectCap + 1).collect().map(_.getString(0))
       if (c.length <= bm25CollectCap) Some(c.toSeq) else None
     }
-    // the single-term HOT path: a base-only probe for ONE term with
-    // k ≤ headK answers from the stored head cache — ≤ headK rows read
-    // from one partition dir, corpus-FLAT — when the term is head
-    // (cache rows exist); tail terms fall through to the pruned scan,
-    // which their short posting lists already serve cheaply. Cached
-    // rank order IS the serve's (bm25 desc, doc_id) total order, and
-    // the cached score the serve's exact arithmetic (ServeBm25Spec
-    // pins bit-equality against the ranked path).
+    serveBm25From(s, d, collected, probe, k)
+  }
+
+  /** The shared serving tail: `collected` is the driver-side probe set
+    * when it fit the cap (enables partition pruning and the hot path),
+    * `probe` the distributed fallback frame for over-cap sets.
+    */
+  private def serveBm25From(s: SparkSession, d: String,
+      collected: Option[Seq[String]], probe: DataFrame,
+      k: Int): DataFrame = {
+    import s.implicits._
+    ensureBm25Index(s, d)
+    val p = bm25Path(d)
+    val v = ArtifactLake.deltaView(p)
+    // the single-term HOT path: a probe for ONE term with k ≤ headK
+    // answers from the stored head cache — ≤ headK rows read from one
+    // partition dir, corpus-FLAT — when the term is head (cache rows
+    // exist); tail terms fall through to the pruned scan, which their
+    // short posting lists already serve cheaply. The cache read is
+    // POSITIONAL: the base's `headk` is valid only base-only, the
+    // generation's `headk` (re-materialized at compact against the
+    // folded stats) only while that generation is topmost with no
+    // unconsumed adds — so a stale cache is unreachable by
+    // construction. One job per cache-hit probe: the ≤ k rows are
+    // collected once (emptiness IS the miss signal) and returned as a
+    // local relation — no separate existence probe. Cached rank order
+    // IS the serve's (bm25 desc, doc_id) total order, and the cached
+    // score the serve's exact arithmetic (ServeBm25Spec pins
+    // bit-equality against the ranked path, base and post-compact).
     collected match {
-      case Some(Seq(term)) if v.baseOnly && k <= headK =>
-        val hk = s.read.parquet(s"$p/headk")
-          .where($"tkb" === lit(bucketOf(term)) && $"tk" === lit(term))
-        if (hk.limit(1).count() > 0)
-          return hk.where($"rank" <= k).orderBy($"rank")
-            .select($"doc_id", $"bm25", lit(1L).as("n_terms"))
+      case Some(Seq(term)) if v.adds.isEmpty && k <= headK =>
+        val hkRoot = v.gen match {
+          case Some(g) => new java.io.File(g, "headk")
+          case None => new java.io.File(p, "headk")
+        }
+        // read ONLY the term's tkb partition dir (driver-side file
+        // listing, no parallel-discovery job over 64 dirs); the ≤ k
+        // rows sort on the driver — no shuffle, no sampling job
+        val part = new java.io.File(hkRoot, s"tkb=${bucketOf(term)}")
+        if (ArtifactLake.hasParquet(part)) {
+          // explicit schema: parquet inference would cost a footer-
+          // reading job of its own — the hot path stays at one job
+          val hit = s.read
+            .schema("tk STRING, rank BIGINT, doc_id BIGINT, bm25 DOUBLE")
+            .parquet(part.getAbsolutePath)
+            .where($"tk" === lit(term) && $"rank" <= k)
+            .select($"rank", $"doc_id", $"bm25")
+            .collect()
+          if (hit.nonEmpty)
+            return hit.toSeq.sortBy(_.getLong(0))
+              .map(r => (r.getLong(1), r.getDouble(2), 1L))
+              .toDF("doc_id", "bm25", "n_terms")
+        }
       case _ =>
     }
     // one prune, applied at EVERY layer's scan (the literal predicates

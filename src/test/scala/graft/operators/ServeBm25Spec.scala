@@ -62,6 +62,85 @@ class ServeBm25Spec extends SparkTestBase {
     assert(rows(bigK) == rows(bigK2))
   }
 
+  /** True iff the frame is a driver-local relation — the signature of
+    * a head-cache HIT (the hot path collects the ≤ k cached rows and
+    * returns them as a local relation; every fallback path keeps
+    * parquet scans in its plan).
+    */
+  private def isCacheHit(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+
+  test("a cache-hit single-term probe costs exactly one Spark job") {
+    // warm the artifact first so build jobs don't count
+    assert(isCacheHit(search.serveBm25(spark, sf, Seq("spark"), k = 5)))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = search.serveBm25(spark, sf, Seq("spark"), k = 5)
+      assert(isCacheHit(out))
+      assert(out.collect().nonEmpty) // local relation: no further jobs
+      // the listener bus is async — wait for the count to stabilize
+      val deadline = System.currentTimeMillis + 5000
+      var last = -1
+      while (System.currentTimeMillis < deadline && jobs.get != last) {
+        last = jobs.get; Thread.sleep(200)
+      }
+      assert(jobs.get == 1,
+        s"a cache-hit serve must cost exactly one job, saw ${jobs.get}")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("after DML + compact, single-term probes answer from the generation's rebuilt cache") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, lit}
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25hk")
+    val prev = sys.props.get("graft.index.dir")
+    sys.props("graft.index.dir") = root.toString
+    try {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-bm25hk-corpus").toString
+      Seq(
+        (0L, "spark window hash stream spark spark"),
+        (1L, "window functions over spark streams window"),
+        (2L, "unrelated words entirely"),
+        (3L, "hash join hash probe side"))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.parquet(s"$dir/documents.parquet")
+      val search = new Search(graft.config.Tuning())
+      // base-only: the base cache answers
+      assert(isCacheHit(search.serveBm25(spark, dir, Seq("spark"), k = 10)))
+      // an unconsumed add segment invalidates EVERY cache → ranked path
+      assert(search.addBm25Docs(spark, dir,
+        Seq((10L, "spark hash window"), (11L, "stream stream spark"))
+          .toDF("doc_id", "text")))
+      assert(!isCacheHit(search.serveBm25(spark, dir, Seq("spark"), k = 10)),
+        "an unconsumed segment must force the ranked path")
+      // compact re-materializes the cache against the folded stats —
+      // the hot path returns, bit-equal to the ranked path's scores
+      assert(search.compactBm25Index(spark, dir))
+      val hot = search.serveBm25(spark, dir, Seq("spark"), k = 10)
+      assert(isCacheHit(hot),
+        "a post-compact probe must answer from the generation's cache")
+      val ranked = search.serveBm25(spark, dir,
+        Seq("spark", "zz_no_such_term"), k = 10)
+      assert(rows(hot) == rows(ranked))
+      assert(rows(hot).map(_._1).exists(Set(10L, 11L)),
+        "the folded cache must rank the DML'd documents too")
+    } finally prev match {
+      case Some(v) => sys.props("graft.index.dir") = v
+      case None => sys.props -= "graft.index.dir"
+    }
+  }
+
   test("an over-cap probe set takes the distributed path and agrees with the pruned path") {
     import spark.implicits._
     // force the fallback by exceeding the collect cap with filler terms
