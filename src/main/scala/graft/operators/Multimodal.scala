@@ -501,12 +501,18 @@ object Multimodal {
       if (f < 0) 0 else if (f > 255) 255 else f
     }
 
-    /** Full baseline JPEG decode: `(w, h, channels, pixels)` — row-major
-      * `h·w` 8-bit gray for 1-component frames, interleaved `h·w·3` RGB
-      * (JFIF YCbCr→RGB, floor(x+0.5) rounding, clamped) for 3-component
-      * 4:4:4 frames — or None outside the profile or on any corruption
-      * (bad Huffman code, marker mid-scan, missing restart, truncation,
-      * lying segment length, subsampled or progressive frames).
+    /** Full JPEG decode: `(w, h, channels, pixels)` — row-major `h·w`
+      * 8-bit gray for 1-component frames, interleaved `h·w·3` RGB
+      * (JFIF YCbCr→RGB, floor(x+0.5) rounding, clamped) for
+      * 3-component frames. Profile: baseline (SOF0) at 4:4:4 / gray /
+      * 4:2:0, and progressive (SOF2) at 4:4:4 / gray under BOTH
+      * spectral selection and successive approximation (first scans
+      * at any Al, refinement scans per spec G.1.2 — DC one raw bit
+      * per block, AC the correction-bit protocol). None outside the
+      * profile or on any corruption (bad Huffman code, marker
+      * mid-scan, missing restart, truncation, lying segment length,
+      * a refinement whose band/Ah doesn't match the accumulated
+      * approximation state).
       */
     def jpegRaster(b: Array[Byte]): Option[(Long, Long, Int, Array[Byte])] = {
       if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
@@ -520,24 +526,35 @@ object Multimodal {
       var scanTdta: Array[Int] = null     // TdTa per component, SOS order
       var ri = 0
       var scanAt = -1
-      // progressive (SOF2) state: coefficient planes accumulated
-      // ACROSS scans (a progressive image is one coefficient array
-      // filled in by several scans), per-component DC-coverage flags,
-      // and the EOI sentinel that ends the stream
+      // progressive (SOF2) state: QUANTIZED coefficient planes
+      // accumulated ACROSS scans (a progressive image is one
+      // coefficient array filled in by several scans; successive-
+      // approximation refinement appends bits in the quantized
+      // domain, so dequantization waits for EOI), per-component
+      // DC-coverage flags, the per-coefficient approximation state
+      // (the Al of the last scan to touch each position; −1 unseen —
+      // a refinement whose Ah doesn't match is corruption, not a
+      // coarser render), and the EOI sentinel that ends the stream
       var progressive = false
       var progCoefs: Array[Array[Array[Int]]] = null
       var progDcSeen: Array[Boolean] = null
+      var progAl: Array[Array[Int]] = null
       var progEoi = false
 
-      // one PROGRESSIVE scan under the spectral-selection-only profile
-      // (Ah = Al = 0 — a wild file using successive approximation
-      // would decode wrong without its refinement scans, so the first
-      // sight of either half refuses): a DC scan (Ss = Se = 0,
-      // interleaved over the scan's components; all-0x11 ⇒ one block
-      // each per MCU) accumulates the per-component DPCM chains; an
-      // AC scan (single component, band [Ss, Se]) decodes run-length
-      // + EOB-run coefficients into the persistent planes. Returns
-      // the byte position just after the scan's entropy data.
+      // one PROGRESSIVE scan, spectral selection AND successive
+      // approximation: a first scan (Ah = 0) stores magnitude-
+      // truncated coefficients at scale 2^Al — DC scans (Ss = Se = 0,
+      // interleaved; all-0x11 ⇒ one block each per MCU) accumulate
+      // the per-component DPCM chains, AC scans (single component,
+      // band [Ss, Se]) decode run-length + EOB-run coefficients.
+      // A refinement scan (Ah = Al + 1) adds one correction bit per
+      // touched coefficient: DC refinement is one raw bit per block;
+      // AC refinement follows the standard correction-bit protocol
+      // (spec G.1.2.3 / libjpeg decode_mcu_AC_refine): newly-nonzero
+      // coefficients arrive as ±2^Al, and every already-nonzero
+      // coefficient passed over — including the whole band during an
+      // EOB run — reads a correction bit. Returns the byte position
+      // just after the scan's entropy data.
       def progScan(p0: Int, len: Int): Option[Int] = {
         if (comps == null || sofW < 1) return None
         val ncP = comps.length
@@ -546,6 +563,7 @@ object Multimodal {
         if (progCoefs == null) {
           progCoefs = Array.fill(ncP, nb)(new Array[Int](64))
           progDcSeen = new Array[Boolean](ncP)
+          progAl = Array.fill(ncP)(Array.fill(64)(-1))
         }
         val ns = b(p0) & 0xff
         if (ns < 1 || ns > ncP || len != 6 + 2 * ns) return None
@@ -562,8 +580,29 @@ object Multimodal {
         }
         val ss = b(p0 + 1 + 2 * ns) & 0xff
         val se = b(p0 + 2 + 2 * ns) & 0xff
-        if ((b(p0 + 3 + 2 * ns) & 0xff) != 0) return None // Ah/Al ≠ 0
-        val qsP = comps.map { case (_, tq) => dqt.getOrElse(tq, return None) }
+        val ahal = b(p0 + 3 + 2 * ns) & 0xff
+        val ah = ahal >> 4
+        val al = ahal & 0xf
+        // successive approximation descends one bit per scan (spec
+        // G.1.1.1.2): a first scan has Ah = 0, a refinement Ah = Al+1
+        if (al > 13 || (ah != 0 && ah != al + 1)) return None
+        // every coefficient the scan touches must be in the matching
+        // approximation state: unseen for a first scan, exactly Ah
+        // for a refinement (per component, per zigzag position)
+        val lo = ss; val hi = if (ss == 0) 0 else se
+        if (ss == 0 && se != 0) return None // DC scans carry DC only
+        if (ss > 0 && (ns != 1 || se < ss || se > 63)) return None
+        var jj = 0
+        while (jj < ns) {
+          var zi = lo
+          while (zi <= hi) {
+            val st = progAl(sc(jj))(zi)
+            if (ah == 0) { if (st != -1) return None }
+            else if (st != ah) return None
+            zi += 1
+          }
+          jj += 1
+        }
         val br = new BitReader(b, p0 + 2 + 2 * ns + 2)
         def restart(k: Int, onReset: () => Unit): Boolean = {
           if (ri > 0 && k > 0 && k % ri == 0) {
@@ -576,8 +615,8 @@ object Multimodal {
           }
           true
         }
-        if (ss == 0) {
-          if (se != 0) return None // progressive DC scans carry DC only
+        if (ss == 0 && ah == 0) {
+          // DC first scan: DPCM over the 2^Al-truncated values
           val dcT = td.map(t => dht.getOrElse((0, t >> 4), return None))
           val pred = new Array[Int](ns)
           var k = 0
@@ -588,15 +627,30 @@ object Multimodal {
               val t = huffDecode(br, dcT(j))
               if (br.bad || t < 0 || t > 11) return None
               pred(j) += extend(br.bits(t), t)
-              progCoefs(sc(j))(k)(0) = pred(j) * qsP(sc(j))(0)
+              progCoefs(sc(j))(k)(0) = pred(j) << al
               j += 1
             }
             k += 1
           }
           var j = 0
           while (j < ns) { progDcSeen(sc(j)) = true; j += 1 }
-        } else {
-          if (ns != 1 || se < ss || se > 63) return None
+        } else if (ss == 0) {
+          // DC refinement: ONE raw bit per block per component, ORed
+          // in at position Al (two's-complement OR — correct for
+          // negative stored values too)
+          var k = 0
+          while (k < nb) {
+            if (!restart(k, () => ())) return None
+            var j = 0
+            while (j < ns) {
+              if (br.nextBit() == 1) progCoefs(sc(j))(k)(0) |= (1 << al)
+              j += 1
+            }
+            if (br.bad) return None
+            k += 1
+          }
+        } else if (ah == 0) {
+          // AC first scan for the band at scale 2^Al
           val c = sc(0)
           val acT = dht.getOrElse((1, td(0) & 0xf), return None)
           var eobrun = 0
@@ -627,7 +681,7 @@ object Multimodal {
                 } else {
                   zi += r
                   if (zi > se) return None
-                  blk(zigzag(zi)) = extend(br.bits(sz), sz) * qsP(c)(zi)
+                  blk(zigzag(zi)) = extend(br.bits(sz), sz) << al
                   zi += 1
                 }
               }
@@ -635,6 +689,85 @@ object Multimodal {
             }
             k += 1
           }
+        } else {
+          // AC refinement: the correction-bit protocol. p1/m1 are the
+          // ±1-bit values at this scan's scale.
+          val c = sc(0)
+          val acT = dht.getOrElse((1, td(0) & 0xf), return None)
+          val p1 = 1 << al
+          val m1 = -1 << al
+          var eobrun = 0
+          var bi = 0
+          while (bi < nb) {
+            if (!restart(bi, () => eobrun = 0)) return None
+            val blk = progCoefs(c)(bi)
+            var k = ss
+            if (eobrun == 0) {
+              var brk = false
+              while (k <= se && !brk) {
+                val sym = huffDecode(br, acT)
+                if (br.bad || sym < 0) return None
+                var r = sym >> 4
+                val sz = sym & 0xf
+                var newVal = 0
+                if (sz != 0) {
+                  if (sz != 1) return None // refinement sizes are 1
+                  newVal = if (br.nextBit() == 1) p1 else m1
+                } else if (r != 15) {
+                  // EOBn: this block's remainder is correction-bit-
+                  // only (handled below), plus eobrun−1 more blocks
+                  eobrun = (1 << r) + (if (r > 0) br.bits(r) else 0)
+                  brk = true
+                } // r == 15: ZRL — skip 16 zero-history positions
+                if (!brk) {
+                  // advance over r zero-history coefficients, reading
+                  // a correction bit at each nonzero-history one
+                  var scan = true
+                  while (k <= se && scan) {
+                    val ni = zigzag(k)
+                    val cv = blk(ni)
+                    if (cv != 0) {
+                      if (br.nextBit() == 1 && (cv & p1) == 0)
+                        blk(ni) = if (cv >= 0) cv + p1 else cv + m1
+                    } else {
+                      r -= 1
+                      if (r < 0) scan = false
+                    }
+                    if (scan) k += 1
+                  }
+                  if (newVal != 0) {
+                    if (k > se) return None // no slot for the new coef
+                    blk(zigzag(k)) = newVal
+                  }
+                  k += 1
+                }
+                if (br.bad) return None
+              }
+            }
+            if (eobrun > 0) {
+              // EOB run covers this block: every nonzero-history
+              // coefficient from k to the band end reads a bit
+              while (k <= se) {
+                val ni = zigzag(k)
+                val cv = blk(ni)
+                if (cv != 0) {
+                  if (br.nextBit() == 1 && (cv & p1) == 0)
+                    blk(ni) = if (cv >= 0) cv + p1 else cv + m1
+                }
+                k += 1
+              }
+              if (br.bad) return None
+              eobrun -= 1
+            }
+            bi += 1
+          }
+        }
+        // advance the approximation state for every touched position
+        var j2 = 0
+        while (j2 < ns) {
+          var zi = lo
+          while (zi <= hi) { progAl(sc(j2))(zi) = al; zi += 1 }
+          j2 += 1
         }
         if (br.bad) None
         else { br.align(); Some(br.pos) }
@@ -790,13 +923,28 @@ object Multimodal {
       }
       if (progressive) {
         // a complete progressive stream: EOI seen and every
-        // component's DC scan landed. Absent AC bands stay zero — the
-        // spec-legal truncated-render, deterministic in both engines
+        // component's DC scan landed. Absent AC bands stay zero and
+        // un-refined low bits stay zero — the spec-legal truncated /
+        // coarse render, deterministic in both engines. The planes
+        // are QUANTIZED (refinement bits appended in that domain);
+        // dequantize here, then IDCT.
         if (!progEoi || progCoefs == null || !progDcSeen.forall(identity))
           return None
+        val qsP = comps.map { case (_, tq) => dqt.getOrElse(tq, return None) }
         val bw = (w + 7) / 8
-        return assemble(progCoefs.map(_.map(idctBlock)),
-          Array.fill(nc)(bw), 1, 1)
+        val deq = Array.tabulate(nc) { c =>
+          progCoefs(c).map { blk =>
+            val out = new Array[Int](64)
+            var zi = 0
+            while (zi < 64) {
+              val ni = zigzag(zi)
+              out(ni) = blk(ni) * qsP(c)(zi)
+              zi += 1
+            }
+            out
+          }
+        }
+        return assemble(deq.map(_.map(idctBlock)), Array.fill(nc)(bw), 1, 1)
       }
       if (scanAt < 0) return None
       val qs = comps.map { case (_, tq) => dqt.getOrElse(tq, return None) }
@@ -960,11 +1108,13 @@ object Multimodal {
       * arithmetic (stale-bytes hash mismatches misdiagnosed as decoder
       * bugs).
       */
-    private val fixtureVersion = 9 // v7: resized (2× NN) ppm near-dup
-                                   // pairs; v8: 4:2:0 chroma-subsampled
-                                   // jpeg sub-tier (eff % 3 = 1);
-                                   // v9: progressive (SOF2) jpeg
-                                   // sub-tier (eff % 3 = 2)
+    private val fixtureVersion = 10 // v7: resized (2× NN) ppm near-dup
+                                    // pairs; v8: 4:2:0 chroma-subsampled
+                                    // jpeg sub-tier (eff % 3 = 1);
+                                    // v9: progressive (SOF2) jpeg
+                                    // sub-tier (eff % 3 = 2); v10:
+                                    // successive-approximation half of
+                                    // the progressive tier (eff % 8 = 7)
 
     def path(d: String): String = {
       val root = sys.props.getOrElse("graft.media.dir",
@@ -1459,6 +1609,41 @@ object Multimodal {
       */
     def jpegProg(eff: Long): Boolean = eff % 3 == 2
 
+    /** True for the SUCCESSIVE-APPROXIMATION half of the progressive
+      * sub-tier — the profile libjpeg/mozjpeg's standard progressive
+      * scan scripts emit (the dominant wild progressive shape): the
+      * DC plane arrives as a magnitude-truncated first scan (Al = 1)
+      * plus a one-bit-per-block refinement scan (Ah = 1, Al = 0), and
+      * each AC band as a first + refinement scan pair. Pixel content
+      * is STILL the baseline 4:4:4 tier's. Every jpeg-tier effective
+      * id is ≡ 3 (mod 4), so within eff % 3 = 2 the split is on
+      * eff % 8: 7 → successive approximation, 3 → spectral-only.
+      */
+    def jpegProgSa(eff: Long): Boolean = jpegProg(eff) && eff % 8 == 7
+
+    /** Signed quantized DC values (y, cb, cr) of 4:4:4 block k — the
+      * inverse of [[jpegBlockBytes]]' category-7 coding (byte b ≥ 64
+      * codes +b, else −(127−b)); decoded flat pixel = 128 + v.
+      */
+    def jpegDcVals(eff: Long, nd: Boolean, k: Int): (Int, Int, Int) = {
+      val (yb, cb, cr) = jpegBlockBytes(eff, nd, k)
+      def v(b: Int) = if (b >= 64) b else b - 127
+      (v(yb), v(cb), v(cr))
+    }
+
+    /** The SA tier's DC-first-scan byte for signed value v at Al = 1:
+      * the coded diff is s1 = v >> 1 (arithmetic), which lands in
+      * category 6 (|s1| in [32, 63]) except s1 = −64 (category 7).
+      * The tier's DC table maps '0'→cat 7 and '10'→cat 6, so both
+      * code as exactly 8 bits — byte-aligned, never 0xFF.
+      */
+    def saDcByte(v: Int): Int = {
+      val s1 = v >> 1
+      if (s1 <= -64) s1 + 127 // '0' + 7 magnitude bits
+      else if (s1 >= 0) 0x80 | s1 // '10' + 6 magnitude bits
+      else 0x80 | (s1 + 63)
+    }
+
     /** Y DPCM-diff magnitude of 4:2:0 sub-block j (row-major 2×2) in
       * MCU k — bounded to [0, 31] so every partial sum of the four
       * alternating-sign category-7 diffs stays inside [−128, 127]
@@ -1559,10 +1744,11 @@ object Multimodal {
       val h = (1 + eff % 37).toInt
       val sub = jpegSub(eff)
       val prog = jpegProg(eff)
+      val sa = jpegProgSa(eff)
       val nUnits =
         if (sub) ((w + 15) / 16) * ((h + 15) / 16)     // MCUs (16×16)
         else ((w + 7) / 8) * ((h + 7) / 8)             // MCUs (8×8)
-      val out = new java.io.ByteArrayOutputStream(256 + 14 * nUnits)
+      val out = new java.io.ByteArrayOutputStream(256 + 26 * nUnits)
       def bs(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
       bs(0xff, 0xd8)                                   // SOI
       bs(0xff, 0xe0, 0x00, 0x10)                       // JFIF APP0
@@ -1570,9 +1756,19 @@ object Multimodal {
       bs(0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
       bs(0xff, 0xdb, 0x00, 0x43, 0x00)                 // DQT 0, 8-bit
       var qi = 0; while (qi < 64) { out.write(8); qi += 1 }
-      bs(0xff, 0xc4, 0x00, 0x14, 0x00, 1)              // DHT DC 0
-      var zi = 0; while (zi < 15) { out.write(0); zi += 1 }
-      out.write(7)                                     // the cat-7 symbol
+      var zi = 0
+      if (sa) {
+        // DHT DC 0, TWO symbols: '0' → cat 7 (the refinement tiers
+        // never use it at full scale, but s1 = −64 needs it) and
+        // '10' → cat 6 — both code as 8 bits with their magnitude
+        bs(0xff, 0xc4, 0x00, 0x15, 0x00, 1, 1)
+        zi = 0; while (zi < 14) { out.write(0); zi += 1 }
+        out.write(7); out.write(6)
+      } else {
+        bs(0xff, 0xc4, 0x00, 0x14, 0x00, 1)            // DHT DC 0
+        zi = 0; while (zi < 15) { out.write(0); zi += 1 }
+        out.write(7)                                   // the cat-7 symbol
+      }
       bs(0xff, 0xc4, 0x00, 0x14, 0x10)                 // DHT AC 0
       zi = 0; while (zi < 7) { out.write(0); zi += 1 }
       out.write(1)
@@ -1583,7 +1779,45 @@ object Multimodal {
         h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
         1, if (sub) 0x22 else 0x11, 0,                 // luma sampling
         2, 0x11, 0, 3, 0x11, 0)                        // chromas, DQT 0
-      if (prog) {
+      if (sa) {
+        // scan 1: interleaved DC FIRST scan (Ss=0, Se=0, Ah=0, Al=1)
+        // — each component's diff is v >> 1, coded as one cat-6/7
+        // byte; DRI=1 resets the chains so diff = value
+        bs(0xff, 0xda, 0x00, 0x0c, 3,
+          1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01)
+        var k = 0
+        while (k < nUnits) {
+          if (k > 0) bs(0xff, 0xd0 + ((k - 1) % 8))
+          val (yv, cbv, crv) = jpegDcVals(eff, nd, k)
+          bs(saDcByte(yv), saDcByte(cbv), saDcByte(crv))
+          k += 1
+        }
+        // scan 2: DC REFINEMENT (Ah=1, Al=0) — one raw bit per
+        // component per MCU (the value's low bit), packed high-first
+        // into one byte; pad bits 0, so never 0xFF
+        bs(0xff, 0xda, 0x00, 0x0c, 3,
+          1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10)
+        k = 0
+        while (k < nUnits) {
+          if (k > 0) bs(0xff, 0xd0 + ((k - 1) % 8))
+          val (yv, cbv, crv) = jpegDcVals(eff, nd, k)
+          bs(((yv & 1) << 7) | ((cbv & 1) << 6) | ((crv & 1) << 5))
+          k += 1
+        }
+        // scans 3-5: AC FIRST per component (Ss=1, Se=63, Ah=0,
+        // Al=1) — every block DC-only, one EOB1 byte each; scans
+        // 6-8: AC REFINEMENT (Ah=1, Al=0) — EOB1 again, and with
+        // zero AC history the EOB run carries no correction bits
+        for (ahal <- Seq(0x01, 0x10); c <- 1 to 3) {
+          bs(0xff, 0xda, 0x00, 0x08, 1, c, 0x00, 1, 63, ahal)
+          var k2 = 0
+          while (k2 < nUnits) {
+            if (k2 > 0) bs(0xff, 0xd0 + ((k2 - 1) % 8))
+            bs(0x00)
+            k2 += 1
+          }
+        }
+      } else if (prog) {
         // scan 1: interleaved DC (Ss=0, Se=0, AhAl=0) — 3 DC bytes per
         // MCU, no AC sections, RST between MCUs
         bs(0xff, 0xda, 0x00, 0x0c, 3,
@@ -1741,6 +1975,29 @@ object Multimodal {
     * progressive tier re-encodes the baseline 4:4:4 content).
     */
   private[operators] def jpegIsProgSql(eff: String) = s"(($eff) % 3 = 2)"
+
+  /** True for the successive-approximation half of the progressive
+    * sub-tier ([[MediaFixtures.jpegProgSa]]) — byte-stream-only, like
+    * [[jpegIsProgSql]].
+    */
+  private[operators] def jpegIsSaSql(eff: String) =
+    s"(($eff) % 3 = 2 AND ($eff) % 8 = 7)"
+
+  /** The SA DC first scan's coded diff s1 = v >> 1 (arithmetic shift
+    * of the signed value ±(64+mag)), spelled with non-negative
+    * operands only so `//` floors identically in both engines.
+    */
+  private def saS1Sql(pos: String, mag: String) =
+    s"(CASE WHEN $pos THEN (64 + ($mag))//2 ELSE -((65 + ($mag))//2) END)"
+
+  /** The SA DC first scan's byte for coded diff s1
+    * ([[MediaFixtures.saDcByte]]): category 7 via code '0' for
+    * s1 = −64, category 6 via code '10' otherwise.
+    */
+  private def saByteSql(s1: String) =
+    s"""(CASE WHEN ($s1) <= -64 THEN ($s1) + 127
+          WHEN ($s1) >= 0 THEN 128 + ($s1)
+          ELSE 191 + ($s1) END)"""
 
   /** 4:4:4 block / 4:2:0 MCU / 4:2:0 Y sub-block indices of image
     * pixel (x, y) — all-integer, non-negative.
@@ -1922,6 +2179,7 @@ object Multimodal {
              FROM documents WHERE doc_id % 4 = 3),
       j1 AS (SELECT doc_id, eff, nd, ${jpegIsSubSql("eff")} AS sub,
                ${jpegIsProgSql("eff")} AS prog,
+               ${jpegIsSaSql("eff")} AS sa,
                1 + eff % 61 AS w, 1 + eff % 37 AS h,
                CASE WHEN ${jpegIsSubSql("eff")}
                     THEN ((1 + eff % 61 + 15)//16) * ((1 + eff % 37 + 15)//16)
@@ -1932,7 +2190,11 @@ object Multimodal {
                 'FFD8' || 'FFE0' || '0010' || '4A46494600' || '0101' || '00' ||
                 '0001' || '0001' || '0000' ||
                 'FFDB' || '0043' || '00' || repeat('08', 64) ||
-                'FFC4' || '0014' || '00' || '01' || repeat('00', 15) || '07' ||
+                (CASE WHEN sa
+                 THEN 'FFC4' || '0015' || '00' || '0101' ||
+                      repeat('00', 14) || '0706'
+                 ELSE 'FFC4' || '0014' || '00' || '01' ||
+                      repeat('00', 15) || '07' END) ||
                 'FFC4' || '0014' || '10' || repeat('00', 7) || '01' ||
                 repeat('00', 8) || '00' ||
                 'FFDD' || '0004' || '0001' ||
@@ -1941,7 +2203,51 @@ object Multimodal {
                 printf('%04X', w) || '03' ||
                 (CASE WHEN sub THEN '012200' ELSE '011100' END) ||
                 '021100' || '031100' ||
-                (CASE WHEN prog THEN
+                (CASE WHEN sa THEN
+                  -- successive approximation: DC first scan (Al=1,
+                  -- one cat-6/7 byte per component per MCU coding
+                  -- v >> 1), DC refinement scan (Ah=1: the three low
+                  -- bits packed high-first into one byte per MCU),
+                  -- then per-component AC first (AhAl=01) and AC
+                  -- refinement (AhAl=10) band scans — all EOB1
+                  'FFDA' || '000C' || '03' || '0100' || '0200' || '0300' ||
+                  '000001' ||
+                  array_to_string(list_transform(range(0, nu), k ->
+                    (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) ||
+                    printf('%02X%02X%02X',
+                      ${saByteSql(saS1Sql("(eff + k) % 2 = 0",
+                        jpegMSql("eff", "nd", "k")))},
+                      ${saByteSql(saS1Sql("(eff + k) % 3 <> 0",
+                        "(eff*5 + k*11) % 64"))},
+                      ${saByteSql(saS1Sql("(eff + k) % 5 <> 0",
+                        "(eff*3 + k*17) % 64"))})), '') ||
+                  'FFDA' || '000C' || '03' || '0100' || '0200' || '0300' ||
+                  '000010' ||
+                  array_to_string(list_transform(range(0, nu), k ->
+                    (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) ||
+                    printf('%02X',
+                      (${jpegMSql("eff", "nd", "k")} % 2) * 128 +
+                      (((eff*5 + k*11) % 64) % 2) * 64 +
+                      (((eff*3 + k*17) % 64) % 2) * 32)), '') ||
+                  'FFDA' || '0008' || '01' || '0100' || '013F01' ||
+                  array_to_string(list_transform(range(0, nu), k ->
+                    (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) || '00'), '') ||
+                  'FFDA' || '0008' || '01' || '0200' || '013F01' ||
+                  array_to_string(list_transform(range(0, nu), k ->
+                    (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) || '00'), '') ||
+                  'FFDA' || '0008' || '01' || '0300' || '013F01' ||
+                  array_to_string(list_transform(range(0, nu), k ->
+                    (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) || '00'), '') ||
+                  'FFDA' || '0008' || '01' || '0100' || '013F10' ||
+                  array_to_string(list_transform(range(0, nu), k ->
+                    (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) || '00'), '') ||
+                  'FFDA' || '0008' || '01' || '0200' || '013F10' ||
+                  array_to_string(list_transform(range(0, nu), k ->
+                    (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) || '00'), '') ||
+                  'FFDA' || '0008' || '01' || '0300' || '013F10' ||
+                  array_to_string(list_transform(range(0, nu), k ->
+                    (CASE WHEN k > 0 THEN printf('FFD%X', (k-1) % 8) ELSE '' END) || '00'), '')
+                WHEN prog THEN
                   -- interleaved DC scan (Ss=0 Se=0 AhAl=0): 3 DC bytes
                   -- per MCU, then one all-EOB AC band scan per
                   -- component (1 byte per block), RSTs between units

@@ -1428,10 +1428,18 @@ final class TextOps(tuning: graft.config.Tuning) {
                     -- 2); the PROGRESSIVE sub-tier (eff % 3 = 2) adds
                     -- three 10-byte AC SOS headers and swaps the scan
                     -- layout (DC 5·nb − 2, each AC band 3·nb − 2) →
-                    -- 196 + 14·nb; dims from the EFFECTIVE id
+                    -- 196 + 14·nb — and its SUCCESSIVE-APPROXIMATION
+                    -- half (eff % 8 = 7) carries a one-byte-longer DC
+                    -- table plus eight scans (DC first 5·nb − 2, DC
+                    -- refine 3·nb − 2, six AC band scans 3·nb − 2
+                    -- each) → 233 + 26·nb; dims from the EFFECTIVE id
                     ELSE CASE WHEN (${Multimodal.jpegEffSql}) % 3 = 1
                       THEN 172 + 14 * (((1 + (${Multimodal.jpegEffSql}) % 61 + 15)//16)
                                        * ((1 + (${Multimodal.jpegEffSql}) % 37 + 15)//16))
+                      WHEN (${Multimodal.jpegEffSql}) % 3 = 2
+                           AND (${Multimodal.jpegEffSql}) % 8 = 7
+                      THEN 233 + 26 * (((1 + (${Multimodal.jpegEffSql}) % 61 + 7)//8)
+                                      * ((1 + (${Multimodal.jpegEffSql}) % 37 + 7)//8))
                       WHEN (${Multimodal.jpegEffSql}) % 3 = 2
                       THEN 196 + 14 * (((1 + (${Multimodal.jpegEffSql}) % 61 + 7)//8)
                                       * ((1 + (${Multimodal.jpegEffSql}) % 37 + 7)//8))

@@ -291,12 +291,13 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("jpegRaster decodes the PROGRESSIVE sub-tier: multi-scan, EOB-run AC bands") {
     import Multimodal.{MediaFixtures, RealDecoders}
-    // eff % 3 = 2 throughout: 23 generic, 11 an exact-dup source, 19
-    // its byte-replay, 55 the near-dup consumer (eff 47)
-    for (id <- Seq(23L, 11L, 19L, 55L)) {
+    // SPECTRAL-only ids (eff % 8 = 3): 83 generic, 11 an exact-dup
+    // source, 19 its byte-replay, 115 a near-dup consumer (eff 107);
+    // the successive-approximation half (eff % 8 = 7) has its own spec
+    for (id <- Seq(83L, 11L, 19L, 115L)) {
       val b = MediaFixtures.jpeg(id)
       val (eff, nd) = MediaFixtures.jpegEff(id)
-      assert(MediaFixtures.jpegProg(eff))
+      assert(MediaFixtures.jpegProg(eff) && !MediaFixtures.jpegProgSa(eff))
       assert((b(139) & 0xff) == 0xff && (b(140) & 0xff) == 0xc2,
         "layout drifted: SOF2 expected")
       val (w, h) = ((1 + eff % 61).toInt, (1 + eff % 37).toInt)
@@ -317,14 +318,14 @@ class MultimodalSpec extends AnyFunSuite {
     // a DC-only truncation (drop the three AC scans, keep EOI) is the
     // spec-legal truncated render — and for DC-only content the SAME
     // image; decode must succeed, not refuse
-    val good = MediaFixtures.jpeg(23L)
-    val (w23, h23) = (1 + 23 % 61, 1 + 23 % 37)
-    val nb23 = ((w23 + 7) / 8) * ((h23 + 7) / 8)
-    val dcEnd = 158 + 14 + (5 * nb23 - 2) // header + SOS1 + DC scan
+    val good = MediaFixtures.jpeg(11L)
+    val (w11, h11) = (1 + 11 % 61, 1 + 11 % 37)
+    val nb11 = ((w11 + 7) / 8) * ((h11 + 7) / 8)
+    val dcEnd = 158 + 14 + (5 * nb11 - 2) // header + SOS1 + DC scan
     assert((good(dcEnd) & 0xff) == 0xff && (good(dcEnd + 1) & 0xff) == 0xda,
       "layout drifted: AC SOS expected after the DC scan")
-    // the q66 byte-count formula for the progressive tier
-    assert(good.length == 196 + 14 * nb23, s"byte count ${good.length}")
+    // the q66 byte-count formula for the spectral progressive tier
+    assert(good.length == 196 + 14 * nb11, s"byte count ${good.length}")
     val dcOnly = good.take(dcEnd) ++ Array(0xff.toByte, 0xd9.toByte)
     val Some((_, _, _, pxT)) = RealDecoders.jpegRaster(dcOnly)
     val Some((_, _, _, pxF)) = RealDecoders.jpegRaster(good)
@@ -334,10 +335,16 @@ class MultimodalSpec extends AnyFunSuite {
     def flip(at: Int, to: Int): Array[Byte] = {
       val c = good.clone(); c(at) = to.toByte; c
     }
-    // successive approximation (AhAl ≠ 0) is outside the profile —
-    // the DC SOS's AhAl byte is its last (offset 158+13)
+    // a REFINEMENT scan whose band was never first-scanned is
+    // corruption, not a coarser render — the DC SOS's AhAl byte is
+    // its last (offset 158+13)
     assert(RealDecoders.jpegRaster(flip(158 + 13, 0x10)).isEmpty)
-    assert(RealDecoders.jpegRaster(flip(158 + 13, 0x01)).isEmpty)
+    assert(RealDecoders.jpegRaster(flip(158 + 13, 0x21)).isEmpty)
+    // ...but a FIRST scan at Al=1 is a legal coarse approximation:
+    // the same bytes decode, to coarser (left-shifted-DC) pixels
+    val coarse = RealDecoders.jpegRaster(flip(158 + 13, 0x01))
+    assert(coarse.isDefined)
+    assert(!java.util.Arrays.equals(coarse.get._4, pxF))
     // truncation MID-scan (no EOI) refuses
     assert(RealDecoders.jpegRaster(good.take(dcEnd - 2)).isEmpty)
     // a marker where a DC codeword must be
@@ -345,6 +352,184 @@ class MultimodalSpec extends AnyFunSuite {
     // EOI with NO scan at all refuses
     val noScan = good.take(158) ++ Array(0xff.toByte, 0xd9.toByte)
     assert(RealDecoders.jpegRaster(noScan).isEmpty)
+  }
+
+  test("jpegRaster decodes the SUCCESSIVE-APPROXIMATION sub-tier: refinement scans") {
+    import Multimodal.{MediaFixtures, RealDecoders}
+    // eff % 8 = 7 throughout: 23 generic, 71 an exact-dup source, 79
+    // its byte-replay, 47/55 a near-dup pair
+    for (id <- Seq(23L, 71L, 79L, 47L, 55L)) {
+      val b = MediaFixtures.jpeg(id)
+      val (eff, nd) = MediaFixtures.jpegEff(id)
+      assert(MediaFixtures.jpegProgSa(eff))
+      assert((b(140) & 0xff) == 0xff && (b(141) & 0xff) == 0xc2,
+        "layout drifted: SOF2 expected (SA header is one byte longer)")
+      val (w, h) = ((1 + eff % 61).toInt, (1 + eff % 37).toInt)
+      val nb = ((w + 7) / 8) * ((h + 7) / 8)
+      // the SA byte-count formula (26 bytes/MCU over 8 scans)
+      assert(b.length == 233 + 26 * nb, s"id=$id byte count ${b.length}")
+      val Some((dw, dh, ch, px)) = RealDecoders.jpegRaster(b)
+      assert(dw == w && dh == h && ch == 3)
+      // full decode: the pixel CONTENT is the baseline 4:4:4 tier's
+      val bw = (w + 7) / 8
+      for (y <- 0 until h; x <- 0 until w) {
+        val k = (y / 8) * bw + (x / 8)
+        val (yy, cb, cr) = ycbcrOf(eff, nd, k)
+        val (r, g, bb) = rgbOf(yy, cb, cr)
+        val o = (y * w + x) * 3
+        assert((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff) == ((r, g, bb)),
+          s"id=$id y=$y x=$x")
+      }
+      // truncation tier 1: first DC scan only (Al=1) + EOI — the
+      // spec-legal COARSE render: every DC value loses its low bit
+      val dc1End = 159 + 14 + (5 * nb - 2)
+      assert((b(dc1End) & 0xff) == 0xff && (b(dc1End + 1) & 0xff) == 0xda,
+        "layout drifted: DC refinement SOS expected")
+      val Some((_, _, _, pxC)) = RealDecoders.jpegRaster(
+        b.take(dc1End) ++ Array(0xff.toByte, 0xd9.toByte))
+      for (y <- 0 until h; x <- 0 until w) {
+        val k = (y / 8) * bw + (x / 8)
+        val (yy, cb, cr) = ycbcrOf(eff, nd, k)
+        def c1(v: Int) = 128 + (((v - 128) >> 1) << 1)
+        val (r, g, bb) = rgbOf(c1(yy), c1(cb), c1(cr))
+        val o = (y * w + x) * 3
+        assert((pxC(o) & 0xff, pxC(o + 1) & 0xff, pxC(o + 2) & 0xff) == ((r, g, bb)),
+          s"coarse id=$id y=$y x=$x")
+      }
+      // truncation tier 2: DC first + DC refinement + EOI — full DC,
+      // zero AC: the SAME image as the full 8-scan decode
+      val dcREnd = dc1End + 14 + (3 * nb - 2)
+      assert((b(dcREnd) & 0xff) == 0xff && (b(dcREnd + 1) & 0xff) == 0xda,
+        "layout drifted: AC SOS expected")
+      val Some((_, _, _, pxR)) = RealDecoders.jpegRaster(
+        b.take(dcREnd) ++ Array(0xff.toByte, 0xd9.toByte))
+      assert(java.util.Arrays.equals(pxR, px))
+    }
+    // the injected pairs: 79 replays 71 byte-for-byte; 55 perturbs 47
+    // by one quant step in block 0's luma only
+    assert(java.util.Arrays.equals(
+      MediaFixtures.jpeg(79L), MediaFixtures.jpeg(71L)))
+    val Some((_, _, _, p47)) = RealDecoders.jpegRaster(MediaFixtures.jpeg(47L))
+    val Some((_, _, _, p55)) = RealDecoders.jpegRaster(MediaFixtures.jpeg(55L))
+    val diffs = p47.indices.count(i => p47(i) != p55(i))
+    assert(diffs > 0 && diffs <= 8 * 8 * 3,
+      s"near-dup perturbation out of bounds: $diffs bytes differ")
+
+    // SA-specific corruption refuses cleanly
+    val good = MediaFixtures.jpeg(23L)
+    def flip(at: Int, to: Int): Array[Byte] = {
+      val c = good.clone(); c(at) = to.toByte; c
+    }
+    val nb23 = ((24 + 7) / 8) * ((24 + 7) / 8)
+    val dc1End = 159 + 14 + (5 * nb23 - 2)
+    // the DC FIRST scan's AhAl at 159+13: a full-scale first scan
+    // (Al=0) leaves the refinement's Ah=1 unmatched → refuse
+    assert(RealDecoders.jpegRaster(flip(159 + 13, 0x00)).isEmpty)
+    // refinement before any first scan → refuse
+    assert(RealDecoders.jpegRaster(flip(159 + 13, 0x10)).isEmpty)
+    // the DC REFINEMENT's AhAl (dc1End+13): a SECOND first scan over
+    // an already-seen band → refuse; Ah ≠ Al+1 → refuse
+    assert(RealDecoders.jpegRaster(flip(dc1End + 13, 0x01)).isEmpty)
+    assert(RealDecoders.jpegRaster(flip(dc1End + 13, 0x20)).isEmpty)
+    // truncation mid-refinement (no EOI) refuses
+    assert(RealDecoders.jpegRaster(good.take(dc1End + 16)).isEmpty)
+  }
+
+  test("successive-approximation AC refinement: correction-bit protocol matches baseline") {
+    import Multimodal.RealDecoders
+    // ONE 8×8 gray block encoded two ways with the SAME final
+    // quantized coefficients — DC=10; AC zigzag 1→3, 2→1, 5→−2,
+    // 25→1 — once as a baseline scan, once as four SA scans whose
+    // refinement pass exercises every protocol arm: a correction bit
+    // on an existing coefficient (3 = 2+1), a NEW coefficient behind
+    // it (zigzag 2), a ZRL over 16 zero-history positions crossing a
+    // nonzero-history one (−2, bit 0), a second new coefficient
+    // (zigzag 25), and an EOB-run tail with a passed-over
+    // coefficient. Identical rasters = the refinement arithmetic is
+    // the baseline's.
+    final class BitWriter {
+      private val out = new java.io.ByteArrayOutputStream()
+      private var cur = 0
+      private var n = 0
+      def bit(v: Int): Unit = {
+        cur = (cur << 1) | (v & 1); n += 1
+        if (n == 8) {
+          out.write(cur)
+          if (cur == 0xff) out.write(0x00) // byte stuffing
+          cur = 0; n = 0
+        }
+      }
+      def bits(v: Int, w: Int): Unit =
+        (w - 1 to 0 by -1).foreach(i => bit((v >> i) & 1))
+      def done(): Array[Byte] = { while (n != 0) bit(1); out.toByteArray }
+    }
+    // DC table: 8 codes of 3 bits → categories 0..7 (code = cat);
+    // AC table: 7 codes of 3 bits → symbols 00,01,02,22,31,51,F0
+    val acSyms = Seq(0x00, 0x01, 0x02, 0x22, 0x31, 0x51, 0xf0)
+    def hdr(sof: Int): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def bs(xs: Int*): Unit = xs.foreach(x => o.write(x & 0xff))
+      bs(0xff, 0xd8)
+      bs(0xff, 0xdb, 0x00, 0x43, 0x00); (0 until 64).foreach(_ => o.write(8))
+      bs(0xff, 0xc4, 0x00, 0x1b, 0x00, 0, 0, 8)
+      (0 until 13).foreach(_ => o.write(0)); (0 to 7).foreach(o.write)
+      bs(0xff, 0xc4, 0x00, 0x1a, 0x10, 0, 0, 7)
+      (0 until 13).foreach(_ => o.write(0)); acSyms.foreach(o.write)
+      bs(0xff, sof, 0x00, 0x0b, 8, 0, 8, 0, 8, 1, 1, 0x11, 0)
+      o.toByteArray
+    }
+    def sos(ss: Int, se: Int, ahal: Int, data: Array[Byte]): Array[Byte] =
+      Array(0xff, 0xda, 0x00, 0x08, 1, 1, 0x00, ss, se, ahal).map(_.toByte) ++ data
+    // emit an AC symbol's 3-bit code (code = table index)
+    def ac(w: BitWriter, sym: Int): Unit = w.bits(acSyms.indexOf(sym), 3)
+
+    // baseline: cat4 '100' + '1010' (=10); (0,2)+'11' (3);
+    // (0,1)+'1' (1); (2,2)+'01' (−2); ZRL; (3,1)+'1' (zigzag 25); EOB
+    val wb = new BitWriter
+    wb.bits(4, 3); wb.bits(10, 4)
+    ac(wb, 0x02); wb.bits(3, 2)
+    ac(wb, 0x01); wb.bits(1, 1)
+    ac(wb, 0x22); wb.bits(1, 2)
+    ac(wb, 0xf0)
+    ac(wb, 0x31); wb.bits(1, 1)
+    ac(wb, 0x00)
+    val baseline = hdr(0xc0) ++ sos(0, 63, 0x00, wb.done()) ++
+      Array(0xff.toByte, 0xd9.toByte)
+
+    // SA scan 1 — DC first, Al=1: diff 10>>1 = 5, cat 3 + '101'
+    val s1 = new BitWriter
+    s1.bits(3, 3); s1.bits(5, 3)
+    // SA scan 2 — DC refinement: one raw bit (10 & 1 = 0)
+    val s2 = new BitWriter
+    s2.bit(0)
+    // SA scan 3 — AC first, Al=1 (values >>1): zigzag 1→1, 5→−1:
+    // (0,1)+'1'; (3,1)+'0'; EOB
+    val s3 = new BitWriter
+    ac(s3, 0x01); s3.bit(1)
+    ac(s3, 0x31); s3.bit(0)
+    ac(s3, 0x00)
+    // SA scan 4 — AC refinement, Ah=1: (0,1)+sign1 → correction bit
+    // for zigzag 1 (its low bit, 1), new +1 lands at zigzag 2; then
+    // ZRL skipping 16 zero-history positions (correction bit 0 for
+    // zigzag 5 passed over); (5,1)+sign1 → new +1 at zigzag 25; EOB
+    // (no nonzero-history positions remain past it)
+    val s4 = new BitWriter
+    ac(s4, 0x01); s4.bit(1); s4.bit(1)
+    ac(s4, 0xf0); s4.bit(0)
+    ac(s4, 0x51); s4.bit(1)
+    ac(s4, 0x00)
+    val sa = hdr(0xc2) ++
+      sos(0, 0, 0x01, s1.done()) ++ sos(0, 0, 0x10, s2.done()) ++
+      sos(1, 63, 0x01, s3.done()) ++ sos(1, 63, 0x10, s4.done()) ++
+      Array(0xff.toByte, 0xd9.toByte)
+
+    val Some((_, _, 1, pxB)) = RealDecoders.jpegRaster(baseline)
+    val Some((_, _, 1, pxS)) = RealDecoders.jpegRaster(sa)
+    assert(java.util.Arrays.equals(pxS, pxB),
+      "SA refinement must reconstruct the baseline raster bit-for-bit")
+    // and the coefficients genuinely moved: the DC-only coarse decode
+    // differs from the full one
+    assert(!pxB.forall(_ == pxB(0)))
   }
 
   test("jpegRaster still decodes the 1-component (grayscale) profile") {
