@@ -831,16 +831,19 @@ object Multimodal {
                 cs(c) = ((b(o) & 0xff, b(o + 2) & 0xff))
                 c += 1
               }
-              // profile: all-0x11 (4:4:4 / gray) or the 4:2:0 shape
-              // (luma 2×2, both chromas 1×1); other samplings refuse.
-              // Progressive composes with all-0x11 ONLY: its AC scans
-              // are non-interleaved over the component's OWN block
-              // grid, which under subsampling differs from the
-              // MCU-padded one — outside the profile
+              // profile: all-0x11 (4:4:4 / gray), the 4:2:0 shape
+              // (luma 2×2, both chromas 1×1), or the 4:2:2 shape
+              // (luma 2×1); other samplings refuse. Progressive
+              // composes with all-0x11 ONLY: its AC scans are
+              // non-interleaved over the component's OWN block grid,
+              // which under subsampling differs from the MCU-padded
+              // one — outside the profile
               val all11 = hv.forall(_ == ((1, 1)))
               val is420 = nc == 3 && hv(0) == ((2, 2)) &&
                 hv(1) == ((1, 1)) && hv(2) == ((1, 1))
-              if (!all11 && !is420) return None
+              val is422 = nc == 3 && hv(0) == ((2, 1)) &&
+                hv(1) == ((1, 1)) && hv(2) == ((1, 1))
+              if (!all11 && !is420 && !is422) return None
               progressive = marker == 0xc2
               if (progressive && !all11) return None
               sofW = w; sofH = h; comps = cs; sampling = hv
@@ -1108,13 +1111,15 @@ object Multimodal {
       * arithmetic (stale-bytes hash mismatches misdiagnosed as decoder
       * bugs).
       */
-    private val fixtureVersion = 10 // v7: resized (2× NN) ppm near-dup
+    private val fixtureVersion = 11 // v7: resized (2× NN) ppm near-dup
                                     // pairs; v8: 4:2:0 chroma-subsampled
                                     // jpeg sub-tier (eff % 3 = 1);
                                     // v9: progressive (SOF2) jpeg
                                     // sub-tier (eff % 3 = 2); v10:
                                     // successive-approximation half of
-                                    // the progressive tier (eff % 8 = 7)
+                                    // the progressive tier (eff % 8 = 7);
+                                    // v11: 4:2:2 half of the subsampled
+                                    // tier (eff % 8 = 7)
 
     def path(d: String): String = {
       val root = sys.props.getOrElse("graft.media.dir",
@@ -1598,7 +1603,48 @@ object Multimodal {
       * family — keyed on the EFFECTIVE id, so an injected dup pair
       * always lands whole in one sub-tier.
       */
-    def jpegSub(eff: Long): Boolean = eff % 3 == 1
+    def jpegSub(eff: Long): Boolean = eff % 3 == 1 && eff % 8 != 7
+
+    /** True for the 4:2:2 half of the chroma-subsampled tier (luma
+      * 2×1, chromas 1×1 — cameras and broadcast stills): within
+      * eff % 3 = 1 the split is on eff % 8 (every jpeg-tier effective
+      * id is ≡ 3 mod 4), mirroring [[jpegProgSa]]'s split of the
+      * progressive tier. An MCU covers 16×8 pixels: two Y blocks
+      * under one sequential DPCM chain + 1 Cb + 1 Cr.
+      */
+    def jpegSub422(eff: Long): Boolean = eff % 3 == 1 && eff % 8 == 7
+
+    /** 4:2:2 Y diff magnitude of sub-block j ∈ {0, 1} in MCU k — the
+      * [[jpegSubM]] derivation with the near-dup bump on the LAST
+      * diff of the two-block chain (j = 1), so exactly one 8×8
+      * block's luma moves.
+      */
+    def jpegSub422M(eff: Long, nd: Boolean, k: Int, j: Int): Int = {
+      val m0 = ((eff * 7 + k * 13 + j * 29) % 32).toInt
+      if (nd && k == 0 && j == 1) math.min(m0 + 1, 31) else m0
+    }
+
+    /** The coded Y scan byte of 4:2:2 sub-block j ([[jpegSubYByte]]'s
+      * coding over [[jpegSub422M]]).
+      */
+    def jpegSub422YByte(eff: Long, nd: Boolean, k: Int, j: Int): Int = {
+      val m = jpegSub422M(eff, nd, k, j)
+      if (j % 2 == 0) 64 + m else 63 - m
+    }
+
+    /** Decoded flat Y plane of 4:2:2 sub-block j: 128 + the
+      * cumulative signed diff over the two-block chain.
+      */
+    def jpegSub422YPix(eff: Long, nd: Boolean, k: Int, j: Int): Int = {
+      var v = 0
+      var jj = 0
+      while (jj <= j) {
+        val d = 64 + jpegSub422M(eff, nd, k, jj)
+        v += (if (jj % 2 == 0) d else -d)
+        jj += 1
+      }
+      128 + v
+    }
 
     /** True for the PROGRESSIVE (SOF2) sub-tier — the other web-norm
       * encoding: same 4:4:4 flat-plane pixel CONTENT as the baseline
@@ -1743,10 +1789,12 @@ object Multimodal {
       val w = (1 + eff % 61).toInt
       val h = (1 + eff % 37).toInt
       val sub = jpegSub(eff)
+      val s22 = jpegSub422(eff)
       val prog = jpegProg(eff)
       val sa = jpegProgSa(eff)
       val nUnits =
         if (sub) ((w + 15) / 16) * ((h + 15) / 16)     // MCUs (16×16)
+        else if (s22) ((w + 15) / 16) * ((h + 7) / 8)  // MCUs (16×8)
         else ((w + 7) / 8) * ((h + 7) / 8)             // MCUs (8×8)
       val out = new java.io.ByteArrayOutputStream(256 + 26 * nUnits)
       def bs(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
@@ -1777,7 +1825,7 @@ object Multimodal {
       bs(0xff, 0xdd, 0x00, 0x04, 0x00, 0x01)           // DRI = 1
       bs(0xff, if (prog) 0xc2 else 0xc0, 0x00, 0x11, 8, // SOF0 / SOF2
         h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
-        1, if (sub) 0x22 else 0x11, 0,                 // luma sampling
+        1, if (sub) 0x22 else if (s22) 0x21 else 0x11, 0, // luma sampling
         2, 0x11, 0, 3, 0x11, 0)                        // chromas, DQT 0
       if (sa) {
         // scan 1: interleaved DC FIRST scan (Ss=0, Se=0, Ah=0, Al=1)
@@ -1853,6 +1901,12 @@ object Multimodal {
           if (sub) {
             var j = 0
             while (j < 4) { bs(jpegSubYByte(eff, nd, k, j), 0x00); j += 1 }
+            val (_, cb, cr) = jpegBlockBytes(eff, nd = false, k)
+            bs(cb, 0x00, cr, 0x00)
+          } else if (s22) {
+            // 4:2:2 MCU: two Y blocks under one DPCM chain + Cb + Cr
+            var j = 0
+            while (j < 2) { bs(jpegSub422YByte(eff, nd, k, j), 0x00); j += 1 }
             val (_, cb, cr) = jpegBlockBytes(eff, nd = false, k)
             bs(cb, 0x00, cr, 0x00)
           } else {
@@ -1968,7 +2022,12 @@ object Multimodal {
           ELSE 192 + ($eff*3 + $k*17) % 64 END)"""
 
   /** True for the 4:2:0 sub-tier ([[MediaFixtures.jpegSub]]). */
-  private[operators] def jpegIsSubSql(eff: String) = s"(($eff) % 3 = 1)"
+  private[operators] def jpegIsSubSql(eff: String) =
+    s"(($eff) % 3 = 1 AND ($eff) % 8 <> 7)"
+
+  /** True for the 4:2:2 sub-tier ([[MediaFixtures.jpegSub422]]). */
+  private[operators] def jpegIs422Sql(eff: String) =
+    s"(($eff) % 3 = 1 AND ($eff) % 8 = 7)"
 
   /** True for the progressive sub-tier ([[MediaFixtures.jpegProg]]) —
     * byte-stream-only: the pixel oracles never branch on it (the
@@ -2008,6 +2067,10 @@ object Multimodal {
     s"((($y) // 16) * ((($w) + 15) // 16) + ($x) // 16)"
   private def jpegJ420Sql(x: String, y: String) =
     s"(((($y) // 8) % 2) * 2 + (($x) // 8) % 2)"
+  /** 4:2:2 MCU (16×8 pixels) / Y sub-block indices of pixel (x, y). */
+  private def jpegK422Sql(x: String, y: String, w: String) =
+    s"((($y) // 8) * ((($w) + 15) // 16) + ($x) // 16)"
+  private def jpegJ422Sql(x: String) = s"((($x) // 8) % 2)"
 
   /** 4:2:0 Y diff magnitude of (MCU k, sub-block j) — the nd bump
     * lands on m(0, 3) ([[MediaFixtures.jpegSubM]]).
@@ -2034,6 +2097,27 @@ object Multimodal {
          + (CASE WHEN ($j) >= 2 THEN  (64 + ${jpegSubMSql(eff, nd, k, "2")}) ELSE 0 END)
          + (CASE WHEN ($j) >= 3 THEN -(64 + ${jpegSubMSql(eff, nd, k, "3")}) ELSE 0 END))"""
 
+  /** 4:2:2 Y diff magnitude of (MCU k, sub-block j ∈ {0,1}) — the nd
+    * bump lands on m(0, 1) ([[MediaFixtures.jpegSub422M]]).
+    */
+  private def jpegSub422MSql(eff: String, nd: String, k: String, j: String) =
+    s"""(CASE WHEN $nd AND $k = 0 AND ($j) = 1
+          THEN least(($eff*7 + ($k)*13 + ($j)*29) % 32 + 1, 31)
+          ELSE ($eff*7 + ($k)*13 + ($j)*29) % 32 END)"""
+
+  /** 4:2:2 Y scan byte of sub-block j ([[MediaFixtures.jpegSub422YByte]]). */
+  private[operators] def jpegSub422YByteSql(eff: String, nd: String,
+      k: String, j: String) =
+    s"""(CASE WHEN ($j) % 2 = 0 THEN 64 + ${jpegSub422MSql(eff, nd, k, j)}
+          ELSE 63 - ${jpegSub422MSql(eff, nd, k, j)} END)"""
+
+  /** 4:2:2 decoded flat Y plane of sub-block j: 128 + the cumulative
+    * signed diff over the two-block chain.
+    */
+  private def jpegSub422YPixSql(eff: String, nd: String, k: String, j: String) =
+    s"""(128 + (64 + ${jpegSub422MSql(eff, nd, k, "0")})
+         + (CASE WHEN ($j) >= 1 THEN -(64 + ${jpegSub422MSql(eff, nd, k, "1")}) ELSE 0 END))"""
+
   /** Decoded Y / Cb / Cr value at IMAGE pixel (x, y) — the one set of
     * formulas every jpeg-pixel oracle derives from, branching on the
     * sub-tier: 4:4:4 indexes the 8×8 block grid; 4:2:0 indexes the
@@ -2044,16 +2128,22 @@ object Multimodal {
       x: String, y: String, w: String) =
     s"""(CASE WHEN ${jpegIsSubSql(eff)}
           THEN ${jpegSubYPixSql(eff, nd, jpegK420Sql(x, y, w), jpegJ420Sql(x, y))}
+          WHEN ${jpegIs422Sql(eff)}
+          THEN ${jpegSub422YPixSql(eff, nd, jpegK422Sql(x, y, w), jpegJ422Sql(x))}
           ELSE ${jpegYPixSql(eff, nd, jpegK444Sql(x, y, w))} END)"""
   private[operators] def jpegCbPixXYSql(eff: String,
       x: String, y: String, w: String) =
     s"""(CASE WHEN ${jpegIsSubSql(eff)}
           THEN ${jpegCbPixSql(eff, jpegK420Sql(x, y, w))}
+          WHEN ${jpegIs422Sql(eff)}
+          THEN ${jpegCbPixSql(eff, jpegK422Sql(x, y, w))}
           ELSE ${jpegCbPixSql(eff, jpegK444Sql(x, y, w))} END)"""
   private[operators] def jpegCrPixXYSql(eff: String,
       x: String, y: String, w: String) =
     s"""(CASE WHEN ${jpegIsSubSql(eff)}
           THEN ${jpegCrPixSql(eff, jpegK420Sql(x, y, w))}
+          WHEN ${jpegIs422Sql(eff)}
+          THEN ${jpegCrPixSql(eff, jpegK422Sql(x, y, w))}
           ELSE ${jpegCrPixSql(eff, jpegK444Sql(x, y, w))} END)"""
 
   /** The coded scan bytes ([[MediaFixtures.jpegBlockBytes]]). */
@@ -2178,11 +2268,14 @@ object Multimodal {
       j0 AS (SELECT doc_id, $jpegEffSql AS eff, $jpegNdSql AS nd
              FROM documents WHERE doc_id % 4 = 3),
       j1 AS (SELECT doc_id, eff, nd, ${jpegIsSubSql("eff")} AS sub,
+               ${jpegIs422Sql("eff")} AS s22,
                ${jpegIsProgSql("eff")} AS prog,
                ${jpegIsSaSql("eff")} AS sa,
                1 + eff % 61 AS w, 1 + eff % 37 AS h,
                CASE WHEN ${jpegIsSubSql("eff")}
                     THEN ((1 + eff % 61 + 15)//16) * ((1 + eff % 37 + 15)//16)
+                    WHEN ${jpegIs422Sql("eff")}
+                    THEN ((1 + eff % 61 + 15)//16) * ((1 + eff % 37 + 7)//8)
                     ELSE ((1 + eff % 61 + 7)//8) * ((1 + eff % 37 + 7)//8)
                END AS nu
              FROM j0),
@@ -2201,7 +2294,9 @@ object Multimodal {
                 (CASE WHEN prog THEN 'FFC2' ELSE 'FFC0' END) ||
                 '0011' || '08' || printf('%04X', h) ||
                 printf('%04X', w) || '03' ||
-                (CASE WHEN sub THEN '012200' ELSE '011100' END) ||
+                (CASE WHEN sub THEN '012200'
+                      WHEN s22 THEN '012100'
+                      ELSE '011100' END) ||
                 '021100' || '031100' ||
                 (CASE WHEN sa THEN
                   -- successive approximation: DC first scan (Al=1,
@@ -2279,6 +2374,12 @@ object Multimodal {
                         ${jpegSubYByteSql("eff", "nd", "k", "1")},
                         ${jpegSubYByteSql("eff", "nd", "k", "2")},
                         ${jpegSubYByteSql("eff", "nd", "k", "3")},
+                        ${jpegCbByteSql("eff", "k")},
+                        ${jpegCrByteSql("eff", "k")})
+                    WHEN s22 THEN
+                      printf('%02X00%02X00%02X00%02X00',
+                        ${jpegSub422YByteSql("eff", "nd", "k", "0")},
+                        ${jpegSub422YByteSql("eff", "nd", "k", "1")},
                         ${jpegCbByteSql("eff", "k")},
                         ${jpegCrByteSql("eff", "k")})
                     ELSE

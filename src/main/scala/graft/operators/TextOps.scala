@@ -631,7 +631,12 @@ final class TextOps(tuning: graft.config.Tuning) {
     // v5: + the `trigrams(p2, prev, tok, cnt)` table behind the
     // order-3 stupid-backoff mode (same additive-layer DML, bucketed
     // on p2 so the serve prune reuses the bigram recipe)
-    val knobs = (if (nfcOn) "nfc" else "raw") + ":v5"
+    // v6: + `fourgrams(p3, p2, prev, tok, cnt)` and `fivegrams(p4,
+    // p3, p2, prev, tok, cnt)` behind orders 4/5 (the CCNet/KenLM
+    // standard order) — bucketed on their OUTERMOST context token,
+    // which is positionally a subset of a probe's prev set, so ONE
+    // collected prune list still covers every table
+    val knobs = (if (nfcOn) "nfc" else "raw") + ":v6"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((new java.io.File(d).getCanonicalPath + ":" + knobs)
         .getBytes("UTF-8"))
@@ -689,6 +694,40 @@ final class TextOps(tuning: graft.config.Tuning) {
       .groupBy(col("p2"), col("prev"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Adjacent 4- and 5-tuple structs — the trigram transform widened
+    * for orders 4/5 (context tokens OUTERMOST-first: p3/p4 is the
+    * token furthest from `tok`).
+    */
+  private val fourgramsOfToks = """
+    CASE WHEN size(toks) < 4 THEN array()
+    ELSE transform(sequence(0, size(toks) - 4),
+         i -> struct(toks[i] AS p3, toks[i + 1] AS p2,
+                     toks[i + 2] AS prev, toks[i + 3] AS tok)) END"""
+  private val fivegramsOfToks = """
+    CASE WHEN size(toks) < 5 THEN array()
+    ELSE transform(sequence(0, size(toks) - 5),
+         i -> struct(toks[i] AS p4, toks[i + 1] AS p3, toks[i + 2] AS p2,
+                     toks[i + 3] AS prev, toks[i + 4] AS tok)) END"""
+
+  private def fourgramCounts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.withColumn("toks", expr(toksExpr))
+      .select(explode(expr(fourgramsOfToks)).as("fg"))
+      .select(col("fg.p3").as("p3"), col("fg.p2").as("p2"),
+        col("fg.prev").as("prev"), col("fg.tok").as("tok"))
+      .groupBy(col("p3"), col("p2"), col("prev"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private def fivegramCounts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.withColumn("toks", expr(toksExpr))
+      .select(explode(expr(fivegramsOfToks)).as("vg"))
+      .select(col("vg.p4").as("p4"), col("vg.p3").as("p3"),
+        col("vg.p2").as("p2"), col("vg.prev").as("prev"),
+        col("vg.tok").as("tok"))
+      .groupBy(col("p4"), col("p3"), col("p2"), col("prev"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** The bigram table's scan-prune geometry — the BM25/runs recipe
     * applied to the ONLY corpus-sized table on the order-2 serve
     * path: rows land in `pmod(md5(prev), 64)` directory partitions,
@@ -734,17 +773,30 @@ final class TextOps(tuning: graft.config.Tuning) {
       .sortWithinPartitions(col("pb"), col("prev"), col("tok"))
       .write.mode("overwrite").partitionBy("pb").parquet(path)
 
-  /** [[writeBigrams]]' layout applied to the trigram table, bucketed
-    * on the OUTER context token p2 (the probe's p2 set is a subset of
-    * its prev set, so one collected prune list covers both tables).
+  /** [[writeBigrams]]' layout applied to a higher-order n-gram table,
+    * bucketed on its OUTERMOST context token (every p_k set is
+    * positionally a subset of the probe's prev set, so one collected
+    * prune list covers all the tables).
     */
+  private def writeCtxNgrams(df: org.apache.spark.sql.DataFrame,
+      path: String, ctx: String, keys: Seq[String]): Unit =
+    df.withColumn("pb", expr(
+        s"cast(pmod(cast(conv(substring(md5($ctx), 1, 15), 16, 10) as bigint), $bgBuckets) as int)"))
+      .repartition(bgBuckets, col("pb"))
+      .sortWithinPartitions((col("pb") +: keys.map(col)): _*)
+      .write.mode("overwrite").partitionBy("pb").parquet(path)
+
   private def writeTrigrams(df: org.apache.spark.sql.DataFrame,
       path: String): Unit =
-    df.withColumn("pb", expr(
-        s"cast(pmod(cast(conv(substring(md5(p2), 1, 15), 16, 10) as bigint), $bgBuckets) as int)"))
-      .repartition(bgBuckets, col("pb"))
-      .sortWithinPartitions(col("pb"), col("p2"), col("prev"), col("tok"))
-      .write.mode("overwrite").partitionBy("pb").parquet(path)
+    writeCtxNgrams(df, path, "p2", Seq("p2", "prev", "tok"))
+
+  private def writeFourgrams(df: org.apache.spark.sql.DataFrame,
+      path: String): Unit =
+    writeCtxNgrams(df, path, "p3", Seq("p3", "p2", "prev", "tok"))
+
+  private def writeFivegrams(df: org.apache.spark.sql.DataFrame,
+      path: String): Unit =
+    writeCtxNgrams(df, path, "p4", Seq("p4", "p3", "p2", "prev", "tok"))
 
   /** Install-or-reuse the corpus LM artifact: `counts` (token →
     * corpus frequency — vocabulary-sized, Heaps-law bounded) and
@@ -774,6 +826,12 @@ final class TextOps(tuning: graft.config.Tuning) {
       writeTrigrams(
         trigramCounts(spread(t(s, d, "documents")).select(col("text"))),
         s"$root/trigrams")
+      writeFourgrams(
+        fourgramCounts(spread(t(s, d, "documents")).select(col("text"))),
+        s"$root/fourgrams")
+      writeFivegrams(
+        fivegramCounts(spread(t(s, d, "documents")).select(col("text"))),
+        s"$root/fivegrams")
       spread(t(s, d, "documents")).select(col("doc_id"))
         .write.mode("overwrite").parquet(s"$root/docs")
     }
@@ -814,6 +872,10 @@ final class TextOps(tuning: graft.config.Tuning) {
           s"$root/bigrams")
         writeTrigrams(trigramCounts(norm.select(col("text"))),
           s"$root/trigrams")
+        writeFourgrams(fourgramCounts(norm.select(col("text"))),
+          s"$root/fourgrams")
+        writeFivegrams(fivegramCounts(norm.select(col("text"))),
+          s"$root/fivegrams")
         norm.select(col("doc_id")).repartition(nFiles)
           .write.mode("overwrite").parquet(s"$root/docs")
       })(
@@ -866,6 +928,17 @@ final class TextOps(tuning: graft.config.Tuning) {
             u.groupBy(col("p2"), col("prev"), col("tok"))
               .agg(sum(col("cnt")).as("cnt")),
             s"$out/trigrams"))
+        ArtifactLake.layerUnion(s, roots, "fourgrams").foreach(u =>
+          writeFourgrams(
+            u.groupBy(col("p3"), col("p2"), col("prev"), col("tok"))
+              .agg(sum(col("cnt")).as("cnt")),
+            s"$out/fourgrams"))
+        ArtifactLake.layerUnion(s, roots, "fivegrams").foreach(u =>
+          writeFivegrams(
+            u.groupBy(col("p4"), col("p3"), col("p2"), col("prev"),
+                col("tok"))
+              .agg(sum(col("cnt")).as("cnt")),
+            s"$out/fivegrams"))
         ArtifactLake.layerUnion(s, roots, "docs").foreach(
           _.write.mode("overwrite").parquet(s"$out/docs"))
       }
@@ -924,8 +997,8 @@ final class TextOps(tuning: graft.config.Tuning) {
   def serveSurprisal(s: org.apache.spark.sql.SparkSession, d: String,
       docs: org.apache.spark.sql.DataFrame, order: Int)
       : org.apache.spark.sql.DataFrame = {
-    require(order >= 1 && order <= 3,
-      s"serveSurprisal: order must be 1, 2, or 3, got $order")
+    require(order >= 1 && order <= 5,
+      s"serveSurprisal: order must be in [1, 5], got $order")
     graft.functions.GraftFunctions.ensureRegistered(s)
     val p = ensureLm(s, d)
     // layer recomposition: counts are additive across id-disjoint
@@ -970,7 +1043,13 @@ final class TextOps(tuning: graft.config.Tuning) {
           .withColumnRenamed("col", "tok")
           .withColumn("prev", expr("CASE WHEN pos > 0 THEN toks[pos - 1] END"))
           .withColumn("p2", expr(
-            if (order == 3) "CASE WHEN pos > 1 THEN toks[pos - 2] END"
+            if (order >= 3) "CASE WHEN pos > 1 THEN toks[pos - 2] END"
+            else "CAST(NULL AS STRING)"))
+          .withColumn("p3", expr(
+            if (order >= 4) "CASE WHEN pos > 2 THEN toks[pos - 3] END"
+            else "CAST(NULL AS STRING)"))
+          .withColumn("p4", expr(
+            if (order >= 5) "CASE WHEN pos > 3 THEN toks[pos - 4] END"
             else "CAST(NULL AS STRING)"))
           .drop("toks")
           // two consumers: the prune collect below + the scoring join
@@ -1025,60 +1104,131 @@ final class TextOps(tuning: graft.config.Tuning) {
             (coalesce(col("cnt"), lit(0L)) + lit(1L)) / lit(denom))
           .withColumn("bterm", when(col("pcnt").isNull, lit(0.0))
             .otherwise(coalesce(col("bcnt"), lit(0L)) / col("pcnt")))
+        // pruned, layer-recomposed load of a context-bucketed n-gram
+        // table — the trigram recipe shared by orders 3/4/5: every
+        // table's OUTERMOST context column is positionally a subset of
+        // the probe's prev set, so the one collected prune list (or
+        // its distributed semi-join fallback) covers them all
+        def prunedOn(df: org.apache.spark.sql.DataFrame, c: String) =
+          probePrevs match {
+            case Some(ps) =>
+              val buckets = ps.map(bgBucketOf).distinct.map(Int.box)
+              df.where(col("pb").isin(buckets: _*) && col(c).isin(ps: _*))
+            case None =>
+              df.join(ptk.select(col(c)).where(col(c).isNotNull)
+                .distinct(), Seq(c), "left_semi")
+          }
+        def ngTable(table: String, pruneCol: String, keys: Seq[String],
+            cnt: String, empty: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame =
+          if (v.baseOnly) {
+            if (ArtifactLake.hasParquet(new java.io.File(p, table)))
+              prunedOn(s.read.parquet(s"$p/$table"), pruneCol)
+                .withColumnRenamed("cnt", cnt).drop("pb")
+            else empty
+          } else ArtifactLake.layerUnion(s,
+              p +: v.overlays.map(_.getAbsolutePath), table) match {
+            case Some(u) => prunedOn(u, pruneCol)
+              .groupBy(keys.map(col): _*).agg(sum(col("cnt")).as(cnt))
+            case None => empty
+          }
         val scored =
           if (order == 2)
             base2.withColumn("p", when(col("pos") === 0, col("p1"))
               .otherwise(lit(lam) * col("bterm") + lit(1.0 - lam) * col("p1")))
           else {
-            // ORDER 3, stupid backoff (Brants et al. 2007): token i ≥ 2
-            // scores t(p2,prev,tok)/b(p2,prev) when the trigram is
-            // stored (its prefix bigram then necessarily is too —
-            // every trigram occurrence contains it), else α·(bigram
-            // ratio) when the bigram is stored, else α²·P₁. The
-            // trigram table prunes on the SAME collected prev set (a
-            // probe's p2 values are a subset of its prev values), and
-            // the backoff CONTEXT count b(p2,prev) is the already-
-            // pruned bigram frame re-keyed — no extra corpus input.
+            // ORDERS 3-5, stupid backoff (Brants et al. 2007): token
+            // i ≥ n−1 scores count(n-gram)/count(context) when the
+            // n-gram is stored (its prefix context then necessarily
+            // is too — every occurrence contains it), else α × the
+            // (n−1)-gram route, bottoming out at α^(n−1)·P₁; tokens
+            // at positions below n−1 score with the largest order
+            // they can form. Every backoff CONTEXT count is a lower
+            // table re-keyed (context (p_k..prev) IS an (n−1)-gram
+            // whose outermost token is in the prune set) — no extra
+            // corpus input at any order.
             val alpha = tuning.lmAlpha
-            def prunedTg(df: org.apache.spark.sql.DataFrame) = probePrevs match {
-              case Some(ps) =>
-                val buckets = ps.map(bgBucketOf).distinct.map(Int.box)
-                df.where(col("pb").isin(buckets: _*) && col("p2").isin(ps: _*))
-              case None =>
-                df.join(ptk.select(col("p2")).where(col("p2").isNotNull)
-                  .distinct(), Seq("p2"), "left_semi")
-            }
+            val interp =
+              lit(lam) * col("bterm") + lit(1.0 - lam) * col("p1")
             val emptyTg = {
               import s.implicits._
               s.emptyDataset[(String, String, String, Long)]
                 .toDF("p2", "prev", "tok", "tcnt")
             }
-            val tg =
-              if (v.baseOnly) {
-                if (ArtifactLake.hasParquet(new java.io.File(p, "trigrams")))
-                  prunedTg(s.read.parquet(s"$p/trigrams"))
-                    .withColumnRenamed("cnt", "tcnt").drop("pb")
-                else emptyTg
-              } else ArtifactLake.layerUnion(s,
-                  p +: v.overlays.map(_.getAbsolutePath), "trigrams") match {
-                case Some(u) => prunedTg(u)
-                  .groupBy(col("p2"), col("prev"), col("tok"))
-                  .agg(sum(col("cnt")).as("tcnt"))
-                case None => emptyTg
-              }
+            val tg = ngTable("trigrams", "p2",
+              Seq("p2", "prev", "tok"), "tcnt", emptyTg)
             val ctx = bg.select(col("prev").as("p2"), col("tok").as("prev"),
               col("bcnt").as("ctxcnt"))
-            base2
+            val base3 = base2
               .join(tg, Seq("p2", "prev", "tok"), "left")
               .join(ctx, Seq("p2", "prev"), "left")
-              .withColumn("p", when(col("pos") === 0, col("p1"))
-                .when(col("pos") === 1,
-                  lit(lam) * col("bterm") + lit(1.0 - lam) * col("p1"))
-                .otherwise(
-                  when(col("tcnt").isNotNull, col("tcnt") / col("ctxcnt"))
+            val chain3 =
+              when(col("tcnt").isNotNull, col("tcnt") / col("ctxcnt"))
+                .when(col("bcnt").isNotNull,
+                  lit(alpha) * (col("bcnt") / col("pcnt")))
+                .otherwise(lit(alpha * alpha) * col("p1"))
+            if (order == 3)
+              base3.withColumn("p", when(col("pos") === 0, col("p1"))
+                .when(col("pos") === 1, interp)
+                .otherwise(chain3))
+            else {
+              val emptyF4 = {
+                import s.implicits._
+                s.emptyDataset[(String, String, String, String, Long)]
+                  .toDF("p3", "p2", "prev", "tok", "f4cnt")
+              }
+              val fg4 = ngTable("fourgrams", "p3",
+                Seq("p3", "p2", "prev", "tok"), "f4cnt", emptyF4)
+              val ctx3 = tg.select(col("p2").as("p3"), col("prev").as("p2"),
+                col("tok").as("prev"), col("tcnt").as("ctx3cnt"))
+              val base4 = base3
+                .join(fg4, Seq("p3", "p2", "prev", "tok"), "left")
+                .join(ctx3, Seq("p3", "p2", "prev"), "left")
+              val chain4 =
+                when(col("f4cnt").isNotNull, col("f4cnt") / col("ctx3cnt"))
+                  .when(col("tcnt").isNotNull,
+                    lit(alpha) * (col("tcnt") / col("ctxcnt")))
+                  .when(col("bcnt").isNotNull,
+                    lit(alpha * alpha) * (col("bcnt") / col("pcnt")))
+                  .otherwise(lit(alpha * alpha * alpha) * col("p1"))
+              if (order == 4)
+                base4.withColumn("p", when(col("pos") === 0, col("p1"))
+                  .when(col("pos") === 1, interp)
+                  .when(col("pos") === 2, chain3)
+                  .otherwise(chain4))
+              else {
+                val emptyF5 = {
+                  import s.implicits._
+                  s.emptyDataset[
+                      (String, String, String, String, String, Long)]
+                    .toDF("p4", "p3", "p2", "prev", "tok", "f5cnt")
+                }
+                val fg5 = ngTable("fivegrams", "p4",
+                  Seq("p4", "p3", "p2", "prev", "tok"), "f5cnt", emptyF5)
+                val ctx4 = fg4.select(col("p3").as("p4"), col("p2").as("p3"),
+                  col("prev").as("p2"), col("tok").as("prev"),
+                  col("f4cnt").as("ctx4cnt"))
+                val chain5 =
+                  when(col("f5cnt").isNotNull, col("f5cnt") / col("ctx4cnt"))
+                    .when(col("f4cnt").isNotNull,
+                      lit(alpha) * (col("f4cnt") / col("ctx3cnt")))
+                    .when(col("tcnt").isNotNull,
+                      lit(alpha * alpha) * (col("tcnt") / col("ctxcnt")))
                     .when(col("bcnt").isNotNull,
-                      lit(alpha) * (col("bcnt") / col("pcnt")))
-                    .otherwise(lit(alpha * alpha) * col("p1"))))
+                      lit(alpha * alpha * alpha) *
+                        (col("bcnt") / col("pcnt")))
+                    .otherwise(
+                      lit(alpha * alpha * alpha * alpha) * col("p1"))
+                base4
+                  .join(fg5, Seq("p4", "p3", "p2", "prev", "tok"), "left")
+                  .join(ctx4, Seq("p4", "p3", "p2", "prev"), "left")
+                  .withColumn("p", when(col("pos") === 0, col("p1"))
+                    .when(col("pos") === 1, interp)
+                    .when(col("pos") === 2, chain3)
+                    .when(col("pos") === 3, chain4)
+                    .otherwise(chain5))
+              }
+            }
           }
         scored
           .groupBy(col("id"))
@@ -1433,7 +1583,14 @@ final class TextOps(tuning: graft.config.Tuning) {
                     -- table plus eight scans (DC first 5·nb − 2, DC
                     -- refine 3·nb − 2, six AC band scans 3·nb − 2
                     -- each) → 233 + 26·nb; dims from the EFFECTIVE id
+                    -- the 4:2:2 half of the subsampled tier
+                    -- (eff % 8 = 7) = 8 bytes/MCU over 16×8 MCUs +
+                    -- RSTs → 172 + 10·nmcu
                     ELSE CASE WHEN (${Multimodal.jpegEffSql}) % 3 = 1
+                           AND (${Multimodal.jpegEffSql}) % 8 = 7
+                      THEN 172 + 10 * (((1 + (${Multimodal.jpegEffSql}) % 61 + 15)//16)
+                                       * ((1 + (${Multimodal.jpegEffSql}) % 37 + 7)//8))
+                      WHEN (${Multimodal.jpegEffSql}) % 3 = 1
                       THEN 172 + 14 * (((1 + (${Multimodal.jpegEffSql}) % 61 + 15)//16)
                                        * ((1 + (${Multimodal.jpegEffSql}) % 37 + 15)//16))
                       WHEN (${Multimodal.jpegEffSql}) % 3 = 2
@@ -1680,8 +1837,153 @@ final class TextOps(tuning: graft.config.Tuning) {
       FROM probes p LEFT JOIN sc USING (id)
       ORDER BY id"""))
 
+  /** q111: the order-5 (fivegram, stupid-backoff — the CCNet/KenLM
+    * standard quality-filter order) served scorer under the gate —
+    * q110's probe recipe through `serveSurprisal(order = 5)`, while
+    * the oracle re-derives all five n-gram tables, the Laplace
+    * denominator, and the full five-route backoff chain per token
+    * position from raw `documents`. A wrong stored 4/5-gram count, an
+    * α-power slip, or a route mishandled at any position all
+    * hash-mismatch.
+    */
+  private val q111 = Q(
+    "q111_serve_fivegram_surprisal",
+    (s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents")
+        .filter($"doc_id" % 100 === 7)
+        .select($"doc_id".as("id"), $"text")
+      val synth = Seq(
+        (900000001L, "the quick brown fox and a zzgibberish qqparade"),
+        (900000002L, "zzxqv wwyzk jjqrp"),
+        (900000003L, ""),
+        (900000004L, "and the of a in the and of the a"),
+        (900000005L, "of the of the of the of")).toDF("id", "text")
+      serveSurprisal(s, d, corpus.unionByName(synth), order = 5)
+        .orderBy($"id")
+    },
+    Some(s"""
+      WITH toks AS (SELECT $toksSqlDuck AS toks FROM documents),
+      ut AS (SELECT unnest(toks) AS tok FROM toks),
+      lm AS (SELECT tok, count(*) AS cnt FROM ut GROUP BY tok),
+      den AS (SELECT CAST(count(*) AS DOUBLE) +
+                     CAST(count(DISTINCT tok) AS DOUBLE) + 1.0 AS denom
+              FROM ut),
+      bx AS (SELECT unnest(range(1, len(toks))) AS i, toks
+             FROM toks WHERE len(toks) >= 2),
+      bg AS (SELECT toks[i] AS prev, toks[i + 1] AS tok, count(*) AS bcnt
+             FROM bx GROUP BY 1, 2),
+      tx AS (SELECT unnest(range(1, len(toks) - 1)) AS i, toks
+             FROM toks WHERE len(toks) >= 3),
+      tg AS (SELECT toks[i] AS p2, toks[i + 1] AS prev,
+               toks[i + 2] AS tok, count(*) AS tcnt
+             FROM tx GROUP BY 1, 2, 3),
+      fx AS (SELECT unnest(range(1, len(toks) - 2)) AS i, toks
+             FROM toks WHERE len(toks) >= 4),
+      fg AS (SELECT toks[i] AS p3, toks[i + 1] AS p2, toks[i + 2] AS prev,
+               toks[i + 3] AS tok, count(*) AS f4cnt
+             FROM fx GROUP BY 1, 2, 3, 4),
+      vx AS (SELECT unnest(range(1, len(toks) - 3)) AS i, toks
+             FROM toks WHERE len(toks) >= 5),
+      vg AS (SELECT toks[i] AS p4, toks[i + 1] AS p3, toks[i + 2] AS p2,
+               toks[i + 3] AS prev, toks[i + 4] AS tok, count(*) AS f5cnt
+             FROM vx GROUP BY 1, 2, 3, 4, 5),
+      probes AS (SELECT doc_id AS id, text FROM documents
+                 WHERE doc_id % 100 = 7
+                 UNION ALL
+                 SELECT * FROM (VALUES
+                   (CAST(900000001 AS BIGINT),
+                    'the quick brown fox and a zzgibberish qqparade'),
+                   (CAST(900000002 AS BIGINT), 'zzxqv wwyzk jjqrp'),
+                   (CAST(900000003 AS BIGINT), ''),
+                   (CAST(900000004 AS BIGINT),
+                    'and the of a in the and of the a'),
+                   (CAST(900000005 AS BIGINT),
+                    'of the of the of the of')) v(id, text)),
+      ptk0 AS (SELECT id, $toksSqlDuck AS toks FROM probes),
+      pe AS (SELECT id, unnest(range(1, len(toks) + 1)) AS pos, toks
+             FROM ptk0),
+      pe2 AS (SELECT id, pos, toks[pos] AS tok,
+                CASE WHEN pos > 1 THEN toks[pos - 1] END AS prev,
+                CASE WHEN pos > 2 THEN toks[pos - 2] END AS p2,
+                CASE WHEN pos > 3 THEN toks[pos - 3] END AS p3,
+                CASE WHEN pos > 4 THEN toks[pos - 4] END AS p4
+              FROM pe),
+      psc AS (SELECT id, pos,
+                (coalesce(l.cnt, 0) + 1) / (SELECT denom FROM den) AS p1,
+                CASE WHEN pl.cnt IS NULL THEN 0.0
+                     ELSE coalesce(bg.bcnt, 0) / pl.cnt END AS bterm,
+                pl.cnt AS pcnt, bg.bcnt AS bcnt,
+                tg.tcnt AS tcnt, cx.bcnt AS ctxcnt,
+                fg.f4cnt AS f4cnt, cx3.tcnt AS ctx3cnt,
+                vg.f5cnt AS f5cnt, cx4.f4cnt AS ctx4cnt
+              FROM pe2 LEFT JOIN lm l ON pe2.tok = l.tok
+                       LEFT JOIN lm pl ON pe2.prev = pl.tok
+                       LEFT JOIN bg ON pe2.prev = bg.prev
+                                   AND pe2.tok = bg.tok
+                       LEFT JOIN tg ON pe2.p2 = tg.p2
+                                   AND pe2.prev = tg.prev
+                                   AND pe2.tok = tg.tok
+                       LEFT JOIN bg cx ON pe2.p2 = cx.prev
+                                      AND pe2.prev = cx.tok
+                       LEFT JOIN fg ON pe2.p3 = fg.p3
+                                   AND pe2.p2 = fg.p2
+                                   AND pe2.prev = fg.prev
+                                   AND pe2.tok = fg.tok
+                       LEFT JOIN tg cx3 ON pe2.p3 = cx3.p2
+                                       AND pe2.p2 = cx3.prev
+                                       AND pe2.prev = cx3.tok
+                       LEFT JOIN vg ON pe2.p4 = vg.p4
+                                   AND pe2.p3 = vg.p3
+                                   AND pe2.p2 = vg.p2
+                                   AND pe2.prev = vg.prev
+                                   AND pe2.tok = vg.tok
+                       LEFT JOIN fg cx4 ON pe2.p4 = cx4.p3
+                                       AND pe2.p3 = cx4.p2
+                                       AND pe2.p2 = cx4.prev
+                                       AND pe2.prev = cx4.tok),
+      sc AS (SELECT id, count(*) AS n_tokens,
+               round(avg(-ln(CASE WHEN pos = 1 THEN p1
+                 WHEN pos = 2 THEN
+                   CAST(${tuning.lmLambda} AS DOUBLE) * bterm +
+                   CAST(${1.0 - tuning.lmLambda} AS DOUBLE) * p1
+                 WHEN pos = 3 THEN CASE
+                   WHEN tcnt IS NOT NULL THEN tcnt / ctxcnt
+                   WHEN bcnt IS NOT NULL THEN
+                     CAST(${tuning.lmAlpha} AS DOUBLE) * (bcnt / pcnt)
+                   ELSE CAST(${tuning.lmAlpha * tuning.lmAlpha} AS DOUBLE) * p1
+                 END
+                 WHEN pos = 4 THEN CASE
+                   WHEN f4cnt IS NOT NULL THEN f4cnt / ctx3cnt
+                   WHEN tcnt IS NOT NULL THEN
+                     CAST(${tuning.lmAlpha} AS DOUBLE) * (tcnt / ctxcnt)
+                   WHEN bcnt IS NOT NULL THEN
+                     CAST(${tuning.lmAlpha * tuning.lmAlpha} AS DOUBLE) *
+                       (bcnt / pcnt)
+                   ELSE CAST(${tuning.lmAlpha * tuning.lmAlpha *
+                     tuning.lmAlpha} AS DOUBLE) * p1
+                 END
+                 ELSE CASE
+                   WHEN f5cnt IS NOT NULL THEN f5cnt / ctx4cnt
+                   WHEN f4cnt IS NOT NULL THEN
+                     CAST(${tuning.lmAlpha} AS DOUBLE) * (f4cnt / ctx3cnt)
+                   WHEN tcnt IS NOT NULL THEN
+                     CAST(${tuning.lmAlpha * tuning.lmAlpha} AS DOUBLE) *
+                       (tcnt / ctxcnt)
+                   WHEN bcnt IS NOT NULL THEN
+                     CAST(${tuning.lmAlpha * tuning.lmAlpha *
+                       tuning.lmAlpha} AS DOUBLE) * (bcnt / pcnt)
+                   ELSE CAST(${tuning.lmAlpha * tuning.lmAlpha *
+                     tuning.lmAlpha * tuning.lmAlpha} AS DOUBLE) * p1
+                 END END)), 6) AS nats
+             FROM psc GROUP BY id)
+      SELECT p.id, CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+             sc.nats
+      FROM probes p LEFT JOIN sc USING (id)
+      ORDER BY id"""))
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q65, q66, q92,
-    q99, q100, q101, q103, q107, q110)
+    q99, q100, q101, q103, q107, q110, q111)
 }
 
 object TextOps {

@@ -85,6 +85,9 @@ class LmDmlSpec extends SparkTestBase {
       // …and at order 3: the trigram layer recomposes additively too
       assert(serveMap(ops, dir, order = 3) ==
         serveMap(new TextOps(Tuning()), scratch, order = 3))
+      // …and at order 5: the 4/5-gram layers recompose additively too
+      assert(serveMap(ops, dir, order = 5) ==
+        serveMap(new TextOps(Tuning()), scratch, order = 5))
     }
   }
 
@@ -130,6 +133,8 @@ class LmDmlSpec extends SparkTestBase {
         serveMap(new TextOps(Tuning()), scratch, order = 2))
       assert(serveMap(ops, dir, order = 3) ==
         serveMap(new TextOps(Tuning()), scratch, order = 3))
+      assert(serveMap(ops, dir, order = 5) ==
+        serveMap(new TextOps(Tuning()), scratch, order = 5))
     }
   }
 }

@@ -157,16 +157,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(MediaFixtures.jpeg(19L), MediaFixtures.jpeg(11L)))
     assert(java.util.Arrays.equals(MediaFixtures.jpeg(119L), MediaFixtures.jpeg(111L)))
     // id ≡ 15 (mod 20): same dims, exactly ONE scan byte differs.
-    // eff = 7 lands in the 4:2:0 SUB-tier, where the bump hits the
-    // LAST Y diff of MCU 0 — sub-block j=3, pixels y,x ∈ [8,16) —
-    // unless m(0,3) was already 31
+    // eff = 7 lands in the 4:2:2 SUB-tier (eff % 8 = 7), where the
+    // bump hits the LAST Y diff of MCU 0's two-block chain —
+    // sub-block j=1, pixels y ∈ [0,8), x ∈ [8,16) — unless m(0,1)
+    // was already 31
     val a = MediaFixtures.jpeg(7L); val b = MediaFixtures.jpeg(15L)
-    assert(MediaFixtures.jpegSub(7L))
+    assert(MediaFixtures.jpegSub422(7L))
     assert(a.length == b.length)
     val diffs = a.indices.filter(i => a(i) != b(i))
-    val m03 = MediaFixtures.jpegSubM(7L, nd = false, 0, 3)
-    assert(diffs.size == (if (m03 == 31) 0 else 1), s"diffs at $diffs")
-    // decoded rasters differ only inside Y sub-block j=3's region —
+    val m01 = MediaFixtures.jpegSub422M(7L, nd = false, 0, 1)
+    assert(diffs.size == (if (m01 == 31) 0 else 1), s"diffs at $diffs")
+    // decoded rasters differ only inside Y sub-block j=1's region —
     // here EMPTY: the image is 8×8, so the perturbed block is MCU
     // padding (byte-level near-dup, pixel-identical — hamming 0)
     import Multimodal.RealDecoders
@@ -178,8 +179,8 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(changed.forall { p =>
       val (y, x) = (p / w.toInt, p % w.toInt)
-      y >= 8 && y < 16 && x >= 8 && x < 16
-    }, "perturbation leaked outside MCU 0's j=3 sub-block")
+      y < 8 && x >= 8 && x < 16
+    }, "perturbation leaked outside MCU 0's j=1 sub-block")
     // a 4:4:4-tier near-dup pair (id 35 → eff 27, 27 % 3 = 0) still
     // perturbs exactly block 0 in pixel space
     val a4 = MediaFixtures.jpeg(27L); val b4 = MediaFixtures.jpeg(35L)
@@ -242,8 +243,9 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("jpegRaster decodes the 4:2:0 sub-tier: chained Y DPCM, NN chroma upsample") {
     import Multimodal.{MediaFixtures, RealDecoders}
-    // eff % 3 = 1 throughout; 15 exercises the near-dup bump at m(0,3)
-    for (id <- Seq(7L, 15L, 43L, 103L)) {
+    // eff % 3 = 1, eff % 8 = 3 throughout (the 4:2:2 half has its own
+    // spec); 75 exercises the near-dup bump at m(0,3) over eff 67
+    for (id <- Seq(43L, 67L, 91L, 75L)) {
       val b = MediaFixtures.jpeg(id)
       val (eff, nd) = MediaFixtures.jpegEff(id)
       assert(MediaFixtures.jpegSub(eff))
@@ -264,29 +266,87 @@ class MultimodalSpec extends AnyFunSuite {
           s"id=$id y=$y x=$x")
       }
     }
-    // the near-dup pair (15 over 7) moves EXACTLY one 8×8 block's luma
-    // by −1 (the LAST diff in MCU 0's chain) — visible only where that
-    // sub-block has pixels (eff 7 is 8×8, so here it is MCU padding:
-    // byte-level near-dup, pixel-identical)
+    // the near-dup pair (75 over 67) moves EXACTLY one 8×8 block's
+    // luma by −1 (the LAST diff in MCU 0's chain) — visible only
+    // where that sub-block has pixels (eff 67 is 7 wide, so here it
+    // is MCU padding: byte-level near-dup, pixel-identical)
+    val Some((_, _, _, p67)) = RealDecoders.jpegRaster(MediaFixtures.jpeg(67L))
+    val Some((_, _, _, p75)) = RealDecoders.jpegRaster(MediaFixtures.jpeg(75L))
+    val diffs = p67.indices.count(i => p67(i) != p75(i))
+    assert(diffs <= 8 * 8 * 3,
+      s"near-dup perturbation out of bounds: $diffs bytes differ")
+
+    // 4:2:0-specific corruption refuses cleanly (never throws)
+    val good = MediaFixtures.jpeg(43L)
+    def flip(at: Int, to: Int): Array[Byte] = {
+      val c = good.clone(); c(at) = to.toByte; c
+    }
+    // luma sampling 0x12 is outside every accepted shape (SOF comp 1
+    // sampling byte sits at SOF segment offset +10 = 139 + 11)
+    assert((good(150) & 0xff) == 0x22, "layout drifted: luma sampling")
+    assert(RealDecoders.jpegRaster(flip(150, 0x12)).isEmpty)
+    // relabeling the 4:2:0 scan as 4:2:2 desynchronizes its restart
+    // cadence (4 blocks consumed where 6 were coded) — refuse
+    assert(RealDecoders.jpegRaster(flip(150, 0x21)).isEmpty)
+    // truncation mid-MCU (after two of the four Y entries)
+    assert(RealDecoders.jpegRaster(good.take(172 + 4)).isEmpty)
+    // a bare 0xFF on the third Y codeword
+    assert(RealDecoders.jpegRaster(flip(172 + 4, 0xff)).isEmpty)
+  }
+
+  test("jpegRaster decodes the 4:2:2 sub-tier: two-block Y chain, 16×8 MCUs") {
+    import Multimodal.{MediaFixtures, RealDecoders}
+    // eff % 3 = 1, eff % 8 = 7 throughout: 103 generic, 31 an
+    // exact-dup source, 39 its byte-replay, 7/15 a near-dup pair
+    for (id <- Seq(103L, 31L, 39L, 7L, 15L)) {
+      val b = MediaFixtures.jpeg(id)
+      val (eff, nd) = MediaFixtures.jpegEff(id)
+      assert(MediaFixtures.jpegSub422(eff))
+      assert((b(150) & 0xff) == 0x21, "layout drifted: 2×1 luma sampling")
+      val (w, h) = ((1 + eff % 61).toInt, (1 + eff % 37).toInt)
+      val nb = ((w + 15) / 16) * ((h + 7) / 8)
+      // the q66 byte-count formula for the 4:2:2 tier
+      assert(b.length == 172 + 10 * nb, s"id=$id byte count ${b.length}")
+      val Some((dw, dh, ch, px)) = RealDecoders.jpegRaster(b)
+      assert(dw == w && dh == h && ch == 3)
+      assert(px.length == w * h * 3)
+      val nmcuX = (w + 15) / 16
+      for (y <- 0 until h; x <- 0 until w) {
+        val k = (y / 8) * nmcuX + (x / 16)
+        val j = (x / 8) % 2
+        val yy = MediaFixtures.jpegSub422YPix(eff, nd, k, j)
+        // chroma: one flat 8×8 block per MCU, NN-upsampled over 16×8
+        val (_, cb, cr) = ycbcrOf(eff, nd = false, k)
+        val (r, g, bb) = rgbOf(yy, cb, cr)
+        val o = (y * w + x) * 3
+        assert((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff) == ((r, g, bb)),
+          s"id=$id y=$y x=$x")
+      }
+    }
+    // the injected pairs: 39 replays 31 byte-for-byte; 15 perturbs 7
+    // by one quant step on the LAST diff of MCU 0's two-block chain
+    assert(java.util.Arrays.equals(
+      MediaFixtures.jpeg(39L), MediaFixtures.jpeg(31L)))
     val Some((_, _, _, p7)) = RealDecoders.jpegRaster(MediaFixtures.jpeg(7L))
     val Some((_, _, _, p15)) = RealDecoders.jpegRaster(MediaFixtures.jpeg(15L))
     val diffs = p7.indices.count(i => p7(i) != p15(i))
     assert(diffs <= 8 * 8 * 3,
       s"near-dup perturbation out of bounds: $diffs bytes differ")
 
-    // 4:2:0-specific corruption refuses cleanly (never throws)
-    val good = MediaFixtures.jpeg(7L)
+    // 4:2:2-specific corruption refuses cleanly
+    val good = MediaFixtures.jpeg(31L) // 32×32: 2×4 = 8 MCUs
     def flip(at: Int, to: Int): Array[Byte] = {
       val c = good.clone(); c(at) = to.toByte; c
     }
-    // luma sampling 0x21 is outside both accepted shapes (SOF comp 1
-    // sampling byte sits at SOF segment offset +10 = 139 + 11)
-    assert((good(150) & 0xff) == 0x22, "layout drifted: luma sampling")
-    assert(RealDecoders.jpegRaster(flip(150, 0x21)).isEmpty)
-    // truncation mid-MCU (after two of the four Y entries)
-    assert(RealDecoders.jpegRaster(good.take(172 + 4)).isEmpty)
-    // a bare 0xFF on the third Y codeword
-    assert(RealDecoders.jpegRaster(flip(172 + 4, 0xff)).isEmpty)
+    // 1×2 sampling is outside every accepted shape
+    assert(RealDecoders.jpegRaster(flip(150, 0x12)).isEmpty)
+    // relabeling the 4:2:2 scan as 4:2:0 desynchronizes its restart
+    // cadence (6 blocks expected where 4 were coded) — refuse
+    assert(RealDecoders.jpegRaster(flip(150, 0x22)).isEmpty)
+    // truncation mid-MCU (after one of the two Y entries)
+    assert(RealDecoders.jpegRaster(good.take(172 + 2)).isEmpty)
+    // a bare 0xFF on the second Y codeword
+    assert(RealDecoders.jpegRaster(flip(172 + 2, 0xff)).isEmpty)
   }
 
   test("jpegRaster decodes the PROGRESSIVE sub-tier: multi-scan, EOB-run AC bands") {

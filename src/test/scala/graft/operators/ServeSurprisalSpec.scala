@@ -132,6 +132,50 @@ class ServeSurprisalSpec extends SparkTestBase {
     }
   }
 
+  test("order 5: every backoff route at position 4, derived from prefix deltas") {
+    withTempRoot {
+      import spark.implicits._
+      // corpus: "a b c d e" ×2, "a b c d f" → unigrams a,b,c,d = 3,
+      // e = 2, f = 1 (T = 15, V = 6, denom = 22); 4-grams
+      // (a,b,c,d) = 3, (b,c,d,e) = 2; 5-grams (a,b,c,d,e) = 2;
+      // trigram (c,d,e) = 2 over bigram (c,d) = 3; bigram (d,e) = 2
+      // over unigram d = 3
+      val dir = writeCorpus(Seq(
+        (0L, "a b c d e"), (1L, "a b c d e"), (2L, "a b c d f")))
+      val alpha = 0.4
+      // (4-token prefix, 5th token, expected pos-4 route probability):
+      // scoring at position i depends only on the preceding tokens, so
+      // 5·nats(prefix+tok) − 4·nats(prefix) isolates the pos-4 term
+      val cases = Seq(
+        ("a b c d", "e", 2.0 / 3.0),                        // 5-gram
+        ("f b c d", "e", alpha * (2.0 / 3.0)),              // α·4-gram
+        ("a a c d", "e", alpha * alpha * (2.0 / 3.0)),      // α²·trigram
+        ("a a a d", "e", alpha * alpha * alpha * (2.0 / 3.0)), // α³·bigram
+        ("a a a a", "e",
+          alpha * alpha * alpha * alpha * (3.0 / 22.0)))    // α⁴·P₁
+      val probes = cases.zipWithIndex.flatMap { case ((pre, tok, _), i) =>
+        Seq((i * 2L, pre), (i * 2L + 1L, s"$pre $tok")) }
+      val out = new TextOps(Tuning())
+        .serveSurprisal(spark, dir, probes.toDF("id", "text"), order = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      for ((((_, _, route), i)) <- cases.zipWithIndex) {
+        val contrib = 5 * out(i * 2L + 1L) - 4 * out(i * 2L)
+        assert(math.abs(contrib - (-math.log(route))) < 2e-5,
+          s"route $i: got $contrib, want ${-math.log(route)}")
+      }
+      // a probe too short to form a 5-gram scores IDENTICALLY at
+      // orders 4 and 5 (the positional-prefix property), and a
+      // 3-token probe identically at orders 3, 4, and 5
+      val shorts = Seq((100L, "a b c d"), (101L, "a b c")).toDF("id", "text")
+      def m(o: Int) = new TextOps(Tuning())
+        .serveSurprisal(spark, dir, shorts, order = o)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val (m3, m4, m5) = (m(3), m(4), m(5))
+      assert(m4(100L) == m5(100L))
+      assert(m3(101L) == m4(101L) && m4(101L) == m5(101L))
+    }
+  }
+
   test("order 2 over a corpus with NO bigrams (all 1-token docs) serves, not throws") {
     withTempRoot {
       import spark.implicits._
