@@ -85,6 +85,27 @@ object ServeProbe {
       .where(col("doc_id") < 32)
       .select((col("doc_id") + 900000000L).as("doc_id"), col("blob"))
 
+    // the LARGE-probe batch (r17, the localCheckpoint audit): a FIXED
+    // 100k-document frame — past the serve's collect cap, so the
+    // n-gram prune takes the distributed semi-join fallback — served
+    // against every decade's store. The serve-side localCheckpoint
+    // materializes the PROBE tokens, so the cell must stay
+    // corpus-flat; a corpus-proportional term here would be the
+    // materialization leak the audit exists to catch.
+    lazy val bigProbeDir = operators.SyntheticCorpus
+      .ensureText(spark, 100000L, lexicon)
+    def bigProbe = spark.read
+      .parquet(s"$bigProbeDir/documents.parquet")
+      .select((col("doc_id") + 800000000L).as("id"), col("text"))
+
+    // the dHash large probe: 2000 stored blobs replayed under fresh
+    // ids — the probe-side decode dominates; the serve-side
+    // localCheckpoint holds 2000 signatures whatever the corpus size
+    def bigMediaProbe(dir: String) = operators.Multimodal.MediaLake
+      .table(spark, dir)
+      .where(col("doc_id") < 2000)
+      .select((col("doc_id") + 800000000L).as("doc_id"), col("blob"))
+
     def cells(dir: String): Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "runs" -> (() => search.serveRuns(spark, dir, probeBatch(dir))),
       "bmhead" -> (() => search.serveBm25(spark, dir, headTerms, 20)),
@@ -104,6 +125,14 @@ object ServeProbe {
       // tok) join against the bucketed trigram table, pruned by the
       // same collected prev set as the bigram scan
       "surprisal3" -> (() => textOps.serveSurprisal(spark, dir, probeBatch(dir), order = 3)),
+      // r17: the order-5 chain — two more bucketed joins (4/5-gram),
+      // all pruned by the one collected prev set
+      "surprisal5" -> (() => textOps.serveSurprisal(spark, dir, probeBatch(dir), order = 5)),
+      // r17: the LARGE-probe audit cells (see bigProbe above) — must
+      // stay corpus-flat: the only localCheckpoint on these paths is
+      // the probe-sized frame
+      "bigsurp3" -> (() => textOps.serveSurprisal(spark, dir, bigProbe, order = 3)),
+      "bigdhash" -> (() => mediaDedup.serveDhashMatches(spark, dir, bigMediaProbe(dir))),
       // r15: the perceptual-dedup serve — pass 1 of the first cell
       // carries media-fixture generation + the decode→dHash lake build
       "dhash" -> (() => mediaDedup.serveDhashMatches(spark, dir, mediaProbe(dir))))
@@ -153,7 +182,8 @@ object ServeProbe {
     def jnum(v: Double): String = if (v.isNaN) "null" else num(v, 2)
     val sorted = mults.sorted
     val names = Seq("runs", "bmhead", "bmhot", "bmtail", "surprisal",
-      "surprisal2", "surprisal3", "dhash")
+      "surprisal2", "surprisal3", "surprisal5", "bigsurp3", "bigdhash",
+      "dhash")
     val qJson = names.map { q =>
       val per = sorted.map { m =>
         val p = results(m)(q)

@@ -54,6 +54,26 @@ class DhashLakeSpec extends SparkTestBase {
   // 15 one-quant-step near-dup of 7)
   private val baseIds: Seq[Long] = 0L until 22L
 
+  test("a probe batch far larger than the corpus serves probe-bounded") {
+    withTempRoot {
+      import spark.implicits._
+      val dir = writeCorpus(baseIds)
+      // 1000 probes generated EXECUTOR-side, each replaying fixture id
+      // 11's bytes under a fresh id: the serve's only materialized
+      // frame is the probe signatures (1000 rows, never corpus-shaped
+      // — the large-probe localCheckpoint audit; the m-decade twin is
+      // ServeProbe's bigdhash cell)
+      val probes = spark.range(1000)
+        .map(i => (5000L + i, MediaFixtures.jpeg(11L)))
+        .toDF("doc_id", "blob")
+      val out = ops.serveDhashMatches(spark, dir, probes)
+        .groupBy($"probe_id").count().collect()
+      // every probe matches the stored 11 AND its byte-replay 19
+      assert(out.length == 1000)
+      assert(out.forall(_.getLong(1) == 2L))
+    }
+  }
+
   test("injected fixture pairs surface as perceptual matches; serve excludes self") {
     withTempRoot {
       val dir = writeCorpus(baseIds)

@@ -176,6 +176,31 @@ class ServeSurprisalSpec extends SparkTestBase {
     }
   }
 
+  test("a past-the-collect-cap probe batch serves through the distributed fallback") {
+    withTempRoot {
+      import spark.implicits._
+      val dir = writeCorpus(Seq(
+        (0L, "a b c d e"), (1L, "a b c d e"), (2L, "a b c d f")))
+      // 20k probe docs with > 4096 distinct prev tokens: the collected
+      // prune list overflows, so every n-gram table takes the
+      // distributed semi-join fallback — and the serve's only
+      // materialized frame stays the PROBE-sized one (the large-probe
+      // localCheckpoint audit; the m-decade twin is ServeProbe's
+      // bigsurp3 cell). Generated executor-side: the batch never
+      // touches the driver.
+      val probe = spark.range(20000)
+        .selectExpr("id", "concat('w', id % 8000, ' a b c d e') AS text")
+      val out = new TextOps(Tuning())
+        .serveSurprisal(spark, dir, probe, order = 5)
+      val rows = out.collect()
+      assert(rows.length == 20000)
+      assert(rows.forall(r => r.getLong(1) == 6L && !r.isNullAt(2)))
+      // every probe shares the tail "a b c d e"; its surprisal varies
+      // only through the OOV head token — one distinct score
+      assert(rows.map(_.getDouble(2)).distinct.length == 1)
+    }
+  }
+
   test("order 2 over a corpus with NO bigrams (all 1-token docs) serves, not throws") {
     withTempRoot {
       import spark.implicits._
