@@ -943,7 +943,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
         .unionAll(recallOf("lsh", lshDF(s, d, ctx)))
         .unionAll(recallOf("pq_adc", adcNN))
         .unionAll(recallOf("ivfadc", iadcNN))
-        .unionAll(recallOf("ivfadc_refined", refinedDF(ctx, iadcScored)))
+        .unionAll(recallOf("ivfadc_refined", refinedDF(s, d, ctx, iadcScored)))
         .orderBy($"method")
     },
     Some(s"""
@@ -1527,10 +1527,11 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     val qs = queryVecs.filter(q => q._2 != null && q._2.nonEmpty)
       .map { case (qid, vf) => (qid, vf.map(_.toDouble)) }
     val cb = loadIvfCodebook(s, d)
-    val qprobes = qs.flatMap { case (qid, v) =>
+    val probesLocal = qs.flatMap { case (qid, v) =>
       Similarity.nearestCells(v, cb, tuning.nprobe)
         .map { case (cell, _) => (qid, cell) }
-    }.toDF("q_id", "cell")
+    }
+    val qprobes = probesLocal.toDF("q_id", "cell")
     val qcomp = qs.flatMap { case (qid, v) =>
       v.iterator.zipWithIndex.map { case (x, i) => (qid, i, x) }
     }.toDF("q_id", "i", "qv")
@@ -1540,7 +1541,11 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       while (i < v.length) { s2 += v(i) * v(i); i += 1 }
       (qid, math.sqrt(s2))
     }.toDF("q_id", "qn")
-    searchFrom(s, d, qprobes, qcomp, qn, k, refine, bcast = true)
+    // queries, probes and both codebooks are driver-held — the residual
+    // LUT is pure driver arithmetic ([[denseResidualLut]]); zero LUT jobs
+    val dense = denseResidualLut(s, qs, probesLocal, cb,
+      loadResPqCodebook(s, d))
+    searchFrom(s, d, qprobes, qcomp, qn, k, refine, bcast = true, Some(dense))
   }
 
   /** Bulk, DataFrame-native serve — [[search]] for a query BATCH that
@@ -1585,7 +1590,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       .select($"q_id", $"pos".as("i"), $"col".as("qv"))
     val qn = qcomp.groupBy($"q_id")
       .agg(sqrt(sum($"qv" * $"qv")).as("qn"))
-    searchFrom(s, d, qprobes, qcomp, qn, k, refine, bcast = false)
+    searchFrom(s, d, qprobes, qcomp, qn, k, refine, bcast = false, None)
   }
 
   /** The shared serving tail behind both [[search]] overloads, from
@@ -1597,7 +1602,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     */
   private def searchFrom(s: SparkSession, d: String, qprobes: DataFrame,
       qcomp: DataFrame, qn: DataFrame, k: Int, refine: Boolean,
-      bcast: Boolean): DataFrame = {
+      bcast: Boolean, dense: Option[DenseLut]): DataFrame = {
     import s.implicits._
     def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     // ONE composition snapshot for the whole serve: every live
@@ -1618,17 +1623,23 @@ final class Similarity(val tuning: Tuning) extends Serializable {
         Seq("n_id"), "left_anti"))
     val cand = home.join(hint(qprobes), "cell")
       .select($"q_id", $"n_id", $"cell")
-    // RESIDUAL ADC — the q49 arithmetic via the SHARED plan-side LUT
-    // derivation ([[residualLut]]): the query batch ships as a
-    // (q_id, i, qv) exploded frame (nq × dims doubles), and the
-    // nq × nprobe × subs × cents LUT is computed distributed — never
-    // materialized on the driver
-    val lut = residualLut(s, d, qprobes, qcomp)
-    val scored = cand
-      .join(withDeltas(s, d, v, resCodesDF(s, d), "pq_res_codes",
-        baseReplacesRoot = true), "n_id")
-      .join(hint(lut), Seq("q_id", "cell", "sub", "cent"))
-      .groupBy($"q_id", $"n_id")
+    // RESIDUAL ADC — the q49 arithmetic. Ad-hoc batches (`dense`
+    // present: queries, probes and codebooks are driver-held) score via
+    // the dense broadcast LUT — one array load per code row, no
+    // broadcast hash relation ([[DenseLut]]); the bulk overload keeps
+    // the plan-side LUT derivation ([[residualLut]]): a million-query
+    // batch's LUT is computed distributed, never on the driver.
+    val codesView = withDeltas(s, d, v, resCodesDF(s, d), "pq_res_codes",
+      baseReplacesRoot = true)
+    val scored = (dense match {
+      case Some(dl) =>
+        cand.join(codesView, "n_id")
+          .withColumn("pd2", dl.pd2($"q_id", $"cell", $"sub", $"cent"))
+      case None =>
+        cand.join(codesView, "n_id")
+          .join(residualLut(s, d, qprobes, qcomp),
+            Seq("q_id", "cell", "sub", "cent"))
+    }).groupBy($"q_id", $"n_id")
       .agg(sum($"pd2").as("d2"))
     val ranked = scored.withColumn("rk", row_number().over(
       Window.partitionBy($"q_id").orderBy(r6($"d2"), $"n_id")))
@@ -1640,28 +1651,38 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     else {
       val topR = ranked.filter($"rk" <= tuning.refineFactor.toLong * k)
         .select($"q_id", $"n_id")
-      // exact-refine floats: the corpus explode ∪ the generation's
-      // folded vectors ∪ each unconsumed segment's stored vectors,
-      // unpacked with the identical transform
-      val u0 = unpacked(s, d).select($"vec_id", $"i", $"v")
+      // exact-refine floats, PACKED: the corpus table ∪ the generation's
+      // folded vectors ∪ each unconsumed segment's stored vectors, kept
+      // as arrays and joined to the shortlist on n_id — ONE corpus scan,
+      // no n×dims explode, and candidate norms computed per shortlist
+      // row (the previous form ran a full-corpus norms AGGREGATE per
+      // serve call — corpus-proportional serve work — plus a
+      // shortlist×dims broadcast hash relation). The `aggregate` HOF
+      // accumulates i-ascending in double, the exact order the norms
+      // hash aggregate consumed the posexplode rows, and the dot's
+      // per-(q, n) sum still reduces i-ascending — cosine doubles are
+      // bit-unchanged (oracle-gated).
+      val e0 = t(s, d, "embeddings").select($"vec_id",
+        expr("transform(embedding, x -> cast(x as double))").as("embedding"))
       val addedVecDirs =
         v.base.flatMap(b => ArtifactLake.tableIfPresent(Some(b), "vectors"))
           .map(_.getAbsolutePath).toSeq ++
         ArtifactLake.tableIfPresent(v.gen, "vectors")
           .map(_.getAbsolutePath).toSeq ++
         deltaDirs(d, v).map(dir => s"${dir.getAbsolutePath}/vectors")
-      val u = addedVecDirs.foldLeft(u0)((acc, p) =>
-        acc.unionByName(s.read.parquet(p)
-          .select($"vec_id", posexplode(
-            expr("transform(embedding, x -> cast(x as double))")))
-          .withColumnRenamed("pos", "i").withColumnRenamed("col", "v")))
-      val n = norms(u)
-      val dots = hint(hint(topR).join(qcomp, "q_id"))
-        .join(u.select($"vec_id".as("n_id"), $"i", $"v"), Seq("n_id", "i"))
+      val emb = addedVecDirs.foldLeft(e0)((acc, p) =>
+        acc.unionByName(s.read.parquet(p).select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("embedding"))))
+      val pairs = hint(topR)
+        .join(emb.withColumnRenamed("vec_id", "n_id"), "n_id")
+        .withColumn("cn", sqrt(expr(
+          "aggregate(embedding, cast(0 as double), (a, x) -> a + x * x)")))
+      val scoredRef = pairs.join(hint(qcomp), "q_id")
+        .select($"q_id", $"n_id", $"cn",
+          ($"qv" * $"embedding"($"i")).as("pd"))
         .groupBy($"q_id", $"n_id")
-        .agg(sum($"qv" * $"v").as("dot"))
-      dots.join(hint(qn), "q_id")
-        .join(hint(n.select($"vec_id".as("n_id"), $"nrm".as("cn"))), "n_id")
+        .agg(sum($"pd").as("dot"), max($"cn").as("cn"))
+      scoredRef.join(hint(qn), "q_id")
         .withColumn("cosine", $"dot" / ($"qn" * $"cn"))
         .withColumn("rk", row_number().over(
           Window.partitionBy($"q_id").orderBy(r6($"cosine").desc, $"n_id")))
@@ -2560,25 +2581,108 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * each vector encoded as x − centroid(home cell)), and the
     * per-(query, probed cell) lookup table: the query's residual
     * w.r.t. EACH probed cell's centroid, scored against the residual
-    * PQ codebook. The LUT is nq × nprobe × subs × cents rows —
-    * broadcast, like FAISS's per-probe LUT recomputation.
+    * PQ codebook. The LUT rides as a DENSE broadcast ([[DenseLut]]) —
+    * FAISS's per-probe LUT recomputation, done on the driver.
     */
-  private case class ResAdcCtx(codes: DataFrame, lut: DataFrame)
+  private case class ResAdcCtx(codes: DataFrame, lut: DenseLut)
+
+  /** The residual ADC LUT as FAISS holds it: dense primitive arrays,
+    * computed DRIVER-side from the driver-held codebooks (the coarse
+    * codebook is √n×dims, the residual PQ codebook subs×cents×subDim —
+    * both always driver-small) and the ≤ annQueries query vectors.
+    * Replaces the previous plan-side LUT derivation whose
+    * nq × nprobe × subs × cents row output (3.3M rows at the default
+    * knobs) was collected and built into a broadcast HASH RELATION on
+    * the driver for every serving call — seconds of single-threaded
+    * driver work per query (measured: the 2.4 s flat gap in q49's job
+    * timeline) against ~26M flops of actual arithmetic. The dense form
+    * broadcasts the same doubles as flat arrays (no per-row unsafe-row
+    * framing, no hash build) and the scored join's 4-key hash probe
+    * becomes one array load ([[ivfadcScoredDF]]).
+    *
+    * Bit-compat: pd2 sums (rqv − cv)² over the codebook's present sd
+    * pairs in sd-ascending order with rqv = qv − coalesce(coarse, 0) —
+    * exactly the row order the previous hash aggregate consumed
+    * (posexplode emits i ascending; a (q, cell, sub, cent) group never
+    * spans partitions), so the scored d2 doubles are unchanged.
+    *
+    * `lut((q, cell))` is an array indexed `sub * width + centIdx(cent)`;
+    * a (sub, cent) with no contributing dims holds 0.0 — the same d2
+    * the previous inner join produced by dropping that addend.
+    */
+  private case class DenseLut(
+      bcLut: org.apache.spark.broadcast.Broadcast[Map[(Long, Long), Array[Double]]],
+      bcCent: org.apache.spark.broadcast.Broadcast[Map[Long, Int]],
+      width: Int) {
+    /** pd2 as a column over (q_id, cell, sub, cent) — the array load
+      * that replaces the broadcast-hash LUT probe. */
+    def pd2(q: org.apache.spark.sql.Column, cell: org.apache.spark.sql.Column,
+        sub: org.apache.spark.sql.Column, cent: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      val w = width
+      val bl = bcLut
+      val bcix = bcCent
+      val f = udf((qv: Long, cl: Long, sb: Int, ct: Long) =>
+        bl.value((qv, cl))(sb * w + bcix.value(ct)))
+      f(q, cell, sub, cent)
+    }
+  }
+
+  private def denseResidualLut(s: SparkSession,
+      qs: Seq[(Long, Array[Double])], probes: Seq[(Long, Long)],
+      coarse: Codebook, rcb: PqCodebook): DenseLut = {
+    val subDim = tuning.pqSubDim
+    val coarseById = coarse.toMap
+    val cents = rcb.map(_._1).distinct.sorted
+    val centIdx = cents.zipWithIndex.toMap
+    val width = cents.length
+    val nSubs = if (rcb.isEmpty) 0 else rcb.map(_._2).max + 1
+    val qById = qs.toMap
+    val lut = probes.iterator.flatMap { case (qid, cell) =>
+      qById.get(qid).map { qv =>
+        val c = coarseById.getOrElse(cell, Array.empty[Double])
+        val arr = new Array[Double](nSubs * width)
+        rcb.foreach { case (cent, sub, pairs) =>
+          var acc = 0.0
+          var pi = 0
+          while (pi < pairs.length) { // pairs sorted by sd — i-ascending
+            val (sd, cv) = pairs(pi)
+            val i = sub * subDim + sd
+            if (i < qv.length) {
+              val rqv = qv(i) - (if (i < c.length) c(i) else 0.0)
+              val diff = rqv - cv
+              acc += diff * diff
+            }
+            pi += 1
+          }
+          arr(sub * width + centIdx(cent)) = acc
+        }
+        ((qid, cell), arr)
+      }
+    }.toMap
+    DenseLut(s.sparkContext.broadcast(lut),
+      s.sparkContext.broadcast(centIdx), width)
+  }
 
   private def resAdcCtx(s: SparkSession, d: String,
       shared: Option[DataFrame] = None): ResAdcCtx = {
     import s.implicits._
     ensureIndex(s, d)
     val codes = resCodesDF(s, d)
-    val probed = shared.getOrElse(probedDF(s, d))
-    val qprobes = probed.filter($"vec_id" < tuning.annQueries)
-      .select($"vec_id".as("q_id"), $"cell")
-    val qs = pqEmb(s, d)
+    // driver-side LUT inputs: the ≤ annQueries query vectors (row-group
+    // pruned by the vec_id predicate) and their stored probe cells
+    // (annQueries × nprobe rows) — two bounded collects replacing the
+    // corpus-independent but 3.3M-row plan-side LUT subtree
+    val qs = t(s, d, "embeddings")
       .filter($"vec_id" < tuning.annQueries && $"embedding".isNotNull)
-      .select($"vec_id".as("q_id"),
-        posexplode(expr("transform(embedding, x -> cast(x as double))")))
-      .select($"q_id", $"pos".as("i"), $"col".as("qv"))
-    ResAdcCtx(codes, residualLut(s, d, qprobes, qs))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toSeq
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    val probes = shared.getOrElse(probedDF(s, d))
+      .filter($"vec_id" < tuning.annQueries)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toSeq
+    ResAdcCtx(codes, denseResidualLut(s, qs, probes,
+      loadIvfCodebook(s, d), loadResPqCodebook(s, d)))
   }
 
   /** The residual LUT derivation, shared by the corpus tiers
@@ -2635,7 +2739,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       .filter($"q_id" =!= $"n_id")
       .select($"q_id", $"n_id", $"cell")
     cand.join(radc.codes, "n_id")
-      .join(broadcast(radc.lut), Seq("q_id", "cell", "sub", "cent"))
+      .withColumn("pd2", radc.lut.pd2($"q_id", $"cell", $"sub", $"cent"))
       .groupBy($"q_id", $"n_id")
       .agg(sum($"pd2").as("d2"))
   }
@@ -2647,24 +2751,34 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * expensive precision is paid only for the shortlist). Emits the
     * refined nearest neighbor per query `(a_id, nn_id)`.
     */
-  private def refinedDF(ctx: AnnCtx, scored: DataFrame): DataFrame = {
-    val s = scored.sparkSession
+  private def refinedDF(s: SparkSession, d: String, ctx: AnnCtx,
+      scored: DataFrame): DataFrame = {
     import s.implicits._
     val topR = scored.withColumn("rk", row_number().over(
         Window.partitionBy($"q_id").orderBy(r6($"d2"), $"n_id")))
       .filter($"rk" <= tuning.refineFactor * 5)
       .select($"q_id", $"n_id")
-    val qU = ctx.u.select($"vec_id".as("q_id"), $"i", $"v".as("qv"))
-    val nU = ctx.u.select($"vec_id".as("n_id"), $"i", $"v".as("nv"))
-    // pairs × query components is nq·R·dim rows — always the broadcast
-    // side against the corpus-sized exploded table
-    val dots = broadcast(broadcast(topR).join(qU, "q_id"))
-      .join(nU, Seq("n_id", "i"))
+    // PACKED exact re-rank (the [[searchFrom]] refine shape): shortlist
+    // joined to the corpus table's arrays — no shortlist×dims broadcast
+    // hash relation, no corpus-sized norm-table broadcasts (the previous
+    // form broadcast ctx.n — n rows — twice); candidate norms come from
+    // the same join row's array, i-ascending like the norms aggregate,
+    // query norms from the ctx.n cache pruned to the annQueries set.
+    val emb = t(s, d, "embeddings").select($"vec_id".as("n_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val pairs = broadcast(topR).join(emb, "n_id")
+      .withColumn("cn", sqrt(expr(
+        "aggregate(embedding, cast(0 as double), (a, x) -> a + x * x)")))
+    val qU = ctx.u.filter($"vec_id" < tuning.annQueries)
+      .select($"vec_id".as("q_id"), $"i", $"v".as("qv"))
+    val dots = pairs.join(broadcast(qU), "q_id")
+      .select($"q_id", $"n_id", $"cn",
+        ($"qv" * $"embedding"($"i")).as("pd"))
       .groupBy($"q_id", $"n_id")
-      .agg(sum($"qv" * $"nv").as("dot"))
+      .agg(sum($"pd").as("dot"), max($"cn").as("cn"))
     dots
-      .join(broadcast(ctx.n.select($"vec_id".as("q_id"), $"nrm".as("qn"))), "q_id")
-      .join(broadcast(ctx.n.select($"vec_id".as("n_id"), $"nrm".as("cn"))), "n_id")
+      .join(broadcast(ctx.n.filter($"vec_id" < tuning.annQueries)
+        .select($"vec_id".as("q_id"), $"nrm".as("qn"))), "q_id")
       .withColumn("cosine", $"dot" / ($"qn" * $"cn"))
       .withColumn("rk", row_number().over(
         Window.partitionBy($"q_id").orderBy(r6($"cosine").desc, $"n_id")))
@@ -2924,7 +3038,11 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     "q68_vector_store_serve",
     (s, d) => {
       import s.implicits._
-      val qs = pqEmb(s, d)
+      // direct pruned read: the previous pqEmb(...).filter(...).collect()
+      // materialized (and cached) the ENTIRE corpus Dataset to pick the
+      // first annQueries vectors; the vec_id predicate row-group-prunes
+      // the bare scan instead
+      val qs = t(s, d, "embeddings")
         .filter($"vec_id" < tuning.annQueries)
         .select($"vec_id", $"embedding").as[(Long, Array[Float])]
         .collect().toSeq

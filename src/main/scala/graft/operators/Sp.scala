@@ -432,55 +432,72 @@ final class Sp(val tuning: Tuning) extends Serializable {
 
   /** One Viterbi pass: CTEs suffixed `_$r`, from `$words(w, freq)`
     * under `$pieces(piece, cnt)`, ending in `vpcs_$r(w, freq, pcs)`.
+    *
+    * SET-BASED (recursive-CTE) formulation, no list lambdas: the
+    * original nested `list_reduce` DP hit a DuckDB 1.0.0 vectorized-
+    * lambda row-misalignment bug under `threads > 1` — the backward
+    * walk seeded from ANOTHER ROW's word length, producing
+    * non-concatenating segmentations (sf0.001's q108: the oracle
+    * emitted `sp·ark` where its own single-threaded evaluation and the
+    * engine agree on `s·par·k`; 'line' degraded to `['l']`). The DP is
+    * plain SQL now: `vdp` carries best[j−0..j−(L−1)] as a sliding
+    * window through one recursion over positions (max over the k
+    * candidates per level — the same addends, so the same doubles),
+    * `vbk` re-derives each position's LONGEST maximizing piece (max k
+    * with best[j−k] + lp = best[j] — the engine's ascending-k ≥ scan
+    * winner), and `vwalk` reconstructs the path by recursion over the
+    * backpointer table. Requires the enclosing query to say
+    * WITH RECURSIVE.
     */
-  private def viterbiSql(r: String, pieces: String, words: String): String = s"""
+  private def viterbiSql(r: String, pieces: String, words: String): String = {
+    val caseArms = (1 to L).map(k => s"WHEN ${k} THEN d.b${k - 1}").mkString(" ")
+    val baseNulls = (1 until L).map(i => s"CAST(NULL AS DOUBLE) AS b$i").mkString(", ")
+    val shifted = (0 until L - 1).map(i => s"d.b$i AS b${i + 1}").mkString(", ")
+    val groupCols = (0 until L).map(i => s"d.b$i").mkString(", ")
+    s"""
       vtot_$r AS (SELECT CAST(sum(cnt) AS DOUBLE) +
                          CAST(count(*) AS DOUBLE) AS denom FROM $pieces),
       vg_$r AS (SELECT w, freq, length(w) AS n,
-                  unnest(range(0, length(w) * $L)) AS idx FROM $words),
-      vg2_$r AS (SELECT w, freq, n, idx, (idx // $L) + 1 AS j,
-                   (idx % $L) + 1 AS k FROM vg_$r),
-      vsub_$r AS (SELECT w, freq, n, idx,
-                    CASE WHEN k <= j THEN
-                      substr(w, CAST(j - k + 1 AS INT), CAST(k AS INT))
-                    END AS sub
-                  FROM vg2_$r),
-      vlp_$r AS (SELECT vsub_$r.w, vsub_$r.freq, vsub_$r.n, vsub_$r.idx,
+                  unnest(range(1, length(w) + 1)) AS j FROM $words),
+      vk_$r AS (SELECT w, freq, n, j,
+                  unnest(range(1, least($L, j) + 1)) AS k FROM vg_$r),
+      vlp_$r AS (SELECT v.w, v.freq, v.n, v.j, v.k,
                    CASE WHEN p.piece IS NOT NULL
                         THEN ln((p.cnt + 1) / (SELECT denom FROM vtot_$r))
                         ELSE -1e18 END AS lp
-                 FROM vsub_$r LEFT JOIN $pieces p ON vsub_$r.sub = p.piece),
-      vlist_$r AS (SELECT w, freq, n, list(lp ORDER BY idx) AS lps
-                   FROM vlp_$r GROUP BY w, freq, n),
-      vbest_$r AS (SELECT w, freq, n, lps,
-        list_reduce(
-          list_prepend([0.0],
-            list_transform(range(1, n + 1), j -> [CAST(j AS DOUBLE)])),
-          (acc, jl) -> acc || [list_aggregate(
-            list_transform(range(1, least($L, CAST(jl[1] AS BIGINT)) + 1),
-              k -> acc[CAST(jl[1] AS BIGINT) - k + 1] +
-                   lps[(CAST(jl[1] AS BIGINT) - 1) * $L + k]),
-            'max')]) AS best
-        FROM vlist_$r),
-      vpath_$r AS (SELECT w, freq, best, lps,
-        list_reduce(
-          list_prepend([CAST(n AS BIGINT)],
-            list_transform(range(0, n), x -> [CAST(-1 AS BIGINT)])),
-          (acc, dummy) -> CASE WHEN acc[1] <= 0 THEN acc ELSE
-            list_prepend(acc[1] - list_aggregate(
-              list_transform(range(1, least($L, acc[1]) + 1),
-                k -> CASE WHEN best[acc[1] - k + 1] +
-                            lps[(acc[1] - 1) * $L + k] = best[acc[1] + 1]
-                          THEN k ELSE -1 END),
-              'max'), acc) END) AS cuts
-        FROM vbest_$r),
-      vpcs_$r AS (SELECT w, freq,
-          list_transform(range(1, len(b)), i ->
-            substr(w, CAST(b[i] AS INT) + 1,
-              CAST(b[i + 1] - b[i] AS INT))) AS pcs
-        FROM (SELECT w, freq,
-                list_sort(list_filter(list_distinct(cuts), x -> x >= 0)) AS b
-              FROM vpath_$r))"""
+                 FROM vk_$r v LEFT JOIN $pieces p
+                   ON substr(v.w, CAST(v.j - v.k + 1 AS INT),
+                        CAST(v.k AS INT)) = p.piece),
+      vdp_$r AS (
+        SELECT w, n, CAST(0 AS BIGINT) AS j, CAST(0 AS DOUBLE) AS b0,
+               $baseNulls
+        FROM (SELECT DISTINCT w, n FROM vg_$r)
+        UNION ALL
+        SELECT d.w, d.n, d.j + 1,
+               max(CASE l.k $caseArms END + l.lp) AS b0,
+               $shifted
+        FROM vdp_$r d JOIN vlp_$r l ON l.w = d.w AND l.j = d.j + 1
+        WHERE d.j < d.n
+        GROUP BY d.w, d.n, d.j, $groupCols),
+      vbk_$r AS (SELECT l.w, l.j, max(l.k) AS bk
+                 FROM vlp_$r l
+                 JOIN vdp_$r a ON a.w = l.w AND a.j = l.j
+                 JOIN vdp_$r b ON b.w = l.w AND b.j = l.j - l.k
+                 WHERE b.b0 + l.lp = a.b0
+                 GROUP BY l.w, l.j),
+      vwalk_$r AS (
+        SELECT w, freq, n AS p FROM (SELECT DISTINCT w, freq, n FROM vg_$r)
+        UNION ALL
+        SELECT v.w, v.freq, v.p - b.bk
+        FROM vwalk_$r v JOIN vbk_$r b ON b.w = v.w AND b.j = v.p
+        WHERE v.p > 0),
+      vpcs_$r AS (SELECT v.w, v.freq,
+                    list(substr(v.w, CAST(v.p - b.bk + 1 AS INT),
+                      CAST(b.bk AS INT)) ORDER BY v.p) AS pcs
+                  FROM vwalk_$r v JOIN vbk_$r b ON b.w = v.w AND b.j = v.p
+                  WHERE v.p > 0
+                  GROUP BY v.w, v.freq)"""
+  }
 
   /** The EM recount from a Viterbi pass. */
   private def emcSql(r: String): String = s"""
@@ -519,7 +536,7 @@ final class Sp(val tuning: Tuning) extends Serializable {
     Some {
       val (chain, fin) = trainChain
       s"""
-      WITH $chain
+      WITH RECURSIVE $chain
       SELECT piece, cnt FROM $fin ORDER BY piece"""
     })
 
@@ -546,7 +563,7 @@ final class Sp(val tuning: Tuning) extends Serializable {
     Some {
       val (chain, fin) = trainChain
       s"""
-      WITH $chain,
+      WITH RECURSIVE $chain,
       pdoc AS (SELECT doc_id, $toksSqlDuck AS toks FROM documents
                WHERE doc_id % 25 = 3),
       sptkw AS (SELECT DISTINCT unnest(toks) AS w, CAST(1 AS BIGINT) AS freq
