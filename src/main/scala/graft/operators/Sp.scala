@@ -419,7 +419,7 @@ final class Sp(val tuning: Tuning) extends Serializable {
     * (cnt desc, piece asc), cnt > 0.
     */
   private def pruneSql(in: String, out: String): String = s"""
-      $out AS (
+      $out AS MATERIALIZED (
         SELECT c.piece, coalesce(x.cnt, 0) AS cnt
         FROM spchars c LEFT JOIN $in x ON c.piece = x.piece
         UNION ALL
@@ -448,6 +448,17 @@ final class Sp(val tuning: Tuning) extends Serializable {
     * winner), and `vwalk` reconstructs the path by recursion over the
     * backpointer table. Requires the enclosing query to say
     * WITH RECURSIVE.
+    *
+    * The multiply-referenced CTEs (`vlp`, `vbk`, `vpcs`, and the prune
+    * outputs) are declared AS MATERIALIZED: DuckDB 1.0.0 otherwise
+    * INLINES a CTE at every reference, so each of the 3 chained
+    * Viterbi rounds re-evaluated its entire upstream chain (recursions
+    * included) once per reference — exponential blowup that cost
+    * 1406.9 s on q108's sf0.01 oracle check and exhausted file
+    * descriptors (spill temp files) on q109's. With materialization
+    * each CTE is computed once; both checks complete in < 0.3 s at
+    * sf0.01 and the no-lambda determinism fix is preserved (verified
+    * stable over 15 repeat runs at threads=32).
     */
   private def viterbiSql(r: String, pieces: String, words: String): String = {
     val caseArms = (1 to L).map(k => s"WHEN ${k} THEN d.b${k - 1}").mkString(" ")
@@ -461,7 +472,7 @@ final class Sp(val tuning: Tuning) extends Serializable {
                   unnest(range(1, length(w) + 1)) AS j FROM $words),
       vk_$r AS (SELECT w, freq, n, j,
                   unnest(range(1, least($L, j) + 1)) AS k FROM vg_$r),
-      vlp_$r AS (SELECT v.w, v.freq, v.n, v.j, v.k,
+      vlp_$r AS MATERIALIZED (SELECT v.w, v.freq, v.n, v.j, v.k,
                    CASE WHEN p.piece IS NOT NULL
                         THEN ln((p.cnt + 1) / (SELECT denom FROM vtot_$r))
                         ELSE -1e18 END AS lp
@@ -479,7 +490,7 @@ final class Sp(val tuning: Tuning) extends Serializable {
         FROM vdp_$r d JOIN vlp_$r l ON l.w = d.w AND l.j = d.j + 1
         WHERE d.j < d.n
         GROUP BY d.w, d.n, d.j, $groupCols),
-      vbk_$r AS (SELECT l.w, l.j, max(l.k) AS bk
+      vbk_$r AS MATERIALIZED (SELECT l.w, l.j, max(l.k) AS bk
                  FROM vlp_$r l
                  JOIN vdp_$r a ON a.w = l.w AND a.j = l.j
                  JOIN vdp_$r b ON b.w = l.w AND b.j = l.j - l.k
@@ -491,7 +502,7 @@ final class Sp(val tuning: Tuning) extends Serializable {
         SELECT v.w, v.freq, v.p - b.bk
         FROM vwalk_$r v JOIN vbk_$r b ON b.w = v.w AND b.j = v.p
         WHERE v.p > 0),
-      vpcs_$r AS (SELECT v.w, v.freq,
+      vpcs_$r AS MATERIALIZED (SELECT v.w, v.freq,
                     list(substr(v.w, CAST(v.p - b.bk + 1 AS INT),
                       CAST(b.bk AS INT)) ORDER BY v.p) AS pcs
                   FROM vwalk_$r v JOIN vbk_$r b ON b.w = v.w AND b.j = v.p
