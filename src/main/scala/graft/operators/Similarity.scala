@@ -420,10 +420,16 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       val emb = t(s, d, "embeddings")
         .filter($"embedding".isNotNull)
         .select($"vec_id", $"embedding")
+      // ~L·n/64 buckets of ~64 vectors each: pin the group shuffle's
+      // width (groupParts) — byte-based AQE coalescing collapsed this
+      // compute-bound pass to 1-2 tasks (see cellLocalBest note)
+      val estGroups = tuning.lshTables.toLong * math.max(1L, ctx.n0 / 64L)
       val grouped = btc.join(emb, "vec_id")
         .select($"tbl", $"bucket", $"vec_id", $"embedding")
+        .repartition(groupParts(s, estGroups), $"tbl", $"bucket")
         .as[(Int, Long, Long, Array[Float])]
-        .groupByKey(r => (r._1, r._2))
+        .groupBy($"tbl", $"bucket")
+        .as[(Int, Long), (Int, Long, Long, Array[Float])]
       val best = grouped.flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Array[Float])]) =>
         val vs = it.map(r => (r._3, r._4.map(_.toDouble))).toArray.sortBy(_._1)
         val norms = vs.map { case (_, v) =>
@@ -686,7 +692,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * ≤ |probes| best-rows out.
     */
   private[operators] def cellLocalBest(s: SparkSession, d: String,
-      probes: DataFrame, home: DataFrame, nBlocks: Int): DataFrame = {
+      probes: DataFrame, home: DataFrame, nBlocks: Int, n0: Long): DataFrame = {
     import s.implicits._
     val emb = t(s, d, "embeddings")
       .filter($"embedding".isNotNull && size($"embedding") > 0)
@@ -697,9 +703,18 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     val hr = home.join(emb, $"b_id" === $"vec_id")
       .select($"cell", explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"),
         $"b_id".as("id"), $"embedding", lit(false).as("isProbe"))
+    // ~√n cells × nBlocks groups of bounded compute; pin the group
+    // shuffle's partition count to the group population (groupParts)
+    // instead of letting AQE size it by BYTES — the packed vectors are
+    // a few MB here while the per-group pairing is O(probes·√n·dims)
+    // compute, so byte-based coalescing funnels the whole pass onto
+    // 1-2 tasks (measured: the 3 heaviest q45 stages were 1-task).
+    val estGroups = math.ceil(math.sqrt(math.max(1L, n0).toDouble)).toLong * nBlocks
     pr.unionAll(hr)
+      .repartition(groupParts(s, estGroups), $"cell", $"blk")
       .as[(Long, Int, Long, Array[Float], Boolean)]
-      .groupByKey(r => (r._1, r._2))
+      .groupBy($"cell", $"blk")
+      .as[(Long, Int), (Long, Int, Long, Array[Float], Boolean)]
       .flatMapGroups { (key: (Long, Int), it: Iterator[(Long, Int, Long, Array[Float], Boolean)]) =>
         val rows = it.toArray
         val homes = rows.filter(!_._5)
@@ -742,6 +757,21 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       }.toDF("cell", "a_id", "nn_id", "cosine")
   }
 
+  /** Partition count for a compute-bound grouped pass (guide §2):
+    * one task per group up to 16× the session parallelism, never
+    * below the session parallelism. Group bytes are small (packed
+    * vectors) but group compute is heavy, so an explicit
+    * user-specified count — which AQE's byte-based coalescing leaves
+    * alone — is the scale-true sizing: locally it restores
+    * all-core parallelism; on a cluster it tracks cluster width and
+    * the group population, not a constant. Deterministic (footer
+    * estimates), costs no job.
+    */
+  private def groupParts(s: SparkSession, estGroups: Long): Int = {
+    val p = s.sparkContext.defaultParallelism
+    math.max(p.toLong, math.min(estGroups, 16L * p)).toInt
+  }
+
   /** Probe-side block count: expected probes per cell over a 4096-row
     * per-task target, from the footer count — deterministic, no job.
     */
@@ -763,7 +793,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       cellLocalBest(s, d,
           probes = assign.select($"vec_id".as("a_id"), $"cell"),
           home = assign.select($"vec_id".as("b_id"), $"cell"),
-          nBlocks = ivfBlocks(ctx.n0, 1))
+          nBlocks = ivfBlocks(ctx.n0, 1), n0 = ctx.n0)
         .select($"a_id", $"cell".cast("long").as("cell"),
           $"nn_id", r4($"cosine").as("cosine"))
         .orderBy($"a_id")
@@ -862,7 +892,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       val best = cellLocalBest(s, d,
         probes = probed.select($"vec_id".as("a_id"), $"cell"),
         home = probed.filter($"rk" === 1).select($"vec_id".as("b_id"), $"cell"),
-        nBlocks = ivfBlocks(ctx.n0, tuning.nprobe))
+        nBlocks = ivfBlocks(ctx.n0, tuning.nprobe), n0 = ctx.n0)
       best.withColumn("rk", row_number().over(
           Window.partitionBy($"a_id").orderBy(r6($"cosine").desc, $"nn_id")))
         .filter($"rk" === 1)
@@ -914,9 +944,42 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     "q45_ann_recall",
     (s, d) => {
       import s.implicits._
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       val ctx = annCtx(s, d)
-      val gt = bruteforceDF(s, d).filter($"rk" === 1)
-        .select($"q_id", $"n_id".as("true_nn"))
+      // the ground-truth frame joins into EVERY method branch of the
+      // union; materialize its ≤ annQueries rows ONCE (eager
+      // localCheckpoint) instead of re-running the brute-force corpus
+      // pass per branch — the 6-method union re-executed the whole
+      // bruteforce subtree (collect + compiled heap pass + window) six
+      // times, ~6 of the query's ~22 s stage-time at sf0.1. Guide §2.4
+      // (shared subtree within one action) + §5 (lineage truncation);
+      // same rows, bit-identical arithmetic. Runs on a driver thread so
+      // the corpus pass overlaps the index reads/collects below (§2.6 —
+      // back-fill idle cores instead of serializing the checkpoints).
+      // ensureIndex is idempotent+synchronized, so racing it is safe.
+      val gtF = Future {
+        bruteforceDF(s, d).filter($"rk" === 1)
+          .select($"q_id", $"n_id".as("true_nn"))
+          .localCheckpoint()
+      }
+      val ictx = ivfCtx(s, d, ctx)
+      val adc = adcCtx(s, d, pqCtx(s, d))
+      val probed = probedDF(s, d).cache()
+      // localCheckpoint (not cache): the scored frame feeds two branches
+      // (ivfadc rank-1, refined shortlist); truncating its lineage also
+      // removes the probed⋈codes⋈LUT subtree from both branches' plans
+      // (the q45 plan carried 107 Exchanges — planning time is real
+      // cost). Concurrent with gtF — independent subtrees.
+      val iadcF = Future {
+        ivfadcScoredDF(s, d, resAdcCtx(s, d, Some(probed)), Some(probed))
+          .localCheckpoint()
+      }
+      val adcNN = adcRankedDF(s, adc).filter($"rk" === 1)
+        .select($"q_id".as("a_id"), $"n_id".as("nn_id"))
+      val gt = Await.result(gtF, Duration.Inf)
+      val iadcScored = Await.result(iadcF, Duration.Inf)
       def recallOf(method: String, df: DataFrame) =
         gt.join(df.select($"a_id".as("q_id"), $"nn_id"), Seq("q_id"), "left")
           .agg(count(lit(1)).as("n_queries"),
@@ -925,13 +988,6 @@ final class Similarity(val tuning: Tuning) extends Serializable {
             $"n_queries".cast("long").as("n_queries"),
             $"hits".cast("long").as("hits"),
             r4($"hits".cast("double") / $"n_queries").as("recall_at_1"))
-      val ictx = ivfCtx(s, d, ctx)
-      val adc = adcCtx(s, d, pqCtx(s, d))
-      val probed = probedDF(s, d).cache()
-      val iadcScored =
-        ivfadcScoredDF(s, d, resAdcCtx(s, d, Some(probed)), Some(probed)).cache()
-      val adcNN = adcRankedDF(s, adc).filter($"rk" === 1)
-        .select($"q_id".as("a_id"), $"n_id".as("nn_id"))
       val iadcNN = iadcScored
         .withColumn("rk", row_number().over(
           Window.partitionBy($"q_id").orderBy(r6($"d2"), $"n_id")))
