@@ -56,6 +56,9 @@ object ProfileQ {
 
     val fn = SparkEntry.queries(name)
     for (pass <- 1 to passes) {
+      // Bench clears per-query caches between samples; do the same so
+      // every pass repeats the query's full work and passes compare
+      spark.catalog.clearCache()
       stages.clear()
       record = pass == passes  // record the LAST (warm) pass
       val t0 = System.nanoTime()

@@ -1697,6 +1697,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
             Seq("q_id", "cell", "sub", "cent"))
     }).groupBy($"q_id", $"n_id")
       .agg(sum($"pd2").as("d2"))
+      .filter($"d2".isNotNull) // the dense path's missing-key drop
     val ranked = scored.withColumn("rk", row_number().over(
       Window.partitionBy($"q_id").orderBy(r6($"d2"), $"n_id")))
     if (!refine)
@@ -1718,8 +1719,13 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       // hash aggregate consumed the posexplode rows, and the dot's
       // per-(q, n) sum still reduces i-ascending — cosine doubles are
       // bit-unchanged (oracle-gated).
-      val e0 = t(s, d, "embeddings").select($"vec_id",
-        expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+      // isNotNull preserves the pre-packed drop semantics: posexplode
+      // of a NULL embedding emitted no rows, so a null-embedding
+      // candidate vanished rather than carrying null cn/dot forward
+      val e0 = t(s, d, "embeddings")
+        .filter($"embedding".isNotNull)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("embedding"))
       val addedVecDirs =
         v.base.flatMap(b => ArtifactLake.tableIfPresent(Some(b), "vectors"))
           .map(_.getAbsolutePath).toSeq ++
@@ -2568,13 +2574,16 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     * window sees ≤ 5·P·nq rows, never the n×nq scan output.
     */
   /** The shared ADC context: corpus PQ codes `(n_id, sub, cent)` — the
-    * compiled assignment map — and the per-query lookup table
-    * `(q_id, sub, cent, pd2)`. The two halves every ADC-ranked search
-    * composes: q48's full-corpus scan, q49's IVF-gated scan, and q45's
-    * refined tier. Codes are cached so a query running several tiers
-    * (q45) assigns the corpus once.
+    * compiled assignment map — and the per-query lookup table as a
+    * DENSE broadcast ([[denseResidualLut]]'s rationale applied to the
+    * non-residual half): `bcLut(q_id)` is an array indexed
+    * `sub * width + centIdx(cent)`. The two halves every ADC-ranked
+    * search composes: q48's full-corpus scan and q45's adc tier.
     */
-  private case class AdcCtx(codes: DataFrame, lut: DataFrame)
+  private case class AdcCtx(codes: DataFrame,
+      bcLut: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]],
+      bcCent: org.apache.spark.broadcast.Broadcast[Map[Long, Int]],
+      width: Int, n0: Long)
 
   private def adcCtx(s: SparkSession, d: String, pc: PqCtx): AdcCtx = {
     import s.implicits._
@@ -2583,49 +2592,109 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     // corpus PQ codes come off the STORED index table — the vectors'
     // floats are not touched to produce candidates or ranks
     val codes = codesDF(s, d)
-    // per-query ADC lookup table, built with the same join shape as
-    // the oracle (fp summation-order differences absorbed by r6/r4)
+    // The LUT is nq × subs × cents ADC partial distances against the
+    // DRIVER-HELD codebook — ~26M flops of arithmetic that the previous
+    // form computed as a plan-side posexplode ⋈ codebook ⋈ partial-agg
+    // subtree and broadcast as a HASH RELATION (the q49 lesson: seconds
+    // of framing/hash-build per query vs the arithmetic itself).
+    // Compute it on the driver from a bounded collect of the
+    // ≤ annQueries query vectors. pd2 sums (qv − cv)² in sd-ascending
+    // pair order — the row order the hash aggregate consumed
+    // (posexplode emits i ascending), so the doubles are unchanged.
     val qs = emb.filter($"vec_id" < tuning.annQueries && $"embedding".isNotNull)
-      .select($"vec_id".as("q_id"),
-        posexplode(expr("transform(embedding, x -> cast(x as double))")))
-      .select($"q_id", expr(s"CAST(pos div $subDim AS INT)").as("sub"),
-        expr(s"CAST(pos % $subDim AS INT)").as("sd"), $"col".as("qv"))
-    val cbDf = cb1.toSeq
-      .flatMap { case (cent, sub, pairs) =>
-        pairs.map { case (sd, cv) => (sub, cent, sd, cv) }
-      }.toDF("sub", "cent", "sd", "cv")
-    val lut = qs.join(broadcast(cbDf), Seq("sub", "sd"))
-      .groupBy($"q_id", $"sub", $"cent")
-      .agg(sum(($"qv" - $"cv") * ($"qv" - $"cv")).as("pd2"))
-    AdcCtx(codes, lut)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    val cents = cb1.map(_._1).distinct.sorted
+    val centIdx = cents.zipWithIndex.toMap
+    val width = cents.length
+    val nSubs = if (cb1.isEmpty) 0 else cb1.map(_._2).max + 1
+    val lut = qs.map { case (qid, qv) =>
+      val arr = new Array[Double](nSubs * width)
+      cb1.foreach { case (cent, sub, pairs) =>
+        var acc = 0.0
+        var pi = 0
+        while (pi < pairs.length) { // pairs sorted by sd — i-ascending
+          val (sd, cv) = pairs(pi)
+          val i = sub * subDim + sd
+          if (i < qv.length) {
+            val diff = qv(i) - cv
+            acc += diff * diff
+          }
+          pi += 1
+        }
+        arr(sub * width + centIdx(cent)) = acc
+      }
+      qid -> arr
+    }.toMap
+    AdcCtx(codes, s.sparkContext.broadcast(lut),
+      s.sparkContext.broadcast(centIdx), width,
+      Tables.rowCount(s, d, "embeddings"))
   }
 
-  /** q48's ranked full-corpus ADC scan, top-5 per query. The rank
-    * pre-prunes per-partition top-5 in a bounded compiled pass (the q07
-    * pattern), so the nq-partition ranking window sees ≤ 5·P·nq rows,
-    * never the n×nq scan output.
+  /** q48's ranked full-corpus ADC scan, top-5 per query, as ONE
+    * compiled pass (the FAISS scan shape): codes co-located per n_id,
+    * each vector's d2 against every query accumulated from the dense
+    * broadcast LUT, per-partition top-5 heaps per query. The previous
+    * form joined codes against the broadcast LUT relation — an
+    * n×8×nq-row join output pushed through a (q, n)-keyed hash
+    * aggregate (2M groups at sf0.1) before the heap prune; the fused
+    * pass emits ≤ 5·P·nq rows with no intermediate aggregation.
+    * d2 accumulates per (n_id, sub)-ascending row — the same addends
+    * the hash aggregate summed (r6/r4 absorb order ulps, as before).
     */
   private def adcRankedDF(s: SparkSession, adc: AdcCtx): DataFrame = {
     import s.implicits._
-    val scan = adc.codes.join(broadcast(adc.lut), Seq("sub", "cent"))
-      .filter($"n_id" =!= $"q_id")
-      .groupBy($"q_id", $"n_id")
-      .agg(sum($"pd2").as("d2"))
-    val pruned = scan.as[(Long, Long, Double)].mapPartitions { it =>
-      val best = scala.collection.mutable.HashMap[Long,
-        scala.collection.mutable.PriorityQueue[(Double, Long, Double)]]()
-      it.foreach { case (q, v, d2) =>
-        val r = math.floor(d2 * 1e6 + 0.5) / 1e6
-        val heap = best.getOrElseUpdate(q,
+    val bl = adc.bcLut
+    val bcix = adc.bcCent
+    val w = adc.width
+    // co-locate each n_id's 8 code rows (a parquet split boundary can
+    // straddle a vector), with an explicit scale-derived width that
+    // AQE's byte-based coalescing leaves alone (narrow rows, heavy
+    // per-row compute: nq adds each)
+    val parts = math.max(s.sparkContext.defaultParallelism.toLong,
+      adc.n0 * 8L / 2000000L).toInt
+    val pruned = adc.codes.select($"n_id", $"sub", $"cent")
+      .repartition(parts, $"n_id")
+      .sortWithinPartitions($"n_id", $"sub")
+      .as[(Long, Int, Long)]
+      .mapPartitions { it =>
+        val lut = bl.value
+        val cix = bcix.value
+        val qids = lut.keysIterator.toArray.sorted
+        val luts = qids.map(lut)
+        val nq = qids.length
+        val heaps = Array.fill(nq)(
           scala.collection.mutable.PriorityQueue.empty[(Double, Long, Double)](
-            Ordering.by(x => (x._1, x._2))))  // max-heap: worst on top
-        heap.enqueue((r, v, d2))
-        if (heap.size > 5) heap.dequeue()
-      }
-      best.iterator.flatMap { case (q, heap) =>
-        heap.iterator.map { case (_, v, d2) => (q, v, d2) }
-      }
-    }.toDF("q_id", "n_id", "d2")
+            Ordering.by(x => (x._1, x._2)))) // max-heap: worst on top
+        val acc = new Array[Double](nq)
+        var cur = Long.MinValue
+        var open = false
+        def flush(): Unit = if (open) {
+          var qi = 0
+          while (qi < nq) {
+            if (qids(qi) != cur) { // the scan's n_id <> q_id filter
+              val d2 = acc(qi)
+              val r = math.floor(d2 * 1e6 + 0.5) / 1e6
+              val heap = heaps(qi)
+              heap.enqueue((r, cur, d2))
+              if (heap.size > 5) heap.dequeue()
+            }
+            acc(qi) = 0.0
+            qi += 1
+          }
+        }
+        it.foreach { case (nid, sub, cent) =>
+          if (nid != cur) { flush(); cur = nid; open = true }
+          val idx = sub * w + cix(cent)
+          var qi = 0
+          while (qi < nq) { acc(qi) += luts(qi)(idx); qi += 1 }
+        }
+        flush()
+        qids.iterator.zipWithIndex.flatMap { case (q, qi) =>
+          heaps(qi).iterator.map { case (_, v, d2) => (q, v, d2) }
+        }
+      }.toDF("q_id", "n_id", "d2")
     pruned
       .withColumn("rk", row_number().over(
         Window.partitionBy($"q_id").orderBy(r6($"d2"), $"n_id")).cast("long"))
@@ -2671,7 +2740,13 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       bcCent: org.apache.spark.broadcast.Broadcast[Map[Long, Int]],
       width: Int) {
     /** pd2 as a column over (q_id, cell, sub, cent) — the array load
-      * that replaces the broadcast-hash LUT probe. */
+      * that replaces the broadcast-hash LUT probe. Guarded like the
+      * hash-relation join it replaced: a (q_id, cell) absent from the
+      * LUT or a cent absent from the codebook returns null — the old
+      * inner join dropped such rows, and callers mirror the drop
+      * (sum() skips null addends; an all-null group sums to null and
+      * is filtered).
+      */
     def pd2(q: org.apache.spark.sql.Column, cell: org.apache.spark.sql.Column,
         sub: org.apache.spark.sql.Column, cent: org.apache.spark.sql.Column)
         : org.apache.spark.sql.Column = {
@@ -2679,7 +2754,10 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       val bl = bcLut
       val bcix = bcCent
       val f = udf((qv: Long, cl: Long, sb: Int, ct: Long) =>
-        bl.value((qv, cl))(sb * w + bcix.value(ct)))
+        (for {
+          arr <- bl.value.get((qv, cl))
+          ci <- bcix.value.get(ct)
+        } yield java.lang.Double.valueOf(arr(sb * w + ci))).orNull)
       f(q, cell, sub, cent)
     }
   }
@@ -2798,6 +2876,7 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       .withColumn("pd2", radc.lut.pd2($"q_id", $"cell", $"sub", $"cent"))
       .groupBy($"q_id", $"n_id")
       .agg(sum($"pd2").as("d2"))
+      .filter($"d2".isNotNull) // the old inner join's missing-key drop
   }
 
   /** FAISS's refine step — the production IVFADC search path: take the
@@ -2820,8 +2899,11 @@ final class Similarity(val tuning: Tuning) extends Serializable {
     // form broadcast ctx.n — n rows — twice); candidate norms come from
     // the same join row's array, i-ascending like the norms aggregate,
     // query norms from the ctx.n cache pruned to the annQueries set.
-    val emb = t(s, d, "embeddings").select($"vec_id".as("n_id"),
-      expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    // isNotNull preserves the pre-packed drop semantics (see searchFrom)
+    val emb = t(s, d, "embeddings")
+      .filter($"embedding".isNotNull)
+      .select($"vec_id".as("n_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("embedding"))
     val pairs = broadcast(topR).join(emb, "n_id")
       .withColumn("cn", sqrt(expr(
         "aggregate(embedding, cast(0 as double), (a, x) -> a + x * x)")))

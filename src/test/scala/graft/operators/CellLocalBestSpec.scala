@@ -28,7 +28,7 @@ class CellLocalBestSpec extends SparkTestBase {
     val probes = emb.flatMap(id => Seq((id, id % 7), (id, (id + 1) % 7)))
       .toSeq.toDF("a_id", "cell")
     val runs = Seq(1, 3, 8).map { nb =>
-      sim.cellLocalBest(spark, sf, probes, home, nb)
+      sim.cellLocalBest(spark, sf, probes, home, nb, n0 = emb.length.toLong)
         .orderBy($"cell", $"a_id")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           math.floor(r.getDouble(3) * 1e9 + 0.5) / 1e9)).toSeq
