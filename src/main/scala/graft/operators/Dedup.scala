@@ -620,11 +620,14 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       // label one extra hop via a self-join per round — was benchmarked
       // 10× SLOWER end-to-end: near-dup components are clique-shaped
       // and converge in ~2 rounds, so the extra join buys nothing.)
+      // LAZY checkpoint: the convergence count is the round's first
+      // action, so it materializes the checkpoint as a side effect —
+      // one job per round where eager-checkpoint-then-count ran two
       val next = comp
         .join(nbrMin.select($"dst".as("doc_id"), $"nmin"), Seq("doc_id"), "left")
         .select($"doc_id", $"comp".as("old"),
           least($"comp", coalesce($"nmin", $"comp")).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter($"comp" =!= $"old").count()
       comp.unpersist()
       comp = next.select($"doc_id", $"comp")
@@ -1829,29 +1832,65 @@ final class Dedup(val tuning: Tuning) extends Serializable {
     "q34_dedup_embedding_cosine",
     (s, d) => {
       import s.implicits._
-      // codegen'd posexplode→join→agg dot products (see Similarity's
-      // rationale); the exploded table is cached for its three readers
+      // PACKED within-bucket pairing (the q41/q42 lshDF kernel shape,
+      // round-18): vectors shuffle once as packed float arrays grouped
+      // by bucket, and all pair dot products run in a compiled
+      // per-group loop that emits only the pairs whose rounded cosine
+      // clears the threshold. The previous form self-joined the
+      // exploded n×64 component table on (i, bucket) — pair-count × 64
+      // rows materialized through the shuffle and a pair-keyed hash
+      // aggregate (the exact shape lshDF abandoned in round 9). Same
+      // arithmetic: dot and norms accumulate i-ascending in double
+      // (the order the hash aggregates consumed the posexplode rows),
+      // threshold on the same r6 floor — oracle-gated.
       val n0 = Tables.rowCount(s, d, "embeddings")  // footer metadata, no scan
-      val u0 = Similarity.unpackedBucketed(s, d, Similarity.signBits(n0))
+      val bits = Similarity.signBits(n0)
+      val bucketExpr = (0 until bits)
+        .map(j => s"(CASE WHEN embedding[$j] > 0 THEN ${1L << j}L ELSE 0L END)")
+        .mkString(" + ")
+      val bv = t(s, d, "embeddings")
+        .filter($"embedding".isNotNull && size($"embedding") > 0)
+        .select(expr(s"CAST($bucketExpr AS BIGINT)").as("bucket"),
+          $"vec_id", $"embedding")
       // q41's skew guard: a sign-degenerate bucket > lshBucketCap
       // vectors is non-discriminative — drop it whole (broadcast
       // anti-join)
-      val over = u0.filter($"i" === 0)
-        .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
+      val over = bv.groupBy($"bucket").agg(count(lit(1)).as("cnt"))
         .filter($"cnt" > tuning.lshBucketCap).select($"bucket")
-      val u = u0.join(broadcast(over), Seq("bucket"), "left_anti")
-      val n = Similarity.norms(u)
-      val a = u.select($"vec_id".as("a_id"), $"bucket", $"i".as("ai"), $"v".as("av"))
-      val b = u.select($"vec_id".as("b_id"), $"bucket".as("bk"), $"i".as("bi"), $"v".as("bv"))
-      a.join(b, $"ai" === $"bi" && $"bucket" === $"bk" && $"a_id" < $"b_id")
-        .groupBy($"a_id", $"b_id")
-        .agg(sum($"av" * $"bv").as("dot"))
-        // norm joins unhinted — the norm table is corpus-sized, so a
-        // forced broadcast inverts at scale; AQE picks from actual size
-        .join(n.select($"vec_id".as("a_id"), $"nrm".as("anrm")), "a_id")
-        .join(n.select($"vec_id".as("b_id"), $"nrm".as("bnrm")), "b_id")
-        .withColumn("cosine", $"dot" / ($"anrm" * $"bnrm"))
-        .filter(r6($"cosine") >= 0.35)
+      val kept = bv.join(broadcast(over), Seq("bucket"), "left_anti")
+      // ~n/64 buckets of bounded compute: pin the group shuffle's width
+      // (Similarity.groupParts) — byte-based AQE coalescing would run
+      // this compute-bound pass on 1-2 tasks
+      val parts = Similarity.groupParts(s, math.max(1L, n0 / 64L))
+      val pairs = kept
+        .repartition(parts, $"bucket")
+        .as[(Long, Long, Array[Float])]
+        .groupBy($"bucket")
+        .as[Long, (Long, Long, Array[Float])]
+        .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Array[Float])]) =>
+          val vs = it.map(r => (r._2, r._3.map(_.toDouble))).toArray.sortBy(_._1)
+          val norms = vs.map { case (_, v) =>
+            var s2 = 0.0
+            var i = 0
+            while (i < v.length) { s2 += v(i) * v(i); i += 1 }
+            math.sqrt(s2)
+          }
+          (0 until vs.length).iterator.flatMap { ai =>
+            val (aId, av) = vs(ai)
+            (ai + 1 until vs.length).iterator.flatMap { bi =>
+              val (bId, bv2) = vs(bi)
+              var dot = 0.0
+              val lim = math.min(av.length, bv2.length)
+              var j = 0
+              while (j < lim) { dot += av(j) * bv2(j); j += 1 }
+              val cos = dot / (norms(ai) * norms(bi))
+              if (math.floor(cos * 1e6 + 0.5) / 1e6 >= 0.35)
+                Iterator.single((aId, bId, cos))
+              else Iterator.empty
+            }
+          }
+        }.toDF("a_id", "b_id", "cosine")
+      pairs
         .select($"a_id", $"b_id", r4($"cosine").as("cosine"))
         .orderBy($"a_id", $"b_id")
     },

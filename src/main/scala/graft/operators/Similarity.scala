@@ -87,6 +87,22 @@ object Similarity {
     AnnCtx(Tables.rowCount(s, d, "embeddings"), u, norms(u))
   }
 
+  /** Partition count for a compute-bound grouped pass (guide §2):
+    * one task per group up to 16× the session parallelism, never
+    * below the session parallelism. Group bytes are small (packed
+    * vectors) but group compute is heavy, so an explicit
+    * user-specified count — which AQE's byte-based coalescing leaves
+    * alone — is the scale-true sizing: locally it restores
+    * all-core parallelism; on a cluster it tracks cluster width and
+    * the group population, not a constant. Deterministic (footer
+    * estimates), costs no job. Shared by the Similarity group passes
+    * and Dedup's q34 blocked pairing.
+    */
+  private[operators] def groupParts(s: SparkSession, estGroups: Long): Int = {
+    val p = s.sparkContext.defaultParallelism
+    math.max(p.toLong, math.min(estGroups, 16L * p)).toInt
+  }
+
   /** Adaptive hyperplane count: bucket count ≈ n/64 so expected bucket
     * size stays constant as the corpus grows. ε-guarded so Spark and the
     * DuckDB oracle (greatest(4, ceil(log2(n/64.0) - 1e-9))) agree even
@@ -757,20 +773,8 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       }.toDF("cell", "a_id", "nn_id", "cosine")
   }
 
-  /** Partition count for a compute-bound grouped pass (guide §2):
-    * one task per group up to 16× the session parallelism, never
-    * below the session parallelism. Group bytes are small (packed
-    * vectors) but group compute is heavy, so an explicit
-    * user-specified count — which AQE's byte-based coalescing leaves
-    * alone — is the scale-true sizing: locally it restores
-    * all-core parallelism; on a cluster it tracks cluster width and
-    * the group population, not a constant. Deterministic (footer
-    * estimates), costs no job.
-    */
-  private def groupParts(s: SparkSession, estGroups: Long): Int = {
-    val p = s.sparkContext.defaultParallelism
-    math.max(p.toLong, math.min(estGroups, 16L * p)).toInt
-  }
+  private def groupParts(s: SparkSession, estGroups: Long): Int =
+    Similarity.groupParts(s, estGroups)
 
   /** Probe-side block count: expected probes per cell over a 4096-row
     * per-task target, from the footer count — deterministic, no job.

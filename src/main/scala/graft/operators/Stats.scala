@@ -97,8 +97,18 @@ object Stats {
         ranked.groupBy($"g").agg(aggs.head, aggs.tail: _*)
           .withColumnRenamed("g", "l_returnflag")
       }
-      pctls("l_extendedprice", Seq("p50" -> 0.5, "p90" -> 0.9))
-        .join(pctls("l_quantity", Seq("q1_qty" -> 0.25)), "l_returnflag")
+      // the two value columns' rank pipelines are independent until the
+      // final join, and each runs driver-blocking jobs while it builds
+      // (range-sampling + the pass-1 offsets collect): overlap them on
+      // driver threads so one pipeline's jobs back-fill the other's
+      // stragglers (guide §2.6) instead of serializing 2× the latency
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val priceF = Future(pctls("l_extendedprice", Seq("p50" -> 0.5, "p90" -> 0.9)))
+      val qtyF = Future(pctls("l_quantity", Seq("q1_qty" -> 0.25)))
+      Await.result(priceF, Duration.Inf)
+        .join(Await.result(qtyF, Duration.Inf), "l_returnflag")
         .orderBy($"l_returnflag")
     },
     Some("""
