@@ -1861,7 +1861,8 @@ final class Dedup(val tuning: Tuning) extends Serializable {
       // ~n/64 buckets of bounded compute: pin the group shuffle's width
       // (Similarity.groupParts) — byte-based AQE coalescing would run
       // this compute-bound pass on 1-2 tasks
-      val parts = Similarity.groupParts(s, math.max(1L, n0 / 64L))
+      val parts = Similarity.groupParts(s, math.max(1L, n0 / 64L),
+        groupsPerTask = 64L)
       val pairs = kept
         .repartition(parts, $"bucket")
         .as[(Long, Long, Array[Float])]

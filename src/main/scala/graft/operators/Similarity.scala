@@ -98,9 +98,11 @@ object Similarity {
     * estimates), costs no job. Shared by the Similarity group passes
     * and Dedup's q34 blocked pairing.
     */
-  private[operators] def groupParts(s: SparkSession, estGroups: Long): Int = {
+  private[operators] def groupParts(s: SparkSession, estGroups: Long,
+      groupsPerTask: Long = 1L): Int = {
     val p = s.sparkContext.defaultParallelism
-    math.max(p.toLong, math.min(estGroups, 16L * p)).toInt
+    val tasks = (estGroups + groupsPerTask - 1L) / groupsPerTask
+    math.max(p.toLong, math.min(tasks, 16L * p)).toInt
   }
 
   /** Adaptive hyperplane count: bucket count ≈ n/64 so expected bucket
@@ -440,9 +442,12 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       // width (groupParts) — byte-based AQE coalescing collapsed this
       // compute-bound pass to 1-2 tasks (see cellLocalBest note)
       val estGroups = tuning.lshTables.toLong * math.max(1L, ctx.n0 / 64L)
+      // ~64 ≈cap²·dims-flop buckets per task: one bucket is ~0.1 ms of
+      // compute, so one-task-per-group pays more scheduling than work
       val grouped = btc.join(emb, "vec_id")
         .select($"tbl", $"bucket", $"vec_id", $"embedding")
-        .repartition(groupParts(s, estGroups), $"tbl", $"bucket")
+        .repartition(groupParts(s, estGroups, groupsPerTask = 64L),
+          $"tbl", $"bucket")
         .as[(Int, Long, Long, Array[Float])]
         .groupBy($"tbl", $"bucket")
         .as[(Int, Long), (Int, Long, Long, Array[Float])]
@@ -773,8 +778,9 @@ final class Similarity(val tuning: Tuning) extends Serializable {
       }.toDF("cell", "a_id", "nn_id", "cosine")
   }
 
-  private def groupParts(s: SparkSession, estGroups: Long): Int =
-    Similarity.groupParts(s, estGroups)
+  private def groupParts(s: SparkSession, estGroups: Long,
+      groupsPerTask: Long = 1L): Int =
+    Similarity.groupParts(s, estGroups, groupsPerTask)
 
   /** Probe-side block count: expected probes per cell over a 4096-row
     * per-task target, from the footer count — deterministic, no job.

@@ -1308,15 +1308,24 @@ final class TextOps(tuning: graft.config.Tuning) {
     (s, d) => {
       import s.implicits._
       val docs = spread(t(s, d, "documents"))
+      // cached: the token stream feeds THREE readers (document
+      // frequency, the corpus doc count, per-doc term frequency) —
+      // uncached the corpus would be scanned + tokenized three times
       val toks = docs.select($"doc_id", explode(expr(toksExpr)).as("term"))
+        .cache()
       val df = toks.distinct()
-        .groupBy($"term").agg(count(lit(1)).as("df")).cache()
-      val nDocs = toks.select($"doc_id").distinct().count()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      // the doc count rides the plan as a broadcast 1-row aggregate
+      // (the oracle's scalar subquery), not a driver-blocking count()
+      // job over a separate tokenize pass
+      val nd = toks.agg(
+        countDistinct($"doc_id").cast("double").as("n_docs"))
       val tf = toks.filter($"doc_id" % 25 === 0)
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       val scored = tf.join(df, "term")
+        .crossJoin(broadcast(nd))
         .withColumn("score",
-          r6($"tf" * log(lit(nDocs.toDouble) / $"df")))
+          r6($"tf" * log($"n_docs" / $"df")))
       scored
         .withColumn("rank", row_number().over(
           Window.partitionBy($"doc_id")
