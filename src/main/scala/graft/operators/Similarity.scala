@@ -975,22 +975,45 @@ final class Similarity(val tuning: Tuning) extends Serializable {
           .localCheckpoint()
       }
       val ictx = ivfCtx(s, d, ctx)
-      val adc = adcCtx(s, d, pqCtx(s, d))
       val probed = probedDF(s, d).cache()
-      // localCheckpoint (not cache): the scored frame feeds two branches
-      // (ivfadc rank-1, refined shortlist); truncating its lineage also
-      // removes the probed⋈codes⋈LUT subtree from both branches' plans
-      // (the q45 plan carried 107 Exchanges — planning time is real
-      // cost). Concurrent with gtF — independent subtrees.
+      // EVERY method branch materializes its ≤ annQueries-row NN frame
+      // on its own driver thread (eager localCheckpoint): within one
+      // action AQE interleaves the union's stages only partially (the
+      // measured job overlap was ~1.8× across an 11 s job-run sum), so
+      // running the six independent branch chains as concurrent jobs
+      // lets each branch's stage tail back-fill the others' idle cores
+      // (guide §2.6) and leaves a trivially cheap final union. The
+      // checkpoints also truncate lineage: the un-truncated q45 plan
+      // carried 107 Exchanges, and plan size is real optimizer cost
+      // (§5). Same rows, bit-identical arithmetic per branch —
+      // oracle-gated. ensureIndex is idempotent+synchronized and the
+      // shared probed/u/norms caches race benignly (first computation
+      // populates, the rest read).
       val iadcF = Future {
         ivfadcScoredDF(s, d, resAdcCtx(s, d, Some(probed)), Some(probed))
           .localCheckpoint()
       }
-      val adcNN = adcRankedDF(s, adc).filter($"rk" === 1)
+      def nnF(df: => DataFrame) = Future {
+        df.select($"a_id", $"nn_id").localCheckpoint()
+      }
+      val ivfF = nnF(ivfSearch(s, d, ictx, Some(probed)))
+      val mpF = nnF(ivfMultiprobeSearch(s, d, ictx, Some(probed)))
+      val lshF = nnF(lshDF(s, d, ctx))
+      val adcF = nnF(adcRankedDF(s, adcCtx(s, d, pqCtx(s, d)))
+        .filter($"rk" === 1)
+        .select($"q_id".as("a_id"), $"n_id".as("nn_id")))
+      val iadcNNF = iadcF.map(sc => sc
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"q_id").orderBy(r6($"d2"), $"n_id")))
+        .filter($"rk" === 1)
         .select($"q_id".as("a_id"), $"n_id".as("nn_id"))
+        .localCheckpoint())
+      val refF = iadcF.map(sc =>
+        refinedDF(s, d, ctx, sc)
+          .select($"a_id", $"nn_id").localCheckpoint())
       val gt = Await.result(gtF, Duration.Inf)
-      val iadcScored = Await.result(iadcF, Duration.Inf)
-      def recallOf(method: String, df: DataFrame) =
+      def recallOf(method: String, f: Future[DataFrame]) = {
+        val df = Await.result(f, Duration.Inf)
         gt.join(df.select($"a_id".as("q_id"), $"nn_id"), Seq("q_id"), "left")
           .agg(count(lit(1)).as("n_queries"),
             sum(when($"nn_id" === $"true_nn", 1L).otherwise(0L)).as("hits"))
@@ -998,18 +1021,13 @@ final class Similarity(val tuning: Tuning) extends Serializable {
             $"n_queries".cast("long").as("n_queries"),
             $"hits".cast("long").as("hits"),
             r4($"hits".cast("double") / $"n_queries").as("recall_at_1"))
-      val iadcNN = iadcScored
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"q_id").orderBy(r6($"d2"), $"n_id")))
-        .filter($"rk" === 1)
-        .select($"q_id".as("a_id"), $"n_id".as("nn_id"))
-      recallOf("ivf", ivfSearch(s, d, ictx, Some(probed)))
-        .unionAll(recallOf("ivf_multiprobe",
-          ivfMultiprobeSearch(s, d, ictx, Some(probed))))
-        .unionAll(recallOf("lsh", lshDF(s, d, ctx)))
-        .unionAll(recallOf("pq_adc", adcNN))
-        .unionAll(recallOf("ivfadc", iadcNN))
-        .unionAll(recallOf("ivfadc_refined", refinedDF(s, d, ctx, iadcScored)))
+      }
+      recallOf("ivf", ivfF)
+        .unionAll(recallOf("ivf_multiprobe", mpF))
+        .unionAll(recallOf("lsh", lshF))
+        .unionAll(recallOf("pq_adc", adcF))
+        .unionAll(recallOf("ivfadc", iadcNNF))
+        .unionAll(recallOf("ivfadc_refined", refF))
         .orderBy($"method")
     },
     Some(s"""
