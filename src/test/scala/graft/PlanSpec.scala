@@ -254,13 +254,21 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q48/q49/q45/q68: the ADC tiers join broadcast LUTs — no cross product, floats stay put") {
-    for (q <- Seq("q48_pq_adc_topk", "q49_ivf_pq_search", "q45_ann_recall",
+    for (q <- Seq("q49_ivf_pq_search", "q45_ann_recall",
         "q68_vector_store_serve")) {
       val p = planOf(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q plans a cross product")
       assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast LUT join")
     }
+    // q48's flat scan is FUSED (round 18): the dense LUT rides a
+    // broadcast VARIABLE into one MapPartitions pass — no join node at
+    // all, no (q, n) aggregate before the heap prune
+    val p48 = planOf("q48_pq_adc_topk")
+    assert(!p48.contains("BroadcastNestedLoopJoin") && !p48.contains("CartesianProduct"),
+      "q48 plans a cross product")
+    assert(!p48.contains("Join"), "q48 re-grew a join — the fused ADC scan is gone")
+    assert(p48.contains("MapPartitions"), "q48 lost its fused compiled scan")
   }
 
   test("q60/q64: decode is one scan of the media parquet + a row-local map — no joins") {
